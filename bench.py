@@ -1,0 +1,76 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is executed to completion (collect) — results are small
+aggregates/top-ks by design, so collect measures the full plan without a
+driver-memory hazard. A session warm-up query runs first so JVM startup
+is not attributed to the first query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: every class of operator with nontrivial work at scale.
+BENCH_QUERIES = [
+    "pricing_summary",      # wide agg over the fact table
+    "mutual_edges",         # flagship 2-key self-join
+    "three_way_join",       # chained joins + agg
+    "upsert_keep_newest",   # window-based merge emulation
+    "running_total",        # ordered running window
+    "insert_if_absent",     # anti-join write pattern
+    "daily_counts",         # temporal rollup
+    "top_k_per_group",      # per-group top-k
+]
+
+
+def main() -> None:
+    from instagram_data_pipeline_spark.queries import load_all
+    from instagram_data_pipeline_spark.session import build_session
+
+    registry = load_all()
+    spark = build_session(app_name="bench")
+    # warm-up: JVM + parquet footer caches
+    registry["key_lookup"].spark_fn(spark, SF_DIR).collect()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        if name not in registry:
+            continue
+        t0 = time.time()
+        df = registry[name].spark_fn(spark, SF_DIR)
+        n = len(df.collect())
+        timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_seconds",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

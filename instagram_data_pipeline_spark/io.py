@@ -1,0 +1,132 @@
+"""Table IO: a Parquet-backed warehouse with a typed table registry.
+
+The reference delegated storage to PostgreSQL (psycopg2 call sites across
+``instagram_scraper.py`` / ``interest_analyzer.py``); here every table is a
+directory of Parquet files and every read goes through an explicit schema
+from :mod:`schemas`. Views are registered so both the DataFrame and SQL
+APIs see the same catalog.
+
+Scale notes (100 TB):
+* Big fact/edge tables should be written ``partitionBy`` a coarse key
+  (e.g. date for ledgers, hash-bucket for edges) so partition pruning
+  works; ``Warehouse.write`` exposes that.
+* Overwrites of small control tables (ledger, dims) are cheap; the big
+  tables are append-only + compaction — the upsert protocols in
+  ``operators/writes.py`` are designed so the *per-batch* work is an
+  anti-join against only the touched partitions.
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from .schemas import REFERENCE_TABLES, TESTDATA_TABLES
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_testdata(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one driver testdata table with its declared schema.
+
+    ``events.ts`` is stored as parquet TIMESTAMP(NANOS), which Spark's
+    reader rejects outright; we read it as raw nanos
+    (``spark.sql.legacy.parquet.nanosAsLong`` — runtime-settable) and
+    rebuild an exact micros timestamp with integer division (``DIV`` —
+    float division would lose precision above 2^53 ns).
+    """
+    path = str(Path(sf_dir) / f"{name}.parquet")
+    # Queries may run inside a caller-owned session (the driver's);
+    # timestamp semantics must not depend on that session's timezone.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if name == "events":
+        from pyspark.sql import functions as F
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        raw = spark.read.parquet(path)
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    schema = TESTDATA_TABLES.get(name)
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.parquet(path)
+
+
+def register_testdata_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register every testdata table as a temp view; returns the handles."""
+    out = {}
+    for name in TESTDATA_TABLES:
+        df = load_testdata(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
+
+
+class Warehouse:
+    """Parquet warehouse for the reference-shaped tables.
+
+    Mirrors ``database/setup.py:27-127``: ``ensure_tables`` is the
+    idempotent DDL analog (creates empty tables that don't exist yet).
+    """
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = Path(root)
+
+    def path(self, table: str) -> str:
+        return str(self.root / table)
+
+    def exists(self, table: str) -> bool:
+        p = Path(self.path(table))
+        return p.exists() and any(p.iterdir())
+
+    def ensure_tables(self, tables: dict[str, T.StructType] | None = None) -> None:
+        """CREATE TABLE IF NOT EXISTS analog (setup.py:27-127)."""
+        for name, schema in (tables or REFERENCE_TABLES).items():
+            if not self.exists(name):
+                empty = self.spark.createDataFrame([], schema)
+                empty.write.mode("overwrite").parquet(self.path(name))
+
+    def read(self, table: str) -> DataFrame:
+        schema = REFERENCE_TABLES.get(table)
+        reader = self.spark.read
+        if schema is not None:
+            reader = reader.schema(schema)
+        return reader.parquet(self.path(table))
+
+    def write(
+        self,
+        table: str,
+        df: DataFrame,
+        mode: str = "overwrite",
+        partition_by: list[str] | None = None,
+    ) -> None:
+        writer = df.write.mode(mode)
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(self.path(table))
+
+    def overwrite_atomic(self, table: str, df: DataFrame) -> None:
+        """Replace a table's contents via temp-path swap.
+
+        Parquet overwrite deletes before it writes, so a plan that reads
+        the same table it overwrites would race its own input. Materialize
+        to ``<table>.tmp`` first, then swap. (This is the no-table-format
+        stand-in for a Delta/Iceberg transactional MERGE.)
+        """
+        tmp = self.path(table) + ".tmp"
+        df.write.mode("overwrite").parquet(tmp)
+        final = self.spark.read.parquet(tmp)
+        final.write.mode("overwrite").parquet(self.path(table))
+        # best-effort cleanup of the temp copy
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    def register_views(self) -> None:
+        for name in REFERENCE_TABLES:
+            if self.exists(name):
+                self.read(name).createOrReplaceTempView(name)

@@ -1,0 +1,73 @@
+"""Flagship operator: mutual-follower edges (J1).
+
+Reference semantics (``instagram_scraper.py:428-435``)::
+
+    INSERT INTO mutuals (user_id, mutual_id)
+    SELECT f1.user_id, f1.follower_id
+    FROM followers f1
+    JOIN following f2
+      ON f1.user_id = f2.user_id AND f1.follower_id = f2.following_id
+    WHERE f1.user_id = %s
+    ON CONFLICT (user_id, mutual_id) DO NOTHING
+
+"accounts that follow user X which X also follows back" — a 2-key
+conjunctive self-equi-join between the two edge tables, equivalently the
+INTERSECT of their key-pair projections.
+
+Spark-first design:
+* Expressed as a plain inner equi-join on the composite key so Catalyst
+  is free to pick broadcast-hash (selective per-user filter -> tiny side)
+  or sort-merge (full-table derivation) with AQE skew-splitting for
+  celebrity fan-out (SURVEY §7 risk 5).
+* ``dropDuplicates`` runs *before* the join: the edge uniqueness contract
+  makes it a no-op on clean data, but on raw ingest it shrinks the shuffle
+  instead of multiplying matches.
+* At 100 TB both edge tables should be bucketed/partitioned by
+  ``user_id`` so the per-user variant never scans the full table and the
+  full variant co-locates without an extra exchange.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def mutual_edges(
+    followers: DataFrame,
+    following: DataFrame,
+    user_id: str | None = None,
+) -> DataFrame:
+    """Derive mutual edges: (user_id, mutual_id) present in both edge sets.
+
+    ``followers`` has (user_id, follower_id); ``following`` has
+    (user_id, following_id). Optional ``user_id`` reproduces the
+    reference's per-user WHERE — the filter is applied to *both* sides so
+    it pushes below the join into each scan.
+    """
+    f1 = followers.select("user_id", "follower_id")
+    f2 = following.select("user_id", "following_id")
+    if user_id is not None:
+        f1 = f1.filter(F.col("user_id") == user_id)
+        f2 = f2.filter(F.col("user_id") == user_id)
+    f1 = f1.dropDuplicates(["user_id", "follower_id"])
+    f2 = f2.dropDuplicates(["user_id", "following_id"])
+    cond: Column = (f1.user_id == f2.user_id) & (f1.follower_id == f2.following_id)
+    return f1.join(f2, cond, "inner").select(
+        f1.user_id.alias("user_id"), f1.follower_id.alias("mutual_id")
+    )
+
+
+def mutual_edges_intersect(followers: DataFrame, following: DataFrame) -> DataFrame:
+    """INTERSECT formulation (SURVEY §2.7) — oracle cross-check for J1.
+
+    INTERSECT is set semantics, so it also deduplicates; Spark plans it as
+    a left-semi join after aggregate — same shuffle shape as the join form.
+    """
+    a = followers.select(
+        F.col("user_id"), F.col("follower_id").alias("mutual_id")
+    )
+    b = following.select(
+        F.col("user_id"), F.col("following_id").alias("mutual_id")
+    )
+    return a.intersect(b)

@@ -1,0 +1,144 @@
+"""Write-pattern library: the reference's ON CONFLICT idioms on Parquet
+(SURVEY §2.8, A1-A8).
+
+PostgreSQL gave the reference row-level upserts; a Parquet warehouse gets
+the same *semantics* from set operations:
+
+* A1 upsert-keep-newest  -> union + row_number window + overwrite
+* A2 insert-if-absent    -> dedup + left-anti + append
+* A3 SERIAL/RETURNING    -> caller-assigned surrogate ids (unique, NOT
+  dense — oracle queries must never compare generated ids, SURVEY §7.2)
+* A8 targeted delete     -> left-anti overwrite
+
+All are idempotent (run twice == run once) — that is the guarantee
+ON CONFLICT gave the reference, and tests assert it.
+
+Scale: the window in A1 partitions by the key — no global shuffle beyond
+the one hash exchange; A2's anti-join broadcasts whichever side is small.
+On a real deployment these become Delta/Iceberg MERGE; the function
+signatures would not change.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def upsert_keep_newest(
+    existing: DataFrame,
+    incoming: DataFrame,
+    keys: list[str],
+    order_col: str,
+    tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """A1: INSERT ... ON CONFLICT DO UPDATE keeping the newest row per key
+    (users upsert, instagram_scraper.py:194-217; interests,
+    interest_analyzer.py:275-280).
+
+    ``incoming`` wins ties on ``order_col`` (the reference's UPDATE always
+    overwrote): a priority column breaks exact-timestamp ties in favor of
+    the incoming batch, then ``tiebreak`` columns make the result
+    deterministic.
+    """
+    tagged_existing = existing.withColumn("_src", F.lit(0))
+    tagged_incoming = incoming.withColumn("_src", F.lit(1))
+    merged = tagged_existing.unionByName(tagged_incoming)
+    order = [F.col(order_col).desc_nulls_last(), F.col("_src").desc()]
+    for c in tiebreak or []:
+        order.append(F.col(c).desc())
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        merged.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_src")
+    )
+
+
+def insert_if_absent(
+    existing: DataFrame, incoming: DataFrame, keys: list[str]
+) -> DataFrame:
+    """A2: rows of ``incoming`` whose key is not already in ``existing``
+    (INSERT ... ON CONFLICT DO NOTHING — edges + stub users,
+    instagram_scraper.py:260-278, 353-371, 428-435).
+
+    Returns only the *new* rows; caller appends them. Within-batch dupes
+    are collapsed first so the uniqueness contract holds even for dirty
+    ingest batches.
+    """
+    return incoming.dropDuplicates(keys).join(
+        existing.select(*keys), keys, "left_anti"
+    )
+
+
+def assign_ids(df: DataFrame, id_col: str = "id", start: int = 0) -> DataFrame:
+    """A3: SERIAL/RETURNING replacement.
+
+    ``monotonically_increasing_id`` is unique and partition-ordered but
+    not dense — documented contract (SURVEY §7.2). ``start`` offsets above
+    an existing max for append workflows.
+    """
+    return df.withColumn(
+        id_col, (F.monotonically_increasing_id() + F.lit(start)).cast("long")
+    )
+
+
+def assign_dense_ids(df: DataFrame, id_col: str, order_by: list[str],
+                     start: int = 1) -> DataFrame:
+    """Dense variant for small control tables (ledger) where tests expect
+    consecutive ids: a global row_number — single-partition shuffle, only
+    for driver-scale tables."""
+    w = Window.orderBy(*[F.col(c) for c in order_by])
+    return df.withColumn(id_col, (F.row_number().over(w) + start - 1).cast("long"))
+
+
+def delete_matching(
+    existing: DataFrame, targets: DataFrame, keys: list[str]
+) -> DataFrame:
+    """A8: DELETE ... USING — drop rows whose key appears in ``targets``
+    (tests/test_scraper.py:293-297)."""
+    return existing.join(targets.select(*keys), keys, "left_anti")
+
+
+def update_job_status(
+    jobs: DataFrame,
+    job_id: int,
+    status: str | None = None,
+    error_message: str | None = None,
+    total_items: int | None = None,
+    processed_items: int | None = None,
+    completed_at=None,
+) -> DataFrame:
+    """A4/A5/A6: point-update of one ledger row (UPDATE scrape_jobs ...
+    WHERE job_id = %s, instagram_scraper.py:284-314, 388-407).
+
+    The ledger is a tiny control table; read-modify-overwrite of the whole
+    table is the Parquet analog of a point UPDATE.
+    """
+    hit = F.col("job_id") == F.lit(job_id)
+    out = jobs
+    if status is not None:
+        out = out.withColumn("status", F.when(hit, F.lit(status)).otherwise(F.col("status")))
+    if error_message is not None:
+        out = out.withColumn(
+            "error_message",
+            F.when(hit, F.lit(error_message)).otherwise(F.col("error_message")),
+        )
+    if total_items is not None:
+        out = out.withColumn(
+            "total_items",
+            F.when(hit, F.lit(total_items)).otherwise(F.col("total_items")),
+        )
+    if processed_items is not None:
+        out = out.withColumn(
+            "processed_items",
+            F.when(hit, F.lit(processed_items)).otherwise(F.col("processed_items")),
+        )
+    if completed_at is not None:
+        out = out.withColumn(
+            "completed_at",
+            F.when(hit, F.lit(completed_at).cast("timestamp")).otherwise(
+                F.col("completed_at")
+            ),
+        )
+    return out

@@ -1,0 +1,525 @@
+"""Core relational queries (SURVEY §2.2-§2.8) expressed on the driver
+testdata star schema.
+
+Each query is the testdata-isomorphic form of a reference operator; the
+docstring names the operator and the reference call-site. Determinism
+rules for the oracle hash: every aggregate/computed column is aliased
+identically on both sides, floating aggregates are rounded, LIMIT is
+always preceded by a total ORDER BY, and timestamps leave as DATE or
+epoch-micros BIGINT (Spark session TZ is pinned UTC to match DuckDB).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..io import load_testdata
+from ..operators.mutuals import mutual_edges as _mutual_edges
+from ..operators.mutuals import mutual_edges_intersect as _mutual_intersect
+from . import register
+
+
+def _exact_sum(expr, alias: str, scale: int = 2):
+    """Order-insensitive exact SUM of a double expression.
+
+    Parallel double summation is non-associative, so Spark's partial aggs
+    and DuckDB's sequential sum can disagree at a ROUND boundary — and
+    2-decimal source data makes exact .xx5 boundary sums *common*, where
+    the engines' ROUND(double) implementations disagree. Per-row values
+    are cast to DECIMAL(28,10) (identical rounding both engines), summed
+    exactly, rounded while still decimal (HALF_UP in both), then cast.
+    Oracle mirror: ``CAST(ROUND(SUM(CAST(x AS DECIMAL(28,10))), s) AS DOUBLE)``.
+    """
+    return (
+        F.round(F.sum(expr.cast("decimal(28,10)")), scale)
+        .cast("double")
+        .alias(alias)
+    )
+
+# ---------------------------------------------------------------------------
+# Flagship: J1 mutual edges (instagram_scraper.py:428-435)
+# ---------------------------------------------------------------------------
+# Edge-set isomorphism on lineitem: "followers" = (orderkey, suppkey) pairs
+# on discounted lines; "following" = pairs on taxed lines. A mutual edge is
+# a pair present in both — the same 2-key conjunctive self-equi-join.
+
+_MUTUAL_ORACLE = """
+WITH f1 AS (
+  SELECT DISTINCT l_orderkey AS user_id, l_suppkey AS follower_id
+  FROM lineitem WHERE l_discount > 0.05
+), f2 AS (
+  SELECT DISTINCT l_orderkey AS user_id, l_suppkey AS following_id
+  FROM lineitem WHERE l_tax > 0.04
+)
+SELECT f1.user_id AS user_id, f1.follower_id AS mutual_id
+FROM f1 JOIN f2
+  ON f1.user_id = f2.user_id AND f1.follower_id = f2.following_id
+"""
+
+
+def _edge_sets(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    li = load_testdata(spark, sf_dir, "lineitem")
+    followers = li.filter(F.col("l_discount") > 0.05).select(
+        F.col("l_orderkey").alias("user_id"),
+        F.col("l_suppkey").alias("follower_id"),
+    )
+    following = li.filter(F.col("l_tax") > 0.04).select(
+        F.col("l_orderkey").alias("user_id"),
+        F.col("l_suppkey").alias("following_id"),
+    )
+    return followers, following
+
+
+@register(
+    "mutual_edges",
+    _MUTUAL_ORACLE,
+    doc="J1 flagship: 2-key self-equi-join between two edge sets",
+    tags=("join", "flagship"),
+)
+def q_mutual_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    followers, following = _edge_sets(spark, sf_dir)
+    return _mutual_edges(followers, following)
+
+
+@register(
+    "mutual_edges_intersect",
+    """
+WITH f1 AS (
+  SELECT DISTINCT l_orderkey AS user_id, l_suppkey AS mutual_id
+  FROM lineitem WHERE l_discount > 0.05
+), f2 AS (
+  SELECT DISTINCT l_orderkey AS user_id, l_suppkey AS mutual_id
+  FROM lineitem WHERE l_tax > 0.04
+)
+SELECT user_id, mutual_id FROM f1
+INTERSECT
+SELECT user_id, mutual_id FROM f2
+""",
+    doc="§2.7 INTERSECT formulation of J1 (cross-check)",
+    tags=("setop",),
+)
+def q_mutual_edges_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    followers, following = _edge_sets(spark, sf_dir)
+    return _mutual_intersect(followers, following)
+
+
+# ---------------------------------------------------------------------------
+# P1 key lookup (instagram_scraper.py:419)
+# ---------------------------------------------------------------------------
+@register(
+    "key_lookup",
+    "SELECT c_custkey FROM customer WHERE c_name = 'Customer#000000042'",
+    doc="P1: SELECT user_id FROM users WHERE username = %s",
+    tags=("filter",),
+)
+def q_key_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_testdata(spark, sf_dir, "customer")
+    return customer.filter(F.col("c_name") == "Customer#000000042").select("c_custkey")
+
+
+# ---------------------------------------------------------------------------
+# J2 enrichment join (interest_analyzer.py:124-129)
+# ---------------------------------------------------------------------------
+@register(
+    "enrichment_join",
+    """
+SELECT o.o_orderkey, c.c_name, o.o_totalprice
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_mktsegment = 'BUILDING'
+""",
+    doc="J2: edges->vertices enrichment join with pushed filter",
+    tags=("join",),
+)
+def q_enrichment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_testdata(spark, sf_dir, "orders")
+    customer = load_testdata(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    # dim side is small post-filter -> broadcast (Catalyst would pick it
+    # up from stats; the hint makes it explicit for the 100 TB plan)
+    return orders.join(
+        F.broadcast(customer), orders.o_custkey == customer.c_custkey, "inner"
+    ).select("o_orderkey", "c_name", "o_totalprice")
+
+
+# ---------------------------------------------------------------------------
+# J3 pending-work anti-join (interest_analyzer.py:291-298)
+# ---------------------------------------------------------------------------
+@register(
+    "pending_anti_join",
+    """
+SELECT c.c_custkey, c.c_name
+FROM customer c
+JOIN (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O') done
+  ON c.c_custkey = done.o_custkey
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders f
+  WHERE f.o_custkey = c.c_custkey AND f.o_orderstatus = 'F'
+)
+ORDER BY c.c_custkey
+LIMIT 5
+""",
+    doc="J3: inner join + left_anti + deterministic LIMIT",
+    tags=("join", "anti"),
+)
+def q_pending_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_testdata(spark, sf_dir, "customer")
+    orders = load_testdata(spark, sf_dir, "orders")
+    done = (
+        orders.filter(F.col("o_orderstatus") == "O")
+        .select("o_custkey")
+        .dropDuplicates()
+    )
+    finished = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return (
+        customer.join(done, customer.c_custkey == done.o_custkey, "left_semi")
+        .join(finished, customer.c_custkey == finished.o_custkey, "left_anti")
+        .orderBy("c_custkey")
+        .limit(5)
+        .select("c_custkey", "c_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# J4 dimension hierarchy (interest_analyzer.py:101-102)
+# ---------------------------------------------------------------------------
+@register(
+    "dim_hierarchy",
+    """
+SELECT n.n_name AS child_name, r.r_name AS parent_name
+FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+""",
+    doc="J4: 2-level dimension hierarchy join (broadcast)",
+    tags=("join", "dim"),
+)
+def q_dim_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load_testdata(spark, sf_dir, "nation")
+    region = load_testdata(spark, sf_dir, "region")
+    return nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey, "inner"
+    ).select(F.col("n_name").alias("child_name"), F.col("r_name").alias("parent_name"))
+
+
+# ---------------------------------------------------------------------------
+# J5 3-way verification join (tests/test_scraper.py:239-245)
+# ---------------------------------------------------------------------------
+@register(
+    "three_way_join",
+    """
+SELECT c.c_name,
+       CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                           AS DECIMAL(28,10))), 2) AS DOUBLE) AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE o.o_orderstatus = 'F'
+GROUP BY c.c_name
+""",
+    doc="J5: chained inner equi-joins fact->fact->dim + agg",
+    tags=("join", "agg"),
+)
+def q_three_way_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_testdata(spark, sf_dir, "lineitem")
+    orders = load_testdata(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    )
+    customer = load_testdata(spark, sf_dir, "customer")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey, "inner")
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey, "inner")
+        .groupBy("c_name")
+        .agg(
+            _exact_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"
+            )
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# J6/G1 count-via-join gates (job_scheduler.py:126-133)
+# ---------------------------------------------------------------------------
+@register(
+    "count_via_join",
+    """
+SELECT COUNT(*) AS cnt
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderpriority = '1-URGENT'
+""",
+    doc="J6/G1: filtered scalar count over a join",
+    tags=("agg",),
+)
+def q_count_via_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_testdata(spark, sf_dir, "lineitem")
+    orders = load_testdata(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey, "inner")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# O1 FIFO dequeue (job_scheduler.py:95-101)
+# ---------------------------------------------------------------------------
+@register(
+    "fifo_dequeue",
+    """
+SELECT event_id, event_type, user_id
+FROM events ORDER BY event_id LIMIT 10
+""",
+    doc="O1: ORDER BY key LIMIT n -> TakeOrderedAndProject top-k",
+    tags=("topk",),
+)
+def q_fifo_dequeue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_testdata(spark, sf_dir, "events")
+    return events.orderBy("event_id").limit(10).select(
+        "event_id", "event_type", "user_id"
+    )
+
+
+# ---------------------------------------------------------------------------
+# P5 temporal + IN-list predicate (job_scheduler.py:55-59)
+# ---------------------------------------------------------------------------
+@register(
+    "temporal_in_filter",
+    """
+SELECT event_id, event_type, epoch_us(ts) AS ts_us
+FROM events
+WHERE event_type IN ('click', 'view', 'purchase')
+  AND ts > TIMESTAMP '2024-01-24 00:00:00'
+""",
+    doc="P5: IN-list + 7-day temporal predicate (fixed 'now' for determinism)",
+    tags=("filter",),
+)
+def q_temporal_in_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_testdata(spark, sf_dir, "events")
+    return (
+        events.filter(
+            F.col("event_type").isin("click", "view", "purchase")
+            & (F.col("ts") > F.lit("2024-01-24 00:00:00").cast("timestamp"))
+        )
+        .select("event_id", "event_type", F.unix_micros("ts").alias("ts_us"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# T3/F3 daily quota counter (job_scheduler.py:29-47)
+# ---------------------------------------------------------------------------
+@register(
+    "daily_counts",
+    """
+SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n_events,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(28,10))), 2) AS DOUBLE) AS total_value
+FROM events GROUP BY CAST(ts AS DATE)
+""",
+    doc="T3 quota analog: per-day counters (group by day-of-stream)",
+    tags=("agg", "temporal"),
+)
+def q_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_testdata(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _exact_sum(F.col("value"), "total_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# G5 conditional counts (tests/test_scraper.py:144-157)
+# ---------------------------------------------------------------------------
+@register(
+    "conditional_counts",
+    """
+SELECT COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_finished,
+       COUNT(CASE WHEN o_orderstatus <> 'F' THEN 1 END) AS n_open
+FROM orders
+""",
+    doc="G5: main-vs-sub conditional count pattern",
+    tags=("agg",),
+)
+def q_conditional_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_testdata(spark, sf_dir, "orders")
+    return orders.agg(
+        F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("n_finished"),
+        F.count(F.when(F.col("o_orderstatus") != "F", 1)).alias("n_open"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A1 upsert-keep-newest semantics (instagram_scraper.py:194-217)
+# ---------------------------------------------------------------------------
+@register(
+    "upsert_keep_newest",
+    """
+SELECT o_custkey, o_orderkey, o_totalprice, CAST(o_orderdate AS DATE) AS o_date
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC
+  ) AS rn
+  FROM orders
+) WHERE rn = 1
+""",
+    doc="A1: keep-newest-per-key via row_number window (upsert emulation)",
+    tags=("window", "write-pattern"),
+)
+def q_upsert_keep_newest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_testdata(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.to_date("o_orderdate").alias("o_date"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# A2 insert-if-absent semantics (instagram_scraper.py:260-278)
+# ---------------------------------------------------------------------------
+@register(
+    "insert_if_absent",
+    """
+SELECT DISTINCT o.o_custkey AS new_key
+FROM orders o
+WHERE o.o_orderstatus = 'O'
+  AND NOT EXISTS (
+    SELECT 1 FROM customer c
+    WHERE c.c_custkey = o.o_custkey AND c.c_acctbal < 0
+  )
+""",
+    doc="A2: dedup + left-anti against existing keys (ON CONFLICT DO NOTHING)",
+    tags=("anti", "write-pattern"),
+)
+def q_insert_if_absent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_testdata(spark, sf_dir, "orders")
+    customer = load_testdata(spark, sf_dir, "customer")
+    incoming = (
+        orders.filter(F.col("o_orderstatus") == "O")
+        .select(F.col("o_custkey").alias("new_key"))
+        .dropDuplicates()
+    )
+    existing = customer.filter(F.col("c_acctbal") < 0).select(
+        F.col("c_custkey").alias("new_key")
+    )
+    return incoming.join(existing, "new_key", "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# Top-k per group (§2.5 window introduction)
+# ---------------------------------------------------------------------------
+@register(
+    "top_k_per_group",
+    """
+SELECT o_orderpriority, o_orderkey, o_totalprice
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey
+  ) AS rn
+  FROM orders
+) WHERE rn <= 3
+""",
+    doc="window top-k per group (rank the queue per job type)",
+    tags=("window", "topk"),
+)
+def q_top_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_testdata(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_orderpriority", "o_orderkey", "o_totalprice")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Running total window (progress-checkpoint analog, A4)
+# ---------------------------------------------------------------------------
+@register(
+    "running_total",
+    """
+SELECT o_custkey, o_orderkey,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(28,10))) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ), 2) AS DOUBLE) AS running_spend
+FROM orders
+""",
+    doc="cumulative per-key running sum (ordered frame -> deterministic)",
+    tags=("window",),
+)
+def q_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_testdata(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(28,10)")).over(w), 2
+        ).cast("double").alias("running_spend"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q1-shaped pricing summary — headline bench query
+# ---------------------------------------------------------------------------
+@register(
+    "pricing_summary",
+    """
+SELECT l_returnflag, l_linestatus,
+       CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(28,10))), 2) AS DOUBLE) AS sum_qty,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(28,10))), 2) AS DOUBLE) AS sum_base_price,
+       CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))), 2) AS DOUBLE) AS sum_disc_price,
+       CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(28,10))), 2) AS DOUBLE) AS sum_charge,
+       ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*), 4) AS avg_qty,
+       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*), 4) AS avg_price,
+       ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*), 4) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+    doc="headline agg: 2-key groupBy, 8 aggregates, filter pushed to scan",
+    tags=("agg", "bench"),
+)
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_testdata(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+    def dec_sum(expr, scale=2):
+        return F.round(F.sum(expr.cast("decimal(28,10)")), scale).cast("double")
+
+    def dbl_sum(expr):
+        return F.sum(expr.cast("decimal(28,10)")).cast("double")
+
+    cnt = F.count(F.lit(1))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dec_sum(F.col("l_quantity")).alias("sum_qty"),
+            dec_sum(F.col("l_extendedprice")).alias("sum_base_price"),
+            dec_sum(disc_price).alias("sum_disc_price"),
+            dec_sum(disc_price * (1 + F.col("l_tax"))).alias("sum_charge"),
+            F.round(dbl_sum(F.col("l_quantity")) / cnt, 4).alias("avg_qty"),
+            F.round(dbl_sum(F.col("l_extendedprice")) / cnt, 4).alias("avg_price"),
+            F.round(dbl_sum(F.col("l_discount")) / cnt, 4).alias("avg_disc"),
+            cnt.alias("count_order"),
+        )
+    )

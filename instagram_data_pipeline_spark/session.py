@@ -1,0 +1,72 @@
+"""SparkSession factory with scale-aware defaults.
+
+Local testing runs on ``local[N]``; the same config block is what we would
+ship to a 1000-executor cluster — AQE (runtime re-planning, skew-join
+splitting, partition coalescing) is the main lever that makes one static
+config survive a 100x scale-up. Arrow is on for every pandas boundary, and
+the session timezone is pinned to UTC so results hash-match the DuckDB
+oracle (DuckDB timestamps are UTC-naive).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# One Arrow batch == one model-call batch for the interest categorizer
+# (reference batches 20 accounts per LLM call; we keep batches big enough
+# to amortize Arrow transfer but the categorizer re-chunks to its own size).
+ARROW_MAX_RECORDS_PER_BATCH = 10_000
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+
+def build_session(
+    app_name: str = "instagram_data_pipeline_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession.
+
+    Parameters are overridable for tests; production deployments pass
+    ``master=None`` and let spark-submit own the cluster config.
+    """
+    cpus = default_parallelism()
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
+        # AQE: coalesce small shuffle partitions, split skewed ones, and
+        # convert sort-merge joins to broadcast when runtime stats allow.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config(
+            "spark.sql.execution.arrow.maxRecordsPerBatch",
+            str(ARROW_MAX_RECORDS_PER_BATCH),
+        )
+        # Respect partition-size targets at scan time; 128 MB is the sweet
+        # spot for parquet splits on object storage.
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        .config("spark.ui.enabled", os.environ.get("SPARK_UI", "false"))
+    )
+    if master:
+        builder = builder.master(master)
+    elif not os.environ.get("SPARK_MASTER"):
+        builder = builder.master(f"local[{cpus}]")
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def get_session() -> SparkSession:
+    """Active session or a fresh local one."""
+    active = SparkSession.getActiveSession()
+    return active if active is not None else build_session()

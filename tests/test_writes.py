@@ -1,0 +1,107 @@
+"""Write-pattern semantics (A1-A8): the ON CONFLICT guarantees, including
+idempotency (run twice == run once) — SURVEY §5 rebuild strategy item 4."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from instagram_data_pipeline_spark.operators.writes import (
+    assign_dense_ids,
+    delete_matching,
+    insert_if_absent,
+    update_job_status,
+    upsert_keep_newest,
+)
+from instagram_data_pipeline_spark.schemas import USERS
+from instagram_data_pipeline_spark.testing import (
+    fixture_jobs,
+    fixture_users,
+)
+
+NEW_TS = dt.datetime(2024, 2, 1, 0, 0, 0)
+
+
+def _incoming_users(spark):
+    rows = [
+        # updated bio for an existing user — must win (newest)
+        ("12345", "instagram", "Instagram", "UPDATED BIO", None, 700, 120, False, NEW_TS),
+        # brand-new user
+        ("new_1", "newbie", "New User", None, None, 0, 0, False, NEW_TS),
+    ]
+    return spark.createDataFrame(rows, USERS)
+
+
+def test_upsert_keep_newest_takes_incoming(spark):
+    users = fixture_users(spark)
+    out = upsert_keep_newest(
+        users, _incoming_users(spark), keys=["user_id"], order_col="last_updated"
+    )
+    assert out.count() == users.count() + 1  # one insert, one update
+    row = out.filter(F.col("user_id") == "12345").collect()[0]
+    assert row.bio == "UPDATED BIO" and row.follower_count == 700
+
+
+def test_upsert_incoming_wins_timestamp_tie(spark):
+    users = fixture_users(spark)
+    tied = users.filter(F.col("user_id") == "12345").withColumn(
+        "bio", F.lit("TIED-UPDATE")
+    )
+    out = upsert_keep_newest(users, tied, keys=["user_id"], order_col="last_updated")
+    row = out.filter(F.col("user_id") == "12345").collect()[0]
+    assert row.bio == "TIED-UPDATE"  # the reference's UPDATE always overwrote
+
+
+def test_upsert_idempotent(spark):
+    users = fixture_users(spark)
+    inc = _incoming_users(spark)
+    once = upsert_keep_newest(users, inc, ["user_id"], "last_updated")
+    twice = upsert_keep_newest(once, inc, ["user_id"], "last_updated")
+    assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
+
+
+def test_insert_if_absent_only_new_keys(spark):
+    users = fixture_users(spark)
+    inc = _incoming_users(spark)
+    new = insert_if_absent(users, inc, ["user_id"])
+    assert [r.user_id for r in new.collect()] == ["new_1"]
+    # idempotency: after appending, a rerun inserts nothing
+    appended = users.unionByName(new)
+    assert insert_if_absent(appended, inc, ["user_id"]).count() == 0
+
+
+def test_insert_if_absent_collapses_batch_dupes(spark):
+    users = fixture_users(spark)
+    inc = _incoming_users(spark)
+    dirty = inc.union(inc)
+    assert insert_if_absent(users, dirty, ["user_id"]).count() == 1
+
+
+def test_delete_matching(spark):
+    users = fixture_users(spark)
+    targets = users.filter(F.col("username") == "instagram")
+    out = delete_matching(users, targets, ["user_id"])
+    assert out.count() == users.count() - 1
+    assert out.filter(F.col("username") == "instagram").count() == 0
+
+
+def test_update_job_status_point_update(spark):
+    jobs = fixture_jobs(spark)
+    out = update_job_status(
+        jobs, job_id=5, status="completed", total_items=7, processed_items=7,
+        completed_at=NEW_TS,
+    )
+    row = out.filter(F.col("job_id") == 5).collect()[0]
+    assert row.status == "completed" and row.total_items == 7
+    # all other rows untouched
+    others = out.filter(F.col("job_id") != 5)
+    orig = jobs.filter(F.col("job_id") != 5)
+    assert sorted(map(tuple, others.collect())) == sorted(map(tuple, orig.collect()))
+
+
+def test_assign_dense_ids(spark):
+    jobs = fixture_jobs(spark).drop("job_id")
+    out = assign_dense_ids(jobs, "job_id", order_by=["target_username", "job_type"])
+    ids = sorted(r.job_id for r in out.collect())
+    assert ids == list(range(1, len(ids) + 1))
