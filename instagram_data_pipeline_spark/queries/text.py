@@ -1,4 +1,202 @@
-"""Text-analysis queries over the documents table — SURVEY §2.12.
+"""Text-analysis queries over the documents table (SURVEY §2.12).
 
-Populated by M7; importable empty module keeps the registry loader simple.
+Each query exercises one training-data-pipeline text operator with an
+exact DuckDB mirror. The shared normalization pipeline is pinned in
+functions/text.py; the SQL `_NORM` fragment below is its ANSI mirror.
 """
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import text as X
+from ..io import load_testdata
+from . import register
+
+# ANSI mirror of functions.text.normalized()
+_NORM = (
+    "TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(text), '[^a-z0-9 ]', ' ', 'g'),"
+    " ' +', ' ', 'g'))"
+)
+
+_EN_STOP_SQL = "('" + "', '".join(X.EN_STOPWORDS) + "')"
+
+
+def _marker_sql(lang: str) -> str:
+    quoted = "', '".join(X.LANG_MARKERS[lang])
+    return (
+        f"len(list_filter(string_split({_NORM}, ' '), t -> t IN ('{quoted}')))"
+    )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "doc_fingerprint",
+    f"SELECT doc_id, md5({_NORM}) AS fp FROM documents",
+    doc="document fingerprint: md5 over normalized text (portable hash)",
+    tags=("text",),
+)
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_testdata(spark, sf_dir, "documents")
+    return docs.select("doc_id", X.fingerprint(F.col("text")).alias("fp"))
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_exact",
+    f"""
+SELECT md5({_NORM}) AS fp, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
+FROM documents GROUP BY md5({_NORM})
+""",
+    doc="exact dedup: hash-groupBy on the fingerprint, keep lowest id",
+    tags=("text", "dedup"),
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_testdata(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", X.fingerprint(F.col("text")).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_dups"))
+    )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "token_stats",
+    f"""
+SELECT doc_id,
+       len(string_split({_NORM}, ' ')) AS n_tokens,
+       len(list_distinct(string_split({_NORM}, ' '))) AS n_distinct,
+       length({_NORM}) AS n_chars_norm
+FROM documents
+""",
+    doc="token counting: whitespace tokens + type counts over normalized text",
+    tags=("text",),
+)
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_testdata(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        X.token_count(F.col("text")).alias("n_tokens"),
+        X.distinct_token_count(F.col("text")).alias("n_distinct"),
+        F.length(X.normalized(F.col("text"))).alias("n_chars_norm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "text_quality",
+    f"""
+SELECT doc_id,
+       ROUND(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) * 1.0
+             / length(text), 6) AS punct_ratio,
+       ROUND(len(list_filter(string_split({_NORM}, ' '),
+                             t -> t IN {_EN_STOP_SQL})) * 1.0
+             / len(string_split({_NORM}, ' ')), 6) AS stop_ratio
+FROM documents
+""",
+    doc="quality scoring: punctuation + stopword ratios (cheap pre-filter)",
+    tags=("text", "quality"),
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_testdata(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.round(X.punct_ratio(F.col("text")), 6).alias("punct_ratio"),
+        F.round(X.stopword_ratio(F.col("text")), 6).alias("stop_ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
+_LANG_ORACLE = f"""
+WITH scored AS (
+  SELECT doc_id, lang,
+         {_marker_sql('en')} AS s_en,
+         {_marker_sql('de')} AS s_de,
+         {_marker_sql('es')} AS s_es,
+         {_marker_sql('fr')} AS s_fr
+  FROM documents
+)
+SELECT doc_id, lang AS labeled_lang,
+       CASE WHEN s_en + s_de + s_es + s_fr = 0 THEN 'und'
+            WHEN s_en >= GREATEST(s_de, s_es, s_fr) THEN 'en'
+            WHEN s_de >= GREATEST(s_es, s_fr) THEN 'de'
+            WHEN s_es >= s_fr THEN 'es'
+            ELSE 'fr' END AS predicted_lang
+FROM scored
+"""
+
+
+@register(
+    "lang_id",
+    _LANG_ORACLE,
+    doc="language ID: marker-word scoring heuristic with priority tie-break",
+    tags=("text", "langid"),
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_testdata(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        X.lang_id(F.col("text")).alias("predicted_lang"),
+    )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "lang_source_rollup",
+    """
+SELECT lang, source, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+FROM documents GROUP BY lang, source
+""",
+    doc="metadata rollup over corpus partitions (exact bigint sums)",
+    tags=("text", "agg"),
+)
+def q_lang_source_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_testdata(spark, sf_dir, "documents")
+    return docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("total_chars")
+    )
+
+
+# ---------------------------------------------------------------------------
+_JACCARD_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, unnest(
+    CASE WHEN len(w) < 3 THEN []
+         ELSE list_transform(generate_series(1, len(w) - 2),
+                             i -> array_to_string(w[i:i+2], ' '))
+    END) AS shingle
+  FROM tok
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b, shared,
+       ROUND(shared * 1.0 / (sa.n + sb.n - shared), 6) AS jaccard
+FROM pairs
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE shared * 1.0 / (sa.n + sb.n - shared) >= 0.1
+"""
+
+
+@register(
+    "ngram_jaccard_pairs",
+    _JACCARD_ORACLE,
+    doc="near-dup candidates: 3-word-shingle inverted index self-join + "
+    "Jaccard >= 0.1 (the exact form MinHash/LSH approximates at scale)",
+    tags=("text", "dedup"),
+)
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_testdata(spark, sf_dir, "documents")
+    from ..extensions.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(docs, id_col="doc_id", text_col="text",
+                               n=3, threshold=0.1)

@@ -1,0 +1,92 @@
+"""Dedup operator semantics: exact groups, Jaccard ground truth, and the
+probabilistic ops (MinHash LSH, SimHash) validated against planted dupes.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from instagram_data_pipeline_spark.extensions.dedup import (
+    drop_exact_dups,
+    exact_dedup,
+    minhash_near_dups,
+    ngram_jaccard_pairs,
+    simhash_near_dups,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm windowsill and the birds sing in the garden outside"
+)
+NEAR = BASE.replace("lazy dog", "sleepy dog")  # one-word edit -> near-dup
+OTHER = (
+    "completely different content about distributed query engines and "
+    "columnar storage formats with vectorized execution and shuffles"
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (1, BASE),
+        (2, BASE),          # exact dup of 1 (modulo nothing)
+        (3, "  " + BASE.upper() + "!!  "),  # exact dup after normalization
+        (4, NEAR),          # near-dup of 1
+        (5, OTHER),
+        (6, "tiny doc"),    # < 3 tokens -> no shingles
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_groups(corpus):
+    groups = {r.keep_id: r.n_dups for r in exact_dedup(corpus, "doc_id", "text").collect()}
+    assert groups[1] == 3  # 1, 2, 3 all normalize to the same fingerprint
+    assert groups[4] == 1 and groups[5] == 1 and groups[6] == 1
+
+
+def test_drop_exact_dups_keeps_lowest_id(corpus):
+    kept = sorted(r.doc_id for r in drop_exact_dups(corpus, "doc_id", "text").collect())
+    assert kept == [1, 4, 5, 6]
+
+
+def test_ngram_jaccard_finds_planted_near_dup(corpus):
+    pairs = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in ngram_jaccard_pairs(corpus, threshold=0.3).collect()
+    }
+    assert pairs[(1, 4)] > 0.5  # one-word edit keeps most shingles
+    assert (1, 5) not in pairs and (4, 5) not in pairs
+    # exact dups have jaccard exactly 1.0
+    assert pairs[(1, 2)] == 1.0 and pairs[(1, 3)] == 1.0 and pairs[(2, 3)] == 1.0
+
+
+def test_minhash_lsh_recalls_near_dups(corpus):
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_near_dups(corpus, threshold=0.5).collect()
+    }
+    # exact-dup pairs (jaccard 1.0) are guaranteed candidates: identical
+    # signatures collide in every band
+    assert {(1, 2), (1, 3), (2, 3)} <= got
+    # the planted near-dup should be found too (high jaccard -> high band
+    # collision probability with 8 bands of 4)
+    assert (1, 4) in got
+    # unrelated docs must be filtered by the exact-verify stage
+    assert all(5 not in pair for pair in got)
+
+
+def test_simhash_identical_docs_zero_hamming(corpus):
+    pairs = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in simhash_near_dups(corpus, max_hamming=10).collect()
+    }
+    assert pairs[(1, 2)] == 0 and pairs[(1, 3)] == 0  # same token multiset
+    assert pairs[(1, 4)] <= 10  # near-dup within hamming budget
+    assert (1, 5) not in pairs
+
+
+def test_jaccard_pairs_deterministic(corpus):
+    a = sorted(map(tuple, ngram_jaccard_pairs(corpus, threshold=0.3).collect()))
+    b = sorted(map(tuple, ngram_jaccard_pairs(corpus, threshold=0.3).collect()))
+    assert a == b

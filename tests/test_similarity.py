@@ -1,0 +1,86 @@
+"""Similarity-search semantics: exact top-k ground truth, ANN recall,
+deterministic hyperplanes."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from instagram_data_pipeline_spark.extensions.similarity import (
+    ann_lsh_topk,
+    cosine_topk,
+    hyperplanes,
+    near_dup_pairs,
+)
+from instagram_data_pipeline_spark.io import load_testdata
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return load_testdata(spark, sf_dir, "embeddings")
+
+
+def _queries(emb):
+    return emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+
+def test_cosine_topk_self_similarity(spark, emb):
+    # query against the FULL corpus: each query's own vector must rank 1
+    # with cosine 1.0
+    res = cosine_topk(emb, _queries(emb), k=1).collect()
+    assert len(res) == 5
+    for r in res:
+        assert r.vec_id == r.query_id and r.cosine == pytest.approx(1.0)
+
+
+def test_cosine_topk_ordering_and_rank(emb):
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    res = cosine_topk(corpus, _queries(emb), k=5).collect()
+    by_q = {}
+    for r in res:
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rows in by_q.items():
+        rows.sort(key=lambda r: r.rank)
+        sims = [r.cosine for r in rows]
+        assert sims == sorted(sims, reverse=True)
+        assert [r.rank for r in rows] == [1, 2, 3, 4, 5]
+
+
+def test_ann_results_are_subset_of_bucket_and_true_cosines(emb):
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    exact = {
+        (r.query_id, r.vec_id): r.cosine
+        for r in cosine_topk(corpus, _queries(emb), k=100).collect()
+    }
+    approx = ann_lsh_topk(corpus, _queries(emb), k=5, num_planes=4).collect()
+    # ANN may miss neighbors (different bucket) but must never invent
+    # scores: every reported cosine equals the exact one
+    for r in approx:
+        assert exact[(r.query_id, r.vec_id)] == r.cosine
+
+
+def test_ann_planted_duplicate_found(spark, emb):
+    # a query identical to a corpus vector lands in the same bucket by
+    # construction -> ANN must return it at rank 1
+    dup_q = emb.filter(F.col("vec_id") == 100).select(
+        F.lit(999).alias("query_id"), "embedding"
+    )
+    res = ann_lsh_topk(emb, dup_q, k=1, num_planes=8).collect()
+    assert len(res) == 1 and res[0].vec_id == 100
+    assert res[0].cosine == pytest.approx(1.0)
+
+
+def test_hyperplanes_deterministic():
+    a = hyperplanes(64, 8, seed=42)
+    b = hyperplanes(64, 8, seed=42)
+    c = hyperplanes(64, 8, seed=43)
+    assert a == b and a != c
+    assert all(w in (1.0, -1.0) for row in a for w in row)
+
+
+def test_near_dup_pairs_symmetric_threshold(emb):
+    pairs = near_dup_pairs(emb.limit(100), threshold=0.3).collect()
+    for r in pairs:
+        assert r.id_a < r.id_b and r.cosine >= 0.3
