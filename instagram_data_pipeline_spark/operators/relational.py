@@ -32,11 +32,18 @@ def following_profiles(
     edges = following
     if user_id is not None:
         edges = edges.filter(F.col("user_id") == user_id)
+    # string-qualified aliases: callers may pass edge sets already derived
+    # from `users`, so dataset-qualified refs would be ambiguous
     return (
-        edges.join(users, edges.following_id == users.user_id, "inner")
-        .select(users.username, users.full_name,
-                # P4: NULL bio -> '' (interest_analyzer.py:136)
-                F.coalesce(users.bio, F.lit("")).alias("bio"))
+        edges.alias("e")
+        .join(users.alias("u"), F.col("e.following_id") == F.col("u.user_id"),
+              "inner")
+        .select(
+            F.col("u.username").alias("username"),
+            F.col("u.full_name").alias("full_name"),
+            # P4: NULL bio -> '' (interest_analyzer.py:136)
+            F.coalesce(F.col("u.bio"), F.lit("")).alias("bio"),
+        )
     )
 
 
