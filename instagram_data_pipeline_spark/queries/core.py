@@ -477,6 +477,33 @@ def q_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Tumbling event-time windows (§2.9) — the SAME function the streaming
+# layer runs; executed here in batch mode (streaming-batch parity).
+# ---------------------------------------------------------------------------
+@register(
+    "hourly_window_counts",
+    """
+SELECT epoch_us(date_trunc('hour', ts)) AS ws_us, event_type,
+       COUNT(*) AS n_events,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(28,10))), 2) AS DOUBLE) AS total_value
+FROM events GROUP BY date_trunc('hour', ts), event_type
+""",
+    doc="tumbling 1h event-time windows per type (streaming op in batch mode)",
+    tags=("window", "temporal", "streaming"),
+)
+def q_hourly_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.events import tumbling_counts
+
+    events = load_testdata(spark, sf_dir, "events")
+    return tumbling_counts(events).select(
+        F.unix_micros("window_start").alias("ws_us"),
+        "event_type",
+        "n_events",
+        "total_value",
+    )
+
+
+# ---------------------------------------------------------------------------
 # TPC-H Q1-shaped pricing summary — headline bench query
 # ---------------------------------------------------------------------------
 @register(

@@ -1,0 +1,62 @@
+"""foreachBatch ledger writes: exactly-once micro-batch commits to the
+job ledger (SURVEY §2.9 T6/A4-A5).
+
+The reference committed every 10 ingested rows and point-updated
+``processed_items`` (instagram_scraper.py:282-302); in Structured
+Streaming the micro-batch IS the commit unit — ``foreachBatch`` gets
+(batch_df, epoch_id) and the checkpoint replays exactly-once on failure.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..io import Warehouse
+from ..operators.writes import update_job_status
+
+
+class LedgerProgressSink:
+    """Per-micro-batch progress checkpoint: appends rows to the target
+    table and advances processed_items on the ledger row (A4), marking
+    completion on the final empty batch (A5 is the caller's call)."""
+
+    def __init__(self, warehouse: Warehouse, table: str, job_id: int,
+                 now: dt.datetime | None = None):
+        self.wh = warehouse
+        self.table = table
+        self.job_id = job_id
+        self.now = now or dt.datetime(2024, 1, 1)
+        self.rows_seen = 0
+        self.epochs: list[int] = []
+
+    def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
+        n = batch_df.count()
+        self.epochs.append(epoch_id)
+        if n == 0:
+            return
+        self.rows_seen += n
+        existing = self.wh.read(self.table)
+        self.wh.overwrite_atomic(
+            self.table, existing.unionByName(batch_df.select(*existing.columns))
+        )
+        jobs = update_job_status(
+            self.wh.read("scrape_jobs"),
+            self.job_id,
+            status="in_progress",
+            processed_items=self.rows_seen,
+        )
+        self.wh.overwrite_atomic("scrape_jobs", jobs)
+
+    def complete(self) -> None:
+        jobs = update_job_status(
+            self.wh.read("scrape_jobs"),
+            self.job_id,
+            status="completed",
+            total_items=self.rows_seen,
+            processed_items=self.rows_seen,
+            completed_at=self.now,
+        )
+        self.wh.overwrite_atomic("scrape_jobs", jobs)

@@ -1,0 +1,130 @@
+"""Streaming layer: availableNow drains, micro-batch caps, windowed aggs
+with watermarks, within-watermark dedup, and foreachBatch ledger commits.
+
+File-source + memory-sink keeps everything hermetic and synchronous
+(availableNow drains and terminates)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from instagram_data_pipeline_spark.io import Warehouse, load_testdata
+from instagram_data_pipeline_spark.schemas import EVENTS, REFERENCE_TABLES
+from instagram_data_pipeline_spark.streaming.events import (
+    dedup_within_watermark,
+    run_available_now,
+    session_windows,
+    stream_from_parquet,
+    tumbling_counts,
+)
+from instagram_data_pipeline_spark.streaming.ledger import LedgerProgressSink
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, sf_dir, tmp_path_factory):
+    """Events re-landed as a 4-file parquet dir (a file per micro-batch)."""
+    out = str(tmp_path_factory.mktemp("events_src"))
+    load_testdata(spark, sf_dir, "events").repartition(4).write.mode(
+        "overwrite"
+    ).parquet(out)
+    return out
+
+
+def _drain(spark, df, tmp_path_factory, name=None, output_mode="append"):
+    qname = name or f"q_{uuid.uuid4().hex[:8]}"
+    ckpt = str(tmp_path_factory.mktemp("ckpt"))
+    run_available_now(df, qname, ckpt, output_mode=output_mode)
+    return spark.table(qname)
+
+
+def test_stream_batch_parity_tumbling(spark, sf_dir, events_dir, tmp_path_factory):
+    stream = stream_from_parquet(spark, events_dir)
+    # complete mode: append would withhold windows still inside the
+    # watermark horizon at end-of-input (they'd emit on the next batch)
+    got = _drain(spark, tumbling_counts(stream), tmp_path_factory,
+                 output_mode="complete")
+    batch = tumbling_counts(load_testdata(spark, sf_dir, "events"))
+    a = sorted(map(tuple, got.collect()))
+    b = sorted(map(tuple, batch.collect()))
+    assert a == b  # one definition, two execution modes, same result
+
+
+def test_max_files_per_trigger_caps_batches(spark, events_dir, tmp_path_factory):
+    stream = stream_from_parquet(spark, events_dir, max_files_per_trigger=1)
+    epochs = []
+
+    def count_epochs(batch_df, epoch_id):
+        epochs.append((epoch_id, batch_df.count()))
+
+    ckpt = str(tmp_path_factory.mktemp("ckpt"))
+    q = (
+        stream.writeStream.foreachBatch(count_epochs)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert len([e for e, n in epochs if n > 0]) == 4  # one per file (T3 cap)
+    assert sum(n for _, n in epochs) == 1000
+
+
+def test_session_windows_streaming(spark, events_dir, tmp_path_factory):
+    stream = stream_from_parquet(spark, events_dir)
+    got = _drain(spark, session_windows(stream, gap="30 minutes"),
+                 tmp_path_factory, output_mode="complete")
+    rows = got.collect()
+    assert rows, "session windows should emit after watermark passes"
+    for r in rows:
+        assert r.session_end > r.session_start and r.n_events >= 1
+
+
+def test_dedup_within_watermark(spark, tmp_path_factory):
+    src = str(tmp_path_factory.mktemp("dups_src"))
+    base = dt.datetime(2024, 3, 1, 10, 0, 0)
+    rows = [
+        (1, base, 7, "click", 1.0, None),
+        (2, base + dt.timedelta(minutes=1), 7, "view", 1.0, None),
+        (1, base + dt.timedelta(minutes=2), 7, "click", 1.0, None),  # dup id
+        (3, base + dt.timedelta(minutes=3), 8, "click", 1.0, None),
+    ]
+    spark.createDataFrame(rows, EVENTS).write.mode("overwrite").parquet(src)
+    stream = stream_from_parquet(spark, src)
+    got = _drain(spark, dedup_within_watermark(stream), tmp_path_factory)
+    ids = sorted(r.event_id for r in got.collect())
+    assert ids == [1, 2, 3]
+
+
+def test_foreachbatch_ledger_progress(spark, events_dir, tmp_path_factory):
+    wh = Warehouse(spark, str(tmp_path_factory.mktemp("wh")))
+    wh.ensure_tables({**REFERENCE_TABLES, "events_landed": EVENTS})
+    from instagram_data_pipeline_spark.schemas import SCRAPE_JOBS
+
+    wh.overwrite_atomic(
+        "scrape_jobs",
+        spark.createDataFrame(
+            [(1, "ingest", "followers", "pending", None, None, None, None, 0, None)],
+            SCRAPE_JOBS,
+        ),
+    )
+    sink = LedgerProgressSink(wh, "events_landed", job_id=1,
+                              now=dt.datetime(2024, 3, 1))
+    stream = stream_from_parquet(spark, events_dir, max_files_per_trigger=2)
+    ckpt = str(tmp_path_factory.mktemp("ckpt"))
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    sink.complete()
+    assert wh.read("events_landed").count() == 1000
+    job = wh.read("scrape_jobs").collect()[0]
+    assert job.status == "completed"
+    assert job.processed_items == 1000 and job.total_items == 1000
+    assert job.completed_at is not None
+    assert len(sink.epochs) >= 2  # 4 files / maxFilesPerTrigger=2
