@@ -32,6 +32,12 @@ BENCH_QUERIES = [
     "insert_if_absent",     # anti-join write pattern
     "daily_counts",         # temporal rollup
     "top_k_per_group",      # per-group top-k
+    "hourly_window_counts", # event-time tumbling windows
+    "dedup_exact",          # fingerprint hash-groupBy
+    "ngram_jaccard_pairs",  # shingle inverted-index self-join
+    "minhash_near_dups",    # LSH candidates + exact verify
+    "cosine_topk",          # brute-force ANN baseline
+    "lang_id",              # text scoring over documents
 ]
 
 

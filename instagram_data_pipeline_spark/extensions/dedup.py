@@ -49,11 +49,24 @@ def drop_exact_dups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return df.join(keepers, id_col, "left_semi")
 
 
+def _tokenized(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, token-array) with two perf guards: repartition BEFORE the
+    regex-heavy normalization (a small single-file input would otherwise
+    run it on one task), and materialize tokens as a real column so
+    downstream higher-order lambdas don't re-evaluate the regex chain
+    per array element."""
+    npart = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(npart).select(
+        F.col(id_col), X.tokens(F.col(text_col)).alias("_w")
+    )
+
+
 def _distinct_shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
-    toks = X.tokens(F.col(text_col))
-    return (
-        df.select(F.col(id_col), X.word_shingles(toks, n).alias("shingles"))
-        .select(F.col(id_col), F.explode(F.array_distinct("shingles")).alias("shingle"))
+    return _tokenized(df, id_col, text_col).select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(X.word_shingles(F.col("_w"), n))
+        ).alias("shingle"),
     )
 
 
@@ -72,6 +85,11 @@ def ngram_jaccard_pairs(
     with LSH first; AQE skew-split handles moderate skew.
     """
     sh = _distinct_shingles(df, id_col, text_col, n)
+    # explicit partition count: the inverted-index self-join is CPU-bound
+    # on hot shingles even when the input is tiny, and AQE would coalesce
+    # a small input to one partition; a user repartition pins parallelism
+    npart = df.sparkSession.sparkContext.defaultParallelism
+    sh = sh.repartition(npart, "shingle")
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -194,11 +212,24 @@ def minhash_near_dups(
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(df, id_col, text_col, n, num_hashes)
     cand = lsh_candidate_pairs(sigs, id_col, bands, rows_per_band)
-    exact = ngram_jaccard_pairs(df, id_col, text_col, n, threshold=0.0)
+    # exact verification ONLY on candidate pairs (the whole point of LSH):
+    # per-doc shingle sets are joined to the pairs and intersected —
+    # cost is O(|candidates|), never the full inverted-index join
+    sets = _tokenized(df, id_col, text_col).select(
+        F.col(id_col),
+        F.array_distinct(X.word_shingles(F.col("_w"), n)).alias("sh"),
+    )
+    sa = sets.select(F.col(id_col).alias("doc_a"), F.col("sh").alias("sh_a"))
+    sb = sets.select(F.col(id_col).alias("doc_b"), F.col("sh").alias("sh_b"))
+    shared = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    jac = shared * F.lit(1.0) / (
+        F.size("sh_a") + F.size("sh_b") - shared
+    )
     return (
-        cand.join(exact, ["doc_a", "doc_b"], "inner")
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
     )
 
 
@@ -214,8 +245,8 @@ def simhash(
 
     The bit loop unrolls to 64 conditional sums inside one hash
     aggregate — wide but codegen-friendly, no Python in the path."""
-    toks = df.select(
-        F.col(id_col), F.explode(X.tokens(F.col(text_col))).alias("tok")
+    toks = _tokenized(df, id_col, text_col).select(
+        F.col(id_col), F.explode("_w").alias("tok")
     ).withColumn("h", F.xxhash64("tok"))
     one = F.lit(1).cast("long")
     votes = toks.groupBy(id_col).agg(
