@@ -65,6 +65,44 @@ def register_testdata_views(spark: SparkSession, sf_dir: str) -> dict[str, DataF
     return out
 
 
+def read_source(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    schema: T.StructType | None = None,
+    **options,
+) -> DataFrame:
+    """Format-agnostic source reader (SURVEY §2.1: the rebuild
+    standardizes on Parquet; CSV/JSON/ORC supported for ingest
+    boundaries). Schema is explicit for text formats — inference is a
+    full extra pass and non-deterministic under dirty data."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    if fmt == "csv":
+        options.setdefault("header", "true")
+    return reader.format(fmt).options(**options).load(path)
+
+
+def write_sink(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    **options,
+) -> None:
+    """Format-agnostic sink. A JDBC sink (the reference's PostgreSQL
+    target, S8) would be ``df.write.jdbc(url, table)`` — no JDBC driver
+    ships in this environment, so it stays at the interface level."""
+    writer = df.write.mode(mode).format(fmt).options(**options)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    if fmt == "csv":
+        writer = writer.option("header", "true")
+    writer.save(path)
+
+
 class Warehouse:
     """Parquet warehouse for the reference-shaped tables.
 

@@ -477,6 +477,113 @@ def q_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# §2.7 set ops: union + distinct (the upsert-emulation union, A1/A2)
+# ---------------------------------------------------------------------------
+@register(
+    "union_dedup",
+    """
+SELECT entity_key FROM (
+  SELECT o_custkey AS entity_key FROM orders WHERE o_orderstatus = 'O'
+  UNION
+  SELECT c_custkey AS entity_key FROM customer WHERE c_acctbal > 5000
+)
+""",
+    doc="§2.7: UNION with set-dedup semantics (the A1/A2 merge shape)",
+    tags=("setop",),
+)
+def q_union_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_testdata(spark, sf_dir, "orders")
+    customer = load_testdata(spark, sf_dir, "customer")
+    a = orders.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("entity_key")
+    )
+    b = customer.filter(F.col("c_acctbal") > 5000).select(
+        F.col("c_custkey").alias("entity_key")
+    )
+    return a.union(b).distinct()
+
+
+# ---------------------------------------------------------------------------
+# Semi-join (EXISTS — the A2 existence probe as a standalone op)
+# ---------------------------------------------------------------------------
+@register(
+    "semi_join_exists",
+    """
+SELECT c_custkey, c_name FROM customer c
+WHERE EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+)
+""",
+    doc="left-semi join (EXISTS): customers with urgent orders",
+    tags=("join", "semi"),
+)
+def q_semi_join_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_testdata(spark, sf_dir, "customer")
+    urgent = load_testdata(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return customer.join(
+        urgent, customer.c_custkey == urgent.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+# ---------------------------------------------------------------------------
+# Pivot (wide-format rollup of the ledger-status shape)
+# ---------------------------------------------------------------------------
+@register(
+    "pivot_status_counts",
+    """
+SELECT o_orderpriority,
+       COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_open,
+       COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_finished,
+       COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_pending
+FROM orders GROUP BY o_orderpriority
+""",
+    doc="pivot: status columns per priority (job-ledger status board shape)",
+    tags=("agg", "pivot"),
+)
+def q_pivot_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_testdata(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "o_orderpriority",
+            F.coalesce(F.col("O"), F.lit(0)).alias("n_open"),
+            F.coalesce(F.col("F"), F.lit(0)).alias("n_finished"),
+            F.coalesce(F.col("P"), F.lit(0)).alias("n_pending"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rollup (hierarchical subtotals — the analytics layer over §2.4)
+# ---------------------------------------------------------------------------
+@register(
+    "rollup_revenue",
+    """
+SELECT l_returnflag, l_linestatus,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(28,10))), 2) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+    doc="ROLLUP subtotals: per (flag,status), per flag, grand total",
+    tags=("agg", "rollup"),
+)
+def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_testdata(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum(F.col("l_extendedprice").cast("decimal(28,10)")), 2)
+        .cast("double")
+        .alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Tumbling event-time windows (§2.9) — the SAME function the streaming
 # layer runs; executed here in batch mode (streaming-batch parity).
 # ---------------------------------------------------------------------------
