@@ -611,6 +611,77 @@ def q_hourly_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# F5: JSON payload extraction (the LLM-response parse,
+# interest_analyzer.py:192) on the events.props JSON column
+# ---------------------------------------------------------------------------
+@register(
+    "props_json_extract",
+    """
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value
+FROM events
+WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50
+""",
+    doc="F5: JSON field extraction + typed cast + predicate",
+    tags=("json", "filter"),
+)
+def q_props_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_testdata(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        events.select("event_id", k.alias("k_value"))
+        .filter(F.col("k_value") >= 50)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Batch sessionization: lag + gap-break cumsum (the batch twin of the
+# streaming session_window in §2.9)
+# ---------------------------------------------------------------------------
+_SESSION_ORACLE = """
+WITH g AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, ts,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM g
+)
+SELECT user_id, session_id, COUNT(*) AS n_events,
+       MIN(epoch_us(ts)) AS start_us, MAX(epoch_us(ts)) AS end_us
+FROM s GROUP BY user_id, session_id
+"""
+
+
+@register(
+    "sessionize_batch",
+    _SESSION_ORACLE,
+    doc="sessionization via lag + gap>30min cumsum (batch twin of session_window)",
+    tags=("window", "temporal"),
+)
+def q_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_testdata(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    brk = F.when(gap_us.isNull() | (gap_us > 30 * 60 * 1_000_000), 1).otherwise(0)
+    wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        events.withColumn("session_id", F.sum(brk).over(wc))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min(F.unix_micros("ts")).alias("start_us"),
+            F.max(F.unix_micros("ts")).alias("end_us"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # TPC-H Q1-shaped pricing summary — headline bench query
 # ---------------------------------------------------------------------------
 @register(

@@ -1,0 +1,62 @@
+"""Custom stateful streaming operator via applyInPandasWithState
+(SURVEY §2.9 T3): the reference's daily-quota counter as per-key
+streaming state.
+
+The reference kept one global in-memory counter
+(``job_scheduler.py:29-47``); the distributed form keys the state (here:
+per user) and lets the state store + checkpoint own durability. This is
+the pattern for any custom stateful operator Spark lacks as a built-in.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUTPUT_SCHEMA = (
+    "user_id long, event_id long, ts timestamp, event_type string, "
+    "admitted boolean"
+)
+STATE_SCHEMA = "n_seen long"
+
+
+def quota_gate(events: DataFrame, quota: int) -> DataFrame:
+    """Admit at most ``quota`` events per user across the stream's
+    lifetime; excess events are emitted with ``admitted=false`` (audit
+    trail instead of silent drop — the scheduler decides what to do).
+
+    State is one long per key; within a micro-batch, admission is
+    decided in event order (ts, event_id) for determinism."""
+
+    def gate(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (n_seen,) = state.get if state.exists else (0,)
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            order = range(n_seen, n_seen + len(pdf))
+            pdf = pdf.assign(
+                user_id=key[0],
+                admitted=[i < quota for i in order],
+            )
+            n_seen += len(pdf)
+            yield pdf[["user_id", "event_id", "ts", "event_type", "admitted"]]
+        state.update((n_seen,))
+
+    return (
+        events.select("user_id", "event_id", "ts", "event_type")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            gate,
+            outputStructType=OUTPUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
