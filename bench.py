@@ -33,6 +33,8 @@ BENCH_QUERIES = [
     "daily_counts",         # temporal rollup
     "top_k_per_group",      # per-group top-k
     "hourly_window_counts", # event-time tumbling windows
+    "regional_revenue",     # 6-relation join chain
+    "sessionize_batch",     # lag + cumsum sessionization
     "dedup_exact",          # fingerprint hash-groupBy
     "ngram_jaccard_pairs",  # shingle inverted-index self-join
     "minhash_near_dups",    # LSH candidates + exact verify

@@ -611,6 +611,84 @@ def q_hourly_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Q5-flavored multi-join: revenue by nation where customer and supplier
+# share a nation (exercises Catalyst join reordering over 6 relations)
+# ---------------------------------------------------------------------------
+@register(
+    "regional_revenue",
+    """
+SELECT n_name,
+       CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+                           AS DECIMAL(28,10))), 2) AS DOUBLE) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name IN ('ASIA', 'EUROPE')
+GROUP BY n_name
+""",
+    doc="6-relation join chain with dim broadcast + co-nation predicate",
+    tags=("join", "agg", "bench"),
+)
+def q_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_testdata(spark, sf_dir, "customer")
+    orders = load_testdata(spark, sf_dir, "orders")
+    li = load_testdata(spark, sf_dir, "lineitem")
+    supplier = load_testdata(spark, sf_dir, "supplier")
+    nation = load_testdata(spark, sf_dir, "nation")
+    region = load_testdata(spark, sf_dir, "region").filter(
+        F.col("r_name").isin("ASIA", "EUROPE")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(
+            F.broadcast(supplier),
+            (li.l_suppkey == supplier.s_suppkey)
+            & (customer.c_nationkey == supplier.s_nationkey),
+        )
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            _exact_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"
+            )
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# SQL front-end: the registry is DataFrame-first, but the engine's SQL
+# surface is first-class — this query runs the SAME text Spark SQL and
+# DuckDB execute (catalog views registered on the fly).
+# ---------------------------------------------------------------------------
+_SHARED_SQL = """
+SELECT c_name,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(28,10))), 2) AS DOUBLE) AS total_spend
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_name
+ORDER BY total_spend DESC, c_name
+LIMIT 10
+"""
+
+
+@register(
+    "sql_api_top_spenders",
+    _SHARED_SQL,
+    doc="SQL API surface: identical ANSI text executed by Spark SQL and DuckDB",
+    tags=("sql", "agg", "topk"),
+)
+def q_sql_api_top_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..io import register_testdata_views
+
+    register_testdata_views(spark, sf_dir)
+    return spark.sql(_SHARED_SQL)
+
+
+# ---------------------------------------------------------------------------
 # F5: JSON payload extraction (the LLM-response parse,
 # interest_analyzer.py:192) on the events.props JSON column
 # ---------------------------------------------------------------------------

@@ -102,6 +102,41 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 @register(
+    "label_centroids",
+    """
+SELECT label, pos,
+       ROUND(CAST(SUM(CAST(v AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*), 6) AS centroid
+FROM (
+  SELECT label,
+         unnest(generate_series(1, len(embedding))) AS pos,
+         unnest(embedding::DOUBLE[]) AS v
+  FROM embeddings
+) GROUP BY label, pos
+""",
+    doc="per-label embedding centroids (positional explode + exact mean) — "
+    "the cluster-summary stage of IVF-style ANN",
+    tags=("similarity", "agg"),
+)
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_testdata(spark, sf_dir, "embeddings")
+    exploded = emb.select(
+        "label",
+        F.posexplode(S.as_double_vec(F.col("embedding"))).alias("pos0", "v"),
+    )
+    return (
+        exploded.groupBy("label", (F.col("pos0") + 1).alias("pos"))
+        .agg(
+            F.round(
+                F.sum(F.col("v").cast("decimal(28,10)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("centroid")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+@register(
     "ann_lsh_topk",
     None,  # probabilistic bucketing — recall vs exact checked in tests
     doc="approximate top-k via sign-random-projection LSH buckets",
