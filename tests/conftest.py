@@ -12,7 +12,13 @@ from instagram_data_pipeline_spark.session import build_session  # noqa: E402
 
 @pytest.fixture(scope="session")
 def spark():
-    s = build_session(app_name="pytest", shuffle_partitions=8)
+    import tempfile
+
+    s = build_session(
+        app_name="pytest",
+        shuffle_partitions=8,
+        extra_conf={"spark.sql.warehouse.dir": tempfile.mkdtemp()},
+    )
     yield s
 
 

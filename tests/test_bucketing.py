@@ -1,0 +1,40 @@
+"""Bucketed-table layout: co-located joins without a shuffle — the 100 TB
+strategy for the edge tables (SURVEY §4: partition fact/edge tables by
+join key)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from instagram_data_pipeline_spark.io import write_bucketed
+from instagram_data_pipeline_spark.operators.mutuals import mutual_edges
+from instagram_data_pipeline_spark.testing import fixture_edges
+
+
+@pytest.fixture(scope="module")
+def bucketed_edges(spark):
+    followers, following = fixture_edges(spark)
+    write_bucketed(followers, "b_followers", 4, ["user_id"])
+    write_bucketed(following, "b_following", 4, ["user_id"])
+    return spark.table("b_followers"), spark.table("b_following")
+
+
+def test_bucketed_join_has_no_exchange(spark, bucketed_edges):
+    followers, following = bucketed_edges
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = followers.join(following, "user_id")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan  # bucket co-location, no shuffle
+        assert "Bucketed: true" in plan
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_bucketed_mutuals_same_result(spark, bucketed_edges):
+    b_followers, b_following = bucketed_edges
+    followers, following = fixture_edges(spark)
+    plain = sorted(map(tuple, mutual_edges(followers, following).collect()))
+    bucketed = sorted(map(tuple, mutual_edges(b_followers, b_following).collect()))
+    assert plain == bucketed
