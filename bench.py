@@ -49,8 +49,12 @@ def main() -> None:
 
     registry = load_all()
     spark = build_session(app_name="bench")
-    # warm-up: JVM + parquet footer caches
-    registry["key_lookup"].spark_fn(spark, SF_DIR).collect()
+    # warm-up: JVM + parquet footers + OS page cache for every input table
+    from instagram_data_pipeline_spark.io import load_testdata
+
+    for table in ("lineitem", "orders", "customer", "events",
+                  "documents", "embeddings"):
+        load_testdata(spark, SF_DIR, table).count()
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:

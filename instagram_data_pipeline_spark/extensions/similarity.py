@@ -136,6 +136,90 @@ def lsh_bucket(
     return bucket
 
 
+def ivf_assign(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str,
+    vec_col: str = "_v",
+    centroid_id_col: str = "cluster",
+    centroid_vec_col: str = "cv",
+    n_probe: int = 1,
+) -> DataFrame:
+    """Assign each vector to its ``n_probe`` nearest centroids (by
+    cosine). Centroids are tiny -> broadcast; output (id, cluster)."""
+    sim = cosine(F.col(vec_col), F.col(centroid_vec_col))
+    scored = vectors.join(F.broadcast(centroids)).select(
+        F.col(id_col), F.col(centroid_id_col), sim.alias("_csim")
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("_csim").desc(), F.col(centroid_id_col)
+    )
+    return (
+        scored.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= n_probe)
+        .select(id_col, centroid_id_col)
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    k: int = 5,
+    n_probe: int = 2,
+) -> DataFrame:
+    """IVF-style ANN: corpus vectors are inverted-listed under their
+    nearest centroid; each query probes its ``n_probe`` nearest lists and
+    scores only those vectors.
+
+    This is the other scale path besides LSH: cluster quality controls
+    recall, ``n_probe`` trades recall for compute, and the expensive
+    exact scoring runs on ~n_probe/n_clusters of the corpus. Centroids
+    come from anywhere (here: per-label means, see the label_centroids
+    query; k-means at scale)."""
+    c = corpus.select(F.col(id_col), as_double_vec(F.col(vec_col)).alias("_v"))
+    q = queries.select(
+        F.col(query_id_col), as_double_vec(F.col(vec_col)).alias("_v")
+    )
+    cent = centroids.select(
+        F.col("cluster"), as_double_vec(F.col("centroid")).alias("cv")
+    )
+    c_assign = ivf_assign(c, cent, id_col, n_probe=1)
+    q_assign = ivf_assign(q, cent, query_id_col, n_probe=n_probe)
+    scored = (
+        c.join(c_assign, id_col)
+        .join(
+            F.broadcast(
+                q.join(q_assign, query_id_col).select(
+                    query_id_col, F.col("_v").alias("_qv"), "cluster"
+                )
+            ),
+            "cluster",
+        )
+        .select(
+            query_id_col, id_col,
+            F.col("_v").alias("_cv2"), F.col("_qv"),
+        )
+        .withColumn("_sim", cosine(F.col("_qv"), F.col("_cv2")))
+        .select(query_id_col, id_col, "_sim")
+        .dropDuplicates([query_id_col, id_col])
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("_sim").desc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            query_id_col, id_col,
+            F.round(F.col("_sim"), 6).alias("cosine"), "rank",
+        )
+    )
+
+
 def ann_lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

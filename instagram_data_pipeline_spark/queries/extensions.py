@@ -153,6 +153,35 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 @register(
+    "ivf_topk",
+    None,  # probe-limited search is approximate; recall vs exact in tests
+    doc="IVF ANN: inverted lists under per-label centroids, n_probe=2",
+    tags=("similarity", "ann", "ivf"),
+)
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_testdata(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    centroids = (
+        q_label_centroids(spark, sf_dir)
+        .groupBy(F.col("label").alias("cluster"))
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("pos", F.col("centroid").alias("v")))
+            ).alias("pv")
+        )
+        .select(
+            "cluster",
+            F.transform(F.col("pv"), lambda s: s["v"]).alias("centroid"),
+        )
+    )
+    return S.ivf_topk(corpus, queries, centroids, k=5, n_probe=3)
+
+
+# ---------------------------------------------------------------------------
+@register(
     "minhash_near_dups",
     None,  # LSH candidate generation is probabilistic; verified stage is
     # exact Jaccard (oracle-checked via ngram_jaccard_pairs)

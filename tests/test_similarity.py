@@ -72,6 +72,26 @@ def test_ann_planted_duplicate_found(spark, emb):
     assert res[0].cosine == pytest.approx(1.0)
 
 
+def test_ivf_topk_scores_exact_and_recalls(spark, sf_dir, emb):
+    from instagram_data_pipeline_spark.queries import load_all
+
+    reg = load_all()
+    exact = {
+        (r.query_id, r.vec_id): r.cosine
+        for r in reg["cosine_topk"].spark_fn(spark, sf_dir).collect()
+    }
+    approx = reg["ivf_topk"].spark_fn(spark, sf_dir).collect()
+    assert len(approx) == 50  # 10 queries x k=5
+    hits = 0
+    for r in approx:
+        if (r.query_id, r.vec_id) in exact:
+            # never invents scores: probed neighbors carry exact cosines
+            assert exact[(r.query_id, r.vec_id)] == r.cosine
+            hits += 1
+    # with weak clusters and n_probe=3 recall is partial but nonzero
+    assert hits >= 10
+
+
 def test_hyperplanes_deterministic():
     a = hyperplanes(64, 8, seed=42)
     b = hyperplanes(64, 8, seed=42)
