@@ -59,6 +59,23 @@ def token_count(col: Column) -> Column:
     return F.size(tokens(col))
 
 
+# BPE-style pre-tokenization pattern (word runs vs single
+# punctuation/symbol, the GPT-2 pre-tokenizer shape without byte-level
+# merges). Shared verbatim with the SQL oracle.
+BPE_PATTERN = r"[a-z0-9]+|[^a-z0-9\s]"
+
+
+def bpe_tokens(col: Column) -> Column:
+    """Sub-word-ish tokens over lowered text: alnum runs and individual
+    symbols. A stand-in for tokenizer-aware counting where the real BPE
+    vocab lives model-side; the count correlates with token billing."""
+    return F.regexp_extract_all(F.lower(col), F.lit(BPE_PATTERN), F.lit(0))
+
+
+def bpe_token_count(col: Column) -> Column:
+    return F.size(bpe_tokens(col))
+
+
 def distinct_token_count(col: Column) -> Column:
     return F.size(F.array_distinct(tokens(col)))
 

@@ -86,6 +86,27 @@ def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 @register(
+    "bpe_token_stats",
+    rf"""
+SELECT doc_id,
+       len(regexp_extract_all(lower(text), '{X.BPE_PATTERN}')) AS n_bpe_tokens,
+       len(list_distinct(regexp_extract_all(lower(text), '{X.BPE_PATTERN}'))) AS n_bpe_types
+FROM documents
+""",
+    doc="BPE-ish regex tokenization counts (model-billing estimator)",
+    tags=("text",),
+)
+def q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_testdata(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        X.bpe_token_count(F.col("text")).alias("n_bpe_tokens"),
+        F.size(F.array_distinct(X.bpe_tokens(F.col("text")))).alias("n_bpe_types"),
+    )
+
+
+# ---------------------------------------------------------------------------
+@register(
     "text_quality",
     f"""
 SELECT doc_id,
