@@ -106,18 +106,33 @@ def q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+_PUNCT_SQL = (
+    "(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) * 1.0"
+    " / length(text))"
+)
+_STOP_SQL = (
+    f"(len(list_filter(string_split({_NORM}, ' '), t -> t IN {_EN_STOP_SQL}))"
+    f" * 1.0 / len(string_split({_NORM}, ' ')))"
+)
+# composite mirror of functions.text.quality_score
+_QUALITY_SQL = (
+    f"(LEAST(length(text) / 500.0, 1.0) * 0.4"
+    f" + (1.0 - LEAST({_PUNCT_SQL} * 5, 1.0)) * 0.3"
+    f" + LEAST({_STOP_SQL} * 4, 1.0) * 0.3)"
+)
+
+
 @register(
     "text_quality",
     f"""
 SELECT doc_id,
-       ROUND(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) * 1.0
-             / length(text), 6) AS punct_ratio,
-       ROUND(len(list_filter(string_split({_NORM}, ' '),
-                             t -> t IN {_EN_STOP_SQL})) * 1.0
-             / len(string_split({_NORM}, ' ')), 6) AS stop_ratio
+       ROUND({_PUNCT_SQL}, 6) AS punct_ratio,
+       ROUND({_STOP_SQL}, 6) AS stop_ratio,
+       ROUND({_QUALITY_SQL}, 6) AS quality
 FROM documents
 """,
-    doc="quality scoring: punctuation + stopword ratios (cheap pre-filter)",
+    doc="quality scoring: punct/stopword ratios + composite score (pre-filter "
+    "before expensive model scoring)",
     tags=("text", "quality"),
 )
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -126,6 +141,7 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.round(X.punct_ratio(F.col("text")), 6).alias("punct_ratio"),
         F.round(X.stopword_ratio(F.col("text")), 6).alias("stop_ratio"),
+        F.round(X.quality_score(F.col("text")), 6).alias("quality"),
     )
 
 

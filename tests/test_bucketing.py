@@ -32,6 +32,22 @@ def test_bucketed_join_has_no_exchange(spark, bucketed_edges):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
 
 
+def test_partitioned_write_prunes(spark, tmp_path):
+    """Date-partitioned layout: a day predicate must prune at the file
+    index (PartitionFilters), not post-scan."""
+    from instagram_data_pipeline_spark.io import load_testdata
+
+    events = load_testdata(spark, "/root/testdata/sf0.001", "events")
+    out = str(tmp_path / "events_by_day")
+    events.withColumn("day", F.to_date("ts")).write.partitionBy("day").parquet(out)
+    back = spark.read.parquet(out).filter(F.col("day") == "2024-01-05")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(day" in plan
+    got = back.count()
+    expected = events.filter(F.to_date("ts") == "2024-01-05").count()
+    assert got == expected > 0
+
+
 def test_bucketed_mutuals_same_result(spark, bucketed_edges):
     b_followers, b_following = bucketed_edges
     followers, following = fixture_edges(spark)
