@@ -57,13 +57,18 @@ def main() -> None:
         load_testdata(spark, SF_DIR, table).count()
 
     timings: dict[str, float] = {}
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     for name in BENCH_QUERIES:
         if name not in registry:
             continue
-        t0 = time.time()
-        df = registry[name].spark_fn(spark, SF_DIR)
-        n = len(df.collect())
-        timings[name] = round(time.time() - t0, 3)
+        best, n = None, 0
+        for _ in range(runs):
+            t0 = time.time()
+            df = registry[name].spark_fn(spark, SF_DIR)
+            n = len(df.collect())
+            elapsed = time.time() - t0
+            best = elapsed if best is None else min(best, elapsed)
+        timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]

@@ -689,6 +689,41 @@ def q_sql_api_top_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# §2.11 UDAF-via-pandas: grouped applyInPandas verified against a pure
+# relational oracle (the Arrow group boundary is what's under test)
+# ---------------------------------------------------------------------------
+@register(
+    "pandas_group_summary",
+    """
+WITH pc AS (
+  SELECT o_custkey, o_orderpriority, COUNT(*) AS c
+  FROM orders GROUP BY o_custkey, o_orderpriority
+), top AS (
+  SELECT o_custkey, o_orderpriority AS top_priority
+  FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY o_custkey ORDER BY c DESC, o_orderpriority
+    ) AS rn FROM pc
+  ) WHERE rn = 1
+)
+SELECT g.o_custkey, g.n_orders, top.top_priority, g.max_price, g.first_order_us
+FROM (
+  SELECT o_custkey, COUNT(*) AS n_orders, MAX(o_totalprice) AS max_price,
+         MIN(epoch_us(o_orderdate)) AS first_order_us
+  FROM orders GROUP BY o_custkey
+) g JOIN top ON g.o_custkey = top.o_custkey
+""",
+    doc="pandas UDAF (applyInPandas, one row per group) vs relational oracle",
+    tags=("udaf", "pandas"),
+)
+def q_pandas_group_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..analysis.group_summary import customer_order_summary
+
+    orders = load_testdata(spark, sf_dir, "orders")
+    return customer_order_summary(orders)
+
+
+# ---------------------------------------------------------------------------
 # F5: JSON payload extraction (the LLM-response parse,
 # interest_analyzer.py:192) on the events.props JSON column
 # ---------------------------------------------------------------------------
