@@ -39,7 +39,9 @@ def l2_norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+    """NULL (not error) for zero vectors: ANSI mode raises on /0; the
+    oracle mirrors with NULLIF."""
+    return dot(a, b) / F.nullif(l2_norm(a) * l2_norm(b), F.lit(0.0))
 
 
 def cosine_topk(

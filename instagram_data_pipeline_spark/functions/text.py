@@ -92,9 +92,11 @@ def word_shingles(tokens_col: Column, n: int = 3) -> Column:
 
 
 def punct_ratio(col: Column) -> Column:
-    """Fraction of characters that are not [a-zA-Z0-9 ]."""
+    """Fraction of characters that are not [a-zA-Z0-9 ]; NULL for empty
+    text (ANSI mode raises on /0 where DuckDB would return inf — NULLIF
+    on both sides keeps the engines aligned)."""
     stripped = F.regexp_replace(col, "[a-zA-Z0-9 ]", "")
-    return F.length(stripped) / F.length(col)
+    return F.length(stripped) / F.nullif(F.length(col), F.lit(0))
 
 
 def stopword_ratio(col: Column) -> Column:

@@ -19,7 +19,10 @@ from ..extensions.dedup import minhash_near_dups, simhash_near_dups
 from ..io import load_testdata
 from . import register
 
-_COS = "list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+_COS = (
+    "list_dot_product({a}, {b}) / NULLIF(sqrt(list_dot_product({a}, {a}))"
+    " * sqrt(list_dot_product({b}, {b})), 0)"
+)
 
 
 # ---------------------------------------------------------------------------

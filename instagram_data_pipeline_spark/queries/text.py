@@ -108,7 +108,7 @@ def q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 _PUNCT_SQL = (
     "(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) * 1.0"
-    " / length(text))"
+    " / NULLIF(length(text), 0))"
 )
 _STOP_SQL = (
     f"(len(list_filter(string_split({_NORM}, ' '), t -> t IN {_EN_STOP_SQL}))"
