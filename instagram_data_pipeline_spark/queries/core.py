@@ -689,6 +689,31 @@ def q_sql_api_top_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Exact interpolated quantiles (linear interpolation is bit-identical
+# between Spark's percentile and DuckDB's quantile_cont — verified)
+# ---------------------------------------------------------------------------
+@register(
+    "price_quantiles",
+    """
+SELECT o_orderstatus,
+       quantile_cont(o_totalprice, 0.5) AS p50,
+       quantile_cont(o_totalprice, 0.9) AS p90,
+       quantile_cont(o_totalprice, 0.99) AS p99
+FROM orders GROUP BY o_orderstatus
+""",
+    doc="exact interpolated percentiles per group (sort-based, no sketch)",
+    tags=("agg", "quantile"),
+)
+def q_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_testdata(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.expr("percentile(o_totalprice, 0.5)").alias("p50"),
+        F.expr("percentile(o_totalprice, 0.9)").alias("p90"),
+        F.expr("percentile(o_totalprice, 0.99)").alias("p99"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # §2.11 UDAF-via-pandas: grouped applyInPandas verified against a pure
 # relational oracle (the Arrow group boundary is what's under test)
 # ---------------------------------------------------------------------------

@@ -1,0 +1,28 @@
+"""Approximate aggregates: sketch results must land within documented
+error of the exact answers (they can't be oracle-hashed — engine sketches
+differ — so tolerance against exact IS the contract)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from instagram_data_pipeline_spark.io import load_testdata
+
+
+def test_approx_count_distinct_within_tolerance(spark, sf_dir):
+    li = load_testdata(spark, sf_dir, "lineitem")
+    row = li.agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx"),
+        F.countDistinct("l_partkey").alias("exact"),
+    ).collect()[0]
+    assert abs(row.approx - row.exact) / row.exact < 0.05
+
+
+def test_percentile_approx_brackets_exact(spark, sf_dir):
+    orders = load_testdata(spark, sf_dir, "orders")
+    row = orders.agg(
+        F.percentile_approx("o_totalprice", 0.5, 10000).alias("approx"),
+        F.expr("percentile(o_totalprice, 0.5)").alias("exact"),
+    ).collect()[0]
+    # high-accuracy sketch: within 1% of the exact interpolated median
+    assert abs(row.approx - row.exact) / row.exact < 0.01

@@ -98,6 +98,30 @@ def test_dedup_within_watermark(spark, tmp_path_factory):
     assert ids == [1, 2, 3]
 
 
+def test_processing_time_trigger(spark, events_dir, tmp_path_factory):
+    """T1's periodic form: a processingTime-triggered query drains the
+    source and keeps running until stopped (the reference's 30-min tick,
+    compressed)."""
+    stream = stream_from_parquet(spark, events_dir)
+    qname = f"q_{uuid.uuid4().hex[:8]}"
+    q = (
+        tumbling_counts(stream)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(qname)
+        .option("checkpointLocation", str(tmp_path_factory.mktemp("ckpt")))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        n = spark.table(qname).count()
+        assert n > 0
+        assert q.isActive  # periodic trigger keeps the query alive
+    finally:
+        q.stop()
+
+
 def test_foreachbatch_ledger_progress(spark, events_dir, tmp_path_factory):
     wh = Warehouse(spark, str(tmp_path_factory.mktemp("wh")))
     wh.ensure_tables({**REFERENCE_TABLES, "events_landed": EVENTS})
