@@ -32,6 +32,25 @@ def test_bucketed_join_has_no_exchange(spark, bucketed_edges):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
 
 
+def test_bucket_pruning_per_user_filter(spark, bucketed_edges):
+    """The per-user mutuals variant (J1's WHERE user_id=%s) reads ONE
+    bucket of a bucketed edge table, not the full table."""
+    followers, _ = bucketed_edges
+    # autoBucketedScan skips bucketed reads when no operator needs the
+    # distribution — turn it off so the filter-only scan bucket-prunes
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    try:
+        plan = (
+            followers.filter(F.col("user_id") == "12345")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "SelectedBucketsCount: 1 out of 4" in plan
+    finally:
+        spark.conf.unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+
+
 def test_partitioned_write_prunes(spark, tmp_path):
     """Date-partitioned layout: a day predicate must prune at the file
     index (PartitionFilters), not post-scan."""
