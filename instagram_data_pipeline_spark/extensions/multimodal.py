@@ -105,6 +105,52 @@ def extract_features(
     return media.mapInPandas(op, schema=FEATURE_SCHEMA)
 
 
+RESIZE_SCHEMA = (
+    "media_id long, payload binary, width int, height int, resized boolean"
+)
+
+
+def resize_images(
+    media: DataFrame,
+    target_width: int,
+    target_height: int,
+    decoder=None,
+) -> DataFrame:
+    """Image-resize operator plumbing: image rows flow through a
+    mapInPandas kernel that would decode -> resize -> re-encode.
+
+    The codec is STUBBED (no PIL in this environment): the default
+    kernel passes bytes through untouched and records the target dims,
+    flagging `resized=false` so downstream knows the payload is
+    original. Inject a real decoder to flip the flag; the Spark plan,
+    schema contract, and batch shape are identical either way."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_payload, resized = [], []
+            for payload in pdf["payload"]:
+                if decoder is None:
+                    out_payload.append(payload)  # passthrough stub
+                    resized.append(False)
+                else:  # pragma: no cover - needs a codec
+                    out_payload.append(
+                        decoder(payload, target_width, target_height)
+                    )
+                    resized.append(True)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": out_payload,
+                    "width": target_width,
+                    "height": target_height,
+                    "resized": resized,
+                }
+            )
+
+    images = media.filter(F.col("kind") == "image")
+    return images.mapInPandas(op, schema=RESIZE_SCHEMA)
+
+
 def sample_frames(
     media: DataFrame, every_ms: int = 1000
 ) -> DataFrame:

@@ -689,6 +689,83 @@ def q_sql_api_top_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# 2-hop graph composition: entities linked through a shared neighbor
+# (friends-of-friends shape on the purchase graph; the flagship J1 is
+# the 1-hop primitive this composes)
+# ---------------------------------------------------------------------------
+@register(
+    "copurchase_pairs",
+    """
+WITH cp AS (
+  SELECT DISTINCT o.o_custkey AS cust, l.l_partkey AS part
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+)
+SELECT a.cust AS cust_a, b.cust AS cust_b, COUNT(*) AS shared_parts
+FROM cp a JOIN cp b ON a.part = b.part AND a.cust < b.cust
+GROUP BY a.cust, b.cust
+HAVING COUNT(*) >= 3
+""",
+    doc="2-hop self-join through a shared neighbor (FoF composition of J1)",
+    tags=("join", "graph"),
+)
+def q_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_testdata(spark, sf_dir, "lineitem")
+    orders = load_testdata(spark, sf_dir, "orders")
+    cp = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("part"))
+        .dropDuplicates()
+    )
+    a, b = cp.alias("a"), cp.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.part") == F.col("b.part"))
+            & (F.col("a.cust") < F.col("b.cust")),
+        )
+        .groupBy(
+            F.col("a.cust").alias("cust_a"), F.col("b.cust").alias("cust_b")
+        )
+        .agg(F.count(F.lit(1)).alias("shared_parts"))
+        .filter(F.col("shared_parts") >= 3)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Table profiling: per-column null/distinct/min-max stats (the data-
+# quality sweep a training pipeline runs before ingest)
+# ---------------------------------------------------------------------------
+@register(
+    "table_profile",
+    """
+SELECT COUNT(*) AS n_rows,
+       COUNT(*) - COUNT(o_custkey) AS null_custkey,
+       COUNT(DISTINCT o_custkey) AS distinct_cust,
+       COUNT(DISTINCT o_orderstatus) AS distinct_status,
+       MIN(o_totalprice) AS min_price,
+       MAX(o_totalprice) AS max_price,
+       MIN(epoch_us(o_orderdate)) AS min_date_us,
+       MAX(epoch_us(o_orderdate)) AS max_date_us
+FROM orders
+""",
+    doc="single-pass column profile: nulls, distincts, ranges",
+    tags=("agg", "profile"),
+)
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_testdata(spark, sf_dir, "orders")
+    return orders.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.count(F.lit(1)) - F.count("o_custkey")).alias("null_custkey"),
+        F.countDistinct("o_custkey").alias("distinct_cust"),
+        F.countDistinct("o_orderstatus").alias("distinct_status"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+        F.min(F.unix_micros("o_orderdate")).alias("min_date_us"),
+        F.max(F.unix_micros("o_orderdate")).alias("max_date_us"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Exact interpolated quantiles (linear interpolation is bit-identical
 # between Spark's percentile and DuckDB's quantile_cont — verified)
 # ---------------------------------------------------------------------------

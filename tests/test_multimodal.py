@@ -50,6 +50,16 @@ def test_real_decode_is_explicit_stub():
         real_decode(b"bytes", "image")
 
 
+def test_resize_plumbing_stub(media):
+    from instagram_data_pipeline_spark.extensions.multimodal import resize_images
+
+    out = resize_images(media, 224, 224).collect()
+    assert {r.media_id for r in out} == {1, 2, 5}  # images only
+    for r in out:
+        assert (r.width, r.height) == (224, 224)
+        assert r.resized is False  # stub passthrough is explicit
+
+
 def test_sample_frames_fanout(media):
     frames = sample_frames(media, every_ms=1000).collect()
     # video row has duration 3500ms -> ts 0,1000,2000,3000
