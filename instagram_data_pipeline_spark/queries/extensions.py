@@ -105,6 +105,37 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 @register(
+    "dataset_split",
+    """
+WITH b AS (
+  SELECT doc_id, lang,
+         CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+           % 10000 AS bucket
+  FROM documents
+)
+SELECT CASE WHEN bucket < 9000 THEN 'train'
+            WHEN bucket < 9500 THEN 'val'
+            ELSE 'test' END AS split,
+       lang, COUNT(*) AS n_docs
+FROM b GROUP BY 1, 2
+""",
+    doc="deterministic train/val/test split by stable key hash (portable, "
+    "append-stable, shuffle-free)",
+    tags=("sampling", "split"),
+)
+def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.sampling import assign_split
+
+    docs = load_testdata(spark, sf_dir, "documents")
+    return (
+        assign_split(docs, "doc_id", train=0.9, val=0.05)
+        .groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+# ---------------------------------------------------------------------------
+@register(
     "label_centroids",
     """
 SELECT label, pos,
