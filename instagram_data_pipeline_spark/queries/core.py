@@ -766,6 +766,50 @@ def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Behavioral funnel: ordered-event conversion (view -> click -> purchase)
+# via conditional-min aggregation — one pass, no self-joins
+# ---------------------------------------------------------------------------
+@register(
+    "event_funnel",
+    """
+WITH t AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS v,
+         MIN(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) AS c,
+         MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS p
+  FROM events GROUP BY user_id
+)
+SELECT COUNT(*) AS n_users,
+       COUNT(CASE WHEN v IS NOT NULL THEN 1 END) AS n_viewed,
+       COUNT(CASE WHEN c > v THEN 1 END) AS n_clicked_after_view,
+       COUNT(CASE WHEN c > v AND p > c THEN 1 END) AS n_full_funnel
+FROM t
+""",
+    doc="ordered conversion funnel via conditional mins (single pass)",
+    tags=("agg", "temporal", "funnel"),
+)
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_testdata(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+
+    def first(t):
+        return F.min(F.when(F.col("event_type") == t, us))
+
+    t = events.groupBy("user_id").agg(
+        first("view").alias("v"), first("click").alias("c"),
+        first("purchase").alias("p"),
+    )
+    return t.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count(F.when(F.col("v").isNotNull(), 1)).alias("n_viewed"),
+        F.count(F.when(F.col("c") > F.col("v"), 1)).alias("n_clicked_after_view"),
+        F.count(
+            F.when((F.col("c") > F.col("v")) & (F.col("p") > F.col("c")), 1)
+        ).alias("n_full_funnel"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Exact interpolated quantiles (linear interpolation is bit-identical
 # between Spark's percentile and DuckDB's quantile_cont — verified)
 # ---------------------------------------------------------------------------
