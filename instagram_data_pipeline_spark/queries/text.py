@@ -184,7 +184,8 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "lang_source_rollup",
     """
-SELECT lang, source, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+SELECT lang, source, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
 FROM documents GROUP BY lang, source
 """,
     doc="metadata rollup over corpus partitions (exact bigint sums)",
