@@ -75,23 +75,97 @@ def test_prompt_and_parse_roundtrip():
 
 
 def test_validate_results_drops_unknown_and_maps_ids(spark):
-    users = fixture_users(spark)
+    # results carry the analyzed (pending) user's user_id — the reference
+    # keys _store_interest_results on that id, never on the followed
+    # account (interest_analyzer.py:257-280)
     cats = default_categories(spark)
     results = spark.createDataFrame(
         [
-            ("fashionaccount", "Fashion", 0.95),
-            ("techguru", "Cryptozoology", 0.99),   # unknown -> dropped (P8)
-            ("ghost_user", "Food", 0.9),           # unknown username -> dropped
-            ("foodlover", "Food", None),           # null confidence -> 0.5
+            ("12345", "Fashion", 0.95),
+            ("12345", "Cryptozoology", 0.99),  # unknown -> dropped (P8)
+            ("12345", "Food", None),           # null confidence -> 0.5
         ],
-        "username string, category string, confidence double",
+        "user_id string, category string, confidence double",
     )
-    out = validate_results(results, users, cats).collect()
+    out = validate_results(results, cats).collect()
     got = {(r.user_id, r.category_id): r.confidence_score for r in out}
     assert len(got) == 2
-    assert got[("following_0", 1)] == 0.95  # Fashion == category_id 1
+    assert got[("12345", 1)] == 0.95  # Fashion == category_id 1
     food_id = {r.category_name: r.category_id for r in cats.collect()}["Food"]
-    assert got[("following_2", food_id)] == 0.5
+    assert got[("12345", food_id)] == 0.5
+
+
+def test_analysis_attributes_to_pending_user_and_drains(spark):
+    """The lifecycle bug fixed in r2: interests must be keyed on the
+    PENDING user's id so the J3 anti-join converges (pending set drains
+    instead of re-categorizing the same users forever)."""
+    import datetime as dt
+
+    from instagram_data_pipeline_spark.analysis.interests import (
+        analyze_pending_users,
+    )
+    from instagram_data_pipeline_spark.operators.relational import pending_users
+    from instagram_data_pipeline_spark.schemas import INTERESTS, SCRAPE_JOBS
+    from instagram_data_pipeline_spark.testing import (
+        fixture_categories,
+        fixture_edges,
+    )
+
+    users = fixture_users(spark)
+    _, following = fixture_edges(spark)
+    now = dt.datetime(2024, 1, 20)
+    jobs = spark.createDataFrame(
+        [(1, "instagram", "following", "completed", now, now, None, 4, 4, None)],
+        SCRAPE_JOBS,
+    )
+    interests = spark.createDataFrame([], INTERESTS)
+    cats = fixture_categories(spark)
+
+    merged = analyze_pending_users(users, following, jobs, interests, cats, now=now)
+    rows = merged.collect()
+    # every interest row belongs to the analyzed pending user 12345
+    assert rows and all(r.user_id == "12345" for r in rows)
+    assert {r.category_id for r in rows} == {1, 2, 3}  # Fashion/Tech/Food bios
+    assert all(r.id is not None for r in rows)  # SERIAL semantics: ids minted
+    # convergence: after storing, 12345 leaves the pending set
+    assert pending_users(users, jobs, merged).count() == 0
+
+
+def test_analysis_upsert_preserves_existing_ids(spark):
+    """ON CONFLICT DO UPDATE keeps the existing row's SERIAL id; re-running
+    analysis (via the ungated per-user entry point, the reference's public
+    analyze_user_interests) must not null out or re-mint ids for
+    already-stored keys."""
+    import datetime as dt
+
+    from instagram_data_pipeline_spark.analysis.interests import (
+        analyze_user_interests,
+    )
+    from instagram_data_pipeline_spark.schemas import INTERESTS
+    from instagram_data_pipeline_spark.testing import (
+        fixture_categories,
+        fixture_edges,
+    )
+
+    users = fixture_users(spark)
+    _, following = fixture_edges(spark)
+    now = dt.datetime(2024, 1, 20)
+    # pre-existing row for (12345, Fashion) with surrogate id 7
+    interests = spark.createDataFrame(
+        [(7, "12345", 1, 0.11, dt.datetime(2024, 1, 1))], INTERESTS
+    )
+    cats = fixture_categories(spark)
+    merged = analyze_user_interests(
+        users, following, interests, cats, "instagram", now=now
+    ).collect()
+    by_key = {(r.user_id, r.category_id): r for r in merged}
+    kept = by_key[("12345", 1)]
+    assert kept.id == 7  # surrogate id preserved through the upsert
+    assert kept.confidence_score > 0.11  # confidence refreshed
+    # new keys minted above the existing max id, no NULLs anywhere
+    ids = [r.id for r in merged]
+    assert None not in ids and len(set(ids)) == len(ids)
+    assert all(r.id > 7 or (r.user_id, r.category_id) == ("12345", 1) for r in merged)
 
 
 def test_default_categories_shape(spark):
