@@ -277,13 +277,25 @@ def simhash_near_dups(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 8,
-    chunks: int = 4,
+    chunks: int | None = None,
 ) -> DataFrame:
-    """Hamming-close pairs via chunk-banded join (pigeonhole: pairs within
-    `max_hamming` bits share at least one of `chunks` 16-bit chunks when
-    max_hamming < chunks)."""
+    """Hamming-close pairs via chunk-banded join.
+
+    Pigeonhole guarantee: a pair differing in at most ``max_hamming`` bits
+    must agree on at least one chunk — which requires strictly MORE chunks
+    than differing bits. ``chunks`` therefore defaults to
+    ``max_hamming + 1`` (explicit values below that raise), and the 64
+    signature bits are split into ``chunks`` contiguous disjoint ranges of
+    near-equal width, covering every bit."""
+    if chunks is None:
+        chunks = max_hamming + 1
+    if chunks <= max_hamming:
+        raise ValueError(
+            f"chunks ({chunks}) must exceed max_hamming ({max_hamming}) "
+            "for the pigeonhole recall guarantee"
+        )
     sigs = simhash(df, id_col, text_col)
-    width = 64 // chunks
+    bounds = [round(i * 64 / chunks) for i in range(chunks + 1)]
     banded = sigs.select(
         F.col(id_col),
         F.col("simhash"),
@@ -292,8 +304,8 @@ def simhash_near_dups(
                 *[
                     F.struct(
                         F.lit(c).alias("chunk_id"),
-                        F.shiftrightunsigned(F.col("simhash"), c * width)
-                        .bitwiseAND(F.lit((1 << width) - 1))
+                        F.shiftrightunsigned(F.col("simhash"), bounds[c])
+                        .bitwiseAND(F.lit((1 << (bounds[c + 1] - bounds[c])) - 1))
                         .alias("chunk_val"),
                     )
                     for c in range(chunks)

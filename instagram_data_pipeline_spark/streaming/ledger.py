@@ -33,6 +33,12 @@ class LedgerProgressSink:
         self.epochs: list[int] = []
 
     def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
+        # foreachBatch is at-least-once: a failed-then-replayed epoch
+        # arrives with the SAME epoch_id. Idempotence requires skipping
+        # epochs we already committed, else rows double-append and
+        # processed_items double-advances.
+        if epoch_id in self.epochs:
+            return
         n = batch_df.count()
         self.epochs.append(epoch_id)
         if n == 0:

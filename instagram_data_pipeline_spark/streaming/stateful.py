@@ -38,7 +38,13 @@ def quota_gate(events: DataFrame, quota: int) -> DataFrame:
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
         (n_seen,) = state.get if state.exists else (0,)
-        for pdf in pdfs:
+        # A group can span several Arrow chunks within one micro-batch;
+        # the (ts, event_id) admission order must hold across ALL of them,
+        # so concatenate before the single sort. Chunks are Arrow-batch
+        # sized (spark.sql.execution.arrow.maxRecordsPerBatch), so the
+        # concat is bounded by the group's share of one micro-batch.
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        if len(pdf):
             pdf = pdf.sort_values(["ts", "event_id"])
             order = range(n_seen, n_seen + len(pdf))
             pdf = pdf.assign(

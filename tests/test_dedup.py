@@ -86,6 +86,31 @@ def test_simhash_identical_docs_zero_hamming(corpus):
     assert (1, 5) not in pairs
 
 
+def test_simhash_pigeonhole_complete_vs_bruteforce(spark, corpus):
+    """Banded candidate generation must find EVERY pair within max_hamming
+    (pigeonhole: chunks = max_hamming + 1 disjoint bit ranges)."""
+    from instagram_data_pipeline_spark.extensions.dedup import simhash
+
+    sigs = {r.doc_id: r.simhash for r in simhash(corpus).collect()}
+    for mh in (3, 8):
+        want = {
+            (a, b)
+            for a in sigs
+            for b in sigs
+            if a < b and bin((sigs[a] ^ sigs[b]) & (2**64 - 1)).count("1") <= mh
+        }
+        got = {
+            (r.doc_a, r.doc_b)
+            for r in simhash_near_dups(corpus, max_hamming=mh).collect()
+        }
+        assert got == want
+
+
+def test_simhash_rejects_insufficient_chunks(corpus):
+    with pytest.raises(ValueError, match="pigeonhole"):
+        simhash_near_dups(corpus, max_hamming=8, chunks=4).collect()
+
+
 def test_jaccard_pairs_deterministic(corpus):
     a = sorted(map(tuple, ngram_jaccard_pairs(corpus, threshold=0.3).collect()))
     b = sorted(map(tuple, ngram_jaccard_pairs(corpus, threshold=0.3).collect()))

@@ -152,3 +152,29 @@ def test_foreachbatch_ledger_progress(spark, events_dir, tmp_path_factory):
     assert job.processed_items == 1000 and job.total_items == 1000
     assert job.completed_at is not None
     assert len(sink.epochs) >= 2  # 4 files / maxFilesPerTrigger=2
+
+
+def test_ledger_sink_replayed_epoch_is_noop(spark, tmp_path_factory):
+    """foreachBatch is at-least-once: a replayed (batch_df, epoch_id) must
+    not double-append rows or double-advance processed_items."""
+    wh = Warehouse(spark, str(tmp_path_factory.mktemp("wh")))
+    wh.ensure_tables({**REFERENCE_TABLES, "events_landed": EVENTS})
+    from instagram_data_pipeline_spark.schemas import SCRAPE_JOBS
+
+    wh.overwrite_atomic(
+        "scrape_jobs",
+        spark.createDataFrame(
+            [(1, "ingest", "followers", "pending", None, None, None, None, 0, None)],
+            SCRAPE_JOBS,
+        ),
+    )
+    sink = LedgerProgressSink(wh, "events_landed", job_id=1,
+                              now=dt.datetime(2024, 3, 1))
+    batch = spark.createDataFrame(
+        [(1, dt.datetime(2024, 3, 1), 10, "view", 1.0, None)], EVENTS
+    )
+    sink(batch, epoch_id=0)
+    sink(batch, epoch_id=0)  # replay of the same epoch: must be a no-op
+    sink(batch, epoch_id=1)
+    assert wh.read("events_landed").count() == 2
+    assert wh.read("scrape_jobs").collect()[0].processed_items == 2
