@@ -9,7 +9,7 @@ BY+LIMIT plans as TakeOrderedAndProject (top-k, no global sort).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -152,6 +152,40 @@ def dequeue_pending(scrape_jobs: DataFrame, batch_size: int) -> DataFrame:
         scrape_jobs.filter(F.col("status") == "pending")
         .orderBy("job_id")
         .limit(batch_size)
+    )
+
+
+# -- T7 (job_scheduler.py:124-148): completeness trigger, set-based --------
+def both_complete_users(scrape_jobs: DataFrame) -> DataFrame:
+    """Usernames whose 'followers' AND 'following' scrapes both completed
+    — the set-based form of the per-user ``completed_scrape_count >= 2``
+    gate (one aggregation instead of a driver loop per dequeued row)."""
+    return (
+        scrape_jobs.filter(
+            (F.col("status") == "completed")
+            & F.col("job_type").isin("followers", "following")
+        )
+        .groupBy("target_username")
+        .agg(F.count_distinct("job_type").alias("n_types"))
+        .filter(F.col("n_types") == 2)
+        .select("target_username")
+    )
+
+
+# -- T3 (job_scheduler.py:29-47): daily quota, batch twin ------------------
+def daily_quota_admission(events: DataFrame, quota: int) -> DataFrame:
+    """Admit the first ``quota`` events per (user, day) in (ts, event_id)
+    order; later events carry admitted=false (audit trail, not a drop).
+
+    Batch twin of ``streaming.stateful.quota_gate``: the row_number window
+    shuffles once on (user_id, day) — the same key the streaming state
+    store partitions on."""
+    day = F.to_date("ts")
+    w = Window.partitionBy("user_id", day).orderBy("ts", "event_id")
+    return events.select(
+        "user_id",
+        "event_id",
+        (F.row_number().over(w) <= quota).alias("admitted"),
     )
 
 

@@ -100,6 +100,51 @@ def delete_matching(
     return existing.join(targets.select(*keys), keys, "left_anti")
 
 
+def mark_status(
+    jobs: DataFrame,
+    picked: DataFrame,
+    status: str,
+    key: str = "job_id",
+    started_at=None,
+    completed_at=None,
+    error_message: str | None = None,
+) -> DataFrame:
+    """A4/A5/A6 set-based form: transition every job whose ``key`` appears
+    in ``picked`` in ONE pass (UPDATE ... WHERE job_id IN (...)).
+
+    The per-id ``update_job_status`` is the point-update twin; this is the
+    shape that scales — one broadcast hash join against the (small, by
+    construction: a dequeued batch) pick set instead of a driver loop.
+    """
+    picks = F.broadcast(
+        picked.select(key).dropDuplicates().withColumn("_hit", F.lit(True))
+    )
+    hit = F.col("_hit") == F.lit(True)
+    out = jobs.join(picks, key, "left").withColumn(
+        "status", F.when(hit, F.lit(status)).otherwise(F.col("status"))
+    )
+    if started_at is not None:
+        out = out.withColumn(
+            "started_at",
+            F.when(hit, F.lit(started_at).cast("timestamp")).otherwise(
+                F.col("started_at")
+            ),
+        )
+    if completed_at is not None:
+        out = out.withColumn(
+            "completed_at",
+            F.when(hit, F.lit(completed_at).cast("timestamp")).otherwise(
+                F.col("completed_at")
+            ),
+        )
+    if error_message is not None:
+        out = out.withColumn(
+            "error_message",
+            F.when(hit, F.lit(error_message)).otherwise(F.col("error_message")),
+        )
+    return out.drop("_hit")
+
+
 def update_job_status(
     jobs: DataFrame,
     job_id: int,

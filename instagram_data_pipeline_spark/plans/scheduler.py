@@ -28,6 +28,45 @@ from ..operators.writes import assign_dense_ids, update_job_status
 JOB_TYPES = ("profile", "followers", "following")
 
 
+def enqueue_due(
+    jobs: DataFrame,
+    candidates: DataFrame,
+    cutoff: dt.datetime,
+    job_types: tuple[str, ...] = JOB_TYPES,
+) -> DataFrame:
+    """A7 core (job_scheduler.py:49-77), pure: job rows (sans ids) for
+    every candidate username with NO scrape job started after ``cutoff``.
+
+    ``candidates`` is a one-column (target_username) frame. The recent-set
+    anti-join guards the 7-day dedup window; the job-type fan-out is a
+    cross join against a literal 3-row frame (harmless at any scale)."""
+    spark = candidates.sparkSession
+    recent = (
+        jobs.filter(
+            F.col("job_type").isin(*job_types)
+            & (F.col("started_at") > F.lit(cutoff).cast("timestamp"))
+        )
+        .select("target_username")
+        .dropDuplicates()
+    )
+    fresh = candidates.select("target_username").dropDuplicates().join(
+        recent, "target_username", "left_anti"
+    )
+    return fresh.crossJoin(
+        spark.createDataFrame([(t,) for t in job_types], "job_type string")
+    ).select(
+        "target_username",
+        "job_type",
+        F.lit("pending").alias("status"),
+        F.lit(None).cast("timestamp").alias("started_at"),
+        F.lit(None).cast("timestamp").alias("completed_at"),
+        F.lit(None).cast("string").alias("last_cursor"),
+        F.lit(None).cast("int").alias("total_items"),
+        F.lit(0).alias("processed_items"),
+        F.lit(None).cast("string").alias("error_message"),
+    )
+
+
 class JobScheduler:
     """Quota-gated FIFO scheduler over the scrape_jobs ledger."""
 
@@ -53,37 +92,10 @@ class JobScheduler:
         """Enqueue the 3 scrape job types per user unless a job of any
         scrape type started within the last 7 days (P5 guard)."""
         jobs = self._jobs()
-        cutoff = self.now - dt.timedelta(days=7)
-        recent = (
-            jobs.filter(
-                F.col("job_type").isin(*JOB_TYPES)
-                & (F.col("started_at") > F.lit(cutoff).cast("timestamp"))
-            )
-            .select("target_username")
-            .dropDuplicates()
-        )
         candidates = self.spark.createDataFrame(
             [(u,) for u in usernames], "target_username string"
-        ).dropDuplicates()
-        fresh = candidates.join(recent, "target_username", "left_anti")
-        new_jobs = (
-            fresh.crossJoin(
-                self.spark.createDataFrame(
-                    [(t,) for t in JOB_TYPES], "job_type string"
-                )
-            )
-            .select(
-                "target_username",
-                "job_type",
-                F.lit("pending").alias("status"),
-                F.lit(None).cast("timestamp").alias("started_at"),
-                F.lit(None).cast("timestamp").alias("completed_at"),
-                F.lit(None).cast("string").alias("last_cursor"),
-                F.lit(None).cast("int").alias("total_items"),
-                F.lit(0).alias("processed_items"),
-                F.lit(None).cast("string").alias("error_message"),
-            )
         )
+        new_jobs = enqueue_due(jobs, candidates, self.now - dt.timedelta(days=7))
         max_id = jobs.agg(F.coalesce(F.max("job_id"), F.lit(0))).collect()[0][0]
         new_jobs = assign_dense_ids(
             new_jobs, "job_id", order_by=["target_username", "job_type"],

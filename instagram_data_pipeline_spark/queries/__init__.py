@@ -41,6 +41,7 @@ def load_all() -> dict[str, QuerySpec]:
     """Import every query module so the registry is populated."""
     from . import core  # noqa: F401
     from . import extensions  # noqa: F401
+    from . import ledger  # noqa: F401
     from . import text  # noqa: F401
 
     return REGISTRY

@@ -1,0 +1,356 @@
+"""Oracle-checked write/ledger family (SURVEY §2.8-§2.9: A3-A8, T3, T7).
+
+The reference's signature surface is its PostgreSQL write patterns
+(instagram_scraper.py:194-314, job_scheduler.py:49-148). The driver
+testdata has no jobs table, so each query derives a scrape_jobs-shaped
+ledger from ``orders`` with deterministic column mappings — identically
+in Spark and in the DuckDB oracle — then applies the REAL operator
+functions (``enqueue_due``, ``dequeue_pending``, ``mark_status``,
+``update_job_status``, ``delete_matching``, ``assign_dense_ids``,
+``both_complete_users``, ``daily_quota_admission``) and returns the
+state-out table. This closes the VERDICT r1 gap: the write family was
+pytest-only; now every A/T operator has a green CORRECTNESS entry.
+
+Fixture mapping (orders -> scrape_jobs):
+  job_id          o_orderkey
+  target_username CAST(o_custkey AS string)
+  job_type        O->'followers', F->'following', P->'profile'
+  status          1-URGENT/2-HIGH -> 'pending', 3-MEDIUM -> 'in_progress',
+                  4-NOT SPECIFIED -> 'failed', 5-LOW -> 'completed'
+  started_at      o_orderdate (NULL when pending, like a real ledger)
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load_testdata
+from ..operators.relational import (
+    both_complete_users,
+    daily_quota_admission,
+    dequeue_pending,
+)
+from ..operators.writes import (
+    assign_dense_ids,
+    delete_matching,
+    mark_status,
+    update_job_status,
+)
+from ..plans.scheduler import enqueue_due
+from . import register
+
+# Fixed 'now' for the 7-day window: orders span 1995-01-01..2001-08-01.
+_NOW = dt.datetime(2001, 8, 1)
+_CUTOFF = _NOW - dt.timedelta(days=7)
+
+_JOBS_CTE = """
+jobs AS (
+  SELECT o_orderkey AS job_id,
+         CAST(o_custkey AS VARCHAR) AS target_username,
+         CASE o_orderstatus WHEN 'O' THEN 'followers'
+                            WHEN 'F' THEN 'following'
+                            ELSE 'profile' END AS job_type,
+         CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 'pending'
+              WHEN o_orderpriority = '3-MEDIUM' THEN 'in_progress'
+              WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 'failed'
+              ELSE 'completed' END AS status,
+         CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN NULL
+              ELSE o_orderdate END AS started_at
+  FROM orders
+)
+"""
+
+
+def _jobs_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_testdata(spark, sf_dir, "orders")
+    status = (
+        F.when(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "pending"
+        )
+        .when(F.col("o_orderpriority") == "3-MEDIUM", "in_progress")
+        .when(F.col("o_orderpriority") == "4-NOT SPECIFIED", "failed")
+        .otherwise("completed")
+    )
+    job_type = (
+        F.when(F.col("o_orderstatus") == "O", "followers")
+        .when(F.col("o_orderstatus") == "F", "following")
+        .otherwise("profile")
+    )
+    started = F.when(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"),
+        F.lit(None).cast("timestamp"),
+    ).otherwise(F.col("o_orderdate"))
+    return orders.select(
+        F.col("o_orderkey").alias("job_id"),
+        F.col("o_custkey").cast("string").alias("target_username"),
+        job_type.alias("job_type"),
+        status.alias("status"),
+        started.alias("started_at"),
+    )
+
+
+def _ledger_shaped(jobs: DataFrame) -> DataFrame:
+    """Widen the fixture to the full scrape_jobs column set so the real
+    write operators (which touch completed_at/error_message/...) run
+    against the schema they were built for."""
+    return jobs.select(
+        "job_id",
+        "target_username",
+        "job_type",
+        "status",
+        "started_at",
+        F.lit(None).cast("timestamp").alias("completed_at"),
+        F.lit(None).cast("string").alias("last_cursor"),
+        F.lit(None).cast("int").alias("total_items"),
+        F.lit(0).alias("processed_items"),
+        F.lit(None).cast("string").alias("error_message"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A7: conditional enqueue (job_scheduler.py:49-77)
+# ---------------------------------------------------------------------------
+@register(
+    "ledger_enqueue_due",
+    "WITH " + _JOBS_CTE + """,
+recent AS (
+  SELECT DISTINCT target_username FROM jobs
+  WHERE job_type IN ('profile', 'followers', 'following')
+    AND started_at > TIMESTAMP '2001-07-25 00:00:00'
+),
+fresh AS (
+  SELECT DISTINCT CAST(c_custkey AS VARCHAR) AS target_username
+  FROM customer
+  WHERE target_username NOT IN (SELECT target_username FROM recent)
+),
+new_jobs AS (
+  SELECT f.target_username, t.job_type
+  FROM fresh f CROSS JOIN (VALUES ('profile'), ('followers'), ('following'))
+    AS t(job_type)
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY target_username, job_type)
+            + (SELECT MAX(job_id) FROM jobs) AS BIGINT) AS job_id,
+       target_username, job_type, status
+FROM (SELECT target_username, job_type, 'pending' AS status FROM new_jobs)
+""",
+    doc="A7: enqueue 3 job types per user unless a scrape started in the "
+        "last 7 days; dense ids above the ledger max",
+    tags=("write", "ledger", "antijoin"),
+)
+def q_ledger_enqueue_due(spark: SparkSession, sf_dir: str) -> DataFrame:
+    jobs = _jobs_fixture(spark, sf_dir)
+    candidates = load_testdata(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("string").alias("target_username")
+    )
+    new_jobs = enqueue_due(_ledger_shaped(jobs), candidates, _CUTOFF)
+    # dense ids above the current ledger max — the 1-row agg broadcasts
+    mx = jobs.agg(F.max("job_id").alias("_mx"))
+    return (
+        assign_dense_ids(
+            new_jobs.crossJoin(F.broadcast(mx)),
+            "_rn",
+            order_by=["target_username", "job_type"],
+        )
+        .select(
+            (F.col("_rn") + F.col("_mx")).cast("long").alias("job_id"),
+            "target_username",
+            "job_type",
+            "status",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# O1 + A4: FIFO dequeue then batch transition to in_progress
+# ---------------------------------------------------------------------------
+@register(
+    "ledger_dequeue_transition",
+    "WITH " + _JOBS_CTE + """,
+picked AS (
+  SELECT job_id FROM jobs WHERE status = 'pending'
+  ORDER BY job_id LIMIT 100
+)
+SELECT job_id, target_username, job_type,
+       CASE WHEN job_id IN (SELECT job_id FROM picked)
+            THEN 'in_progress' ELSE status END AS status,
+       epoch_us(CASE WHEN job_id IN (SELECT job_id FROM picked)
+                     THEN TIMESTAMP '2001-08-01 00:00:00'
+                     ELSE started_at END) AS started_us
+FROM jobs
+""",
+    doc="A4 set-based: dequeue 100 oldest pending, mark in_progress + "
+        "stamp started_at, single broadcast-join pass",
+    tags=("write", "ledger", "update"),
+)
+def q_ledger_dequeue_transition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    jobs = _ledger_shaped(_jobs_fixture(spark, sf_dir))
+    batch = dequeue_pending(jobs, 100)
+    out = mark_status(jobs, batch, "in_progress", started_at=_NOW)
+    return out.select(
+        "job_id",
+        "target_username",
+        "job_type",
+        "status",
+        F.unix_micros("started_at").alias("started_us"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A5/A6: complete/fail transitions with completed_at + error_message
+# ---------------------------------------------------------------------------
+@register(
+    "ledger_complete_batch",
+    "WITH " + _JOBS_CTE + """
+SELECT job_id,
+       CASE WHEN status = 'in_progress' AND job_id % 2 = 0 THEN 'completed'
+            WHEN status = 'in_progress' THEN 'failed' ELSE status END AS status,
+       epoch_us(CASE WHEN status = 'in_progress' AND job_id % 2 = 0
+                     THEN TIMESTAMP '2001-08-01 00:00:00' END) AS completed_us,
+       CASE WHEN status = 'in_progress' AND job_id % 2 <> 0
+            THEN 'handler error' END AS error_message
+FROM jobs
+""",
+    doc="A5/A6: batch complete (even ids) / fail (odd ids) the in-flight "
+        "set, stamping completed_at and error_message",
+    tags=("write", "ledger", "update"),
+)
+def q_ledger_complete_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    jobs = _ledger_shaped(_jobs_fixture(spark, sf_dir))
+    inflight = jobs.filter(F.col("status") == "in_progress")
+    done = inflight.filter(F.col("job_id") % 2 == 0)
+    failed = inflight.filter(F.col("job_id") % 2 != 0)
+    out = mark_status(jobs, done, "completed", completed_at=_NOW)
+    out = mark_status(out, failed, "failed", error_message="handler error")
+    return out.select(
+        "job_id",
+        "status",
+        F.unix_micros("completed_at").alias("completed_us"),
+        "error_message",
+    )
+
+
+# ---------------------------------------------------------------------------
+# A4 point update: update_job_status on one ledger row
+# ---------------------------------------------------------------------------
+@register(
+    "ledger_point_update",
+    "WITH " + _JOBS_CTE + """
+SELECT job_id, status, error_message, processed_items
+FROM (
+  SELECT job_id,
+         CASE WHEN job_id = 42 THEN 'failed' ELSE status END AS status,
+         CASE WHEN job_id = 42 THEN 'rate limited' END AS error_message,
+         CASE WHEN job_id = 42 THEN 7 ELSE 0 END AS processed_items
+  FROM jobs
+)
+""",
+    doc="A4 point form: UPDATE scrape_jobs SET ... WHERE job_id = 42 "
+        "(instagram_scraper.py:284-314)",
+    tags=("write", "ledger", "update"),
+)
+def q_ledger_point_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    jobs = _ledger_shaped(_jobs_fixture(spark, sf_dir))
+    out = update_job_status(
+        jobs, 42, status="failed", error_message="rate limited",
+        processed_items=7,
+    )
+    return out.select("job_id", "status", "error_message", "processed_items")
+
+
+# ---------------------------------------------------------------------------
+# A8: targeted delete of old failed jobs
+# ---------------------------------------------------------------------------
+@register(
+    "ledger_delete_failed",
+    "WITH " + _JOBS_CTE + """
+SELECT job_id, status FROM jobs j
+WHERE NOT EXISTS (
+  SELECT 1 FROM jobs t
+  WHERE t.status = 'failed'
+    AND t.started_at < TIMESTAMP '2000-01-01 00:00:00'
+    AND t.job_id = j.job_id
+)
+""",
+    doc="A8: DELETE ... USING — drop failed jobs started before 2000 "
+        "(left-anti overwrite, tests/test_scraper.py:293-297)",
+    tags=("write", "ledger", "delete"),
+)
+def q_ledger_delete_failed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    jobs = _jobs_fixture(spark, sf_dir)
+    targets = jobs.filter(
+        (F.col("status") == "failed")
+        & (F.col("started_at") < F.lit("2000-01-01").cast("timestamp"))
+    )
+    return delete_matching(jobs, targets, keys=["job_id"]).select(
+        "job_id", "status"
+    )
+
+
+# ---------------------------------------------------------------------------
+# A3: dense id assignment (SERIAL/RETURNING)
+# ---------------------------------------------------------------------------
+@register(
+    "ledger_assign_ids",
+    "WITH " + _JOBS_CTE + """
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY target_username, job_type, job_id)
+            + 999 AS BIGINT) AS assigned_id,
+       job_id, target_username, job_type
+FROM jobs WHERE status = 'pending'
+""",
+    doc="A3: SERIAL replacement — dense ids in a total order over the "
+        "pending batch, offset above an existing max",
+    tags=("write", "ledger", "ids"),
+)
+def q_ledger_assign_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pending = _jobs_fixture(spark, sf_dir).filter(F.col("status") == "pending")
+    return assign_dense_ids(
+        pending,
+        "assigned_id",
+        order_by=["target_username", "job_type", "job_id"],
+        start=1000,
+    ).select("assigned_id", "job_id", "target_username", "job_type")
+
+
+# ---------------------------------------------------------------------------
+# T7: completeness trigger (both edge scrapes done)
+# ---------------------------------------------------------------------------
+@register(
+    "ledger_both_complete",
+    "WITH " + _JOBS_CTE + """
+SELECT target_username
+FROM jobs
+WHERE status = 'completed' AND job_type IN ('followers', 'following')
+GROUP BY target_username
+HAVING COUNT(DISTINCT job_type) = 2
+""",
+    doc="T7: usernames whose followers AND following scrapes completed — "
+        "the mutuals trigger gate, set-based (job_scheduler.py:124-148)",
+    tags=("ledger", "agg", "trigger"),
+)
+def q_ledger_both_complete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    jobs = _jobs_fixture(spark, sf_dir)
+    return both_complete_users(jobs)
+
+
+# ---------------------------------------------------------------------------
+# T3: daily quota admission (batch twin of the streaming quota_gate)
+# ---------------------------------------------------------------------------
+@register(
+    "daily_quota_admission",
+    """
+SELECT user_id, event_id,
+       ROW_NUMBER() OVER (
+         PARTITION BY user_id, CAST(ts AS DATE) ORDER BY ts, event_id
+       ) <= 5 AS admitted
+FROM events
+""",
+    doc="T3: admit first 5 events per (user, day) in (ts, event_id) order "
+        "(job_scheduler.py:29-47; batch twin of quota_gate)",
+    tags=("ledger", "window", "quota"),
+)
+def q_daily_quota_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_testdata(spark, sf_dir, "events")
+    return daily_quota_admission(events, 5)
