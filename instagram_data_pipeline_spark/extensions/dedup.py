@@ -76,6 +76,8 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.1,
+    max_df: int | None = None,
+    log_dropped: bool = False,
 ) -> DataFrame:
     """Exact n-gram Jaccard similar pairs via an inverted index: group
     doc-ids per shingle, emit ordered pairs map-side, count per pair.
@@ -84,8 +86,17 @@ def ngram_jaccard_pairs(
     index), one on the (doc_a, doc_b) pair — the pair fan-out happens
     inside a task via higher-order expressions, which measures ~2x
     faster than the equivalent self-join (no hash-build, no join probe).
-    Hot shingles still fan out quadratically — at scale, drop
-    top-frequency shingles (stop-shingles) or gate with LSH first.
+
+    ``max_df`` is the stop-shingle cap: shingles appearing in more than
+    ``max_df`` documents are dropped from the shingle universe BEFORE
+    pair generation (sizes and intersections both computed on the kept
+    universe, so jaccard stays a true Jaccard over kept shingles). A
+    zipfian corpus has a few shingles with df in the millions; each one
+    alone fans out df^2/2 pairs, so an uncapped run dies at scale while
+    the cap bounds per-shingle work at max_df^2/2. Set it above the
+    expected duplicate-cluster size (a cluster of k near-identical docs
+    has legitimate df=k shingles). ``log_dropped=True`` counts and logs
+    the dropped shingles (costs one extra action).
     """
     sh = _distinct_shingles(df, id_col, text_col, n)
     # explicit partition count: pair explosion is CPU-bound even when the
@@ -93,9 +104,25 @@ def ngram_jaccard_pairs(
     # partition; a user repartition pins parallelism
     npart = df.sparkSession.sparkContext.defaultParallelism
     sh = sh.repartition(npart, "shingle")
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     groups = sh.groupBy("shingle").agg(
         F.array_sort(F.collect_list(id_col)).alias("ids")
+    )
+    if max_df is not None:
+        if log_dropped:
+            dropped = groups.filter(F.size("ids") > max_df).count()
+            import logging
+
+            logging.getLogger(__name__).info(
+                "ngram_jaccard_pairs: dropped %d stop-shingles (df > %d)",
+                dropped, max_df,
+            )
+        groups = groups.filter(F.size("ids") <= max_df)
+    # doc sizes over the KEPT shingle universe, derived from the same
+    # inverted index (no second scan of the shingle set)
+    sizes = (
+        groups.select(F.explode("ids").alias(id_col))
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n"))
     )
     pairs = (
         groups.select(
@@ -110,6 +137,8 @@ def ngram_jaccard_pairs(
         .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("shared"))
     )
+    # sizes is one row per doc — small at test SF (AQE broadcasts it) but
+    # NOT broadcastable at corpus scale, so leave the join strategy to AQE
     sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n").alias("na"))
     sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n").alias("nb"))
     jac = F.col("shared") * F.lit(1.0) / (F.col("na") + F.col("nb") - F.col("shared"))

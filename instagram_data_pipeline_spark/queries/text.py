@@ -202,13 +202,20 @@ def q_lang_source_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _JACCARD_ORACLE = f"""
 WITH tok AS (
   SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents
-), sh AS (
+), sh0 AS (
   SELECT DISTINCT doc_id, unnest(
     CASE WHEN len(w) < 3 THEN []
          ELSE list_transform(generate_series(1, len(w) - 2),
                              i -> array_to_string(w[i:i+2], ' '))
     END) AS shingle
   FROM tok
+), df AS (
+  SELECT shingle, COUNT(*) AS n_docs FROM sh0 GROUP BY shingle
+), sh AS (
+  -- stop-shingle cap mirrored from ngram_jaccard_pairs(max_df=100)
+  SELECT sh0.doc_id, sh0.shingle FROM sh0
+  JOIN df ON sh0.shingle = df.shingle
+  WHERE df.n_docs <= 100
 ), sizes AS (
   SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
 ), pairs AS (
@@ -229,7 +236,8 @@ WHERE shared * 1.0 / (sa.n + sb.n - shared) >= 0.1
     "ngram_jaccard_pairs",
     _JACCARD_ORACLE,
     doc="near-dup candidates: 3-word-shingle inverted index self-join + "
-    "Jaccard >= 0.1 (the exact form MinHash/LSH approximates at scale)",
+    "Jaccard >= 0.1 with a df>100 stop-shingle cap (the exact form "
+    "MinHash/LSH approximates at scale)",
     tags=("text", "dedup"),
 )
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -237,4 +245,4 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..extensions.dedup import ngram_jaccard_pairs
 
     return ngram_jaccard_pairs(docs, id_col="doc_id", text_col="text",
-                               n=3, threshold=0.1)
+                               n=3, threshold=0.1, max_df=100)
