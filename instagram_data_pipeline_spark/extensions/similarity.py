@@ -86,16 +86,60 @@ def near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.35,
+    bucketed: bool = True,
+    num_planes: int = 4,
+    num_tables: int = 8,
+    dim: int = 64,
+    seed: int = 42,
 ) -> DataFrame:
-    """All pairs with cosine >= threshold (exact, O(n^2) — the
-    verification stage; gate with ``lsh_bucket`` at scale)."""
+    """Pairs with cosine >= threshold.
+
+    Default (``bucketed=True``) is the scale path: an OR-construction of
+    ``num_tables`` independent sign-random-projection tables, each
+    hashing to 2^``num_planes`` buckets. Only pairs colliding in at
+    least one table are scored — the non-equi `id_a < id_b` predicate
+    rides on a (table, bucket) equi-join, so the plan is a shuffled hash
+    join, not a broadcast nested loop. Recall for a pair at angle theta:
+    1 - (1 - (1-theta/pi)^planes)^tables — more tables raises recall,
+    more planes shrinks buckets (raise both as the corpus grows; bucket
+    occupancy n/2^planes bounds the per-bucket quadratic term).
+
+    ``bucketed=False`` is the exact all-pairs O(n^2) form — the
+    verification/oracle tier; never run it on a full corpus."""
     v = df.select(F.col(id_col), as_double_vec(F.col(vec_col)).alias("_v"))
-    a = v.select(F.col(id_col).alias("id_a"), F.col("_v").alias("_va"))
-    b = v.select(F.col(id_col).alias("id_b"), F.col("_v").alias("_vb"))
+    if bucketed:
+        keys = F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("tbl"),
+                    lsh_bucket(
+                        F.col("_v"), hyperplanes(dim, num_planes, seed + t)
+                    ).alias("bkt"),
+                )
+                for t in range(num_tables)
+            ]
+        )
+        v = v.withColumn("_bucket", F.explode(keys))
+        a = v.select(
+            F.col(id_col).alias("id_a"), F.col("_v").alias("_va"), "_bucket"
+        )
+        b = v.select(
+            F.col(id_col).alias("id_b"), F.col("_v").alias("_vb"), "_bucket"
+        )
+        # dedup (a pair can collide in several tables) BEFORE the cosine:
+        # the score is the expensive part at real dimensionality
+        joined = (
+            a.join(b, "_bucket")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .dropDuplicates(["id_a", "id_b"])
+        )
+    else:
+        a = v.select(F.col(id_col).alias("id_a"), F.col("_v").alias("_va"))
+        b = v.select(F.col(id_col).alias("id_b"), F.col("_v").alias("_vb"))
+        joined = a.join(b, F.col("id_a") < F.col("id_b"))
     sim = cosine(F.col("_va"), F.col("_vb"))
     return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", sim.alias("_sim"))
+        joined.select("id_a", "id_b", sim.alias("_sim"))
         .filter(F.col("_sim") >= threshold)
         .select("id_a", "id_b", F.round(F.col("_sim"), 6).alias("cosine"))
     )

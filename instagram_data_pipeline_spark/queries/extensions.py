@@ -95,10 +95,23 @@ WHERE {_COS.format(a='a.v', b='b.v')} >= 0.35
 @register(
     "embedding_near_dups",
     _NEAR_DUP_ORACLE,
-    doc="embedding-cosine near-dup pairs (exact all-pairs; LSH gates this at scale)",
+    doc="embedding-cosine near-dup pairs (exact all-pairs verification "
+        "tier; the bucketed variant is the scale default)",
     tags=("similarity", "dedup"),
 )
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_testdata(spark, sf_dir, "embeddings")
+    return S.near_dup_pairs(emb, threshold=0.35, bucketed=False)
+
+
+@register(
+    "embedding_near_dups_bucketed",
+    None,  # probabilistic bucketing — recall-tested against the exact form
+    doc="embedding-cosine near-dups, LSH-bucket-gated (the 100 TB "
+        "default: bucket equi-join instead of all-pairs nested loop)",
+    tags=("similarity", "dedup", "approx"),
+)
+def q_embedding_near_dups_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_testdata(spark, sf_dir, "embeddings")
     return S.near_dup_pairs(emb, threshold=0.35)
 

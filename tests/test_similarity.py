@@ -101,6 +101,26 @@ def test_hyperplanes_deterministic():
 
 
 def test_near_dup_pairs_symmetric_threshold(emb):
-    pairs = near_dup_pairs(emb.limit(100), threshold=0.3).collect()
+    pairs = near_dup_pairs(emb.limit(100), threshold=0.3, bucketed=False).collect()
     for r in pairs:
         assert r.id_a < r.id_b and r.cosine >= 0.3
+
+
+def test_near_dup_pairs_bucketed_subset_and_recall(emb):
+    """The LSH-gated default must return a subset of the exact pairs
+    (same scores) with reasonable recall at few planes."""
+    exact = {
+        (r.id_a, r.id_b): r.cosine
+        for r in near_dup_pairs(emb, threshold=0.35, bucketed=False).collect()
+    }
+    got = {
+        (r.id_a, r.id_b): r.cosine
+        for r in near_dup_pairs(emb, threshold=0.35).collect()
+    }
+    assert set(got) <= set(exact)
+    for k, v in got.items():
+        assert v == exact[k]  # scoring identical; only candidate set shrinks
+    # defaults (4 planes x 8 tables): collision prob for a pair at the
+    # threshold angle (~69.5deg, p=(1-theta/pi)^4 ~ 0.15) is
+    # 1-(1-0.15)^8 ~ 0.73; half the exact set is a conservative floor
+    assert len(got) >= len(exact) * 0.5
