@@ -47,6 +47,65 @@ def test_format_roundtrip(spark, tmp_path, fmt):
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, users.collect()))
 
 
+def _partition_files(root):
+    """{partition_dir: sorted data file names} under a parquet table."""
+    from pathlib import Path
+
+    out = {}
+    for d in Path(root).iterdir():
+        if d.is_dir() and d.name.startswith("_kb="):
+            out[d.name] = sorted(
+                f.name for f in d.iterdir() if f.name.endswith(".parquet")
+            )
+    return out
+
+
+def test_upsert_partitioned_merges_and_skips_untouched(spark, tmp_path):
+    """The plain-parquet MERGE: only partitions containing incoming keys
+    are rewritten; everything else keeps its exact data files."""
+    import datetime as dt
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    t0, t1 = dt.datetime(2024, 1, 1), dt.datetime(2024, 2, 1)
+    base = spark.createDataFrame(
+        [(i, "old", t0) for i in range(200)], "k long, v string, ts timestamp"
+    )
+    wh.upsert_partitioned("facts", base, keys=["k"], order_col="ts",
+                          num_buckets=8)
+    before = _partition_files(wh.path("facts"))
+    assert len(before) > 1  # keys spread over several buckets
+
+    incoming = spark.createDataFrame(
+        [(7, "new", t1), (9999, "fresh", t1)], "k long, v string, ts timestamp"
+    )
+    wh.upsert_partitioned("facts", incoming, keys=["k"], order_col="ts",
+                          num_buckets=8)
+    after = _partition_files(wh.path("facts"))
+
+    got = {r.k: r.v for r in wh.read_merged("facts").collect()}
+    assert len(got) == 201
+    assert got[7] == "new" and got[9999] == "fresh" and got[0] == "old"
+
+    # untouched partitions: identical file names (never rewritten)
+    from pyspark.sql import functions as F2
+
+    bucket = lambda k: spark.range(1).select(  # noqa: E731
+        F2.pmod(F2.xxhash64(F2.lit(k).cast("long")), F2.lit(8)).cast("int").alias("b")
+    ).collect()[0].b
+    touched = {f"_kb={bucket(7)}", f"_kb={bucket(9999)}"}
+    for part, files in before.items():
+        if part not in touched:
+            assert after[part] == files, f"{part} was rewritten"
+    for part in touched & set(before):
+        assert after[part] != before[part]  # touched ones DID change
+
+    # idempotent: replaying the same batch changes nothing
+    wh.upsert_partitioned("facts", incoming, keys=["k"], order_col="ts",
+                          num_buckets=8)
+    again = {r.k: r.v for r in wh.read_merged("facts").collect()}
+    assert again == got
+
+
 def test_register_views_sql_access(spark, sf_dir):
     register_testdata_views(spark, sf_dir)
     n = spark.sql("SELECT COUNT(*) AS n FROM lineitem").collect()[0].n
