@@ -86,21 +86,82 @@ def read_source(
 
 def write_sink(
     df: DataFrame,
-    path: str,
+    path: str | None = None,
     fmt: str = "parquet",
     mode: str = "overwrite",
     partition_by: list[str] | None = None,
     **options,
 ) -> None:
-    """Format-agnostic sink. A JDBC sink (the reference's PostgreSQL
-    target, S8) would be ``df.write.jdbc(url, table)`` — no JDBC driver
-    ships in this environment, so it stays at the interface level."""
+    """Format-agnostic sink (S8).
+
+    ``fmt="jdbc"`` is the reference's PostgreSQL target
+    (instagram_scraper.py:194-218): pass ``url`` and ``dbtable`` plus any
+    connection properties (user/password/driver) as options; ``path`` is
+    unused for JDBC. Connection properties are injected by the caller —
+    the engine never hardcodes an endpoint. Writes go through Spark's
+    JDBC datasource (one connection per partition; ``numPartitions``
+    caps the fan-in; ``batchsize`` controls rows per INSERT batch).
+    """
+    if fmt == "jdbc":
+        missing = {"url", "dbtable"} - set(options)
+        if missing:
+            raise ValueError(f"jdbc sink requires options {sorted(missing)}")
+        df.write.mode(mode).format("jdbc").options(**options).save()
+        return
+    if path is None:
+        raise ValueError(f"{fmt} sink requires a path")
     writer = df.write.mode(mode).format(fmt).options(**options)
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     if fmt == "csv":
         writer = writer.option("header", "true")
     writer.save(path)
+
+
+class JdbcBatchSink:
+    """foreachBatch-compatible relational sink (S8 + S9).
+
+    The reference commits scraped rows to PostgreSQL in small batches
+    with INSERT ... ON CONFLICT (instagram_scraper.py:194-218, 282-302);
+    in Structured Streaming the micro-batch is the commit unit. Each
+    batch goes through Spark's JDBC datasource in append mode, or — when
+    ``execute`` is injected — to a caller-supplied
+    ``execute(batch_df, epoch_id)`` where a dialect-specific upsert (or a
+    test double, in driverless environments) owns the transaction.
+    Replayed epoch_ids are skipped: foreachBatch is at-least-once, the
+    skip makes the sink effectively-once.
+    """
+
+    def __init__(
+        self,
+        url: str | None = None,
+        table: str | None = None,
+        properties: dict | None = None,
+        execute=None,
+    ):
+        if execute is None and (url is None or table is None):
+            raise ValueError("JdbcBatchSink needs url+table or an execute callable")
+        self.url = url
+        self.table = table
+        self.properties = dict(properties or {})
+        self.execute = execute
+        self.epochs: set[int] = set()
+
+    def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
+        if epoch_id in self.epochs:
+            return
+        self.epochs.add(epoch_id)
+        if self.execute is not None:
+            self.execute(batch_df, epoch_id)
+            return
+        (
+            batch_df.write.mode("append")
+            .format("jdbc")
+            .option("url", self.url)
+            .option("dbtable", self.table)
+            .options(**self.properties)
+            .save()
+        )
 
 
 def write_bucketed(

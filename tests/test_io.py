@@ -106,6 +106,45 @@ def test_upsert_partitioned_merges_and_skips_untouched(spark, tmp_path):
     assert again == got
 
 
+def test_jdbc_sink_requires_connection_options(spark):
+    df = fixture_users(spark).select("user_id", "username")
+    with pytest.raises(ValueError, match="jdbc sink requires"):
+        write_sink(df, fmt="jdbc")  # no url/dbtable injected
+
+
+def test_jdbc_sink_reaches_real_datasource(spark):
+    """No JDBC driver ships in this sandbox; the sink must still be wired
+    to Spark's real JDBC datasource — proven by the driver-resolution
+    failure coming back from the JVM, not from our code."""
+    df = fixture_users(spark).select("user_id", "username")
+    with pytest.raises(Exception, match="(?i)driver|jdbc"):
+        write_sink(
+            df,
+            fmt="jdbc",
+            url="jdbc:postgresql://localhost:5432/nope",
+            dbtable="users",
+        )
+
+
+def test_jdbc_batch_sink_double_and_replay(spark):
+    """Contract test with an injected executor (the driverless double):
+    batches arrive once each; replayed epochs are skipped."""
+    from instagram_data_pipeline_spark.io import JdbcBatchSink
+
+    seen = []
+    sink = JdbcBatchSink(execute=lambda df, epoch: seen.append(
+        (epoch, sorted(r.user_id for r in df.collect()))
+    ))
+    batch = fixture_users(spark).select("user_id")
+    sink(batch, 0)
+    sink(batch, 0)  # at-least-once replay -> skipped
+    sink(batch.limit(2), 1)
+    assert [e for e, _ in seen] == [0, 1]
+    assert len(seen[0][1]) == fixture_users(spark).count()
+    with pytest.raises(ValueError, match="url\\+table or an execute"):
+        JdbcBatchSink()
+
+
 def test_register_views_sql_access(spark, sf_dir):
     register_testdata_views(spark, sf_dir)
     n = spark.sql("SELECT COUNT(*) AS n FROM lineitem").collect()[0].n
