@@ -941,6 +941,77 @@ def q_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Streaming sessionization, oracle-checked: the session_window streaming
+# aggregation drained with availableNow (complete mode) must equal the
+# SQL gap-sessionization. Promotes the pytest batch-stream parity check
+# into the correctness gate (SURVEY §2.9).
+# ---------------------------------------------------------------------------
+_SESSION_STREAM_ORACLE = """
+WITH g AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, ts,
+         CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+  FROM g
+)
+SELECT user_id, COUNT(*) AS n_events,
+       MIN(epoch_us(ts)) AS start_us,
+       MAX(epoch_us(ts)) + 1800000000 AS end_us
+FROM s GROUP BY user_id, sid
+"""
+
+
+@register(
+    "sessionize_stream",
+    _SESSION_STREAM_ORACLE,
+    doc="streaming session_window (30 min gap) drained via availableNow, "
+        "vs SQL gap-sessionization. Stream semantics: a gap of EXACTLY "
+        "the session gap starts a new session (window end is exclusive), "
+        "hence >= in the oracle's break condition, unlike the batch "
+        "twin's >; session end = last event + gap.",
+    tags=("streaming", "window", "temporal"),
+)
+def q_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+    import uuid
+
+    from ..streaming.events import (
+        run_available_now,
+        session_windows,
+        stream_from_parquet,
+    )
+
+    events = load_testdata(spark, sf_dir, "events")
+    src = tempfile.mkdtemp(prefix="sessionize_stream_src_")
+    # re-land as micros-timestamp parquet: the raw testdata stores
+    # TIMESTAMP(NANOS), which the streaming reader's fixed schema rejects
+    events.repartition(4).write.mode("overwrite").parquet(src)
+    qname = f"sessionize_stream_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="sessionize_stream_ckpt_")
+    sessions = session_windows(stream_from_parquet(spark, src), gap="30 minutes")
+    # complete mode: emit every session, including those still inside the
+    # watermark horizon at end-of-input
+    run_available_now(sessions, qname, ckpt, output_mode="complete")
+    # the memory sink holds the rows; the staging dirs can go
+    import shutil
+
+    shutil.rmtree(src, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.table(qname).select(
+        "user_id",
+        "n_events",
+        F.unix_micros("session_start").alias("start_us"),
+        F.unix_micros("session_end").alias("end_us"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # TPC-H Q1-shaped pricing summary — headline bench query
 # ---------------------------------------------------------------------------
 @register(
