@@ -53,11 +53,15 @@ FEATURE_SCHEMA = (
 
 
 def real_decode(payload: bytes, kind: str) -> Any:
-    """STUB: actual media decoding (PIL/librosa/ffmpeg) is unavailable in
-    this environment. The Spark-side contract is exercised with
-    :func:`fake_feature`."""
+    """STUB for COMPRESSED media (JPEG/PNG/audio/video): PIL/librosa/
+    ffmpeg are unavailable in this environment. Uncompressed images have
+    a REAL pure-Python path — see :mod:`codecs` (PPM/BMP decode, resize,
+    mean-RGB features), used via ``extract_features(decoder=
+    codecs.mean_rgb_feature)`` / ``resize_images(decoder=
+    codecs.image_resizer)``."""
     raise NotImplementedError(
-        "media codecs not installed; plug a decoder via extract_features(decoder=...)"
+        "compressed-media codecs not installed; plug a decoder via "
+        "extract_features(decoder=...) or use extensions.codecs for PPM/BMP"
     )
 
 
@@ -132,7 +136,7 @@ def resize_images(
                 if decoder is None:
                     out_payload.append(payload)  # passthrough stub
                     resized.append(False)
-                else:  # pragma: no cover - needs a codec
+                else:
                     out_payload.append(
                         decoder(payload, target_width, target_height)
                     )

@@ -66,3 +66,100 @@ def test_sample_frames_fanout(media):
     ts = sorted(r.frame_ts_ms for r in frames)
     assert ts == [0, 1000, 2000, 3000]
     assert all(r.media_id == 4 for r in frames)
+
+
+# ---------------------------------------------------------------------------
+# Real decode path: pure-Python PPM/BMP codecs (extensions.codecs)
+# ---------------------------------------------------------------------------
+
+def _gradient_ppm(w, h):
+    from instagram_data_pipeline_spark.extensions.codecs import encode_ppm
+
+    pixels = [[((r * 40) % 256, (c * 40) % 256, (r + c) % 256)
+               for c in range(w)] for r in range(h)]
+    return encode_ppm(w, h, pixels), pixels
+
+
+def test_ppm_roundtrip_byte_exact():
+    from instagram_data_pipeline_spark.extensions.codecs import (
+        decode_ppm,
+        encode_ppm,
+    )
+
+    data, pixels = _gradient_ppm(4, 3)
+    w, h, got = decode_ppm(data)
+    assert (w, h, got) == (4, 3, pixels)
+    assert encode_ppm(w, h, got) == data  # byte-exact roundtrip
+    # comment + whitespace tolerant header
+    commented = b"P6\n# a comment\n4 3\n255\n" + data.split(b"255\n", 1)[1]
+    assert decode_ppm(commented)[2] == pixels
+
+
+def test_bmp_roundtrip_byte_exact():
+    from instagram_data_pipeline_spark.extensions.codecs import (
+        decode_bmp24,
+        encode_bmp24,
+    )
+
+    _, pixels = _gradient_ppm(3, 2)  # odd width exercises row padding
+    data = encode_bmp24(3, 2, pixels)
+    w, h, got = decode_bmp24(data)
+    assert (w, h, got) == (3, 2, pixels)
+    assert encode_bmp24(w, h, got) == data
+
+
+def test_resize_images_real_kernel_byte_exact(spark):
+    """The multimodal resize operator with the REAL codec kernel: output
+    payloads must equal the pure-Python expected bytes exactly."""
+    from instagram_data_pipeline_spark.extensions.codecs import (
+        encode_bmp24,
+        encode_ppm,
+        image_resizer,
+        resize_nearest,
+    )
+    from instagram_data_pipeline_spark.extensions.multimodal import (
+        MEDIA_SCHEMA,
+        resize_images,
+    )
+
+    ppm, ppm_pix = _gradient_ppm(4, 4)
+    bmp = encode_bmp24(4, 4, ppm_pix)
+    media = spark.createDataFrame(
+        [
+            (1, "image", ppm, ("image/x-portable-pixmap", 4, 4, None)),
+            (2, "image", bmp, ("image/bmp", 4, 4, None)),
+            (3, "audio", b"RIFF", ("audio/wav", None, None, 100)),
+        ],
+        MEDIA_SCHEMA,
+    )
+    out = {r.media_id: r for r in
+           resize_images(media, 2, 2, decoder=image_resizer).collect()}
+    assert set(out) == {1, 2}
+    assert all(r.resized is True for r in out.values())
+    want = resize_nearest(ppm_pix, 2, 2)
+    assert bytes(out[1].payload) == encode_ppm(2, 2, want)
+    assert bytes(out[2].payload) == encode_bmp24(2, 2, want)
+
+
+def test_extract_features_mean_rgb_real_kernel(spark):
+    from instagram_data_pipeline_spark.extensions.codecs import mean_rgb_feature
+    from instagram_data_pipeline_spark.extensions.multimodal import (
+        MEDIA_SCHEMA,
+        extract_features,
+    )
+
+    ppm, pixels = _gradient_ppm(2, 2)
+    media = spark.createDataFrame(
+        [
+            (1, "image", ppm, ("image/x-portable-pixmap", 2, 2, None)),
+            (2, "audio", b"RIFF", ("audio/wav", None, None, 9)),
+        ],
+        MEDIA_SCHEMA,
+    )
+    rows = {r.media_id: r for r in
+            extract_features(media, decoder=mean_rgb_feature).collect()}
+    flat = [px for row in pixels for px in row]
+    want_r = sum(p[0] for p in flat) / 4 / 255.0
+    assert rows[1].feature[0] == pytest.approx(want_r, abs=1e-6)
+    assert rows[1].feature[3] == pytest.approx(2 / 4096.0, abs=1e-7)
+    assert len(rows[2].feature) == 5  # non-image falls back to byte-fold
