@@ -54,9 +54,14 @@ def _tokenized(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     regex-heavy normalization (a small single-file input would otherwise
     run it on one task), and materialize tokens as a real column so
     downstream higher-order lambdas don't re-evaluate the regex chain
-    per array element."""
+    per array element.
+
+    The repartition hashes on the id column, NOT round-robin: round-robin
+    is nondeterministic, which disables exchange reuse — and the jaccard
+    plan consumes this subtree twice (pairs + sizes), so determinism here
+    halves the scan/regex work via ReusedExchange."""
     npart = df.sparkSession.sparkContext.defaultParallelism
-    return df.repartition(npart).select(
+    return df.repartition(npart, F.col(id_col)).select(
         F.col(id_col), X.tokens(F.col(text_col)).alias("_w")
     )
 
