@@ -23,7 +23,7 @@ documented SimHash pandas_udf (bit-packing has no builtin expression).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import text as X
@@ -153,6 +153,64 @@ def ngram_jaccard_pairs(
         .filter(jac >= threshold)
         .select("doc_a", "doc_b", "shared", F.round(jac, 6).alias("jaccard"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (rolling-hash document fingerprinting, MOSS-style)
+# ---------------------------------------------------------------------------
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 16,
+    window: int = 8,
+) -> DataFrame:
+    """Winnowing (Schleimer et al., SIGMOD'03): hash every k-char gram of
+    the normalized text, slide a window of ``window`` consecutive gram
+    hashes, keep the minimum of each window (rightmost on ties), dedup.
+    Any doc pair sharing a run of >= k + window - 1 identical characters
+    is guaranteed to share a fingerprint — the standard plagiarism /
+    near-copy detector.
+
+    All built-in expressions, one shuffle (the per-doc window). The gram
+    hash is the first 8 md5 hex chars as a long — identical in DuckDB, so
+    the operator is exactly oracle-checkable (xxhash64 would be
+    Spark-only). Tie-break rides inside the windowed MIN: key =
+    h * 2^20 + (2^20-1-pos) makes "smallest hash, rightmost position"
+    the numeric minimum (positions capped at 2^20-1; longer docs are
+    truncated — fingerprinting a 1M+ char doc should chunk first).
+    Returns (id, pos, fp_hash) distinct fingerprints.
+    """
+    txt = X.normalized(F.col(text_col))
+    # md5 hash of each k-char gram, as a 32-bit int from the hex prefix
+    gram = F.expr(f"substring(_txt, pos, {k})")
+    h = F.conv(F.substring(F.md5(gram), 1, 8), 16, 10).cast("long")
+    grams = (
+        df.select(F.col(id_col), txt.alias("_txt"))
+        .filter(F.length("_txt") >= k)
+        .select(
+            id_col,
+            F.posexplode(
+                F.sequence(F.lit(1), F.length("_txt") - (k - 1))
+            ).alias("_i", "pos"),
+            "_txt",
+        )
+        .filter(F.col("pos") <= (1 << 20) - 1)
+        .select(F.col(id_col), F.col("pos"), h.alias("h"))
+    )
+    key = F.col("h") * (1 << 20) + ((1 << 20) - 1 - F.col("pos"))
+    w = Window.partitionBy(id_col).orderBy("pos").rowsBetween(0, window - 1)
+    sel = grams.select(
+        id_col,
+        F.min(key).over(w).alias("_key"),
+        F.count(F.lit(1)).over(w).alias("_cnt"),
+    ).filter(F.col("_cnt") == window)
+    return sel.select(
+        F.col(id_col),
+        ((1 << 20) - 1 - (F.col("_key") % (1 << 20))).cast("long").alias("pos"),
+        F.expr(f"_key div {1 << 20}").cast("long").alias("fp_hash"),
+    ).dropDuplicates([id_col, "pos", "fp_hash"])
 
 
 # ---------------------------------------------------------------------------

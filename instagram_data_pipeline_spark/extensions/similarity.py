@@ -207,6 +207,60 @@ def ivf_assign(
     )
 
 
+def kmeans_centroids_train(
+    corpus: DataFrame,
+    k: int = 8,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic Lloyd's k-means, entirely as DataFrame ops — the
+    centroid trainer for :func:`ivf_topk` (k-means at scale is exactly
+    this loop on a cluster; MLlib's implementation has the same shape).
+
+    Seeding: the ``k`` lowest-id vectors (no RNG state, reruns match).
+    Each iteration: assign every vector to its nearest centroid by
+    cosine (broadcast centroids, one corpus scan), then recompute each
+    centroid as the member mean via posexplode + per-(cluster, dim)
+    average — two shuffles per iteration, both on small keys. The
+    centroid frame is localCheckpoint-ed per iteration to truncate
+    lineage (standard for iterative algorithms; without it, iteration i
+    re-evaluates all prior iterations). Empty clusters drop out
+    (classic Lloyd behavior), so the result may have < k rows.
+    Returns (cluster, cv) with cv an array<double> centroid.
+    """
+    c = corpus.select(F.col(id_col), as_double_vec(F.col(vec_col)).alias("_v"))
+    w0 = Window.orderBy(id_col)
+    centroids = (
+        c.orderBy(id_col)
+        .limit(k)
+        .withColumn("cluster", F.row_number().over(w0) - 1)
+        .select("cluster", F.col("_v").alias("cv"))
+        .localCheckpoint()
+    )
+    for _ in range(iters):
+        assign = ivf_assign(c, centroids, id_col, n_probe=1)
+        members = c.join(assign, id_col).select(
+            "cluster", F.posexplode("_v").alias("dim", "val")
+        )
+        centroids = (
+            members.groupBy("cluster", "dim")
+            .agg(F.avg("val").alias("m"))
+            .groupBy("cluster")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("dim", "m"))
+                ).alias("_dm")
+            )
+            .select(
+                "cluster",
+                F.transform(F.col("_dm"), lambda s: s["m"]).alias("cv"),
+            )
+            .localCheckpoint()
+        )
+    return centroids
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

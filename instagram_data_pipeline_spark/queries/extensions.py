@@ -229,6 +229,32 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 @register(
+    "kmeans_clusters",
+    None,  # iterative algorithm (Lloyd's) — not single-statement SQL;
+    # planted-cluster recovery + determinism covered in tests
+    doc="deterministic Lloyd's k-means over the embedding corpus (k=8, "
+        "4 iters, lowest-id seeding): per-cluster size + centroid norm — "
+        "the trainer feeding ivf_topk",
+    tags=("similarity", "ivf", "iterative"),
+)
+def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_testdata(spark, sf_dir, "embeddings")
+    cents = S.kmeans_centroids_train(emb, k=8, iters=4)
+    c = emb.select("vec_id", S.as_double_vec(F.col("embedding")).alias("_v"))
+    assign = S.ivf_assign(c, cents, "vec_id", n_probe=1)
+    sizes = assign.groupBy("cluster").agg(F.count(F.lit(1)).alias("n_members"))
+    return (
+        cents.join(sizes, "cluster", "left")
+        .select(
+            "cluster",
+            F.coalesce("n_members", F.lit(0)).alias("n_members"),
+            F.round(S.l2_norm(F.col("cv")), 6).alias("centroid_norm"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+@register(
     "minhash_near_dups",
     None,  # LSH candidate generation is probabilistic; verified stage is
     # exact Jaccard (oracle-checked via ngram_jaccard_pairs)

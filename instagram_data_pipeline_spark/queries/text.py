@@ -199,6 +199,62 @@ def q_lang_source_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# ---------------------------------------------------------------------------
+_WINNOW_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, {_NORM} AS txt FROM documents
+), g AS (
+  SELECT doc_id,
+         unnest(CASE WHEN length(txt) < 16 THEN []
+                     ELSE generate_series(1, length(txt) - 15) END) AS pos,
+         txt
+  FROM t
+), h AS (
+  SELECT doc_id, pos,
+         CAST(concat('0x', substr(md5(substr(txt, pos, 16)), 1, 8)) AS BIGINT)
+           AS hv
+  FROM g WHERE pos <= 1048575
+), sel AS (
+  SELECT doc_id,
+         MIN(hv * 1048576 + (1048575 - pos)) OVER win AS key,
+         COUNT(*) OVER win AS cnt
+  FROM h
+  WINDOW win AS (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING)
+), fp AS (
+  SELECT DISTINCT doc_id,
+         CAST(1048575 - (key % 1048576) AS BIGINT) AS pos,
+         CAST(key // 1048576 AS BIGINT) AS fp_hash
+  FROM sel WHERE cnt = 8
+)
+SELECT doc_id, COUNT(*) AS n_fp,
+       CAST(SUM(fp_hash) AS BIGINT) AS fp_sum,
+       MIN(fp_hash) AS fp_min, MAX(fp_hash) AS fp_max
+FROM fp GROUP BY doc_id
+"""
+
+
+@register(
+    "winnow_fingerprint",
+    _WINNOW_ORACLE,
+    doc="winnowing fingerprints (16-char grams, window 8, MOSS-style "
+        "rightmost-min): per-doc digest of the selected fingerprint set. "
+        "Docs sharing a >= 23-char run share a fingerprint.",
+    tags=("text", "dedup", "fingerprint"),
+)
+def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_testdata(spark, sf_dir, "documents")
+    from ..extensions.dedup import winnow_fingerprints
+
+    fp = winnow_fingerprints(docs, k=16, window=8)
+    return fp.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_fp"),
+        F.sum("fp_hash").alias("fp_sum"),
+        F.min("fp_hash").alias("fp_min"),
+        F.max("fp_hash").alias("fp_max"),
+    )
+
+
 _JACCARD_ORACLE = f"""
 WITH tok AS (
   SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents

@@ -111,6 +111,38 @@ def test_simhash_rejects_insufficient_chunks(corpus):
         simhash_near_dups(corpus, max_hamming=8, chunks=4).collect()
 
 
+def test_winnow_shared_run_guarantee(spark):
+    """Winnowing guarantee: docs sharing a run of >= k + window - 1
+    normalized chars share at least one fingerprint; a doc shorter than
+    k yields none."""
+    from instagram_data_pipeline_spark.extensions.dedup import (
+        winnow_fingerprints,
+    )
+
+    shared = "the quick brown fox jumps over the lazy dog tonight"
+    docs = spark.createDataFrame(
+        [
+            (1, "AAA " + shared + " BBB"),
+            (2, "xyz prefix words " + shared + " other suffix"),
+            (3, "completely unrelated content about columnar engines"),
+            (4, "tiny"),  # < k chars after normalization -> no grams
+        ],
+        "doc_id long, text string",
+    )
+    fp = winnow_fingerprints(docs, k=16, window=8)
+    by_doc = {}
+    for r in fp.collect():
+        by_doc.setdefault(r.doc_id, set()).add(r.fp_hash)
+    assert by_doc[1] & by_doc[2], "shared 51-char run must share a fingerprint"
+    assert not (by_doc[1] & by_doc.get(3, set()))
+    assert 4 not in by_doc
+    # deterministic across runs
+    again = {}
+    for r in winnow_fingerprints(docs, k=16, window=8).collect():
+        again.setdefault(r.doc_id, set()).add(r.fp_hash)
+    assert again == by_doc
+
+
 def test_jaccard_pairs_deterministic(corpus):
     a = sorted(map(tuple, ngram_jaccard_pairs(corpus, threshold=0.3).collect()))
     b = sorted(map(tuple, ngram_jaccard_pairs(corpus, threshold=0.3).collect()))

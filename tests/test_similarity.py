@@ -106,6 +106,40 @@ def test_near_dup_pairs_symmetric_threshold(emb):
         assert r.id_a < r.id_b and r.cosine >= 0.3
 
 
+def test_kmeans_recovers_planted_clusters(spark):
+    """Three well-separated planted clusters must be exactly recovered,
+    and reruns must match (deterministic seeding, no RNG)."""
+    from instagram_data_pipeline_spark.extensions.similarity import (
+        ivf_assign,
+        as_double_vec,
+        kmeans_centroids_train,
+    )
+    from pyspark.sql import functions as F2
+
+    def vec(axis, jitter):
+        v = [0.0] * 12
+        v[axis] = 10.0
+        v[(axis + 1) % 12] = jitter
+        return v
+
+    rows = [(i, vec(i % 3, 0.1 * (i % 5))) for i in range(30)]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = kmeans_centroids_train(corpus, k=3, iters=4)
+    assert cents.count() == 3
+    c = corpus.select("vec_id", as_double_vec(F2.col("embedding")).alias("_v"))
+    assign = {r.vec_id: r.cluster for r in ivf_assign(c, cents, "vec_id").collect()}
+    # members of the same planted cluster share an assigned cluster
+    for i in range(30):
+        assert assign[i] == assign[i % 3]
+    # distinct planted clusters map to distinct centroids
+    assert len({assign[0], assign[1], assign[2]}) == 3
+    # determinism
+    again = kmeans_centroids_train(corpus, k=3, iters=4)
+    a = sorted(map(tuple, cents.collect()))
+    b = sorted(map(tuple, again.collect()))
+    assert a == b
+
+
 def test_near_dup_pairs_bucketed_subset_and_recall(emb):
     """The LSH-gated default must return a subset of the exact pairs
     (same scores) with reasonable recall at few planes."""
