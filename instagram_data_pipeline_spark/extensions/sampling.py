@@ -12,7 +12,7 @@ warehouse SQL) — at ingest-scale cost is negligible next to IO.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 N_BUCKETS = 10_000
@@ -53,3 +53,63 @@ def deterministic_sample(
     and consistent for the same key across tables (joinable samples)."""
     cut = int(fraction * N_BUCKETS)
     return df.filter(split_bucket(F.col(key_col)) < cut)
+
+
+def stratified_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Per-stratum deterministic sample (e.g. rebalance a corpus by
+    language): each stratum gets its own hash-bucket cut, so rates can
+    up/down-weight strata while staying reproducible and joinable.
+    Strata absent from ``fractions`` use ``default_fraction``."""
+    b = split_bucket(F.col(key_col))
+    cut = F.lit(int(default_fraction * N_BUCKETS))
+    for value, frac in sorted(fractions.items()):
+        cut = F.when(
+            F.col(strata_col) == value, F.lit(int(frac * N_BUCKETS))
+        ).otherwise(cut)
+    return df.filter(b < cut)
+
+
+def pack_token_stream(
+    df: DataFrame,
+    id_col: str,
+    token_count_col: str,
+    budget: int,
+    shard_col: str | None = None,
+) -> DataFrame:
+    """Concat-and-chunk sequence packing (the pretraining batch layout):
+    lay documents into a contiguous token stream in deterministic id
+    order and record, per document, its stream offset and the range of
+    fixed-size chunks it spans.
+
+    The running sum is inherently sequential, so it runs PER SHARD
+    (``shard_col``) — each shard's stream is independent, which is both
+    the scalable plan (one window partition per shard, no global sort)
+    and what real pipelines do (pack within a file/source shard). With
+    ``shard_col=None`` the whole frame is one stream: fine for tests,
+    single-partition at scale.
+
+    Output adds: ``start_off`` (token offset of the doc's first token),
+    ``pack_start``/``pack_end`` (first/last chunk ids of size
+    ``budget`` the doc touches; empty docs get pack_end = pack_start).
+    """
+    parts = [F.col(shard_col)] if shard_col else []
+    w = Window.partitionBy(*parts).orderBy(id_col)
+    cum_after = F.sum(token_count_col).over(w)
+    start = (cum_after - F.col(token_count_col)).cast("long")
+    end_incl = (cum_after - 1).cast("long")
+    return df.select(
+        *([shard_col] if shard_col else []),
+        id_col,
+        F.col(token_count_col).alias("n_tok"),
+        start.alias("start_off"),
+        F.floor(start / budget).cast("long").alias("pack_start"),
+        F.greatest(F.floor(end_incl / budget), F.floor(start / budget))
+        .cast("long")
+        .alias("pack_end"),
+    )

@@ -200,6 +200,71 @@ def q_lang_source_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # ---------------------------------------------------------------------------
+@register(
+    "token_packing",
+    f"""
+WITH d AS (
+  SELECT source, doc_id, len(string_split({_NORM}, ' ')) AS n_tok
+  FROM documents
+), s AS (
+  SELECT source, doc_id, n_tok,
+         CAST(SUM(n_tok) OVER w - n_tok AS BIGINT) AS start_off,
+         CAST(SUM(n_tok) OVER w - 1 AS BIGINT) AS end_incl
+  FROM d WINDOW w AS (PARTITION BY source ORDER BY doc_id
+                      ROWS UNBOUNDED PRECEDING)
+)
+SELECT source, doc_id, n_tok, start_off,
+       CAST(start_off // 512 AS BIGINT) AS pack_start,
+       CAST(GREATEST(end_incl // 512, start_off // 512) AS BIGINT) AS pack_end
+FROM s
+""",
+    doc="sequence packing (concat-and-chunk, budget 512): per-shard token "
+        "stream offsets and the chunk range each doc spans — the "
+        "pretraining batch layout, one window partition per shard",
+    tags=("text", "packing", "window"),
+)
+def q_token_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.sampling import pack_token_stream
+
+    docs = load_testdata(spark, sf_dir, "documents")
+    with_counts = docs.select(
+        "source", "doc_id", X.token_count(F.col("text")).alias("n_tok")
+    )
+    return pack_token_stream(
+        with_counts, "doc_id", "n_tok", budget=512, shard_col="source"
+    )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "stratified_sample",
+    """
+WITH b AS (
+  SELECT doc_id, lang,
+         CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+           % 10000 AS bucket
+  FROM documents
+)
+SELECT doc_id, lang FROM b
+WHERE bucket < (CASE WHEN lang = 'en' THEN 2000
+                     WHEN lang = 'de' THEN 5000
+                     ELSE 1000 END)
+""",
+    doc="stratified deterministic sample: per-language hash-bucket cuts "
+        "(downsample en to 20%, upweight de to 50%, default 10%) — "
+        "reproducible corpus rebalancing, shuffle-free",
+    tags=("sampling", "stratified"),
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.sampling import stratified_sample
+
+    docs = load_testdata(spark, sf_dir, "documents")
+    return stratified_sample(
+        docs, "doc_id", "lang", {"en": 0.2, "de": 0.5}, default_fraction=0.1
+    ).select("doc_id", "lang")
+
+
+# ---------------------------------------------------------------------------
 _WINNOW_ORACLE = f"""
 WITH t AS (
   SELECT doc_id, {_NORM} AS txt FROM documents

@@ -39,3 +39,52 @@ def test_deterministic_sample_is_subset_and_joinable(spark, sf_dir):
     ids20 = {r.doc_id for r in s20.select("doc_id").collect()}
     assert ids10 <= ids20  # nested samples: bigger fraction contains smaller
     assert 0.03 < len(ids10) / docs.count() < 0.2
+
+
+def test_stratified_sample_rates_and_determinism(spark, sf_dir):
+    from instagram_data_pipeline_spark.extensions.sampling import (
+        stratified_sample,
+    )
+    from instagram_data_pipeline_spark.io import load_testdata
+
+    docs = load_testdata(spark, sf_dir, "documents")
+    samp = stratified_sample(docs, "doc_id", "lang", {"en": 0.5}, 0.1)
+    rows = samp.collect()
+    again = stratified_sample(docs, "doc_id", "lang", {"en": 0.5}, 0.1).collect()
+    assert sorted(r.doc_id for r in rows) == sorted(r.doc_id for r in again)
+    n = {r.lang: 0 for r in rows}
+    for r in rows:
+        n[r.lang] += 1
+    total = {r.lang: 0 for r in docs.collect()}
+    for r in docs.collect():
+        total[r.lang] += 1
+    # en sampled ~50%, others ~10% (hash buckets: loose bounds)
+    if total.get("en", 0) >= 20:
+        assert 0.3 <= n.get("en", 0) / total["en"] <= 0.7
+    # sampled set is a subset keyed consistently (joinable)
+    ids = {r.doc_id for r in rows}
+    sub = stratified_sample(
+        docs.select("doc_id", "lang"), "doc_id", "lang", {"en": 0.5}, 0.1
+    ).collect()
+    assert {r.doc_id for r in sub} == ids
+
+
+def test_pack_token_stream_layout(spark):
+    from instagram_data_pipeline_spark.extensions.sampling import (
+        pack_token_stream,
+    )
+
+    rows = [("a", 1, 100), ("a", 2, 450), ("a", 3, 10), ("b", 4, 600),
+            ("a", 5, 0)]
+    df = spark.createDataFrame(rows, "source string, doc_id long, n_tok long")
+    out = {r.doc_id: r for r in
+           pack_token_stream(df, "doc_id", "n_tok", budget=512,
+                             shard_col="source").collect()}
+    # shard a stream: doc1 [0,100), doc2 [100,550), doc3 [550,560), doc5 [560,560)
+    assert out[1].start_off == 0 and out[1].pack_start == 0 and out[1].pack_end == 0
+    assert out[2].start_off == 100
+    assert (out[2].pack_start, out[2].pack_end) == (0, 1)  # spans the boundary
+    assert out[3].start_off == 550 and out[3].pack_start == 1
+    assert out[5].n_tok == 0 and out[5].pack_start == out[5].pack_end
+    # shard b independent stream
+    assert out[4].start_off == 0 and (out[4].pack_start, out[4].pack_end) == (0, 1)
