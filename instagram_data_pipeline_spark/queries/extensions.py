@@ -255,6 +255,32 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 @register(
+    "connected_components",
+    None,  # iterative fixpoint (label propagation) — not single-statement
+    # SQL; planted-component recovery + convergence covered in tests
+    doc="connected components of the mutual-edge graph via min-label "
+        "propagation (one shuffle per round, driver convergence check, "
+        "checkpointed lineage): component-size distribution",
+    tags=("graph", "iterative"),
+)
+def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import component_sizes, connected_components
+    from .core import _edge_sets
+    from ..operators.mutuals import mutual_edges as _me
+
+    followers, following = _edge_sets(spark, sf_dir)
+    mutual = _me(followers, following)
+    # bipartite graph: order-nodes and supplier-nodes live in different
+    # id spaces — namespace them onto even/odd longs
+    edges = mutual.select(
+        (F.col("user_id") * 2).alias("src"),
+        (F.col("mutual_id") * 2 + 1).alias("dst"),
+    )
+    return component_sizes(connected_components(edges)).orderBy("component")
+
+
+# ---------------------------------------------------------------------------
+@register(
     "minhash_near_dups",
     None,  # LSH candidate generation is probabilistic; verified stage is
     # exact Jaccard (oracle-checked via ngram_jaccard_pairs)
