@@ -121,3 +121,73 @@ def test_jaccard_bounds_and_symmetry(spark, texts):
     for r in pairs:
         assert 0.0 <= r.jaccard <= 1.0
         assert r.doc_a < r.doc_b
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet="abcdefg ", min_size=0, max_size=60),
+        min_size=1, max_size=5,
+    )
+)
+@SETTINGS
+def test_winnow_properties(spark, texts):
+    """Winnowing invariants on arbitrary text: every fingerprint hash
+    equals the md5-derived hash of the gram at its position, and
+    fingerprints only exist for docs with >= k normalized chars."""
+    from instagram_data_pipeline_spark.extensions.dedup import (
+        winnow_fingerprints,
+    )
+    from instagram_data_pipeline_spark.functions.text import normalized
+    from pyspark.sql import functions as F2
+
+    k, w = 4, 3
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    fp = winnow_fingerprints(docs, k=k, window=w)
+    norm = {
+        r.doc_id: r.n
+        for r in docs.select("doc_id", normalized(F2.col("text")).alias("n")).collect()
+    }
+    import hashlib
+
+    for r in fp.collect():
+        txt = norm[r.doc_id]
+        assert len(txt) >= k + w - 1  # at least one full window exists
+        gram = txt[r.pos - 1 : r.pos - 1 + k]
+        want = int(hashlib.md5(gram.encode()).hexdigest()[:8], 16)
+        assert r.fp_hash == want
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["s1", "s2"]),
+            st.integers(min_value=0, max_value=200),
+        ),
+        min_size=1, max_size=12, unique=True,
+    )
+)
+@SETTINGS
+def test_packing_stream_invariants(spark, rows):
+    """Packing invariants: per shard, offsets are contiguous in id order
+    (start_off = sum of earlier docs' tokens) and chunk ranges are
+    consistent with offsets."""
+    from instagram_data_pipeline_spark.extensions.sampling import (
+        pack_token_stream,
+    )
+
+    data = [(s, i, (i * 7) % 40) for i, (s, _x) in enumerate(rows)]
+    df = spark.createDataFrame(data, "source string, doc_id long, n_tok long")
+    out = sorted(
+        pack_token_stream(df, "doc_id", "n_tok", budget=16,
+                          shard_col="source").collect(),
+        key=lambda r: (r.source, r.doc_id),
+    )
+    running = {}
+    for r in out:
+        assert r.start_off == running.get(r.source, 0)
+        running[r.source] = r.start_off + r.n_tok
+        assert r.pack_start == r.start_off // 16
+        last = max(r.start_off + r.n_tok - 1, r.start_off)
+        assert r.pack_end == max(last // 16, r.pack_start)
