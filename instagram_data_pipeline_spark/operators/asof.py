@@ -1,0 +1,128 @@
+"""As-of (backward) joins and time-range joins — the temporal operators
+Spark lacks as built-ins (SURVEY §2.12 / task north star).
+
+An as-of join attaches, to each left row, the most recent right row for
+the same key with ``right_ts <= left_ts`` (optionally within a
+tolerance). The naive formulation is a non-equi range join — a
+broadcast nested loop that dies at scale. The scalable shape used here
+is the **union + window** plan:
+
+1. tag left and right rows, union them into one frame;
+2. one window per key ordered by (ts, tag): ``last_value`` of the right
+   payload with ``ignoreNulls`` carries the latest right row forward;
+3. keep the left rows; enforce the tolerance with a final filter.
+
+Cost: ONE shuffle on the key (the window), no pair explosion — the same
+plan shape a sort-merge as-of join would produce natively. DuckDB has a
+native ASOF JOIN, which makes the operator exactly oracle-checkable
+against an independent implementation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    tolerance_us: int | None = None,
+    right_cols: list[str] | None = None,
+    suffix: str = "_r",
+) -> DataFrame:
+    """Backward as-of join: for each left row, the latest right row with
+    the same ``on`` key and ``right_ts <= left_ts``.
+
+    Ties (right_ts == left_ts) match, mirroring DuckDB ASOF semantics.
+    When several right rows share the same timestamp, the one last in
+    (ts, *right_cols) order wins — deterministic. Unmatched left rows
+    survive with NULL right columns (left-outer semantics); a
+    ``tolerance_us`` turns matches older than the tolerance back into
+    NULLs.
+
+    Output: all left columns, then ``right_ts + suffix`` and each of
+    ``right_cols`` suffixed.
+    """
+    right_cols = right_cols or [
+        c for c in right.columns if c not in (on, right_ts)
+    ]
+    payload = F.struct(
+        F.col(right_ts).alias("_ts"), *[F.col(c).alias(c) for c in right_cols]
+    )
+    l_tag = left.withColumn("_is_left", F.lit(1)).withColumn(
+        "_payload", F.lit(None).cast(
+            right.select(payload.alias("p")).schema["p"].dataType
+        )
+    ).withColumn("_ord", F.col(left_ts))
+    r_tag = (
+        right.select(F.col(on), F.col(right_ts).alias("_ord"),
+                     payload.alias("_payload"))
+        .withColumn("_is_left", F.lit(0))
+    )
+    # align columns for the union: left keeps its full row
+    for c in left.columns:
+        if c not in r_tag.columns:
+            r_tag = r_tag.withColumn(c, F.lit(None).cast(l_tag.schema[c].dataType))
+    merged = l_tag.unionByName(r_tag.select(*l_tag.columns))
+    # order: timestamp, then right-before-left at equal ts (ties match),
+    # then the payload itself for determinism among equal right ts
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.col("_ord").asc(), F.col("_is_left").asc(), F.col("_payload").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = merged.withColumn(
+        "_match", F.last("_payload", ignorenulls=True).over(w)
+    )
+    out = carried.filter(F.col("_is_left") == 1)
+    if tolerance_us is not None:
+        fresh = (
+            F.unix_micros(F.col(left_ts))
+            - F.unix_micros(F.col("_match._ts"))
+        ) <= tolerance_us
+        out = out.withColumn(
+            "_match", F.when(fresh, F.col("_match"))
+        )
+    sel = [F.col(c) for c in left.columns]
+    sel.append(F.col("_match._ts").alias(right_ts + suffix))
+    sel += [F.col(f"_match.{c}").alias(c + suffix) for c in right_cols]
+    return out.select(*sel)
+
+
+def range_bucket_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_point: str,
+    right_lo: str,
+    right_hi: str,
+    bucket_width: float,
+    on: str | None = None,
+) -> DataFrame:
+    """Point-in-interval range join without a nested loop: intervals are
+    exploded onto the fixed-width buckets they overlap, points hash to
+    their bucket, and the match becomes a bucket equi-join plus a cheap
+    residual predicate. Fan-out per interval = interval_width /
+    bucket_width — pick the width near the median interval length.
+
+    Optional ``on`` adds an equality key to the join (bucket AND key).
+    Returns all left columns + all right columns (inner join).
+    """
+    lo_b = (F.col(right_lo) / bucket_width).cast("long")
+    hi_b = (F.col(right_hi) / bucket_width).cast("long")
+    r_exp = right.withColumn("_bucket", F.explode(F.sequence(lo_b, hi_b)))
+    l_b = left.withColumn(
+        "_bucket", (F.col(left_point) / bucket_width).cast("long")
+    )
+    keys = ["_bucket"] + ([on] if on else [])
+    return (
+        l_b.join(r_exp, keys)
+        .filter(
+            (F.col(left_point) >= F.col(right_lo))
+            & (F.col(left_point) <= F.col(right_hi))
+        )
+        .drop("_bucket")
+    )

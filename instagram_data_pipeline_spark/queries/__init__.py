@@ -43,6 +43,7 @@ def load_all() -> dict[str, QuerySpec]:
     from . import extensions  # noqa: F401
     from . import ledger  # noqa: F401
     from . import model  # noqa: F401
+    from . import temporal  # noqa: F401
     from . import text  # noqa: F401
 
     return REGISTRY

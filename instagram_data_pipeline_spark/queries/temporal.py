@@ -1,0 +1,106 @@
+"""Temporal join queries: as-of join and range join (SURVEY §2.12 /
+task north star — operators Spark lacks as built-ins).
+
+The as-of oracle uses DuckDB's NATIVE ``ASOF JOIN`` — the strongest
+possible cross-check, since the Spark side is a completely different
+plan (union + window carry-forward) arriving at the same semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load_testdata
+from ..operators.asof import asof_join, range_bucket_join
+from . import register
+
+# 1 hour in microseconds — the attribution window
+_TOL_US = 3_600_000_000
+
+
+@register(
+    "asof_attribution",
+    f"""
+WITH purchases AS (
+  SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'
+), clicks AS (
+  -- unique (user, ts): several clicks in the same microsecond collapse
+  -- to the max event_id so both engines pick the same row
+  SELECT user_id, ts, MAX(event_id) AS click_id
+  FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+), j AS (
+  SELECT p.user_id, p.event_id, epoch_us(p.ts) AS ts_us,
+         epoch_us(c.ts) AS c_ts_us, c.click_id AS c_click_id
+  FROM purchases p ASOF LEFT JOIN clicks c
+    ON p.user_id = c.user_id AND p.ts >= c.ts
+)
+SELECT user_id, event_id, ts_us,
+       CASE WHEN ts_us - c_ts_us <= {_TOL_US} THEN c_ts_us END AS click_ts_us,
+       CASE WHEN ts_us - c_ts_us <= {_TOL_US} THEN c_click_id END AS click_id
+FROM j
+""",
+    doc="as-of join (click->purchase attribution, 1h tolerance): Spark "
+        "union+window carry-forward vs DuckDB native ASOF JOIN — one "
+        "shuffle on the key, no range explosion",
+    tags=("temporal", "asof", "join"),
+)
+def q_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_testdata(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
+    )
+    joined = asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        tolerance_us=_TOL_US,
+        right_cols=["click_id"],
+    )
+    return joined.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.unix_micros("ts_r").alias("click_ts_us"),
+        F.col("click_id_r").alias("click_id"),
+    )
+
+
+@register(
+    "range_band_join",
+    """
+WITH bands AS (
+  SELECT CAST(i AS BIGINT) AS band_id,
+         i * 750.0 AS lo, i * 750.0 + 749.99 AS hi
+  FROM range(150) t(i)
+)
+SELECT l.l_orderkey, l.l_linenumber, b.band_id
+FROM lineitem l JOIN bands b
+  ON l.l_extendedprice >= b.lo AND l.l_extendedprice <= b.hi
+""",
+    doc="point-in-interval range join via fixed-width bucket explode + "
+        "equi-join + residual filter (no nested loop); 150 price bands "
+        "of width 750 over lineitem extendedprice",
+    tags=("temporal", "range", "join"),
+)
+def q_range_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_testdata(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    bands = spark.range(150).select(
+        F.col("id").alias("band_id"),
+        (F.col("id") * 750.0).alias("lo"),
+        (F.col("id") * 750.0 + 749.99).alias("hi"),
+    )
+    out = range_bucket_join(
+        li, bands, left_point="l_extendedprice", right_lo="lo",
+        right_hi="hi", bucket_width=500.0,
+    )
+    return out.select("l_orderkey", "l_linenumber", "band_id")

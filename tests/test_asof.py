@@ -1,0 +1,103 @@
+"""As-of join and range join semantics: ties, tolerance, unmatched rows,
+interval boundaries."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from instagram_data_pipeline_spark.operators.asof import (
+    asof_join,
+    range_bucket_join,
+)
+
+T0 = dt.datetime(2024, 3, 1, 12, 0, 0)
+
+
+def _ts(sec):
+    return T0 + dt.timedelta(seconds=sec)
+
+
+def test_asof_backward_match_ties_and_unmatched(spark):
+    left = spark.createDataFrame(
+        [(1, 100, _ts(10)), (1, 101, _ts(5)), (2, 200, _ts(10)),
+         (3, 300, _ts(1))],
+        "user_id long, event_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(1, 900, _ts(5)), (1, 901, _ts(7)), (2, 902, _ts(10))],
+        "user_id long, click_id long, ts timestamp",
+    )
+    out = {r.event_id: r for r in
+           asof_join(left, right, on="user_id",
+                     right_cols=["click_id"]).collect()}
+    assert out[100].click_id_r == 901      # latest right <= ts(10)
+    assert out[101].click_id_r == 900      # tie: right at EXACTLY ts(5) matches
+    assert out[200].click_id_r == 902      # tie at same ts for other key
+    assert out[300].click_id_r is None     # no right row at or before
+    assert out[300].ts_r is None
+
+
+def test_asof_tolerance_cutoff(spark):
+    left = spark.createDataFrame(
+        [(1, 100, _ts(100))], "user_id long, event_id long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(1, 900, _ts(10))], "user_id long, click_id long, ts timestamp"
+    )
+    hit = asof_join(left, right, on="user_id", right_cols=["click_id"],
+                    tolerance_us=90_000_000).collect()[0]
+    assert hit.click_id_r == 900  # 90s old, tolerance exactly 90s -> match
+    miss = asof_join(left, right, on="user_id", right_cols=["click_id"],
+                     tolerance_us=89_999_999).collect()[0]
+    assert miss.click_id_r is None and miss.ts_r is None
+
+
+def test_asof_does_not_cross_keys(spark):
+    left = spark.createDataFrame(
+        [(1, 100, _ts(10))], "user_id long, event_id long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(2, 900, _ts(5))], "user_id long, click_id long, ts timestamp"
+    )
+    out = asof_join(left, right, on="user_id", right_cols=["click_id"]).collect()
+    assert out[0].click_id_r is None
+
+
+def test_range_bucket_join_boundaries(spark):
+    points = spark.createDataFrame(
+        [(1, 0.0), (2, 749.99), (3, 750.0), (4, 5000.0), (5, -10.0)],
+        "pid long, x double",
+    )
+    bands = spark.createDataFrame(
+        [(0, 0.0, 749.99), (1, 750.0, 1499.99)],
+        "band_id long, lo double, hi double",
+    )
+    out = {r.pid: r.band_id for r in
+           range_bucket_join(points, bands, "x", "lo", "hi",
+                             bucket_width=500.0).collect()}
+    # inclusive on both ends; out-of-range points drop (inner join)
+    assert out == {1: 0, 2: 0, 3: 1}
+
+
+def test_range_bucket_join_matches_naive_theta(spark, sf_dir):
+    from instagram_data_pipeline_spark.io import load_testdata
+
+    li = load_testdata(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    ).limit(500)
+    bands = spark.range(150).select(
+        F.col("id").alias("band_id"),
+        (F.col("id") * 750.0).alias("lo"),
+        (F.col("id") * 750.0 + 749.99).alias("hi"),
+    )
+    fast = range_bucket_join(li, bands, "l_extendedprice", "lo", "hi", 500.0)
+    naive = li.join(
+        bands,
+        (F.col("l_extendedprice") >= F.col("lo"))
+        & (F.col("l_extendedprice") <= F.col("hi")),
+    )
+    a = sorted((r.l_orderkey, r.l_linenumber, r.band_id) for r in fast.collect())
+    b = sorted((r.l_orderkey, r.l_linenumber, r.band_id) for r in naive.collect())
+    assert a == b
