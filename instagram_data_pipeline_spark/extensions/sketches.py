@@ -1,0 +1,115 @@
+"""Mergeable frequency sketches as DataFrame aggregations (task north
+star: "a novel sketch" — the custom-operator class where Spark's
+built-ins stop at approx_count_distinct / percentile_approx).
+
+Count-Min sketch (Cormode & Muthukrishnan 2005): a depth x width counter
+matrix; item increments one counter per row (chosen by that row's hash),
+estimate = min over rows. Guarantees: estimate >= true count ALWAYS
+(deterministic one-sided error); estimate <= true + eps*N with
+probability 1-delta for width=ceil(e/eps), depth=ceil(ln(1/delta)).
+
+Spark shape: the sketch IS a DataFrame (depth_id, bucket, cnt) built by
+one explode + one groupBy — map-side partial aggregation does the heavy
+lifting, the shuffle carries at most depth*width rows per partition, and
+two sketches merge by unionByName + re-aggregate (the monoid property,
+which is what makes sketches the scalable answer: combine per-partition,
+per-day, per-shard summaries without touching raw data again).
+Hashes are xxhash64 with fixed row tags — deterministic, rerun-stable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def cms_build(
+    df: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 2048,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Build the sketch: (depth_id, bucket, cnt), at most depth*width
+    rows. ``weight_col`` makes it a weighted-frequency sketch."""
+    wexpr = F.col(weight_col) if weight_col else F.lit(1)
+    rows = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("depth_id"),
+                        F.pmod(
+                            F.xxhash64(F.lit(d), F.col(key_col)), F.lit(width)
+                        ).alias("bucket"),
+                    )
+                    for d in range(depth)
+                ]
+            )
+        ).alias("c"),
+        wexpr.alias("_w"),
+    )
+    return (
+        rows.select("c.depth_id", "c.bucket", "_w")
+        .groupBy("depth_id", "bucket")
+        .agg(F.sum("_w").cast("long").alias("cnt"))
+    )
+
+
+def cms_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Merge two sketches built with the same (depth, width): counter-wise
+    sum — the monoid op enabling per-shard build + cheap combine."""
+    return (
+        a.unionByName(b)
+        .groupBy("depth_id", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 2048,
+) -> DataFrame:
+    """Point-estimate each key in ``keys``: min over depth rows of the
+    key's counter (missing counter = 0). The sketch side is tiny
+    (<= depth*width rows) and broadcasts."""
+    probes = keys.select(F.col(key_col)).dropDuplicates().select(
+        key_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("depth_id"),
+                        F.pmod(
+                            F.xxhash64(F.lit(d), F.col(key_col)), F.lit(width)
+                        ).alias("bucket"),
+                    )
+                    for d in range(depth)
+                ]
+            )
+        ).alias("c"),
+    ).select(key_col, "c.depth_id", "c.bucket")
+    joined = probes.join(F.broadcast(sketch), ["depth_id", "bucket"], "left")
+    return (
+        joined.groupBy(key_col)
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("est"))
+    )
+
+
+def cms_heavy_hitters(
+    df: DataFrame,
+    key_col: str,
+    min_count: int,
+    depth: int = 4,
+    width: int = 2048,
+) -> DataFrame:
+    """Keys whose estimated frequency reaches ``min_count``. One-sided
+    error means NO false negatives: every key with true count >=
+    min_count is returned (some lighter keys may slip in when buckets
+    collide)."""
+    sketch = cms_build(df, key_col, depth, width)
+    est = cms_estimate(sketch, df, key_col, depth, width)
+    return est.filter(F.col("est") >= min_count)

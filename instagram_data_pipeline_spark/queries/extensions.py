@@ -255,6 +255,23 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 @register(
+    "cms_heavy_users",
+    None,  # sketch buckets depend on xxhash64 (Spark-only); the one-sided
+    # error + merge-monoid guarantees are covered by deterministic tests
+    doc="Count-Min sketch heavy hitters: users with estimated event count "
+        ">= 20 (depth 4 x width 2048, map-side combinable, mergeable "
+        "monoid — no false negatives by construction)",
+    tags=("sketch", "approx"),
+)
+def q_cms_heavy_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.sketches import cms_heavy_hitters
+
+    events = load_testdata(spark, sf_dir, "events")
+    return cms_heavy_hitters(events, "user_id", min_count=20)
+
+
+# ---------------------------------------------------------------------------
+@register(
     "connected_components",
     None,  # iterative fixpoint (label propagation) — not single-statement
     # SQL; planted-component recovery + convergence covered in tests

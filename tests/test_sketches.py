@@ -1,0 +1,70 @@
+"""Count-Min sketch guarantees: deterministic overestimate, exactness at
+generous width, merge = build-on-union, heavy-hitter recall."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from instagram_data_pipeline_spark.extensions.sketches import (
+    cms_build,
+    cms_estimate,
+    cms_heavy_hitters,
+    cms_merge,
+)
+
+
+def _freq_df(spark, freqs):
+    rows = [(k,) for k, n in freqs.items() for _ in range(n)]
+    return spark.createDataFrame(rows, "k string")
+
+
+def test_cms_never_underestimates_and_exact_when_wide(spark):
+    freqs = {f"key_{i}": (i % 7) + 1 for i in range(50)}
+    df = _freq_df(spark, freqs)
+    sketch = cms_build(df, "k", depth=4, width=2048)
+    est = {r.k: r.est for r in cms_estimate(sketch, df, "k", 4, 2048).collect()}
+    for k, true in freqs.items():
+        assert est[k] >= true          # one-sided error: always
+    # 50 keys in 2048 buckets x 4 rows: collisions in all 4 rows are
+    # vanishingly unlikely -> exact
+    assert est == freqs
+
+
+def test_cms_overestimates_under_pressure_but_never_under(spark):
+    freqs = {f"key_{i}": 3 for i in range(200)}
+    df = _freq_df(spark, freqs)
+    sketch = cms_build(df, "k", depth=2, width=32)  # heavy collision regime
+    est = {r.k: r.est for r in cms_estimate(sketch, df, "k", 2, 32).collect()}
+    assert all(est[k] >= 3 for k in freqs)
+    assert any(est[k] > 3 for k in freqs)  # pressure must show somewhere
+
+
+def test_cms_merge_equals_union_build(spark):
+    a = _freq_df(spark, {"x": 5, "y": 2})
+    b = _freq_df(spark, {"y": 3, "z": 7})
+    merged = cms_merge(cms_build(a, "k"), cms_build(b, "k"))
+    direct = cms_build(a.unionByName(b), "k")
+    ma = sorted(map(tuple, merged.collect()))
+    mb = sorted(map(tuple, direct.collect()))
+    assert ma == mb
+    est = {r.k: r.est for r in
+           cms_estimate(merged, a.unionByName(b), "k").collect()}
+    assert est == {"x": 5, "y": 5, "z": 7}
+
+
+def test_cms_heavy_hitters_no_false_negatives(spark):
+    freqs = {f"h{i}": 40 for i in range(5)}
+    freqs.update({f"l{i}": 2 for i in range(100)})
+    df = _freq_df(spark, freqs)
+    got = {r.k for r in cms_heavy_hitters(df, "k", min_count=40,
+                                          depth=4, width=512).collect()}
+    assert {f"h{i}" for i in range(5)} <= got  # every true heavy hitter
+
+
+def test_cms_weighted(spark):
+    df = spark.createDataFrame(
+        [("a", 10.0), ("a", 5.0), ("b", 1.0)], "k string, w double"
+    )
+    sketch = cms_build(df, "k", weight_col="w")
+    est = {r.k: r.est for r in cms_estimate(sketch, df, "k").collect()}
+    assert est == {"a": 15, "b": 1}
