@@ -178,3 +178,43 @@ def test_ledger_sink_replayed_epoch_is_noop(spark, tmp_path_factory):
     sink(batch, epoch_id=1)
     assert wh.read("events_landed").count() == 2
     assert wh.read("scrape_jobs").collect()[0].processed_items == 2
+
+
+def test_continuous_rollup_matches_batch_and_fences_replay(
+    spark, events_dir, sf_dir, tmp_path_factory
+):
+    """The incrementally-maintained rollup tables must equal the one-shot
+    batch aggregate over all data, and a replayed epoch must not
+    double-count."""
+    from instagram_data_pipeline_spark.io import load_testdata
+    from instagram_data_pipeline_spark.streaming.rollup import (
+        ContinuousRollupSink,
+        rollup_increment,
+    )
+
+    wh = Warehouse(spark, str(tmp_path_factory.mktemp("wh")))
+    sink = ContinuousRollupSink(wh)
+    stream = stream_from_parquet(spark, events_dir, max_files_per_trigger=1)
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path_factory.mktemp("ckpt")))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert len(sink.epochs) >= 4  # one epoch per landed file
+
+    events = load_testdata(spark, sf_dir, "events")
+    for grain in ("hour", "day"):
+        want = sorted(
+            map(tuple, rollup_increment(events, grain).collect())
+        )
+        got = sorted(map(tuple, wh.read(sink.table(grain)).collect()))
+        assert got == want, f"{grain} rollup != batch aggregate"
+
+    # replay the last epoch: additive merge MUST be fenced
+    last = max(sink.epochs)
+    before = sorted(map(tuple, wh.read(sink.table("day")).collect()))
+    sink(events.limit(50), last)
+    after = sorted(map(tuple, wh.read(sink.table("day")).collect()))
+    assert after == before
