@@ -207,6 +207,32 @@ def ivf_assign(
     )
 
 
+def quantize_int8(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric int8 quantization per vector: scale = max|v| / 127,
+    q_i = floor(v_i / scale + 0.5) — the training-data storage reducer
+    (4x smaller embedding tables; dot products on int8 with one
+    rescale).
+
+    floor(x + 0.5) instead of round(): ROUND-half semantics differ
+    between engines on doubles, floor does not — making the operator
+    exactly oracle-checkable. Zero vectors quantize to NULL (scale 0
+    guarded by NULLIF semantics).
+    """
+    v = as_double_vec(F.col(vec_col))
+    scale = F.array_max(F.transform(v, F.abs)) / F.lit(127.0)
+    safe = F.nullif(scale, F.lit(0.0))
+    q = F.transform(v, lambda x: F.floor(x / safe + 0.5).cast("int"))
+    return df.select(
+        F.col(id_col),
+        safe.alias("scale"),
+        F.when(safe.isNotNull(), q).alias("q"),
+    )
+
+
 def kmeans_centroids_train(
     corpus: DataFrame,
     k: int = 8,

@@ -255,6 +255,50 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 @register(
+    "embedding_quantize",
+    """
+WITH q AS (
+  SELECT vec_id,
+         NULLIF(list_max(list_transform(embedding::DOUBLE[], x -> abs(x)))
+                / 127.0, 0.0) AS scale,
+         embedding::DOUBLE[] AS v
+  FROM embeddings
+), e AS (
+  SELECT vec_id, scale,
+         CASE WHEN scale IS NULL THEN NULL
+              ELSE list_transform(v, x -> CAST(FLOOR(x / scale + 0.5) AS INT))
+         END AS qv
+  FROM q
+)
+SELECT vec_id, ROUND(scale, 9) AS scale9,
+       CAST(len(qv) AS INT) AS n_dims,
+       CAST(list_sum(qv) AS BIGINT) AS q_sum,
+       CAST(list_min(qv) AS INT) AS q_min,
+       CAST(list_max(qv) AS INT) AS q_max
+FROM e
+""",
+    doc="symmetric int8 embedding quantization (scale = max|v|/127, "
+        "floor(x+0.5) rounding — engine-identical): per-vector digest of "
+        "the quantized array",
+    tags=("similarity", "quantize"),
+)
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_testdata(spark, sf_dir, "embeddings")
+    qd = S.quantize_int8(emb)
+    return qd.select(
+        "vec_id",
+        F.round("scale", 9).alias("scale9"),
+        F.size("q").cast("int").alias("n_dims"),
+        F.aggregate(
+            "q", F.lit(0).cast("long"), lambda a, x: a + x
+        ).alias("q_sum"),
+        F.array_min("q").cast("int").alias("q_min"),
+        F.array_max("q").cast("int").alias("q_max"),
+    )
+
+
+# ---------------------------------------------------------------------------
+@register(
     "cms_heavy_users",
     None,  # sketch buckets depend on xxhash64 (Spark-only); the one-sided
     # error + merge-monoid guarantees are covered by deterministic tests

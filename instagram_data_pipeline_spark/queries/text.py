@@ -367,3 +367,63 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return ngram_jaccard_pairs(docs, id_col="doc_id", text_col="text",
                                n=3, threshold=0.1, max_df=100)
+
+
+# ---------------------------------------------------------------------------
+_TFIDF_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM tok
+  WHERE term <> '' GROUP BY doc_id, term
+), idf AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+), n AS (
+  SELECT COUNT(*) AS n_docs FROM documents
+), scored AS (
+  SELECT tf.doc_id, tf.term,
+         ROUND(tf.tf * LN((n.n_docs + 1.0) / (idf.df + 1.0)), 6) AS tfidf
+  FROM tf JOIN idf ON tf.term = idf.term CROSS JOIN n
+), ranked AS (
+  SELECT doc_id, term, tfidf,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY tfidf DESC, term) AS rnk
+  FROM scored
+)
+SELECT doc_id, term, tfidf, rnk FROM ranked WHERE rnk <= 3
+"""
+
+
+@register(
+    "tfidf_top_terms",
+    _TFIDF_ORACLE,
+    doc="TF-IDF keyword extraction: smoothed idf ln((N+1)/(df+1)), top-3 "
+        "terms per doc with deterministic (score, term) ordering — "
+        "tf/idf/score all map-side aggregable, idf side broadcastable",
+    tags=("text", "tfidf", "window"),
+)
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_testdata(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(X.tokens(F.col("text"))).alias("term")
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    idf = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.count()  # one scalar, known at plan time
+    scored = tf.join(idf, "term").select(
+        "doc_id",
+        "term",
+        F.round(
+            F.col("tf") * F.log((n_docs + 1.0) / (F.col("df") + 1.0)), 6
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "term", "tfidf", "rnk")
+    )

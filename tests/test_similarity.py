@@ -158,3 +158,29 @@ def test_near_dup_pairs_bucketed_subset_and_recall(emb):
     # threshold angle (~69.5deg, p=(1-theta/pi)^4 ~ 0.15) is
     # 1-(1-0.15)^8 ~ 0.73; half the exact set is a conservative floor
     assert len(got) >= len(exact) * 0.5
+
+
+def test_quantize_int8_bounds_and_zero_vector(spark):
+    from instagram_data_pipeline_spark.extensions.similarity import (
+        quantize_int8,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, -0.5, 0.25, 0.0]),
+            (2, [0.0, 0.0, 0.0, 0.0]),   # zero vector
+            (3, [127.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    out = {r.vec_id: r for r in quantize_int8(df).collect()}
+    # max |v| maps to 127; halves round toward +inf (floor(x+0.5)):
+    # -0.5/scale = -63.5 -> -63
+    assert out[1].q == [127, -63, 32, 0]
+    assert abs(out[1].scale - 1.0 / 127.0) < 1e-12
+    # reconstruction error bounded by scale/2 per dim
+    recon = [qv * out[1].scale for qv in out[1].q]
+    for orig, rec in zip([1.0, -0.5, 0.25, 0.0], recon):
+        assert abs(orig - rec) <= out[1].scale / 2 + 1e-12
+    assert out[2].scale is None and out[2].q is None  # zero vector -> NULL
+    assert out[3].q == [127]
