@@ -99,6 +99,57 @@ def dedup_within_watermark(
     )
 
 
+def interval_join_attribution(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    max_gap: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream interval join: each purchase pairs with every click
+    by the same user in the preceding ``max_gap`` (the streaming twin of
+    the batch as-of attribution — streaming joins can't pick "latest
+    only" without a stateful dedup stage, so this emits all candidates
+    and the consumer reduces).
+
+    Both sides carry watermarks so the join state is bounded: a click
+    older than purchase-watermark + max_gap can never match again and is
+    evicted. This is the canonical Spark shape for temporal correlation
+    between two live streams.
+    """
+    c = (
+        clicks.withWatermark("ts", watermark)
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+    )
+    p = (
+        purchases.withWatermark("ts", watermark)
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+    )
+    return c.join(
+        p,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (
+            F.col("click_ts")
+            >= F.col("purchase_ts") - F.expr(f"INTERVAL {max_gap}")
+        ),
+        "inner",
+    ).select(
+        F.col("p_user").alias("user_id"),
+        "purchase_id",
+        "click_id",
+        "purchase_ts",
+        "click_ts",
+    )
+
+
 def run_available_now(
     df: DataFrame,
     query_name: str,

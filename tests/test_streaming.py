@@ -218,3 +218,43 @@ def test_continuous_rollup_matches_batch_and_fences_replay(
     sink(events.limit(50), last)
     after = sorted(map(tuple, wh.read(sink.table("day")).collect()))
     assert after == before
+
+
+def test_stream_stream_interval_join_matches_batch(
+    spark, events_dir, sf_dir, tmp_path_factory
+):
+    """Stream-stream interval join (click->purchase candidates within 1h)
+    drained via availableNow must equal the equivalent batch join."""
+    from instagram_data_pipeline_spark.streaming.events import (
+        interval_join_attribution,
+    )
+
+    s = stream_from_parquet(spark, events_dir)
+    clicks_s = s.filter(F.col("event_type") == "click")
+    purchases_s = s.filter(F.col("event_type") == "purchase")
+    got = _drain(
+        spark,
+        interval_join_attribution(clicks_s, purchases_s),
+        tmp_path_factory,
+    )
+
+    events = load_testdata(spark, sf_dir, "events")
+    c = events.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    p = events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    want = c.join(
+        p,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 hour")),
+    ).select("p_user", "purchase_id", "click_id")
+    a = sorted((r.user_id, r.purchase_id, r.click_id) for r in got.collect())
+    b = sorted((r.p_user, r.purchase_id, r.click_id) for r in want.collect())
+    assert a and a == b
