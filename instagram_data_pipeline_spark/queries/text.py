@@ -411,12 +411,14 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("term") != "")
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     idf = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    n_docs = docs.count()  # one scalar, known at plan time
-    scored = tf.join(idf, "term").select(
+    # corpus size as a 1-row broadcast, not a driver-side count():
+    # keeps the whole plan declarative
+    n = F.broadcast(docs.agg(F.count(F.lit(1)).alias("_n")))
+    scored = tf.join(idf, "term").crossJoin(n).select(
         "doc_id",
         "term",
         F.round(
-            F.col("tf") * F.log((n_docs + 1.0) / (F.col("df") + 1.0)), 6
+            F.col("tf") * F.log((F.col("_n") + 1.0) / (F.col("df") + 1.0)), 6
         ).alias("tfidf"),
     )
     w = Window.partitionBy("doc_id").orderBy(
