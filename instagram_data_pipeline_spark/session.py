@@ -53,6 +53,14 @@ def build_session(
         # Respect partition-size targets at scan time; 128 MB is the sweet
         # spot for parquet splits on object storage.
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # local mode: the driver JVM IS the executor — Spark's 1g default
+        # heap OOMs long multi-query sessions at sf0.1+ (observed: JVM
+        # death ~25 queries into a full-registry sweep). Only effective
+        # at JVM launch; a cluster deployment sizes executors instead.
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+        )
         .config("spark.ui.enabled", os.environ.get("SPARK_UI", "false"))
     )
     if master:
