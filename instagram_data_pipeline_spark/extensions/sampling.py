@@ -75,6 +75,43 @@ def stratified_sample(
     return df.filter(b < cut)
 
 
+def mixture_by_tokens(
+    df: DataFrame,
+    key_col: str,
+    source_col: str,
+    token_col: str,
+    weights: dict[str, float],
+    budget: int,
+    default_weight: float = 0.0,
+) -> DataFrame:
+    """Deterministic data-mixture sampling to a token budget: keep a
+    hash-stable subset whose per-source token mass approximates
+    ``weights[s] * budget`` (capped at the source's availability — a
+    source can't contribute more than it has).
+
+    The per-source keep fraction is ``min(w_s * budget / tokens_s, 1)``,
+    applied as a hash-bucket cut on the key — so the sample is
+    reproducible, joinable across tables, and append-stable, unlike
+    ``df.sample``. This is the pretraining "data mixture" op: dial
+    source proportions (up/down-weight web/books/code) without a
+    shuffle; the only aggregate is one tiny per-source total that
+    broadcasts.
+    """
+    totals = df.groupBy(source_col).agg(
+        F.sum(token_col).alias("_tot")
+    )
+    w = F.lit(float(default_weight))
+    for s, wt in sorted(weights.items()):
+        w = F.when(F.col(source_col) == s, F.lit(float(wt))).otherwise(w)
+    frac = F.least(w * F.lit(float(budget)) / F.col("_tot"), F.lit(1.0))
+    cut = F.floor(frac * N_BUCKETS).cast("long")
+    return (
+        df.join(F.broadcast(totals), source_col)
+        .filter(split_bucket(F.col(key_col)) < cut)
+        .drop("_tot")
+    )
+
+
 def pack_token_stream(
     df: DataFrame,
     id_col: str,

@@ -265,6 +265,47 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+@register(
+    "mixture_sample",
+    """
+WITH totals AS (
+  SELECT source, SUM(n_chars) AS tot FROM documents GROUP BY source
+), cuts AS (
+  SELECT source,
+         CAST(FLOOR(LEAST(
+           (CASE WHEN source = 'src0' THEN 0.5
+                 WHEN source = 'src1' THEN 0.3
+                 ELSE 0.01 END) * 20000.0 / tot, 1.0) * 10000) AS BIGINT)
+           AS cut
+  FROM totals
+)
+SELECT d.doc_id, d.source, d.n_chars
+FROM documents d JOIN cuts c ON d.source = c.source
+WHERE CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+      % 10000 < c.cut
+""",
+    doc="data-mixture sampling to a 20k-token budget: per-source keep "
+        "fraction min(w_s*budget/tokens_s, 1) applied as a hash-bucket "
+        "cut (src0 50%, src1 30%, rest 1% of budget) — reproducible, "
+        "shuffle-free source re-weighting",
+    tags=("sampling", "mixture"),
+)
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.sampling import mixture_by_tokens
+
+    docs = load_testdata(spark, sf_dir, "documents")
+    return mixture_by_tokens(
+        docs,
+        key_col="doc_id",
+        source_col="source",
+        token_col="n_chars",
+        weights={"src0": 0.5, "src1": 0.3},
+        budget=20000,
+        default_weight=0.01,
+    ).select("doc_id", "source", "n_chars")
+
+
+# ---------------------------------------------------------------------------
 _WINNOW_ORACLE = f"""
 WITH t AS (
   SELECT doc_id, {_NORM} AS txt FROM documents

@@ -88,3 +88,28 @@ def test_pack_token_stream_layout(spark):
     assert out[5].n_tok == 0 and out[5].pack_start == out[5].pack_end
     # shard b independent stream
     assert out[4].start_off == 0 and (out[4].pack_start, out[4].pack_end) == (0, 1)
+
+
+def test_mixture_by_tokens_budget_and_caps(spark):
+    from instagram_data_pipeline_spark.extensions.sampling import (
+        mixture_by_tokens,
+    )
+
+    rows = [(i, "a" if i < 200 else "b", 100) for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tok long")
+    # a: 20k tokens available, weight 0.5 of 10k budget -> keep ~25%
+    # b: weight 2.0 of 10k budget = 20k = everything -> capped at 100%
+    out = mixture_by_tokens(
+        df, "doc_id", "source", "n_tok", {"a": 0.5, "b": 2.0}, budget=10_000
+    )
+    kept = out.groupBy("source").count().collect()
+    n = {r.source: r["count"] for r in kept}
+    assert n["b"] == 200            # cap at availability: all of b
+    assert 30 <= n["a"] <= 70       # ~50 of 200 expected (hash variance)
+    # deterministic + subset-stable under append of new rows
+    again = mixture_by_tokens(
+        df, "doc_id", "source", "n_tok", {"a": 0.5, "b": 2.0}, budget=10_000
+    )
+    assert sorted(r.doc_id for r in out.collect()) == sorted(
+        r.doc_id for r in again.collect()
+    )
