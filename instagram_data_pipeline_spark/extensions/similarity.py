@@ -89,7 +89,7 @@ def near_dup_pairs(
     bucketed: bool = True,
     num_planes: int = 4,
     num_tables: int = 8,
-    dim: int = 64,
+    dim: int | None = None,
     seed: int = 42,
 ) -> DataFrame:
     """Pairs with cosine >= threshold.
@@ -105,9 +105,15 @@ def near_dup_pairs(
     occupancy n/2^planes bounds the per-bucket quadratic term).
 
     ``bucketed=False`` is the exact all-pairs O(n^2) form — the
-    verification/oracle tier; never run it on a full corpus."""
+    verification/oracle tier; never run it on a full corpus.
+
+    ``dim`` defaults to the data's own vector length (derived from one
+    row); an explicit mismatching value raises — a wrong dim would make
+    ``zip_with`` pad with nulls, every projection NULL, every vector
+    land in one bucket, and the LSH silently degenerate to all-pairs."""
     v = df.select(F.col(id_col), as_double_vec(F.col(vec_col)).alias("_v"))
     if bucketed:
+        dim = _resolve_dim(v, "_v", dim)
         keys = F.array(
             *[
                 F.struct(
@@ -148,6 +154,25 @@ def near_dup_pairs(
 # ---------------------------------------------------------------------------
 # LSH (sign random projection) — deterministic hyperplanes
 # ---------------------------------------------------------------------------
+
+def _resolve_dim(df: DataFrame, vec_col: str, dim: int | None) -> int:
+    """Derive the hyperplane dimensionality from the data (one-row probe)
+    or validate an explicit value against it. Guards the silent-NULL
+    degeneration a wrong dim causes in ``zip_with`` projections."""
+    probe = df.select(F.size(F.col(vec_col)).alias("n")).first()
+    if probe is None:  # empty input: any dim yields an empty result
+        return dim if dim is not None else 1
+    actual = probe["n"]
+    if dim is None:
+        return actual
+    if dim != actual:
+        raise ValueError(
+            f"hyperplane dim {dim} != embedding length {actual}; "
+            "a mismatch would NULL every projection and collapse all "
+            "vectors into one LSH bucket"
+        )
+    return dim
+
 
 def _splitmix64(x: int) -> int:
     """Public-domain splitmix64 mixer — deterministic hyperplane source."""
@@ -354,17 +379,21 @@ def ann_lsh_topk(
     query_id_col: str = "query_id",
     k: int = 5,
     num_planes: int = 8,
-    dim: int = 64,
+    dim: int | None = None,
     seed: int = 42,
 ) -> DataFrame:
     """Approximate top-k: score only corpus vectors in the query's
     bucket. Recall/cost dials: fewer planes -> bigger buckets -> higher
     recall, more compute. The equi-join on bucket replaces the full
-    cross product — this is what survives 100 TB."""
-    planes = hyperplanes(dim, num_planes, seed)
+    cross product — this is what survives 100 TB.
+
+    ``dim`` defaults to the corpus's own vector length (see
+    ``_resolve_dim``)."""
     c = corpus.select(
         F.col(id_col), as_double_vec(F.col(vec_col)).alias("_cv")
-    ).withColumn("_bucket", lsh_bucket(F.col("_cv"), planes))
+    )
+    planes = hyperplanes(_resolve_dim(c, "_cv", dim), num_planes, seed)
+    c = c.withColumn("_bucket", lsh_bucket(F.col("_cv"), planes))
     q = queries.select(
         F.col(query_id_col), as_double_vec(F.col(vec_col)).alias("_qv")
     ).withColumn("_bucket", lsh_bucket(F.col("_qv"), planes))

@@ -128,8 +128,15 @@ class JdbcBatchSink:
     ``execute`` is injected — to a caller-supplied
     ``execute(batch_df, epoch_id)`` where a dialect-specific upsert (or a
     test double, in driverless environments) owns the transaction.
-    Replayed epoch_ids are skipped: foreachBatch is at-least-once, the
-    skip makes the sink effectively-once.
+
+    Replayed epoch_ids are skipped, and an epoch is fenced only AFTER its
+    write succeeds — a failed write leaves the epoch unfenced so the
+    retry re-runs it (fencing before the write would silently drop the
+    batch). Scope of the guarantee: within-process, same-instance dedup
+    only — the fence set is in memory, so a process restart replays the
+    last in-flight epoch; cross-restart exactly-once needs the sink-side
+    transaction (idempotent upsert keyed on epoch, or a transactional
+    table format).
     """
 
     def __init__(
@@ -150,18 +157,30 @@ class JdbcBatchSink:
     def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
         if epoch_id in self.epochs:
             return
-        self.epochs.add(epoch_id)
         if self.execute is not None:
             self.execute(batch_df, epoch_id)
-            return
-        (
-            batch_df.write.mode("append")
-            .format("jdbc")
-            .option("url", self.url)
-            .option("dbtable", self.table)
-            .options(**self.properties)
-            .save()
-        )
+        else:
+            (
+                batch_df.write.mode("append")
+                .format("jdbc")
+                .option("url", self.url)
+                .option("dbtable", self.table)
+                .options(**self.properties)
+                .save()
+            )
+        # fence only after the write succeeded: a throw above leaves the
+        # epoch unfenced so Structured Streaming's retry re-executes it
+        self.epochs.add(epoch_id)
+
+
+def hadoop_rm(spark: SparkSession, path: str) -> None:
+    """Recursive delete through the Hadoop FileSystem API — works on any
+    Spark-supported filesystem (HDFS/S3A/local), unlike ``shutil`` which
+    only touches the local FS."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.delete(hpath, True)
 
 
 def write_bucketed(
@@ -231,17 +250,25 @@ class Warehouse:
 
         Parquet overwrite deletes before it writes, so a plan that reads
         the same table it overwrites would race its own input. Materialize
-        to ``<table>.tmp`` first, then swap. (This is the no-table-format
-        stand-in for a Delta/Iceberg transactional MERGE.)
+        to ``<table>.tmp`` first, then swap.
+
+        "Atomic" here means atomic *with respect to the plan's own reads*,
+        NOT crash-atomic: a failure between the staged write and the final
+        overwrite (or mid-overwrite) leaves the table partially rewritten.
+        Plain Parquet has no commit protocol — a transactional table
+        format (Delta/Iceberg, whose MERGE/REPLACE is the real form of
+        this operation) is the production answer; this is the documented
+        no-table-format stand-in.
         """
         tmp = self.path(table) + ".tmp"
         df.write.mode("overwrite").parquet(tmp)
         final = self.spark.read.parquet(tmp)
         final.write.mode("overwrite").parquet(self.path(table))
-        # best-effort cleanup of the temp copy
-        import shutil
-
-        shutil.rmtree(tmp, ignore_errors=True)
+        # best-effort cleanup of the temp copy (FS-agnostic)
+        try:
+            hadoop_rm(self.spark, tmp)
+        except Exception:
+            pass
 
     def register_views(self) -> None:
         for name in REFERENCE_TABLES:
@@ -270,6 +297,10 @@ class Warehouse:
         the table instead of all of it, which is what makes per-batch
         merges viable at 100 TB. On Delta/Iceberg this whole method
         becomes MERGE INTO; the call signature would not change.
+
+        Crash-safety: the two-phase rewrite (stage to tmp, then dynamic
+        partition overwrite) is atomic w.r.t. the plan's own reads but
+        NOT crash-atomic — see :meth:`overwrite_partitions`.
         """
         from pyspark.sql import functions as F
 
@@ -279,9 +310,14 @@ class Warehouse:
         bucket = F.pmod(F.xxhash64(*[F.col(k) for k in keys]), num_buckets)
         incoming_b = incoming.withColumn(bcol, bucket.cast("int"))
         if not self.exists(table):
-            incoming_b.dropDuplicates(keys).write.partitionBy(bcol).mode(
-                "overwrite"
-            ).parquet(self.path(table))
+            # first write applies the SAME keep-newest-per-key semantics
+            # as the merge path (dropDuplicates would keep an arbitrary
+            # row when the seed batch has in-batch key duplicates)
+            empty = self.spark.createDataFrame([], incoming_b.schema)
+            first = upsert_keep_newest(empty, incoming_b, keys, order_col)
+            first.write.partitionBy(bcol).mode("overwrite").parquet(
+                self.path(table)
+            )
             return
         # touched partitions: distinct buckets of the incoming batch —
         # at most num_buckets driver-side ints
@@ -293,27 +329,45 @@ class Warehouse:
         merged = upsert_keep_newest(
             scoped, incoming_b.select(*existing.columns), keys, order_col
         )
-        # materialize before overwriting the path we just read (parquet
-        # overwrite deletes before writing), then rewrite ONLY the
-        # touched partitions via dynamic partition overwrite
+        self.overwrite_partitions(table, merged, bcol)
+
+    def overwrite_partitions(
+        self, table: str, df: DataFrame, part_col: str
+    ) -> None:
+        """Two-phase dynamic-partition overwrite: stage ``df`` to a tmp
+        path (the final overwrite would otherwise delete the files the
+        plan is reading), then rewrite ONLY the partitions present in
+        ``df`` — untouched partition directories are left as-is.
+
+        NOT crash-atomic: a failure between the staged write and the
+        final overwrite, or mid-overwrite, can leave some touched
+        partitions rewritten and others stale. Plain Parquet has no
+        multi-file commit protocol; Delta/Iceberg MERGE is the
+        transactional form. Cleanup goes through the Hadoop FileSystem
+        API so the tmp path may live on any supported FS, not just the
+        local disk.
+        """
         tmp = self.path(table) + ".merge.tmp"
-        merged.write.mode("overwrite").parquet(tmp)
+        df.write.mode("overwrite").parquet(tmp)
         staged = self.spark.read.parquet(tmp)
         prev = self.spark.conf.get(
             "spark.sql.sources.partitionOverwriteMode", "static"
         )
-        self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        self.spark.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", "dynamic"
+        )
         try:
-            staged.write.mode("overwrite").partitionBy(bcol).parquet(
+            staged.write.mode("overwrite").partitionBy(part_col).parquet(
                 self.path(table)
             )
         finally:
             self.spark.conf.set(
                 "spark.sql.sources.partitionOverwriteMode", prev
             )
-        import shutil
-
-        shutil.rmtree(tmp, ignore_errors=True)
+        try:
+            hadoop_rm(self.spark, tmp)
+        except Exception:
+            pass
 
     def read_merged(self, table: str) -> DataFrame:
         """Read a table maintained by ``upsert_partitioned`` without the

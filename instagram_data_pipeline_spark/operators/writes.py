@@ -83,11 +83,27 @@ def assign_ids(df: DataFrame, id_col: str = "id", start: int = 0) -> DataFrame:
     )
 
 
+DENSE_ID_MAX_ROWS = 1_000_000
+
+
 def assign_dense_ids(df: DataFrame, id_col: str, order_by: list[str],
-                     start: int = 1) -> DataFrame:
+                     start: int = 1,
+                     max_rows: int = DENSE_ID_MAX_ROWS) -> DataFrame:
     """Dense variant for small control tables (ledger) where tests expect
-    consecutive ids: a global row_number — single-partition shuffle, only
-    for driver-scale tables."""
+    consecutive ids: a global no-partition row_number, i.e. a
+    SINGLE-PARTITION shuffle.
+
+    Guarded against misuse on fact tables: refuses inputs above
+    ``max_rows`` (the count probe is one cheap agg-only job). For big
+    tables use :func:`assign_ids` — unique but not dense — which is the
+    documented SERIAL contract (SURVEY §7.2)."""
+    n = df.count()
+    if n > max_rows:
+        raise ValueError(
+            f"assign_dense_ids is a single-partition global sort, refused "
+            f"for {n} rows (> {max_rows}); use assign_ids (unique, "
+            "non-dense) for fact tables"
+        )
     w = Window.orderBy(*[F.col(c) for c in order_by])
     return df.withColumn(id_col, (F.row_number().over(w) + start - 1).cast("long"))
 

@@ -37,13 +37,123 @@ def register(
     return deco
 
 
+# ---------------------------------------------------------------------------
+# Driver check-window budget
+# ---------------------------------------------------------------------------
+# The driver's correctness gate runs the FIRST 50 entries of ``queries()`` in
+# dict order against the DuckDB oracle; everything after slot 50 gets no
+# driver-issued evidence that round.  ``REGISTRY_ORDER`` therefore controls —
+# explicitly, not by import side-effect — exactly which queries occupy the
+# window.  Policy (round 3): queries with NO prior driver row come first, then
+# newly added / oracle-upgraded queries, then rows-only probabilistic ops,
+# then one-round-green queries; queries with TWO rounds of green driver rows
+# (core relational, all of which also have pytest oracle twins in
+# tests/test_queries_oracle.py) are demoted past the window.  Rotate with
+# intent each round so every query accumulates driver evidence.
+REGISTRY_ORDER: tuple[str, ...] = (
+    # -- slots 1-21: never driver-checked before round 3 (text / dedup /
+    #    sampling family, model path, as-of + range joins, ledger tail) -----
+    "dedup_exact",
+    "doc_fingerprint",
+    "token_stats",
+    "bpe_token_stats",
+    "text_quality",
+    "lang_id",
+    "lang_source_rollup",
+    "winnow_fingerprint",
+    "ngram_jaccard_pairs",
+    "tfidf_top_terms",
+    "token_packing",
+    "stratified_sample",
+    "mixture_sample",
+    "keyword_categorize",
+    "validate_interests",
+    "asof_attribution",
+    "range_band_join",
+    "daily_quota_admission",
+    "ledger_assign_ids",
+    "ledger_both_complete",
+    "ledger_delete_failed",
+    # -- new in round 3 ----------------------------------------------------
+    "stream_stream_attribution",
+    "multimodal_image_stats",
+    # -- oracle upgraded in round 3 (rows-only -> hash) --------------------
+    "connected_components",
+    "embedding_near_dups_bucketed",
+    # -- rows-only probabilistic ops (keep continuity rows) ----------------
+    "minhash_near_dups",
+    "simhash_near_dups",
+    "ann_lsh_topk",
+    "ivf_topk",
+    "kmeans_clusters",
+    "cms_heavy_users",
+    # -- one-driver-round green extension / ledger-head queries ------------
+    "embedding_norms",
+    "cosine_topk",
+    "embedding_near_dups",
+    "embedding_quantize",
+    "dataset_split",
+    "label_centroids",
+    "ledger_enqueue_due",
+    "ledger_dequeue_transition",
+    "ledger_complete_batch",
+    "ledger_point_update",
+    # -- two-round-green core queries kept in-window (flagship + headline
+    #    bench queries + the streaming drain + signature upsert) -----------
+    "mutual_edges",
+    "pricing_summary",
+    "sessionize_batch",
+    "sessionize_stream",
+    "upsert_keep_newest",
+    "insert_if_absent",
+    "top_k_per_group",
+    "running_total",
+    "hourly_window_counts",
+    # ------------------- driver window ends at slot 50 --------------------
+    # Two-round-green core relational queries, demoted past the window;
+    # each still oracle-checked every CI run by tests/test_queries_oracle.py.
+    "mutual_edges_intersect",
+    "key_lookup",
+    "enrichment_join",
+    "pending_anti_join",
+    "dim_hierarchy",
+    "three_way_join",
+    "count_via_join",
+    "fifo_dequeue",
+    "temporal_in_filter",
+    "daily_counts",
+    "conditional_counts",
+    "union_dedup",
+    "semi_join_exists",
+    "pivot_status_counts",
+    "rollup_revenue",
+    "regional_revenue",
+    "sql_api_top_spenders",
+    "copurchase_pairs",
+    "table_profile",
+    "event_funnel",
+    "price_quantiles",
+    "pandas_group_summary",
+    "props_json_extract",
+)
+
+DRIVER_WINDOW = 50
+
+
 def load_all() -> dict[str, QuerySpec]:
-    """Import every query module so the registry is populated."""
+    """Import every query module, then return the registry in the explicit
+    ``REGISTRY_ORDER`` (names registered but missing from the list are
+    appended at the back, past the driver window, never silently dropped)."""
     from . import core  # noqa: F401
     from . import extensions  # noqa: F401
     from . import ledger  # noqa: F401
     from . import model  # noqa: F401
+    from . import multimodal  # noqa: F401
     from . import temporal  # noqa: F401
     from . import text  # noqa: F401
 
-    return REGISTRY
+    ordered = {n: REGISTRY[n] for n in REGISTRY_ORDER if n in REGISTRY}
+    for name, spec in REGISTRY.items():
+        if name not in ordered:
+            ordered[name] = spec
+    return ordered

@@ -1,0 +1,149 @@
+"""Multimodal query: binary image columns through the real mapInPandas
+decode path (SURVEY §2.12 north star; VERDICT r2 "What's missing" #2).
+
+``multimodal_image_stats`` synthesizes a deterministic PPM image per
+document (solid color + dimensions derived from ``md5(text)``), carries
+it as an opaque ``binary`` column, then runs the REAL pure-Python codec
+(:mod:`..extensions.codecs`) through :func:`..extensions.multimodal.
+extract_features`:
+
+    md5 -> (r,g,b,w,h) -> encode_ppm in a mapInPandas kernel
+        -> binary payload column -> decode_ppm + mean-RGB feature
+        -> recover (r,g,b,w,h) from the DECODED pixels only
+
+The oracle predicts the decoded stats from md5 arithmetic alone, so a
+hash-green row proves the encode->binary->decode round trip is lossless
+— the Spark side never shortcuts past the payload bytes (the rgb/dim
+columns are dropped before feature extraction).
+
+Scale notes: payload synthesis and decode are per-row kernels inside
+``mapInPandas`` (iterator form, one Arrow batch at a time — no partition
+materialization); everything else is JVM-side codegen. Media bytes never
+pass through a shuffle: the stats projection drops the payload before
+any downstream exchange.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load_testdata
+from . import register
+
+# hex-pair -> int, engine-portable (memory rule: conv() on the Spark
+# side == strpos-arithmetic on the DuckDB side; no 0x casts in DuckDB)
+_DUCK_HEXPAIR = (
+    "((strpos('0123456789abcdef', substr({h}, {i}, 1)) - 1) * 16"
+    " + strpos('0123456789abcdef', substr({h}, {i1}, 1)) - 1)"
+)
+
+
+def _duck_channel(i: int) -> str:
+    return _DUCK_HEXPAIR.format(h="x", i=i, i1=i + 1)
+
+
+_MEDIA_SCHEMA = "media_id long, kind string, payload binary"
+
+
+def synthesize_ppm_media(docs: DataFrame) -> DataFrame:
+    """documents -> (media_id, kind, payload) with a deterministic solid
+    PPM image per row: color = first 3 bytes of md5(text), width =
+    4 + r % 5, height = 3 + g % 4. The only columns that survive are the
+    id and the opaque payload bytes."""
+    hexed = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.md5(F.coalesce(F.col("text"), F.lit("")).cast("binary")).alias("x"),
+    ).select(
+        "media_id",
+        *[
+            F.conv(F.substring("x", 1 + 2 * i, 2), 16, 10)
+            .cast("int")
+            .alias(c)
+            for i, c in enumerate(["r", "g", "b"])
+        ],
+    ).select(
+        "media_id",
+        "r",
+        "g",
+        "b",
+        (F.lit(4) + F.col("r") % 5).alias("w"),
+        (F.lit(3) + F.col("g") % 4).alias("h"),
+    )
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..extensions.codecs import encode_ppm
+
+        for pdf in batches:
+            payloads = [
+                encode_ppm(w, h, [[(r, g, b)] * w] * h)
+                for r, g, b, w, h in zip(
+                    pdf["r"], pdf["g"], pdf["b"], pdf["w"], pdf["h"]
+                )
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": "image",
+                    "payload": payloads,
+                }
+            )
+
+    return hexed.mapInPandas(encode, schema=_MEDIA_SCHEMA)
+
+
+@register(
+    "multimodal_image_stats",
+    f"""
+WITH m AS (
+  SELECT doc_id AS media_id, md5(COALESCE(text, '')) AS x FROM documents
+), rgb AS (
+  SELECT media_id,
+         {_duck_channel(1)} AS r,
+         {_duck_channel(3)} AS g,
+         {_duck_channel(5)} AS b
+  FROM m
+), dims AS (
+  SELECT media_id, r, g, b,
+         4 + r % 5 AS width, 3 + g % 4 AS height
+  FROM rgb
+)
+SELECT media_id,
+       CAST(9 + length(CAST(width AS VARCHAR))
+              + length(CAST(height AS VARCHAR))
+              + 3 * width * height AS INT) AS n_bytes,
+       CAST(width AS INT) AS width, CAST(height AS INT) AS height,
+       CAST(r AS INT) AS mean_r, CAST(g AS INT) AS mean_g,
+       CAST(b AS INT) AS mean_b
+FROM dims
+""",
+    doc="binary image columns end-to-end: deterministic PPM payloads "
+        "synthesized per document, decoded back via the real pure-Python "
+        "codec inside mapInPandas; oracle predicts the decoded stats "
+        "from md5 arithmetic (hash-green == lossless round trip)",
+    tags=("multimodal", "binary", "mapInPandas"),
+)
+def q_multimodal_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.codecs import mean_rgb_feature
+    from ..extensions.multimodal import extract_features
+
+    media = synthesize_ppm_media(load_testdata(spark, sf_dir, "documents"))
+    feats = extract_features(media, decoder=mean_rgb_feature)
+
+    # recover integer stats from the float32 feature vector; float32
+    # relative error (~6e-8) stays far below the 0.5 rounding margin
+    def chan(i: int, scale: int):
+        return F.round(F.element_at("feature", i) * scale).cast("int")
+
+    return feats.select(
+        "media_id",
+        F.col("n_bytes").cast("int").alias("n_bytes"),
+        chan(4, 4096).alias("width"),
+        chan(5, 4096).alias("height"),
+        chan(1, 255).alias("mean_r"),
+        chan(2, 255).alias("mean_g"),
+        chan(3, 255).alias("mean_b"),
+    )

@@ -74,6 +74,67 @@ def q_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_stream_attribution",
+    """
+WITH c AS (
+  SELECT user_id, event_id AS click_id, ts AS click_ts
+  FROM events WHERE event_type = 'click'
+), p AS (
+  SELECT user_id, event_id AS purchase_id, ts AS purchase_ts
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT p.user_id, p.purchase_id, c.click_id,
+       epoch_us(p.purchase_ts) AS purchase_ts_us,
+       epoch_us(c.click_ts) AS click_ts_us
+FROM c JOIN p ON c.user_id = p.user_id
+  AND c.click_ts <= p.purchase_ts
+  AND c.click_ts >= p.purchase_ts - INTERVAL 1 HOUR
+""",
+    doc="stream-stream interval join (clicks x purchases, 1h window) "
+        "drained via availableNow against the batch-join SQL oracle; "
+        "watermarks on both sides bound the join state (a click older "
+        "than purchase-watermark + gap is evicted). Inner-join matches "
+        "emit immediately in append mode, so the drain is complete.",
+    tags=("streaming", "temporal", "join"),
+)
+def q_stream_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+    import uuid
+
+    from ..streaming.events import (
+        interval_join_attribution,
+        run_available_now,
+        stream_from_parquet,
+    )
+
+    events = load_testdata(spark, sf_dir, "events")
+    # re-land as micros-timestamp parquet: the raw testdata stores
+    # TIMESTAMP(NANOS), which the streaming reader's fixed schema rejects
+    src = tempfile.mkdtemp(prefix="stream_attr_src_")
+    events.repartition(4, "event_id").write.mode("overwrite").parquet(src)
+    clicks = stream_from_parquet(spark, src).filter(
+        F.col("event_type") == "click"
+    )
+    purchases = stream_from_parquet(spark, src).filter(
+        F.col("event_type") == "purchase"
+    )
+    joined = interval_join_attribution(clicks, purchases, max_gap="1 hour")
+    qname = f"stream_attr_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="stream_attr_ckpt_")
+    run_available_now(joined, qname, ckpt, output_mode="append")
+    shutil.rmtree(src, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.table(qname).select(
+        "user_id",
+        "purchase_id",
+        "click_id",
+        F.unix_micros("purchase_ts").alias("purchase_ts_us"),
+        F.unix_micros("click_ts").alias("click_ts_us"),
+    )
+
+
+@register(
     "range_band_join",
     """
 WITH bands AS (

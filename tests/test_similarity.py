@@ -184,3 +184,28 @@ def test_quantize_int8_bounds_and_zero_vector(spark):
         assert abs(orig - rec) <= out[1].scale / 2 + 1e-12
     assert out[2].scale is None and out[2].q is None  # zero vector -> NULL
     assert out[3].q == [127]
+
+
+def test_lsh_dim_mismatch_raises_instead_of_degenerating(emb):
+    """A wrong explicit dim must raise — silently it would NULL every
+    projection and collapse the LSH into one all-pairs bucket."""
+    import pytest
+
+    from instagram_data_pipeline_spark.extensions.similarity import (
+        near_dup_pairs,
+    )
+
+    with pytest.raises(ValueError, match="hyperplane dim"):
+        near_dup_pairs(emb, bucketed=True, dim=32).collect()
+
+
+def test_lsh_dim_derived_from_data_matches_explicit(emb):
+    from instagram_data_pipeline_spark.extensions.similarity import (
+        near_dup_pairs,
+    )
+
+    derived = near_dup_pairs(emb, bucketed=True, threshold=0.5)
+    explicit = near_dup_pairs(emb, bucketed=True, threshold=0.5, dim=64)
+    assert sorted(map(tuple, derived.collect())) == sorted(
+        map(tuple, explicit.collect())
+    )

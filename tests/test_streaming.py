@@ -209,15 +209,48 @@ def test_continuous_rollup_matches_batch_and_fences_replay(
         want = sorted(
             map(tuple, rollup_increment(events, grain).collect())
         )
-        got = sorted(map(tuple, wh.read(sink.table(grain)).collect()))
+        got = sorted(map(tuple, sink.read(grain).collect()))
         assert got == want, f"{grain} rollup != batch aggregate"
+
+    # storage is partitioned by bucket date (partition-scoped merges)
+    from pathlib import Path
+
+    day_dirs = [
+        p.name
+        for p in Path(wh.path(sink.table("day"))).iterdir()
+        if p.name.startswith(f"{sink.PART_COL}=")
+    ]
+    assert len(day_dirs) > 1, "rollup table must be date-partitioned"
 
     # replay the last epoch: additive merge MUST be fenced
     last = max(sink.epochs)
-    before = sorted(map(tuple, wh.read(sink.table("day")).collect()))
+    before = sorted(map(tuple, sink.read("day").collect()))
     sink(events.limit(50), last)
-    after = sorted(map(tuple, wh.read(sink.table("day")).collect()))
+    after = sorted(map(tuple, sink.read("day").collect()))
     assert after == before
+
+    # a failing epoch must NOT be fenced (retry re-runs, no silent loss)
+    class Boom(Exception):
+        pass
+
+    failing = max(sink.epochs) + 1
+
+    orig = sink._merge_grain
+    calls = {"n": 0}
+
+    def explode(batch, grain):
+        calls["n"] += 1
+        raise Boom()
+
+    sink._merge_grain = explode
+    import pytest as _pytest
+
+    with _pytest.raises(Boom):
+        sink(events.limit(10), failing)
+    assert failing not in sink.epochs
+    sink._merge_grain = orig
+    sink(events.limit(10), failing)  # retry succeeds and fences
+    assert failing in sink.epochs
 
 
 def test_stream_stream_interval_join_matches_batch(

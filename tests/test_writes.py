@@ -105,3 +105,13 @@ def test_assign_dense_ids(spark):
     out = assign_dense_ids(jobs, "job_id", order_by=["target_username", "job_type"])
     ids = sorted(r.job_id for r in out.collect())
     assert ids == list(range(1, len(ids) + 1))
+
+
+def test_assign_dense_ids_refuses_fact_scale(spark):
+    jobs = fixture_jobs(spark).drop("job_id")
+    import pytest
+
+    with pytest.raises(ValueError, match="single-partition"):
+        assign_dense_ids(
+            jobs, "job_id", order_by=["target_username"], max_rows=3
+        )
