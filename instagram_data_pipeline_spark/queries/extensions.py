@@ -104,16 +104,65 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.near_dup_pairs(emb, threshold=0.35, bucketed=False)
 
 
+# The LSH hyperplanes are deterministic Python literals
+# (similarity.hyperplanes, splitmix64-seeded), so the oracle reproduces
+# the bucket assignment EXACTLY: the same ±1 arrays are emitted into the
+# SQL and list_dot_product matches the Spark fold bit-for-bit. This
+# turns a "probabilistic" op into a hash-checkable one — the randomness
+# is pseudo and shared.
+_BUCKETED_DIM, _BUCKETED_PLANES, _BUCKETED_TABLES, _BUCKETED_SEED = 64, 4, 8, 42
+
+
+def _plane_literal(plane: list[float]) -> str:
+    return "[" + ", ".join("1.0" if x > 0 else "-1.0" for x in plane) + "]"
+
+
+def _bucket_branch(t: int) -> str:
+    planes = S.hyperplanes(_BUCKETED_DIM, _BUCKETED_PLANES, _BUCKETED_SEED + t)
+    bits = " + ".join(
+        f"(CASE WHEN list_dot_product(v, {_plane_literal(p)}) >= 0"
+        f" THEN {1 << j} ELSE 0 END)"
+        for j, p in enumerate(planes)
+    )
+    return f"SELECT vec_id, v, {t} AS tbl, {bits} AS bkt FROM e"
+
+
+_BUCKETED_NEAR_DUP_ORACLE = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+b AS (
+{" UNION ALL ".join(_bucket_branch(t) for t in range(_BUCKETED_TABLES))}
+), pairs AS (
+  SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
+  FROM b a JOIN b c ON a.tbl = c.tbl AND a.bkt = c.bkt
+                   AND a.vec_id < c.vec_id
+), s AS (
+  SELECT id_a, id_b, {_COS.format(a='ea.v', b='eb.v')} AS sim
+  FROM pairs JOIN e ea ON ea.vec_id = id_a JOIN e eb ON eb.vec_id = id_b
+)
+SELECT id_a, id_b, ROUND(sim, 6) AS cosine FROM s WHERE sim >= 0.35
+"""
+
+
 @register(
     "embedding_near_dups_bucketed",
-    None,  # probabilistic bucketing — recall-tested against the exact form
+    _BUCKETED_NEAR_DUP_ORACLE,
     doc="embedding-cosine near-dups, LSH-bucket-gated (the 100 TB "
-        "default: bucket equi-join instead of all-pairs nested loop)",
+        "default: bucket equi-join instead of all-pairs nested loop). "
+        "Hyperplanes are deterministic literals shared with the oracle, "
+        "so bucket assignment — not just the scored pairs — is "
+        "hash-checked.",
     tags=("similarity", "dedup", "approx"),
 )
 def q_embedding_near_dups_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_testdata(spark, sf_dir, "embeddings")
-    return S.near_dup_pairs(emb, threshold=0.35)
+    return S.near_dup_pairs(
+        emb,
+        threshold=0.35,
+        num_planes=_BUCKETED_PLANES,
+        num_tables=_BUCKETED_TABLES,
+        dim=_BUCKETED_DIM,
+        seed=_BUCKETED_SEED,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -315,28 +364,70 @@ def q_cms_heavy_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Connected components: the oracle is a DuckDB WITH RECURSIVE min-label
+# walk. A recursive walk's state is quadratic in component size, so the
+# query targets a naturally-sparse graph — "order bursts": consecutive
+# orders by the same customer ≤30 days apart (sessionization expressed
+# as CC; components stay ≤~6 nodes at any SF, keeping the oracle linear
+# in practice). The recursive step prunes labels that can no longer be a
+# component minimum (w.label < e.dst); the true minimum always survives
+# the prune, so the fixpoint is exact.
+_CC_ORACLE = """
+WITH RECURSIVE seq AS (
+  SELECT o_custkey, o_orderkey, o_orderdate,
+         LAG(o_orderkey) OVER (PARTITION BY o_custkey
+                               ORDER BY o_orderdate, o_orderkey) AS prev,
+         LAG(o_orderdate) OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) AS prev_d
+  FROM orders
+), e0 AS (
+  SELECT prev AS src, o_orderkey AS dst FROM seq
+  WHERE prev IS NOT NULL AND date_diff('day', prev_d, o_orderdate) <= 30
+), sym AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0
+  ) t WHERE src <> dst
+), walk(node, label) AS (
+  SELECT src, src FROM sym
+  UNION
+  SELECT e.dst, w.label FROM walk w JOIN sym e ON e.src = w.node
+  WHERE w.label < e.dst
+), comp AS (
+  SELECT node, MIN(label) AS component FROM walk GROUP BY node
+)
+SELECT component, CAST(COUNT(*) AS BIGINT) AS n_nodes
+FROM comp GROUP BY component
+"""
+
+
 @register(
     "connected_components",
-    None,  # iterative fixpoint (label propagation) — not single-statement
-    # SQL; planted-component recovery + convergence covered in tests
-    doc="connected components of the mutual-edge graph via min-label "
-        "propagation (one shuffle per round, driver convergence check, "
-        "checkpointed lineage): component-size distribution",
+    _CC_ORACLE,
+    doc="connected components via min-label propagation (one shuffle per "
+        "round, driver convergence probe, checkpointed lineage) over the "
+        "order-burst graph: consecutive same-customer orders ≤30 days "
+        "apart — sessionization as CC. Oracle: DuckDB WITH RECURSIVE "
+        "min-label fixpoint over the same symmetrized edges.",
     tags=("graph", "iterative"),
 )
 def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.graph import component_sizes, connected_components
-    from .core import _edge_sets
-    from ..operators.mutuals import mutual_edges as _me
+    from pyspark.sql import Window
 
-    followers, following = _edge_sets(spark, sf_dir)
-    mutual = _me(followers, following)
-    # bipartite graph: order-nodes and supplier-nodes live in different
-    # id spaces — namespace them onto even/odd longs
-    edges = mutual.select(
-        (F.col("user_id") * 2).alias("src"),
-        (F.col("mutual_id") * 2 + 1).alias("dst"),
+    from ..operators.graph import component_sizes, connected_components
+
+    orders = load_testdata(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.lag("o_orderkey").over(w).alias("prev"),
+        F.lag("o_orderdate").over(w).alias("prev_d"),
     )
+    edges = seq.filter(
+        F.col("prev").isNotNull()
+        & (F.datediff("o_orderdate", "prev_d") <= 30)
+    ).select(F.col("prev").alias("src"), F.col("o_orderkey").alias("dst"))
     return component_sizes(connected_components(edges)).orderBy("component")
 
 
