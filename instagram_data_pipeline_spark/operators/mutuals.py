@@ -58,6 +58,33 @@ def mutual_edges(
     )
 
 
+def mutual_edges_salted(
+    followers: DataFrame,
+    following: DataFrame,
+    salt: int = 8,
+) -> DataFrame:
+    """Salted twin of :func:`mutual_edges` for celebrity fan-out.
+
+    AQE skew-splitting is the first line of defense; this is the manual
+    fallback when one user's edge list is so hot that even split
+    partitions overwhelm a task (SURVEY §7 risk 5). The followers side
+    is spread over ``salt`` deterministic sub-keys and the following
+    side replicated ``salt`` times (``operators.skew.salted_join``), so
+    the hot key's rows land on ``salt`` tasks instead of one. Output is
+    row-identical to ``mutual_edges`` — asserted on a skewed fixture in
+    tests."""
+    from .skew import salted_join
+
+    f1 = followers.select("user_id", "follower_id").dropDuplicates(
+        ["user_id", "follower_id"]
+    )
+    f2 = following.select(
+        "user_id", F.col("following_id").alias("follower_id")
+    ).dropDuplicates(["user_id", "follower_id"])
+    out = salted_join(f1, f2, ["user_id", "follower_id"], salt=salt)
+    return out.select("user_id", F.col("follower_id").alias("mutual_id"))
+
+
 def mutual_edges_intersect(followers: DataFrame, following: DataFrame) -> DataFrame:
     """INTERSECT formulation (SURVEY §2.7) — oracle cross-check for J1.
 

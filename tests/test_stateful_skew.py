@@ -85,3 +85,60 @@ def test_salted_join_spreads_hot_key(skewed):
         .count()
     )
     assert n_salts >= 6  # the hot key really fans out across sub-keys
+
+
+# ---------------------------------------------------------------------------
+# Celebrity fan-out through the flagship J1 operator (SURVEY §7 risk 5)
+# ---------------------------------------------------------------------------
+
+@pytest.fixture()
+def celebrity_edges(spark):
+    """Genuinely skewed edge tables: user 1 (the celebrity) holds ~98% of
+    all edges; users 2..40 have 2 edges each. Mutual overlap is planted:
+    the celebrity follows back every 3rd follower."""
+    followers = [(1, f) for f in range(100, 4100)]  # 4000 followers
+    followers += [(u, 50 + u) for u in range(2, 41)]
+    followers += [(u, 90 + u) for u in range(2, 41)]
+    following = [(1, f) for f in range(100, 4100, 3)]  # every 3rd back
+    following += [(u, 50 + u) for u in range(2, 41)]  # mutual for all
+    f1 = spark.createDataFrame(followers, "user_id long, follower_id long")
+    f2 = spark.createDataFrame(following, "user_id long, following_id long")
+    return f1, f2
+
+
+def test_mutual_edges_salted_parity_on_celebrity_fanout(spark, celebrity_edges):
+    from instagram_data_pipeline_spark.operators.mutuals import (
+        mutual_edges,
+        mutual_edges_intersect,
+        mutual_edges_salted,
+    )
+
+    f1, f2 = celebrity_edges
+    plain = sorted(map(tuple, mutual_edges(f1, f2).collect()))
+    salted = sorted(map(tuple, mutual_edges_salted(f1, f2, salt=8).collect()))
+    setform = sorted(map(tuple, mutual_edges_intersect(f1, f2).collect()))
+    assert salted == plain == setform
+    # sanity: the skew is real and the overlap planted as designed
+    assert len(plain) == 1334 + 39  # ceil(4000/3) celebrity + 39 normals
+    celeb = [p for p in plain if p[0] == 1]
+    assert len(celeb) == 1334
+
+
+def test_mutual_edges_salted_spreads_celebrity_key(spark, celebrity_edges):
+    """The salted plan must spread the hot user's rows across salt
+    sub-keys — no single (user, salt) group holds all celebrity edges."""
+    from pyspark.sql import functions as F
+
+    f1, _ = celebrity_edges
+    salt_col = F.pmod(
+        F.xxhash64(F.col("user_id"), F.col("follower_id")), F.lit(8)
+    ).cast("int")
+    dist = (
+        f1.filter(F.col("user_id") == 1)
+        .withColumn("_salt", salt_col)
+        .groupBy("_salt")
+        .count()
+        .collect()
+    )
+    assert len(dist) == 8  # every sub-key takes a share
+    assert max(r["count"] for r in dist) < 4000  # nobody holds it all
