@@ -57,7 +57,9 @@ def main() -> None:
         load_testdata(spark, SF_DIR, table).count()
 
     timings: dict[str, float] = {}
-    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    # min-of-3 by default: BENCHNOTES.md — machine noise between rounds
+    # exceeds most real deltas, min-of-N absorbs scheduler jitter
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     for name in BENCH_QUERIES:
         if name not in registry:
             continue

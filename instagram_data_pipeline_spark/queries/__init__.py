@@ -77,6 +77,8 @@ REGISTRY_ORDER: tuple[str, ...] = (
     # -- new in round 3 ----------------------------------------------------
     "stream_stream_attribution",
     "multimodal_image_stats",
+    "dedup_clusters",
+    "cube_revenue",
     # -- oracle upgraded in round 3 (rows-only -> hash) --------------------
     "connected_components",
     "embedding_near_dups_bucketed",
@@ -107,11 +109,11 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "upsert_keep_newest",
     "insert_if_absent",
     "top_k_per_group",
-    "running_total",
-    "hourly_window_counts",
     # ------------------- driver window ends at slot 50 --------------------
     # Two-round-green core relational queries, demoted past the window;
     # each still oracle-checked every CI run by tests/test_queries_oracle.py.
+    "running_total",
+    "hourly_window_counts",
     "mutual_edges_intersect",
     "key_lookup",
     "enrichment_join",

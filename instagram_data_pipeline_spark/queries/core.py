@@ -584,6 +584,39 @@ def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+@register(
+    "cube_revenue",
+    """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+       CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(28,10))), 2) AS DOUBLE)
+         AS revenue,
+       COUNT(*) AS n_orders
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""",
+    doc="CUBE over (status, priority): all 4 grouping-set combinations in "
+        "one pass with GROUPING() disambiguation markers — Spark plans "
+        "one Expand + single hash aggregate, not 4 scans",
+    tags=("agg", "cube"),
+)
+def q_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_testdata(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.grouping("o_orderstatus").cast("int").alias("g_status"),
+        F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(28,10)")), 2)
+        .cast("double")
+        .alias("revenue"),
+        F.count(F.lit(1)).alias("n_orders"),
+    ).select(
+        "o_orderstatus", "o_orderpriority", "g_status", "g_priority",
+        "revenue", "n_orders",
+    )
+
+
+# ---------------------------------------------------------------------------
 # Tumbling event-time windows (§2.9) — the SAME function the streaming
 # layer runs; executed here in batch mode (streaming-batch parity).
 # ---------------------------------------------------------------------------

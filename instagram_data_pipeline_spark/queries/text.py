@@ -361,8 +361,7 @@ def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_JACCARD_ORACLE = f"""
-WITH tok AS (
+_JACCARD_CTES = f"""tok AS (
   SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents
 ), sh0 AS (
   SELECT DISTINCT doc_id, unnest(
@@ -384,13 +383,39 @@ WITH tok AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY a.doc_id, b.doc_id
+), kept AS (
+  SELECT doc_a, doc_b, shared,
+         shared * 1.0 / (sa.n + sb.n - shared) AS jaccard
+  FROM pairs
+  JOIN sizes sa ON doc_a = sa.doc_id
+  JOIN sizes sb ON doc_b = sb.doc_id
+  WHERE shared * 1.0 / (sa.n + sb.n - shared) >= 0.1
+)"""
+
+_JACCARD_ORACLE = f"""
+WITH {_JACCARD_CTES}
+SELECT doc_a, doc_b, shared, ROUND(jaccard, 6) AS jaccard FROM kept
+"""
+
+# dedup_clusters = jaccard pairs -> connected components -> canonical doc
+# (min doc_id per cluster). Same pruned min-label recursive fixpoint as
+# the connected_components oracle; near-dup clusters are small, so the
+# walk state stays linear in practice.
+_DEDUP_CLUSTERS_ORACLE = f"""
+WITH RECURSIVE {_JACCARD_CTES}, sym AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT doc_a AS src, doc_b AS dst FROM kept
+    UNION ALL SELECT doc_b, doc_a FROM kept
+  ) t WHERE src <> dst
+), walk(node, label) AS (
+  SELECT src, src FROM sym
+  UNION
+  SELECT e.dst, w.label FROM walk w JOIN sym e ON e.src = w.node
+  WHERE w.label < e.dst
 )
-SELECT doc_a, doc_b, shared,
-       ROUND(shared * 1.0 / (sa.n + sb.n - shared), 6) AS jaccard
-FROM pairs
-JOIN sizes sa ON doc_a = sa.doc_id
-JOIN sizes sb ON doc_b = sb.doc_id
-WHERE shared * 1.0 / (sa.n + sb.n - shared) >= 0.1
+SELECT node AS doc_id, MIN(label) AS canonical_id,
+       node = MIN(label) AS is_canonical
+FROM walk GROUP BY node
 """
 
 
@@ -408,6 +433,35 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return ngram_jaccard_pairs(docs, id_col="doc_id", text_col="text",
                                n=3, threshold=0.1, max_df=100)
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_clusters",
+    _DEDUP_CLUSTERS_ORACLE,
+    doc="the full near-dup dedup pipeline: shingle-Jaccard pairs (df-capped "
+        "inverted index) -> connected components -> canonical doc per "
+        "cluster (min doc_id). Per-doc assignment (doc_id, canonical_id, "
+        "is_canonical); downstream dedup keeps is_canonical rows. Oracle "
+        "composes the Jaccard SQL with a WITH RECURSIVE min-label fixpoint.",
+    tags=("text", "dedup", "graph"),
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.dedup import ngram_jaccard_pairs
+    from ..operators.graph import connected_components
+
+    docs = load_testdata(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, id_col="doc_id", text_col="text",
+                                n=3, threshold=0.1, max_df=100)
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    cc = connected_components(edges)
+    return cc.select(
+        F.col("node").alias("doc_id"),
+        F.col("component").alias("canonical_id"),
+        (F.col("node") == F.col("component")).alias("is_canonical"),
+    )
 
 
 # ---------------------------------------------------------------------------
