@@ -79,6 +79,7 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "multimodal_image_stats",
     "dedup_clusters",
     "cube_revenue",
+    "continuous_rollup",
     # -- oracle upgraded in round 3 (rows-only -> hash) --------------------
     "connected_components",
     "embedding_near_dups_bucketed",
@@ -108,10 +109,10 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "sessionize_stream",
     "upsert_keep_newest",
     "insert_if_absent",
-    "top_k_per_group",
     # ------------------- driver window ends at slot 50 --------------------
     # Two-round-green core relational queries, demoted past the window;
     # each still oracle-checked every CI run by tests/test_queries_oracle.py.
+    "top_k_per_group",
     "running_total",
     "hourly_window_counts",
     "mutual_edges_intersect",

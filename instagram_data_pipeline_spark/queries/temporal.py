@@ -135,6 +135,59 @@ def q_stream_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "continuous_rollup",
+    """
+SELECT epoch_us(date_trunc('hour', ts)) AS bucket_us, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(28,10))), 2) AS DOUBLE)
+         AS total_value
+FROM events GROUP BY 1, 2
+""",
+    doc="continuously-maintained hourly rollup: events streamed one file "
+        "per micro-batch through ContinuousRollupSink (foreachBatch, "
+        "date-partitioned additive merges touching only the batch's "
+        "dates, epoch-fenced), then the maintained TABLE is compared to "
+        "the one-shot batch aggregate — incremental == batch is the "
+        "continuous-aggregate contract.",
+    tags=("streaming", "rollup", "temporal"),
+)
+def q_continuous_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..io import Warehouse
+    from ..streaming.events import stream_from_parquet
+    from ..streaming.rollup import ContinuousRollupSink
+
+    events = load_testdata(spark, sf_dir, "events")
+    src = tempfile.mkdtemp(prefix="rollup_src_")
+    # 4 files -> 4 micro-batches: the merge path runs, not just the seed
+    events.repartition(4, "event_id").write.mode("overwrite").parquet(src)
+    whdir = tempfile.mkdtemp(prefix="rollup_wh_")
+    ckpt = tempfile.mkdtemp(prefix="rollup_ckpt_")
+    sink = ContinuousRollupSink(Warehouse(spark, whdir), grains=("hour",))
+    q = (
+        stream_from_parquet(spark, src, max_files_per_trigger=1)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = sink.read("hour").select(
+        F.unix_micros("bucket").alias("bucket_us"),
+        "event_type",
+        "n_events",
+        F.round("total_value", 2).alias("total_value"),
+    )
+    # materialize before deleting the staging dirs the plan reads from
+    out = out.localCheckpoint(eager=True)
+    for d in (src, whdir, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+    return out
+
+
+@register(
     "range_band_join",
     """
 WITH bands AS (

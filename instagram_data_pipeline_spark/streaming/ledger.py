@@ -36,14 +36,19 @@ class LedgerProgressSink:
         # foreachBatch is at-least-once: a failed-then-replayed epoch
         # arrives with the SAME epoch_id. Idempotence requires skipping
         # epochs we already committed, else rows double-append and
-        # processed_items double-advances.
+        # processed_items double-advances. The fence is recorded only
+        # AFTER the writes succeed — fencing first would make the retry
+        # of a failed write a silent no-op (batch lost). Scope: within-
+        # process dedup; the append + ledger update pair is not atomic,
+        # so a crash between them can replay the append (the
+        # transactional fix is a table format whose commit carries the
+        # epoch id).
         if epoch_id in self.epochs:
             return
         n = batch_df.count()
-        self.epochs.append(epoch_id)
         if n == 0:
+            self.epochs.append(epoch_id)
             return
-        self.rows_seen += n
         existing = self.wh.read(self.table)
         self.wh.overwrite_atomic(
             self.table, existing.unionByName(batch_df.select(*existing.columns))
@@ -52,9 +57,11 @@ class LedgerProgressSink:
             self.wh.read("scrape_jobs"),
             self.job_id,
             status="in_progress",
-            processed_items=self.rows_seen,
+            processed_items=self.rows_seen + n,
         )
         self.wh.overwrite_atomic("scrape_jobs", jobs)
+        self.rows_seen += n
+        self.epochs.append(epoch_id)
 
     def complete(self) -> None:
         jobs = update_job_status(

@@ -24,7 +24,7 @@ PRIORITY = {
     "ledger_both_complete", "ledger_delete_failed",
     # new in round 3
     "stream_stream_attribution", "multimodal_image_stats",
-    "dedup_clusters", "cube_revenue",
+    "dedup_clusters", "cube_revenue", "continuous_rollup",
     # rows-only -> hash oracle upgrades in round 3
     "connected_components", "embedding_near_dups_bucketed",
 }
