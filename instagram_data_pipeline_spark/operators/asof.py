@@ -33,20 +33,29 @@ def asof_join(
     tolerance_us: int | None = None,
     right_cols: list[str] | None = None,
     suffix: str = "_r",
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join: for each left row, the latest right row with
-    the same ``on`` key and ``right_ts <= left_ts``.
+    """As-of join: for each left row, the nearest right row with the same
+    ``on`` key — ``direction="backward"`` (default) takes the latest
+    right row with ``right_ts <= left_ts``; ``direction="forward"`` the
+    earliest right row with ``right_ts >= left_ts`` (e.g. time-to-next-
+    conversion). Both are the same one-shuffle union + window plan, the
+    forward form just orders the window descending.
 
     Ties (right_ts == left_ts) match, mirroring DuckDB ASOF semantics.
-    When several right rows share the same timestamp, the one last in
-    (ts, *right_cols) order wins — deterministic. Unmatched left rows
-    survive with NULL right columns (left-outer semantics); a
-    ``tolerance_us`` turns matches older than the tolerance back into
-    NULLs.
+    When several right rows share the same timestamp, the pick is
+    deterministic (extreme of (ts, *right_cols) order); callers wanting
+    a specific tie rule should dedup the right side per (key, ts) first.
+    Unmatched left rows survive with NULL right columns (left-outer
+    semantics); a ``tolerance_us`` turns matches farther than the
+    tolerance back into NULLs.
 
     Output: all left columns, then ``right_ts + suffix`` and each of
     ``right_cols`` suffixed.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction}")
+    fwd = direction == "forward"
     right_cols = right_cols or [
         c for c in right.columns if c not in (on, right_ts)
     ]
@@ -68,11 +77,17 @@ def asof_join(
         if c not in r_tag.columns:
             r_tag = r_tag.withColumn(c, F.lit(None).cast(l_tag.schema[c].dataType))
     merged = l_tag.unionByName(r_tag.select(*l_tag.columns))
-    # order: timestamp, then right-before-left at equal ts (ties match),
-    # then the payload itself for determinism among equal right ts
+    # order: timestamp (reversed for forward), then right-before-left at
+    # equal ts (ties match in both directions), then the payload itself
+    # for determinism among equal right ts
+    order = (
+        [F.col("_ord").desc(), F.col("_is_left").asc(), F.col("_payload").desc()]
+        if fwd
+        else [F.col("_ord").asc(), F.col("_is_left").asc(), F.col("_payload").asc()]
+    )
     w = (
         Window.partitionBy(on)
-        .orderBy(F.col("_ord").asc(), F.col("_is_left").asc(), F.col("_payload").asc())
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = merged.withColumn(
@@ -80,10 +95,8 @@ def asof_join(
     )
     out = carried.filter(F.col("_is_left") == 1)
     if tolerance_us is not None:
-        fresh = (
-            F.unix_micros(F.col(left_ts))
-            - F.unix_micros(F.col("_match._ts"))
-        ) <= tolerance_us
+        gap = F.unix_micros(F.col(left_ts)) - F.unix_micros(F.col("_match._ts"))
+        fresh = (-gap if fwd else gap) <= tolerance_us
         out = out.withColumn(
             "_match", F.when(fresh, F.col("_match"))
         )

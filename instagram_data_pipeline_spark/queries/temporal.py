@@ -74,6 +74,64 @@ def q_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "asof_forward_attribution",
+    f"""
+WITH clicks AS (
+  SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'
+), purchases AS (
+  -- unique (user, ts): same-microsecond purchases collapse to max id so
+  -- both engines pick the same row
+  SELECT user_id, ts, MAX(event_id) AS purchase_id
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+), j AS (
+  SELECT c.user_id, c.event_id, epoch_us(c.ts) AS ts_us,
+         epoch_us(p.ts) AS p_ts_us, p.purchase_id AS p_pid
+  FROM clicks c ASOF LEFT JOIN purchases p
+    ON c.user_id = p.user_id AND c.ts <= p.ts
+)
+SELECT user_id, event_id, ts_us,
+       CASE WHEN p_ts_us - ts_us <= {_TOL_US} THEN p_ts_us END
+         AS purchase_ts_us,
+       CASE WHEN p_ts_us - ts_us <= {_TOL_US} THEN p_pid END
+         AS purchase_id
+FROM j
+""",
+    doc="FORWARD as-of join (click -> next purchase within 1h: "
+        "time-to-convert): same one-shuffle union+window plan as the "
+        "backward form with a descending window, vs DuckDB native "
+        "forward ASOF JOIN (ON c.ts <= p.ts)",
+    tags=("temporal", "asof", "join"),
+)
+def q_asof_forward_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_testdata(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts"
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("purchase_id"))
+    )
+    joined = asof_join(
+        clicks,
+        purchases,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        tolerance_us=_TOL_US,
+        right_cols=["purchase_id"],
+        direction="forward",
+    )
+    return joined.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.unix_micros("ts_r").alias("purchase_ts_us"),
+        F.col("purchase_id_r").alias("purchase_id"),
+    )
+
+
+@register(
     "stream_stream_attribution",
     """
 WITH c AS (

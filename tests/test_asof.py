@@ -101,3 +101,42 @@ def test_range_bucket_join_matches_naive_theta(spark, sf_dir):
     a = sorted((r.l_orderkey, r.l_linenumber, r.band_id) for r in fast.collect())
     b = sorted((r.l_orderkey, r.l_linenumber, r.band_id) for r in naive.collect())
     assert a == b
+
+
+def test_asof_forward_match_ties_tolerance_and_unmatched(spark):
+    left = spark.createDataFrame(
+        [(1, 100, _ts(10)), (1, 101, _ts(6)), (2, 200, _ts(10)),
+         (3, 300, _ts(50))],
+        "user_id long, event_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(1, 900, _ts(6)), (1, 901, _ts(20)), (2, 902, _ts(10))],
+        "user_id long, purchase_id long, ts timestamp",
+    )
+    out = {r.event_id: r for r in
+           asof_join(left, right, on="user_id",
+                     right_cols=["purchase_id"],
+                     direction="forward").collect()}
+    assert out[100].purchase_id_r == 901   # earliest right >= ts(10)
+    assert out[101].purchase_id_r == 900   # tie: right at EXACTLY ts(6)
+    assert out[200].purchase_id_r == 902   # tie at same ts for other key
+    assert out[300].purchase_id_r is None  # nothing at or after ts(50)
+
+    # tolerance: next right is 10s ahead; 5s window drops it
+    tight = {r.event_id: r for r in
+             asof_join(left, right, on="user_id",
+                       right_cols=["purchase_id"],
+                       direction="forward",
+                       tolerance_us=5_000_000).collect()}
+    assert tight[100].purchase_id_r is None
+    assert tight[101].purchase_id_r == 900  # zero-gap tie survives
+
+
+def test_asof_direction_validated(spark):
+    import pytest
+
+    left = spark.createDataFrame(
+        [(1, 1, _ts(0))], "user_id long, event_id long, ts timestamp"
+    )
+    with pytest.raises(ValueError, match="backward|forward"):
+        asof_join(left, left, on="user_id", direction="sideways")
