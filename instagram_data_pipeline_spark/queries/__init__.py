@@ -81,6 +81,7 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "cube_revenue",
     "continuous_rollup",
     "asof_forward_attribution",
+    "multimodal_frame_sample",
     # -- oracle upgraded in round 3 (rows-only -> hash) --------------------
     "connected_components",
     "embedding_near_dups_bucketed",
@@ -108,10 +109,10 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "pricing_summary",
     "sessionize_batch",
     "sessionize_stream",
-    "upsert_keep_newest",
     # ------------------- driver window ends at slot 50 --------------------
     # Two-round-green core relational queries, demoted past the window;
     # each still oracle-checked every CI run by tests/test_queries_oracle.py.
+    "upsert_keep_newest",
     "insert_if_absent",
     "top_k_per_group",
     "running_total",

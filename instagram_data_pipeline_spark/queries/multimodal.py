@@ -96,6 +96,54 @@ def synthesize_ppm_media(docs: DataFrame) -> DataFrame:
 
 
 @register(
+    "multimodal_frame_sample",
+    f"""
+WITH m AS (
+  SELECT doc_id AS media_id, md5(COALESCE(text, '')) AS x FROM documents
+), v AS (
+  SELECT media_id,
+         500 + ({_duck_channel(1)} % 40) * 250 AS duration_ms
+  FROM m
+)
+SELECT media_id, CAST(unnest(
+         generate_series(0, duration_ms - 1, 1000)) AS BIGINT) AS frame_ts_ms
+FROM v
+""",
+    doc="video frame-sampling plan: one row per sampled timestamp via "
+        "sequence+explode (fan-out stays JVM-side; the decoder kernel "
+        "only ever sees (payload, ts) pairs). Deterministic synthetic "
+        "durations from md5 arithmetic; oracle = generate_series.",
+    tags=("multimodal", "video", "explode"),
+)
+def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.multimodal import sample_frames
+
+    docs = load_testdata(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.md5(F.coalesce(F.col("text"), F.lit("")).cast("binary")).alias("x"),
+    ).select(
+        "media_id",
+        F.lit("video").alias("kind"),
+        F.unhex("x").alias("payload"),  # opaque stand-in bytes
+        F.struct(
+            F.lit(None).cast("string").alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            (
+                F.lit(500)
+                + (F.conv(F.substring("x", 1, 2), 16, 10).cast("int") % 40)
+                * 250
+            ).alias("duration_ms"),
+        ).alias("meta"),
+    )
+    frames = sample_frames(media, every_ms=1000)
+    return frames.select(
+        "media_id", F.col("frame_ts_ms").cast("long").alias("frame_ts_ms")
+    )
+
+
+@register(
     "multimodal_image_stats",
     f"""
 WITH m AS (

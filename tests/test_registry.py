@@ -25,7 +25,7 @@ PRIORITY = {
     # new in round 3
     "stream_stream_attribution", "multimodal_image_stats",
     "dedup_clusters", "cube_revenue", "continuous_rollup",
-    "asof_forward_attribution",
+    "asof_forward_attribution", "multimodal_frame_sample",
     # rows-only -> hash oracle upgrades in round 3
     "connected_components", "embedding_near_dups_bucketed",
 }
