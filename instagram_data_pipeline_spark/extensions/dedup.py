@@ -217,8 +217,17 @@ def winnow_fingerprints(
 # MinHash + LSH (the 100 TB near-dup path)
 # ---------------------------------------------------------------------------
 
-def _hash_with_seed(col: Column, seed: int) -> Column:
-    """Deterministic 64-bit hash family member: xxhash64(seed-tag, value)."""
+def _hash_with_seed(col: Column, seed: int, portable: bool = False) -> Column:
+    """Deterministic hash family member.
+
+    Default: xxhash64(seed-tag, value) — the scale path (JVM-native).
+    ``portable=True``: 32-bit value from md5, reproducible in any engine
+    (DuckDB: ``CAST(concat('0x', substr(md5(seed || ':' || s), 1, 8)) AS
+    BIGINT)``) — slower, used by the oracle-checked query tier."""
+    if portable:
+        return F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{seed}:"), col)), 1, 8), 16, 10
+        ).cast("long")
     return F.xxhash64(F.lit(seed), col)
 
 
@@ -228,14 +237,16 @@ def minhash_signatures(
     text_col: str = "text",
     n: int = 3,
     num_hashes: int = 32,
+    portable: bool = False,
 ) -> DataFrame:
-    """Per-doc MinHash signature: array of min(xxhash64_seed_i(shingle)).
+    """Per-doc MinHash signature: array of min(hash_seed_i(shingle)).
 
     One pass over the exploded shingles, all `num_hashes` minima computed
-    in a single aggregation — no per-hash shuffle."""
+    in a single aggregation — no per-hash shuffle. ``portable`` switches
+    the hash family to the md5-based engine-portable one (oracle tier)."""
     sh = _distinct_shingles(df, id_col, text_col, n)
     aggs = [
-        F.min(_hash_with_seed(F.col("shingle"), i)).alias(f"h{i}")
+        F.min(_hash_with_seed(F.col("shingle"), i, portable)).alias(f"h{i}")
         for i in range(num_hashes)
     ]
     sig = sh.groupBy(id_col).agg(*aggs)
@@ -250,12 +261,26 @@ def lsh_candidate_pairs(
     id_col: str = "doc_id",
     bands: int = 8,
     rows_per_band: int = 4,
+    portable: bool = False,
 ) -> DataFrame:
     """Banded LSH: docs are candidates when any band of the signature
     matches exactly. P(candidate) = 1 - (1 - s^r)^b for Jaccard s.
 
     Join is on (band_id, band_hash) — equi-join, shuffle only on band
-    keys; no quadratic blow-up as long as bands are selective."""
+    keys; no quadratic blow-up as long as bands are selective.
+    ``portable`` joins on the band's value string instead of an xxhash64
+    digest (band equality is identical either way; the string form is
+    reproducible in SQL)."""
+
+    def band_key(b: int) -> Column:
+        vals = [
+            F.col("signature")[b * rows_per_band + r]
+            for r in range(rows_per_band)
+        ]
+        if portable:
+            return F.concat_ws(",", *[v.cast("string") for v in vals])
+        return F.xxhash64(*vals)
+
     banded = signatures.select(
         F.col(id_col),
         F.explode(
@@ -263,12 +288,7 @@ def lsh_candidate_pairs(
                 *[
                     F.struct(
                         F.lit(b).alias("band_id"),
-                        F.xxhash64(
-                            *[
-                                F.col("signature")[b * rows_per_band + r]
-                                for r in range(rows_per_band)
-                            ]
-                        ).alias("band_hash"),
+                        band_key(b).alias("band_hash"),
                     )
                     for b in range(bands)
                 ]
@@ -300,15 +320,19 @@ def minhash_near_dups(
     num_hashes: int = 32,
     bands: int = 8,
     threshold: float = 0.5,
+    portable: bool = False,
 ) -> DataFrame:
     """Full near-dup pipeline: LSH candidates verified with exact Jaccard.
 
     Candidates (cheap, probabilistic) -> exact verification (expensive,
     but only on the candidate set). This is the standard shape for
-    trillion-token dedup."""
+    trillion-token dedup. ``portable`` runs the md5-based hash family so
+    the whole pipeline (signatures, banding, candidates, verification)
+    is reproducible in the DuckDB oracle; xxhash64 stays the scale
+    default."""
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes)
-    cand = lsh_candidate_pairs(sigs, id_col, bands, rows_per_band)
+    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes, portable)
+    cand = lsh_candidate_pairs(sigs, id_col, bands, rows_per_band, portable)
     # exact verification ONLY on candidate pairs (the whole point of LSH):
     # per-doc shingle sets are joined to the pairs and intersected —
     # cost is O(|candidates|), never the full inverted-index join

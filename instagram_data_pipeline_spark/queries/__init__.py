@@ -82,6 +82,7 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "continuous_rollup",
     "asof_forward_attribution",
     "multimodal_frame_sample",
+    "minhash_near_dups_portable",
     # -- oracle upgraded in round 3 (rows-only -> hash) --------------------
     "connected_components",
     "embedding_near_dups_bucketed",
@@ -108,10 +109,10 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "mutual_edges",
     "pricing_summary",
     "sessionize_batch",
-    "sessionize_stream",
     # ------------------- driver window ends at slot 50 --------------------
     # Two-round-green core relational queries, demoted past the window;
     # each still oracle-checked every CI run by tests/test_queries_oracle.py.
+    "sessionize_stream",
     "upsert_keep_newest",
     "insert_if_absent",
     "top_k_per_group",

@@ -117,14 +117,19 @@ def _plane_literal(plane: list[float]) -> str:
     return "[" + ", ".join("1.0" if x > 0 else "-1.0" for x in plane) + "]"
 
 
-def _bucket_branch(t: int) -> str:
-    planes = S.hyperplanes(_BUCKETED_DIM, _BUCKETED_PLANES, _BUCKETED_SEED + t)
-    bits = " + ".join(
-        f"(CASE WHEN list_dot_product(v, {_plane_literal(p)}) >= 0"
+def _bits_sql(planes: list[list[float]], vec: str = "v") -> str:
+    """SQL expression packing sign-projection bits into a bucket id —
+    the DuckDB twin of ``similarity.lsh_bucket``."""
+    return " + ".join(
+        f"(CASE WHEN list_dot_product({vec}, {_plane_literal(p)}) >= 0"
         f" THEN {1 << j} ELSE 0 END)"
         for j, p in enumerate(planes)
     )
-    return f"SELECT vec_id, v, {t} AS tbl, {bits} AS bkt FROM e"
+
+
+def _bucket_branch(t: int) -> str:
+    planes = S.hyperplanes(_BUCKETED_DIM, _BUCKETED_PLANES, _BUCKETED_SEED + t)
+    return f"SELECT vec_id, v, {t} AS tbl, {_bits_sql(planes)} AS bkt FROM e"
 
 
 _BUCKETED_NEAR_DUP_ORACLE = f"""
@@ -232,10 +237,37 @@ def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Like the bucketed near-dups: the hyperplanes are deterministic Python
+# literals, so the "approximate" search is exactly reproducible in SQL —
+# the oracle checks bucket assignment AND the per-bucket top-k.
+_ANN_PLANES = S.hyperplanes(64, 4, 42)
+
+_ANN_ORACLE = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (
+  SELECT vec_id AS query_id, v AS qv, {_bits_sql(_ANN_PLANES)} AS bkt
+  FROM e WHERE vec_id < 10
+), c AS (
+  SELECT vec_id, v AS cv, {_bits_sql(_ANN_PLANES)} AS bkt
+  FROM e WHERE vec_id >= 10
+), scored AS (
+  SELECT query_id, vec_id, {_COS.format(a='qv', b='cv')} AS sim
+  FROM q JOIN c USING (bkt)
+)
+SELECT query_id, vec_id, ROUND(sim, 6) AS cosine, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY sim DESC, vec_id
+  ) AS rank FROM scored
+) WHERE rank <= 5
+"""
+
+
 @register(
     "ann_lsh_topk",
-    None,  # probabilistic bucketing — recall vs exact checked in tests
-    doc="approximate top-k via sign-random-projection LSH buckets",
+    _ANN_ORACLE,
+    doc="approximate top-k via sign-random-projection LSH buckets; "
+        "hyperplanes are shared literals so bucket gating and per-bucket "
+        "ranking are both hash-checked (recall vs exact is in tests)",
     tags=("similarity", "ann"),
 )
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -244,7 +276,7 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     corpus = emb.filter(F.col("vec_id") >= 10)
-    return S.ann_lsh_topk(corpus, queries, k=5, num_planes=4)
+    return S.ann_lsh_topk(corpus, queries, k=5, num_planes=4, dim=64, seed=42)
 
 
 # ---------------------------------------------------------------------------
@@ -434,14 +466,76 @@ def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @register(
     "minhash_near_dups",
-    None,  # LSH candidate generation is probabilistic; verified stage is
-    # exact Jaccard (oracle-checked via ngram_jaccard_pairs)
-    doc="MinHash+LSH near-dup pipeline: banded candidates -> exact Jaccard verify",
+    None,  # xxhash64 hash family is engine-specific (scale tier); the
+    # portable-hash twin below is fully oracle-checked
+    doc="MinHash+LSH near-dup pipeline: banded candidates -> exact Jaccard "
+        "verify (xxhash64 scale tier)",
     tags=("text", "dedup", "minhash"),
 )
 def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_testdata(spark, sf_dir, "documents")
     return minhash_near_dups(docs, threshold=0.1)
+
+
+def _minhash_portable_oracle() -> str:
+    from .text import _NORM
+
+    return f"""
+WITH tok AS (
+  SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents
+), sh0 AS (
+  SELECT DISTINCT doc_id, unnest(
+    CASE WHEN len(w) < 3 THEN []
+         ELSE list_transform(generate_series(1, len(w) - 2),
+                             i -> array_to_string(w[i:i+2], ' '))
+    END) AS shingle
+  FROM tok
+), sig AS (
+  -- 32-member md5 hash family, identical literal recipe to the Spark
+  -- side: min per (doc, member) over the distinct shingle set
+  SELECT doc_id, i,
+         MIN(CAST(concat('0x', substr(md5(i || ':' || shingle), 1, 8))
+                  AS BIGINT)) AS h
+  FROM sh0 CROSS JOIN range(32) t(i)
+  GROUP BY doc_id, i
+), band AS (
+  SELECT doc_id, i // 4 AS band_id,
+         string_agg(CAST(h AS VARCHAR), ',' ORDER BY i) AS band_key
+  FROM sig GROUP BY doc_id, i // 4
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM band a JOIN band b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key
+   AND a.doc_id < b.doc_id
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n FROM sh0 GROUP BY doc_id
+), shared AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS s
+  FROM cand c
+  JOIN sh0 x ON x.doc_id = c.doc_a
+  JOIN sh0 y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT doc_a, doc_b,
+       ROUND(s * 1.0 / (sa.n + sb.n - s), 6) AS jaccard
+FROM shared JOIN sizes sa ON doc_a = sa.doc_id
+            JOIN sizes sb ON doc_b = sb.doc_id
+WHERE s * 1.0 / (sa.n + sb.n - s) >= 0.1
+"""
+
+
+@register(
+    "minhash_near_dups_portable",
+    _minhash_portable_oracle(),
+    doc="the SAME MinHash+LSH pipeline on the md5-based portable hash "
+        "family: signatures, banding, candidate join, and exact-Jaccard "
+        "verification all reproduced in SQL — full hash evidence for the "
+        "algorithm; the xxhash64 twin above stays the scale default",
+    tags=("text", "dedup", "minhash"),
+)
+def q_minhash_near_dups_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_testdata(spark, sf_dir, "documents")
+    return minhash_near_dups(docs, threshold=0.1, portable=True)
 
 
 # ---------------------------------------------------------------------------

@@ -26,6 +26,7 @@ PRIORITY = {
     "stream_stream_attribution", "multimodal_image_stats",
     "dedup_clusters", "cube_revenue", "continuous_rollup",
     "asof_forward_attribution", "multimodal_frame_sample",
+    "minhash_near_dups_portable",
     # rows-only -> hash oracle upgrades in round 3
     "connected_components", "embedding_near_dups_bucketed",
 }
