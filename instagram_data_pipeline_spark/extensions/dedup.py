@@ -358,17 +358,39 @@ def minhash_near_dups(
 # SimHash
 # ---------------------------------------------------------------------------
 
-def simhash(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
-) -> DataFrame:
-    """64-bit SimHash over token hashes, entirely with built-in
-    expressions: per-token xxhash64 -> per-bit +/-1 votes -> sign bits.
+def simhash_chunk_bounds(nbits: int, chunks: int) -> list[int]:
+    """Chunk boundary bit-offsets: ``chunks`` near-equal contiguous
+    ranges covering bits [0, nbits). Shared with the SQL oracle so both
+    engines band identically."""
+    return [round(i * nbits / chunks) for i in range(chunks + 1)]
 
-    The bit loop unrolls to 64 conditional sums inside one hash
-    aggregate — wide but codegen-friendly, no Python in the path."""
+def simhash(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    portable: bool = False,
+) -> DataFrame:
+    """SimHash over token hashes, entirely with built-in expressions:
+    per-token hash -> per-bit +/-1 votes -> sign bits.
+
+    The bit loop unrolls to one conditional sum per bit inside one hash
+    aggregate — wide but codegen-friendly, no Python in the path.
+    Default: 64-bit signatures from xxhash64 (scale tier).
+    ``portable=True``: 60-bit signatures from the md5-derived hash
+    (15 hex chars < 2^60, fits signed 64-bit in every engine) so the
+    signature — and everything downstream — is reproducible in SQL."""
+    nbits = 60 if portable else 64
     toks = _tokenized(df, id_col, text_col).select(
         F.col(id_col), F.explode("_w").alias("tok")
-    ).withColumn("h", F.xxhash64("tok"))
+    )
+    if portable:
+        h = F.conv(
+            F.substring(F.md5(F.concat(F.lit("s:"), F.col("tok"))), 1, 15),
+            16, 10,
+        ).cast("long")
+    else:
+        h = F.xxhash64("tok")
+    toks = toks.withColumn("h", h)
     one = F.lit(1).cast("long")
     votes = toks.groupBy(id_col).agg(
         *[
@@ -376,11 +398,11 @@ def simhash(
                 # shiftleft (not a lit) — 1<<63 overflows a signed literal
                 F.when(F.col("h").bitwiseAND(F.shiftleft(one, b)) != 0, 1).otherwise(-1)
             ).alias(f"v{b}")
-            for b in range(64)
+            for b in range(nbits)
         ]
     )
     sig = None
-    for b in range(64):
+    for b in range(nbits):
         bit = F.when(F.col(f"v{b}") > 0, F.shiftleft(one, b)).otherwise(
             F.lit(0).cast("long")
         )
@@ -394,15 +416,17 @@ def simhash_near_dups(
     text_col: str = "text",
     max_hamming: int = 8,
     chunks: int | None = None,
+    portable: bool = False,
 ) -> DataFrame:
     """Hamming-close pairs via chunk-banded join.
 
     Pigeonhole guarantee: a pair differing in at most ``max_hamming`` bits
     must agree on at least one chunk — which requires strictly MORE chunks
     than differing bits. ``chunks`` therefore defaults to
-    ``max_hamming + 1`` (explicit values below that raise), and the 64
-    signature bits are split into ``chunks`` contiguous disjoint ranges of
-    near-equal width, covering every bit."""
+    ``max_hamming + 1`` (explicit values below that raise), and the
+    signature bits (64, or 60 in ``portable`` mode) are split into
+    ``chunks`` contiguous disjoint ranges of near-equal width, covering
+    every bit."""
     if chunks is None:
         chunks = max_hamming + 1
     if chunks <= max_hamming:
@@ -410,8 +434,9 @@ def simhash_near_dups(
             f"chunks ({chunks}) must exceed max_hamming ({max_hamming}) "
             "for the pigeonhole recall guarantee"
         )
-    sigs = simhash(df, id_col, text_col)
-    bounds = [round(i * 64 / chunks) for i in range(chunks + 1)]
+    nbits = 60 if portable else 64
+    sigs = simhash(df, id_col, text_col, portable=portable)
+    bounds = simhash_chunk_bounds(nbits, chunks)
     banded = sigs.select(
         F.col(id_col),
         F.col("simhash"),

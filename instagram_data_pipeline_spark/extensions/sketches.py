@@ -19,8 +19,28 @@ Hashes are xxhash64 with fixed row tags — deterministic, rerun-stable.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+
+def _bucket(key_col: str, d: int, width: int, portable: bool) -> Column:
+    """Row-d bucket for a key: pmod(hash_d(key), width).
+
+    Default hash is xxhash64 (JVM-native, the scale path); ``portable``
+    uses the md5-based 32-bit family reproducible in DuckDB
+    (``CAST(concat('0x', substr(md5(d || ':' || key), 1, 8)) AS BIGINT)``)
+    so sketch contents and estimates can be oracle-checked."""
+    if portable:
+        h = F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{d}:"), F.col(key_col).cast("string"))),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("long")
+    else:
+        h = F.xxhash64(F.lit(d), F.col(key_col))
+    return F.pmod(h, F.lit(width))
 
 
 def cms_build(
@@ -29,6 +49,7 @@ def cms_build(
     depth: int = 4,
     width: int = 2048,
     weight_col: str | None = None,
+    portable: bool = False,
 ) -> DataFrame:
     """Build the sketch: (depth_id, bucket, cnt), at most depth*width
     rows. ``weight_col`` makes it a weighted-frequency sketch."""
@@ -39,9 +60,7 @@ def cms_build(
                 *[
                     F.struct(
                         F.lit(d).alias("depth_id"),
-                        F.pmod(
-                            F.xxhash64(F.lit(d), F.col(key_col)), F.lit(width)
-                        ).alias("bucket"),
+                        _bucket(key_col, d, width, portable).alias("bucket"),
                     )
                     for d in range(depth)
                 ]
@@ -72,6 +91,7 @@ def cms_estimate(
     key_col: str,
     depth: int = 4,
     width: int = 2048,
+    portable: bool = False,
 ) -> DataFrame:
     """Point-estimate each key in ``keys``: min over depth rows of the
     key's counter (missing counter = 0). The sketch side is tiny
@@ -83,9 +103,7 @@ def cms_estimate(
                 *[
                     F.struct(
                         F.lit(d).alias("depth_id"),
-                        F.pmod(
-                            F.xxhash64(F.lit(d), F.col(key_col)), F.lit(width)
-                        ).alias("bucket"),
+                        _bucket(key_col, d, width, portable).alias("bucket"),
                     )
                     for d in range(depth)
                 ]
@@ -105,11 +123,12 @@ def cms_heavy_hitters(
     min_count: int,
     depth: int = 4,
     width: int = 2048,
+    portable: bool = False,
 ) -> DataFrame:
     """Keys whose estimated frequency reaches ``min_count``. One-sided
     error means NO false negatives: every key with true count >=
     min_count is returned (some lighter keys may slip in when buckets
     collide)."""
-    sketch = cms_build(df, key_col, depth, width)
-    est = cms_estimate(sketch, df, key_col, depth, width)
+    sketch = cms_build(df, key_col, depth, width, portable=portable)
+    est = cms_estimate(sketch, df, key_col, depth, width, portable=portable)
     return est.filter(F.col("est") >= min_count)

@@ -3,10 +3,20 @@
 
 Exact operators carry full DuckDB oracles (the vector fold is
 bit-identical across engines — see extensions/similarity.py).
-Probabilistic operators (MinHash LSH, SimHash, ANN) are not
-SQL-expressible row-for-row; they register rows-only and are
-semantically tested in tests/test_dedup.py / test_similarity.py against
-their exact counterparts.
+"Probabilistic" operators are handled two ways:
+
+* literal-randomness ops (LSH hyperplanes, splitmix64-seeded) emit
+  their literals into the oracle SQL and are fully hash-checked
+  (``embedding_near_dups_bucketed``, ``ann_lsh_topk``);
+* xxhash64-based ops register rows-only on the scale tier AND a
+  ``*_portable`` twin on the md5-based hash family that reproduces the
+  whole pipeline in SQL (``minhash_near_dups_portable``,
+  ``simhash_near_dups_portable``, ``cms_heavy_users_portable``).
+
+Both tiers are additionally recall/property-tested in
+tests/test_dedup.py / test_similarity.py / test_sketches.py against
+their exact counterparts. Genuinely iterative ops (k-means, IVF's
+trained centroids) stay rows-only.
 """
 
 from __future__ import annotations
@@ -395,6 +405,44 @@ def q_cms_heavy_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cms_heavy_hitters(events, "user_id", min_count=20)
 
 
+_CMS_HASH = (
+    "CAST(concat('0x', substr(md5({d} || ':' || CAST(user_id AS VARCHAR)),"
+    " 1, 8)) AS BIGINT) % 2048"
+)
+
+_CMS_PORTABLE_ORACLE = f"""
+WITH counters AS (
+  SELECT t.d, {_CMS_HASH.format(d='t.d')} AS bucket, COUNT(*) AS cnt
+  FROM events CROSS JOIN range(4) t(d)
+  GROUP BY 1, 2
+), probes AS (
+  SELECT user_id, t.d, {_CMS_HASH.format(d='t.d')} AS bucket
+  FROM (SELECT DISTINCT user_id FROM events) CROSS JOIN range(4) t(d)
+), est AS (
+  SELECT p.user_id, MIN(COALESCE(c.cnt, 0)) AS est
+  FROM probes p LEFT JOIN counters c ON p.d = c.d AND p.bucket = c.bucket
+  GROUP BY p.user_id
+)
+SELECT user_id, CAST(est AS BIGINT) AS est FROM est WHERE est >= 20
+"""
+
+
+@register(
+    "cms_heavy_users_portable",
+    _CMS_PORTABLE_ORACLE,
+    doc="the SAME Count-Min sketch on the md5-based portable hash family: "
+        "counter matrix, probe, min-estimate, and heavy-hitter cut all "
+        "reproduced in SQL (full hash evidence for the sketch algorithm); "
+        "the xxhash64 twin above stays the scale default",
+    tags=("sketch", "frequency"),
+)
+def q_cms_heavy_users_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.sketches import cms_heavy_hitters
+
+    events = load_testdata(spark, sf_dir, "events")
+    return cms_heavy_hitters(events, "user_id", min_count=20, portable=True)
+
+
 # ---------------------------------------------------------------------------
 # Connected components: the oracle is a DuckDB WITH RECURSIVE min-label
 # walk. A recursive walk's state is quadratic in component size, so the
@@ -548,3 +596,70 @@ def q_minhash_near_dups_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_testdata(spark, sf_dir, "documents")
     return simhash_near_dups(docs)
+
+
+def _simhash_portable_oracle(max_hamming: int = 8) -> str:
+    from ..extensions.dedup import simhash_chunk_bounds
+    from .text import _NORM
+
+    nbits, chunks = 60, max_hamming + 1
+    bounds = simhash_chunk_bounds(nbits, chunks)
+    votes = ",\n         ".join(
+        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(nbits)
+    )
+    sig = " + ".join(
+        f"(CASE WHEN v{b} > 0 THEN (CAST(1 AS BIGINT) << {b}) ELSE 0 END)"
+        for b in range(nbits)
+    )
+    chunk_rows = ", ".join(
+        f"({c}, {bounds[c]}, {bounds[c + 1] - bounds[c]})"
+        for c in range(chunks)
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS t FROM documents
+), hashed AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5('s:' || t), 1, 15)) AS BIGINT) AS h
+  FROM tok
+), votes AS (
+  SELECT doc_id,
+         {votes}
+  FROM hashed GROUP BY doc_id
+), sig AS (
+  SELECT doc_id, CAST({sig} AS BIGINT) AS s FROM votes
+), chunks(cid, lo, w) AS (
+  VALUES {chunk_rows}
+), banded AS (
+  SELECT doc_id, s, cid,
+         (s >> lo) & ((CAST(1 AS BIGINT) << w) - 1) AS cv
+  FROM sig CROSS JOIN chunks
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  a.s AS sa, b.s AS sb
+  FROM banded a JOIN banded b
+    ON a.cid = b.cid AND a.cv = b.cv AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+FROM pairs WHERE bit_count(xor(sa, sb)) <= {max_hamming}
+"""
+
+
+@register(
+    "simhash_near_dups_portable",
+    _simhash_portable_oracle(max_hamming=4),
+    doc="the SAME SimHash pipeline on the md5-based portable hash family "
+        "(60-bit signatures, Hamming<=4 — tighter than the 64-bit tier "
+        "since fewer bits make any cutoff looser): per-bit votes, sign "
+        "signature, pigeonhole chunk banding, and Hamming cut all "
+        "reproduced in SQL — full hash evidence for the algorithm; the "
+        "64-bit xxhash64 twin above stays the scale default",
+    tags=("text", "dedup", "simhash"),
+)
+def q_simhash_near_dups_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_testdata(spark, sf_dir, "documents")
+    out = simhash_near_dups(docs, max_hamming=4, portable=True)
+    return out.select(
+        "doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming")
+    )

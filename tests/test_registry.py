@@ -26,7 +26,8 @@ PRIORITY = {
     "stream_stream_attribution", "multimodal_image_stats",
     "dedup_clusters", "cube_revenue", "continuous_rollup",
     "asof_forward_attribution", "multimodal_frame_sample",
-    "minhash_near_dups_portable",
+    "minhash_near_dups_portable", "cms_heavy_users_portable",
+    "simhash_near_dups_portable",
     # rows-only -> hash oracle upgrades in round 3
     "connected_components", "embedding_near_dups_bucketed",
 }
