@@ -296,7 +296,17 @@ def kmeans_centroids_train(
         )
         centroids = (
             members.groupBy("cluster", "dim")
-            .agg(F.avg("val").alias("m"))
+            # decimal-exact mean: a parallel double sum is order-dependent
+            # in its last bits, which would make centroids (and every
+            # downstream assignment) vary run-to-run and diverge from the
+            # SQL oracle; the decimal sum is exact, so the mean is
+            # bit-identical regardless of partitioning or engine
+            .agg(
+                (
+                    F.sum(F.col("val").cast("decimal(28,10)")).cast("double")
+                    / F.count(F.lit(1))
+                ).alias("m")
+            )
             .groupBy("cluster")
             .agg(
                 F.array_sort(

@@ -290,10 +290,65 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# IVF is fully deterministic given its centroids, and the centroids here
+# are the label_centroids query's output — decimal-exact means rounded
+# to 6 decimals, bit-identical across engines. So the whole probe-and-
+# score pipeline is SQL-expressible: assign corpus to nearest centroid,
+# probe top-3 lists per query, exact-score only those lists.
+_IVF_ORACLE = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cent AS (
+  SELECT label AS cluster, list(m ORDER BY pos) AS cv FROM (
+    SELECT label, pos,
+           ROUND(CAST(SUM(CAST(val AS DECIMAL(28,10))) AS DOUBLE)
+                 / COUNT(*), 6) AS m
+    FROM (
+      SELECT label,
+             unnest(generate_series(1, len(embedding))) AS pos,
+             unnest(embedding::DOUBLE[]) AS val
+      FROM embeddings
+    ) GROUP BY label, pos
+  ) GROUP BY label
+), c AS (
+  SELECT vec_id, v FROM e WHERE vec_id >= 10
+), q AS (
+  SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10
+), ca AS (
+  SELECT vec_id, cluster FROM (
+    SELECT c.vec_id, t.cluster,
+           ROW_NUMBER() OVER (PARTITION BY c.vec_id
+             ORDER BY {_COS.format(a='c.v', b='t.cv')} DESC, t.cluster) AS r
+    FROM c CROSS JOIN cent t
+  ) WHERE r = 1
+), qa AS (
+  SELECT query_id, cluster FROM (
+    SELECT q.query_id, t.cluster,
+           ROW_NUMBER() OVER (PARTITION BY q.query_id
+             ORDER BY {_COS.format(a='q.qv', b='t.cv')} DESC, t.cluster) AS r
+    FROM q CROSS JOIN cent t
+  ) WHERE r <= 3
+), scored AS (
+  SELECT DISTINCT qa.query_id, ca.vec_id,
+         {_COS.format(a='q.qv', b='c.v')} AS sim
+  FROM qa JOIN ca ON qa.cluster = ca.cluster
+  JOIN q ON q.query_id = qa.query_id
+  JOIN c ON c.vec_id = ca.vec_id
+)
+SELECT query_id, vec_id, ROUND(sim, 6) AS cosine, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY sim DESC, vec_id
+  ) AS rank FROM scored
+) WHERE rank <= 5
+"""
+
+
 @register(
     "ivf_topk",
-    None,  # probe-limited search is approximate; recall vs exact in tests
-    doc="IVF ANN: inverted lists under per-label centroids, n_probe=2",
+    _IVF_ORACLE,
+    doc="IVF ANN: inverted lists under per-label centroids, n_probe=3; "
+        "centroids are decimal-exact rounded means (bit-identical across "
+        "engines), so list assignment, probing, and per-list top-k are "
+        "all hash-checked (recall vs exact is in tests)",
     tags=("similarity", "ann", "ivf"),
 )
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -319,13 +374,62 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+def _kmeans_oracle(k: int = 8, iters: int = 4) -> str:
+    """Lloyd's k-means unrolled into iterated CTEs: the training loop is
+    deterministic (lowest-id seeding, decimal-exact means, tie-break by
+    cluster id), so a fixed iteration count is one — large — SQL
+    statement. Assignment uses the same fold-identical cosine; means use
+    the same DECIMAL(28,10) exact sum as the Spark trainer, so centroids
+    are bit-identical at every iteration."""
+    cos = _COS.format(a="e.v", b="t.cv")
+    parts = [
+        "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        "x AS (SELECT vec_id, unnest(generate_series(1, len(v))) AS dim,"
+        " unnest(v) AS val FROM e)",
+        f"c0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1"
+        f" AS BIGINT) AS cluster, v AS cv FROM e ORDER BY vec_id LIMIT {k})",
+    ]
+    for i in range(iters + 1):
+        parts.append(f"""a{i} AS (
+  SELECT vec_id, cluster FROM (
+    SELECT e.vec_id, t.cluster,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY {cos} DESC, t.cluster) AS r
+    FROM e CROSS JOIN c{i} t
+  ) WHERE r = 1
+)""")
+        if i == iters:
+            break
+        parts.append(f"""c{i + 1} AS (
+  SELECT cluster, list(m ORDER BY dim) AS cv FROM (
+    SELECT a.cluster, x.dim,
+           CAST(SUM(CAST(x.val AS DECIMAL(28,10))) AS DOUBLE)
+             / COUNT(*) AS m
+    FROM a{i} a JOIN x ON x.vec_id = a.vec_id
+    GROUP BY a.cluster, x.dim
+  ) GROUP BY cluster
+)""")
+    ctes = ",\n".join(parts)
+    return f"""
+WITH {ctes}
+SELECT c.cluster,
+       COALESCE(s.n, 0) AS n_members,
+       ROUND(sqrt(list_dot_product(c.cv, c.cv)), 6) AS centroid_norm
+FROM c{iters} c LEFT JOIN (
+  SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n FROM a{iters}
+  GROUP BY cluster
+) s ON c.cluster = s.cluster
+"""
+
+
 @register(
     "kmeans_clusters",
-    None,  # iterative algorithm (Lloyd's) — not single-statement SQL;
-    # planted-cluster recovery + determinism covered in tests
+    _kmeans_oracle(k=8, iters=4),
     doc="deterministic Lloyd's k-means over the embedding corpus (k=8, "
-        "4 iters, lowest-id seeding): per-cluster size + centroid norm — "
-        "the trainer feeding ivf_topk",
+        "4 iters, lowest-id seeding, decimal-exact means): per-cluster "
+        "size + centroid norm — the trainer feeding ivf_topk. Oracle: "
+        "the training loop unrolled into iterated SQL CTEs, centroid "
+        "bit-parity at every iteration.",
     tags=("similarity", "ivf", "iterative"),
 )
 def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
