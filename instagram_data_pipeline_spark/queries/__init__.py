@@ -85,6 +85,7 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "minhash_near_dups_portable",
     "cms_heavy_users_portable",
     "simhash_near_dups_portable",
+    "bloom_pruned_join",
     # -- oracle upgraded in round 3 (rows-only -> hash) --------------------
     "connected_components",
     "embedding_near_dups_bucketed",
@@ -96,7 +97,6 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "kmeans_clusters",
     "cms_heavy_users",
     # -- one-driver-round green extension / ledger-head queries ------------
-    "embedding_norms",
     "cosine_topk",
     "embedding_near_dups",
     "embedding_quantize",
@@ -111,6 +111,9 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "mutual_edges",
     # ------------------- driver window ends at slot 50 --------------------
     "pricing_summary",
+    # One-round-green (r02) extension queries rotated out to fund new
+    # round-3 slots; cosine_topk keeps the vector-fold evidence in-window.
+    "embedding_norms",
     # Two-round-green core relational queries, demoted past the window;
     # each still oracle-checked every CI run by tests/test_queries_oracle.py.
     # (sessionize_stream's streaming evidence is carried in-window by

@@ -767,3 +767,44 @@ def q_simhash_near_dups_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter join pruning (operators/bloom.py): the broadcast-bitmap
+# prune a 100 TB fact scan needs when the dim side exceeds the broadcast
+# threshold. The residual semi-join makes the composition exact, so the
+# oracle is the plain semi-join — correctness is independent of the hash
+# family and the filter's false-positive rate.
+# ---------------------------------------------------------------------------
+@register(
+    "bloom_pruned_join",
+    """
+SELECT l_returnflag,
+       COUNT(*) AS n_items,
+       CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+                           AS DECIMAL(28,10))), 2) AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_suppkey IN (SELECT s_suppkey FROM supplier WHERE s_nationkey = 3)
+GROUP BY l_returnflag
+""",
+    doc="revenue from one nation's suppliers via Bloom-pruned semi-join: "
+        "the supplier keys aggregate into a fixed-size broadcast bitmap "
+        "(8 KiB) that pre-filters lineitem with pure codegen bit probes "
+        "before any shuffle; the residual semi-join drops false positives",
+    tags=("join", "bloom", "scale"),
+)
+def q_bloom_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bloom import bloom_semi_join
+    from .core import _exact_sum
+
+    li = load_testdata(spark, sf_dir, "lineitem")
+    supp = load_testdata(spark, sf_dir, "supplier").filter(
+        F.col("s_nationkey") == 3
+    )
+    joined = bloom_semi_join(li, supp, "l_suppkey", "s_suppkey")
+    return joined.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        _exact_sum(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"
+        ),
+    )
