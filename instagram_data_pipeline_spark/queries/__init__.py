@@ -86,6 +86,7 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "cms_heavy_users_portable",
     "simhash_near_dups_portable",
     "bloom_pruned_join",
+    "passage_dedup",
     # -- oracle upgraded in round 3 (rows-only -> hash) --------------------
     "connected_components",
     "embedding_near_dups_bucketed",
@@ -105,15 +106,17 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "ledger_enqueue_due",
     "ledger_dequeue_transition",
     "ledger_complete_batch",
-    "ledger_point_update",
     # -- two-round-green core queries kept in-window (flagship + headline
     #    bench query) ------------------------------------------------------
     "mutual_edges",
     # ------------------- driver window ends at slot 50 --------------------
     "pricing_summary",
-    # One-round-green (r02) extension queries rotated out to fund new
-    # round-3 slots; cosine_topk keeps the vector-fold evidence in-window.
+    # One-round-green (r02) extension/ledger queries rotated out to fund
+    # new round-3 slots; cosine_topk keeps the vector-fold evidence and
+    # ledger_{enqueue_due,dequeue_transition,complete_batch} keep the
+    # ledger-family evidence in-window.
     "embedding_norms",
+    "ledger_point_update",
     # Two-round-green core relational queries, demoted past the window;
     # each still oracle-checked every CI run by tests/test_queries_oracle.py.
     # (sessionize_stream's streaming evidence is carried in-window by

@@ -524,3 +524,60 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 3)
         .select("doc_id", "term", "tfidf", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Passage-level dedup (C4-style repeated-span removal): cuts passages
+# repeated across the corpus out of otherwise-unique documents — the
+# case document-level dedup cannot touch. extensions/dedup.py:passage_dedup.
+# ---------------------------------------------------------------------------
+_PASSAGE_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, string_split({_NORM}, ' ') AS ws FROM documents
+), words AS (
+  SELECT doc_id, unnest(ws) AS word, generate_subscripts(ws, 1) AS pos
+  FROM toks
+), chunks AS (
+  SELECT doc_id, CAST((pos - 1) // 10 AS INT) AS chunk_idx,
+         string_agg(word, ' ' ORDER BY pos) AS chunk_text
+  FROM words WHERE word <> ''
+  GROUP BY doc_id, CAST((pos - 1) // 10 AS INT)
+), kept AS (
+  SELECT doc_id, chunk_idx, chunk_text,
+         ROW_NUMBER() OVER (
+           PARTITION BY chunk_text ORDER BY doc_id, chunk_idx
+         ) AS rn
+  FROM chunks
+), rebuilt AS (
+  SELECT doc_id,
+         string_agg(chunk_text, ' ' ORDER BY chunk_idx) AS clean_text,
+         COUNT(*) AS n_chunks_kept
+  FROM kept WHERE rn = 1 GROUP BY doc_id
+), totals AS (
+  SELECT doc_id, COUNT(*) AS n_chunks_total FROM chunks GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(r.clean_text, '') AS clean_text,
+       COALESCE(t.n_chunks_total, 0) AS n_chunks_total,
+       COALESCE(r.n_chunks_kept, 0) AS n_chunks_kept
+FROM documents d
+LEFT JOIN totals t ON d.doc_id = t.doc_id
+LEFT JOIN rebuilt r ON d.doc_id = r.doc_id
+"""
+
+
+@register(
+    "passage_dedup",
+    _PASSAGE_ORACLE,
+    doc="passage-level dedup: 10-word windows of normalized text, first "
+        "corpus occurrence wins, docs rebuilt without repeated spans. "
+        "Chunking is per-row array exprs (no explode shuffle); the plan "
+        "is two hash-partitioned passes (first-occurrence window on "
+        "chunk_text, per-doc reassembly) at any corpus size",
+    tags=("text", "dedup", "scale"),
+)
+def q_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.dedup import passage_dedup
+
+    docs = load_testdata(spark, sf_dir, "documents")
+    return passage_dedup(docs, chunk_size=10)

@@ -1,0 +1,43 @@
+"""Passage-level dedup: planted repeated spans across distinct docs."""
+
+from __future__ import annotations
+
+from instagram_data_pipeline_spark.extensions.dedup import passage_dedup
+
+
+def _docs(spark):
+    span = " ".join(f"w{i}" for i in range(10))  # one exact 10-word chunk
+    rows = [
+        (1, span + " unique alpha beta gamma"),
+        (2, span + " other delta words here"),  # repeats doc 1's first chunk
+        (3, "totally different text entirely"),
+        (4, span),  # nothing but the repeated span
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_first_occurrence_wins(spark):
+    out = {
+        r["doc_id"]: r
+        for r in passage_dedup(_docs(spark), chunk_size=10).collect()
+    }
+    # doc 1 keeps everything (it is the first occurrence)
+    assert out[1]["n_chunks_kept"] == out[1]["n_chunks_total"] == 2
+    assert out[1]["clean_text"].startswith("w0 w1")
+    # doc 2 loses the repeated leading span, keeps its tail
+    assert out[2]["n_chunks_total"] == 2
+    assert out[2]["n_chunks_kept"] == 1
+    assert out[2]["clean_text"] == "other delta words here"
+    # doc 3 untouched
+    assert out[3]["n_chunks_kept"] == 1
+    # doc 4 is pure boilerplate -> emptied, but the row survives
+    assert out[4]["n_chunks_kept"] == 0
+    assert out[4]["clean_text"] == ""
+
+
+def test_chunk_order_preserved(spark):
+    text = " ".join(f"t{i}" for i in range(25))  # 3 chunks: 10+10+5
+    df = spark.createDataFrame([(7, text)], ["doc_id", "text"])
+    row = passage_dedup(df, chunk_size=10).collect()[0]
+    assert row["n_chunks_total"] == 3
+    assert row["clean_text"] == text
