@@ -146,3 +146,59 @@ def lang_id(col: Column) -> Column:
         .when(s["es"] >= s["fr"], F.lit("es"))
         .otherwise(F.lit("fr"))
     )
+
+
+def word_ngrams_text(col: Column, n: int) -> Column:
+    """All ``n``-word substrings of the normalized text, as strings —
+    pure per-row array exprs (sequence + slice in transform), no
+    explode. Empty array when the doc has fewer than ``n`` tokens.
+
+    SQL mirror: list_transform(generate_series(1, len(ws) - (n-1)),
+    i -> array_to_string(ws[i : i+n-1], ' ')) — or the pairwise
+    concat form used in the repetition_stats oracle."""
+    toks = tokens(col)
+    # guard: Spark's sequence(0, b) steps DOWNWARD for b < 0, so short
+    # docs must short-circuit to an empty array, not sequence(0, -1)
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def dup_ngram_fraction(col: Column, n: int) -> Column:
+    """Fraction of the doc's word n-grams that are repeats of an
+    earlier n-gram in the SAME doc — the Gopher/MassiveText repetition
+    signal (high => boilerplate/spam). 0.0 for docs shorter than n."""
+    g = word_ngrams_text(col, n)
+    return F.when(
+        F.size(g) > 0,
+        F.lit(1.0) - F.size(F.array_distinct(g)) / F.size(g),
+    ).otherwise(F.lit(0.0))
+
+
+# PII scrub patterns: intentionally simple, RE2-compatible (no
+# backrefs/lookarounds) so the same pattern string runs verbatim in
+# Java regex (Spark), RE2 (DuckDB), and most other engines.
+EMAIL_RE = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+PHONE_RE = "555-[0-9]{4}"
+
+
+def redact_pii(col: Column) -> Column:
+    """Replace emails and (toy NANP test-prefix) phone numbers with
+    typed placeholder tags — the pre-training scrub pass. Chained
+    ``regexp_replace`` stays inside whole-stage codegen; at 100 TB this
+    is a map-only stage fused with the scan."""
+    x = F.regexp_replace(col, EMAIL_RE, "<EMAIL>")
+    return F.regexp_replace(x, PHONE_RE, "<PHONE>")
+
+
+def pii_counts(col: Column) -> tuple[Column, Column]:
+    """(n_emails, n_phones) found in the text, via regexp_count.
+    SQL mirror: len(regexp_extract_all(x, pattern))."""
+    return (
+        F.regexp_count(col, F.lit(EMAIL_RE)).cast("long"),
+        F.regexp_count(col, F.lit(PHONE_RE)).cast("long"),
+    )

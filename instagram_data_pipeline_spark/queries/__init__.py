@@ -87,6 +87,8 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "simhash_near_dups_portable",
     "bloom_pruned_join",
     "passage_dedup",
+    "repetition_stats",
+    "pii_redaction",
     # -- oracle upgraded in round 3 (rows-only -> hash) --------------------
     "connected_components",
     "embedding_near_dups_bucketed",
@@ -100,9 +102,7 @@ REGISTRY_ORDER: tuple[str, ...] = (
     # -- one-driver-round green extension / ledger-head queries ------------
     "cosine_topk",
     "embedding_near_dups",
-    "embedding_quantize",
     "dataset_split",
-    "label_centroids",
     "ledger_enqueue_due",
     "ledger_dequeue_transition",
     "ledger_complete_batch",
@@ -116,6 +116,8 @@ REGISTRY_ORDER: tuple[str, ...] = (
     # ledger_{enqueue_due,dequeue_transition,complete_batch} keep the
     # ledger-family evidence in-window.
     "embedding_norms",
+    "embedding_quantize",
+    "label_centroids",
     "ledger_point_update",
     # Two-round-green core relational queries, demoted past the window;
     # each still oracle-checked every CI run by tests/test_queries_oracle.py.

@@ -581,3 +581,129 @@ def q_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_testdata(spark, sf_dir, "documents")
     return passage_dedup(docs, chunk_size=10)
+
+
+# ---------------------------------------------------------------------------
+# Repetition statistics (Gopher/MassiveText quality signals): fraction of
+# repeated within-doc n-grams + distinct-token ratio. Everything is
+# per-row array exprs — the whole query is a single scan, zero shuffles.
+# ---------------------------------------------------------------------------
+_REP_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, string_split({_NORM}, ' ') AS ws FROM documents
+), grams AS (
+  SELECT doc_id, ws,
+         CASE WHEN len(ws) >= 2 THEN list_transform(
+           generate_series(1, len(ws) - 1), i -> ws[i] || ' ' || ws[i + 1]
+         ) ELSE [] END AS g2,
+         CASE WHEN len(ws) >= 3 THEN list_transform(
+           generate_series(1, len(ws) - 2),
+           i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2]
+         ) ELSE [] END AS g3
+  FROM toks
+)
+SELECT doc_id,
+       len(ws) AS n_tokens,
+       ROUND(len(list_distinct(ws)) / len(ws), 6) AS uniq_token_ratio,
+       CASE WHEN len(g2) > 0
+            THEN ROUND(1.0 - len(list_distinct(g2)) / len(g2), 6)
+            ELSE 0.0 END AS dup_bigram_frac,
+       CASE WHEN len(g3) > 0
+            THEN ROUND(1.0 - len(list_distinct(g3)) / len(g3), 6)
+            ELSE 0.0 END AS dup_trigram_frac
+FROM grams
+"""
+
+
+@register(
+    "repetition_stats",
+    _REP_ORACLE,
+    doc="Gopher-style repetition signals: distinct-token ratio plus "
+        "duplicate bigram/trigram fractions per doc — pure per-row "
+        "array exprs (no explode), single scan, zero shuffles",
+    tags=("text", "quality", "scale"),
+)
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_testdata(spark, sf_dir, "documents")
+    toks = X.tokens(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.round(F.size(F.array_distinct(toks)) / F.size(toks), 6).alias(
+            "uniq_token_ratio"
+        ),
+        F.round(X.dup_ngram_fraction(F.col("text"), 2), 6).alias(
+            "dup_bigram_frac"
+        ),
+        F.round(X.dup_ngram_fraction(F.col("text"), 3), 6).alias(
+            "dup_trigram_frac"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction (pre-training scrub). The synthetic corpus carries no
+# real PII, so the query PLANTS deterministic emails/phones derived from
+# doc_id (both engines build the identical augmented text), then scrubs
+# them — exercising the real redaction exprs with nonzero effect.
+# ---------------------------------------------------------------------------
+_PII_EMAIL_SQL = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+_PII_PHONE_SQL = "555-[0-9]{4}"
+
+_PII_ORACLE = f"""
+WITH aug AS (
+  SELECT doc_id,
+         text ||
+         CASE WHEN doc_id % 3 = 0
+              THEN ' contact user' || doc_id || '@example.com for info'
+              ELSE '' END ||
+         CASE WHEN doc_id % 5 = 0
+              THEN ' or call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+              ELSE '' END AS t
+  FROM documents
+)
+SELECT doc_id,
+       regexp_replace(regexp_replace(t, '{_PII_EMAIL_SQL}', '<EMAIL>', 'g'),
+                      '{_PII_PHONE_SQL}', '<PHONE>', 'g') AS redacted,
+       len(regexp_extract_all(t, '{_PII_EMAIL_SQL}')) AS n_emails,
+       len(regexp_extract_all(t, '{_PII_PHONE_SQL}')) AS n_phones
+FROM aug
+"""
+
+
+@register(
+    "pii_redaction",
+    _PII_ORACLE,
+    doc="PII scrub: plant deterministic emails/phones from doc_id, then "
+        "redact with RE2-compatible patterns (functions.text.redact_pii) "
+        "and count hits — chained regexp_replace in codegen, map-only, "
+        "zero shuffles",
+    tags=("text", "quality", "scale"),
+)
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_testdata(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com for info"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.lit(" or call 555-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    n_emails, n_phones = X.pii_counts(aug)
+    return docs.select(
+        "doc_id",
+        X.redact_pii(aug).alias("redacted"),
+        n_emails.alias("n_emails"),
+        n_phones.alias("n_phones"),
+    )

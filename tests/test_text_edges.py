@@ -60,3 +60,40 @@ def test_shingles_short_docs_empty_not_descending(spark):
     }
     assert out[1] == []
     assert out[2] == ["a b c", "b c d"]
+
+
+def test_dup_ngram_fraction_edges(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "x"),                      # shorter than n -> 0.0
+            (2, "a b a b a b"),            # bigrams: ab ba ab ba ab -> 2/5 uniq
+            (3, "p q r s"),                # all bigrams unique -> 0.0
+            (4, ""),                       # empty text -> 0.0
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r.f
+        for r in df.select(
+            "doc_id", X.dup_ngram_fraction(F.col("text"), 2).alias("f")
+        ).collect()
+    }
+    assert out[1] == 0.0
+    assert out[2] == pytest.approx(1 - 2 / 5)
+    assert out[3] == 0.0
+    assert out[4] == 0.0
+
+
+def test_redact_pii(spark):
+    df = spark.createDataFrame(
+        [(1, "mail me at Bob.Smith+x@Example.co.uk or call 555-1234 now")],
+        "doc_id long, text string",
+    )
+    n_emails, n_phones = X.pii_counts(F.col("text"))
+    r = df.select(
+        X.redact_pii(F.col("text")).alias("t"),
+        n_emails.alias("ne"),
+        n_phones.alias("np"),
+    ).collect()[0]
+    assert r.t == "mail me at <EMAIL> or call <PHONE> now"
+    assert r.ne == 1 and r.np == 1
