@@ -89,6 +89,7 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "passage_dedup",
     "repetition_stats",
     "pii_redaction",
+    "stream_dedup",
     # -- oracle upgraded in round 3 (rows-only -> hash) --------------------
     "connected_components",
     "embedding_near_dups_bucketed",
@@ -102,7 +103,6 @@ REGISTRY_ORDER: tuple[str, ...] = (
     # -- one-driver-round green extension / ledger-head queries ------------
     "cosine_topk",
     "embedding_near_dups",
-    "dataset_split",
     "ledger_enqueue_due",
     "ledger_dequeue_transition",
     "ledger_complete_batch",
@@ -117,6 +117,7 @@ REGISTRY_ORDER: tuple[str, ...] = (
     # ledger-family evidence in-window.
     "embedding_norms",
     "embedding_quantize",
+    "dataset_split",
     "label_centroids",
     "ledger_point_update",
     # Two-round-green core relational queries, demoted past the window;

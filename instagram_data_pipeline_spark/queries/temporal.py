@@ -276,3 +276,49 @@ def q_range_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_hi="hi", bucket_width=500.0,
     )
     return out.select("l_orderkey", "l_linenumber", "band_id")
+
+
+# ---------------------------------------------------------------------------
+# Streaming exact dedup (streaming/dedup.py): at-least-once delivery
+# collapsed to effectively-once with watermark-bounded state. The query
+# lands the events table TWICE (simulated redelivery), drains the
+# deduped stream via availableNow, and must equal the distinct source.
+# ---------------------------------------------------------------------------
+@register(
+    "stream_dedup",
+    """
+SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type, value
+FROM events
+""",
+    doc="dropDuplicatesWithinWatermark over a doubled landing of events, "
+        "drained availableNow — equals the distinct source rows; state "
+        "is bounded by the re-delivery horizon, not stream lifetime",
+    tags=("streaming", "dedup"),
+)
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+    import uuid
+
+    from ..streaming.dedup import dedup_stream
+    from ..streaming.events import run_available_now, stream_from_parquet
+
+    events = load_testdata(spark, sf_dir, "events")
+    src = tempfile.mkdtemp(prefix="stream_dedup_src_")
+    # at-least-once simulation: every event lands twice (same file set,
+    # so both copies are in the same availableNow batch); re-land also
+    # downcasts the nanos timestamps to the stream schema's micros
+    events.unionAll(events).repartition(4).write.mode("overwrite").parquet(src)
+    qname = f"stream_dedup_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="stream_dedup_ckpt_")
+    deduped = dedup_stream(stream_from_parquet(spark, src), delay="1 hour")
+    run_available_now(deduped, qname, ckpt)
+    shutil.rmtree(src, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.table(qname).select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_type",
+        "value",
+    )

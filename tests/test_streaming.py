@@ -291,3 +291,30 @@ def test_stream_stream_interval_join_matches_batch(
     a = sorted((r.user_id, r.purchase_id, r.click_id) for r in got.collect())
     b = sorted((r.p_user, r.purchase_id, r.click_id) for r in want.collect())
     assert a and a == b
+
+
+def test_stream_dedup_across_batches(spark, tmp_path):
+    """Redelivered copies arriving in LATER micro-batches still collapse
+    (state keyed within the watermark horizon)."""
+    import pyspark.sql.functions as F
+
+    from instagram_data_pipeline_spark.io import load_testdata
+    from instagram_data_pipeline_spark.streaming.dedup import dedup_stream
+    from instagram_data_pipeline_spark.streaming.events import (
+        run_available_now,
+        stream_from_parquet,
+    )
+
+    events = load_testdata(spark, "/root/testdata/sf0.001", "events").limit(500)
+    src = str(tmp_path / "src")
+    # two landings = distinct file sets; maxFilesPerTrigger forces the
+    # copies into separate micro-batches
+    events.coalesce(1).write.mode("append").parquet(src)
+    events.coalesce(1).write.mode("append").parquet(src)
+    deduped = dedup_stream(
+        stream_from_parquet(spark, src, max_files_per_trigger=1),
+        delay="90 days",  # horizon covers the whole synthetic span
+    )
+    run_available_now(deduped, "stream_dedup_batches", str(tmp_path / "ckpt"))
+    got = spark.table("stream_dedup_batches").count()
+    assert got == events.select("event_id").distinct().count()
