@@ -90,6 +90,7 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "repetition_stats",
     "pii_redaction",
     "stream_dedup",
+    "decontamination",
     # -- oracle upgraded in round 3 (rows-only -> hash) --------------------
     "connected_components",
     "embedding_near_dups_bucketed",
@@ -104,7 +105,6 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "cosine_topk",
     "embedding_near_dups",
     "ledger_enqueue_due",
-    "ledger_dequeue_transition",
     "ledger_complete_batch",
     # -- two-round-green core queries kept in-window (flagship + headline
     #    bench query) ------------------------------------------------------
@@ -119,6 +119,7 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "embedding_quantize",
     "dataset_split",
     "label_centroids",
+    "ledger_dequeue_transition",
     "ledger_point_update",
     # Two-round-green core relational queries, demoted past the window;
     # each still oracle-checked every CI run by tests/test_queries_oracle.py.

@@ -707,3 +707,57 @@ def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_emails.alias("n_emails"),
         n_phones.alias("n_phones"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination (extensions/decontam.py): training docs that
+# carry held-out eval 5-grams — the GPT-3/PaLM hygiene pass, as an
+# inverted-index equi-join on the md5 shingle hash (no pairwise docs).
+# ---------------------------------------------------------------------------
+_DECONTAM_ORACLE = f"""
+WITH lab AS (
+  SELECT doc_id, string_split({_NORM}, ' ') AS w,
+         CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+           % 10000 AS bucket
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, bucket, md5(s) AS sh FROM (
+    SELECT doc_id, bucket, unnest(
+      CASE WHEN len(w) < 5 THEN []
+           ELSE list_transform(generate_series(1, len(w) - 4),
+                               i -> array_to_string(w[i:i+4], ' '))
+      END) AS s
+    FROM lab
+  ) u
+), train_sh AS (
+  SELECT doc_id, sh FROM sh WHERE bucket < 9000
+), eval_sh AS (
+  SELECT doc_id AS eval_id, sh FROM sh WHERE bucket >= 9500
+)
+SELECT t.doc_id,
+       COUNT(DISTINCT t.sh) AS n_shared_shingles,
+       COUNT(DISTINCT e.eval_id) AS n_eval_docs
+FROM train_sh t JOIN eval_sh e ON t.sh = e.sh
+GROUP BY t.doc_id
+"""
+
+
+@register(
+    "decontamination",
+    _DECONTAM_ORACLE,
+    doc="pre-training decontamination: train docs sharing 5-word shingles "
+        "with the held-out test split (stable-hash split, distinct "
+        "shingles per doc, md5 equi-join, per-doc rollup) — the eval "
+        "side broadcasts at real scale so the only shuffle is the rollup",
+    tags=("text", "dedup", "scale"),
+)
+def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.decontam import contamination_report
+    from ..extensions.sampling import assign_split
+
+    docs = assign_split(
+        load_testdata(spark, sf_dir, "documents"), "doc_id"
+    )
+    train = docs.filter(F.col("split") == "train")
+    eval_df = docs.filter(F.col("split") == "test")
+    return contamination_report(train, eval_df, n=5)

@@ -41,3 +41,33 @@ def test_chunk_order_preserved(spark):
     row = passage_dedup(df, chunk_size=10).collect()[0]
     assert row["n_chunks_total"] == 3
     assert row["clean_text"] == text
+
+
+def test_contamination_report_planted(spark):
+    from instagram_data_pipeline_spark.extensions.decontam import (
+        contamination_report,
+    )
+
+    span = " ".join(f"e{i}" for i in range(5))  # a 5-gram from eval
+    train = spark.createDataFrame(
+        [
+            (1, "clean words only nothing shared here at all"),
+            (2, f"prefix {span} suffix words"),     # carries eval 5-gram
+            (3, f"{span} {span}"),                  # repeated -> still distinct
+        ],
+        ["doc_id", "text"],
+    )
+    eval_df = spark.createDataFrame(
+        [(100, f"intro {span} outro"), (101, f"again {span} here")],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: r
+        for r in contamination_report(train, eval_df, n=5).collect()
+    }
+    assert 1 not in got                      # clean doc absent
+    assert got[2]["n_eval_docs"] == 2        # the span is in both eval docs
+    assert got[2]["n_shared_shingles"] >= 1
+    # doc 3: span twice + bridging shingles; the exact shared set is the
+    # distinct overlap with eval shingles
+    assert got[3]["n_eval_docs"] == 2
