@@ -101,9 +101,9 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "ivf_topk",
     "kmeans_clusters",
     "cms_heavy_users",
+    "approx_distinct_users",
     # -- one-driver-round green extension / ledger-head queries ------------
     "cosine_topk",
-    "embedding_near_dups",
     "ledger_enqueue_due",
     "ledger_complete_batch",
     # -- two-round-green core queries kept in-window (flagship + headline
@@ -116,6 +116,7 @@ REGISTRY_ORDER: tuple[str, ...] = (
     # ledger_{enqueue_due,dequeue_transition,complete_batch} keep the
     # ledger-family evidence in-window.
     "embedding_norms",
+    "embedding_near_dups",
     "embedding_quantize",
     "dataset_split",
     "label_centroids",

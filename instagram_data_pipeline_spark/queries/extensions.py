@@ -808,3 +808,35 @@ def q_bloom_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog approximate distinct counting: the corpus-stats staple
+# (unique users/domains/fingerprints at 100 TB without a distinct
+# shuffle). Spark's approx_count_distinct is HLL++ — a mergeable sketch
+# computed map-side; the shuffle moves one sketch per partition instead
+# of every distinct key. DuckDB's approx_count_distinct is a different
+# HLL implementation with different estimates, so this is rows-only by
+# nature; tests/test_approx.py pins the relative-error bound against
+# the exact count.
+# ---------------------------------------------------------------------------
+@register(
+    "approx_distinct_users",
+    None,
+    doc="HLL++ distinct users per event_type (rsd=0.02): mergeable "
+        "map-side sketches, no distinct shuffle — rows-only (engine-"
+        "specific estimator); error bound pinned vs exact in tests",
+    tags=("sketch", "approx"),
+)
+def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_testdata(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.approx_count_distinct("user_id", rsd=0.02).alias(
+                "approx_users"
+            ),
+        )
+        .orderBy("event_type")
+    )

@@ -26,3 +26,25 @@ def test_percentile_approx_brackets_exact(spark, sf_dir):
     ).collect()[0]
     # high-accuracy sketch: within 1% of the exact interpolated median
     assert abs(row.approx - row.exact) / row.exact < 0.01
+
+
+def test_hll_error_bound(spark, sf_dir):
+    """HLL++ estimate within 3*rsd of the exact distinct count."""
+    import pyspark.sql.functions as F
+
+    from instagram_data_pipeline_spark.io import load_testdata
+
+    ev = load_testdata(spark, sf_dir, "events")
+    rows = (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx"),
+            F.countDistinct("user_id").alias("exact"),
+        )
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        assert abs(r["approx"] - r["exact"]) <= max(3, 0.06 * r["exact"]), (
+            r["event_type"], r["approx"], r["exact"],
+        )
