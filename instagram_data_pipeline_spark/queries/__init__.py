@@ -91,6 +91,7 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "pii_redaction",
     "stream_dedup",
     "decontamination",
+    "quality_gate",
     # -- oracle upgraded in round 3 (rows-only -> hash) --------------------
     "connected_components",
     "embedding_near_dups_bucketed",
@@ -105,7 +106,6 @@ REGISTRY_ORDER: tuple[str, ...] = (
     # -- one-driver-round green extension / ledger-head queries ------------
     "cosine_topk",
     "ledger_enqueue_due",
-    "ledger_complete_batch",
     # -- two-round-green core queries kept in-window (flagship + headline
     #    bench query) ------------------------------------------------------
     "mutual_edges",
@@ -120,6 +120,7 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "embedding_quantize",
     "dataset_split",
     "label_centroids",
+    "ledger_complete_batch",
     "ledger_dequeue_transition",
     "ledger_point_update",
     # Two-round-green core relational queries, demoted past the window;

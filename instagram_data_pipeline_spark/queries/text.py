@@ -761,3 +761,72 @@ def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     train = docs.filter(F.col("split") == "train")
     eval_df = docs.filter(F.col("split") == "test")
     return contamination_report(train, eval_df, n=5)
+
+
+# ---------------------------------------------------------------------------
+# Corpus quality gate: the composed keep/drop filter pass a training
+# pipeline actually runs (length cuts + repetition cut + lang-ID),
+# with per-doc drop reasons for auditability. All per-row codegen
+# exprs — single scan, zero shuffles; at 100 TB this fuses with the
+# parquet scan and prunes the corpus before any expensive stage.
+# ---------------------------------------------------------------------------
+_GATE_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, string_split({_NORM}, ' ') AS ws,
+         {_marker_sql('en')} + {_marker_sql('de')} +
+         {_marker_sql('es')} + {_marker_sql('fr')} AS lang_hits
+  FROM documents
+), g AS (
+  SELECT doc_id, len(ws) AS n_tokens, lang_hits,
+         CASE WHEN len(ws) >= 2 THEN
+           1.0 - len(list_distinct(list_transform(
+             generate_series(1, len(ws) - 1), i -> ws[i] || ' ' || ws[i + 1]
+           ))) / (len(ws) - 1)
+         ELSE 0.0 END AS dup2
+  FROM t
+)
+SELECT doc_id, n_tokens, ROUND(dup2, 6) AS dup_bigram_frac,
+       (n_tokens >= 25 AND n_tokens <= 90
+        AND dup2 <= 0.05 AND lang_hits > 0) AS keep,
+       concat_ws(',',
+         CASE WHEN n_tokens < 25 THEN 'too_short' END,
+         CASE WHEN n_tokens > 90 THEN 'too_long' END,
+         CASE WHEN dup2 > 0.05 THEN 'repetitive' END,
+         CASE WHEN lang_hits = 0 THEN 'lang_und' END) AS reasons
+FROM g
+"""
+
+
+@register(
+    "quality_gate",
+    _GATE_ORACLE,
+    doc="composed corpus filter: length window + duplicate-bigram cut + "
+        "lang-ID, emitting keep plus audit reasons — single scan, zero "
+        "shuffles, fuses with the parquet read at scale",
+    tags=("text", "quality", "scale"),
+)
+def q_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_testdata(spark, sf_dir, "documents")
+    toks = X.tokens(F.col("text"))
+    n_tokens = F.size(toks).cast("long")
+    dup2 = X.dup_ngram_fraction(F.col("text"), 2)
+    s = X.lang_scores(F.col("text"))
+    lang_hits = s["en"] + s["de"] + s["es"] + s["fr"]
+    keep = (
+        (n_tokens >= 25) & (n_tokens <= 90)
+        & (dup2 <= 0.05) & (lang_hits > 0)
+    )
+    reasons = F.concat_ws(
+        ",",
+        F.when(n_tokens < 25, F.lit("too_short")),
+        F.when(n_tokens > 90, F.lit("too_long")),
+        F.when(dup2 > 0.05, F.lit("repetitive")),
+        F.when(lang_hits == 0, F.lit("lang_und")),
+    )
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.round(dup2, 6).alias("dup_bigram_frac"),
+        keep.alias("keep"),
+        reasons.alias("reasons"),
+    )
