@@ -71,3 +71,25 @@ def test_contamination_report_planted(spark):
     # doc 3: span twice + bridging shingles; the exact shared set is the
     # distinct overlap with eval shingles
     assert got[3]["n_eval_docs"] == 2
+
+
+def test_passage_dedup_idempotent(spark):
+    """A deduped corpus has no cross-doc repeated chunks left, so a
+    second pass keeps everything (fixpoint after one application)."""
+    import pyspark.sql.functions as F
+
+    span = " ".join(f"w{i}" for i in range(10))
+    df = spark.createDataFrame(
+        [
+            (1, span + " unique alpha beta gamma"),
+            (2, span + " other delta words here"),
+            (3, span),
+        ],
+        ["doc_id", "text"],
+    )
+    once = passage_dedup(df, chunk_size=10).select(
+        "doc_id", F.col("clean_text").alias("text")
+    )
+    twice = passage_dedup(once, chunk_size=10)
+    for r in twice.collect():
+        assert r["n_chunks_kept"] == r["n_chunks_total"], r
