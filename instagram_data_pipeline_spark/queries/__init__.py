@@ -92,6 +92,7 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "stream_dedup",
     "decontamination",
     "quality_gate",
+    "retention_cohorts",
     # -- oracle upgraded in round 3 (rows-only -> hash) --------------------
     "connected_components",
     "embedding_near_dups_bucketed",
@@ -104,7 +105,6 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "cms_heavy_users",
     "approx_distinct_users",
     # -- one-driver-round green extension / ledger-head queries ------------
-    "cosine_topk",
     "ledger_enqueue_due",
     # -- two-round-green core queries kept in-window (flagship + headline
     #    bench query) ------------------------------------------------------
@@ -116,6 +116,7 @@ REGISTRY_ORDER: tuple[str, ...] = (
     # ledger_{enqueue_due,dequeue_transition,complete_batch} keep the
     # ledger-family evidence in-window.
     "embedding_norms",
+    "cosine_topk",
     "embedding_near_dups",
     "embedding_quantize",
     "dataset_split",

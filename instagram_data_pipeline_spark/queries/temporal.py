@@ -322,3 +322,44 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "value",
     )
+
+
+# ---------------------------------------------------------------------------
+# Retention cohorts: the classic growth-analytics rollup (cohort = first
+# active date per user; cells = distinct users active N days later).
+# Two shuffles at any scale: per-user cohort agg, then the cell rollup —
+# the cohort side joins back to the fact on user_id (SMJ at scale;
+# broadcast here).
+# ---------------------------------------------------------------------------
+@register(
+    "retention_cohorts",
+    """
+WITH c AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_date
+  FROM events GROUP BY user_id
+)
+SELECT c.cohort_date,
+       date_diff('day', c.cohort_date, CAST(e.ts AS DATE)) AS day_offset,
+       COUNT(DISTINCT e.user_id) AS n_active
+FROM events e JOIN c ON e.user_id = c.user_id
+GROUP BY c.cohort_date, date_diff('day', c.cohort_date, CAST(e.ts AS DATE))
+""",
+    doc="day-N retention matrix: first-active cohort per user, distinct "
+        "active users per (cohort, day offset) — two shuffles total",
+    tags=("temporal", "agg"),
+)
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_testdata(spark, sf_dir, "events")
+    cohorts = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("cohort_date")
+    )
+    return (
+        ev.join(cohorts, "user_id")
+        .groupBy(
+            "cohort_date",
+            F.datediff(F.to_date("ts"), F.col("cohort_date"))
+            .cast("long")
+            .alias("day_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
