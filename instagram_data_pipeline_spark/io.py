@@ -374,3 +374,79 @@ class Warehouse:
         internal bucket column."""
         df = self.spark.read.parquet(self.path(table))
         return df.drop(self.BUCKET_COL)
+
+    def partition_file_counts(self, table: str, part_col: str) -> dict:
+        """{partition_value(str): n_parquet_files} via the Hadoop
+        FileSystem API (works on HDFS/S3A/local alike). Driver-side cost
+        is one listing per partition directory — the same metadata walk
+        the parquet reader performs, bounded by partition count."""
+        jvm = self.spark._jvm
+        conf = self.spark._jsc.hadoopConfiguration()
+        path = jvm.org.apache.hadoop.fs.Path(self.path(table))
+        fs = path.getFileSystem(conf)
+        counts: dict[str, int] = {}
+        if not fs.exists(path):
+            return counts
+        for st in fs.listStatus(path):
+            name = st.getPath().getName()
+            if not (st.isDirectory() and name.startswith(f"{part_col}=")):
+                continue
+            n = sum(
+                1
+                for f in fs.listStatus(st.getPath())
+                if f.getPath().getName().endswith(".parquet")
+            )
+            counts[name.split("=", 1)[1]] = n
+        return counts
+
+    def compact_partitions(
+        self,
+        table: str,
+        part_col: str | None = None,
+        target_files: int = 1,
+    ) -> list[str]:
+        """Small-file compaction: rewrite only the partitions whose
+        parquet file count exceeds ``target_files``, to exactly
+        ``target_files`` files each. Returns the partition values
+        compacted.
+
+        Repeated partition-scoped upserts leave each touched partition
+        with one file per merge — at 100 TB the scan cost becomes
+        metadata/open-bound long before data-bound. The fix is the
+        standard maintenance pass every table format ships (Delta
+        OPTIMIZE / Iceberg rewrite_data_files), expressed on plain
+        parquet:
+
+        * the partition->file-count map comes from the FileSystem API
+          (no data read);
+        * only oversized partitions are READ (partition pruning) and
+          rewritten, via ``repartition(part_col, salt)`` where the salt
+          is a key hash mod ``target_files`` — each (partition, salt)
+          group is one task, so each partition lands in exactly
+          ``target_files`` files;
+        * the rewrite goes through the same staged dynamic-partition
+          overwrite as the upsert path (atomic w.r.t. this plan's own
+          reads; crash-atomicity needs a real table format).
+        """
+        from pyspark.sql import functions as F
+
+        part_col = part_col or self.BUCKET_COL
+        counts = self.partition_file_counts(table, part_col)
+        todo = sorted(v for v, n in counts.items() if n > target_files)
+        if not todo:
+            return []
+        df = self.spark.read.parquet(self.path(table))
+        part_type = df.schema[part_col].dataType
+        touched = [F.lit(v).cast(part_type) for v in todo]
+        scoped = df.filter(F.col(part_col).isin(*touched))
+        salt = F.pmod(
+            F.xxhash64(*[F.col(c) for c in df.columns if c != part_col]),
+            F.lit(target_files),
+        )
+        compacted = (
+            scoped.withColumn("_salt", salt)
+            .repartition(part_col, "_salt")
+            .drop("_salt")
+        )
+        self.overwrite_partitions(table, compacted, part_col)
+        return todo

@@ -152,3 +152,43 @@ def test_register_views_sql_access(spark, sf_dir):
     assert set(TESTDATA_TABLES) <= {
         t.name for t in spark.catalog.listTables()
     }
+
+
+def test_compact_partitions(spark, tmp_path):
+    """Many small upserts -> many files per bucket; compaction rewrites
+    only oversized buckets down to target_files with data unchanged."""
+    import pyspark.sql.functions as F
+
+    from instagram_data_pipeline_spark.io import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path))
+    base = spark.range(0, 400).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v"),
+        F.lit(0).alias("ver"),
+    )
+    wh.upsert_partitioned("t", base, ["k"], "ver", num_buckets=4)
+    # streaming-style APPEND micro-batches accrete one file per bucket
+    # per batch (the merge path rewrites partitions whole, so it never
+    # fragments — appends are where small files come from)
+    bcol = Warehouse.BUCKET_COL
+    for i in range(1, 6):
+        inc = spark.range(0, 80).select(
+            (F.col("id") * 5 + 1000 * i).alias("k"),
+            (F.col("id") + 1000 * i).alias("v"),
+            F.lit(i).alias("ver"),
+        ).withColumn(bcol, F.pmod(F.xxhash64(F.col("k")), F.lit(4)).cast("int"))
+        inc.coalesce(1).write.mode("append").partitionBy(bcol).parquet(
+            wh.path("t")
+        )
+    before = wh.partition_file_counts("t", Warehouse.BUCKET_COL)
+    assert max(before.values()) > 2, before
+    data_before = sorted(wh.read_merged("t").collect())
+
+    compacted = wh.compact_partitions("t", target_files=2)
+    assert compacted, "oversized buckets must be rewritten"
+    after = wh.partition_file_counts("t", Warehouse.BUCKET_COL)
+    assert all(n <= 2 for n in after.values()), after
+    assert sorted(wh.read_merged("t").collect()) == data_before
+
+    # idempotent: nothing left to compact
+    assert wh.compact_partitions("t", target_files=2) == []
