@@ -93,6 +93,7 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "decontamination",
     "quality_gate",
     "retention_cohorts",
+    "incremental_dedup",
     # -- oracle upgraded in round 3 (rows-only -> hash) --------------------
     "connected_components",
     "embedding_near_dups_bucketed",
@@ -104,8 +105,6 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "kmeans_clusters",
     "cms_heavy_users",
     "approx_distinct_users",
-    # -- one-driver-round green extension / ledger-head queries ------------
-    "ledger_enqueue_due",
     # -- two-round-green core queries kept in-window (flagship + headline
     #    bench query) ------------------------------------------------------
     "mutual_edges",
@@ -116,6 +115,7 @@ REGISTRY_ORDER: tuple[str, ...] = (
     # ledger_{enqueue_due,dequeue_transition,complete_batch} keep the
     # ledger-family evidence in-window.
     "embedding_norms",
+    "ledger_enqueue_due",
     "cosine_topk",
     "embedding_near_dups",
     "embedding_quantize",

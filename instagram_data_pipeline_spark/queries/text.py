@@ -837,3 +837,50 @@ def q_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         keep.alias("keep"),
         reasons.alias("reasons"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup: admit only new-batch docs whose fingerprint is
+# absent from the historical corpus — the operational form of exact
+# dedup (you never re-dedup 100 TB; you anti-join the day's batch
+# against the fingerprint index). Anti-join on the md5 fingerprint:
+# the batch side is small, the index side is pruned to the fp column.
+# ---------------------------------------------------------------------------
+_INCR_DEDUP_ORACLE = f"""
+WITH lab AS (
+  SELECT doc_id, text,
+         CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+           % 10000 AS bucket
+  FROM documents
+), hist AS (
+  SELECT md5({_NORM}) AS fp FROM lab WHERE bucket < 9000
+), batch AS (
+  SELECT doc_id, md5({_NORM}) AS fp FROM lab WHERE bucket >= 9000
+)
+SELECT b.doc_id, b.fp
+FROM batch b
+WHERE NOT EXISTS (SELECT 1 FROM hist h WHERE h.fp = b.fp)
+"""
+
+
+@register(
+    "incremental_dedup",
+    _INCR_DEDUP_ORACLE,
+    doc="admit-new-only dedup: anti-join the incoming batch's md5 "
+        "fingerprints against the historical index (column-pruned scan "
+        "of fp only) — the daily-ingest form of exact dedup at 100 TB",
+    tags=("text", "dedup", "scale"),
+)
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.sampling import assign_split
+
+    docs = assign_split(
+        load_testdata(spark, sf_dir, "documents"), "doc_id"
+    )
+    hist = docs.filter(F.col("split") == "train").select(
+        X.fingerprint(F.col("text")).alias("fp")
+    )
+    batch = docs.filter(F.col("split") != "train").select(
+        "doc_id", X.fingerprint(F.col("text")).alias("fp")
+    )
+    return batch.join(hist, "fp", "left_anti")
