@@ -150,3 +150,105 @@ def pack_token_stream(
         .cast("long")
         .alias("pack_end"),
     )
+
+
+def temperature_mixture(
+    df: DataFrame,
+    key_col: str,
+    source_col: str,
+    token_col: str,
+    budget: int,
+) -> DataFrame:
+    """Temperature-resampled data mixture (mT5/UNIMAX shape, T=2): the
+    sampling share of source ``s`` is ``sqrt(p_s)`` renormalized, where
+    ``p_s`` is its share of corpus tokens — boosting low-resource
+    sources and damping dominant ones without hand-set weights. The
+    per-source keep fraction ``min(budget * q_s / tokens_s, 1)`` is
+    applied as the same stable hash-bucket cut as
+    :func:`mixture_by_tokens` (reproducible, append-stable, joinable).
+
+    The exponent is fixed at 1/2 ON PURPOSE: IEEE sqrt is correctly
+    rounded in every engine, so the cut thresholds are bit-identical in
+    Spark and SQL oracles. A general ``pow(p, 1/T)`` is only faithful
+    to ~1 ulp and can flip a floor() at a bucket boundary across
+    engines; if you need other temperatures, round the fraction before
+    the floor and accept the boundary hazard.
+
+    Plan: one tiny per-source aggregate + two single-partition window
+    sums over the handful of source rows (broadcast after), then a
+    shuffle-free filter of the corpus.
+    """
+    from pyspark.sql import Window
+
+    totals = df.groupBy(source_col).agg(F.sum(token_col).alias("_tot"))
+    # ordered unbounded frame: the handful of per-source doubles is
+    # summed in source order on BOTH engines — an unordered sum's
+    # addition order is engine/run-dependent, and a last-ulp wobble can
+    # flip the floor() at a bucket boundary
+    everything = (
+        Window.partitionBy()
+        .orderBy(source_col)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    shares = totals.withColumn(
+        "_q", F.sqrt(F.col("_tot") / F.sum("_tot").over(everything))
+    ).withColumn("_qn", F.col("_q") / F.sum("_q").over(everything))
+    frac = F.least(
+        F.lit(float(budget)) * F.col("_qn") / F.col("_tot"), F.lit(1.0)
+    )
+    cut = F.floor(frac * N_BUCKETS).cast("long")
+    return (
+        df.join(F.broadcast(shares), source_col)
+        .filter(split_bucket(F.col(key_col)) < cut)
+        .drop("_tot", "_q", "_qn")
+    )
+
+
+def context_chunks(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    size: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Sliding context-window chunking (RAG / embedding prep): split
+    each doc's token stream into ``size``-token windows advancing by
+    ``size - overlap``, so consecutive chunks share ``overlap`` tokens.
+    The last window is short rather than padded; every token appears in
+    at least one chunk.
+
+    Pure per-row array exprs (sequence of start offsets + slice) then
+    one posexplode — no join, no shuffle; at scale this fuses with the
+    scan feeding the embedding stage.
+
+    Output: ``(id, chunk_idx, start_off, n_tokens, chunk_text)``.
+    """
+    if not 0 <= overlap < size:
+        raise ValueError(f"need 0 <= overlap < size, got {overlap}/{size}")
+    from ..functions import text as X
+
+    stride = size - overlap
+    toks = X.tokens(F.col(text_col))
+    n = F.size(toks)
+    # number of windows: 1 + ceil((n - size) / stride) for n > size
+    last_start = F.when(
+        n <= size, F.lit(0)
+    ).otherwise(F.ceil((n - size) / F.lit(stride)) * stride)
+    starts = F.sequence(F.lit(0), last_start, F.lit(stride))
+    chunks = F.transform(
+        starts,
+        lambda s: F.struct(
+            s.alias("start"),
+            F.slice(toks, s + 1, size).alias("toks"),
+        ),
+    )
+    out = df.select(
+        F.col(id_col), F.posexplode(chunks).alias("chunk_idx", "_c")
+    )
+    return out.select(
+        id_col,
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.col("_c.start").cast("long").alias("start_off"),
+        F.size("_c.toks").cast("long").alias("n_tokens"),
+        F.array_join("_c.toks", " ").alias("chunk_text"),
+    )

@@ -94,6 +94,7 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "quality_gate",
     "retention_cohorts",
     "incremental_dedup",
+    "temperature_mixture",
     # -- oracle upgraded in round 3 (rows-only -> hash) --------------------
     "connected_components",
     "embedding_near_dups_bucketed",
@@ -105,10 +106,14 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "kmeans_clusters",
     "cms_heavy_users",
     "approx_distinct_users",
-    # -- two-round-green core queries kept in-window (flagship + headline
-    #    bench query) ------------------------------------------------------
-    "mutual_edges",
     # ------------------- driver window ends at slot 50 --------------------
+    # context_chunks heads the post-window queue: rotates in next round
+    # (pytest-oracle-checked every CI run meanwhile)
+    "context_chunks",
+    # flagship demoted r3: mutual_edges evidence is abundant elsewhere
+    # (entry() smoke every round, bench headline, pytest twin, two green
+    # driver rounds)
+    "mutual_edges",
     "pricing_summary",
     # One-round-green (r02) extension/ledger queries rotated out to fund
     # new round-3 slots; cosine_topk keeps the vector-fold evidence and

@@ -884,3 +884,97 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", X.fingerprint(F.col("text")).alias("fp")
     )
     return batch.join(hist, "fp", "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# Temperature-resampled mixture (extensions/sampling.temperature_mixture):
+# sqrt-share renormalization (T=2) boosts low-resource sources without
+# hand weights. sqrt is correctly rounded in IEEE — the one exponent
+# whose cut thresholds are bit-identical across engines; the tiny
+# per-source sums use an ORDERED unbounded frame on both sides so the
+# double addition order is pinned.
+# ---------------------------------------------------------------------------
+_TEMP_MIX_ORACLE = """
+WITH totals AS (
+  SELECT source, SUM(n_chars) AS tot FROM documents GROUP BY source
+), shares AS (
+  SELECT source, tot,
+         sqrt(tot * 1.0 / SUM(tot) OVER (ORDER BY source
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)) AS q
+  FROM totals
+), norm AS (
+  SELECT source, tot, q,
+         q / SUM(q) OVER (ORDER BY source
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS qn
+  FROM shares
+), cuts AS (
+  SELECT source,
+         CAST(FLOOR(LEAST(20000.0 * qn / tot, 1.0) * 10000) AS BIGINT) AS cut
+  FROM norm
+)
+SELECT d.doc_id, d.source, d.n_chars
+FROM documents d JOIN cuts c ON d.source = c.source
+WHERE CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+      % 10000 < c.cut
+"""
+
+
+@register(
+    "temperature_mixture",
+    _TEMP_MIX_ORACLE,
+    doc="temperature-resampled mixture to a 20k-token budget (T=2, "
+        "sqrt-share renormalization): low-resource sources up-weighted "
+        "without hand-set weights, applied as stable hash-bucket cuts — "
+        "shuffle-free over the corpus, one tiny broadcast dim",
+    tags=("sampling", "mixture", "scale"),
+)
+def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.sampling import temperature_mixture
+
+    docs = load_testdata(spark, sf_dir, "documents")
+    return temperature_mixture(
+        docs, key_col="doc_id", source_col="source",
+        token_col="n_chars", budget=20000,
+    ).select("doc_id", "source", "n_chars")
+
+
+# ---------------------------------------------------------------------------
+# Context-window chunking (extensions/sampling.context_chunks): sliding
+# 32-token windows, stride 24 (overlap 8) — the RAG/embedding prep op.
+# Pure per-row exprs + one posexplode; fuses with the scan at scale.
+# ---------------------------------------------------------------------------
+_CHUNK_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, string_split({_NORM}, ' ') AS ws FROM documents
+), s AS (
+  SELECT doc_id, ws, len(ws) AS n FROM t
+), st AS (
+  SELECT doc_id, ws, n,
+         unnest(generate_series(0,
+           CASE WHEN n <= 32 THEN 0
+                ELSE CAST(ceil((n - 32) / 24.0) * 24 AS INT) END,
+           24)) AS start_off
+  FROM s
+)
+SELECT doc_id,
+       CAST(start_off // 24 AS BIGINT) AS chunk_idx,
+       CAST(start_off AS BIGINT) AS start_off,
+       CAST(LEAST(32, n - start_off) AS BIGINT) AS n_tokens,
+       array_to_string(ws[start_off + 1 : start_off + 32], ' ') AS chunk_text
+FROM st
+"""
+
+
+@register(
+    "context_chunks",
+    _CHUNK_ORACLE,
+    doc="sliding context windows for RAG/embedding prep: 32-token chunks "
+        "advancing by 24 (8-token overlap), short tail kept — per-row "
+        "array exprs + one posexplode, no shuffle",
+    tags=("text", "chunking", "scale"),
+)
+def q_context_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.sampling import context_chunks
+
+    docs = load_testdata(spark, sf_dir, "documents")
+    return context_chunks(docs, "doc_id", "text", size=32, overlap=8)

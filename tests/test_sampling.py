@@ -113,3 +113,66 @@ def test_mixture_by_tokens_budget_and_caps(spark):
     assert sorted(r.doc_id for r in out.collect()) == sorted(
         r.doc_id for r in again.collect()
     )
+
+
+def test_context_chunks_edges(spark):
+    from instagram_data_pipeline_spark.extensions.sampling import (
+        context_chunks,
+    )
+
+    import pytest as _pytest
+
+    df = spark.createDataFrame(
+        [
+            (1, " ".join(f"t{i}" for i in range(10))),  # exactly one window
+            (2, " ".join(f"u{i}" for i in range(11))),  # 1 extra token
+            (3, "a b"),                                  # short doc
+        ],
+        ["doc_id", "text"],
+    )
+    rows = context_chunks(df, "doc_id", "text", size=10, overlap=4).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert len(by_doc[1]) == 1 and by_doc[1][0]["n_tokens"] == 10
+    # 11 tokens, stride 6: windows at 0 and 6 (tail of 5)
+    c2 = sorted(by_doc[2], key=lambda r: r["chunk_idx"])
+    assert [r["start_off"] for r in c2] == [0, 6]
+    assert c2[-1]["n_tokens"] == 5
+    assert len(by_doc[3]) == 1 and by_doc[3][0]["chunk_text"] == "a b"
+    # every token of doc 2 appears in some chunk
+    toks = set(" ".join(r["chunk_text"] for r in c2).split())
+    assert toks == {f"u{i}" for i in range(11)}
+    with _pytest.raises(ValueError):
+        context_chunks(df, "doc_id", "text", size=10, overlap=10)
+
+
+def test_temperature_mixture_boosts_low_resource(spark):
+    """sqrt-share renormalization gives the small source a larger share
+    of the SAMPLE than of the corpus."""
+    import pyspark.sql.functions as F
+
+    from instagram_data_pipeline_spark.extensions.sampling import (
+        temperature_mixture,
+    )
+
+    big = spark.range(0, 2000).select(
+        F.col("id").alias("doc_id"), F.lit("web").alias("source"),
+        F.lit(100).alias("n_tok"),
+    )
+    small = spark.range(2000, 2200).select(
+        F.col("id").alias("doc_id"), F.lit("books").alias("source"),
+        F.lit(100).alias("n_tok"),
+    )
+    corpus = big.unionAll(small)
+    out = temperature_mixture(
+        corpus, key_col="doc_id", source_col="source",
+        token_col="n_tok", budget=50_000,
+    )
+    got = {r["source"]: r["n"] for r in
+           out.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    corpus_share_small = 200 / 2200
+    sample_share_small = got.get("books", 0) / max(1, sum(got.values()))
+    assert sample_share_small > corpus_share_small
+    # budget respected approximately (hash-cut granularity)
+    assert sum(got.values()) * 100 <= 50_000 * 1.15
