@@ -178,3 +178,49 @@ def mean_rgb_feature(payload: bytes, kind: str) -> list[float]:
         w / 4096.0,
         h / 4096.0,
     ]
+
+
+# ---------------------------------------------------------------------------
+# WAV (RIFF, PCM16 mono little-endian) — the audio analog of the PPM
+# path: an uncompressed container needing no codec library, so the
+# multimodal audio operators get one REAL encode -> binary -> decode
+# round trip. Compressed audio stays behind the pluggable-decoder seam.
+# ---------------------------------------------------------------------------
+
+def encode_wav_pcm16(sample_rate: int, samples: list[int]) -> bytes:
+    """Minimal canonical RIFF/WAVE: fmt chunk (PCM, mono, 16-bit) then
+    one data chunk of little-endian int16 samples."""
+    data = struct.pack(f"<{len(samples)}h", *samples)
+    byte_rate = sample_rate * 2
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, byte_rate, 2, 16)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav_pcm16(data: bytes) -> tuple[int, list[int]]:
+    """Parse RIFF/WAVE with PCM16 mono; walks the chunk list (extra
+    chunks are skipped, as the container allows). Returns
+    ``(sample_rate, samples)``."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, sample_rate, samples = 12, None, None
+    while pos + 8 <= len(data):
+        cid = data[pos:pos + 4]
+        (clen,) = struct.unpack("<I", data[pos + 4:pos + 8])
+        body = data[pos + 8:pos + 8 + clen]
+        if cid == b"fmt ":
+            fmt_tag, channels, sample_rate, _, _, bits = struct.unpack(
+                "<HHIIHH", body[:16]
+            )
+            if (fmt_tag, channels, bits) != (1, 1, 16):
+                raise ValueError("only PCM16 mono supported")
+        elif cid == b"data":
+            samples = list(struct.unpack(f"<{clen // 2}h", body))
+        pos += 8 + clen + (clen & 1)  # chunks are word-aligned
+    if sample_rate is None or samples is None:
+        raise ValueError("missing fmt/data chunk")
+    return sample_rate, samples

@@ -174,3 +174,48 @@ def sample_frames(
             )
         ).alias("frame_ts_ms"),
     )
+
+
+AUDIO_SCHEMA = (
+    "media_id long, n_samples long, sample_rate int, duration_us long, "
+    "peak int, sum_sq long"
+)
+
+
+def audio_stats(media: DataFrame) -> DataFrame:
+    """Decode WAV/PCM16 payloads and emit integer-exact audio stats
+    through ``mapInPandas`` (iterator form, one Arrow batch at a time).
+
+    The stats are deliberately INTEGER (sample count, microsecond
+    duration via integer division, peak amplitude, sum of squared
+    samples) so downstream checks — and the SQL oracle that predicts
+    them from the synthesis formula — are exact across engines; RMS is
+    ``sqrt(sum_sq / n)`` for whoever wants the float."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .codecs import decode_wav_pcm16
+
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                rate, samples = decode_wav_pcm16(payload)
+                n = len(samples)
+                rows.append(
+                    (
+                        mid,
+                        n,
+                        rate,
+                        n * 1_000_000 // rate,
+                        max((abs(s) for s in samples), default=0),
+                        sum(s * s for s in samples),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "n_samples", "sample_rate",
+                    "duration_us", "peak", "sum_sq",
+                ],
+            )
+
+    return media.mapInPandas(op, schema=AUDIO_SCHEMA)

@@ -107,9 +107,11 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "cms_heavy_users",
     "approx_distinct_users",
     # ------------------- driver window ends at slot 50 --------------------
-    # context_chunks heads the post-window queue: rotates in next round
-    # (pytest-oracle-checked every CI run meanwhile)
+    # context_chunks + multimodal_audio_stats head the post-window queue:
+    # they rotate in next round (pytest-oracle-checked every CI run
+    # meanwhile)
     "context_chunks",
+    "multimodal_audio_stats",
     # flagship demoted r3: mutual_edges evidence is abundant elsewhere
     # (entry() smoke every round, bench headline, pytest twin, two green
     # driver rounds)

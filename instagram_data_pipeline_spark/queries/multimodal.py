@@ -195,3 +195,72 @@ def q_multimodal_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         chan(2, 255).alias("mean_g"),
         chan(3, 255).alias("mean_b"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Audio twin of the image path: deterministic WAV/PCM16 payload per doc
+# (samples derived from doc_id), carried as opaque binary, decoded by
+# the REAL RIFF parser, stats recovered from the DECODED samples only.
+# The oracle predicts every stat from the synthesis formula with exact
+# integer arithmetic — a hash-green row proves the encode -> binary ->
+# decode round trip bit-faithful.
+# ---------------------------------------------------------------------------
+_AUDIO_RATE = 8000
+
+
+def synthesize_wav_media(docs: DataFrame) -> DataFrame:
+    """documents -> (media_id, kind, payload): n = 50 + doc_id % 50
+    samples, sample i = ((doc_id * 31 + i * 97) % 65536) - 32768."""
+    ids = docs.select(F.col("doc_id").alias("media_id"))
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..extensions.codecs import encode_wav_pcm16
+
+        for pdf in batches:
+            payloads = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                n = 50 + mid % 50
+                samples = [
+                    ((mid * 31 + i * 97) % 65536) - 32768 for i in range(n)
+                ]
+                payloads.append(encode_wav_pcm16(_AUDIO_RATE, samples))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": "wav",
+                    "payload": payloads,
+                }
+            )
+
+    return ids.mapInPandas(encode, schema=_MEDIA_SCHEMA)
+
+
+@register(
+    "multimodal_audio_stats",
+    f"""
+WITH s AS (
+  SELECT doc_id, unnest(generate_series(0, 50 + doc_id % 50 - 1)) AS i
+  FROM documents
+), v AS (
+  SELECT doc_id, ((doc_id * 31 + i * 97) % 65536) - 32768 AS x FROM s
+)
+SELECT doc_id AS media_id,
+       COUNT(*) AS n_samples,
+       {_AUDIO_RATE} AS sample_rate,
+       CAST(COUNT(*) * 1000000 // {_AUDIO_RATE} AS BIGINT) AS duration_us,
+       CAST(MAX(ABS(x)) AS INT) AS peak,
+       CAST(SUM(x * x) AS BIGINT) AS sum_sq
+FROM v GROUP BY doc_id
+""",
+    doc="audio through the real WAV/PCM16 codec: synthesized payloads "
+        "decoded in mapInPandas, integer-exact stats (count, usec "
+        "duration, peak, sum of squares) hash-matched against the "
+        "synthesis formula in SQL — proves the binary round trip",
+    tags=("multimodal", "audio"),
+)
+def q_multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.multimodal import audio_stats
+
+    docs = load_testdata(spark, sf_dir, "documents")
+    return audio_stats(synthesize_wav_media(docs))

@@ -163,3 +163,52 @@ def test_extract_features_mean_rgb_real_kernel(spark):
     assert rows[1].feature[0] == pytest.approx(want_r, abs=1e-6)
     assert rows[1].feature[3] == pytest.approx(2 / 4096.0, abs=1e-7)
     assert len(rows[2].feature) == 5  # non-image falls back to byte-fold
+
+
+def test_wav_roundtrip_byte_exact():
+    from instagram_data_pipeline_spark.extensions.codecs import (
+        decode_wav_pcm16,
+        encode_wav_pcm16,
+    )
+
+    samples = [0, 1, -1, 32767, -32768, 12345, -12345]
+    payload = encode_wav_pcm16(8000, samples)
+    rate, got = decode_wav_pcm16(payload)
+    assert rate == 8000 and got == samples
+    # canonical re-encode is byte-identical
+    assert encode_wav_pcm16(rate, got) == payload
+
+
+def test_wav_decoder_skips_extra_chunks():
+    import struct
+
+    from instagram_data_pipeline_spark.extensions.codecs import (
+        decode_wav_pcm16,
+        encode_wav_pcm16,
+    )
+
+    payload = encode_wav_pcm16(16000, [7, -7, 9])
+    # splice a LIST chunk (odd length -> exercises word alignment)
+    extra = b"LIST" + struct.pack("<I", 3) + b"abc" + b"\x00"
+    spliced = payload[:12] + extra + payload[12:]
+    spliced = spliced[:4] + struct.pack(
+        "<I", len(spliced) - 8
+    ) + spliced[8:]
+    rate, got = decode_wav_pcm16(spliced)
+    assert rate == 16000 and got == [7, -7, 9]
+
+
+def test_wav_decoder_rejects_stereo():
+    import struct
+
+    import pytest as _pytest
+
+    from instagram_data_pipeline_spark.extensions.codecs import (
+        decode_wav_pcm16,
+    )
+
+    fmt = struct.pack("<HHIIHH", 1, 2, 8000, 32000, 4, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    payload = b"RIFF" + struct.pack("<I", len(body)) + body
+    with _pytest.raises(ValueError):
+        decode_wav_pcm16(payload)
