@@ -32,11 +32,16 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def load_testdata(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one driver testdata table with its declared schema.
 
-    ``events.ts`` is stored as parquet TIMESTAMP(NANOS), which Spark's
-    reader rejects outright; we read it as raw nanos
+    ``events.ts`` has shipped in two physical encodings across driver
+    testdata generations: parquet TIMESTAMP(NANOS) — which Spark's reader
+    rejects outright, so we read it as raw nanos
     (``spark.sql.legacy.parquet.nanosAsLong`` — runtime-settable) and
     rebuild an exact micros timestamp with integer division (``DIV`` —
-    float division would lose precision above 2^53 ns).
+    float division would lose precision above 2^53 ns) — and plain
+    TIMESTAMP(MICROS) without UTC adjustment, which Spark surfaces as
+    TIMESTAMP_NTZ. We dispatch on the loaded dtype and normalize both to
+    a session-TZ (UTC) ``timestamp`` so every downstream operator sees
+    one type.
     """
     path = str(Path(sf_dir) / f"{name}.parquet")
     # Queries may run inside a caller-owned session (the driver's);
@@ -47,7 +52,12 @@ def load_testdata(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         raw = spark.read.parquet(path)
-        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        ts_type = dict(raw.dtypes).get("ts")
+        if ts_type == "bigint":  # legacy nanos-as-long encoding
+            return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        if ts_type != "timestamp":  # timestamp_ntz: wall clock is UTC
+            return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+        return raw
     schema = TESTDATA_TABLES.get(name)
     reader = spark.read
     if schema is not None:
