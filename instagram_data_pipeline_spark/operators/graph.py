@@ -84,3 +84,149 @@ def component_sizes(components: DataFrame) -> DataFrame:
     return components.groupBy("component").agg(
         F.count(F.lit(1)).alias("n_nodes")
     )
+
+
+def triangle_stats(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """One-row graph summary: nodes, edges, triangles, global clustering
+    coefficient (3*triangles / wedges).
+
+    Triangles are counted on the DEGREE-ORIENTED graph: each undirected
+    edge points from its lower-(degree, id) endpoint to the higher one,
+    so every triangle materializes exactly once and — the scale
+    property — the out-degree of any node is O(sqrt(m)) regardless of
+    how skewed the raw degree distribution is. The wedge join's fan-out
+    is sum(outdeg^2) <= m^1.5 instead of the sum(deg^2) a naive
+    neighbor self-join pays; for a power-law graph (celebrity nodes)
+    that is the difference between feasible and not. Each of the two
+    joins is a plain shuffled equi-join; no driver loops.
+    """
+    und = _undirected(edges, src, dst).localCheckpoint()
+    canon = und.filter(F.col("src") < F.col("dst"))
+    deg = und.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    e = (
+        canon.join(
+            deg.select(F.col("node").alias("src"), F.col("deg").alias("_ds")),
+            "src",
+        ).join(
+            deg.select(F.col("node").alias("dst"), F.col("deg").alias("_dd")),
+            "dst",
+        )
+    )
+    fwd = (F.col("_ds") < F.col("_dd")) | (
+        (F.col("_ds") == F.col("_dd")) & (F.col("src") < F.col("dst"))
+    )
+    oriented = e.select(
+        F.when(fwd, F.col("src")).otherwise(F.col("dst")).alias("u"),
+        F.when(fwd, F.col("dst")).otherwise(F.col("src")).alias("v"),
+    )
+    # wedge u->v->w closed by the oriented edge u->w
+    e1 = oriented.alias("e1")
+    e2 = oriented.select(
+        F.col("u").alias("v"), F.col("v").alias("w")
+    ).alias("e2")
+    e3 = oriented.select(
+        F.col("u").alias("u"), F.col("v").alias("w")
+    ).alias("e3")
+    tri = (
+        e1.join(e2, "v")
+        .join(e3, ["u", "w"], "left_semi")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    summary = canon.agg(F.count(F.lit(1)).alias("n_edges")).crossJoin(
+        deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+    ).crossJoin(
+        deg.agg(
+            F.sum(
+                (F.col("deg") * (F.col("deg") - 1) / 2).cast("long")
+            ).alias("_wedges")
+        )
+    ).crossJoin(tri)
+    return summary.select(
+        "n_nodes",
+        "n_edges",
+        "n_triangles",
+        F.round(
+            F.when(F.col("_wedges") > 0,
+                   3.0 * F.col("n_triangles") / F.col("_wedges"))
+            .otherwise(F.lit(0.0)),
+            6,
+        ).alias("clustering_coeff"),
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 5,
+    damping: float = 0.85,
+    symmetric: bool = True,
+) -> DataFrame:
+    """(node, pagerank) after a FIXED number of power iterations —
+    deterministic and therefore oracle-checkable (the same loop unrolls
+    into iterated SQL CTEs, mirroring the k-means oracle).
+
+    Numeric discipline for cross-engine parity: per-edge contributions
+    are rounded to 12 decimals and summed as DECIMAL(28,12) (exact,
+    order-independent — a plain double SUM would expose aggregation
+    order), and each iteration's rank is re-rounded to 12 decimals so
+    both engines iterate on identical values. Dangling nodes don't
+    arise in symmetric mode (every node has out-degree >= 1); in
+    directed mode their mass is NOT redistributed (documented choice,
+    mirrored by the oracle).
+
+    Per iteration: one shuffle (contributions grouped by dst) plus a
+    broadcast-able join against the rank frame; ``localCheckpoint``
+    truncates lineage exactly as in :func:`connected_components`.
+    """
+    if symmetric:
+        e = _undirected(edges, src, dst)
+    else:
+        e = (
+            edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+            .filter(F.col("src") != F.col("dst"))
+            .dropDuplicates(["src", "dst"])
+        )
+    e = e.localCheckpoint()
+    outdeg = e.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("outdeg")
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .dropDuplicates()
+    )
+    n_nodes = nodes.count()  # one scalar: pins 1/n as a literal both sides
+    # rounding stays engine-side (SQL ROUND = half-up; Python round is
+    # banker's — mixing them would break oracle parity at boundaries)
+    base = F.round(F.lit(1.0 - damping) / F.lit(float(n_nodes)), 12)
+    ranks = nodes.withColumn(
+        "pr", F.round(F.lit(1.0) / F.lit(float(n_nodes)), 12)
+    ).localCheckpoint()
+    for _ in range(iters):
+        contribs = (
+            e.join(ranks.withColumnRenamed("node", "src"), "src")
+            .join(outdeg.withColumnRenamed("node", "src"), "src")
+            .select(
+                F.col("dst").alias("node"),
+                F.round(F.col("pr") / F.col("outdeg"), 12)
+                .cast("decimal(28,12)")
+                .alias("_c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("_c").cast("double").alias("_in"))
+        )
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .select(
+                "node",
+                F.round(
+                    base + F.lit(damping) * F.coalesce("_in", F.lit(0.0)),
+                    12,
+                ).alias("pr"),
+            )
+            .localCheckpoint()
+        )
+    return ranks.select("node", F.col("pr").alias("pagerank"))

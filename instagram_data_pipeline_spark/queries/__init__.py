@@ -112,6 +112,14 @@ REGISTRY_ORDER: tuple[str, ...] = (
     # meanwhile)
     "context_chunks",
     "multimodal_audio_stats",
+    # round-3 late wave: graph analytics + ranking/LM/semantic-dedup —
+    # pytest-oracle-checked now, rotate into the window next round
+    "triangle_stats",
+    "pagerank",
+    "bm25_topk",
+    "lm_perplexity",
+    "semantic_dedup",
+    "stream_static_enrich",
     # flagship demoted r3: mutual_edges evidence is abundant elsewhere
     # (entry() smoke every round, bench headline, pytest twin, two green
     # driver rounds)
@@ -176,6 +184,7 @@ def load_all() -> dict[str, QuerySpec]:
     appended at the back, past the driver window, never silently dropped)."""
     from . import core  # noqa: F401
     from . import extensions  # noqa: F401
+    from . import graph  # noqa: F401
     from . import ledger  # noqa: F401
     from . import model  # noqa: F401
     from . import multimodal  # noqa: F401

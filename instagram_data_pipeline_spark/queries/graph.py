@@ -1,0 +1,148 @@
+"""Graph-analytics queries over the co-purchase graph (the FoF
+composition of the reference's J1 mutuals, instagram_scraper.py:428-435,
+extended to whole-graph statistics).
+
+Edge set shared by every query here: customer pairs sharing >= 3 parts
+(the exact ``copurchase_pairs`` definition), canonicalized src < dst.
+Both queries and their DuckDB oracles reuse one CTE so graph and SQL
+stay pinned to the same graph.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load_testdata
+from . import register
+
+# ANSI mirror of _copurchase_edges (canonical a<b edge per pair).
+_EDGE_CTES = """cp AS (
+  SELECT DISTINCT o.o_custkey AS cust, l.l_partkey AS part
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+), ce AS (
+  SELECT a.cust AS src, b.cust AS dst
+  FROM cp a JOIN cp b ON a.part = b.part AND a.cust < b.cust
+  GROUP BY 1, 2 HAVING COUNT(*) >= 3
+)"""
+
+
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_testdata(spark, sf_dir, "lineitem")
+    orders = load_testdata(spark, sf_dir, "orders")
+    cp = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("part"))
+        .dropDuplicates()
+    )
+    a, b = cp.alias("a"), cp.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.part") == F.col("b.part"))
+            & (F.col("a.cust") < F.col("b.cust")),
+        )
+        .groupBy(F.col("a.cust").alias("src"), F.col("b.cust").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("_shared"))
+        .filter(F.col("_shared") >= 3)
+        .select("src", "dst")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting. The oracle counts on canonical a<b<c edges directly
+# (each triangle once as e1(a,b), e2(b,c), e3(a,c)); the Spark operator
+# counts on the DEGREE-ORIENTED graph — a different orientation of the
+# same triangles, so the counts are equal while the Spark plan's wedge
+# fan-out stays O(m^1.5) even under power-law degree skew.
+# ---------------------------------------------------------------------------
+_TRIANGLE_ORACLE = f"""
+WITH {_EDGE_CTES},
+sym AS (SELECT src, dst FROM ce UNION ALL SELECT dst, src FROM ce),
+deg AS (SELECT src AS node, COUNT(*) AS deg FROM sym GROUP BY src),
+tri AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+  FROM ce e1 JOIN ce e2 ON e2.src = e1.dst
+  JOIN ce e3 ON e3.src = e1.src AND e3.dst = e2.dst
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_nodes,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM ce) AS n_edges,
+       tri.n_triangles,
+       ROUND(CASE WHEN w.wedges > 0
+                  THEN 3.0 * tri.n_triangles / w.wedges ELSE 0.0 END,
+             6) AS clustering_coeff
+FROM tri CROSS JOIN (
+  SELECT CAST(SUM(CAST(deg * (deg - 1) / 2 AS BIGINT)) AS BIGINT) AS wedges
+  FROM deg
+) w
+"""
+
+
+@register(
+    "triangle_stats",
+    _TRIANGLE_ORACLE,
+    doc="triangle count + global clustering coefficient on the co-purchase "
+        "graph via degree-ordered orientation (out-degree bounded "
+        "O(sqrt(m)): the wedge join survives power-law skew). Oracle "
+        "counts the same triangles on canonical a<b<c edges.",
+    tags=("graph", "join"),
+)
+def q_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import triangle_stats
+
+    return triangle_stats(_copurchase_edges(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# PageRank, fixed 5 power iterations, damping 0.85, symmetric edges.
+# Deterministic numeric discipline (12-decimal re-round each iteration,
+# DECIMAL(28,12)-exact contribution sums) lets the training loop unroll
+# into iterated SQL CTEs exactly like the k-means oracle.
+# ---------------------------------------------------------------------------
+def _pagerank_oracle(iters: int = 5) -> str:
+    parts = [
+        _EDGE_CTES,
+        "e AS (SELECT src, dst FROM ce UNION ALL SELECT dst, src FROM ce)",
+        "deg AS (SELECT src AS node, COUNT(*) AS outdeg FROM e GROUP BY src)",
+        "n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM deg)",
+        "p0 AS (SELECT node, ROUND(1.0 / n.n, 12) AS pr"
+        " FROM deg CROSS JOIN n)",
+    ]
+    for i in range(iters):
+        parts.append(f"""p{i + 1} AS (
+  SELECT d.node,
+         ROUND(ROUND((1.0 - 0.85) / n.n, 12)
+               + 0.85 * COALESCE(s.m, 0.0), 12) AS pr
+  FROM deg d CROSS JOIN n
+  LEFT JOIN (
+    SELECT e.dst AS node,
+           CAST(SUM(CAST(ROUND(p.pr / d2.outdeg, 12) AS DECIMAL(28,12)))
+                AS DOUBLE) AS m
+    FROM e JOIN p{i} p ON p.node = e.src JOIN deg d2 ON d2.node = e.src
+    GROUP BY e.dst
+  ) s ON s.node = d.node
+)""")
+    ctes = ",\n".join(parts)
+    return f"""
+WITH {ctes}
+SELECT node, ROUND(pr, 6) AS pagerank FROM p{iters}
+"""
+
+
+@register(
+    "pagerank",
+    _pagerank_oracle(iters=5),
+    doc="PageRank (5 fixed power iterations, damping 0.85) over the "
+        "symmetrized co-purchase graph: one shuffle per iteration "
+        "(contributions grouped by dst), exact DECIMAL(28,12) "
+        "contribution sums + 12-decimal per-iteration re-round for "
+        "cross-engine determinism. Oracle: the power loop unrolled into "
+        "iterated CTEs (k-means-oracle pattern).",
+    tags=("graph", "iterative"),
+)
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import pagerank
+
+    ranks = pagerank(_copurchase_edges(spark, sf_dir), iters=5,
+                     damping=0.85, symmetric=True)
+    return ranks.select("node", F.round("pagerank", 6).alias("pagerank"))
