@@ -1,0 +1,185 @@
+"""Ranked retrieval and statistical-LM scoring over document corpora.
+
+Two training-data-pipeline operators the reference's keyword path
+(interest_analyzer.py keyword scoring) gestures at but never
+generalizes:
+
+* :func:`bm25_topk` — Okapi BM25 ranked retrieval for a term query.
+  The classical inverted-index scorer; at corpus scale the plan is a
+  few small aggregations plus one broadcast join, because the query
+  term list prunes the token stream FIRST (predicate pushdown does the
+  "inverted index" for us — only postings of query terms survive the
+  scan).
+* :func:`bigram_lm_scores` — add-k-smoothed bigram language-model
+  negative log-likelihood per document: the KenLM-style perplexity
+  filter (CCNet et al.) with the LM trained on the corpus itself.
+  Training is two aggregations (unigram + bigram counts); scoring is
+  two joins on the n-gram key. Everything is built-in expressions —
+  no Python in the hot path.
+
+Numeric discipline (both operators are oracle-checked): per-term /
+per-bigram scores are doubles computed by an expression tree written
+IDENTICALLY in the SQL mirror (IEEE ops on identical inputs are
+bit-equal), rounded to 9 decimals, summed as DECIMAL(28,10) — exact and
+aggregation-order-independent — and only then rounded for output. A
+plain double SUM would expose each engine's aggregation order.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import text as X
+
+
+def _tokens(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    return (
+        docs.select(
+            F.col(id_col), F.explode(X.tokens(F.col(text_col))).alias("term")
+        )
+        .filter(F.col("term") != "")
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: Sequence[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    k: int = 10,
+) -> DataFrame:
+    """Top-``k`` documents for ``query_terms`` under Okapi BM25.
+
+    idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5)); the per-term score is
+    idf * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl)).
+
+    Plan shape: the token stream is filtered to the query terms BEFORE
+    any aggregation — the surviving postings frame is tiny (|terms| *
+    docs-containing-them), so df/tf aggregate cheaply and the doc-length
+    frame joins in on the doc key. N and avgdl ride along as 1-row
+    broadcast crossJoins (declarative, no driver-side count). The final
+    ordering key is the DECIMAL-exact rounded score, so the LIMIT is a
+    total order and cross-engine stable.
+    """
+    toks = _tokens(docs, id_col, text_col)
+    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    stats = F.broadcast(
+        dl.agg(
+            F.count(F.lit(1)).alias("_n"),
+            (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("_avgdl"),
+        )
+    )
+    tf = (
+        toks.filter(F.col("term").isin(*query_terms))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .join(dl, id_col)
+        .crossJoin(stats)
+        .select(
+            F.col(id_col),
+            F.round(
+                F.log(
+                    F.lit(1.0)
+                    + (F.col("_n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                )
+                * (F.col("tf") * F.lit(k1 + 1.0))
+                / (
+                    F.col("tf")
+                    + F.lit(k1)
+                    * (
+                        F.lit(1.0 - b)
+                        + F.lit(b) * F.col("dl") / F.col("_avgdl")
+                    )
+                ),
+                9,
+            )
+            .cast("decimal(28,10)")
+            .alias("_s"),
+        )
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(F.round(F.sum("_s"), 6).cast("double").alias("score"))
+        .orderBy(F.col("score").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def bigram_lm_scores(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    add_k: float = 0.5,
+) -> DataFrame:
+    """Per-document average bigram negative log-likelihood (nats) under
+    an add-k-smoothed bigram LM trained on the corpus itself — the
+    perplexity quality filter (low nll = fluent-for-this-corpus, high
+    nll = outlier/garbage).
+
+    logP(w2|w1) = ln((c(w1,w2) + k) / (c(w1) + k*V)), V = unigram
+    vocabulary size. Documents with fewer than 2 tokens have no bigrams
+    and are excluded (a null score would say nothing).
+
+    Scale shape: the model IS two count tables (vocab- and
+    bigram-vocab-sized — Zipf keeps both far below corpus size); scoring
+    shuffles the corpus bigram stream once on the bigram key. Bigram
+    extraction is an array zip inside the row — no window, no shuffle.
+    """
+    w = X.tokens(F.col(text_col))
+    n = F.size(w)
+    grams = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.arrays_zip(
+                F.slice(w, 1, F.greatest(n - 1, F.lit(0))).alias("w1"),
+                F.slice(w, 2, F.greatest(n - 1, F.lit(0))).alias("w2"),
+            )
+        ).alias("g"),
+    ).select(
+        F.col(id_col),
+        F.col("g.w1").alias("w1"),
+        F.col("g.w2").alias("w2"),
+    ).filter((F.col("w1") != "") & (F.col("w2") != ""))
+
+    toks = _tokens(docs, id_col, text_col)
+    uni = toks.groupBy(F.col("term").alias("w1")).agg(
+        F.count(F.lit(1)).alias("cu")
+    )
+    vocab = F.broadcast(
+        toks.select("term").dropDuplicates().agg(
+            F.count(F.lit(1)).alias("_v")
+        )
+    )
+    bi = grams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+    scored = (
+        grams.join(bi, ["w1", "w2"])
+        .join(uni, "w1")
+        .crossJoin(vocab)
+        .select(
+            F.col(id_col),
+            F.round(
+                F.log(
+                    (F.col("cb") + F.lit(add_k))
+                    / (F.col("cu") + F.lit(add_k) * F.col("_v"))
+                ),
+                9,
+            )
+            .cast("decimal(28,10)")
+            .alias("_lp"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(
+            -(F.sum("_lp").cast("double")) / F.count(F.lit(1)), 6
+        ).alias("avg_nll"),
+    )

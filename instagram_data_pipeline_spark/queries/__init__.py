@@ -188,6 +188,7 @@ def load_all() -> dict[str, QuerySpec]:
     from . import ledger  # noqa: F401
     from . import model  # noqa: F401
     from . import multimodal  # noqa: F401
+    from . import ranking  # noqa: F401
     from . import temporal  # noqa: F401
     from . import text  # noqa: F401
 
