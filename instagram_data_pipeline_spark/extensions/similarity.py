@@ -424,3 +424,54 @@ def ann_lsh_topk(
             "rank",
         )
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iters: int = 4,
+    threshold: float = 0.35,
+) -> DataFrame:
+    """SemDedup-style embedding dedup: k-means partitions the corpus,
+    then near-duplicates are detected WITHIN each cluster only.
+
+    The cluster assignment bounds the pair join — the quadratic term is
+    per-cluster occupancy (n/k on balanced data), not corpus size; at
+    100 TB you raise k until clusters fit, exactly as the SemDedup paper
+    scales. Pairs crossing a cluster boundary are missed by design
+    (that's the recall/compute dial).
+
+    Drop rule (deterministic): a vector is dropped iff some SMALLER-id
+    vector in the same cluster is within ``threshold`` cosine — the
+    greedy keep-lowest-id rule, with no dependence on drop order.
+    Returns every row: (id, cluster, is_kept).
+    """
+    cents = kmeans_centroids_train(df, k=k, iters=iters,
+                                   id_col=id_col, vec_col=vec_col)
+    v = df.select(F.col(id_col), as_double_vec(F.col(vec_col)).alias("_v"))
+    assign = ivf_assign(v, cents, id_col, n_probe=1)
+    x = assign.join(v, id_col)
+    a = x.select(
+        F.col(id_col).alias("_ida"), F.col("cluster"), F.col("_v").alias("_va")
+    )
+    b = x.select(
+        F.col(id_col).alias("_idb"), F.col("cluster"), F.col("_v").alias("_vb")
+    )
+    dup = (
+        a.join(b, "cluster")
+        .filter(F.col("_ida") < F.col("_idb"))
+        .filter(cosine(F.col("_va"), F.col("_vb")) >= threshold)
+        .select(F.col("_idb").alias(id_col))
+        .dropDuplicates()
+        .withColumn("_dup", F.lit(True))
+    )
+    return (
+        x.join(dup, id_col, "left")
+        .select(
+            id_col,
+            "cluster",
+            F.col("_dup").isNull().alias("is_kept"),
+        )
+    )

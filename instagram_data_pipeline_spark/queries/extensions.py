@@ -374,13 +374,11 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-def _kmeans_oracle(k: int = 8, iters: int = 4) -> str:
-    """Lloyd's k-means unrolled into iterated CTEs: the training loop is
-    deterministic (lowest-id seeding, decimal-exact means, tie-break by
-    cluster id), so a fixed iteration count is one — large — SQL
-    statement. Assignment uses the same fold-identical cosine; means use
-    the same DECIMAL(28,10) exact sum as the Spark trainer, so centroids
-    are bit-identical at every iteration."""
+def _kmeans_ctes(k: int = 8, iters: int = 4) -> str:
+    """The unrolled Lloyd's-k-means CTE chain, shared by every oracle
+    that consumes trained clusters (kmeans_clusters, semantic_dedup):
+    ends with assignments ``a{iters}(vec_id, cluster)`` over vectors
+    ``e(vec_id, v)``."""
     cos = _COS.format(a="e.v", b="t.cv")
     parts = [
         "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
@@ -409,9 +407,18 @@ def _kmeans_oracle(k: int = 8, iters: int = 4) -> str:
     GROUP BY a.cluster, x.dim
   ) GROUP BY cluster
 )""")
-    ctes = ",\n".join(parts)
+    return ",\n".join(parts)
+
+
+def _kmeans_oracle(k: int = 8, iters: int = 4) -> str:
+    """Lloyd's k-means unrolled into iterated CTEs: the training loop is
+    deterministic (lowest-id seeding, decimal-exact means, tie-break by
+    cluster id), so a fixed iteration count is one — large — SQL
+    statement. Assignment uses the same fold-identical cosine; means use
+    the same DECIMAL(28,10) exact sum as the Spark trainer, so centroids
+    are bit-identical at every iteration."""
     return f"""
-WITH {ctes}
+WITH {_kmeans_ctes(k, iters)}
 SELECT c.cluster,
        COALESCE(s.n, 0) AS n_members,
        ROUND(sqrt(list_dot_product(c.cv, c.cv)), 6) AS centroid_norm
@@ -446,6 +453,42 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(S.l2_norm(F.col("cv")), 6).alias("centroid_norm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+def _semantic_dedup_oracle(k: int = 8, iters: int = 4,
+                           threshold: float = 0.35) -> str:
+    cos = _COS.format(a="x.v", b="y.v")
+    return f"""
+WITH {_kmeans_ctes(k, iters)},
+asg AS (
+  SELECT a.vec_id, a.cluster, e.v FROM a{iters} a
+  JOIN e ON e.vec_id = a.vec_id
+), dup AS (
+  SELECT DISTINCT y.vec_id AS b
+  FROM asg x JOIN asg y
+    ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+  WHERE {cos} >= {threshold}
+)
+SELECT a.vec_id, a.cluster, d.b IS NULL AS is_kept
+FROM asg a LEFT JOIN dup d ON d.b = a.vec_id
+"""
+
+
+@register(
+    "semantic_dedup",
+    _semantic_dedup_oracle(k=8, iters=4, threshold=0.35),
+    doc="SemDedup: k-means partitions the embedding corpus (k=8, 4 "
+        "deterministic iterations), near-dups detected WITHIN clusters "
+        "only — the pair join is bounded by cluster occupancy, not "
+        "corpus size; raise k as the corpus grows. Greedy "
+        "keep-lowest-id drop rule. Oracle composes the unrolled k-means "
+        "CTEs with the in-cluster pair join.",
+    tags=("similarity", "dedup", "iterative"),
+)
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_testdata(spark, sf_dir, "embeddings")
+    return S.semantic_dedup(emb, k=8, iters=4, threshold=0.35)
 
 
 # ---------------------------------------------------------------------------
