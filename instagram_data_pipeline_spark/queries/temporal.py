@@ -363,3 +363,66 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.countDistinct("user_id").alias("n_active"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Stream-static enrichment: the streaming side of J2. A file-landed
+# event stream broadcast-joins the static customer dim inside each
+# micro-batch (no state, no watermark needed — the dim is a plain
+# batch frame Spark re-snapshots per batch), then a complete-mode
+# aggregate drains via availableNow. Oracle: the same join + aggregate
+# as one batch SQL statement.
+# ---------------------------------------------------------------------------
+@register(
+    "stream_static_enrich",
+    """
+SELECT c.c_mktsegment, e.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(ROUND(SUM(CAST(e.value AS DECIMAL(28,10))), 2) AS DOUBLE)
+         AS total_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY c.c_mktsegment, e.event_type
+""",
+    doc="stream-static broadcast enrichment join (events stream x "
+        "customer dim) + complete-mode aggregate drained availableNow — "
+        "must equal the batch join+group; dims broadcast per micro-batch, "
+        "zero streaming state beyond the aggregate",
+    tags=("streaming", "join"),
+)
+def q_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+    import uuid
+
+    from ..streaming.events import run_available_now, stream_from_parquet
+
+    events = load_testdata(spark, sf_dir, "events")
+    cust = load_testdata(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    src = tempfile.mkdtemp(prefix="sse_src_")
+    events.repartition(4).write.mode("overwrite").parquet(src)
+    stream = stream_from_parquet(spark, src)
+    enriched = stream.join(
+        F.broadcast(cust), stream.user_id == cust.c_custkey
+    )
+    agg = (
+        enriched.groupBy("c_mktsegment", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(28,10)")).alias("_tv"),
+        )
+        .select(
+            "c_mktsegment",
+            "event_type",
+            "n_events",
+            F.round("_tv", 2).cast("double").alias("total_value"),
+        )
+    )
+    qname = f"sse_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="sse_ckpt_")
+    run_available_now(agg, qname, ckpt, output_mode="complete")
+    out = spark.table(qname).localCheckpoint(eager=True)
+    shutil.rmtree(src, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return out
