@@ -49,3 +49,69 @@ def test_cc_deterministic_and_sizes(spark):
         for r in component_sizes(connected_components(df)).collect()
     }
     assert sizes == {0: 8, 1: 8, 2: 8, 3: 8, 4: 8}
+
+
+# ---------------------------------------------------------------------------
+# Triangle stats
+# ---------------------------------------------------------------------------
+from instagram_data_pipeline_spark.operators.graph import pagerank, triangle_stats
+
+
+def _tri(spark, edges):
+    df = spark.createDataFrame(edges, "src long, dst long")
+    return triangle_stats(df).collect()[0]
+
+
+def test_triangles_k4(spark):
+    # complete graph on 4 nodes: C(4,3) = 4 triangles, clustering 1.0
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    r = _tri(spark, k4)
+    assert (r.n_nodes, r.n_edges, r.n_triangles) == (4, 6, 4)
+    assert r.clustering_coeff == 1.0
+
+
+def test_triangles_star_has_none(spark):
+    # hub-and-spoke (the skew shape): many wedges, zero triangles
+    r = _tri(spark, [(0, i) for i in range(1, 8)])
+    assert r.n_triangles == 0
+    assert r.clustering_coeff == 0.0
+
+
+def test_triangles_direction_and_dup_invariant(spark):
+    # one triangle reported in mixed directions with duplicate edges
+    r = _tri(spark, [(1, 2), (2, 1), (3, 2), (1, 3), (3, 1)])
+    assert (r.n_nodes, r.n_edges, r.n_triangles) == (3, 3, 1)
+
+
+def test_triangle_plus_pendant(spark):
+    # triangle {1,2,3} + pendant 4: wedges at node with pendant dilute
+    # the coefficient below 1
+    r = _tri(spark, [(1, 2), (2, 3), (1, 3), (3, 4)])
+    assert r.n_triangles == 1
+    assert 0.0 < r.clustering_coeff < 1.0
+
+
+# ---------------------------------------------------------------------------
+# PageRank
+# ---------------------------------------------------------------------------
+def _pr(spark, edges, **kw):
+    df = spark.createDataFrame(edges, "src long, dst long")
+    return {r.node: r.pagerank for r in pagerank(df, **kw).collect()}
+
+
+def test_pagerank_symmetric_pair_splits_evenly(spark):
+    got = _pr(spark, [(1, 2)])
+    assert abs(got[1] - 0.5) < 1e-9 and abs(got[2] - 0.5) < 1e-9
+
+
+def test_pagerank_mass_conserved_and_star_center_wins(spark):
+    got = _pr(spark, [(0, i) for i in range(1, 6)])
+    assert abs(sum(got.values()) - 1.0) < 1e-6  # symmetric: no dangling leak
+    assert got[0] > max(v for n, v in got.items() if n != 0)
+    # spokes are symmetric -> identical ranks
+    assert len({v for n, v in got.items() if n != 0}) == 1
+
+
+def test_pagerank_deterministic_across_runs(spark):
+    edges = [(a, b) for a in range(6) for b in range(a + 1, 6) if (a + b) % 3]
+    assert _pr(spark, edges) == _pr(spark, edges)

@@ -1,0 +1,70 @@
+"""BM25 retrieval and bigram-LM perplexity: planted-relevance and
+planted-fluency fixtures (the operator-level twins of the oracle
+parity check in test_queries_oracle.py)."""
+
+from __future__ import annotations
+
+import math
+
+from instagram_data_pipeline_spark.extensions.ranking import (
+    bigram_lm_scores,
+    bm25_topk,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_bm25_more_matching_terms_rank_higher(spark):
+    docs = _docs(spark, [
+        (1, "cat dog fish bird"),
+        (2, "cat dog fish fish"),
+        (3, "cat mouse mouse mouse"),
+        (4, "mouse mouse mouse mouse"),
+    ])
+    got = bm25_topk(docs, ("cat", "dog", "fish"), k=4).collect()
+    order = [r.doc_id for r in got]
+    # doc 4 matches nothing -> absent entirely
+    assert 4 not in order
+    # docs 1/2 (3 distinct matches) beat doc 3 (1 match)
+    assert set(order[:2]) == {1, 2} and order[2] == 3
+
+
+def test_bm25_length_normalization(spark):
+    # same tf for the query term; the shorter document scores higher
+    docs = _docs(spark, [
+        (1, "cat dog"),
+        (2, "cat dog bird fish mouse horse goat pig cow hen"),
+    ])
+    got = {r.doc_id: r.score for r in bm25_topk(docs, ("cat",), k=2).collect()}
+    assert got[1] > got[2]
+
+
+def test_bm25_rare_term_outweighs_common(spark):
+    # 'rare' appears in 1 of 5 docs, 'common' in all 5: the rare-term
+    # doc must outrank a common-term-only doc at equal tf
+    rows = [(i, "common filler words here") for i in range(1, 5)]
+    rows.append((5, "rare filler words here"))
+    docs = _docs(spark, [(i, t + " common") for i, t in rows[:4]]
+                 + [(5, "rare filler words here common")])
+    got = bm25_topk(docs, ("rare", "common"), k=5).collect()
+    assert got[0].doc_id == 5
+
+
+def test_lm_repetitive_doc_scores_more_fluent(spark):
+    # "ab ab ab..." bigrams are all high-count; the shuffled-vocab doc's
+    # bigrams are singletons -> higher avg negative log-likelihood
+    rows = [(i, "a b a b a b a b") for i in range(1, 9)]
+    rows.append((9, "q w e r t y u i"))
+    got = {r.doc_id: r.avg_nll
+           for r in bigram_lm_scores(_docs(spark, rows)).collect()}
+    assert got[9] > got[1]
+    assert all(math.isfinite(v) for v in got.values())
+
+
+def test_lm_short_docs_excluded(spark):
+    rows = [(1, "one"), (2, ""), (3, "two tokens here")]
+    got = bigram_lm_scores(_docs(spark, rows)).collect()
+    assert {r.doc_id for r in got} == {3}
+    assert got[0].n_bigrams == 2

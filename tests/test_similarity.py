@@ -209,3 +209,37 @@ def test_lsh_dim_derived_from_data_matches_explicit(emb):
     assert sorted(map(tuple, derived.collect())) == sorted(
         map(tuple, explicit.collect())
     )
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup
+# ---------------------------------------------------------------------------
+def test_semantic_dedup_keeps_lowest_id_per_dup_group(spark):
+    from instagram_data_pipeline_spark.extensions.similarity import semantic_dedup
+
+    # two tight groups (near-identical vectors) + one isolated vector
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0]),
+        (3, [0.998, 0.02, 0.0]),
+        (10, [0.0, 1.0, 0.0]),
+        (11, [0.01, 0.999, 0.0]),
+        (20, [0.0, 0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {r.vec_id: r.is_kept
+           for r in semantic_dedup(df, k=3, iters=2, threshold=0.95).collect()}
+    assert got[1] and not got[2] and not got[3]
+    assert got[10] and not got[11]
+    assert got[20]
+    # every input row is present in the output
+    assert len(got) == len(rows)
+
+
+def test_semantic_dedup_orthogonal_all_kept(spark):
+    from instagram_data_pipeline_spark.extensions.similarity import semantic_dedup
+
+    rows = [(i, [1.0 if d == i else 0.0 for d in range(4)]) for i in range(4)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = semantic_dedup(df, k=2, iters=2, threshold=0.9).collect()
+    assert all(r.is_kept for r in got)
