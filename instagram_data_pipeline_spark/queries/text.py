@@ -978,3 +978,73 @@ def q_context_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_testdata(spark, sf_dir, "documents")
     return context_chunks(docs, "doc_id", "text", size=32, overlap=8)
+
+
+# ---------------------------------------------------------------------------
+# Leakage-safe dataset split: hash-split by near-dup CLUSTER, not by doc.
+# A per-doc split sends near-duplicates across the train/test boundary —
+# the classic contamination path document-level dedup pipelines exist to
+# prevent. Splitting on the cluster-canonical id keeps every member of a
+# near-dup cluster in the same split; singleton docs are their own
+# cluster. Composes the df-capped Jaccard pairs -> connected components
+# -> canonical id pipeline with the portable md5-bucket cut.
+# ---------------------------------------------------------------------------
+_LEAKAGE_SPLIT_ORACLE = f"""
+WITH RECURSIVE {_JACCARD_CTES}, sym AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT doc_a AS src, doc_b AS dst FROM kept
+    UNION ALL SELECT doc_b, doc_a FROM kept
+  ) t WHERE src <> dst
+), walk(node, label) AS (
+  SELECT src, src FROM sym
+  UNION
+  SELECT e.dst, w.label FROM walk w JOIN sym e ON e.src = w.node
+  WHERE w.label < e.dst
+), lbl AS (
+  SELECT node AS doc_id, MIN(label) AS canonical_id FROM walk GROUP BY node
+), canon AS (
+  SELECT d.doc_id, COALESCE(l.canonical_id, d.doc_id) AS canonical_id
+  FROM documents d LEFT JOIN lbl l ON l.doc_id = d.doc_id
+), b AS (
+  SELECT doc_id, canonical_id,
+         CAST(concat('0x', substr(md5(CAST(canonical_id AS VARCHAR)), 1, 8))
+              AS BIGINT) % 10000 AS bucket
+  FROM canon
+)
+SELECT doc_id, canonical_id,
+       CASE WHEN bucket < 9000 THEN 'train'
+            WHEN bucket < 9500 THEN 'val'
+            ELSE 'test' END AS split
+FROM b
+"""
+
+
+@register(
+    "leakage_safe_split",
+    _LEAKAGE_SPLIT_ORACLE,
+    doc="train/val/test split hashed on the near-dup CLUSTER canonical id "
+        "(Jaccard pairs -> connected components), so near-duplicates "
+        "never straddle the train/test boundary — the leakage-safe form "
+        "of dataset_split; singletons hash as their own cluster",
+    tags=("text", "dedup", "sampling", "split"),
+)
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.dedup import ngram_jaccard_pairs
+    from ..extensions.sampling import assign_split
+    from ..operators.graph import connected_components
+
+    docs = load_testdata(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, id_col="doc_id", text_col="text",
+                                n=3, threshold=0.1, max_df=100)
+    cc = connected_components(
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    ).withColumnRenamed("node", "doc_id")
+    canon = (
+        docs.select("doc_id")
+        .join(cc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", "doc_id").alias("canonical_id"),
+        )
+    )
+    return assign_split(canon, "canonical_id", train=0.9, val=0.05)

@@ -176,3 +176,27 @@ def test_temperature_mixture_boosts_low_resource(spark):
     assert sample_share_small > corpus_share_small
     # budget respected approximately (hash-cut granularity)
     assert sum(got.values()) * 100 <= 50_000 * 1.15
+
+
+def test_leakage_safe_split_keeps_near_dups_together(spark, sf_dir):
+    """No near-dup pair may straddle the train/val/test boundary."""
+    from instagram_data_pipeline_spark.extensions.dedup import ngram_jaccard_pairs
+    from instagram_data_pipeline_spark.io import load_testdata
+    from instagram_data_pipeline_spark.queries import load_all
+
+    split = load_all()["leakage_safe_split"].spark_fn(spark, sf_dir)
+    docs = load_testdata(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, id_col="doc_id", text_col="text",
+                                n=3, threshold=0.1, max_df=100)
+    a = split.select(F.col("doc_id").alias("doc_a"),
+                     F.col("split").alias("split_a"))
+    b = split.select(F.col("doc_id").alias("doc_b"),
+                     F.col("split").alias("split_b"))
+    straddling = (
+        pairs.join(a, "doc_a").join(b, "doc_b")
+        .filter(F.col("split_a") != F.col("split_b"))
+        .count()
+    )
+    assert straddling == 0
+    # and the split is a partition of the corpus
+    assert split.count() == docs.count()
