@@ -132,3 +132,93 @@ def cms_heavy_hitters(
     sketch = cms_build(df, key_col, depth, width, portable=portable)
     est = cms_estimate(sketch, df, key_col, depth, width, portable=portable)
     return est.filter(F.col("est") >= min_count)
+
+
+# ---------------------------------------------------------------------------
+# Equi-width histogram quantile sketch
+# ---------------------------------------------------------------------------
+def quantile_sketch(
+    df: DataFrame,
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 256,
+) -> DataFrame:
+    """Mergeable equi-width histogram sketch over a bounded numeric
+    domain: (bin, cnt), at most ``n_bins`` rows.
+
+    The deterministic cousin of percentile_approx: rank error is
+    bounded by the largest bin's mass and value error by the bin width
+    (hi-lo)/n_bins — and unlike t-digest/GK the sketch is an exact
+    monoid (merge = unionByName + sum), so per-partition / per-day /
+    per-shard sketches roll up without touching raw data again, and the
+    same construction in any engine yields bit-identical results
+    (oracle-checkable, rerun-stable). Values outside [lo, hi] clamp to
+    the edge bins (they count toward rank, as extreme values should).
+
+    One map-side-combined groupBy; the shuffle carries <= n_bins rows
+    per partition.
+    """
+    span = hi - lo
+    b = F.floor(
+        (F.col(value_col).cast("double") - F.lit(lo)) / F.lit(span)
+        * F.lit(float(n_bins))
+    ).cast("long")
+    bin_ = F.least(F.lit(n_bins - 1), F.greatest(F.lit(0), b))
+    return (
+        df.select(bin_.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def quantile_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Monoid merge: same (lo, hi, n_bins) sketches add bin-wise."""
+    return (
+        a.unionByName(b).groupBy("bin").agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def quantile_estimate(
+    sketch: DataFrame,
+    qs: list[float],
+    lo: float,
+    hi: float,
+    n_bins: int = 256,
+) -> DataFrame:
+    """(q, value) per requested quantile: the upper edge of the first
+    bin whose cumulative count reaches ceil(q * total) — a conservative
+    (never-underestimating) rank answer, off by at most one bin width.
+
+    The cumulative scan runs over <= n_bins rows — a single-partition
+    window over the SKETCH, not the data (that is the point of
+    sketching: the expensive part stays map-side combined)."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = sketch.select(
+        "bin",
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(
+            Window.orderBy(F.lit(1)).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("total"),
+    )
+    width = (hi - lo) / n_bins
+    out = None
+    for q in qs:
+        hit = (
+            cum.filter(
+                F.col("cum") >= F.ceil(F.lit(q) * F.col("total"))
+            )
+            .agg(F.min("bin").alias("bin"))
+            .select(
+                F.lit(q).alias("q"),
+                F.round(
+                    F.lit(lo) + (F.col("bin") + 1) * F.lit(width), 6
+                ).alias("value"),
+            )
+        )
+        out = hit if out is None else out.unionByName(hit)
+    return out

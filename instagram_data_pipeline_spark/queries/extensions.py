@@ -883,3 +883,59 @@ def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Equi-width histogram quantile sketch: the deterministic, mergeable,
+# oracle-checkable cousin of percentile_approx. Bounded domain
+# [0, 120000] covers l_extendedprice at every SF; 256 bins -> value
+# error <= 468.75.
+# ---------------------------------------------------------------------------
+_QSK_LO, _QSK_HI, _QSK_BINS = 0.0, 120000.0, 256
+_QSK_QS = (0.25, 0.5, 0.75, 0.95, 0.99)
+
+
+def _quantile_sketch_oracle() -> str:
+    width = (_QSK_HI - _QSK_LO) / _QSK_BINS
+    vals = ", ".join(f"({q})" for q in _QSK_QS)
+    return f"""
+WITH s AS (
+  SELECT LEAST({_QSK_BINS - 1}, GREATEST(0,
+           CAST(FLOOR((CAST(l_extendedprice AS DOUBLE) - {_QSK_LO})
+                      / {_QSK_HI - _QSK_LO} * {float(_QSK_BINS)}) AS BIGINT)))
+           AS bin,
+         COUNT(*) AS cnt
+  FROM lineitem GROUP BY 1
+), c AS (
+  SELECT bin,
+         SUM(cnt) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(cnt) OVER () AS total
+  FROM s
+)
+SELECT CAST(q AS DOUBLE) AS q,
+       ROUND(CAST({_QSK_LO} AS DOUBLE)
+             + (bin + 1) * CAST({width} AS DOUBLE), 6) AS value FROM (
+  SELECT t.q, MIN(c.bin) AS bin
+  FROM (VALUES {vals}) t(q)
+  JOIN c ON c.cum >= CEIL(CAST(t.q AS DOUBLE) * c.total)
+  GROUP BY t.q
+)
+"""
+
+
+@register(
+    "quantile_sketch",
+    _quantile_sketch_oracle(),
+    doc="mergeable equi-width histogram quantile sketch over "
+        "l_extendedprice (256 bins): exact monoid (bin counts add), "
+        "map-side combined build, cumulative scan over the SKETCH not "
+        "the data; conservative rank answer off by <= one bin width. "
+        "The deterministic cousin of percentile_approx.",
+    tags=("sketch", "quantile"),
+)
+def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.sketches import quantile_estimate, quantile_sketch
+
+    li = load_testdata(spark, sf_dir, "lineitem")
+    sk = quantile_sketch(li, "l_extendedprice", _QSK_LO, _QSK_HI, _QSK_BINS)
+    return quantile_estimate(sk, list(_QSK_QS), _QSK_LO, _QSK_HI, _QSK_BINS)

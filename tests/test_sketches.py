@@ -68,3 +68,64 @@ def test_cms_weighted(spark):
     sketch = cms_build(df, "k", weight_col="w")
     est = {r.k: r.est for r in cms_estimate(sketch, df, "k").collect()}
     assert est == {"a": 15, "b": 1}
+
+
+# ---------------------------------------------------------------------------
+# Quantile sketch
+# ---------------------------------------------------------------------------
+def test_quantile_sketch_error_bounded_by_bin_width(spark, sf_dir):
+    from instagram_data_pipeline_spark.extensions.sketches import (
+        quantile_estimate,
+        quantile_sketch,
+    )
+    from instagram_data_pipeline_spark.io import load_testdata
+
+    li = load_testdata(spark, sf_dir, "lineitem")
+    lo, hi, bins = 0.0, 120000.0, 256
+    sk = quantile_sketch(li, "l_extendedprice", lo, hi, bins)
+    est = {r.q: r.value
+           for r in quantile_estimate(sk, [0.5, 0.95], lo, hi, bins).collect()}
+    exact = li.selectExpr(
+        "percentile(l_extendedprice, 0.5) AS p50",
+        "percentile(l_extendedprice, 0.95) AS p95",
+    ).collect()[0]
+    width = (hi - lo) / bins
+    assert abs(est[0.5] - exact.p50) <= width
+    assert abs(est[0.95] - exact.p95) <= width
+
+
+def test_quantile_sketch_merge_equals_whole(spark, sf_dir):
+    from instagram_data_pipeline_spark.extensions.sketches import (
+        quantile_estimate,
+        quantile_merge,
+        quantile_sketch,
+    )
+    from instagram_data_pipeline_spark.io import load_testdata
+    from pyspark.sql import functions as F
+
+    li = load_testdata(spark, sf_dir, "lineitem")
+    lo, hi, bins = 0.0, 120000.0, 64
+    half_a = li.filter(F.col("l_orderkey") % 2 == 0)
+    half_b = li.filter(F.col("l_orderkey") % 2 == 1)
+    merged = quantile_merge(
+        quantile_sketch(half_a, "l_extendedprice", lo, hi, bins),
+        quantile_sketch(half_b, "l_extendedprice", lo, hi, bins),
+    )
+    whole = quantile_sketch(li, "l_extendedprice", lo, hi, bins)
+    q = [0.25, 0.5, 0.9]
+    got_m = sorted(quantile_estimate(merged, q, lo, hi, bins).collect())
+    got_w = sorted(quantile_estimate(whole, q, lo, hi, bins).collect())
+    assert got_m == got_w
+
+
+def test_quantile_sketch_clamps_out_of_range(spark):
+    from instagram_data_pipeline_spark.extensions.sketches import quantile_sketch
+
+    df = spark.createDataFrame(
+        [(-5.0,), (0.5,), (1.5,), (99.0,)], "x double"
+    )
+    bins = {r.bin: r.cnt for r in quantile_sketch(df, "x", 0.0, 2.0, 4).collect()}
+    # -5 clamps to bin 0; 99 clamps to the top bin (joining 1.5);
+    # 0.5 lands in bin 1; totals preserved
+    assert sum(bins.values()) == 4
+    assert bins == {0: 1, 1: 1, 3: 2}
