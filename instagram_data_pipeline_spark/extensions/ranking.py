@@ -183,3 +183,70 @@ def bigram_lm_scores(
             -(F.sum("_lp").cast("double")) / F.count(F.lit(1)), 6
         ).alias("avg_nll"),
     )
+
+
+def dsir_log_ratios(
+    docs: DataFrame,
+    is_target,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    add_k: float = 0.5,
+) -> DataFrame:
+    """DSIR-style importance weights: per-document average log ratio of
+    an add-k-smoothed unigram model of the TARGET slice vs the RAW
+    corpus — ln p_target(w) - ln p_raw(w), averaged over the doc's
+    tokens. Documents scoring high look like the target distribution;
+    downstream selection keeps the top mass (importance resampling).
+
+    ``is_target`` is a boolean Column over ``docs`` defining the target
+    slice (e.g. a trusted domain or language). Both models are unigram
+    count tables (vocabulary-sized); smoothing uses the RAW vocabulary
+    for both so out-of-target terms get mass from the prior, not a
+    -inf. Scoring shuffles the token stream once on the term key —
+    identical shape to :func:`bigram_lm_scores`, one model heavier.
+    """
+    toks = _tokens(docs, id_col, text_col)
+    tgt_ids = docs.filter(is_target).select(id_col)
+    raw = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cr"))
+    tgt = (
+        toks.join(tgt_ids, id_col, "left_semi")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    totals = F.broadcast(
+        raw.agg(
+            F.sum("cr").alias("_tr"),
+            F.count(F.lit(1)).alias("_v"),
+        ).crossJoin(
+            F.broadcast(tgt.agg(F.sum("ct").alias("_tt")))
+        )
+    )
+    model = raw.join(tgt, "term", "left").select(
+        "term", "cr", F.coalesce("ct", F.lit(0)).alias("ct")
+    )
+    scored = (
+        toks.join(model, "term")
+        .crossJoin(totals)
+        .select(
+            F.col(id_col),
+            F.round(
+                F.log(
+                    (F.col("ct") + F.lit(add_k))
+                    / (F.col("_tt") + F.lit(add_k) * F.col("_v"))
+                )
+                - F.log(
+                    (F.col("cr") + F.lit(add_k))
+                    / (F.col("_tr") + F.lit(add_k) * F.col("_v"))
+                ),
+                9,
+            )
+            .cast("decimal(28,10)")
+            .alias("_lr"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(
+            F.sum("_lr").cast("double") / F.count(F.lit(1)), 6
+        ).alias("avg_log_ratio"),
+    )

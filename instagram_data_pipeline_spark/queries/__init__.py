@@ -122,6 +122,7 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "stream_static_enrich",
     "leakage_safe_split",
     "quantile_sketch",
+    "dsir_weights",
     # flagship demoted r3: mutual_edges evidence is abundant elsewhere
     # (entry() smoke every round, bench headline, pytest twin, two green
     # driver rounds)

@@ -107,3 +107,60 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_testdata(spark, sf_dir, "documents")
     return bigram_lm_scores(docs, add_k=0.5)
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weights: target slice = lang='en' documents. The
+# importance weight says "how much more likely is this doc's vocabulary
+# under the target unigram model than under the raw-corpus model" —
+# the selection signal for importance resampling toward a trusted
+# distribution.
+# ---------------------------------------------------------------------------
+_DSIR_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS term FROM documents
+), tks AS (
+  SELECT doc_id, term FROM tok WHERE term <> ''
+), raw AS (
+  SELECT term, COUNT(*) AS cr FROM tks GROUP BY term
+), tgt AS (
+  SELECT t.term, COUNT(*) AS ct FROM tks t
+  JOIN documents d USING (doc_id) WHERE d.lang = 'en' GROUP BY t.term
+), totals AS (
+  SELECT (SELECT SUM(cr) FROM raw) AS tr,
+         (SELECT COUNT(*) FROM raw) AS v,
+         (SELECT SUM(ct) FROM tgt) AS tt
+), model AS (
+  SELECT raw.term, raw.cr, COALESCE(tgt.ct, 0) AS ct
+  FROM raw LEFT JOIN tgt ON raw.term = tgt.term
+), s AS (
+  SELECT tks.doc_id,
+         CAST(ROUND(
+           LN((m.ct + 0.5) / (totals.tt + 0.5 * totals.v))
+           - LN((m.cr + 0.5) / (totals.tr + 0.5 * totals.v)),
+         9) AS DECIMAL(28,10)) AS lr
+  FROM tks JOIN model m USING (term) CROSS JOIN totals
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       ROUND(CAST(SUM(lr) AS DOUBLE) / COUNT(*), 6) AS avg_log_ratio
+FROM s GROUP BY doc_id
+"""
+
+
+@register(
+    "dsir_weights",
+    _DSIR_ORACLE,
+    doc="DSIR importance weights toward the lang='en' slice: per-doc "
+        "average ln p_target(w) - ln p_raw(w) under add-0.5-smoothed "
+        "unigram models (both models are vocabulary-sized count tables; "
+        "scoring is one shuffle on the term key). The data-selection "
+        "signal for importance resampling.",
+    tags=("text", "ranking", "sampling"),
+)
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ..extensions.ranking import dsir_log_ratios
+
+    docs = load_testdata(spark, sf_dir, "documents")
+    return dsir_log_ratios(docs, F.col("lang") == "en", add_k=0.5)

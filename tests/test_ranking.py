@@ -68,3 +68,26 @@ def test_lm_short_docs_excluded(spark):
     got = bigram_lm_scores(_docs(spark, rows)).collect()
     assert {r.doc_id for r in got} == {3}
     assert got[0].n_bigrams == 2
+
+
+def test_dsir_target_like_docs_score_higher(spark):
+    from pyspark.sql import functions as F
+
+    from instagram_data_pipeline_spark.extensions.ranking import dsir_log_ratios
+
+    # target slice speaks 'alpha beta'; raw background speaks 'gamma delta'.
+    rows = (
+        [(i, "alpha beta alpha beta", "en") for i in range(1, 5)]
+        + [(i, "gamma delta gamma delta", "xx") for i in range(5, 9)]
+        # held-out docs, one per dialect, NOT in the target slice:
+        + [(20, "alpha beta alpha beta", "xx"),
+           (21, "gamma delta gamma delta", "xx")]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {r.doc_id: r.avg_log_ratio
+           for r in dsir_log_ratios(docs, F.col("lang") == "en").collect()}
+    # the alpha-beta held-out doc resembles the target -> higher ratio
+    assert got[20] > got[21]
+    # and target members themselves score above background members
+    assert got[1] > got[5]
+    assert all(r is not None for r in got.values())
