@@ -1,0 +1,128 @@
+"""BPE tokenizer training as DataFrame aggregations (Sennrich et al.
+2016) — the tokenizer-side operator a training-data engine needs
+beyond counting (functions.text.bpe_tokens counts with a FIXED
+pre-tokenizer; this trains the merge table itself).
+
+Shape: classic BPE trains on the WORD-FREQUENCY table, not the corpus
+— after one tokenize+count pass (vocabulary-sized, Zipf-small), every
+merge iteration runs on ``(word-as-symbol-array, count)`` rows. Each
+iteration is one explode+sum to score adjacent pairs, one 1-row argmax
+(the merge decision — collected driver-side exactly like the ledger
+control batches: a deliberate, tiny, documented control-flow read),
+and one in-row fold to apply the merge. No shuffles grow with corpus
+size; the corpus is touched once.
+
+Determinism: ties on pair count break lexicographically, so the merge
+sequence — and therefore the whole tokenizer — is reproducible across
+runs, partitionings, and engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import text as X
+
+END = "</w>"
+
+
+def word_symbol_table(
+    docs: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """(syms array<string>, cnt) — each distinct word as its character
+    sequence plus the end-of-word marker, weighted by corpus count."""
+    words = (
+        docs.select(F.explode(X.tokens(F.col(text_col))).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    syms = F.concat(
+        F.split(F.col("w"), ""),  # chars
+        F.array(F.lit(END)),
+    )
+    return words.select(syms.alias("syms"), "cnt")
+
+
+def _pair_counts(table: DataFrame) -> DataFrame:
+    """Adjacent-symbol pair frequencies, weighted by word count."""
+    n = F.size("syms")
+    pairs = table.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice("syms", 1, F.greatest(n - 1, F.lit(0))).alias("a"),
+                F.slice("syms", 2, F.greatest(n - 1, F.lit(0))).alias("b"),
+            )
+        ).alias("p"),
+        "cnt",
+    )
+    return pairs.groupBy(
+        F.col("p.a").alias("a"), F.col("p.b").alias("b")
+    ).agg(F.sum("cnt").alias("n"))
+
+
+def _apply_merge(table: DataFrame, a: str, b: str) -> DataFrame:
+    """Replace every adjacent (a, b) with the merged symbol, left to
+    right, inside each word — an in-row fold, no shuffle."""
+    merged = a + b
+    fold = F.aggregate(
+        F.col("syms"),
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(a))
+            & (x == F.lit(b)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+    return table.select(fold.alias("syms"), "cnt")
+
+
+def bpe_train(
+    docs: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 8,
+) -> list[tuple[int, str, str, int]]:
+    """Learn ``n_merges`` BPE merges; returns [(rank, left, right,
+    pair_count)] in merge order. The returned list IS the tokenizer
+    (apply ranks greedily = standard BPE encode)."""
+    table = word_symbol_table(docs, text_col).localCheckpoint()
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(n_merges):
+        best = (
+            _pair_counts(table)
+            .orderBy(F.col("n").desc(), F.col("a"), F.col("b"))
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        a, b, n = best[0].a, best[0].b, best[0].n
+        merges.append((rank, a, b, n))
+        table = _apply_merge(table, a, b).localCheckpoint()
+    return merges
+
+
+def bpe_segment_stats(
+    docs: DataFrame,
+    merges: list[tuple[int, str, str, int]],
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply a trained merge list to the word table and report the
+    resulting segmentation: (n_words, n_symbols, symbols_per_word) —
+    the compression the tokenizer achieves on this corpus."""
+    table = word_symbol_table(docs, text_col)
+    for _, a, b, _n in merges:
+        table = _apply_merge(table, a, b)
+    return table.agg(
+        F.sum("cnt").alias("n_words"),
+        F.sum(F.size("syms") * F.col("cnt")).alias("n_symbols"),
+        F.round(
+            F.sum(F.size("syms") * F.col("cnt")).cast("double")
+            / F.sum("cnt"),
+            6,
+        ).alias("symbols_per_word"),
+    )

@@ -123,6 +123,7 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "leakage_safe_split",
     "quantile_sketch",
     "dsir_weights",
+    "bpe_merges",
     # flagship demoted r3: mutual_edges evidence is abundant elsewhere
     # (entry() smoke every round, bench headline, pytest twin, two green
     # driver rounds)

@@ -164,3 +164,32 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_testdata(spark, sf_dir, "documents")
     return dsir_log_ratios(docs, F.col("lang") == "en", add_k=0.5)
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer training (extensions/bpe.py). Genuinely iterative with a
+# data-dependent argmax per round — not SQL-expressible (DuckDB's
+# list_reduce cannot fold into a list accumulator), so rows-only here;
+# the merge sequence itself is pinned by tests/test_bpe.py against the
+# hand-computable Sennrich corpus, and determinism (lexicographic tie
+# break) makes reruns bit-stable.
+# ---------------------------------------------------------------------------
+@register(
+    "bpe_merges",
+    None,
+    doc="Sennrich BPE merge training on the word-frequency table (8 "
+        "merges): per round one pair-count aggregation over the "
+        "vocabulary-sized table, a 1-row argmax control read, and an "
+        "in-row fold to apply the merge — corpus touched once, "
+        "iterations never rescan it. Deterministic lexicographic tie "
+        "break.",
+    tags=("text", "tokenizer", "iterative"),
+)
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.bpe import bpe_train
+
+    docs = load_testdata(spark, sf_dir, "documents")
+    merges = bpe_train(docs, n_merges=8)
+    return spark.createDataFrame(
+        merges, "rank int, left string, right string, pair_count long"
+    )
