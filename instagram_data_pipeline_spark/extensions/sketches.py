@@ -222,3 +222,80 @@ def quantile_estimate(
         )
         out = hit if out is None else out.unionByName(hit)
     return out
+
+
+def histogram_drift(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 32,
+) -> DataFrame:
+    """Day-over-day distribution drift: per day d, the L1 distance
+    between that day's and the previous day's value histograms —
+    the pipeline-monitoring signal that catches a broken upstream
+    (schema drift, unit change, dead segment) before it poisons a
+    training run.
+
+    Exactness discipline: shares c/T are never materialized as doubles.
+    The distance is computed over cross-multiplied INTEGER terms,
+      L1(d) = sum_b |c_d(b)*T_{d-1} - c_{d-1}(b)*T_d| / (T_d*T_{d-1}),
+    with one double division + round at the very end — bit-identical in
+    any engine, no float accumulation anywhere.
+
+    Shape: one groupBy to (day, bin), a 1-per-day totals frame with a
+    lag window (days are few — the window is over the SUMMARY), a
+    signed union re-aggregation for the per-bin differences. The raw
+    data is scanned once.
+    """
+    span = hi - lo
+    day = F.date_trunc("day", F.col(ts_col)).cast("date")
+    b = F.floor(
+        (F.col(value_col).cast("double") - F.lit(lo)) / F.lit(span)
+        * F.lit(float(n_bins))
+    ).cast("long")
+    bin_ = F.least(F.lit(n_bins - 1), F.greatest(F.lit(0), b))
+    s = (
+        df.select(day.alias("day"), bin_.alias("bin"))
+        .groupBy("day", "bin")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    from pyspark.sql import Window
+
+    totals = s.groupBy("day").agg(F.sum("c").alias("tot"))
+    w = Window.orderBy("day")
+    pairs = totals.select(
+        "day",
+        F.col("tot").alias("tot_cur"),
+        F.lag("tot").over(w).alias("tot_prev"),
+        F.lag("day").over(w).alias("prev_day"),
+    ).filter(
+        # only adjacent calendar days compare meaningfully
+        F.col("prev_day") == F.date_sub(F.col("day"), 1)
+    )
+    cur = s.join(pairs, "day").select(
+        "day", "bin", (F.col("c") * F.col("tot_prev")).alias("v")
+    )
+    prev = (
+        s.select(F.date_add("day", 1).alias("day"), "bin", "c")
+        .join(pairs, "day")
+        .select("day", "bin", (-F.col("c") * F.col("tot_cur")).alias("v"))
+    )
+    return (
+        cur.unionByName(prev)
+        .groupBy("day", "bin")
+        .agg(F.sum("v").alias("d"))
+        .select("day", F.abs("d").alias("ad"))
+        .groupBy("day")
+        .agg(F.sum("ad").alias("_num"))
+        .join(pairs, "day")
+        .select(
+            "day",
+            F.round(
+                F.col("_num").cast("double")
+                / (F.col("tot_cur") * F.col("tot_prev")).cast("double"),
+                6,
+            ).alias("l1_drift"),
+        )
+    )

@@ -124,6 +124,7 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "quantile_sketch",
     "dsir_weights",
     "bpe_merges",
+    "distribution_drift",
     # flagship demoted r3: mutual_edges evidence is abundant elsewhere
     # (entry() smoke every round, bench headline, pytest twin, two green
     # driver rounds)

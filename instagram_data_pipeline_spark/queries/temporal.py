@@ -426,3 +426,63 @@ def q_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(src, ignore_errors=True)
     shutil.rmtree(ckpt, ignore_errors=True)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Distribution-drift monitoring: day-over-day L1 distance between value
+# histograms (extensions/sketches.py:histogram_drift). Shares are never
+# floats — the distance is cross-multiplied integer arithmetic with one
+# final division, so the oracle is exact.
+# ---------------------------------------------------------------------------
+_DRIFT_LO, _DRIFT_HI, _DRIFT_BINS = 0.0, 600.0, 32
+
+_DRIFT_ORACLE = f"""
+WITH s AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+         LEAST({_DRIFT_BINS - 1}, GREATEST(0,
+           CAST(FLOOR((CAST(value AS DOUBLE) - {_DRIFT_LO})
+                      / {_DRIFT_HI - _DRIFT_LO}
+                      * {float(_DRIFT_BINS)}) AS BIGINT)))
+           AS bin,
+         COUNT(*) AS c
+  FROM events GROUP BY 1, 2
+), totals AS (
+  SELECT day, SUM(c) AS tot FROM s GROUP BY day
+), pairs AS (
+  SELECT day, tot AS tot_cur,
+         LAG(tot) OVER (ORDER BY day) AS tot_prev,
+         LAG(day) OVER (ORDER BY day) AS prev_day
+  FROM totals
+  QUALIFY prev_day = day - INTERVAL 1 DAY
+), u AS (
+  SELECT s.day, s.bin, s.c * p.tot_prev AS v
+  FROM s JOIN pairs p ON s.day = p.day
+  UNION ALL
+  SELECT CAST(s.day + INTERVAL 1 DAY AS DATE), s.bin, -s.c * p.tot_cur
+  FROM s JOIN pairs p ON CAST(s.day + INTERVAL 1 DAY AS DATE) = p.day
+), d AS (
+  SELECT day, ABS(SUM(v)) AS ad FROM u GROUP BY day, bin
+)
+SELECT d.day, ROUND(CAST(SUM(d.ad) AS DOUBLE)
+                    / CAST(p.tot_cur * p.tot_prev AS DOUBLE), 6) AS l1_drift
+FROM d JOIN pairs p ON d.day = p.day
+GROUP BY d.day, p.tot_cur, p.tot_prev
+"""
+
+
+@register(
+    "distribution_drift",
+    _DRIFT_ORACLE,
+    doc="day-over-day L1 histogram drift of event values (32 bins): the "
+        "monitoring signal for broken upstreams. Distances are "
+        "cross-multiplied integer sums with ONE final double division — "
+        "no float accumulation, exact in any engine; windows run over "
+        "the 30-row day summary, never the data.",
+    tags=("temporal", "sketch", "quality"),
+)
+def q_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.sketches import histogram_drift
+
+    events = load_testdata(spark, sf_dir, "events")
+    return histogram_drift(events, "ts", "value",
+                           _DRIFT_LO, _DRIFT_HI, _DRIFT_BINS)

@@ -129,3 +129,22 @@ def test_quantile_sketch_clamps_out_of_range(spark):
     # 0.5 lands in bin 1; totals preserved
     assert sum(bins.values()) == 4
     assert bins == {0: 1, 1: 1, 3: 2}
+
+
+def test_histogram_drift_flags_the_shifted_day(spark):
+    from datetime import datetime
+
+    from instagram_data_pipeline_spark.extensions.sketches import histogram_drift
+
+    # days 1-3 uniform low values; day 4 shifts the distribution high
+    rows = []
+    for d in (1, 2, 3):
+        rows += [(datetime(2024, 3, d, h), float(h % 10)) for h in range(24)]
+    rows += [(datetime(2024, 3, 4, h), 90.0 + h % 10) for h in range(24)]
+    df = spark.createDataFrame(rows, "ts timestamp, value double")
+    got = {str(r.day): r.l1_drift
+           for r in histogram_drift(df, "ts", "value", 0.0, 100.0, 10).collect()}
+    # identical consecutive days -> zero drift; the shift day maxes out
+    assert got["2024-03-02"] == 0.0 and got["2024-03-03"] == 0.0
+    assert got["2024-03-04"] == 2.0  # disjoint supports -> L1 = 2
+    assert "2024-03-01" not in got  # no previous day to compare
