@@ -47,9 +47,21 @@ def test_priority_queries_inside_driver_window():
     assert PRIORITY <= window, sorted(PRIORITY - window)
 
 
+# Post-window queries that are rows-only BY NATURE (iterative argmax +
+# list-fold is not SQL-expressible) but carry dedicated exact-value
+# pytest evidence instead of an oracle twin. Keep this list justified:
+# every entry must name the test module that pins its values.
+POST_WINDOW_ROWS_ONLY_OK = {
+    "bpe_merges",  # tests/test_bpe.py pins the exact merge sequence
+}
+
+
 def test_demoted_queries_all_have_oracles():
     """Everything past the window must be hash-checkable in CI (pytest
-    oracle twins), otherwise it has no evidence at all."""
+    oracle twins) — or carry dedicated exact-value tests (explicit
+    allowlist above); otherwise it has no evidence at all."""
     reg = load_all()
     for name in list(reg)[DRIVER_WINDOW:]:
+        if name in POST_WINDOW_ROWS_ONLY_OK:
+            continue
         assert reg[name].oracle is not None, name
