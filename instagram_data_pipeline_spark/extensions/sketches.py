@@ -299,3 +299,67 @@ def histogram_drift(
             ).alias("l1_drift"),
         )
     )
+
+
+def grouped_quantile_sketch(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 256,
+) -> DataFrame:
+    """Per-group histogram sketch: (groups..., bin, cnt) — the grouped
+    form of :func:`quantile_sketch`, still an exact monoid per group
+    and still one map-side-combined shuffle (the group key simply joins
+    the bin in the aggregation key)."""
+    span = hi - lo
+    b = F.floor(
+        (F.col(value_col).cast("double") - F.lit(lo)) / F.lit(span)
+        * F.lit(float(n_bins))
+    ).cast("long")
+    bin_ = F.least(F.lit(n_bins - 1), F.greatest(F.lit(0), b))
+    return (
+        df.select(*group_cols, bin_.alias("bin"))
+        .groupBy(*group_cols, "bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def grouped_quantile_estimate(
+    sketch: DataFrame,
+    group_cols: list[str],
+    q: float,
+    lo: float,
+    hi: float,
+    n_bins: int = 256,
+) -> DataFrame:
+    """(groups..., value) — quantile ``q`` per group from a grouped
+    sketch. The cumulative window partitions by group and runs over the
+    sketch rows (<= n_bins per group), not the data."""
+    from pyspark.sql import Window
+
+    wc = (
+        Window.partitionBy(*group_cols)
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wt = Window.partitionBy(*group_cols)
+    width = (hi - lo) / n_bins
+    cum = sketch.select(
+        *group_cols,
+        "bin",
+        F.sum("cnt").over(wc).alias("cum"),
+        F.sum("cnt").over(wt).alias("total"),
+    )
+    return (
+        cum.filter(F.col("cum") >= F.ceil(F.lit(q) * F.col("total")))
+        .groupBy(*group_cols)
+        .agg(F.min("bin").alias("_bin"))
+        .select(
+            *group_cols,
+            F.round(
+                F.lit(lo) + (F.col("_bin") + 1) * F.lit(width), 6
+            ).alias("value"),
+        )
+    )

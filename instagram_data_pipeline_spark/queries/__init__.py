@@ -125,6 +125,7 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "dsir_weights",
     "bpe_merges",
     "distribution_drift",
+    "grouped_median_sketch",
     # flagship demoted r3: mutual_edges evidence is abundant elsewhere
     # (entry() smoke every round, bench headline, pytest twin, two green
     # driver rounds)

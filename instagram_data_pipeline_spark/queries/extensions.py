@@ -939,3 +939,60 @@ def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_testdata(spark, sf_dir, "lineitem")
     sk = quantile_sketch(li, "l_extendedprice", _QSK_LO, _QSK_HI, _QSK_BINS)
     return quantile_estimate(sk, list(_QSK_QS), _QSK_LO, _QSK_HI, _QSK_BINS)
+
+
+# ---------------------------------------------------------------------------
+# Grouped median via the histogram sketch: the sketch composes under
+# GROUP BY exactly like any additive aggregate — per-group cumulative
+# windows run over sketch rows, never data rows.
+# ---------------------------------------------------------------------------
+_GROUPED_MEDIAN_ORACLE = f"""
+WITH s AS (
+  SELECT l_returnflag, l_linestatus,
+         LEAST({_QSK_BINS - 1}, GREATEST(0,
+           CAST(FLOOR((CAST(l_extendedprice AS DOUBLE) - {_QSK_LO})
+                      / {_QSK_HI - _QSK_LO} * {float(_QSK_BINS)}) AS BIGINT)))
+           AS bin,
+         COUNT(*) AS cnt
+  FROM lineitem GROUP BY 1, 2, 3
+), c AS (
+  SELECT l_returnflag, l_linestatus, bin,
+         SUM(cnt) OVER (PARTITION BY l_returnflag, l_linestatus
+                        ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(cnt) OVER (PARTITION BY l_returnflag, l_linestatus) AS total
+  FROM s
+)
+SELECT l_returnflag, l_linestatus,
+       ROUND(CAST({_QSK_LO} AS DOUBLE)
+             + (MIN(bin) + 1)
+               * CAST({(_QSK_HI - _QSK_LO) / _QSK_BINS} AS DOUBLE), 6)
+         AS value
+FROM c WHERE cum >= CEIL(CAST(0.5 AS DOUBLE) * total)
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@register(
+    "grouped_median_sketch",
+    _GROUPED_MEDIAN_ORACLE,
+    doc="per-(returnflag, linestatus) median price via the grouped "
+        "histogram sketch: one map-side-combined shuffle builds every "
+        "group's sketch, cumulative windows run over sketch rows only — "
+        "the grouped composition of quantile_sketch.",
+    tags=("sketch", "quantile", "agg"),
+)
+def q_grouped_median_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.sketches import (
+        grouped_quantile_estimate,
+        grouped_quantile_sketch,
+    )
+
+    li = load_testdata(spark, sf_dir, "lineitem")
+    sk = grouped_quantile_sketch(
+        li, ["l_returnflag", "l_linestatus"], "l_extendedprice",
+        _QSK_LO, _QSK_HI, _QSK_BINS,
+    )
+    return grouped_quantile_estimate(
+        sk, ["l_returnflag", "l_linestatus"], 0.5,
+        _QSK_LO, _QSK_HI, _QSK_BINS,
+    )

@@ -148,3 +148,26 @@ def test_histogram_drift_flags_the_shifted_day(spark):
     assert got["2024-03-02"] == 0.0 and got["2024-03-03"] == 0.0
     assert got["2024-03-04"] == 2.0  # disjoint supports -> L1 = 2
     assert "2024-03-01" not in got  # no previous day to compare
+
+
+def test_grouped_quantile_sketch_matches_per_group_exact(spark, sf_dir):
+    from instagram_data_pipeline_spark.extensions.sketches import (
+        grouped_quantile_estimate,
+        grouped_quantile_sketch,
+    )
+    from instagram_data_pipeline_spark.io import load_testdata
+
+    li = load_testdata(spark, sf_dir, "lineitem")
+    lo, hi, bins = 0.0, 120000.0, 256
+    sk = grouped_quantile_sketch(li, ["l_returnflag"], "l_extendedprice",
+                                 lo, hi, bins)
+    est = {r.l_returnflag: r.value
+           for r in grouped_quantile_estimate(
+               sk, ["l_returnflag"], 0.5, lo, hi, bins).collect()}
+    exact = {r.l_returnflag: r.p50 for r in li.groupBy("l_returnflag")
+             .agg(F.expr("percentile(l_extendedprice, 0.5)").alias("p50"))
+             .collect()}
+    width = (hi - lo) / bins
+    assert set(est) == set(exact)
+    for k in exact:
+        assert abs(est[k] - exact[k]) <= width
