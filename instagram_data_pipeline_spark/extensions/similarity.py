@@ -475,3 +475,266 @@ def semantic_dedup(
             F.col("_dup").isNull().alias("is_kept"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (Jégou et al. 2011): the memory-bound ANN tier.
+# ---------------------------------------------------------------------------
+def pq_train(
+    corpus: DataFrame,
+    m: int = 4,
+    k: int = 16,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Train per-subspace codebooks: split each vector into ``m``
+    contiguous subvectors and run the deterministic k-means trainer
+    inside each subspace. Returns (sub, cluster, cv).
+
+    At 100 TB this is the memory story: a 64-dim float corpus compresses
+    to m bytes/vector (here 4) plus one tiny codebook (m*k subvectors)
+    that broadcasts everywhere — the corpus scan for search reads codes,
+    not floats."""
+    v = corpus.select(F.col(id_col), as_double_vec(F.col(vec_col)).alias("_v"))
+    dim = _resolve_dim(v, "_v", None)
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub_d = dim // m
+    # all m subspaces as one frame keyed by subspace id: trains in ONE
+    # partitioned-k-means loop (iters checkpoints total, not m*iters)
+    subs = v.select(
+        F.col(id_col),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(s).alias("sub"),
+                    F.slice("_v", s * sub_d + 1, sub_d).alias("sv"),
+                )
+                for s in range(m)
+            ])
+        ).alias("_e"),
+    ).select(id_col, F.col("_e.sub").alias("sub"), F.col("_e.sv").alias("_v"))
+    return kmeans_partitioned_train(
+        subs, "sub", k=k, iters=iters, id_col=id_col, vec_col="_v"
+    )
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: DataFrame,
+    m: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, sub, code): each subvector's nearest codebook entry by
+    cosine — the compressed corpus representation (long form; m rows
+    per vector, the join-friendly shape for ADC scoring)."""
+    v = corpus.select(F.col(id_col), as_double_vec(F.col(vec_col)).alias("_v"))
+    dim = _resolve_dim(v, "_v", None)
+    sub_d = dim // m
+    subs = v.select(
+        F.col(id_col),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(s).alias("sub"),
+                    F.slice("_v", s * sub_d + 1, sub_d).alias("sv"),
+                )
+                for s in range(m)
+            ])
+        ).alias("_e"),
+    ).select(id_col, F.col("_e.sub").alias("sub"), F.col("_e.sv").alias("_sv"))
+    # one broadcast join + one dedup window covers ALL subspaces
+    sim = cosine(F.col("_sv"), F.col("cv"))
+    scored = subs.join(F.broadcast(codebooks), "sub").select(
+        id_col, "sub", F.col("cluster").alias("code"), sim.alias("_s")
+    )
+    w = Window.partitionBy(id_col, "sub").orderBy(
+        F.col("_s").desc(), F.col("code")
+    )
+    return (
+        scored.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") == 1)
+        .select(id_col, "sub", "code")
+    )
+
+
+def pq_topk(
+    codes: DataFrame,
+    codebooks: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 4,
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance top-k: per query, build the (sub, code) ->
+    partial-inner-product lookup table against the codebooks (m*k
+    entries, broadcast), then score every corpus vector by summing its
+    codes' entries — ONE broadcast join on (sub, code) + one aggregate;
+    the float corpus is never touched.
+
+    Approximation: inner product against the quantized corpus (cosine
+    ordering up to per-vector norm error — the classic ADC trade)."""
+    qv = queries.select(
+        F.col(query_id_col), as_double_vec(F.col(vec_col)).alias("_qv")
+    )
+    dim = _resolve_dim(qv, "_qv", None)
+    sub_d = dim // m
+    qsubs = qv.select(
+        query_id_col,
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(s).alias("sub"),
+                    F.slice("_qv", s * sub_d + 1, sub_d).alias("qs"),
+                )
+                for s in range(m)
+            ])
+        ).alias("_e"),
+    ).select(query_id_col, F.col("_e.sub").alias("sub"),
+             F.col("_e.qs").alias("_qs"))
+    table = qsubs.join(codebooks, "sub").select(
+        query_id_col, "sub", F.col("cluster").alias("code"),
+        dot(F.col("_qs"), F.col("cv")).alias("_p"),
+    )
+    scored = (
+        codes.join(F.broadcast(table), ["sub", "code"])
+        .groupBy(query_id_col, id_col)
+        .agg(F.round(F.sum("_p"), 9).alias("_adc"))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("_adc").desc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col,
+                F.round("_adc", 6).alias("adc_score"), "rank")
+    )
+
+
+def pq_search(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 16,
+    n_codes: int = 16,
+    iters: int = 3,
+    shortlist: int = 50,
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The production two-stage PQ pipeline: ADC over the compressed
+    corpus builds a ``shortlist`` per query (the float corpus is never
+    scanned), then ONLY the shortlist rows re-rank by exact cosine.
+
+    This is how quantized ANN actually ships (FAISS IVFPQ + refine): the
+    quantizer's job is candidate pruning, the exact metric's job is
+    final order — ADC ranking error beyond the shortlist boundary is
+    irrelevant. Per query the exact stage touches ``shortlist`` vectors
+    instead of the corpus; the semi-join on (query, id) keys is the only
+    place floats are read."""
+    books = pq_train(
+        corpus, m=m, k=n_codes, iters=iters, id_col=id_col, vec_col=vec_col
+    ).localCheckpoint()
+    codes = pq_encode(corpus, books, m=m, id_col=id_col, vec_col=vec_col)
+    short = pq_topk(
+        codes, books, queries, k=shortlist, m=m,
+        id_col=id_col, query_id_col=query_id_col, vec_col=vec_col,
+    ).select(query_id_col, id_col)
+    cv = corpus.select(
+        F.col(id_col), as_double_vec(F.col(vec_col)).alias("_cv")
+    )
+    qv = queries.select(
+        F.col(query_id_col), as_double_vec(F.col(vec_col)).alias("_qv")
+    )
+    exact = (
+        short.join(cv, id_col)
+        .join(F.broadcast(qv), query_id_col)
+        .select(
+            query_id_col,
+            id_col,
+            cosine(F.col("_qv"), F.col("_cv")).alias("_sim"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("_sim").desc(), F.col(id_col)
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col,
+                F.round("_sim", 6).alias("cosine"), "rank")
+    )
+
+
+def kmeans_partitioned_train(
+    vectors: DataFrame,
+    part_col: str,
+    k: int = 16,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "_v",
+) -> DataFrame:
+    """Deterministic Lloyd's k-means trained INDEPENDENTLY per
+    partition key, in ONE iteration loop: every subspace/shard/tenant
+    trains simultaneously because the partition key simply rides along
+    in the assignment window and the mean aggregation.
+
+    This is the scale shape for anything that trains many small models
+    (PQ codebooks: one per subspace; per-tenant clusterings): iters
+    checkpoints total instead of iters * n_partitions sequential loops,
+    and one broadcast of all centroids instead of n_partitions plan
+    branches. Same seeding/tie-break discipline as
+    :func:`kmeans_centroids_train`, so results per partition are
+    identical to training that partition alone."""
+    v = vectors.select(
+        F.col(part_col).alias("_p"), F.col(id_col), F.col(vec_col).alias("_v")
+    )
+    w0 = Window.partitionBy("_p").orderBy(id_col)
+    centroids = (
+        v.withColumn("_r", F.row_number().over(w0))
+        .filter(F.col("_r") <= k)
+        .select("_p", (F.col("_r") - 1).alias("cluster"),
+                F.col("_v").alias("cv"))
+        .localCheckpoint()
+    )
+    for _ in range(iters):
+        sim = cosine(F.col("_v"), F.col("cv"))
+        scored = v.join(F.broadcast(centroids), "_p").select(
+            "_p", id_col, "_v", "cluster", sim.alias("_s")
+        )
+        wa = Window.partitionBy("_p", id_col).orderBy(
+            F.col("_s").desc(), F.col("cluster")
+        )
+        assign = (
+            scored.withColumn("_r", F.row_number().over(wa))
+            .filter(F.col("_r") == 1)
+            .select("_p", id_col, "_v", "cluster")
+        )
+        members = assign.select(
+            "_p", "cluster", F.posexplode("_v").alias("dim", "val")
+        )
+        centroids = (
+            members.groupBy("_p", "cluster", "dim")
+            .agg(
+                (
+                    F.sum(F.col("val").cast("decimal(28,10)")).cast("double")
+                    / F.count(F.lit(1))
+                ).alias("m")
+            )
+            .groupBy("_p", "cluster")
+            .agg(
+                F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("_dm")
+            )
+            .select(
+                "_p", "cluster",
+                F.transform(F.col("_dm"), lambda s: s["m"]).alias("cv"),
+            )
+            .localCheckpoint()
+        )
+    return centroids.select(F.col("_p").alias(part_col), "cluster", "cv")

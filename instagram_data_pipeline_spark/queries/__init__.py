@@ -126,6 +126,7 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "bpe_merges",
     "distribution_drift",
     "grouped_median_sketch",
+    "pq_topk",
     # flagship demoted r3: mutual_edges evidence is abundant elsewhere
     # (entry() smoke every round, bench headline, pytest twin, two green
     # driver rounds)

@@ -53,6 +53,7 @@ def test_priority_queries_inside_driver_window():
 # every entry must name the test module that pins its values.
 POST_WINDOW_ROWS_ONLY_OK = {
     "bpe_merges",  # tests/test_bpe.py pins the exact merge sequence
+    "pq_topk",  # tests/test_similarity.py pins recall@5 >= 0.8 vs brute
 }
 
 

@@ -243,3 +243,57 @@ def test_semantic_dedup_orthogonal_all_kept(spark):
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
     got = semantic_dedup(df, k=2, iters=2, threshold=0.9).collect()
     assert all(r.is_kept for r in got)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization
+# ---------------------------------------------------------------------------
+def test_pq_recall_against_brute_force(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from instagram_data_pipeline_spark.extensions.similarity import (
+        cosine_topk,
+        pq_search,
+    )
+    from instagram_data_pipeline_spark.io import load_testdata
+
+    emb = load_testdata(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    approx = pq_search(corpus, queries, k=5, m=16, n_codes=16,
+                       iters=3, shortlist=50)
+    exact = cosine_topk(corpus, queries, k=5)
+    a = {(r.query_id, r.vec_id) for r in approx.collect()}
+    e = {(r.query_id, r.vec_id) for r in exact.collect()}
+    nq = queries.count()
+    assert len(a) == 5 * nq
+    # two-stage recall@5: ADC shortlist (50 of ~490) + exact re-rank
+    # recovers most of the exact neighborhood (measured 0.92 at sf0.01)
+    assert len(a & e) / len(e) >= 0.8
+
+
+def test_pq_codes_shape_and_determinism(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from instagram_data_pipeline_spark.extensions.similarity import (
+        pq_encode,
+        pq_train,
+    )
+    from instagram_data_pipeline_spark.io import load_testdata
+
+    emb = load_testdata(spark, sf_dir, "embeddings").limit(100)
+    books = pq_train(emb, m=4, k=8, iters=2).localCheckpoint()
+    # one codebook entry set per subspace, clusters within [0, k)
+    per_sub = {r.sub: r.n for r in
+               books.groupBy("sub").agg(F.count("*").alias("n")).collect()}
+    assert set(per_sub) == {0, 1, 2, 3}
+    assert all(1 <= n <= 8 for n in per_sub.values())
+    codes = pq_encode(emb, books, m=4)
+    # every vector gets exactly m codes
+    counts = codes.groupBy("vec_id").count().select("count").distinct().collect()
+    assert [r["count"] for r in counts] == [4]
+    # deterministic re-encode
+    again = pq_encode(emb, books, m=4)
+    assert sorted(map(tuple, codes.collect())) == sorted(map(tuple, again.collect()))
