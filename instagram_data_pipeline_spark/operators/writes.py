@@ -203,3 +203,45 @@ def update_job_status(
             ),
         )
     return out
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Change-data-capture between two table snapshots: one row per key
+    present in either side, classified ``added`` / ``removed`` /
+    ``changed`` / ``unchanged`` — the diff that feeds an SCD2 merge or
+    an incremental downstream refresh when the upstream only ships full
+    snapshots (the reference re-scraped full follower lists every run;
+    this is that reconciliation as a set operation).
+
+    One full outer join on the key — the minimal shuffle; comparison
+    uses null-safe equality (``<=>``) per column so NULL-to-value
+    transitions classify as changed, not unchanged."""
+    cmp_cols = compare_cols or [
+        c for c in old.columns if c not in keys and c in new.columns
+    ]
+    o = old.select(
+        *[F.col(k).alias(k) for k in keys],
+        *[F.col(c).alias(f"_o_{c}") for c in cmp_cols],
+        F.lit(True).alias("_in_old"),
+    )
+    n = new.select(
+        *[F.col(k).alias(k) for k in keys],
+        *[F.col(c).alias(f"_n_{c}") for c in cmp_cols],
+        F.lit(True).alias("_in_new"),
+    )
+    j = o.join(n, keys, "full_outer")
+    same = F.lit(True)
+    for c in cmp_cols:
+        same = same & F.col(f"_o_{c}").eqNullSafe(F.col(f"_n_{c}"))
+    status = (
+        F.when(F.col("_in_old").isNull(), F.lit("added"))
+        .when(F.col("_in_new").isNull(), F.lit("removed"))
+        .when(same, F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return j.select(*keys, status.alias("change"))

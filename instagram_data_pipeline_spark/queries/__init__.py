@@ -127,6 +127,7 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "distribution_drift",
     "grouped_median_sketch",
     "pq_topk",
+    "snapshot_diff",
     # flagship demoted r3: mutual_edges evidence is abundant elsewhere
     # (entry() smoke every round, bench headline, pytest twin, two green
     # driver rounds)

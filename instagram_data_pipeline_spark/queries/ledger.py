@@ -354,3 +354,63 @@ FROM events
 def q_daily_quota_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_testdata(spark, sf_dir, "events")
     return daily_quota_admission(events, 5)
+
+
+# ---------------------------------------------------------------------------
+# Snapshot diff (CDC between full snapshots): the reconciliation the
+# reference performed implicitly by re-scraping full follower lists.
+# The "new" snapshot is derived deterministically from customer:
+# drop custkey % 97 == 0 (removed), bump acctbal where % 7 == 0
+# (changed), add shifted ids for % 89 == 0 (added).
+# ---------------------------------------------------------------------------
+_SNAPSHOT_DIFF_ORACLE = """
+WITH old AS (
+  SELECT c_custkey, c_acctbal FROM customer
+), new AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 10.0
+              ELSE c_acctbal END AS c_acctbal
+  FROM customer WHERE c_custkey % 97 <> 0
+  UNION ALL
+  SELECT c_custkey + 100000, 0.0 FROM customer WHERE c_custkey % 89 = 0
+)
+SELECT COALESCE(o.c_custkey, n.c_custkey) AS c_custkey,
+       CASE WHEN o.c_custkey IS NULL THEN 'added'
+            WHEN n.c_custkey IS NULL THEN 'removed'
+            WHEN o.c_acctbal IS NOT DISTINCT FROM n.c_acctbal
+              THEN 'unchanged'
+            ELSE 'changed' END AS change
+FROM old o FULL OUTER JOIN new n ON o.c_custkey = n.c_custkey
+"""
+
+
+@register(
+    "snapshot_diff",
+    _SNAPSHOT_DIFF_ORACLE,
+    doc="CDC between full table snapshots: one full outer join on the "
+        "key, null-safe per-column comparison, added/removed/changed/"
+        "unchanged classification — the reconciliation feeding an SCD2 "
+        "merge when upstream ships only full snapshots",
+    tags=("writes", "join", "cdc"),
+)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.writes import snapshot_diff
+
+    cust = load_testdata(spark, sf_dir, "customer")
+    old = cust.select("c_custkey", "c_acctbal")
+    new = (
+        cust.filter(F.col("c_custkey") % 97 != 0)
+        .select(
+            "c_custkey",
+            F.when(
+                F.col("c_custkey") % 7 == 0, F.col("c_acctbal") + 10.0
+            ).otherwise(F.col("c_acctbal")).alias("c_acctbal"),
+        )
+        .unionByName(
+            cust.filter(F.col("c_custkey") % 89 == 0).select(
+                (F.col("c_custkey") + 100000).alias("c_custkey"),
+                F.lit(0.0).alias("c_acctbal"),
+            )
+        )
+    )
+    return snapshot_diff(old, new, keys=["c_custkey"])

@@ -115,3 +115,22 @@ def test_assign_dense_ids_refuses_fact_scale(spark):
         assign_dense_ids(
             jobs, "job_id", order_by=["target_username"], max_rows=3
         )
+
+
+def test_snapshot_diff_classifies_all_transitions(spark):
+    from instagram_data_pipeline_spark.operators.writes import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", None), (4, "d", 40.0)],
+        "k long, name string, bal double",
+    )
+    new = spark.createDataFrame(
+        # 1 unchanged; 2 changed value; 3 NULL->value (changed);
+        # 4 missing (removed); 5 added
+        [(1, "a", 10.0), (2, "b", 25.0), (3, "c", 30.0), (5, "e", 50.0)],
+        "k long, name string, bal double",
+    )
+    got = {r.k: r.change
+           for r in snapshot_diff(old, new, keys=["k"]).collect()}
+    assert got == {1: "unchanged", 2: "changed", 3: "changed",
+                   4: "removed", 5: "added"}
