@@ -245,3 +245,65 @@ def snapshot_diff(
         .otherwise(F.lit("changed"))
     )
     return j.select(*keys, status.alias("change"))
+
+
+def scd2_apply(
+    history: DataFrame,
+    snapshot: DataFrame,
+    keys: list[str],
+    compare_cols: list[str],
+    batch_ts,
+) -> DataFrame:
+    """Slowly-changing-dimension type 2: fold a full snapshot into a
+    versioned history table (keys..., compare_cols..., valid_from,
+    valid_to, is_current).
+
+    Current rows whose attributes changed — or whose key vanished —
+    close (valid_to = batch_ts, is_current = false); new keys and new
+    versions of changed keys open (valid_from = batch_ts, valid_to =
+    NULL). Unchanged rows and already-closed history pass through
+    untouched, so the operation is append-plus-flag-flip on exactly the
+    keys the diff touched — the plain-parquet analog of MERGE-based
+    SCD2, and partition-scoped when history is bucketed by key (see
+    ``Warehouse.upsert_partitioned``).
+
+    ``batch_ts`` must be a deterministic literal (the batch's logical
+    time), never wall clock — replays must produce identical history.
+    """
+    cur = history.filter(F.col("is_current"))
+    closed_hist = history.filter(~F.col("is_current"))
+    d = snapshot_diff(
+        cur.select(*keys, *compare_cols),
+        snapshot.select(*keys, *compare_cols),
+        keys,
+        compare_cols,
+    )
+    ts = F.lit(batch_ts).cast("timestamp")
+    keep = cur.join(
+        d.filter(F.col("change") == "unchanged").select(*keys),
+        keys,
+        "left_semi",
+    )
+    to_close = cur.join(
+        d.filter(F.col("change").isin("changed", "removed")).select(*keys),
+        keys,
+        "left_semi",
+    ).withColumn("valid_to", ts).withColumn("is_current", F.lit(False))
+    to_open = snapshot.join(
+        d.filter(F.col("change").isin("added", "changed")).select(*keys),
+        keys,
+        "left_semi",
+    ).select(
+        *keys,
+        *compare_cols,
+        ts.alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    cols = [*keys, *compare_cols, "valid_from", "valid_to", "is_current"]
+    return (
+        closed_hist.select(*cols)
+        .unionByName(keep.select(*cols))
+        .unionByName(to_close.select(*cols))
+        .unionByName(to_open.select(*cols))
+    )

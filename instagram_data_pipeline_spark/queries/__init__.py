@@ -128,6 +128,7 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "grouped_median_sketch",
     "pq_topk",
     "snapshot_diff",
+    "scd2_history",
     # flagship demoted r3: mutual_edges evidence is abundant elsewhere
     # (entry() smoke every round, bench headline, pytest twin, two green
     # driver rounds)

@@ -414,3 +414,92 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return snapshot_diff(old, new, keys=["c_custkey"])
+
+
+# ---------------------------------------------------------------------------
+# SCD2 history maintenance over the same perturbed snapshot as
+# snapshot_diff: seed every customer as a current version at t0, fold
+# the new snapshot in at t1, return the full versioned history.
+# ---------------------------------------------------------------------------
+_SCD2_T0 = "2024-01-01 00:00:00"
+_SCD2_T1 = "2024-02-01 00:00:00"
+
+_SCD2_ORACLE = f"""
+WITH old AS (
+  SELECT c_custkey, c_acctbal FROM customer
+), new AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 10.0
+              ELSE c_acctbal END AS c_acctbal
+  FROM customer WHERE c_custkey % 97 <> 0
+  UNION ALL
+  SELECT c_custkey + 100000, 0.0 FROM customer WHERE c_custkey % 89 = 0
+), d AS (
+  SELECT COALESCE(o.c_custkey, n.c_custkey) AS c_custkey,
+         CASE WHEN o.c_custkey IS NULL THEN 'added'
+              WHEN n.c_custkey IS NULL THEN 'removed'
+              WHEN o.c_acctbal IS NOT DISTINCT FROM n.c_acctbal
+                THEN 'unchanged'
+              ELSE 'changed' END AS change
+  FROM old o FULL OUTER JOIN new n ON o.c_custkey = n.c_custkey
+)
+SELECT o.c_custkey, o.c_acctbal,
+       TIMESTAMP '{_SCD2_T0}' AS valid_from,
+       CAST(NULL AS TIMESTAMP) AS valid_to,
+       TRUE AS is_current
+FROM old o JOIN d ON o.c_custkey = d.c_custkey
+WHERE d.change = 'unchanged'
+UNION ALL
+SELECT o.c_custkey, o.c_acctbal,
+       TIMESTAMP '{_SCD2_T0}', TIMESTAMP '{_SCD2_T1}', FALSE
+FROM old o JOIN d ON o.c_custkey = d.c_custkey
+WHERE d.change IN ('changed', 'removed')
+UNION ALL
+SELECT n.c_custkey, n.c_acctbal,
+       TIMESTAMP '{_SCD2_T1}', CAST(NULL AS TIMESTAMP), TRUE
+FROM new n JOIN d ON n.c_custkey = d.c_custkey
+WHERE d.change IN ('added', 'changed')
+"""
+
+
+@register(
+    "scd2_history",
+    _SCD2_ORACLE,
+    doc="SCD2 fold of a full snapshot into a versioned dimension "
+        "history: changed/removed current rows close at the batch "
+        "timestamp, added/changed keys open new versions, unchanged "
+        "and already-closed rows pass through — append-plus-flag-flip "
+        "on exactly the keys the diff touched; batch_ts is a logical "
+        "literal so replays are bit-identical",
+    tags=("writes", "cdc", "temporal"),
+)
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.writes import scd2_apply
+
+    cust = load_testdata(spark, sf_dir, "customer")
+    history = cust.select(
+        "c_custkey",
+        "c_acctbal",
+        F.lit(_SCD2_T0).cast("timestamp").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    snapshot = (
+        cust.filter(F.col("c_custkey") % 97 != 0)
+        .select(
+            "c_custkey",
+            F.when(
+                F.col("c_custkey") % 7 == 0, F.col("c_acctbal") + 10.0
+            ).otherwise(F.col("c_acctbal")).alias("c_acctbal"),
+        )
+        .unionByName(
+            cust.filter(F.col("c_custkey") % 89 == 0).select(
+                (F.col("c_custkey") + 100000).alias("c_custkey"),
+                F.lit(0.0).alias("c_acctbal"),
+            )
+        )
+    )
+    return scd2_apply(
+        history, snapshot, keys=["c_custkey"],
+        compare_cols=["c_acctbal"], batch_ts=_SCD2_T1,
+    )

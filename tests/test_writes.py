@@ -134,3 +134,35 @@ def test_snapshot_diff_classifies_all_transitions(spark):
            for r in snapshot_diff(old, new, keys=["k"]).collect()}
     assert got == {1: "unchanged", 2: "changed", 3: "changed",
                    4: "removed", 5: "added"}
+
+
+def test_scd2_versions_and_replay_idempotence(spark):
+    from instagram_data_pipeline_spark.operators.writes import scd2_apply
+
+    hist0 = spark.createDataFrame(
+        [(1, 10.0, "2024-01-01 00:00:00", None, True),
+         (2, 20.0, "2024-01-01 00:00:00", None, True)],
+        "k long, bal double, valid_from string, valid_to string, is_current boolean",
+    ).selectExpr("k", "bal", "CAST(valid_from AS TIMESTAMP) valid_from",
+                 "CAST(valid_to AS TIMESTAMP) valid_to", "is_current")
+    snap = spark.createDataFrame(
+        # 1 changed, 2 dropped, 3 added
+        [(1, 15.0), (3, 30.0)], "k long, bal double"
+    )
+    h1 = scd2_apply(hist0, snap, ["k"], ["bal"], "2024-02-01 00:00:00")
+    rows = {(r.k, r.bal, r.is_current): (str(r.valid_from), str(r.valid_to))
+            for r in h1.collect()}
+    # key 1: closed old version + open new one
+    assert rows[(1, 10.0, False)] == ("2024-01-01 00:00:00", "2024-02-01 00:00:00")
+    assert rows[(1, 15.0, True)][1] == "None"
+    # key 2: closed, no successor; key 3: opened at t1
+    assert rows[(2, 20.0, False)][1] == "2024-02-01 00:00:00"
+    assert rows[(3, 30.0, True)][0] == "2024-02-01 00:00:00"
+    assert len(rows) == 4
+
+    # replaying the SAME snapshot at t2 must add nothing: every live key
+    # is unchanged, closed rows pass through
+    h2 = scd2_apply(h1, snap, ["k"], ["bal"], "2024-03-01 00:00:00")
+    a = sorted(map(tuple, h1.collect()))
+    b = sorted(map(tuple, h2.collect()))
+    assert a == b
