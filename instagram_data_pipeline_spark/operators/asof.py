@@ -139,3 +139,67 @@ def range_bucket_join(
         )
         .drop("_bucket")
     )
+
+
+def multitouch_attribution(
+    conversions: DataFrame,
+    touches: DataFrame,
+    key_col: str = "user_id",
+    conv_ts: str = "ts",
+    touch_ts: str = "ts",
+    conv_id: str = "event_id",
+    touch_id: str = "click_id",
+    value_col: str = "value",
+    window: str = "1 hour",
+    position_weighted: bool = False,
+) -> DataFrame:
+    """Multi-touch attribution: every touch inside ``window`` before a
+    conversion shares its value — linear (equal split) by default, or
+    U-shaped-ish position weighting (first and last touch get double
+    weight) with ``position_weighted``.
+
+    The generalization of the as-of join's last-touch model: one
+    equi-join on the key carries the shuffle (per-key touch lists are
+    small relative to the corpus; a celebrity key with millions of
+    touches would ride the same AQE/salting path as the mutuals join),
+    the time window is a residual predicate, and weights come from ONE
+    count/rank window per conversion — no second shuffle, the join
+    output is already partitioned by conversion.
+
+    Weight arithmetic: weights are exact rationals (1/n, or
+    num/denominator in position mode) materialized as doubles by a
+    single division — cross-engine deterministic; credited value rounds
+    at 6 after multiplying.
+    """
+    c = conversions.select(
+        F.col(key_col).alias("_k"),
+        F.col(conv_ts).alias("_cts"),
+        F.col(conv_id).alias("_cid"),
+        F.col(value_col).alias("_val"),
+    )
+    t = touches.select(
+        F.col(key_col).alias("_k"),
+        F.col(touch_ts).alias("_tts"),
+        F.col(touch_id).alias("_tid"),
+    )
+    j = c.join(t, "_k").filter(
+        (F.col("_tts") <= F.col("_cts"))
+        & (F.col("_tts") > F.col("_cts") - F.expr(f"INTERVAL {window}"))
+    )
+    w = Window.partitionBy("_k", "_cid")
+    wo = w.orderBy(F.col("_tts"), F.col("_tid"))
+    n = F.count(F.lit(1)).over(w)
+    if position_weighted:
+        r = F.row_number().over(wo)
+        num = F.when((r == 1) | (r == n), F.lit(2)).otherwise(F.lit(1))
+        den = F.when(n == 1, F.lit(2)).when(n == 2, F.lit(4)).otherwise(n + 2)
+        weight = num.cast("double") / den.cast("double")
+    else:
+        weight = F.lit(1.0) / F.count(F.lit(1)).over(w).cast("double")
+    return j.select(
+        F.col("_k").alias(key_col),
+        F.col("_cid").alias(conv_id),
+        F.col("_tid").alias(touch_id),
+        F.round(weight, 9).alias("weight"),
+        F.round(F.col("_val") * F.round(weight, 9), 6).alias("credited"),
+    )

@@ -129,6 +129,7 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "pq_topk",
     "snapshot_diff",
     "scd2_history",
+    "multitouch_attribution",
     # flagship demoted r3: mutual_edges evidence is abundant elsewhere
     # (entry() smoke every round, bench headline, pytest twin, two green
     # driver rounds)

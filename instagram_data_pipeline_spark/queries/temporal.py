@@ -486,3 +486,56 @@ def q_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_testdata(spark, sf_dir, "events")
     return histogram_drift(events, "ts", "value",
                            _DRIFT_LO, _DRIFT_HI, _DRIFT_BINS)
+
+
+# ---------------------------------------------------------------------------
+# Multi-touch attribution: every click within 1h before a purchase
+# shares the purchase value equally (linear model) — the one-to-many
+# generalization of asof_attribution's last-touch join.
+# ---------------------------------------------------------------------------
+_MULTITOUCH_ORACLE = """
+WITH purchases AS (
+  SELECT user_id, event_id, ts, value FROM events
+  WHERE event_type = 'purchase'
+), clicks AS (
+  SELECT user_id, ts, MAX(event_id) AS click_id
+  FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+), j AS (
+  SELECT p.user_id, p.event_id, c.click_id, p.value
+  FROM purchases p JOIN clicks c ON p.user_id = c.user_id
+    AND c.ts <= p.ts AND c.ts > p.ts - INTERVAL 1 HOUR
+)
+SELECT user_id, event_id, click_id,
+       ROUND(1.0 / COUNT(*) OVER (PARTITION BY user_id, event_id), 9)
+         AS weight,
+       ROUND(value * ROUND(1.0 / COUNT(*) OVER (PARTITION BY user_id,
+             event_id), 9), 6) AS credited
+FROM j
+"""
+
+
+@register(
+    "multitouch_attribution",
+    _MULTITOUCH_ORACLE,
+    doc="linear multi-touch attribution (1h lookback): key equi-join "
+        "carries the shuffle, the time window is a residual predicate, "
+        "weights come from one count window over the already-partitioned "
+        "join output — no second shuffle. Weights are single-division "
+        "rationals, cross-engine exact.",
+    tags=("temporal", "join", "window"),
+)
+def q_multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.asof import multitouch_attribution
+
+    events = load_testdata(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
+    )
+    return multitouch_attribution(
+        purchases, clicks, window="1 hour",
+    )

@@ -140,3 +140,47 @@ def test_asof_direction_validated(spark):
     )
     with pytest.raises(ValueError, match="backward|forward"):
         asof_join(left, left, on="user_id", direction="sideways")
+
+
+def test_multitouch_linear_and_position_weights(spark):
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    from instagram_data_pipeline_spark.operators.asof import (
+        multitouch_attribution,
+    )
+
+    def ts(m):
+        return datetime(2024, 1, 1, 12, m)
+
+    conv = spark.createDataFrame(
+        [(1, ts(30), 100, 12.0), (2, ts(30), 200, 9.0)],
+        "user_id long, ts timestamp, event_id long, value double",
+    )
+    touches = spark.createDataFrame(
+        # user 1: three touches inside the hour, one outside
+        [(1, ts(0), 11), (1, ts(10), 12), (1, ts(29), 13),
+         (1, datetime(2024, 1, 1, 10, 0), 10),
+         # user 2: single touch
+         (2, ts(5), 21)],
+        "user_id long, ts timestamp, click_id long",
+    )
+    lin = multitouch_attribution(conv, touches, window="1 hour")
+    got = {(r.user_id, r.click_id): (r.weight, r.credited)
+           for r in lin.collect()}
+    assert (1, 10) not in got  # outside the window
+    assert got[(1, 11)][0] == got[(1, 12)][0] == got[(1, 13)][0]
+    assert abs(got[(1, 11)][0] - 1 / 3) < 1e-9
+    assert abs(sum(v for _, v in
+                   [got[(1, c)] for c in (11, 12, 13)]) - 12.0) < 1e-4
+    assert got[(2, 21)] == (1.0, 9.0)
+
+    pos = multitouch_attribution(conv, touches, window="1 hour",
+                                 position_weighted=True)
+    pgot = {(r.user_id, r.click_id): r.weight for r in pos.collect()}
+    # n=3: first/last get 2/5, middle 1/5
+    assert abs(pgot[(1, 11)] - 0.4) < 1e-9
+    assert abs(pgot[(1, 12)] - 0.2) < 1e-9
+    assert abs(pgot[(1, 13)] - 0.4) < 1e-9
+    assert pgot[(2, 21)] == 1.0
