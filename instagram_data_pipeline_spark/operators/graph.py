@@ -230,3 +230,40 @@ def pagerank(
             .localCheckpoint()
         )
     return ranks.select("node", F.col("pr").alias("pagerank"))
+
+
+def kcore(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    rounds: int = 8,
+) -> DataFrame:
+    """The k-core: the maximal subgraph where every node keeps degree
+    >= k, by iterative peeling — drop under-degree nodes, re-derive
+    degrees, repeat. Returns (node, deg) inside the core (empty if no
+    k-core exists).
+
+    Runs EXACTLY ``rounds`` rounds: once peeling reaches the fixpoint,
+    further rounds are no-ops, so any rounds >= the peel depth yields
+    the true core — and a fixed count is what lets the oracle unroll
+    the same loop into CTEs (peel depth on real graphs is small; the
+    localCheckpoint per round keeps lineage flat either way). Each
+    round is one degree aggregation + two semi-joins — all key-partitioned
+    shuffles, no driver-side data."""
+    e = _undirected(edges, src, dst).localCheckpoint()
+    for _ in range(rounds):
+        keep = (
+            e.groupBy(F.col("src").alias("node"))
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .filter(F.col("deg") >= k)
+            .select("node")
+        )
+        e = (
+            e.join(keep.withColumnRenamed("node", "src"), "src", "left_semi")
+            .join(keep.withColumnRenamed("node", "dst"), "dst", "left_semi")
+            .localCheckpoint()
+        )
+    return e.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )

@@ -130,6 +130,7 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "snapshot_diff",
     "scd2_history",
     "multitouch_attribution",
+    "kcore_members",
     # flagship demoted r3: mutual_edges evidence is abundant elsewhere
     # (entry() smoke every round, bench headline, pytest twin, two green
     # driver rounds)

@@ -146,3 +146,52 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranks = pagerank(_copurchase_edges(spark, sf_dir), iters=5,
                      damping=0.85, symmetric=True)
     return ranks.select("node", F.round("pagerank", 6).alias("pagerank"))
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition (k=20) by iterative peeling, fixed 8 rounds —
+# convergence depth on this graph is <= 3 at sf0.01 and <= 6 at sf0.1
+# (measured), so 8 reaches the fixpoint with margin at every SF and the
+# oracle can unroll the identical loop.
+# ---------------------------------------------------------------------------
+def _kcore_oracle(k: int = 20, rounds: int = 8) -> str:
+    # every e{i} is referenced three times per round; MATERIALIZED stops
+    # DuckDB's default CTE inlining from expanding 3^rounds base scans
+    parts = [
+        _EDGE_CTES,
+        "e0 AS MATERIALIZED"
+        " (SELECT src, dst FROM ce UNION ALL SELECT dst, src FROM ce)",
+    ]
+    for i in range(rounds):
+        parts.append(
+            f"""k{i} AS MATERIALIZED (
+  SELECT src AS node FROM e{i} GROUP BY src HAVING COUNT(*) >= {k}
+)"""
+        )
+        parts.append(f"""e{i + 1} AS MATERIALIZED (
+  SELECT e.src, e.dst FROM e{i} e
+  JOIN k{i} a ON e.src = a.node
+  JOIN k{i} b ON e.dst = b.node
+)""")
+    ctes = ",\n".join(parts)
+    return f"""
+WITH {ctes}
+SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg
+FROM e{rounds} GROUP BY src
+"""
+
+
+@register(
+    "kcore_members",
+    _kcore_oracle(k=20, rounds=8),
+    doc="20-core of the co-purchase graph by iterative peeling (fixed 8 "
+        "rounds >= measured peel depth at every SF; extra rounds are "
+        "no-ops at the fixpoint). One degree aggregation + two "
+        "semi-joins per round, checkpointed lineage. Oracle unrolls the "
+        "identical loop.",
+    tags=("graph", "iterative"),
+)
+def q_kcore_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import kcore
+
+    return kcore(_copurchase_edges(spark, sf_dir), k=20, rounds=8)

@@ -115,3 +115,36 @@ def test_pagerank_mass_conserved_and_star_center_wins(spark):
 def test_pagerank_deterministic_across_runs(spark):
     edges = [(a, b) for a in range(6) for b in range(a + 1, 6) if (a + b) % 3]
     assert _pr(spark, edges) == _pr(spark, edges)
+
+
+# ---------------------------------------------------------------------------
+# k-core
+# ---------------------------------------------------------------------------
+from instagram_data_pipeline_spark.operators.graph import kcore
+
+
+def _core(spark, edges, k, rounds=8):
+    df = spark.createDataFrame(edges, "src long, dst long")
+    return {r.node: r.deg for r in kcore(df, k, rounds=rounds).collect()}
+
+
+def test_kcore_peels_pendant_chain(spark):
+    # K4 with a pendant chain: 2-core = the K4, chain peels away over
+    # multiple rounds (4-5-6 falls only after 5-6 falls)
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    chain = [(3, 4), (4, 5), (5, 6)]
+    got = _core(spark, k4 + chain, k=2)
+    assert set(got) == {0, 1, 2, 3}
+    assert all(d == 3 for d in got.values())
+
+
+def test_kcore_empty_when_no_core_exists(spark):
+    # a tree has no 2-core
+    tree = [(0, 1), (0, 2), (1, 3), (1, 4)]
+    assert _core(spark, tree, k=2) == {}
+
+
+def test_kcore_whole_graph_when_already_core(spark):
+    ring = [(i, (i + 1) % 5) for i in range(5)]
+    got = _core(spark, ring, k=2)
+    assert set(got) == set(range(5)) and all(d == 2 for d in got.values())
