@@ -252,3 +252,35 @@ def context_chunks(
         F.size("_c.toks").cast("long").alias("n_tokens"),
         F.array_join("_c.toks", " ").alias("chunk_text"),
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    k: int,
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis–Spirakis,
+    2006), derandomized: each row's uniform draw comes from the md5 of
+    its key — u = (h32 + 0.5) / 2^32 — so the sample is reproducible
+    across runs, engines, and appends (a row's inclusion never depends
+    on what else is in the frame until the final top-k).
+
+    E-S selects the k largest u^(1/w); we order by the monotone
+    equivalent ln(u)/w descending (ln u is negative — dividing by a
+    larger weight moves the key toward zero, i.e. up). One expression
+    per row + one top-k: TakeOrdered, no full sort, no shuffle before
+    the final k-row reduction. Zero/negative weights are excluded (a
+    weight of 0 must never be sampled; E-S gives them u^inf -> 0
+    anyway — the filter just makes it explicit)."""
+    h = F.conv(
+        F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    u = (h.cast("double") + F.lit(0.5)) / F.lit(4294967296.0)
+    es = F.log(u) / F.col(weight_col).cast("double")
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("es_key", F.round(es, 12))
+        .orderBy(F.col("es_key").desc(), F.col(key_col))
+        .limit(k)
+    )

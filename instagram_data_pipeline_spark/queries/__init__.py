@@ -131,6 +131,7 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "scd2_history",
     "multitouch_attribution",
     "kcore_members",
+    "weighted_sample",
     # flagship demoted r3: mutual_edges evidence is abundant elsewhere
     # (entry() smoke every round, bench headline, pytest twin, two green
     # driver rounds)

@@ -1025,3 +1025,36 @@ def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return pq_search(corpus, queries, k=5, m=16, n_codes=16,
                      iters=3, shortlist=50)
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling without replacement (derandomized E-S): sample 50
+# documents proportionally to length — the quality/importance-weighted
+# subsampling step of a curation pipeline, reproducible by construction.
+# ---------------------------------------------------------------------------
+@register(
+    "weighted_sample",
+    """
+WITH w AS (
+  SELECT doc_id, n_chars,
+         ROUND(LN((CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),
+                   1, 8)) AS BIGINT) AS DOUBLE) + 0.5) / 4294967296.0)
+               / CAST(n_chars AS DOUBLE), 12) AS es_key
+  FROM documents WHERE n_chars > 0
+)
+SELECT doc_id, n_chars, es_key FROM w
+ORDER BY es_key DESC, doc_id LIMIT 50
+""",
+    doc="weighted sampling without replacement (Efraimidis-Spirakis, "
+        "md5-derandomized uniforms): inclusion is reproducible across "
+        "runs/engines/appends; one per-row expression + TakeOrdered, no "
+        "full sort. Sampling 50 docs proportional to length.",
+    tags=("sampling",),
+)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.sampling import weighted_sample
+
+    docs = load_testdata(spark, sf_dir, "documents")
+    return weighted_sample(
+        docs.select("doc_id", "n_chars"), "doc_id", "n_chars", k=50
+    )

@@ -200,3 +200,22 @@ def test_leakage_safe_split_keeps_near_dups_together(spark, sf_dir):
     assert straddling == 0
     # and the split is a partition of the corpus
     assert split.count() == docs.count()
+
+
+def test_weighted_sample_reproducible_and_weight_sensitive(spark):
+    from instagram_data_pipeline_spark.extensions.sampling import weighted_sample
+
+    rows = [(i, float(1 if i < 90 else 100)) for i in range(100)]
+    df = spark.createDataFrame(rows, "k long, w double")
+    s1 = [r.k for r in weighted_sample(df, "k", "w", 10).collect()]
+    s2 = [r.k for r in weighted_sample(df, "k", "w", 10).collect()]
+    assert s1 == s2  # derandomized: identical across runs
+    # the ten 100x-weighted keys should dominate a k=10 sample
+    heavy = sum(1 for k in s1 if k >= 90)
+    assert heavy >= 8
+    # zero/negative weights never sampled; k >= n returns all positive
+    df2 = spark.createDataFrame(
+        [(1, 0.0), (2, -3.0), (3, 5.0)], "k long, w double"
+    )
+    got = [r.k for r in weighted_sample(df2, "k", "w", 10).collect()]
+    assert got == [3]
