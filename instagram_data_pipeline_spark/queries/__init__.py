@@ -107,9 +107,13 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "cms_heavy_users",
     "approx_distinct_users",
     # ------------------- driver window ends at slot 50 --------------------
-    # context_chunks + multimodal_audio_stats head the post-window queue:
-    # they rotate in next round (pytest-oracle-checked every CI run
-    # meanwhile)
+    # Post-window rotation queue for round 4 (in order): context_chunks,
+    # multimodal_audio_stats, then the 18-query late-round-3 wave below
+    # (graph analytics, ranking/LM/DSIR, semantic dedup, sketches, CDC,
+    # attribution, sampling). All are pytest-oracle-checked every CI run
+    # meanwhile; rotate them into slots 1-20 next round by demoting the
+    # r3-green text/dedup family (which will then hold driver rows from
+    # two rounds).
     "context_chunks",
     "multimodal_audio_stats",
     # round-3 late wave: graph analytics + ranking/LM/semantic-dedup —
