@@ -250,3 +250,63 @@ def dsir_log_ratios(
             F.sum("_lr").cast("double") / F.count(F.lit(1)), 6
         ).alias("avg_log_ratio"),
     )
+
+
+def hashed_tf(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int = 64,
+) -> DataFrame:
+    """Feature hashing (Weinberger et al. 2009): sparse signed
+    term-frequency features in long form (id, bucket, v) — the
+    model-free text vectorizer. Bucket and sign both come from the md5
+    of the term (bits 0-5 and 6 here for dim=64), so the featurization
+    is engine-portable and append-stable; the sign trick keeps hash
+    collisions unbiased in expectation.
+
+    One tokenize + one groupBy; vocabulary never materializes (that is
+    the point — no vocab build pass, no OOV handling, bounded width)."""
+    toks = _tokens(docs, id_col, text_col)
+    h = F.conv(F.substring(F.md5(F.col("term")), 1, 8), 16, 10).cast("long")
+    bucket = F.pmod(h, F.lit(dim))
+    sign = F.when(
+        F.shiftright(h, 6).bitwiseAND(F.lit(1)) == 0, F.lit(1)
+    ).otherwise(F.lit(-1))
+    return (
+        toks.select(F.col(id_col), bucket.alias("bucket"), sign.alias("_s"))
+        .groupBy(id_col, "bucket")
+        .agg(F.sum("_s").alias("v"))
+        .filter(F.col("v") != 0)
+    )
+
+
+def hashed_tf_vectors(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int = 64,
+) -> DataFrame:
+    """Dense array<double> form of :func:`hashed_tf` — plugs straight
+    into the similarity/ANN family (cosine_topk, near_dup_pairs,
+    pq_search) as a drop-in embedding column built from text alone."""
+    long_form = hashed_tf(docs, id_col, text_col, dim)
+    return (
+        long_form.groupBy(id_col)
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("bucket", "v"))
+            ).alias("_m")
+        )
+        .select(
+            id_col,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                # element_at on a MAP looks up by KEY (bucket ids are
+                # longs) — not by 1-based position as on arrays
+                lambda i: F.coalesce(
+                    F.element_at("_m", i.cast("bigint")), F.lit(0)
+                ).cast("double"),
+            ).alias("embedding"),
+        )
+    )

@@ -136,6 +136,7 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "multitouch_attribution",
     "kcore_members",
     "weighted_sample",
+    "hashed_tf_features",
     # flagship demoted r3: mutual_edges evidence is abundant elsewhere
     # (entry() smoke every round, bench headline, pytest twin, two green
     # driver rounds)

@@ -193,3 +193,44 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         merges, "rank int, left string, right string, pair_count long"
     )
+
+
+# ---------------------------------------------------------------------------
+# Feature hashing (the hashing-trick vectorizer): model-free signed TF
+# features over a fixed 64-bucket space. Long-form output (doc, bucket,
+# v) is the oracle-comparable shape; the dense array form
+# (ranking.hashed_tf_vectors) plugs into the ANN family and is
+# pytest-covered end-to-end.
+# ---------------------------------------------------------------------------
+_HASHED_TF_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS term FROM documents
+), tks AS (
+  SELECT doc_id, term FROM tok WHERE term <> ''
+), h AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(term), 1, 8)) AS BIGINT) AS hv
+  FROM tks
+)
+SELECT doc_id, hv % 64 AS bucket,
+       CAST(SUM(CASE WHEN (hv >> 6) & 1 = 0 THEN 1 ELSE -1 END)
+            AS BIGINT) AS v
+FROM h GROUP BY doc_id, hv % 64
+HAVING SUM(CASE WHEN (hv >> 6) & 1 = 0 THEN 1 ELSE -1 END) <> 0
+"""
+
+
+@register(
+    "hashed_tf_features",
+    _HASHED_TF_ORACLE,
+    doc="feature hashing (Weinberger signed hashing trick, 64 buckets, "
+        "md5-portable): model-free text vectorization with NO vocabulary "
+        "pass, no OOV, bounded width — one tokenize + one groupBy. The "
+        "dense form feeds the similarity/ANN family directly.",
+    tags=("text", "ranking", "similarity"),
+)
+def q_hashed_tf_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.ranking import hashed_tf
+
+    docs = load_testdata(spark, sf_dir, "documents")
+    return hashed_tf(docs, dim=64)

@@ -6,6 +6,8 @@ from __future__ import annotations
 
 import math
 
+from pyspark.sql import functions as F
+
 from instagram_data_pipeline_spark.extensions.ranking import (
     bigram_lm_scores,
     bm25_topk,
@@ -91,3 +93,50 @@ def test_dsir_target_like_docs_score_higher(spark):
     # and target members themselves score above background members
     assert got[1] > got[5]
     assert all(r is not None for r in got.values())
+
+
+def test_hashed_tf_dense_form_feeds_the_ann_family(spark, sf_dir):
+    from instagram_data_pipeline_spark.extensions.ranking import (
+        hashed_tf,
+        hashed_tf_vectors,
+    )
+    from instagram_data_pipeline_spark.extensions.similarity import (
+        cosine_topk,
+    )
+    from instagram_data_pipeline_spark.io import load_testdata
+
+    docs = load_testdata(spark, sf_dir, "documents").limit(60)
+    dense = hashed_tf_vectors(docs, dim=64)
+    row = dense.first()
+    assert len(row.embedding) == 64
+    # dense form agrees with long form entry-by-entry
+    sparse = {(r.doc_id, r.bucket): r.v
+              for r in hashed_tf(docs, dim=64).collect()}
+    for r in dense.limit(5).collect():
+        for b, val in enumerate(r.embedding):
+            assert val == float(sparse.get((r.doc_id, b), 0))
+    # and it is a drop-in embedding column for the similarity family
+    corpus = dense.filter(F.col("doc_id") >= 5).withColumnRenamed(
+        "doc_id", "vec_id"
+    )
+    queries = dense.filter(F.col("doc_id") < 5).select(
+        F.col("doc_id").alias("query_id"), "embedding"
+    )
+    top = cosine_topk(corpus, queries, k=3)
+    assert top.count() == 3 * queries.count()
+
+
+def test_hashed_tf_identical_docs_identical_vectors(spark):
+    from instagram_data_pipeline_spark.extensions.ranking import (
+        hashed_tf_vectors,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "spark joins data fast"), (2, "spark joins data fast"),
+         (3, "completely different words here")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: tuple(r.embedding)
+           for r in hashed_tf_vectors(docs, dim=32).collect()}
+    assert got[1] == got[2]
+    assert got[1] != got[3]
