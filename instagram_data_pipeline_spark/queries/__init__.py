@@ -137,6 +137,7 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "kcore_members",
     "weighted_sample",
     "hashed_tf_features",
+    "equidepth_buckets",
     # flagship demoted r3: mutual_edges evidence is abundant elsewhere
     # (entry() smoke every round, bench headline, pytest twin, two green
     # driver rounds)

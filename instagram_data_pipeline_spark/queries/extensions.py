@@ -1058,3 +1058,76 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_sample(
         docs.select("doc_id", "n_chars"), "doc_id", "n_chars", k=50
     )
+
+
+# ---------------------------------------------------------------------------
+# Equi-depth bucketing: decile cut points from the histogram sketch
+# assign every row a depth bucket — ML feature discretization where
+# each bucket carries ~equal mass (unlike equi-width bins). The cut
+# array rides as a 1-row broadcast; assignment is a per-row lambda over
+# 9 values, pure codegen.
+# ---------------------------------------------------------------------------
+_EQD_QS = tuple(round(0.1 * i, 1) for i in range(1, 10))
+
+
+def _equidepth_oracle() -> str:
+    width = (_QSK_HI - _QSK_LO) / _QSK_BINS
+    vals = ", ".join(f"({q})" for q in _EQD_QS)
+    return f"""
+WITH s AS (
+  SELECT LEAST({_QSK_BINS - 1}, GREATEST(0,
+           CAST(FLOOR((CAST(l_extendedprice AS DOUBLE) - {_QSK_LO})
+                      / {_QSK_HI - _QSK_LO} * {float(_QSK_BINS)}) AS BIGINT)))
+           AS bin,
+         COUNT(*) AS cnt
+  FROM lineitem GROUP BY 1
+), c AS (
+  SELECT bin,
+         SUM(cnt) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(cnt) OVER () AS total
+  FROM s
+), cuts AS (
+  SELECT list_sort(list(CAST({_QSK_LO} AS DOUBLE)
+                        + (bin + 1) * CAST({width} AS DOUBLE))) AS cs
+  FROM (
+    SELECT t.q, MIN(c.bin) AS bin
+    FROM (VALUES {vals}) t(q)
+    JOIN c ON c.cum >= CEIL(CAST(t.q AS DOUBLE) * c.total)
+    GROUP BY t.q
+  )
+)
+SELECT CAST(len(list_filter(cuts.cs,
+            x -> CAST(l_extendedprice AS DOUBLE) > x)) AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM lineitem CROSS JOIN cuts
+GROUP BY 1
+"""
+
+
+@register(
+    "equidepth_buckets",
+    _equidepth_oracle(),
+    doc="equi-depth discretization: decile cut points from the mergeable "
+        "histogram sketch, assignment = per-row filtered-count over the "
+        "9-value broadcast cut array (codegen, no join); each bucket "
+        "carries ~10% of the mass — the ML feature-binning form "
+        "equi-width bins cannot give on skewed columns.",
+    tags=("sketch", "quantile", "sampling"),
+)
+def q_equidepth_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.sketches import quantile_estimate, quantile_sketch
+
+    li = load_testdata(spark, sf_dir, "lineitem")
+    sk = quantile_sketch(li, "l_extendedprice", _QSK_LO, _QSK_HI, _QSK_BINS)
+    cuts = F.broadcast(
+        quantile_estimate(sk, list(_EQD_QS), _QSK_LO, _QSK_HI, _QSK_BINS)
+        .agg(F.array_sort(F.collect_list("value")).alias("_cs"))
+    )
+    v = F.col("l_extendedprice").cast("double")
+    bucket = F.size(F.filter(F.col("_cs"), lambda x: v > x)).cast("long")
+    return (
+        li.crossJoin(cuts)
+        .select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )

@@ -171,3 +171,15 @@ def test_grouped_quantile_sketch_matches_per_group_exact(spark, sf_dir):
     assert set(est) == set(exact)
     for k in exact:
         assert abs(est[k] - exact[k]) <= width
+
+
+def test_equidepth_buckets_carry_roughly_equal_mass(spark, sf_dir):
+    from instagram_data_pipeline_spark.queries import load_all
+
+    got = load_all()["equidepth_buckets"].spark_fn(spark, sf_dir).collect()
+    counts = {r.bucket: r.n_rows for r in got}
+    total = sum(counts.values())
+    assert set(counts) == set(range(10))
+    # each decile bucket holds ~10% of rows, within sketch-bin tolerance
+    for b, n in counts.items():
+        assert 0.05 <= n / total <= 0.15, (b, n / total)
