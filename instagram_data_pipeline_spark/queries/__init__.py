@@ -44,15 +44,76 @@ def register(
 # dict order against the DuckDB oracle; everything after slot 50 gets no
 # driver-issued evidence that round.  ``REGISTRY_ORDER`` therefore controls —
 # explicitly, not by import side-effect — exactly which queries occupy the
-# window.  Policy (round 3): queries with NO prior driver row come first, then
-# newly added / oracle-upgraded queries, then rows-only probabilistic ops,
-# then one-round-green queries; queries with TWO rounds of green driver rows
-# (core relational, all of which also have pytest oracle twins in
-# tests/test_queries_oracle.py) are demoted past the window.  Rotate with
-# intent each round so every query accumulates driver evidence.
+# window.  Policy (round 4, per VERDICT r3 "Next round" #1/#5): the 22
+# queries that have never received a driver row come first; every rows-only
+# probabilistic tier sits NEXT TO its hash-checked portable twin so each
+# family ships one hard row per round; queries whose IMPLEMENTATION changed
+# this round are re-verified in-window even if previously green; then new
+# round-4 queries; then one-round-green (r02) queries accumulating a second
+# row.  Multi-round-green queries demote past the window — all of them stay
+# oracle-checked every CI run by tests/test_queries_oracle.py regardless.
 REGISTRY_ORDER: tuple[str, ...] = (
-    # -- slots 1-21: never driver-checked before round 3 (text / dedup /
-    #    sampling family, model path, as-of + range joins, ledger tail) -----
+    # -- slots 1-22: never driver-checked (late-round-3 wave: graph
+    #    analytics, ranking/LM/DSIR, semantic dedup, sketches, CDC,
+    #    attribution, sampling, multimodal audio) --------------------------
+    "triangle_stats",
+    "pagerank",
+    "kcore_members",
+    "bm25_topk",
+    "lm_perplexity",
+    "dsir_weights",
+    "semantic_dedup",
+    "leakage_safe_split",
+    "quantile_sketch",
+    "grouped_median_sketch",
+    "distribution_drift",
+    "snapshot_diff",
+    "scd2_history",
+    "multitouch_attribution",
+    "stream_static_enrich",
+    "context_chunks",
+    "multimodal_audio_stats",
+    "weighted_sample",
+    "hashed_tf_features",
+    "equidepth_buckets",
+    "pq_topk",
+    "bpe_merges",
+    # -- probabilistic families: rows-only tier + hash-checked portable
+    #    twin, always adjacent and in-window together (VERDICT r3 #5) ------
+    "minhash_near_dups",
+    "minhash_near_dups_portable",
+    "simhash_near_dups",
+    "simhash_near_dups_portable",
+    "cms_heavy_users",
+    "cms_heavy_users_portable",
+    "approx_distinct_users",
+    "ann_lsh_topk",
+    "ivf_topk",
+    "kmeans_clusters",
+    # -- implementation changed in round 4 → re-verify (connected
+    #    components moved to two-phase star contraction per ADVICE;
+    #    dedup_clusters consumes it) ---------------------------------------
+    "connected_components",
+    "dedup_clusters",
+    # -- one-round-green (r02) queries earning a second driver row ---------
+    "embedding_norms",
+    "ledger_enqueue_due",
+    "cosine_topk",
+    "embedding_near_dups",
+    "embedding_quantize",
+    "dataset_split",
+    "label_centroids",
+    "ledger_complete_batch",
+    "ledger_dequeue_transition",
+    "ledger_point_update",
+    # -- flagship + bench headline continuity ------------------------------
+    "mutual_edges",
+    "pricing_summary",
+    # ------------------- driver window ends at slot 50 --------------------
+    # Post-window: everything below is ≥1-round driver-green (most 2-3
+    # rounds) and stays pytest-oracle-checked every CI run.  Round-5 queue:
+    # promote whichever of the below have the fewest driver rows once the
+    # round-4 wave is green.
     "dedup_exact",
     "doc_fingerprint",
     "token_stats",
@@ -74,17 +135,12 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "ledger_assign_ids",
     "ledger_both_complete",
     "ledger_delete_failed",
-    # -- new in round 3 ----------------------------------------------------
     "stream_stream_attribution",
     "multimodal_image_stats",
-    "dedup_clusters",
     "cube_revenue",
     "continuous_rollup",
     "asof_forward_attribution",
     "multimodal_frame_sample",
-    "minhash_near_dups_portable",
-    "cms_heavy_users_portable",
-    "simhash_near_dups_portable",
     "bloom_pruned_join",
     "passage_dedup",
     "repetition_stats",
@@ -95,68 +151,7 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "retention_cohorts",
     "incremental_dedup",
     "temperature_mixture",
-    # -- oracle upgraded in round 3 (rows-only -> hash) --------------------
-    "connected_components",
     "embedding_near_dups_bucketed",
-    # -- rows-only probabilistic ops (keep continuity rows) ----------------
-    "minhash_near_dups",
-    "simhash_near_dups",
-    "ann_lsh_topk",
-    "ivf_topk",
-    "kmeans_clusters",
-    "cms_heavy_users",
-    "approx_distinct_users",
-    # ------------------- driver window ends at slot 50 --------------------
-    # Post-window rotation queue for round 4 (in order): context_chunks,
-    # multimodal_audio_stats, then the 18-query late-round-3 wave below
-    # (graph analytics, ranking/LM/DSIR, semantic dedup, sketches, CDC,
-    # attribution, sampling). All are pytest-oracle-checked every CI run
-    # meanwhile; rotate them into slots 1-20 next round by demoting the
-    # r3-green text/dedup family (which will then hold driver rows from
-    # two rounds).
-    "context_chunks",
-    "multimodal_audio_stats",
-    # round-3 late wave: graph analytics + ranking/LM/semantic-dedup —
-    # pytest-oracle-checked now, rotate into the window next round
-    "triangle_stats",
-    "pagerank",
-    "bm25_topk",
-    "lm_perplexity",
-    "semantic_dedup",
-    "stream_static_enrich",
-    "leakage_safe_split",
-    "quantile_sketch",
-    "dsir_weights",
-    "bpe_merges",
-    "distribution_drift",
-    "grouped_median_sketch",
-    "pq_topk",
-    "snapshot_diff",
-    "scd2_history",
-    "multitouch_attribution",
-    "kcore_members",
-    "weighted_sample",
-    "hashed_tf_features",
-    "equidepth_buckets",
-    # flagship demoted r3: mutual_edges evidence is abundant elsewhere
-    # (entry() smoke every round, bench headline, pytest twin, two green
-    # driver rounds)
-    "mutual_edges",
-    "pricing_summary",
-    # One-round-green (r02) extension/ledger queries rotated out to fund
-    # new round-3 slots; cosine_topk keeps the vector-fold evidence and
-    # ledger_{enqueue_due,dequeue_transition,complete_batch} keep the
-    # ledger-family evidence in-window.
-    "embedding_norms",
-    "ledger_enqueue_due",
-    "cosine_topk",
-    "embedding_near_dups",
-    "embedding_quantize",
-    "dataset_split",
-    "label_centroids",
-    "ledger_complete_batch",
-    "ledger_dequeue_transition",
-    "ledger_point_update",
     # Two-round-green core relational queries, demoted past the window;
     # each still oracle-checked every CI run by tests/test_queries_oracle.py.
     # (sessionize_stream's streaming evidence is carried in-window by

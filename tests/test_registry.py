@@ -10,26 +10,24 @@ from instagram_data_pipeline_spark.queries import (
     load_all,
 )
 
-# queries that MUST occupy the round-3 driver window: no driver row yet
-# (VERDICT r2 "What's missing" #1), new this round, or oracle-upgraded
+# queries that MUST occupy the round-4 driver window: never driver-checked
+# before (VERDICT r3 "What's missing" #1), implementation changed this
+# round, or a rows-only tier whose portable twin must ride along
 PRIORITY = {
-    # text / dedup / sampling family — registered after slot 50 in r2
-    "dedup_exact", "doc_fingerprint", "token_stats", "bpe_token_stats",
-    "text_quality", "lang_id", "lang_source_rollup", "winnow_fingerprint",
-    "ngram_jaccard_pairs", "tfidf_top_terms", "token_packing",
-    "stratified_sample", "mixture_sample",
-    # model path, temporal joins, ledger tail
-    "keyword_categorize", "validate_interests", "asof_attribution",
-    "range_band_join", "daily_quota_admission", "ledger_assign_ids",
-    "ledger_both_complete", "ledger_delete_failed",
-    # new in round 3
-    "stream_stream_attribution", "multimodal_image_stats",
-    "dedup_clusters", "cube_revenue", "continuous_rollup",
-    "asof_forward_attribution", "multimodal_frame_sample",
-    "minhash_near_dups_portable", "cms_heavy_users_portable",
-    "simhash_near_dups_portable",
-    # rows-only -> hash oracle upgrades in round 3
-    "connected_components", "embedding_near_dups_bucketed",
+    # never driver-checked: late-round-3 wave
+    "triangle_stats", "pagerank", "kcore_members", "bm25_topk",
+    "lm_perplexity", "dsir_weights", "semantic_dedup", "leakage_safe_split",
+    "quantile_sketch", "grouped_median_sketch", "distribution_drift",
+    "snapshot_diff", "scd2_history", "multitouch_attribution",
+    "stream_static_enrich", "context_chunks", "multimodal_audio_stats",
+    "weighted_sample", "hashed_tf_features", "equidepth_buckets",
+    "pq_topk", "bpe_merges",
+    # probabilistic tiers: rows-only + portable twin pairs (VERDICT r3 #5)
+    "minhash_near_dups", "minhash_near_dups_portable",
+    "simhash_near_dups", "simhash_near_dups_portable",
+    "cms_heavy_users", "cms_heavy_users_portable",
+    # implementation changed in round 4 (two-phase star-contraction CC)
+    "connected_components", "dedup_clusters",
 }
 
 
@@ -47,10 +45,12 @@ def test_priority_queries_inside_driver_window():
     assert PRIORITY <= window, sorted(PRIORITY - window)
 
 
-# Post-window queries that are rows-only BY NATURE (iterative argmax +
-# list-fold is not SQL-expressible) but carry dedicated exact-value
-# pytest evidence instead of an oracle twin. Keep this list justified:
-# every entry must name the test module that pins its values.
+# Queries that are rows-only BY NATURE (iterative argmax + list-fold is
+# not SQL-expressible) but carry dedicated exact-value pytest evidence
+# instead of an oracle twin. Keep this list justified: every entry must
+# name the test module that pins its values. (Both are in-window for
+# round 4, so the post-window oracle check below doesn't reach them —
+# the allowlist stays for future rotations.)
 POST_WINDOW_ROWS_ONLY_OK = {
     "bpe_merges",  # tests/test_bpe.py pins the exact merge sequence
     "pq_topk",  # tests/test_similarity.py pins recall@5 >= 0.8 vs brute
