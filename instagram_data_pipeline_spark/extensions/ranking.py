@@ -260,18 +260,23 @@ def hashed_tf(
 ) -> DataFrame:
     """Feature hashing (Weinberger et al. 2009): sparse signed
     term-frequency features in long form (id, bucket, v) — the
-    model-free text vectorizer. Bucket and sign both come from the md5
-    of the term (bits 0-5 and 6 here for dim=64), so the featurization
-    is engine-portable and append-stable; the sign trick keeps hash
-    collisions unbiased in expectation.
+    model-free text vectorizer. Bucket comes from md5 chars 1-8 of the
+    term and sign from md5 chars 9-16 — two INDEPENDENT hashes, so the
+    sign trick keeps hash collisions unbiased in expectation at ANY
+    dim (a sign bit drawn from inside the bucket hash would correlate
+    with the bucket whenever dim exceeds that bit's position, making
+    colliding terms always share a sign). Engine-portable and
+    append-stable.
 
     One tokenize + one groupBy; vocabulary never materializes (that is
     the point — no vocab build pass, no OOV handling, bounded width)."""
     toks = _tokens(docs, id_col, text_col)
-    h = F.conv(F.substring(F.md5(F.col("term")), 1, 8), 16, 10).cast("long")
+    md5 = F.md5(F.col("term"))
+    h = F.conv(F.substring(md5, 1, 8), 16, 10).cast("long")
+    h2 = F.conv(F.substring(md5, 9, 8), 16, 10).cast("long")
     bucket = F.pmod(h, F.lit(dim))
     sign = F.when(
-        F.shiftright(h, 6).bitwiseAND(F.lit(1)) == 0, F.lit(1)
+        h2.bitwiseAND(F.lit(1)) == 0, F.lit(1)
     ).otherwise(F.lit(-1))
     return (
         toks.select(F.col(id_col), bucket.alias("bucket"), sign.alias("_s"))

@@ -155,6 +155,10 @@ def quantile_sketch(
     same construction in any engine yields bit-identical results
     (oracle-checkable, rerun-stable). Values outside [lo, hi] clamp to
     the edge bins (they count toward rank, as extreme values should).
+    NULL values are excluded before binning — floor(NULL) would
+    otherwise propagate into a NULL bin, and NULL bins sort FIRST in
+    Spark windows but LAST in most other engines, silently shifting
+    every cumulative rank.
 
     One map-side-combined groupBy; the shuffle carries <= n_bins rows
     per partition.
@@ -166,7 +170,8 @@ def quantile_sketch(
     ).cast("long")
     bin_ = F.least(F.lit(n_bins - 1), F.greatest(F.lit(0), b))
     return (
-        df.select(bin_.alias("bin"))
+        df.filter(F.col(value_col).isNotNull())
+        .select(bin_.alias("bin"))
         .groupBy("bin")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
@@ -257,7 +262,9 @@ def histogram_drift(
     ).cast("long")
     bin_ = F.least(F.lit(n_bins - 1), F.greatest(F.lit(0), b))
     s = (
-        df.select(day.alias("day"), bin_.alias("bin"))
+        # NULL values excluded before binning (see quantile_sketch)
+        df.filter(F.col(value_col).isNotNull())
+        .select(day.alias("day"), bin_.alias("bin"))
         .groupBy("day", "bin")
         .agg(F.count(F.lit(1)).alias("c"))
     )
@@ -312,7 +319,8 @@ def grouped_quantile_sketch(
     """Per-group histogram sketch: (groups..., bin, cnt) — the grouped
     form of :func:`quantile_sketch`, still an exact monoid per group
     and still one map-side-combined shuffle (the group key simply joins
-    the bin in the aggregation key)."""
+    the bin in the aggregation key). NULL values excluded before
+    binning (see :func:`quantile_sketch`)."""
     span = hi - lo
     b = F.floor(
         (F.col(value_col).cast("double") - F.lit(lo)) / F.lit(span)
@@ -320,7 +328,8 @@ def grouped_quantile_sketch(
     ).cast("long")
     bin_ = F.least(F.lit(n_bins - 1), F.greatest(F.lit(0), b))
     return (
-        df.select(*group_cols, bin_.alias("bin"))
+        df.filter(F.col(value_col).isNotNull())
+        .select(*group_cols, bin_.alias("bin"))
         .groupBy(*group_cols, "bin")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )

@@ -40,12 +40,28 @@ def connected_components(
     from the node (undirected). Deterministic: ids are compared with
     plain ordering, no RNG anywhere.
 
-    Per round: label(n) <- min(label(n), min over neighbors m of
-    label(m)); stop when no label changed (driver-side count — one cheap
-    action per round, the standard convergence check for iterative
-    plans). Each round is one shuffle on dst plus an aggregate; the
-    label frame is checkpointed so round i doesn't re-execute rounds
-    0..i-1.
+    Per round, two steps:
+
+    1. propagate: label(n) <- min(label(n), min over neighbors m of
+       label(m)) — one shuffle on dst plus an aggregate;
+    2. pointer-jump: label(n) <- label(label(n)) — one equi-join of the
+       label frame against itself (every label IS a node id in the same
+       component, so the jump stays within the component and labels
+       remain monotone non-increasing).
+
+    Plain propagation alone needs diameter-many rounds (a 10k-node
+    chain would stall at max_iters and return wrong labels); the jump
+    step shortcuts label chains so the covered distance roughly doubles
+    per round — geometric convergence, the same effect as the
+    large-star/small-star contraction of Kiveris et al. (MapReduce CC,
+    2014) with simpler dataflow. max_iters=20 therefore covers any
+    component whose label-chain distance fits in ~2^20.
+
+    Stops when no label changed (driver-side limit(1).count — one cheap
+    action per round); the label frame is localCheckpoint-ed each round
+    so round i doesn't re-execute rounds 0..i-1. RAISES on
+    non-convergence rather than returning wrong labels — consumers
+    (dedup_clusters, leakage_safe_split) depend on exact components.
     """
     e = _undirected(edges, src, dst).localCheckpoint()
     labels = (
@@ -61,21 +77,38 @@ def connected_components(
             .groupBy(F.col("dst").alias("node"))
             .agg(F.min("component").alias("nbr_min"))
         )
+        prop = labels.join(incoming, "node", "left").select(
+            "node",
+            F.col("component").alias("_old"),
+            F.least(
+                F.col("component"), F.coalesce("nbr_min", F.col("component"))
+            ).alias("_mid"),
+        )
+        # pointer jump: follow my label's own label one step
+        jump = prop.select(
+            F.col("node").alias("_jn"), F.col("_mid").alias("_jc")
+        )
         updated = (
-            labels.join(incoming, "node", "left")
+            prop.join(jump, prop["_mid"] == jump["_jn"], "left")
             .select(
                 "node",
-                F.least(
-                    F.col("component"), F.coalesce("nbr_min", F.col("component"))
-                ).alias("component"),
-                (F.col("nbr_min") < F.col("component")).alias("_chg"),
+                # _jc <= _mid always (labels never exceed their node id),
+                # so the jump result needs no least() against _mid
+                F.coalesce("_jc", F.col("_mid")).alias("component"),
+                (F.coalesce("_jc", F.col("_mid")) < F.col("_old")).alias(
+                    "_chg"
+                ),
             )
-        ).localCheckpoint()
+            .localCheckpoint()
+        )
         changed = updated.filter(F.col("_chg")).limit(1).count()
         labels = updated.drop("_chg")
         if changed == 0:
-            break
-    return labels
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iters} rounds "
+        "(label-chain distance > ~2^max_iters); raise max_iters"
+    )
 
 
 def component_sizes(components: DataFrame) -> DataFrame:

@@ -905,7 +905,7 @@ WITH s AS (
                       / {_QSK_HI - _QSK_LO} * {float(_QSK_BINS)}) AS BIGINT)))
            AS bin,
          COUNT(*) AS cnt
-  FROM lineitem GROUP BY 1
+  FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY 1
 ), c AS (
   SELECT bin,
          SUM(cnt) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cum,
@@ -954,7 +954,7 @@ WITH s AS (
                       / {_QSK_HI - _QSK_LO} * {float(_QSK_BINS)}) AS BIGINT)))
            AS bin,
          COUNT(*) AS cnt
-  FROM lineitem GROUP BY 1, 2, 3
+  FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY 1, 2, 3
 ), c AS (
   SELECT l_returnflag, l_linestatus, bin,
          SUM(cnt) OVER (PARTITION BY l_returnflag, l_linestatus
@@ -1080,7 +1080,7 @@ WITH s AS (
                       / {_QSK_HI - _QSK_LO} * {float(_QSK_BINS)}) AS BIGINT)))
            AS bin,
          COUNT(*) AS cnt
-  FROM lineitem GROUP BY 1
+  FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY 1
 ), c AS (
   SELECT bin,
          SUM(cnt) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cum,

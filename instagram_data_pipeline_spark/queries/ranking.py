@@ -209,14 +209,15 @@ WITH tok AS (
   SELECT doc_id, term FROM tok WHERE term <> ''
 ), h AS (
   SELECT doc_id,
-         CAST(concat('0x', substr(md5(term), 1, 8)) AS BIGINT) AS hv
+         CAST(concat('0x', substr(md5(term), 1, 8)) AS BIGINT) AS hv,
+         CAST(concat('0x', substr(md5(term), 9, 8)) AS BIGINT) AS sv
   FROM tks
 )
 SELECT doc_id, hv % 64 AS bucket,
-       CAST(SUM(CASE WHEN (hv >> 6) & 1 = 0 THEN 1 ELSE -1 END)
+       CAST(SUM(CASE WHEN sv & 1 = 0 THEN 1 ELSE -1 END)
             AS BIGINT) AS v
 FROM h GROUP BY doc_id, hv % 64
-HAVING SUM(CASE WHEN (hv >> 6) & 1 = 0 THEN 1 ELSE -1 END) <> 0
+HAVING SUM(CASE WHEN sv & 1 = 0 THEN 1 ELSE -1 END) <> 0
 """
 
 

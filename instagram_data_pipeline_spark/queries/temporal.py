@@ -445,7 +445,7 @@ WITH s AS (
                       * {float(_DRIFT_BINS)}) AS BIGINT)))
            AS bin,
          COUNT(*) AS c
-  FROM events GROUP BY 1, 2
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
 ), totals AS (
   SELECT day, SUM(c) AS tot FROM s GROUP BY day
 ), pairs AS (

@@ -38,6 +38,30 @@ def test_cc_long_chain_converges(spark):
     assert len(got) == 16
 
 
+def test_cc_chain_beyond_plain_propagation_range(spark):
+    """Regression (ADVICE r3): plain min-label propagation needs
+    diameter-many rounds, so a 1000-edge chain stalled at max_iters=20
+    and returned wrong labels. Pointer jumping doubles the covered
+    label-chain distance per round — the same chain now converges well
+    inside the default budget."""
+    edges = [(i, i + 1) for i in range(1000)]
+    got = _cc(spark, edges)
+    assert set(got.values()) == {0}
+    assert len(got) == 1001
+
+
+def test_cc_nonconvergence_raises_not_wrong(spark):
+    """An exhausted iteration budget must raise, never return
+    unconverged (wrong) labels — downstream dedup_clusters and
+    leakage_safe_split rely on exact components."""
+    import pytest
+
+    edges = [(i, i + 1) for i in range(200)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(df, max_iters=2)
+
+
 def test_cc_deterministic_and_sizes(spark):
     edges = [(i, i % 5) for i in range(5, 40)]  # 5 stars
     df = spark.createDataFrame(edges, "src long, dst long")

@@ -126,6 +126,27 @@ def test_hashed_tf_dense_form_feeds_the_ann_family(spark, sf_dir):
     assert top.count() == 3 * queries.count()
 
 
+def test_hashed_tf_sign_independent_of_bucket(spark):
+    """Regression: sign must come from a hash independent of the bucket
+    hash. With pmod(h, 128) buckets (= low 7 bits of h) and the sign
+    drawn from bit 6 OF THE SAME HASH, every bucket is monochromatic —
+    colliding terms always cancel in the same direction and the
+    unbiased-collision property of the hashing trick breaks. With an
+    independent sign hash, a 400-term vocab at dim=128 (~3 terms per
+    bucket) must produce at least one bucket holding both signs."""
+    from instagram_data_pipeline_spark.extensions.ranking import hashed_tf
+
+    docs = spark.createDataFrame(
+        [(i, f"term{i}") for i in range(400)], "doc_id long, text string"
+    )
+    # one distinct term per doc -> each row's v IS that term's sign
+    rows = hashed_tf(docs, dim=128).collect()
+    signs_by_bucket: dict[int, set[int]] = {}
+    for r in rows:
+        signs_by_bucket.setdefault(r.bucket, set()).add(r.v)
+    assert any(s == {1, -1} for s in signs_by_bucket.values())
+
+
 def test_hashed_tf_identical_docs_identical_vectors(spark):
     from instagram_data_pipeline_spark.extensions.ranking import (
         hashed_tf_vectors,
