@@ -1,9 +1,12 @@
-"""Pure-Python image codecs for uncompressed formats (PPM P6, BMP 24bpp).
+"""Pure-Python image codecs: uncompressed (PPM P6, BMP 24bpp), PNG
+(stdlib zlib — lossless, full filter support) and baseline JPEG
+(:mod:`.jpeg`, numpy DCT + Annex K Huffman).
 
-The sandbox ships no PIL/ffmpeg, but uncompressed formats need no codec
-library — so these give the multimodal operators (:mod:`multimodal`) one
-REAL decode -> transform -> re-encode path, exercised byte-exactly in
-tests. Compressed formats stay behind the pluggable-decoder seam.
+The sandbox ships no PIL/ffmpeg, but none of these formats need a codec
+library — so the multimodal operators (:mod:`multimodal`) get REAL
+decode -> transform -> re-encode paths for the formats real corpora use,
+exercised byte-exactly (PPM/BMP/PNG) or prediction-exactly (JPEG) in
+tests.
 
 These run inside mapInPandas workers on payloads of one Arrow batch at a
 time; pixel work is plain Python (fine for tests and small media — a
@@ -114,6 +117,121 @@ def encode_bmp24(width: int, height: int, pixels: Pixels) -> bytes:
 
 
 # ---------------------------------------------------------------------------
+# PNG (RGB truecolor, 8-bit, non-interlaced) — stdlib zlib is the whole
+# compression story, so PNG needs no external codec: chunk framing +
+# per-row filters. Lossless, hence byte-exact round trips like PPM/BMP.
+# ---------------------------------------------------------------------------
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(body))
+        + ctype
+        + body
+        + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(width: int, height: int, pixels: Pixels) -> bytes:
+    """RGB8 truecolor, filter type 0 on every row, one IDAT chunk."""
+    import zlib
+
+    raw = bytearray()
+    for row in pixels:
+        raw.append(0)  # filter: None
+        for r, g, b in row:
+            raw += bytes((r, g, b))
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (
+        _PNG_MAGIC
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def decode_png(data: bytes) -> tuple[int, int, Pixels]:
+    """Parse RGB8 truecolor non-interlaced PNG; all five standard row
+    filters (None/Sub/Up/Average/Paeth) are reconstructed, so files from
+    real encoders (which pick filters adaptively) decode too. IDAT
+    chunks concatenate into one zlib stream per spec."""
+    import zlib
+
+    if data[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG payload")
+    pos, width, height, idat = 8, None, None, bytearray()
+    while pos + 8 <= len(data):
+        (clen,) = struct.unpack_from(">I", data, pos)
+        ctype = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + clen]
+        if ctype == b"IHDR":
+            width, height, depth, color, comp, filt, interlace = (
+                struct.unpack(">IIBBBBB", body)
+            )
+            if (depth, color) != (8, 2):
+                raise ValueError(
+                    f"only 8-bit RGB truecolor supported (depth={depth}, "
+                    f"color type {color})"
+                )
+            if interlace != 0:
+                raise ValueError("Adam7 interlacing unsupported")
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+        pos += 12 + clen
+    if width is None:
+        raise ValueError("missing IHDR")
+    raw = zlib.decompress(bytes(idat))
+    stride = width * 3
+    if len(raw) != height * (stride + 1):
+        raise ValueError("IDAT length mismatch")
+    pixels: Pixels = []
+    prev = bytearray(stride)
+    for r in range(height):
+        base = r * (stride + 1)
+        ftype = raw[base]
+        line = bytearray(raw[base + 1 : base + 1 + stride])
+        if ftype == 1:  # Sub
+            for i in range(3, stride):
+                line[i] = (line[i] + line[i - 3]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                left = line[i - 3] if i >= 3 else 0
+                line[i] = (line[i] + (left + prev[i]) // 2) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                left = line[i - 3] if i >= 3 else 0
+                ul = prev[i - 3] if i >= 3 else 0
+                line[i] = (line[i] + _paeth(left, prev[i], ul)) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+        pixels.append(
+            [
+                (line[3 * c], line[3 * c + 1], line[3 * c + 2])
+                for c in range(width)
+            ]
+        )
+        prev = line
+    return width, height, pixels
+
+
+# ---------------------------------------------------------------------------
 # Transform + operator adapters
 # ---------------------------------------------------------------------------
 
@@ -126,9 +244,23 @@ def resize_nearest(pixels: Pixels, tw: int, th: int) -> Pixels:
     ]
 
 
+def _decode_jpeg(data: bytes) -> tuple[int, int, Pixels]:
+    from .jpeg import decode_jpeg_baseline
+
+    return decode_jpeg_baseline(data)
+
+
+def _encode_jpeg(width: int, height: int, pixels: Pixels) -> bytes:
+    from .jpeg import encode_jpeg_baseline
+
+    return encode_jpeg_baseline(width, height, pixels)
+
+
 _FORMATS = {
     "ppm": (decode_ppm, encode_ppm),
     "bmp": (decode_bmp24, encode_bmp24),
+    "png": (decode_png, encode_png),
+    "jpeg": (_decode_jpeg, _encode_jpeg),
 }
 
 
@@ -137,6 +269,10 @@ def sniff_format(payload: bytes) -> str | None:
         return "ppm"
     if payload[:2] == b"BM":
         return "bmp"
+    if payload[:8] == _PNG_MAGIC:
+        return "png"
+    if payload[:2] == b"\xff\xd8":
+        return "jpeg"
     return None
 
 
@@ -146,7 +282,9 @@ def image_resizer(payload: bytes, tw: int, th: int) -> bytes:
     re-encode in the same format."""
     fmt = sniff_format(payload)
     if fmt is None:
-        raise ValueError("unsupported image format (PPM/BMP supported)")
+        raise ValueError(
+            "unsupported image format (PPM/BMP/PNG/JPEG supported)"
+        )
     dec, enc = _FORMATS[fmt]
     _, _, pixels = dec(payload)
     return enc(tw, th, resize_nearest(pixels, tw, th))
@@ -154,9 +292,9 @@ def image_resizer(payload: bytes, tw: int, th: int) -> bytes:
 
 def mean_rgb_feature(payload: bytes, kind: str) -> list[float]:
     """Real feature kernel for :func:`multimodal.extract_features` on
-    PPM/BMP images: [mean_r, mean_g, mean_b, width, height] normalized to
-    [0, 1] (dims divided by 4096). Non-image payloads fall back to the
-    deterministic byte-fold feature."""
+    PPM/BMP/PNG/JPEG images: [mean_r, mean_g, mean_b, width, height]
+    normalized to [0, 1] (dims divided by 4096). Non-image payloads fall
+    back to the deterministic byte-fold feature."""
     fmt = sniff_format(payload or b"") if kind == "image" else None
     if fmt is None:
         from .multimodal import fake_feature

@@ -53,15 +53,17 @@ FEATURE_SCHEMA = (
 
 
 def real_decode(payload: bytes, kind: str) -> Any:
-    """STUB for COMPRESSED media (JPEG/PNG/audio/video): PIL/librosa/
-    ffmpeg are unavailable in this environment. Uncompressed images have
-    a REAL pure-Python path — see :mod:`codecs` (PPM/BMP decode, resize,
-    mean-RGB features), used via ``extract_features(decoder=
+    """STUB for COMPRESSED AUDIO/VIDEO (MP3/AAC/H.264...): librosa/ffmpeg
+    are unavailable in this environment. Every IMAGE format has a REAL
+    pure-Python path — see :mod:`codecs` (PPM/BMP/PNG decode) and
+    :mod:`jpeg` (baseline JFIF), used via ``extract_features(decoder=
     codecs.mean_rgb_feature)`` / ``resize_images(decoder=
-    codecs.image_resizer)``."""
+    codecs.image_resizer)`` — and uncompressed audio decodes via
+    ``codecs.decode_wav_pcm16``."""
     raise NotImplementedError(
-        "compressed-media codecs not installed; plug a decoder via "
-        "extract_features(decoder=...) or use extensions.codecs for PPM/BMP"
+        "compressed audio/video codecs not installed; plug a decoder via "
+        "extract_features(decoder=...); images (PPM/BMP/PNG/JPEG) and WAV "
+        "audio have real codecs in extensions.codecs / extensions.jpeg"
     )
 
 

@@ -95,6 +95,10 @@ REGISTRY_ORDER: tuple[str, ...] = (
     #    dedup_clusters consumes it) ---------------------------------------
     "connected_components",
     "dedup_clusters",
+    # -- new in round 4: compressed-image codecs (PNG lossless, JPEG
+    #    deterministic-lossy with an arithmetic-replay oracle) -------------
+    "multimodal_png_stats",
+    "multimodal_jpeg_stats",
     # -- one-round-green (r02) queries earning a second driver row ---------
     "embedding_norms",
     "ledger_enqueue_due",

@@ -198,6 +198,196 @@ def q_multimodal_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Compressed-image twins of the PPM path (round 4: the last stubbed
+# modality closed). PNG is lossless -> the oracle is the same md5
+# arithmetic as PPM. JPEG is lossy but DETERMINISTIC: a solid-color
+# image quantizes to a DC-only block whose decode is exact integer/
+# float arithmetic the oracle reproduces step-by-step (see
+# extensions/jpeg.py module doc for the rounding contract) — a
+# hash-green row proves the full Huffman/DCT encode -> binary ->
+# parse/decode pipeline lands on the arithmetic prediction.
+# ---------------------------------------------------------------------------
+
+
+def _synthesize_solid_media(docs: DataFrame, fmt: str) -> DataFrame:
+    """documents -> (media_id, kind, payload): solid-color image in
+    ``fmt`` with color = md5 bytes 1-3 and format-specific dims (PNG
+    5+b%6 x 4+r%5; JPEG 4+r%9 x 3+g%7, exercising non-multiple-of-8
+    padding). Only the id and opaque payload bytes survive."""
+    hexed = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.md5(F.coalesce(F.col("text"), F.lit("")).cast("binary")).alias("x"),
+    ).select(
+        "media_id",
+        *[
+            F.conv(F.substring("x", 1 + 2 * i, 2), 16, 10)
+            .cast("int")
+            .alias(c)
+            for i, c in enumerate(["r", "g", "b"])
+        ],
+    )
+    if fmt == "png":
+        hexed = hexed.select(
+            "media_id", "r", "g", "b",
+            (F.lit(5) + F.col("b") % 6).alias("w"),
+            (F.lit(4) + F.col("r") % 5).alias("h"),
+        )
+    else:  # jpeg
+        hexed = hexed.select(
+            "media_id", "r", "g", "b",
+            (F.lit(4) + F.col("r") % 9).alias("w"),
+            (F.lit(3) + F.col("g") % 7).alias("h"),
+        )
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..extensions.codecs import encode_png
+        from ..extensions.jpeg import encode_jpeg_baseline
+
+        enc = encode_png if fmt == "png" else encode_jpeg_baseline
+        for pdf in batches:
+            payloads = [
+                enc(int(w), int(h), [[(int(r), int(g), int(b))] * int(w)] * int(h))
+                for r, g, b, w, h in zip(
+                    pdf["r"], pdf["g"], pdf["b"], pdf["w"], pdf["h"]
+                )
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": "image",
+                    "payload": payloads,
+                }
+            )
+
+    return hexed.mapInPandas(encode, schema=_MEDIA_SCHEMA)
+
+
+def _decoded_solid_stats(media: DataFrame) -> DataFrame:
+    """Shared recovery: real sniff+decode inside mapInPandas, then
+    integer stats back out of the float32 feature vector (float32
+    relative error ~6e-8 stays far below the 0.5 rounding margin)."""
+    from ..extensions.codecs import mean_rgb_feature
+    from ..extensions.multimodal import extract_features
+
+    feats = extract_features(media, decoder=mean_rgb_feature)
+
+    def chan(i: int, scale: int):
+        return F.round(F.element_at("feature", i) * scale).cast("int")
+
+    return feats.select(
+        "media_id",
+        chan(4, 4096).alias("width"),
+        chan(5, 4096).alias("height"),
+        chan(1, 255).alias("mean_r"),
+        chan(2, 255).alias("mean_g"),
+        chan(3, 255).alias("mean_b"),
+    )
+
+
+@register(
+    "multimodal_png_stats",
+    f"""
+WITH m AS (
+  SELECT doc_id AS media_id, md5(COALESCE(text, '')) AS x FROM documents
+), rgb AS (
+  SELECT media_id,
+         {_duck_channel(1)} AS r,
+         {_duck_channel(3)} AS g,
+         {_duck_channel(5)} AS b
+  FROM m
+)
+SELECT media_id,
+       CAST(5 + b % 6 AS INT) AS width, CAST(4 + r % 5 AS INT) AS height,
+       CAST(r AS INT) AS mean_r, CAST(g AS INT) AS mean_g,
+       CAST(b AS INT) AS mean_b
+FROM rgb
+""",
+    doc="PNG through the real stdlib-zlib codec: deterministic payloads "
+        "synthesized per document (chunk framing, CRCs, row filters), "
+        "decoded back inside mapInPandas; PNG is lossless so the oracle "
+        "is pure md5 arithmetic — hash-green == bit-exact round trip "
+        "through a compressed format",
+    tags=("multimodal", "binary", "png", "mapInPandas"),
+)
+def q_multimodal_png_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = _synthesize_solid_media(
+        load_testdata(spark, sf_dir, "documents"), "png"
+    )
+    return _decoded_solid_stats(media)
+
+
+# expression shapes below mirror extensions/jpeg.py VERBATIM (same
+# literals, same association order — IEEE doubles make them identical
+# across engines); quality 90 scales both Annex K tables to DC quant 3
+_JPEG_DC_Q = 3
+
+
+def _jpeg_chan_sql(v: str) -> str:
+    q = _JPEG_DC_Q
+    return (
+        f"FLOOR(FLOOR(8.0*({v} - 128.0)/{q} + 0.5 + 1e-9)*{q}/8.0"
+        " + 128.0 + 0.5 + 1e-9)"
+    )
+
+
+@register(
+    "multimodal_jpeg_stats",
+    f"""
+WITH m AS (
+  SELECT doc_id AS media_id, md5(COALESCE(text, '')) AS x FROM documents
+), rgb AS (
+  SELECT media_id,
+         {_duck_channel(1)} AS r,
+         {_duck_channel(3)} AS g,
+         {_duck_channel(5)} AS b
+  FROM m
+), dims AS (
+  SELECT media_id, r, g, b,
+         4 + r % 9 AS width, 3 + g % 7 AS height
+  FROM rgb
+), ycc AS (
+  SELECT media_id, width, height,
+    LEAST(255.0, GREATEST(0.0,
+      FLOOR(0.299*r + 0.587*g + 0.114*b + 0.5))) AS y,
+    LEAST(255.0, GREATEST(0.0,
+      FLOOR(128.0 + (-0.168736*r - 0.331264*g + 0.5*b) + 0.5))) AS cb,
+    LEAST(255.0, GREATEST(0.0,
+      FLOOR(128.0 + (0.5*r - 0.418688*g - 0.081312*b) + 0.5))) AS cr
+  FROM dims
+), dq AS (
+  SELECT media_id, width, height,
+    {_jpeg_chan_sql('y')} AS yd,
+    {_jpeg_chan_sql('cb')} AS cbd,
+    {_jpeg_chan_sql('cr')} AS crd
+  FROM ycc
+)
+SELECT media_id, CAST(width AS INT) AS width, CAST(height AS INT) AS height,
+  CAST(LEAST(255.0, GREATEST(0.0,
+    FLOOR(yd + 1.402*(crd - 128.0) + 0.5))) AS INT) AS mean_r,
+  CAST(LEAST(255.0, GREATEST(0.0,
+    FLOOR(yd - 0.344136*(cbd - 128.0) - 0.714136*(crd - 128.0) + 0.5)))
+    AS INT) AS mean_g,
+  CAST(LEAST(255.0, GREATEST(0.0,
+    FLOOR(yd + 1.772*(cbd - 128.0) + 0.5))) AS INT) AS mean_b
+FROM dq
+""",
+    doc="baseline JFIF JPEG through the real pure-numpy codec (Annex K "
+        "Huffman + DCT, quality 90, non-multiple-of-8 dims exercising "
+        "edge padding): solid payloads encode lossy-but-deterministically "
+        "to DC-only blocks, and the oracle replays the exact "
+        "YCbCr -> quantize -> dequantize -> RGB arithmetic in SQL — "
+        "hash-green proves the entropy-coded round trip lands on the "
+        "arithmetic prediction",
+    tags=("multimodal", "binary", "jpeg", "mapInPandas"),
+)
+def q_multimodal_jpeg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = _synthesize_solid_media(
+        load_testdata(spark, sf_dir, "documents"), "jpeg"
+    )
+    return _decoded_solid_stats(media)
+
+
+# ---------------------------------------------------------------------------
 # Audio twin of the image path: deterministic WAV/PCM16 payload per doc
 # (samples derived from doc_id), carried as opaque binary, decoded by
 # the REAL RIFF parser, stats recovered from the DECODED samples only.

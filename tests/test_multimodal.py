@@ -212,3 +212,275 @@ def test_wav_decoder_rejects_stereo():
     payload = b"RIFF" + struct.pack("<I", len(body)) + body
     with _pytest.raises(ValueError):
         decode_wav_pcm16(payload)
+
+
+# ---------------------------------------------------------------------------
+# PNG (round 4): lossless stdlib-zlib codec
+# ---------------------------------------------------------------------------
+
+
+def test_png_roundtrip_pixel_exact():
+    from instagram_data_pipeline_spark.extensions.codecs import (
+        decode_png,
+        encode_png,
+    )
+
+    _, pixels = _gradient_ppm(7, 5)
+    data = encode_png(7, 5, pixels)
+    assert data[:8] == b"\x89PNG\r\n\x1a\n"
+    w, h, got = decode_png(data)
+    assert (w, h, got) == (7, 5, pixels)
+
+
+def test_png_decoder_reconstructs_all_filter_types():
+    """Real encoders pick Sub/Up/Average/Paeth adaptively; the decoder
+    must reconstruct every filter type, not just the 0 our encoder
+    emits. Hand-filter each row with a forced type and verify decode
+    inverts it."""
+    import struct
+    import zlib
+
+    from instagram_data_pipeline_spark.extensions.codecs import (
+        _paeth,
+        _png_chunk,
+        decode_png,
+    )
+
+    _, pixels = _gradient_ppm(6, 5)
+    w, h = 6, 5
+    stride = w * 3
+    rows = [
+        bytes(b for px in row for b in px) for row in pixels
+    ]
+    raw = bytearray()
+    prev = bytes(stride)
+    for r, ftype in zip(range(h), [0, 1, 2, 3, 4]):
+        line = rows[r]
+        raw.append(ftype)
+        for i in range(stride):
+            left = line[i - 3] if i >= 3 else 0
+            up = prev[i]
+            ul = prev[i - 3] if i >= 3 else 0
+            if ftype == 0:
+                raw.append(line[i])
+            elif ftype == 1:
+                raw.append((line[i] - left) & 0xFF)
+            elif ftype == 2:
+                raw.append((line[i] - up) & 0xFF)
+            elif ftype == 3:
+                raw.append((line[i] - (left + up) // 2) & 0xFF)
+            else:
+                raw.append((line[i] - _paeth(left, up, ul)) & 0xFF)
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    data = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+    got_w, got_h, got = decode_png(data)
+    assert (got_w, got_h, got) == (w, h, pixels)
+
+
+def test_png_decoder_rejects_unsupported_shapes():
+    import struct
+    import zlib
+
+    import pytest as _pytest
+
+    from instagram_data_pipeline_spark.extensions.codecs import (
+        _png_chunk,
+        decode_png,
+    )
+
+    # RGBA color type
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 6, 0, 0, 0)
+    data = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(b"\x00\x00\x00\x00\x00"))
+        + _png_chunk(b"IEND", b"")
+    )
+    with _pytest.raises(ValueError, match="truecolor"):
+        decode_png(data)
+    with _pytest.raises(ValueError, match="not a PNG"):
+        decode_png(b"GIF89a")
+
+
+# ---------------------------------------------------------------------------
+# JPEG (round 4): baseline JFIF, pure numpy
+# ---------------------------------------------------------------------------
+
+
+def test_jpeg_solid_roundtrip_matches_arithmetic_prediction():
+    """decode(encode(solid)) must equal predict_solid_roundtrip — the
+    pure-arithmetic replay the multimodal_jpeg_stats SQL oracle runs.
+    All 256 grays plus a deterministic sweep of colors and
+    non-multiple-of-8 dims (edge padding)."""
+    from instagram_data_pipeline_spark.extensions.jpeg import (
+        decode_jpeg_baseline,
+        encode_jpeg_baseline,
+        predict_solid_roundtrip,
+    )
+
+    for v in range(256):
+        px = [[(v, v, v)] * 8] * 8
+        _, _, dec = decode_jpeg_baseline(encode_jpeg_baseline(8, 8, px, 90))
+        assert {p for row in dec for p in row} == {
+            predict_solid_roundtrip(v, v, v, 90)
+        }, v
+    # 512 pseudo-random colors on varying odd dims
+    for i in range(512):
+        r, g, b = (i * 37) % 256, (i * 101 + 7) % 256, (i * 193 + 13) % 256
+        w, h = 3 + i % 11, 2 + i % 9
+        px = [[(r, g, b)] * w] * h
+        dw, dh, dec = decode_jpeg_baseline(
+            encode_jpeg_baseline(w, h, px, 90)
+        )
+        assert (dw, dh) == (w, h)
+        assert {p for row in dec for p in row} == {
+            predict_solid_roundtrip(r, g, b, 90)
+        }, (r, g, b, w, h)
+
+
+def test_jpeg_gradient_error_bounded():
+    """Lossy but sane: smooth gradients reconstruct within a few levels
+    at quality 90."""
+    from instagram_data_pipeline_spark.extensions.jpeg import (
+        decode_jpeg_baseline,
+        encode_jpeg_baseline,
+    )
+
+    w, h = 24, 17
+    px = [
+        [(c * 255 // w, r * 255 // h, 128) for c in range(w)]
+        for r in range(h)
+    ]
+    _, _, dec = decode_jpeg_baseline(encode_jpeg_baseline(w, h, px, 90))
+    worst = max(
+        abs(a - b)
+        for ro, rd in zip(px, dec)
+        for po, pd in zip(ro, rd)
+        for a, b in zip(po, pd)
+    )
+    assert worst <= 8, worst
+
+
+def test_jpeg_decoder_reads_tables_from_bitstream():
+    """The decoder must use the quant table stored in the FILE, not a
+    shared constant: doubling the luma DC quant entry in the DQT
+    segment must change the decoded pixels accordingly."""
+    from instagram_data_pipeline_spark.extensions.jpeg import (
+        decode_jpeg_baseline,
+        encode_jpeg_baseline,
+    )
+
+    px = [[(200, 200, 200)] * 8] * 8
+    data = bytearray(encode_jpeg_baseline(8, 8, px, 90))
+    i = data.find(b"\xff\xdb")  # first DQT = luma, zigzag pos 0 = DC
+    assert data[i + 5] == 3  # quality-90 Annex K luma DC quant
+    _, _, base = decode_jpeg_baseline(bytes(data))
+    data[i + 5] = 6  # decoder must dequantize DC with 6 now
+    _, _, warped = decode_jpeg_baseline(bytes(data))
+    assert base != warped
+
+
+def test_jpeg_decoder_unsupported_features_raise():
+    import pytest as _pytest
+
+    from instagram_data_pipeline_spark.extensions.jpeg import (
+        decode_jpeg_baseline,
+        encode_jpeg_baseline,
+    )
+
+    px = [[(1, 2, 3)] * 8] * 8
+    data = encode_jpeg_baseline(8, 8, px, 90)
+    # splice a DRI segment before SOS
+    i = data.find(b"\xff\xda")
+    dri = b"\xff\xdd\x00\x04\x00\x10"
+    with _pytest.raises(ValueError, match="restart"):
+        decode_jpeg_baseline(data[:i] + dri + data[i:])
+    # flip SOF0 to SOF2 (progressive)
+    j = data.find(b"\xff\xc0")
+    with _pytest.raises(ValueError, match="non-baseline"):
+        decode_jpeg_baseline(data[:j] + b"\xff\xc2" + data[j + 2:])
+    with _pytest.raises(ValueError, match="SOI"):
+        decode_jpeg_baseline(b"not a jpeg")
+
+
+def test_jpeg_decoder_handles_420_subsampling():
+    """Real corpora are mostly 4:2:0. Our encoder emits 4:4:4, so
+    hand-assemble a 16x16 4:2:0 file from the codec's own public
+    pieces (canonical Huffman tables + block encoder): 4 luma blocks
+    per MCU + 1 Cb + 1 Cr, chroma upsampled 2x by replication."""
+    import struct
+
+    from instagram_data_pipeline_spark.extensions import jpeg as J
+
+    r, g, b = 80, 160, 240
+    pred = J.predict_solid_roundtrip(r, g, b, 90)
+    qy = J.scale_quant_table(J._QUANT_LUMA, 90)
+    qc = J.scale_quant_table(J._QUANT_CHROMA, 90)
+    import numpy as np
+
+    ycc = J.rgb_to_ycbcr(np.array([[(r, g, b)]], dtype=np.float64))
+    y, cb, cr = (float(p[0][0]) for p in ycc)
+
+    dc_l = J._canonical_codes(J._DC_LUMA_BITS, J._DC_LUMA_VALS)
+    ac_l = J._canonical_codes(J._AC_LUMA_BITS, J._AC_LUMA_VALS)
+    dc_c = J._canonical_codes(J._DC_CHROMA_BITS, J._DC_CHROMA_VALS)
+    ac_c = J._canonical_codes(J._AC_CHROMA_BITS, J._AC_CHROMA_VALS)
+    w = J._BitWriter()
+    yb = np.full((8, 8), y)
+    cbb, crb = np.full((8, 8), cb), np.full((8, 8), cr)
+    prev_y = 0
+    for _ in range(4):  # one MCU: 4 Y blocks (2x2), then Cb, Cr
+        prev_y = J._encode_block(yb, qy, prev_y, dc_l, ac_l, w)
+    J._encode_block(cbb, qc, 0, dc_c, ac_c, w)
+    J._encode_block(crb, qc, 0, dc_c, ac_c, w)
+    w.flush()
+
+    out = bytearray(b"\xff\xd8")
+    out += J._dqt_segment(0, qy) + J._dqt_segment(1, qc)
+    sof = bytes([8]) + struct.pack(">HH", 16, 16) + bytes([3])
+    sof += bytes([1, 0x22, 0]) + bytes([2, 0x11, 1]) + bytes([3, 0x11, 1])
+    out += b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof
+    out += J._dht_segment(0, 0, J._DC_LUMA_BITS, J._DC_LUMA_VALS)
+    out += J._dht_segment(1, 0, J._AC_LUMA_BITS, J._AC_LUMA_VALS)
+    out += J._dht_segment(0, 1, J._DC_CHROMA_BITS, J._DC_CHROMA_VALS)
+    out += J._dht_segment(1, 1, J._AC_CHROMA_BITS, J._AC_CHROMA_VALS)
+    sos = bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
+    out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
+    out += w.out + b"\xff\xd9"
+
+    dw, dh, dec = J.decode_jpeg_baseline(bytes(out))
+    assert (dw, dh) == (16, 16)
+    assert {p for row in dec for p in row} == {pred}
+
+
+def test_sniff_and_resizer_cover_compressed_formats():
+    from instagram_data_pipeline_spark.extensions.codecs import (
+        decode_png,
+        encode_png,
+        image_resizer,
+        resize_nearest,
+        sniff_format,
+    )
+    from instagram_data_pipeline_spark.extensions.jpeg import (
+        decode_jpeg_baseline,
+        encode_jpeg_baseline,
+    )
+
+    _, pixels = _gradient_ppm(6, 6)
+    png = encode_png(6, 6, pixels)
+    jpg = encode_jpeg_baseline(6, 6, pixels, 90)
+    assert sniff_format(png) == "png"
+    assert sniff_format(jpg) == "jpeg"
+    # PNG resize is exact end to end
+    small = image_resizer(png, 3, 3)
+    assert decode_png(small)[2] == resize_nearest(pixels, 3, 3)
+    # JPEG resize re-encodes to a decodable JPEG of the right dims
+    small_j = image_resizer(jpg, 3, 3)
+    assert sniff_format(small_j) == "jpeg"
+    assert decode_jpeg_baseline(small_j)[:2] == (3, 3)
