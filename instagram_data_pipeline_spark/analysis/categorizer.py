@@ -154,22 +154,37 @@ def parse_response(payload: str) -> list[dict]:
 
 
 class OpenAICompatibleCategorizer:
-    """Live-model client (never used in CI). Mirrors the reference call:
-    model gpt-4, temperature 0.2, max_tokens 2000, JSON response format
-    (interest_analyzer.py:180-189). Requires the ``openai`` package and
-    an API key in the environment."""
+    """Live-model client. Mirrors the reference call: model gpt-4,
+    temperature 0.2, max_tokens 2000, JSON response format
+    (interest_analyzer.py:180-189).
 
-    def __init__(self, model: str = "gpt-4", api_key_env: str = "OPENAI_API_KEY"):
-        try:
-            from openai import OpenAI  # type: ignore[import-not-found]
-        except ImportError as exc:  # pragma: no cover - optional dep
-            raise ImportError(
-                "openai package not installed; use KeywordCategorizer"
-            ) from exc
-        self._client = OpenAI(api_key=os.environ[api_key_env])
+    ``client`` is the transport seam: anything exposing
+    ``chat.completions.create(**kwargs)`` (the OpenAI-compatible
+    surface). CI injects a fake transport to contract-test the request
+    shape and the parse/validate round trip without network
+    (tests/test_analysis.py); left to default it builds a real
+    ``openai.OpenAI`` client (import-guarded — the package is optional
+    and never needed in CI)."""
+
+    def __init__(
+        self,
+        model: str = "gpt-4",
+        api_key_env: str = "OPENAI_API_KEY",
+        client=None,
+    ):
+        if client is None:  # pragma: no cover - needs the optional dep
+            try:
+                from openai import OpenAI  # type: ignore[import-not-found]
+            except ImportError as exc:
+                raise ImportError(
+                    "openai package not installed; use KeywordCategorizer "
+                    "or inject an OpenAI-compatible client"
+                ) from exc
+            client = OpenAI(api_key=os.environ[api_key_env])
+        self._client = client
         self._model = model
 
-    def categorize(self, records: list[dict]) -> list[dict]:  # pragma: no cover
+    def categorize(self, records: list[dict]) -> list[dict]:
         resp = self._client.chat.completions.create(
             model=self._model,
             temperature=0.2,
