@@ -140,6 +140,131 @@ def parse_edge_records(raw: DataFrame) -> tuple[DataFrame, DataFrame]:
     return edges, stubs
 
 
+class JsonFixtureSource:
+    """Concrete :class:`PagedEdgeSource` over a cursor-paginated local
+    fixture — a real connector minus the socket (VERDICT r3 "Next
+    round" #7). The fixture directory mimics a paginated HTTP API's
+    response shape exactly:
+
+        <root>/<username>/page-<token>.json
+            {"records": [RAW_EDGE-shaped dicts...],
+             "next_token": "<token>" | null}
+
+    ``pages`` follows ``next_token`` links from the entry page (token
+    ``"start"``) — the walk order comes from the DATA, not directory
+    listing, as with a network API. ``pages_from`` is the resume
+    surface: start at an arbitrary token, yielding ``(page,
+    next_token)`` so the caller can persist a cursor after each page
+    (the reference scraper's resume point, instagram_scraper.py:
+    227-318; T6)."""
+
+    ENTRY_TOKEN = "start"
+
+    def __init__(self, root: str):
+        self.root = Path(root)
+
+    def _load(self, username: str, token: str) -> dict:
+        path = self.root / username / f"page-{token}.json"
+        with open(path) as f:
+            return json.load(f)
+
+    def pages_from(
+        self,
+        username: str,
+        token: str | None,
+        max_count: int | None = None,
+    ) -> Iterator[tuple[list[dict], str | None]]:
+        taken = 0
+        while token is not None:
+            body = self._load(username, token)
+            records = body["records"]
+            if max_count is not None:
+                records = records[: max_count - taken]
+            taken += len(records)
+            nxt = body.get("next_token")
+            yield records, nxt
+            if max_count is not None and taken >= max_count:
+                return
+            token = nxt
+
+    def pages(
+        self, username: str, max_count: int | None = None
+    ) -> Iterator[list[dict]]:
+        for page, _ in self.pages_from(username, self.ENTRY_TOKEN, max_count):
+            yield page
+
+
+class LandCursor:
+    """Durable landing cursor: a JSON file (atomic tmp+rename, like the
+    page files) recording per-username progress — ``pages`` landed, the
+    ``token`` to resume from, ``done``. This is the engine analog of
+    the reference's per-commit ledger checkpoint: a crashed land
+    resumes from the last PUBLISHED page, never from page 0."""
+
+    def __init__(self, path: str):
+        self.path = Path(path)
+
+    def get(self, username: str) -> dict:
+        try:
+            with open(self.path) as f:
+                state = json.load(f)
+        except FileNotFoundError:
+            state = {}
+        return state.get(
+            username,
+            {"pages": 0, "token": JsonFixtureSource.ENTRY_TOKEN,
+             "done": False},
+        )
+
+    def put(self, username: str, entry: dict) -> None:
+        try:
+            with open(self.path) as f:
+                state = json.load(f)
+        except FileNotFoundError:
+            state = {}
+        state[username] = entry
+        tmp = self.path.with_suffix(".tmp")
+        with open(tmp, "w") as f:
+            json.dump(state, f)
+        os.rename(tmp, self.path)
+
+
+def land_resumable(
+    adapter: FileLandingAdapter,
+    source: JsonFixtureSource,
+    username: str,
+    cursor: LandCursor,
+    max_count: int | None = None,
+) -> int:
+    """Crash-safe landing drive: follow the connector's token chain,
+    publish each page atomically under a DETERMINISTIC name
+    (``<username>-<page_no>.jsonl``), then advance the cursor. Crash
+    anywhere and a re-invocation re-lands at most the one page whose
+    cursor write didn't happen — same name, atomic rename, so the spool
+    never holds duplicates and the file stream's checkpoint (which
+    tracks paths) never double-reads. Returns rows landed THIS call."""
+    state = cursor.get(username)
+    if state["done"]:
+        return 0
+    total = 0
+    page_no = state["pages"]
+    for page, nxt in source.pages_from(username, state["token"], max_count):
+        if page:
+            name = f"{username}-{page_no:06d}.jsonl"
+            tmp = adapter.spool / f".{name}.tmp"
+            with open(tmp, "w") as f:
+                for rec in page:
+                    f.write(json.dumps(rec) + "\n")
+            os.rename(tmp, adapter.spool / name)  # atomic publish
+            total += len(page)
+        page_no += 1
+        cursor.put(
+            username,
+            {"pages": page_no, "token": nxt, "done": nxt is None},
+        )
+    return total
+
+
 class FakePaginatedSource:
     """Deterministic in-memory connector for tests and dry runs: pages of
     ``page_size`` synthetic follower profiles, honoring ``max_count``

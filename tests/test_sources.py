@@ -122,3 +122,177 @@ def test_spool_streams_as_micro_batches(spark, tmp_path, tmp_path_factory):
     )
     q.awaitTermination()
     assert [n for _, n in epochs if n > 0] == [10, 10, 10]
+
+
+# ---------------------------------------------------------------------------
+# Concrete connector proof (VERDICT r3 #7): a cursor-paginated local
+# fixture driven through land_resumable into the file stream, followers
+# table and ledger — with TWO mid-run crashes (connector dies between
+# pages; process dies between page publish and cursor write) and exact
+# resume on both.
+# ---------------------------------------------------------------------------
+
+
+def _edge_rec(i: int) -> dict:
+    return {
+        "user_id": "acct",
+        "relation": "followers",
+        "other_id": f"acct_f{i}",
+        "other_username": f"fan_{i}",
+        "other_full_name": f"Fan {i}",
+        "other_profile_pic_url": None,
+        "other_is_private": i % 3 == 0,
+    }
+
+
+def _write_fixture(root, username="acct"):
+    """5 pages of 10/10/10/10/5 records chained through deliberately
+    unordered tokens — the walk must follow next_token links, not
+    directory order."""
+    import json as _json
+
+    d = root / username
+    d.mkdir(parents=True)
+    tokens = ["start", "t_zz", "t_aa", "t_q9", "t_m4"]
+    sizes = [10, 10, 10, 10, 5]
+    at = 0
+    for p, (tok, n) in enumerate(zip(tokens, sizes)):
+        nxt = tokens[p + 1] if p + 1 < len(tokens) else None
+        body = {
+            "records": [_edge_rec(i) for i in range(at, at + n)],
+            "next_token": nxt,
+        }
+        (d / f"page-{tok}.json").write_text(_json.dumps(body))
+        at += n
+    return at
+
+
+class _CrashAfter:
+    """Connector wrapper that dies mid-pagination (network blip)."""
+
+    def __init__(self, inner, n_pages: int):
+        self.inner = inner
+        self.n = n_pages
+
+    def pages_from(self, username, token, max_count=None):
+        for k, item in enumerate(
+            self.inner.pages_from(username, token, max_count)
+        ):
+            if k == self.n:
+                raise ConnectionError("simulated connector crash")
+            yield item
+
+
+def test_connector_crash_resume_end_to_end(spark, tmp_path, tmp_path_factory):
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from instagram_data_pipeline_spark.io import Warehouse
+    from instagram_data_pipeline_spark.schemas import REFERENCE_TABLES
+    from instagram_data_pipeline_spark.sources.live import (
+        FileLandingAdapter,
+        JsonFixtureSource,
+        LandCursor,
+        land_resumable,
+        parse_edge_records,
+        stream_edges,
+    )
+    from instagram_data_pipeline_spark.streaming.ledger import (
+        LedgerProgressSink,
+    )
+
+    total = _write_fixture(tmp_path / "fixture")
+    assert total == 45
+    source = JsonFixtureSource(str(tmp_path / "fixture"))
+    spool = tmp_path / "spool"
+    adapter = FileLandingAdapter(str(spool))
+    cursor = LandCursor(str(tmp_path / "cursor.json"))
+
+    # -- crash 1: connector dies after 2 pages ------------------------------
+    import pytest as _pytest
+
+    with _pytest.raises(ConnectionError):
+        land_resumable(adapter, _CrashAfter(source, 2), "acct", cursor)
+    assert cursor.get("acct")["pages"] == 2
+    assert cursor.get("acct")["token"] == "t_aa"  # resume mid-chain
+    assert len(list(spool.glob("*.jsonl"))) == 2
+
+    # -- drain what landed into followers + ledger --------------------------
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    wh.ensure_tables(REFERENCE_TABLES)
+    wh.overwrite_atomic(
+        "scrape_jobs",
+        spark.createDataFrame(
+            [(1, "acct", "followers", "in_progress", None, None,
+              None, None, None, None)],
+            wh.read("scrape_jobs").schema,
+        ),
+    )
+
+    def followers_shape(raw):
+        edges, _ = parse_edge_records(raw)
+        return edges.filter(F.col("relation") == "followers").select(
+            F.lit(None).cast("long").alias("id"),
+            "user_id",
+            F.col("edge_id").alias("follower_id"),
+            F.lit(None).cast("timestamp").alias("follow_date"),
+        )
+
+    sink = LedgerProgressSink(wh, "followers", job_id=1,
+                              now=dt.datetime(2024, 3, 1))
+    ckpt = str(tmp_path_factory.mktemp("ckpt_connector"))
+
+    def drain():
+        q = (
+            followers_shape(stream_edges(spark, str(spool)))
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    assert wh.read("followers").count() == 20
+    assert wh.read("scrape_jobs").collect()[0].processed_items == 20
+
+    # -- crash 2: process dies between page publish and cursor write --------
+    class _DyingCursor(LandCursor):
+        def __init__(self, path):
+            super().__init__(path)
+            self.calls = 0
+
+        def put(self, username, entry):
+            self.calls += 1
+            if self.calls == 1:
+                raise OSError("simulated crash before cursor write")
+            super().put(username, entry)
+
+    dying = _DyingCursor(str(tmp_path / "cursor.json"))
+    with _pytest.raises(OSError):
+        land_resumable(adapter, source, "acct", dying)
+    # page 2 published but cursor still points at it
+    assert len(list(spool.glob("*.jsonl"))) == 3
+    assert cursor.get("acct")["pages"] == 2
+
+    # -- clean resume: re-lands page 2 under the SAME name (no dupes),
+    #    then finishes the chain --------------------------------------------
+    landed = land_resumable(adapter, source, "acct", cursor)
+    assert landed == 25  # pages 2,3,4 (page 2 re-landed, not duplicated)
+    files = sorted(p.name for p in spool.glob("*.jsonl"))
+    assert files == [f"acct-{i:06d}.jsonl" for i in range(5)]
+    state = cursor.get("acct")
+    assert state == {"pages": 5, "token": None, "done": True}
+
+    drain()
+    sink.complete()
+    followers = wh.read("followers")
+    assert followers.count() == 45
+    assert followers.select("follower_id").distinct().count() == 45
+    job = wh.read("scrape_jobs").collect()[0]
+    assert job.status == "completed"
+    assert job.processed_items == 45 and job.total_items == 45
+
+    # done cursor -> landing is a no-op forever after
+    assert land_resumable(adapter, source, "acct", cursor) == 0
