@@ -41,17 +41,25 @@ def main() -> int:
         n_exchanges = len(re.findall(r"\bExchange\b", plan))
         python_eval = "BatchEvalPython" in plan  # row-at-a-time UDF: forbidden
         arrow_eval = "ArrowEvalPython" in plan or "MapInPandas" in plan
+        shuffled_literal = re.search(  # literal frame must broadcast
+            r"Exchange[^\n]*\n[^\n]*?[+:]-\s*\*?\s*LocalTableScan", plan
+        )
         scans = plan.count("Scan parquet")
         pushed = len(re.findall(r"PushedFilters: \[(?!\])", plan))
         line = (
             f"{name}: scans={scans} pushed_filter_scans={pushed} "
             f"exchanges={n_exchanges}"
             + (" PYTHON-ROW-UDF!" if python_eval else "")
+            + (" SHUFFLED-LITERAL!" if shuffled_literal else "")
             + (" arrow" if arrow_eval else "")
         )
         print(line)
         if python_eval:
             flags.append(f"{name}: row-at-a-time Python in plan")
+        if shuffled_literal:
+            flags.append(
+                f"{name}: literal frame shuffled instead of broadcast"
+            )
         sections.append(f"## {name}\n\n```\n{plan}\n```\n")
     if flags:
         print("\nANTI-PATTERNS:\n" + "\n".join(flags))

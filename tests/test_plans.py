@@ -10,13 +10,23 @@ query gets its physical plan string checked:
   at the documented model/binary/simhash boundaries;
 * no ``CartesianProduct`` — the only sanctioned cross joins are
   broadcast 1-row dims (BroadcastNestedLoopJoin), never a shuffled
-  cartesian.
+  cartesian;
+* no ``Exchange`` directly over a ``LocalTableScan`` — a literal frame
+  small enough to build driver-side must BROADCAST into its join, never
+  shuffle (a shuffled literal is a non-broadcast join against a
+  handful of rows: pure overhead that also forces the big side through
+  an exchange it didn't need);
+* every ``.collect()`` in package source sits on the audited
+  control-plane allowlist (VERDICT r3 "What's wrong" #3) — new
+  data-plane collects fail CI until audited here.
 """
 
 from __future__ import annotations
 
 import io
+import re
 from contextlib import redirect_stdout
+from pathlib import Path
 
 import pytest
 
@@ -47,4 +57,51 @@ def test_no_plan_antipatterns(name, spark, sf_dir):
     )
     assert "CartesianProduct" not in plan, (
         f"{name}: shuffled cartesian product in the plan"
+    )
+    assert not re.search(
+        r"Exchange[^\n]*\n[^\n]*?[+:]-\s*\*?\s*LocalTableScan", plan
+    ), (
+        f"{name}: literal frame is being SHUFFLED — wrap it in "
+        "F.broadcast() so the join against it broadcasts"
+    )
+
+
+# ---------------------------------------------------------------------------
+# collect() allowlist: every driver-side read of executor data in
+# package source, audited. Each entry documents WHY the read is bounded;
+# a new .collect() anywhere else fails until it's audited here.
+# ---------------------------------------------------------------------------
+_COLLECT_ALLOWLIST: dict[str, tuple[int, str]] = {
+    # file (relative to the package) -> (max sites, bound justification)
+    "plans/scheduler.py": (2, "control plane: max(job_id) scalar + <=10 "
+                              "ledger control rows per reference batch"),
+    "extensions/bpe.py": (1, "one argmax row per merge round, bounded by "
+                             "n_merges"),
+    "operators/bloom.py": (1, "<= n_bits/64 bitmap words"),
+    "operators/relational.py": (1, "G4 tiny-dim materialization: the "
+                                   "27-row interest taxonomy"),
+    "streaming/rollup.py": (1, "touched partition dates per micro-batch "
+                               "(1-2 for a steady stream)"),
+    "io.py": (1, "touched bucket ids of an upsert batch, <= num_buckets"),
+    "testing.py": (1, "test harness oracle comparator, not a data path"),
+}
+
+
+def test_collect_sites_are_all_audited():
+    pkg = Path(__file__).resolve().parent.parent / (
+        "instagram_data_pipeline_spark"
+    )
+    found: dict[str, int] = {}
+    for py in pkg.rglob("*.py"):
+        n = py.read_text().count(".collect()")
+        if n:
+            found[str(py.relative_to(pkg))] = n
+    unaudited = {
+        f: n for f, n in found.items()
+        if f not in _COLLECT_ALLOWLIST or n > _COLLECT_ALLOWLIST[f][0]
+    }
+    assert not unaudited, (
+        f"unaudited .collect() sites {unaudited} — a driver-side collect "
+        "on a data path breaks at scale; audit the bound and add it to "
+        "_COLLECT_ALLOWLIST or redesign"
     )
