@@ -1,0 +1,234 @@
+"""Table-format seam for the A1 MERGE path (SURVEY §7 risk 1; VERDICT r3
+"Next round" #6).
+
+``Warehouse.upsert_partitioned`` / ``read_merged`` delegate to a
+:class:`TableFormat`, so a transactional format can replace the
+plain-parquet partitioned-overwrite emulation without touching callers:
+
+* :class:`ParquetPartitionedFormat` (default) — the bucket-partitioned
+  dynamic-overwrite merge. Atomic w.r.t. the plan's own reads, NOT
+  crash-atomic (plain parquet has no multi-file commit protocol).
+* :class:`TransactionLogFormat` — a minimal transaction-log table (the
+  Delta/Iceberg commit model expressed in ~100 lines): every merge
+  writes NEW immutable data files, then publishes a versioned snapshot
+  manifest via atomic tmp+rename. The rename IS the commit point — a
+  crash anywhere before it leaves the previous version fully intact and
+  readers never observe a partial merge. Orphaned data files from failed
+  commits are invisible (not referenced by any manifest) and can be
+  vacuumed.
+
+Both formats share the same physical merge shape: incoming keys hash to
+``num_buckets`` buckets, only touched buckets are read and rewritten
+(the property that makes per-batch merges viable at 100 TB — a batch
+touching b buckets costs b/num_buckets of the table, not all of it).
+The bucket of a row is a pure function of its keys, so the log format
+never stores it in data files — it lives in the manifest per file.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from pathlib import Path
+from typing import TYPE_CHECKING, Protocol
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+if TYPE_CHECKING:  # pragma: no cover - typing only
+    from .io import Warehouse
+
+BUCKET_COL = "_kb"
+
+
+def bucket_expr(keys: list[str], num_buckets: int):
+    return F.pmod(
+        F.xxhash64(*[F.col(k) for k in keys]), num_buckets
+    ).cast("int")
+
+
+class TableFormat(Protocol):
+    def merge(
+        self,
+        wh: "Warehouse",
+        table: str,
+        incoming: DataFrame,
+        keys: list[str],
+        order_col: str,
+        num_buckets: int,
+    ) -> None:
+        ...
+
+    def read_merged(self, wh: "Warehouse", table: str) -> DataFrame:
+        ...
+
+
+class ParquetPartitionedFormat:
+    """Plain-parquet merge: table partitioned by the key-hash bucket,
+    touched partitions merged via ``upsert_keep_newest`` and rewritten
+    with dynamic partition overwrite (two-phase, staged through a tmp
+    path so the plan never overwrites its own input). See
+    ``Warehouse.overwrite_partitions`` for the crash-atomicity caveat
+    this format carries — the log format below is the fix."""
+
+    def merge(self, wh, table, incoming, keys, order_col, num_buckets):
+        from .operators.writes import upsert_keep_newest
+
+        bcol = BUCKET_COL
+        incoming_b = incoming.withColumn(
+            bcol, bucket_expr(keys, num_buckets)
+        )
+        if not wh.exists(table):
+            # first write applies the SAME keep-newest-per-key semantics
+            # as the merge path (dropDuplicates would keep an arbitrary
+            # row when the seed batch has in-batch key duplicates)
+            empty = wh.spark.createDataFrame([], incoming_b.schema)
+            first = upsert_keep_newest(empty, incoming_b, keys, order_col)
+            first.write.partitionBy(bcol).mode("overwrite").parquet(
+                wh.path(table)
+            )
+            return
+        # touched partitions: distinct buckets of the incoming batch —
+        # at most num_buckets driver-side ints
+        touched = [
+            r[bcol]
+            for r in incoming_b.select(bcol).dropDuplicates().collect()
+        ]
+        existing = wh.spark.read.parquet(wh.path(table))
+        scoped = existing.filter(F.col(bcol).isin(touched))
+        merged = upsert_keep_newest(
+            scoped, incoming_b.select(*existing.columns), keys, order_col
+        )
+        wh.overwrite_partitions(table, merged, bcol)
+
+    def read_merged(self, wh, table):
+        return wh.spark.read.parquet(wh.path(table)).drop(BUCKET_COL)
+
+
+class TransactionLogFormat:
+    """Mini transaction-log table: immutable data files + versioned JSON
+    manifests, commit = one atomic rename.
+
+    Layout under ``<root>/<table>/``::
+
+        _txlog/00000001.json   {"version": 1, "files": {relpath: bucket}}
+        data/<commit>/b=<n>/part-*.parquet
+
+    A manifest is a FULL snapshot (file -> bucket). ``merge`` reads only
+    the live files of touched buckets, merges, writes the replacement
+    files under a fresh commit dir, and publishes version N+1 carrying
+    untouched files forward by reference — old versions stay readable
+    (time travel for free) and a crash before the rename changes
+    nothing. This is the Delta/Iceberg commit protocol with a
+    single-writer assumption (the reference pipeline is single-writer by
+    design; multi-writer needs compare-and-swap on the version number,
+    which object stores provide via if-none-match)."""
+
+    def _log_dir(self, wh, table: str) -> Path:
+        return Path(wh.path(table)) / "_txlog"
+
+    def _latest(self, wh, table: str) -> dict | None:
+        d = self._log_dir(wh, table)
+        if not d.exists():
+            return None
+        versions = sorted(d.glob("*.json"))
+        if not versions:
+            return None
+        with open(versions[-1]) as f:
+            return json.load(f)
+
+    def _publish(self, wh, table: str, version: int, files: dict) -> None:
+        d = self._log_dir(wh, table)
+        d.mkdir(parents=True, exist_ok=True)
+        final = d / f"{version:08d}.json"
+        tmp = d / f".{version:08d}.json.tmp"
+        with open(tmp, "w") as f:
+            json.dump({"version": version, "files": files}, f)
+        os.rename(tmp, final)  # THE commit point
+
+    def _write_commit(
+        self, wh, table: str, df: DataFrame, keys, num_buckets
+    ) -> dict:
+        """Write ``df`` as one immutable commit dir, one subdir per
+        bucket (repartitioned so each bucket is a single task -> a
+        single file). Returns {relpath: bucket} for the new files."""
+        root = Path(wh.path(table))
+        commit = f"data/{uuid.uuid4().hex[:12]}"
+        bcol = BUCKET_COL
+        out = df.withColumn(bcol, bucket_expr(keys, num_buckets))
+        (
+            out.repartition(F.col(bcol))
+            .write.partitionBy(bcol)
+            .mode("overwrite")
+            .parquet(str(root / commit))
+        )
+        files: dict[str, int] = {}
+        for bdir in (root / commit).glob(f"{bcol}=*"):
+            b = int(bdir.name.split("=", 1)[1])
+            for f in bdir.glob("*.parquet"):
+                files[str(f.relative_to(root))] = b
+        return files
+
+    def merge(self, wh, table, incoming, keys, order_col, num_buckets):
+        from .operators.writes import upsert_keep_newest
+
+        snap = self._latest(wh, table)
+        if snap is None:
+            empty = wh.spark.createDataFrame([], incoming.schema)
+            first = upsert_keep_newest(empty, incoming, keys, order_col)
+            files = self._write_commit(wh, table, first, keys, num_buckets)
+            self._publish(wh, table, 1, files)
+            return
+        touched = {
+            r.b
+            for r in incoming.select(
+                bucket_expr(keys, num_buckets).alias("b")
+            )
+            .dropDuplicates()
+            .collect()
+        }
+        root = Path(wh.path(table))
+        live_touched = [
+            str(root / f) for f, b in snap["files"].items() if b in touched
+        ]
+        if live_touched:
+            # bucket is a pure function of the keys — data files never
+            # store it, so reading specific files needs no basePath
+            existing = wh.spark.read.schema(incoming.schema).parquet(
+                *live_touched
+            )
+        else:
+            existing = wh.spark.createDataFrame([], incoming.schema)
+        merged = upsert_keep_newest(existing, incoming, keys, order_col)
+        new_files = self._write_commit(wh, table, merged, keys, num_buckets)
+        carried = {
+            f: b for f, b in snap["files"].items() if b not in touched
+        }
+        self._publish(
+            wh, table, snap["version"] + 1, {**carried, **new_files}
+        )
+
+    def read_merged(self, wh, table):
+        snap = self._latest(wh, table)
+        if snap is None:
+            raise FileNotFoundError(f"no committed version for {table}")
+        root = Path(wh.path(table))
+        return wh.spark.read.parquet(
+            *[str(root / f) for f in snap["files"]]
+        )
+
+    def versions(self, wh, table: str) -> list[int]:
+        d = self._log_dir(wh, table)
+        return sorted(
+            int(p.stem) for p in d.glob("*.json")
+        ) if d.exists() else []
+
+    def read_version(self, wh, table: str, version: int) -> DataFrame:
+        """Time travel: read the table exactly as of ``version``."""
+        with open(self._log_dir(wh, table) / f"{version:08d}.json") as f:
+            snap = json.load(f)
+        root = Path(wh.path(table))
+        return wh.spark.read.parquet(
+            *[str(root / f) for f in snap["files"]]
+        )

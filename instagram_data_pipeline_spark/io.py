@@ -218,9 +218,16 @@ class Warehouse:
     idempotent DDL analog (creates empty tables that don't exist yet).
     """
 
-    def __init__(self, spark: SparkSession, root: str):
+    def __init__(self, spark: SparkSession, root: str, fmt=None):
+        from .formats import ParquetPartitionedFormat
+
         self.spark = spark
         self.root = Path(root)
+        # table-format seam (SURVEY §7 risk 1): the A1 MERGE path
+        # delegates to a TableFormat so a transactional backend
+        # (formats.TransactionLogFormat, or real Delta/Iceberg) replaces
+        # the plain-parquet emulation without touching callers
+        self.fmt = fmt or ParquetPartitionedFormat()
 
     def path(self, table: str) -> str:
         return str(self.root / table)
@@ -296,50 +303,24 @@ class Warehouse:
         order_col: str,
         num_buckets: int = 64,
     ) -> None:
-        """Partition-scoped upsert-keep-newest: the plain-parquet MERGE.
+        """Partition-scoped upsert-keep-newest: the A1 MERGE.
 
-        The table lives partitioned by a key-derived hash bucket
-        (``pmod(xxhash64(keys), num_buckets)``), so the partitions an
-        incoming batch touches are computable from the batch alone. Only
-        those partitions are read (partition pruning), merged via
-        ``upsert_keep_newest``, and rewritten (dynamic partition
-        overwrite) — a batch touching b buckets rewrites b/num_buckets of
-        the table instead of all of it, which is what makes per-batch
-        merges viable at 100 TB. On Delta/Iceberg this whole method
-        becomes MERGE INTO; the call signature would not change.
+        The incoming batch's keys hash to ``num_buckets`` buckets, so
+        the slices the batch touches are computable from the batch
+        alone: only those are read, merged via ``upsert_keep_newest``,
+        and rewritten — a batch touching b buckets costs b/num_buckets
+        of the table instead of all of it, which is what makes
+        per-batch merges viable at 100 TB.
 
-        Crash-safety: the two-phase rewrite (stage to tmp, then dynamic
-        partition overwrite) is atomic w.r.t. the plan's own reads but
-        NOT crash-atomic — see :meth:`overwrite_partitions`.
+        Delegates to the :class:`~.formats.TableFormat` this Warehouse
+        was built with: the default parquet backend rewrites bucket
+        partitions in place (atomic w.r.t. the plan's own reads, NOT
+        crash-atomic); ``formats.TransactionLogFormat`` commits the same
+        merge through a versioned manifest with one atomic rename
+        (crash-atomic, Delta/Iceberg-style). Same signature, same
+        semantics, same tests — pick per deployment.
         """
-        from pyspark.sql import functions as F
-
-        from .operators.writes import upsert_keep_newest
-
-        bcol = self.BUCKET_COL
-        bucket = F.pmod(F.xxhash64(*[F.col(k) for k in keys]), num_buckets)
-        incoming_b = incoming.withColumn(bcol, bucket.cast("int"))
-        if not self.exists(table):
-            # first write applies the SAME keep-newest-per-key semantics
-            # as the merge path (dropDuplicates would keep an arbitrary
-            # row when the seed batch has in-batch key duplicates)
-            empty = self.spark.createDataFrame([], incoming_b.schema)
-            first = upsert_keep_newest(empty, incoming_b, keys, order_col)
-            first.write.partitionBy(bcol).mode("overwrite").parquet(
-                self.path(table)
-            )
-            return
-        # touched partitions: distinct buckets of the incoming batch —
-        # at most num_buckets driver-side ints
-        touched = [
-            r[bcol] for r in incoming_b.select(bcol).dropDuplicates().collect()
-        ]
-        existing = self.spark.read.parquet(self.path(table))
-        scoped = existing.filter(F.col(bcol).isin(touched))
-        merged = upsert_keep_newest(
-            scoped, incoming_b.select(*existing.columns), keys, order_col
-        )
-        self.overwrite_partitions(table, merged, bcol)
+        self.fmt.merge(self, table, incoming, keys, order_col, num_buckets)
 
     def overwrite_partitions(
         self, table: str, df: DataFrame, part_col: str
@@ -381,9 +362,8 @@ class Warehouse:
 
     def read_merged(self, table: str) -> DataFrame:
         """Read a table maintained by ``upsert_partitioned`` without the
-        internal bucket column."""
-        df = self.spark.read.parquet(self.path(table))
-        return df.drop(self.BUCKET_COL)
+        internal bucket column (format-dispatched)."""
+        return self.fmt.read_merged(self, table)
 
     def partition_file_counts(self, table: str, part_col: str) -> dict:
         """{partition_value(str): n_parquet_files} via the Hadoop

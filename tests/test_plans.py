@@ -82,7 +82,8 @@ _COLLECT_ALLOWLIST: dict[str, tuple[int, str]] = {
                                    "27-row interest taxonomy"),
     "streaming/rollup.py": (1, "touched partition dates per micro-batch "
                                "(1-2 for a steady stream)"),
-    "io.py": (1, "touched bucket ids of an upsert batch, <= num_buckets"),
+    "formats.py": (2, "touched bucket ids of a merge batch, "
+                      "<= num_buckets (one site per TableFormat backend)"),
     "testing.py": (1, "test harness oracle comparator, not a data path"),
 }
 
