@@ -137,6 +137,88 @@ def cms_heavy_hitters(
 # ---------------------------------------------------------------------------
 # Equi-width histogram quantile sketch
 # ---------------------------------------------------------------------------
+def _hll_estimator_sql(m: int) -> str:
+    """The HLL estimator as ONE SQL expression string over columns
+    ``sum_int`` (exact integer register sum, see below) and ``n_zero``
+    (empty registers) — evaluated verbatim by BOTH Spark (F.expr) and
+    DuckDB, so every float op has identical literals and association
+    order. Includes the standard small-range linear-counting branch;
+    the large-range branch is unnecessary below 2^32 distinct."""
+    raw = (
+        f"0.7213 / (1.0 + 1.079 / {m}.0) * {m}.0 * {m}.0 * "
+        "POWER(2.0, 40) / sum_int"
+    )
+    return (
+        f"CASE WHEN {raw} <= 2.5 * {m}.0 AND n_zero > 0 "
+        f"THEN {m}.0 * LN({m}.0 / n_zero) ELSE {raw} END"
+    )
+
+
+def portable_hll_distinct(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    p: int = 12,
+) -> DataFrame:
+    """Engine-portable HyperLogLog distinct count per group: the
+    hash-checkable twin of ``approx_count_distinct`` (whose HLL++ is
+    engine-specific and therefore rows-only against any oracle).
+
+    Portability discipline:
+    * hash = md5 of the value's string form — bucket from hex chars 1-8
+      (mod m), the rho word from chars 9-16 (independent bits);
+    * rho = 33 - bit_length(w) via ``LENGTH(BIN(w))`` — INTEGER-exact in
+      both engines (no log2 floats near power-of-two boundaries);
+    * the register sum is EXACT: each register contributes the integer
+      2^(40-M_j) (M_j <= 33), so the sum is order-independent — float
+      summation would diverge across engines on partition order;
+    * the estimator (with small-range linear counting) is one shared
+      SQL string (:func:`_hll_estimator_sql`) evaluated by both
+      engines. The single transcendental (LN) is the documented 1-ulp
+      cross-engine risk; it sits behind floor(x+0.5) of a value with
+      ~1e-12 absolute error margin.
+
+    Shape: one groupBy to (group, bucket) registers — map-side combined,
+    the shuffle carries <= m rows per group — then a per-group aggregate
+    over register rows. Same monoid merge story as the other sketches:
+    registers merge by MAX."""
+    m = 1 << p
+    md5 = F.md5(F.col(value_col).cast("string").cast("binary"))
+    bkt = F.pmod(
+        F.conv(F.substring(md5, 1, 8), 16, 10).cast("long"), F.lit(m)
+    )
+    w = F.conv(F.substring(md5, 9, 8), 16, 10).cast("long")
+    rho = F.when(w == F.lit(0), F.lit(33)).otherwise(
+        F.lit(33) - F.length(F.bin(w))
+    )
+    regs = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(*group_cols, bkt.alias("_bkt"), rho.alias("_rho"))
+        .groupBy(*group_cols, "_bkt")
+        .agg(F.max("_rho").alias("_m"))
+    )
+    agg = regs.groupBy(*group_cols).agg(
+        F.sum(
+            F.pow(F.lit(2.0), F.lit(40) - F.col("_m")).cast("long")
+        ).alias("_sp"),
+        F.count(F.lit(1)).alias("_present"),
+    )
+    framed = agg.select(
+        *group_cols,
+        (
+            F.col("_sp")
+            + (F.lit(m) - F.col("_present")) * F.lit(1 << 40)
+        ).alias("sum_int"),
+        (F.lit(m) - F.col("_present")).alias("n_zero"),
+    )
+    return framed.select(
+        *group_cols,
+        F.floor(F.expr(_hll_estimator_sql(m)) + F.lit(0.5))
+        .cast("long")
+        .alias("approx_users"),
+    )
+
+
 def quantile_sketch(
     df: DataFrame,
     value_col: str,

@@ -87,6 +87,7 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "cms_heavy_users",
     "cms_heavy_users_portable",
     "approx_distinct_users",
+    "approx_distinct_users_portable",
     "ann_lsh_topk",
     "ivf_topk",
     "kmeans_clusters",

@@ -886,6 +886,66 @@ def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Portable HLL (round 4): the hash-checkable twin of the rows-only
+# approx_distinct_users — md5 bucket/rho registers and a shared
+# estimator expression reproduce the IDENTICAL estimate in DuckDB (see
+# extensions/sketches.py:portable_hll_distinct for the portability
+# discipline: integer-exact register sums, LENGTH(BIN()) bit lengths,
+# one shared SQL string for the float estimator).
+# ---------------------------------------------------------------------------
+_HLL_P = 12
+
+
+def _hll_oracle() -> str:
+    from ..extensions.sketches import _hll_estimator_sql
+
+    m = 1 << _HLL_P
+    est = _hll_estimator_sql(m)
+    return f"""
+WITH h AS (
+  SELECT event_type,
+         CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+              AS BIGINT) % {m} AS bkt,
+         CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 9, 8))
+              AS BIGINT) AS w
+  FROM events WHERE user_id IS NOT NULL
+), r AS (
+  SELECT event_type, bkt,
+         MAX(CASE WHEN w = 0 THEN 33 ELSE 33 - LENGTH(bin(w)) END) AS mreg
+  FROM h GROUP BY 1, 2
+), a AS (
+  SELECT event_type,
+         SUM(CAST(POWER(2.0, 40 - mreg) AS BIGINT))
+           + ({m} - COUNT(*)) * CAST(POWER(2.0, 40) AS BIGINT) AS sum_int,
+         {m} - COUNT(*) AS n_zero
+  FROM r GROUP BY 1
+)
+SELECT event_type,
+       CAST(FLOOR(({est}) + 0.5) AS BIGINT) AS approx_users
+FROM a
+"""
+
+
+@register(
+    "approx_distinct_users_portable",
+    _hll_oracle(),
+    doc="engine-portable HyperLogLog (m=4096, md5 registers, "
+        "integer-exact register sums, shared estimator expression): "
+        "distinct users per event_type with a full DuckDB hash oracle — "
+        "the portable twin that gives the approx-distinct family a hard "
+        "driver row; error bound vs exact pinned in tests/test_approx.py",
+    tags=("sketch", "approx"),
+)
+def q_approx_distinct_users_portable(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..extensions.sketches import portable_hll_distinct
+
+    ev = load_testdata(spark, sf_dir, "events")
+    return portable_hll_distinct(ev, ["event_type"], "user_id", p=_HLL_P)
+
+
+# ---------------------------------------------------------------------------
 # Equi-width histogram quantile sketch: the deterministic, mergeable,
 # oracle-checkable cousin of percentile_approx. Bounded domain
 # [0, 120000] covers l_extendedprice at every SF; 256 bins -> value

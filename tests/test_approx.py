@@ -48,3 +48,33 @@ def test_hll_error_bound(spark, sf_dir):
         assert abs(r["approx"] - r["exact"]) <= max(3, 0.06 * r["exact"]), (
             r["event_type"], r["approx"], r["exact"],
         )
+
+
+def test_portable_hll_error_bound_and_determinism(spark, sf_dir):
+    """The engine-portable HLL (md5 registers, shared estimator) must
+    land within HLL error bounds of the exact count — and, unlike
+    approx_count_distinct, be bit-deterministic across runs (it is a
+    pure function of the data, no engine-internal hashing)."""
+    import pyspark.sql.functions as F
+
+    from instagram_data_pipeline_spark.extensions.sketches import (
+        portable_hll_distinct,
+    )
+    from instagram_data_pipeline_spark.io import load_testdata
+
+    ev = load_testdata(spark, sf_dir, "events")
+    est = portable_hll_distinct(ev, ["event_type"], "user_id", p=12)
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact")
+    )
+    rows = est.join(exact, "event_type").collect()
+    assert rows
+    for r in rows:
+        # m=4096 -> rsd ~1.6%; linear-counting regime is tighter still
+        assert abs(r.approx_users - r.exact) <= max(3, 0.05 * r.exact), (
+            r.event_type, r.approx_users, r.exact,
+        )
+    again = sorted(map(tuple, est.collect()))
+    assert again == sorted(
+        (r.event_type, r.approx_users) for r in rows
+    )

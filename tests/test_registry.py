@@ -26,6 +26,7 @@ PRIORITY = {
     "minhash_near_dups", "minhash_near_dups_portable",
     "simhash_near_dups", "simhash_near_dups_portable",
     "cms_heavy_users", "cms_heavy_users_portable",
+    "approx_distinct_users", "approx_distinct_users_portable",
     # implementation changed in round 4 (two-phase star-contraction CC)
     "connected_components", "dedup_clusters",
 }
