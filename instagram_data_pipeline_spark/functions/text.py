@@ -202,3 +202,28 @@ def pii_counts(col: Column) -> tuple[Column, Column]:
         F.regexp_count(col, F.lit(EMAIL_RE)).cast("long"),
         F.regexp_count(col, F.lit(PHONE_RE)).cast("long"),
     )
+
+
+def c4_keep_line(line: Column, min_words: int = 3) -> Column:
+    """One C4-style boilerplate keep-decision (Raffel et al. 2020 §2.2,
+    public heuristics): a line survives if it ends in terminal
+    punctuation, carries at least ``min_words`` words, and mentions
+    neither javascript nor cookie (the two canonical boilerplate
+    markers). Pure string/array codegen — no UDF."""
+    words = F.filter(F.split(line, " "), lambda w: w != "")
+    low = F.lower(line)
+    return (
+        F.substring(line, -1, 1).isin(".", "!", "?")
+        & (F.size(words) >= min_words)
+        & ~low.contains("javascript")
+        & ~low.contains("cookie")
+    )
+
+
+def c4_line_filter(lines: Column, min_words: int = 3) -> Column:
+    """Filter an ``array<string>`` of lines by :func:`c4_keep_line` —
+    the line-level boilerplate-removal pass every web-corpus pipeline
+    runs before document-level quality gates. Higher-order ``filter``
+    keeps the whole pass inside whole-stage codegen; at 100 TB this is
+    a map-only stage fused with the scan, no shuffle, no Python."""
+    return F.filter(lines, lambda ln: c4_keep_line(ln, min_words))

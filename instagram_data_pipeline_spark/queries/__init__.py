@@ -100,6 +100,7 @@ REGISTRY_ORDER: tuple[str, ...] = (
     #    deterministic-lossy with an arithmetic-replay oracle) -------------
     "multimodal_png_stats",
     "multimodal_jpeg_stats",
+    "c4_line_filter",
     # -- one-round-green (r02) queries earning a second driver row ---------
     "embedding_norms",
     "ledger_enqueue_due",

@@ -1048,3 +1048,97 @@ def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return assign_split(canon, "canonical_id", train=0.9, val=0.05)
+
+
+# ---------------------------------------------------------------------------
+# C4-style boilerplate line filtering (round 4). The testdata documents
+# are single-line word soup, so — exactly like the multimodal payload
+# queries — the web-page SHAPE is synthesized deterministically from the
+# data (5-word lines; every 7th line boilerplate, every 5th missing
+# terminal punctuation, every 3rd too short) and the REAL operator
+# (functions.text.c4_line_filter) runs over it. The oracle rebuilds the
+# same synthetic page with DuckDB list lambdas and applies the same
+# keep-rules; NB list_slice(l, a, b) is end-INCLUSIVE while Spark
+# slice(l, a, n) takes a length, and DuckDB range(0, n) is
+# end-EXCLUSIVE while Spark sequence(0, n-1) is inclusive.
+# ---------------------------------------------------------------------------
+_C4_BOILER = "please enable javascript to view."
+
+
+def _c4_synth_lines():
+    toks = X.tokens(F.col("text"))
+    did = F.col("doc_id")
+    n = (F.lit(4) + F.pmod(did, F.lit(4))).cast("int")
+
+    def body(i, nwords):
+        return F.array_join(F.slice(toks, i * 5 + 1, nwords), " ")
+
+    def line(i):
+        sel = F.pmod(did + i, F.lit(7)) == 0
+        return (
+            F.when(sel, F.lit(_C4_BOILER))
+            .when(F.pmod(did + i, F.lit(5)) == 0, body(i, 5))
+            .when(
+                F.pmod(did + i, F.lit(3)) == 0,
+                F.concat(body(i, 2), F.lit(".")),
+            )
+            .otherwise(F.concat(body(i, 5), F.lit(".")))
+        )
+
+    return F.transform(F.sequence(F.lit(0), n - 1), line)
+
+
+@register(
+    "c4_line_filter",
+    f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split({_NORM}, ' '), w -> w <> '') AS tk
+  FROM documents
+), pages AS (
+  SELECT doc_id,
+         list_transform(range(0, 4 + doc_id % 4), i ->
+           CASE
+             WHEN (doc_id + i) % 7 = 0 THEN '{_C4_BOILER}'
+             WHEN (doc_id + i) % 5 = 0
+               THEN array_to_string(list_slice(tk, i*5 + 1, i*5 + 5), ' ')
+             WHEN (doc_id + i) % 3 = 0
+               THEN array_to_string(list_slice(tk, i*5 + 1, i*5 + 2), ' ')
+                    || '.'
+             ELSE array_to_string(list_slice(tk, i*5 + 1, i*5 + 5), ' ')
+                  || '.'
+           END) AS ls
+  FROM toks
+), kept AS (
+  SELECT doc_id, ls,
+         list_filter(ls, x ->
+           substr(x, -1, 1) IN ('.', '!', '?')
+           AND len(list_filter(string_split(x, ' '), w -> w <> '')) >= 3
+           AND NOT contains(lower(x), 'javascript')
+           AND NOT contains(lower(x), 'cookie')) AS kl
+  FROM pages
+)
+SELECT doc_id, CAST(len(ls) AS INT) AS n_lines,
+       CAST(len(kl) AS INT) AS n_kept,
+       -- DuckDB array_to_string of an EMPTY list is NULL; Spark
+       -- array_join is '' — coalesce to the Spark behavior
+       COALESCE(array_to_string(kl, chr(10)), '') AS clean_text
+FROM kept
+""",
+    doc="C4-style boilerplate removal (terminal-punctuation rule, "
+        "min-3-words rule, javascript/cookie markers) over synthesized "
+        "deterministic web pages: higher-order filter, whole-stage "
+        "codegen, zero shuffles — the standard pre-quality line pass "
+        "of a web-corpus pipeline",
+    tags=("text", "quality"),
+)
+def q_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_testdata(spark, sf_dir, "documents")
+    lines = _c4_synth_lines()
+    kept = X.c4_line_filter(lines)
+    return docs.select(
+        "doc_id",
+        F.size(lines).cast("int").alias("n_lines"),
+        F.size(kept).cast("int").alias("n_kept"),
+        F.array_join(kept, "\n").alias("clean_text"),
+    )

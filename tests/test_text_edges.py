@@ -97,3 +97,36 @@ def test_redact_pii(spark):
     ).collect()[0]
     assert r.t == "mail me at <EMAIL> or call <PHONE> now"
     assert r.ne == 1 and r.np == 1
+
+
+def test_c4_line_filter_rules(spark):
+    """Each C4 keep-rule individually: terminal punctuation, min words,
+    javascript/cookie markers; NULL lines drop."""
+    from pyspark.sql import functions as F
+
+    from instagram_data_pipeline_spark.functions.text import c4_line_filter
+
+    lines = [
+        "a good long sentence.",          # kept
+        "ends with question?",            # dropped: 3 words? "ends","with","question?" -> 3 words, kept
+        "short.",                         # dropped: < 3 words
+        "no terminal punctuation here",   # dropped: no . ! ?
+        "please enable javascript now.",  # dropped: marker
+        "we use cookie banners here.",    # dropped: marker
+        "Mixed CASE JavaScript ends.",    # dropped: marker, case-insensitive
+        "three word line!",               # kept
+    ]
+    df = spark.createDataFrame([(lines,)], "ls array<string>")
+    got = df.select(c4_line_filter(F.col("ls")).alias("kept")).first().kept
+    assert got == [
+        "a good long sentence.",
+        "ends with question?",
+        "three word line!",
+    ]
+    # NULL element never survives
+    df2 = spark.createDataFrame(
+        [(["fine long sentence.", None],)], "ls array<string>"
+    )
+    assert df2.select(
+        c4_line_filter(F.col("ls")).alias("k")
+    ).first().k == ["fine long sentence."]
