@@ -126,3 +126,61 @@ def bpe_segment_stats(
             6,
         ).alias("symbols_per_word"),
     )
+
+
+def apply_merges_expr(word: F.Column, merges: list[tuple[str, str]]) -> F.Column:
+    """Encode ONE word column with a fixed merge list, as a pure string
+    expression — the corpus-tokenization (encode) side of BPE, built so
+    it runs identically in any engine:
+
+    * the word becomes a pipe-delimited symbol string
+      ``|c|h|a|r|s|</w>|`` (symbols never contain ``|`` after
+      normalization, so boundaries are unambiguous);
+    * each merge (a, b) in rank order is one
+      ``replace('|a|b|', '|ab|')`` — left-to-right non-overlapping
+      replacement, which is exactly BPE's greedy application because the
+      replacement re-emits the trailing boundary pipe (``|a|a|a|`` ->
+      ``|aa|a|``, never ``|aa|aa|``);
+    * chained replaces = merges applied in rank order, each
+      exhaustively — the standard encode.
+
+    Map-only whole-stage codegen: tokenizing a corpus with a trained
+    tokenizer is a scan-fused projection, no shuffle, no Python. (At
+    100 TB one would first encode the DISTINCT word table and broadcast-
+    join it back — same expression, amortized over word frequency.)
+    """
+    r = F.concat(
+        F.lit("|"), F.regexp_replace(word, "(.)", "$1|"), F.lit(f"{END}|")
+    )
+    for a, b in merges:
+        r = F.replace(r, F.lit(f"|{a}|{b}|"), F.lit(f"|{a}{b}|"))
+    return r
+
+
+def bpe_encode(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, n_words, n_subwords, subword_text): every document
+    re-tokenized with the given merge table. ``subword_text`` is the
+    space-joined subword stream (with </w> markers), the exact input a
+    token-id lookup or packing stage consumes."""
+    toks = X.tokens(F.col(text_col))
+    piped = F.transform(
+        toks,
+        lambda w: F.replace(
+            F.btrim(apply_merges_expr(w, merges), F.lit("|")),
+            F.lit("|"),
+            F.lit(" "),
+        ),
+    )
+    joined = F.array_join(piped, " ")
+    n_sub = F.size(F.filter(F.split(joined, " "), lambda s: s != ""))
+    return docs.select(
+        F.col(id_col),
+        F.size(toks).cast("int").alias("n_words"),
+        n_sub.cast("int").alias("n_subwords"),
+        joined.alias("subword_text"),
+    )

@@ -101,6 +101,7 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "multimodal_png_stats",
     "multimodal_jpeg_stats",
     "c4_line_filter",
+    "bpe_encode_tokens",
     # -- one-round-green (r02) queries earning a second driver row ---------
     "embedding_norms",
     "ledger_enqueue_due",

@@ -1142,3 +1142,59 @@ def q_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(kept).cast("int").alias("n_kept"),
         F.array_join(kept, "\n").alias("clean_text"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE ENCODE at scale (round 4): applying a trained merge table to a
+# corpus — the tokenization pass every training run pays — as a pure
+# map-only string expression (extensions.bpe.apply_merges_expr). The
+# merge table here is a FIXED literal (training itself is the iterative
+# bpe_merges query, rows-only by nature); with literals both engines
+# apply the identical chained boundary-safe replaces, so the encode is
+# hash-checkable end to end.
+# ---------------------------------------------------------------------------
+_BPE_ENC_MERGES = [
+    ("s", "p"), ("sp", "a"), ("r", "k"), ("spa", "rk"),
+    ("e", "</w>"), ("g", "e</w>"),
+]
+
+
+def _bpe_encode_oracle() -> str:
+    repr_sql = "'|' || regexp_replace(w, '(.)', '\\1|', 'g') || '</w>|'"
+    for a, b in _BPE_ENC_MERGES:
+        repr_sql = f"replace({repr_sql}, '|{a}|{b}|', '|{a}{b}|')"
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split({_NORM}, ' '), w -> w <> '') AS tk
+  FROM documents
+), enc AS (
+  SELECT doc_id, len(tk) AS n_words,
+         array_to_string(
+           list_transform(tk, w -> replace(trim({repr_sql}, '|'), '|', ' ')),
+           ' ') AS subword_text
+  FROM toks
+)
+SELECT doc_id, CAST(n_words AS INT) AS n_words,
+       CAST(len(list_filter(string_split(subword_text, ' '),
+                            s -> s <> '')) AS INT) AS n_subwords,
+       subword_text
+FROM enc
+"""
+
+
+@register(
+    "bpe_encode_tokens",
+    _bpe_encode_oracle(),
+    doc="BPE corpus tokenization (encode) with a fixed merge table: "
+        "boundary-safe chained replaces apply merges in rank order, "
+        "greedily, entirely inside whole-stage codegen — zero shuffles; "
+        "training the table is bpe_merges' job, applying it at corpus "
+        "scale is this one's",
+    tags=("text", "tokenizer"),
+)
+def q_bpe_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.bpe import bpe_encode
+
+    docs = load_testdata(spark, sf_dir, "documents")
+    return bpe_encode(docs, _BPE_ENC_MERGES)

@@ -59,3 +59,25 @@ def test_bpe_exhausts_gracefully(spark):
     docs = _corpus(spark, ["ab", "ab"])
     m = bpe_train(docs, n_merges=50)
     assert 0 < len(m) <= 3  # a+b, ab+</w>, then nothing mergeable
+
+
+def test_bpe_encode_greedy_overlap_and_rank_order(spark):
+    """The chained-replace encode must match BPE's greedy left-to-right
+    semantics: 'aaa' with merge (a,a) becomes [aa, a] (never [aa, aa]),
+    and merges apply in rank order (later merges see earlier output)."""
+    from instagram_data_pipeline_spark.extensions.bpe import bpe_encode
+
+    docs = spark.createDataFrame(
+        [(1, "aaa"), (2, "spark spark"), (3, "merge")],
+        "doc_id long, text string",
+    )
+    merges = [("a", "a"), ("s", "p"), ("sp", "a"), ("r", "k"),
+              ("spa", "rk"), ("e", "</w>"), ("g", "e</w>")]
+    got = {r.doc_id: r for r in bpe_encode(docs, merges).collect()}
+    assert got[1].subword_text == "aa a </w>"
+    assert got[1].n_subwords == 3
+    # full pipeline: s+p -> sp+a -> r+k -> spa+rk -> 'spark'
+    assert got[2].subword_text == "spark </w> spark </w>"
+    # rank order: e+</w> first, then g absorbs e</w>
+    assert got[3].subword_text == "m e r ge</w>"
+    assert got[3].n_words == 1 and got[3].n_subwords == 4
