@@ -133,16 +133,23 @@ def apply_merges_expr(word: F.Column, merges: list[tuple[str, str]]) -> F.Column
     expression — the corpus-tokenization (encode) side of BPE, built so
     it runs identically in any engine:
 
-    * the word becomes a pipe-delimited symbol string
-      ``|c|h|a|r|s|</w>|`` (symbols never contain ``|`` after
-      normalization, so boundaries are unambiguous);
+    * the word becomes a FULLY-WRAPPED symbol string
+      ``(c)(h)(a)(r)(s)(</w>)`` — each symbol in its own parens (the
+      normalized alphabet is [a-z0-9], so parens are unambiguous).
+      Wrapping matters: a shared-delimiter encoding like ``|a|b|``
+      makes consecutive occurrences share their boundary character, so
+      left-to-right replacement skips every second pair (``abab`` with
+      merge (a,b) would give [ab, a, b], not BPE's [ab, ab]);
     * each merge (a, b) in rank order is one
-      ``replace('|a|b|', '|ab|')`` — left-to-right non-overlapping
-      replacement, which is exactly BPE's greedy application because the
-      replacement re-emits the trailing boundary pipe (``|a|a|a|`` ->
-      ``|aa|a|``, never ``|aa|aa|``);
-    * chained replaces = merges applied in rank order, each
-      exhaustively — the standard encode.
+      ``replace('(a)(b)', '(ab)')`` — adjacent matches share no
+      characters, so non-overlapping left-to-right replacement IS
+      greedy BPE pairing (``(a)(a)(a)(a)(a)`` -> ``(aa)(aa)(a)``), and
+      one pass per merge is exhaustive because replacing (a,b) with the
+      new symbol ``ab`` can never create another literal (a,b)
+      adjacency;
+    * chained replaces = merges applied in rank order — the standard
+      encode, property-tested against a scan-based reference
+      implementation in tests/test_codecs_properties.py.
 
     Map-only whole-stage codegen: tokenizing a corpus with a trained
     tokenizer is a scan-fused projection, no shuffle, no Python. (At
@@ -150,10 +157,10 @@ def apply_merges_expr(word: F.Column, merges: list[tuple[str, str]]) -> F.Column
     join it back — same expression, amortized over word frequency.)
     """
     r = F.concat(
-        F.lit("|"), F.regexp_replace(word, "(.)", "$1|"), F.lit(f"{END}|")
+        F.lit("("), F.regexp_replace(word, "(.)", "$1)("), F.lit(f"{END})")
     )
     for a, b in merges:
-        r = F.replace(r, F.lit(f"|{a}|{b}|"), F.lit(f"|{a}{b}|"))
+        r = F.replace(r, F.lit(f"({a})({b})"), F.lit(f"({a}{b})"))
     return r
 
 
@@ -171,8 +178,8 @@ def bpe_encode(
     piped = F.transform(
         toks,
         lambda w: F.replace(
-            F.btrim(apply_merges_expr(w, merges), F.lit("|")),
-            F.lit("|"),
+            F.btrim(apply_merges_expr(w, merges), F.lit("()")),
+            F.lit(")("),
             F.lit(" "),
         ),
     )

@@ -113,10 +113,12 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "ledger_complete_batch",
     "ledger_dequeue_transition",
     "ledger_point_update",
-    # -- flagship + bench headline continuity ------------------------------
+    # -- flagship continuity (slot 50) -------------------------------------
     "mutual_edges",
-    "pricing_summary",
     # ------------------- driver window ends at slot 50 --------------------
+    # pricing_summary sits first past the window this round: r01+r02
+    # driver rows, bench-headline coverage every round, pytest oracle.
+    "pricing_summary",
     # Post-window: everything below is ≥1-round driver-green (most 2-3
     # rounds) and stays pytest-oracle-checked every CI run.  Round-5 queue:
     # promote whichever of the below have the fewest driver rows once the

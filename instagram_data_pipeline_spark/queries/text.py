@@ -1160,9 +1160,9 @@ _BPE_ENC_MERGES = [
 
 
 def _bpe_encode_oracle() -> str:
-    repr_sql = "'|' || regexp_replace(w, '(.)', '\\1|', 'g') || '</w>|'"
+    repr_sql = "'(' || regexp_replace(w, '(.)', '\\1)(', 'g') || '</w>)'"
     for a, b in _BPE_ENC_MERGES:
-        repr_sql = f"replace({repr_sql}, '|{a}|{b}|', '|{a}{b}|')"
+        repr_sql = f"replace({repr_sql}, '({a})({b})', '({a}{b})')"
     return f"""
 WITH toks AS (
   SELECT doc_id,
@@ -1171,7 +1171,7 @@ WITH toks AS (
 ), enc AS (
   SELECT doc_id, len(tk) AS n_words,
          array_to_string(
-           list_transform(tk, w -> replace(trim({repr_sql}, '|'), '|', ' ')),
+           list_transform(tk, w -> replace(trim({repr_sql}, '()'), ')(', ' ')),
            ' ') AS subword_text
   FROM toks
 )

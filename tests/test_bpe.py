@@ -68,10 +68,11 @@ def test_bpe_encode_greedy_overlap_and_rank_order(spark):
     from instagram_data_pipeline_spark.extensions.bpe import bpe_encode
 
     docs = spark.createDataFrame(
-        [(1, "aaa"), (2, "spark spark"), (3, "merge")],
+        [(1, "aaa"), (2, "spark spark"), (3, "merge"),
+         (4, "aaaa"), (5, "abab")],
         "doc_id long, text string",
     )
-    merges = [("a", "a"), ("s", "p"), ("sp", "a"), ("r", "k"),
+    merges = [("a", "a"), ("a", "b"), ("s", "p"), ("sp", "a"), ("r", "k"),
               ("spa", "rk"), ("e", "</w>"), ("g", "e</w>")]
     got = {r.doc_id: r for r in bpe_encode(docs, merges).collect()}
     assert got[1].subword_text == "aa a </w>"
@@ -81,3 +82,7 @@ def test_bpe_encode_greedy_overlap_and_rank_order(spark):
     # rank order: e+</w> first, then g absorbs e</w>
     assert got[3].subword_text == "m e r ge</w>"
     assert got[3].n_words == 1 and got[3].n_subwords == 4
+    # consecutive same-merge pairs must BOTH merge (a shared-delimiter
+    # encoding would consume the boundary and skip every second pair)
+    assert got[4].subword_text == "aa aa </w>"
+    assert got[5].subword_text == "ab ab </w>"
