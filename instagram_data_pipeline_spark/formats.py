@@ -218,6 +218,33 @@ class TransactionLogFormat:
             *[str(root / f) for f in snap["files"]]
         )
 
+    def vacuum(self, wh, table: str) -> list[str]:
+        """Delete ORPHANED data files — files referenced by NO manifest
+        version (the residue of commits that crashed before their
+        manifest publish). Every published version stays fully
+        readable; trimming old versions themselves is a retention
+        policy this minimal format deliberately leaves to the caller.
+        Returns the deleted relpaths."""
+        root = Path(wh.path(table))
+        live: set[str] = set()
+        for v in self.versions(wh, table):
+            with open(self._log_dir(wh, table) / f"{v:08d}.json") as f:
+                live.update(json.load(f)["files"])
+        deleted = []
+        for f in sorted((root / "data").rglob("*.parquet")):
+            rel = str(f.relative_to(root))
+            if rel not in live:
+                f.unlink()
+                deleted.append(rel)
+        # drop empty commit dirs left behind
+        for d in sorted((root / "data").glob("*"), reverse=True):
+            for sub in sorted(d.glob("*"), reverse=True):
+                if sub.is_dir() and not any(sub.iterdir()):
+                    sub.rmdir()
+            if d.is_dir() and not any(d.iterdir()):
+                d.rmdir()
+        return deleted
+
     def versions(self, wh, table: str) -> list[int]:
         d = self._log_dir(wh, table)
         return sorted(

@@ -307,3 +307,12 @@ def test_txlog_crash_before_commit_is_invisible(spark, tmp_path):
     got = {r.k: r.v for r in wh.read_merged("facts").collect()}
     assert got[3] == "new" and len(got) == 50
     assert fmt.versions(wh, "facts") == [1, 2]
+    # vacuum removes exactly the crashed commit's orphans; every
+    # published version still reads in full afterward
+    deleted = fmt.vacuum(wh, "facts")
+    assert deleted  # the aborted merge left unreferenced files
+    assert fmt.vacuum(wh, "facts") == []  # idempotent
+    assert {r.v for r in fmt.read_version(wh, "facts", 1).collect()} == {
+        "old"
+    }
+    assert {r.k: r.v for r in wh.read_merged("facts").collect()} == got
