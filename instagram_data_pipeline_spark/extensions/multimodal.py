@@ -53,17 +53,21 @@ FEATURE_SCHEMA = (
 
 
 def real_decode(payload: bytes, kind: str) -> Any:
-    """STUB for COMPRESSED AUDIO/VIDEO (MP3/AAC/H.264...): librosa/ffmpeg
-    are unavailable in this environment. Every IMAGE format has a REAL
-    pure-Python path — see :mod:`codecs` (PPM/BMP/PNG decode) and
-    :mod:`jpeg` (baseline JFIF), used via ``extract_features(decoder=
-    codecs.mean_rgb_feature)`` / ``resize_images(decoder=
-    codecs.image_resizer)`` — and uncompressed audio decodes via
-    ``codecs.decode_wav_pcm16``."""
+    """STUB for PERCEPTUAL-CODEC AUDIO/VIDEO (MP3/AAC/H.264...):
+    librosa/ffmpeg are unavailable in this environment. Every IMAGE
+    format has a REAL pure-Python path — see :mod:`codecs` (PPM/BMP/PNG
+    decode) and :mod:`jpeg` (baseline JFIF), used via
+    ``extract_features(decoder=codecs.mean_rgb_feature)`` /
+    ``resize_images(decoder=codecs.image_resizer)``. AUDIO decodes via
+    ``codecs.decode_wav`` (PCM16, G.711 mu-law, IMA ADPCM — the latter
+    two genuinely compressed) and MJPEG/AVI video via
+    ``codecs`` + :mod:`jpeg` frame decode."""
     raise NotImplementedError(
-        "compressed audio/video codecs not installed; plug a decoder via "
-        "extract_features(decoder=...); images (PPM/BMP/PNG/JPEG) and WAV "
-        "audio have real codecs in extensions.codecs / extensions.jpeg"
+        "perceptual audio/video codecs (MP3/AAC/H.264) not installed; "
+        "plug a decoder via extract_features(decoder=...); images "
+        "(PPM/BMP/PNG/JPEG), WAV audio (PCM16/mu-law/ADPCM) and "
+        "MJPEG/AVI video have real codecs in extensions.codecs / "
+        "extensions.jpeg"
     )
 
 
@@ -195,12 +199,12 @@ def audio_stats(media: DataFrame) -> DataFrame:
     ``sqrt(sum_sq / n)`` for whoever wants the float."""
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from .codecs import decode_wav_pcm16
+        from .codecs import decode_wav
 
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                rate, samples = decode_wav_pcm16(payload)
+                rate, samples = decode_wav(payload)
                 n = len(samples)
                 rows.append(
                     (

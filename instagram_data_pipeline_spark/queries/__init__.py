@@ -96,10 +96,13 @@ REGISTRY_ORDER: tuple[str, ...] = (
     #    dedup_clusters consumes it) ---------------------------------------
     "connected_components",
     "dedup_clusters",
-    # -- new in round 4: compressed-image codecs (PNG lossless, JPEG
-    #    deterministic-lossy with an arithmetic-replay oracle) -------------
+    # -- new in round 4: compressed-media codecs (PNG lossless, JPEG
+    #    deterministic-lossy, G.711 mu-law audio, MJPEG/AVI video — each
+    #    with an arithmetic-replay oracle) ---------------------------------
     "multimodal_png_stats",
     "multimodal_jpeg_stats",
+    "multimodal_ulaw_stats",
+    "multimodal_mjpeg_stats",
     "c4_line_filter",
     "bpe_encode_tokens",
     # -- one-round-green (r02) queries earning a second driver row ---------
@@ -111,14 +114,17 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "dataset_split",
     "label_centroids",
     "ledger_complete_batch",
-    "ledger_dequeue_transition",
-    "ledger_point_update",
     # -- flagship continuity (slot 50) -------------------------------------
     "mutual_edges",
     # ------------------- driver window ends at slot 50 --------------------
     # pricing_summary sits first past the window this round: r01+r02
     # driver rows, bench-headline coverage every round, pytest oracle.
+    # ledger_dequeue_transition / ledger_point_update yielded their
+    # second-row slots to the new compressed-audio/video queries (both
+    # are r02-green and CI-oracle-checked).
     "pricing_summary",
+    "ledger_dequeue_transition",
+    "ledger_point_update",
     # Post-window: everything below is ≥1-round driver-green (most 2-3
     # rounds) and stays pytest-oracle-checked every CI run.  Round-5 queue:
     # promote whichever of the below have the fewest driver rows once the

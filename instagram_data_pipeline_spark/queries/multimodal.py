@@ -454,3 +454,255 @@ def q_multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_testdata(spark, sf_dir, "documents")
     return audio_stats(synthesize_wav_media(docs))
+
+
+# ---------------------------------------------------------------------------
+# Compressed-audio twins of the PCM path (round 4: the compressed-AUDIO
+# half of the stubbed-modality seam closed). G.711 mu-law decode is
+# pure integer arithmetic — (((mantissa<<3)+132)<<exponent)-132 — so
+# the oracle replays encoder+expander exactly in SQL: a hash-green row
+# proves the real compress -> RIFF container -> parse -> expand
+# pipeline lands on the arithmetic prediction. IMA ADPCM (stateful
+# predictor) is covered by round-trip tests in tests/test_codecs_
+# properties.py and a rows-only container check here is NOT registered:
+# its decode is sequential state SQL can't replay, and the rows-only
+# tier would add no evidence beyond the pytest round trip.
+# ---------------------------------------------------------------------------
+
+
+def synthesize_ulaw_media(docs: DataFrame) -> DataFrame:
+    """documents -> (media_id, kind, payload): the SAME synthesis
+    formula as :func:`synthesize_wav_media` (n = 50 + doc_id % 50,
+    sample i = ((doc_id*31 + i*97) % 65536) - 32768) but compressed
+    2:1 through the real G.711 encoder into a fmt-tag-7 WAV."""
+    ids = docs.select(F.col("doc_id").alias("media_id"))
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..extensions.codecs import encode_wav_ulaw
+
+        for pdf in batches:
+            payloads = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                n = 50 + mid % 50
+                samples = [
+                    ((mid * 31 + i * 97) % 65536) - 32768 for i in range(n)
+                ]
+                payloads.append(encode_wav_ulaw(_AUDIO_RATE, samples))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": "wav",
+                    "payload": payloads,
+                }
+            )
+
+    return ids.mapInPandas(encode, schema=_MEDIA_SCHEMA)
+
+
+@register(
+    "multimodal_ulaw_stats",
+    f"""
+WITH s AS (
+  SELECT doc_id, unnest(generate_series(0, 50 + doc_id % 50 - 1)) AS i
+  FROM documents
+), v AS (
+  SELECT doc_id, ((doc_id * 31 + i * 97) % 65536) - 32768 AS x FROM s
+), m AS (
+  SELECT doc_id,
+         LEAST(ABS(x), 32635) + 132 AS mag,
+         CASE WHEN x < 0 THEN -1 ELSE 1 END AS sgn
+  FROM v
+), e AS (
+  SELECT doc_id, sgn, mag,
+         CASE WHEN mag < 256 THEN 0 WHEN mag < 512 THEN 1
+              WHEN mag < 1024 THEN 2 WHEN mag < 2048 THEN 3
+              WHEN mag < 4096 THEN 4 WHEN mag < 8192 THEN 5
+              WHEN mag < 16384 THEN 6 ELSE 7 END AS ex
+  FROM m
+), d AS (
+  SELECT doc_id,
+         sgn * (((mag // CAST(POWER(2, ex + 3) AS BIGINT)) % 16) * 8 + 132)
+             * CAST(POWER(2, ex) AS BIGINT) - sgn * 132 AS y
+  FROM e
+)
+SELECT doc_id AS media_id,
+       COUNT(*) AS n_samples,
+       {_AUDIO_RATE} AS sample_rate,
+       CAST(COUNT(*) * 1000000 // {_AUDIO_RATE} AS BIGINT) AS duration_us,
+       CAST(MAX(ABS(y)) AS INT) AS peak,
+       CAST(SUM(y * y) AS BIGINT) AS sum_sq
+FROM d GROUP BY doc_id
+""",
+    doc="audio through the real G.711 mu-law codec (WAV fmt tag 7, a "
+        "genuinely compressed 8-bit wire format): PCM16 synthesis -> "
+        "2:1 compression -> RIFF container -> parse -> expand, with the "
+        "oracle replaying the compressor's segment/mantissa arithmetic "
+        "and the expander formula step-by-step in SQL — hash-green == "
+        "the full compressed-audio round trip is bit-exact",
+    tags=("multimodal", "audio", "ulaw", "mapInPandas"),
+)
+def q_multimodal_ulaw_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.multimodal import audio_stats
+
+    docs = load_testdata(spark, sf_dir, "documents")
+    return audio_stats(synthesize_ulaw_media(docs))
+
+
+# ---------------------------------------------------------------------------
+# Compressed VIDEO (round 4: the last stubbed modality closed). MJPEG
+# in a real AVI/RIFF container: every frame is a baseline JPEG, so a
+# solid-color frame decodes to the SAME arithmetic prediction the
+# multimodal_jpeg_stats oracle replays — here per (media_id, frame).
+# Container parse returns raw JPEG payloads frame-by-frame
+# (codecs.avi_mjpeg_frames), so sampling skips decode for unsampled
+# frames; this query decodes every frame to prove the full pipeline.
+# ---------------------------------------------------------------------------
+
+_MJPEG_FPS = 10
+_FRAME_STATS_SCHEMA = (
+    "media_id long, frame_idx int, width int, height int, fps int, "
+    "mean_r int, mean_g int, mean_b int"
+)
+
+
+def synthesize_mjpeg_media(docs: DataFrame) -> DataFrame:
+    """documents -> (media_id, kind, payload): an AVI of
+    n = 2 + b % 3 solid MJPEG frames, frame f colored
+    ((r+41f)%256, (g+59f)%256, (b+83f)%256) at the same
+    non-multiple-of-8 dims the JPEG query uses (4+r%9 x 3+g%7)."""
+    hexed = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.md5(F.coalesce(F.col("text"), F.lit("")).cast("binary")).alias("x"),
+    ).select(
+        "media_id",
+        *[
+            F.conv(F.substring("x", 1 + 2 * i, 2), 16, 10)
+            .cast("int")
+            .alias(c)
+            for i, c in enumerate(["r", "g", "b"])
+        ],
+    )
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..extensions.codecs import encode_avi_mjpeg
+
+        for pdf in batches:
+            payloads = []
+            for r, g, b in zip(pdf["r"], pdf["g"], pdf["b"]):
+                r, g, b = int(r), int(g), int(b)
+                w, h = 4 + r % 9, 3 + g % 7
+                frames = [
+                    [[((r + 41 * f) % 256, (g + 59 * f) % 256,
+                       (b + 83 * f) % 256)] * w] * h
+                    for f in range(2 + b % 3)
+                ]
+                payloads.append(encode_avi_mjpeg(w, h, _MJPEG_FPS, frames))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": "video",
+                    "payload": payloads,
+                }
+            )
+
+    return hexed.mapInPandas(encode, schema=_MEDIA_SCHEMA)
+
+
+def mjpeg_frame_stats(media: DataFrame) -> DataFrame:
+    """Real container parse + per-frame JPEG decode inside mapInPandas:
+    one row per (media_id, frame_idx) with integer mean channels."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..extensions.codecs import avi_mjpeg_frames
+        from ..extensions.jpeg import decode_jpeg_baseline
+
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                w, h, fps, payloads = avi_mjpeg_frames(payload)
+                for i, p in enumerate(payloads):
+                    fw, fh, px = decode_jpeg_baseline(p)
+                    n = max(fw * fh, 1)
+                    sums = [0, 0, 0]
+                    for row in px:
+                        for cr, cg, cb in row:
+                            sums[0] += cr
+                            sums[1] += cg
+                            sums[2] += cb
+                    rows.append(
+                        (mid, i, fw, fh, fps,
+                         sums[0] // n, sums[1] // n, sums[2] // n)
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "frame_idx", "width", "height", "fps",
+                    "mean_r", "mean_g", "mean_b",
+                ],
+            )
+
+    return media.mapInPandas(op, schema=_FRAME_STATS_SCHEMA)
+
+
+@register(
+    "multimodal_mjpeg_stats",
+    f"""
+WITH m AS (
+  SELECT doc_id AS media_id, md5(COALESCE(text, '')) AS x FROM documents
+), rgb AS (
+  SELECT media_id,
+         {_duck_channel(1)} AS r,
+         {_duck_channel(3)} AS g,
+         {_duck_channel(5)} AS b
+  FROM m
+), fr AS (
+  SELECT media_id, r, g, b,
+         4 + r % 9 AS width, 3 + g % 7 AS height,
+         unnest(generate_series(0, 2 + b % 3 - 1)) AS frame_idx
+  FROM rgb
+), col AS (
+  SELECT media_id, frame_idx, width, height,
+         (r + 41 * frame_idx) % 256 AS fr_,
+         (g + 59 * frame_idx) % 256 AS fg_,
+         (b + 83 * frame_idx) % 256 AS fb_
+  FROM fr
+), ycc AS (
+  SELECT media_id, frame_idx, width, height,
+    LEAST(255.0, GREATEST(0.0,
+      FLOOR(0.299*fr_ + 0.587*fg_ + 0.114*fb_ + 0.5))) AS y,
+    LEAST(255.0, GREATEST(0.0,
+      FLOOR(128.0 + (-0.168736*fr_ - 0.331264*fg_ + 0.5*fb_) + 0.5))) AS cb,
+    LEAST(255.0, GREATEST(0.0,
+      FLOOR(128.0 + (0.5*fr_ - 0.418688*fg_ - 0.081312*fb_) + 0.5))) AS cr
+  FROM col
+), dq AS (
+  SELECT media_id, frame_idx, width, height,
+    {_jpeg_chan_sql('y')} AS yd,
+    {_jpeg_chan_sql('cb')} AS cbd,
+    {_jpeg_chan_sql('cr')} AS crd
+  FROM ycc
+)
+SELECT media_id, CAST(frame_idx AS INT) AS frame_idx,
+  CAST(width AS INT) AS width, CAST(height AS INT) AS height,
+  {_MJPEG_FPS} AS fps,
+  CAST(LEAST(255.0, GREATEST(0.0,
+    FLOOR(yd + 1.402*(crd - 128.0) + 0.5))) AS INT) AS mean_r,
+  CAST(LEAST(255.0, GREATEST(0.0,
+    FLOOR(yd - 0.344136*(cbd - 128.0) - 0.714136*(crd - 128.0) + 0.5)))
+    AS INT) AS mean_g,
+  CAST(LEAST(255.0, GREATEST(0.0,
+    FLOOR(yd + 1.772*(cbd - 128.0) + 0.5))) AS INT) AS mean_b
+FROM dq
+""",
+    doc="compressed video through the real MJPEG/AVI path: multi-frame "
+        "AVI payloads synthesized per document, the RIFF container "
+        "parsed and every frame JPEG-decoded inside mapInPandas, with "
+        "the oracle replaying the per-frame quantization arithmetic in "
+        "SQL — hash-green proves container framing, per-frame Huffman/"
+        "DCT decode, and frame ordering all land on the prediction",
+    tags=("multimodal", "binary", "video", "mjpeg", "mapInPandas"),
+)
+def q_multimodal_mjpeg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = synthesize_mjpeg_media(load_testdata(spark, sf_dir, "documents"))
+    return mjpeg_frame_stats(media)

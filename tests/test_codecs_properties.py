@@ -174,3 +174,178 @@ def test_portable_hll_tracks_exact_on_random_keys(spark, keys):
     exact = len(set(keys))
     # m=4096, n <= 400 -> deep linear-counting regime: very tight
     assert abs(got.approx_users - exact) <= max(2, 0.03 * exact)
+
+
+# ---------------------------------------------------------------------------
+# Compressed audio: G.711 mu-law + IMA ADPCM (round 4, audio half of
+# the stubbed-modality closure)
+# ---------------------------------------------------------------------------
+
+pcm16 = st.integers(-32768, 32767)
+
+
+def test_ulaw_codebook_idempotent():
+    """encode(decode(code)) == code for every code whose decoded value
+    is nonzero (0x7F and 0xFF both decode to 0, which re-encodes to the
+    canonical positive-zero code 0xFF)."""
+    from instagram_data_pipeline_spark.extensions.codecs import (
+        ulaw_decode,
+        ulaw_encode,
+    )
+
+    for code in range(256):
+        val = ulaw_decode(bytes([code]))[0]
+        if val != 0:
+            assert ulaw_encode([val]) == bytes([code])
+    assert ulaw_decode(b"\xff") == [0]
+    assert ulaw_decode(b"\x7f") == [0]
+    assert ulaw_encode([0]) == b"\xff"
+
+
+def test_ulaw_itu_extremes():
+    from instagram_data_pipeline_spark.extensions.codecs import ulaw_decode
+
+    # G.711 table extremes: codes 0x00/0x80 are the +-max segment
+    assert ulaw_decode(b"\x00") == [-32124]
+    assert ulaw_decode(b"\x80") == [32124]
+
+
+@given(st.lists(pcm16, max_size=200))
+@SETTINGS
+def test_ulaw_roundtrip_error_bound_and_monotone(samples):
+    """Reconstruction error is bounded by half the top-segment step
+    (1024), the sign is preserved, and the expander applied through the
+    WAV container equals the raw expander."""
+    from instagram_data_pipeline_spark.extensions.codecs import (
+        decode_wav,
+        encode_wav_ulaw,
+        ulaw_decode,
+        ulaw_encode,
+    )
+
+    rt = ulaw_decode(ulaw_encode(samples))
+    for orig, rec in zip(samples, rt):
+        assert abs(orig - rec) <= 1024
+        if orig > 0:
+            assert rec >= 0
+        if orig < 0:
+            assert rec <= 0
+    rate, via_wav = decode_wav(encode_wav_ulaw(8000, samples))
+    assert rate == 8000 and via_wav == rt
+
+
+@given(st.lists(pcm16, max_size=200))
+@SETTINGS
+def test_ima_adpcm_decode_is_deterministic_inverse(samples):
+    """The decoder reproduces the encoder's internal predictor sequence
+    bit-exactly (ADPCM is lossy vs the INPUT, but decode-of-encode is a
+    pure function), first sample is carried verbatim in the block
+    header, and the WAV container round-trips."""
+    from instagram_data_pipeline_spark.extensions.codecs import (
+        decode_wav,
+        encode_wav_ima,
+        ima_adpcm_decode,
+        ima_adpcm_encode,
+    )
+
+    blob = ima_adpcm_encode(samples)
+    out = ima_adpcm_decode(blob, len(samples))
+    assert len(out) == len(samples)
+    if samples:
+        assert out[0] == samples[0]
+    assert ima_adpcm_decode(blob, len(samples)) == out
+    rate, via_wav = decode_wav(encode_wav_ima(8000, samples))
+    assert rate == 8000 and via_wav == out
+
+
+def test_ima_adpcm_tracks_smooth_signal():
+    """On a band-limited signal (the codec's design target) the
+    4-bit-per-sample reconstruction stays within ~5% RMS of full
+    scale."""
+    import math
+
+    from instagram_data_pipeline_spark.extensions.codecs import (
+        decode_wav,
+        encode_wav_ima,
+    )
+
+    sig = [int(8000 * math.sin(i / 10)) for i in range(500)]
+    _, out = decode_wav(encode_wav_ima(8000, sig))
+    rms = math.sqrt(
+        sum((a - b) ** 2 for a, b in zip(sig, out)) / len(sig)
+    )
+    assert rms < 1600  # ~5% of 32768 full scale
+
+
+@given(st.lists(pcm16, max_size=64), st.sampled_from([8000, 16000, 44100]))
+@SETTINGS
+def test_decode_wav_dispatches_all_three_formats(samples, rate):
+    from instagram_data_pipeline_spark.extensions.codecs import (
+        decode_wav,
+        encode_wav_ima,
+        encode_wav_pcm16,
+        encode_wav_ulaw,
+        ulaw_decode,
+        ulaw_encode,
+    )
+
+    assert decode_wav(encode_wav_pcm16(rate, samples)) == (rate, samples)
+    assert decode_wav(encode_wav_ulaw(rate, samples)) == (
+        rate,
+        ulaw_decode(ulaw_encode(samples)),
+    )
+    r, out = decode_wav(encode_wav_ima(rate, samples))
+    assert r == rate and len(out) == len(samples)
+
+
+# ---------------------------------------------------------------------------
+# Compressed video: MJPEG/AVI container (round 4, video half of the
+# stubbed-modality closure)
+# ---------------------------------------------------------------------------
+
+
+@given(
+    st.integers(1, 6), st.integers(1, 6), st.integers(0, 5),
+    st.sampled_from([1, 10, 30]), st.integers(0, 255),
+)
+@SETTINGS
+def test_avi_mjpeg_container_roundtrip(w, h, n_frames, fps, seed):
+    """Container metadata and frame count/order survive the RIFF round
+    trip; every decoded solid frame equals the JPEG arithmetic
+    prediction for its own color (frames are not mixed up)."""
+    from instagram_data_pipeline_spark.extensions.codecs import (
+        avi_mjpeg_frames,
+        decode_avi_mjpeg,
+        encode_avi_mjpeg,
+    )
+    from instagram_data_pipeline_spark.extensions.jpeg import (
+        predict_solid_roundtrip,
+    )
+
+    colors = [
+        ((seed + 41 * f) % 256, (seed + 59 * f) % 256, (seed + 83 * f) % 256)
+        for f in range(n_frames)
+    ]
+    frames = [[[c] * w] * h for c in colors]
+    blob = encode_avi_mjpeg(w, h, fps, frames)
+    dw, dh, dfps, decoded = decode_avi_mjpeg(blob)
+    assert (dw, dh, dfps, len(decoded)) == (w, h, fps, n_frames)
+    for c, px in zip(colors, decoded):
+        pred = predict_solid_roundtrip(*c)
+        assert all(p == pred for row in px for p in row)
+    # payload extraction yields valid per-frame JPEGs without decode
+    _, _, _, payloads = avi_mjpeg_frames(blob)
+    assert len(payloads) == n_frames
+    assert all(p[:2] == b"\xff\xd8" for p in payloads)
+
+
+def test_avi_mjpeg_rejects_non_avi():
+    import pytest
+
+    from instagram_data_pipeline_spark.extensions.codecs import (
+        avi_mjpeg_frames,
+        encode_wav_pcm16,
+    )
+
+    with pytest.raises(ValueError):
+        avi_mjpeg_frames(encode_wav_pcm16(8000, [1, 2, 3]))
