@@ -558,3 +558,75 @@ def passage_dedup(
             ),
         )
     )
+
+
+def dup_span_detect(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    min_tokens: int | None = None,
+) -> DataFrame:
+    """Cross-document duplicated-SPAN detection (the exact-substring
+    dedup pass of Lee et al. 2022, "Deduplicating Training Data Makes
+    Language Models Better", re-expressed relationally): find every
+    maximal run of tokens, at least ``min_tokens`` (default ``k``) long,
+    that also appears verbatim in at least one OTHER document.
+
+    A suffix array is the classic single-machine structure for this; the
+    shuffle-friendly equivalent used here: every positioned k-gram is a
+    suffix-array bucket key, so a token position is "covered" iff its
+    k-gram occurs in >= 2 distinct docs, and a duplicated span is a
+    maximal consecutive covered run (islands-and-gaps over positions).
+    Any shared substring of length >= k is a run of shared k-grams, so
+    detection is EXACT for spans >= k tokens (none missed, none
+    spurious); the k-gram buckets merely replace pointer-chasing with
+    two keyed shuffles.
+
+    Shuffle profile: ONE exchange on the k-gram hash for the
+    distinct-doc count (map-side combined); the surviving shared-gram
+    set is small (duplicated grams only), so it broadcasts back onto
+    the positions stream, and the islands window reuses the doc-id
+    partitioning ``_tokenized`` already established — zero further
+    exchanges. When the dup set outgrows the broadcast threshold, AQE
+    falls back to a sort-merge join on the gram hash, still one extra
+    exchange. No pair fan-out exists anywhere — unlike
+    similarity joins, frequency caps aren't needed: a k-gram shared by
+    a million docs still contributes one covered position per
+    occurrence, not a million^2 pair blowup. At 100 TB the duplicated
+    k-gram set is the small side, so a bloom semi-join (operators.bloom)
+    can pre-prune the positions stream before the join.
+
+    Returns one row per (doc, maximal duplicated span):
+    ``(id_col, span_start, span_tokens, max_share)`` where ``max_share``
+    is the largest number of distinct docs sharing any k-gram of the
+    span (0-based token offset ``span_start``).
+    """
+    min_tokens = k if min_tokens is None else min_tokens
+    grams = _tokenized(df, id_col, text_col).select(
+        F.col(id_col),
+        F.posexplode(X.word_shingles(F.col("_w"), k)).alias("pos", "gram"),
+    ).select(id_col, "pos", F.md5("gram").alias("g"))
+    shared = (
+        grams.groupBy("g")
+        .agg(F.count_distinct(id_col).alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+    )
+    covered = grams.join(shared, "g").select(id_col, "pos", "n_docs")
+    run = (
+        F.col("pos")
+        - F.row_number().over(
+            Window.partitionBy(id_col).orderBy("pos")
+        )
+    ).alias("_run")
+    return (
+        covered.select(id_col, "pos", "n_docs", run)
+        .groupBy(id_col, "_run")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") - F.min("pos") + k).alias("span_tokens"),
+            F.max("n_docs").alias("max_share"),
+        )
+        .filter(F.col("span_tokens") >= min_tokens)
+        .drop("_run")
+    )

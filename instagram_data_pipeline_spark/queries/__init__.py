@@ -105,6 +105,7 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "multimodal_mjpeg_stats",
     "c4_line_filter",
     "bpe_encode_tokens",
+    "dup_spans",
     # -- one-round-green (r02) queries earning a second driver row ---------
     "embedding_norms",
     "ledger_enqueue_due",
@@ -113,18 +114,19 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "embedding_quantize",
     "dataset_split",
     "label_centroids",
-    "ledger_complete_batch",
     # -- flagship continuity (slot 50) -------------------------------------
     "mutual_edges",
     # ------------------- driver window ends at slot 50 --------------------
     # pricing_summary sits first past the window this round: r01+r02
     # driver rows, bench-headline coverage every round, pytest oracle.
-    # ledger_dequeue_transition / ledger_point_update yielded their
-    # second-row slots to the new compressed-audio/video queries (both
-    # are r02-green and CI-oracle-checked).
+    # ledger_dequeue_transition / ledger_point_update /
+    # ledger_complete_batch yielded their second-row slots to the new
+    # compressed-audio/video + duplicated-span queries (all three are
+    # r02-green and CI-oracle-checked).
     "pricing_summary",
     "ledger_dequeue_transition",
     "ledger_point_update",
+    "ledger_complete_batch",
     # Post-window: everything below is ≥1-round driver-green (most 2-3
     # rounds) and stays pytest-oracle-checked every CI run.  Round-5 queue:
     # promote whichever of the below have the fewest driver rows once the

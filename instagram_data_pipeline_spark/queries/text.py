@@ -1198,3 +1198,58 @@ def q_bpe_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_testdata(spark, sf_dir, "documents")
     return bpe_encode(docs, _BPE_ENC_MERGES)
+
+
+# ---------------------------------------------------------------------------
+# Cross-document duplicated spans (exact-substring dedup, Lee et al.
+# 2022): positioned k-gram buckets + islands-and-gaps run merging —
+# the suffix-array pass re-expressed as two keyed shuffles. See
+# extensions.dedup.dup_span_detect for the scale analysis (no pair
+# fan-out anywhere, so no frequency caps are needed).
+# ---------------------------------------------------------------------------
+_SPAN_K = 5
+_SPAN_MIN = 6
+
+
+@register(
+    "dup_spans",
+    f"""
+WITH toks AS (
+  SELECT doc_id, string_split({_NORM}, ' ') AS ws FROM documents
+), grams AS (
+  SELECT doc_id, i - 1 AS pos,
+         md5(array_to_string(list_slice(ws, i, i + {_SPAN_K - 1}), ' ')) AS g
+  FROM toks, LATERAL unnest(generate_series(1, len(ws) - {_SPAN_K - 1}))
+       AS u(i)
+  WHERE len(ws) >= {_SPAN_K}
+), shared AS (
+  SELECT g, COUNT(DISTINCT doc_id) AS n_docs FROM grams GROUP BY g
+  HAVING COUNT(DISTINCT doc_id) >= 2
+), covered AS (
+  SELECT grams.doc_id, grams.pos, shared.n_docs
+  FROM grams JOIN shared USING (g)
+), runs AS (
+  SELECT doc_id, pos, n_docs,
+         pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM covered
+)
+SELECT doc_id, MIN(pos) AS span_start,
+       MAX(pos) - MIN(pos) + {_SPAN_K} AS span_tokens,
+       MAX(n_docs) AS max_share
+FROM runs GROUP BY doc_id, grp
+HAVING MAX(pos) - MIN(pos) + {_SPAN_K} >= {_SPAN_MIN}
+""",
+    doc="maximal cross-document duplicated token spans (>= "
+        f"{_SPAN_MIN} tokens shared verbatim with another document) via "
+        "positioned k-gram buckets and run merging — exact for spans "
+        ">= k, no pair fan-out; the distributed form of the "
+        "suffix-array substring-dedup pass",
+    tags=("dedup", "spans", "text"),
+)
+def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.dedup import dup_span_detect
+
+    docs = load_testdata(spark, sf_dir, "documents")
+    return dup_span_detect(
+        docs, "doc_id", "text", k=_SPAN_K, min_tokens=_SPAN_MIN
+    ).select("doc_id", "span_start", "span_tokens", "max_share")

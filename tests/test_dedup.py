@@ -147,3 +147,79 @@ def test_jaccard_pairs_deterministic(corpus):
     a = sorted(map(tuple, ngram_jaccard_pairs(corpus, threshold=0.3).collect()))
     b = sorted(map(tuple, ngram_jaccard_pairs(corpus, threshold=0.3).collect()))
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# Cross-document duplicated spans (exact-substring dedup)
+# ---------------------------------------------------------------------------
+
+
+class TestDupSpanDetect:
+    def _spans(self, spark, rows, **kw):
+        from instagram_data_pipeline_spark.extensions.dedup import (
+            dup_span_detect,
+        )
+
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        return {
+            (r.doc_id, r.span_start): (r.span_tokens, r.max_share)
+            for r in dup_span_detect(df, **kw).collect()
+        }
+
+    def test_planted_shared_span_exact_boundaries(self, spark):
+        shared = "alpha bravo charlie delta echo foxtrot golf hotel"
+        rows = [
+            (1, f"one two three {shared} four five"),
+            (2, f"{shared} six seven eight nine ten"),
+            (3, "unrelated words entirely different from everything here"),
+        ]
+        spans = self._spans(spark, rows, k=4, min_tokens=4)
+        # doc 1: span starts after the 3 lead-in tokens, 8 tokens long
+        assert spans[(1, 3)] == (8, 2)
+        # doc 2: span at position 0
+        assert spans[(2, 0)] == (8, 2)
+        assert not any(d == 3 for d, _ in spans)
+
+    def test_within_doc_repetition_not_flagged(self, spark):
+        rep = "lorem ipsum dolor sit amet"
+        rows = [
+            (1, f"{rep} and then {rep} again"),
+            (2, "something else entirely unrelated to the first document"),
+        ]
+        assert self._spans(spark, rows, k=4, min_tokens=4) == {}
+
+    def test_min_tokens_filters_short_matches(self, spark):
+        shared = "red green blue cyan"  # exactly 4 tokens shared
+        rows = [
+            (1, f"{shared} magenta yellow"),
+            (2, f"black white {shared}"),
+        ]
+        assert self._spans(spark, rows, k=4, min_tokens=5) == {}
+        spans = self._spans(spark, rows, k=4, min_tokens=4)
+        assert spans[(1, 0)] == (4, 2)
+        assert spans[(2, 2)] == (4, 2)
+
+    def test_three_way_share_raises_max_share(self, spark):
+        shared = "november oscar papa quebec romeo sierra"
+        rows = [
+            (i, f"doc number {i} prefix {shared} suffix {i}")
+            for i in range(1, 4)
+        ]
+        spans = self._spans(spark, rows, k=4, min_tokens=6)
+        # the true shared substring is "prefix <shared> suffix" (8
+        # tokens): the surrounding scaffold words are identical across
+        # docs too, and the operator must report the MAXIMAL span
+        assert all(v == (8, 3) for v in spans.values())
+        assert {s for _, s in spans} == {3}
+        assert len(spans) == 3
+
+    def test_two_disjoint_spans_stay_separate(self, spark):
+        a = "uniform victor whiskey xray"
+        b = "yankee zulu alpha beta"
+        rows = [
+            (1, f"{a} BREAK ONE {b}"),
+            (2, f"{b} BREAK TWO {a}"),
+        ]
+        spans = self._spans(spark, rows, k=4, min_tokens=4)
+        assert len(spans) == 4
+        assert all(v == (4, 2) for v in spans.values())
