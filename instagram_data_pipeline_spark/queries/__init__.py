@@ -106,9 +106,9 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "c4_line_filter",
     "bpe_encode_tokens",
     "dup_spans",
+    "url_frequency_cap",
     # -- one-round-green (r02) queries earning a second driver row ---------
     "embedding_norms",
-    "ledger_enqueue_due",
     "cosine_topk",
     "embedding_near_dups",
     "embedding_quantize",
@@ -124,6 +124,7 @@ REGISTRY_ORDER: tuple[str, ...] = (
     # compressed-audio/video + duplicated-span queries (all three are
     # r02-green and CI-oracle-checked).
     "pricing_summary",
+    "ledger_enqueue_due",
     "ledger_dequeue_transition",
     "ledger_point_update",
     "ledger_complete_batch",
@@ -221,6 +222,7 @@ def load_all() -> dict[str, QuerySpec]:
     from . import ranking  # noqa: F401
     from . import temporal  # noqa: F401
     from . import text  # noqa: F401
+    from . import web  # noqa: F401
 
     ordered = {n: REGISTRY[n] for n in REGISTRY_ORDER if n in REGISTRY}
     for name, spec in REGISTRY.items():

@@ -1,0 +1,211 @@
+"""URL-hygiene queries (SURVEY §2.12 extension family): canonicalization
++ per-domain frequency capping over deterministic messy URLs
+synthesized from the documents table.
+
+The synthesis deliberately scatters every kind of URL mess the
+canonicalizer must fix — scheme case, ``www.``, default vs explicit
+ports, trailing slashes, tracking params in both orders, fragments —
+keyed off md5 channels so Spark and the DuckDB oracle build the SAME
+messy strings (hosts like www.Blog.p12.Site-src5.com: per-doc variety lives in
+the subdomain so every canonical URL is distinct, while the
+registrable domain site-src5.{{tld}} spans only source x tld combos —
+small enough that the cap genuinely bites). The query runs in
+mark_only audit mode: EVERY row is returned with its kept flag, then both run their own full canonicalize -> domain ->
+cap pipeline. A hash-green row therefore proves the entire regex chain
+behaves identically, not just the happy path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load_testdata
+from . import register
+
+_CAP = 3
+
+
+def _chan(i: int):
+    """md5 hex pair i (0-based) of the doc text as int, Spark side."""
+    return F.conv(F.substring("x", 1 + 2 * i, 2), 16, 10).cast("int")
+
+
+def _duck_chan(i: int) -> str:
+    # hex-pair -> int, engine-portable (strpos arithmetic; no 0x casts)
+    a, b = 1 + 2 * i, 2 + 2 * i
+    return (
+        f"((strpos('0123456789abcdef', substr(x, {a}, 1)) - 1) * 16"
+        f" + strpos('0123456789abcdef', substr(x, {b}, 1)) - 1)"
+    )
+
+
+def synthesize_messy_urls(docs: DataFrame) -> DataFrame:
+    """documents -> (doc_id, url): deterministic messy URL per doc."""
+    hexed = docs.select(
+        "doc_id",
+        "source",
+        F.md5(F.coalesce(F.col("text"), F.lit("")).cast("binary")).alias("x"),
+    ).select(
+        "doc_id",
+        "source",
+        *[_chan(i).alias(f"c{i}") for i in range(8)],
+    )
+    scheme = F.when(F.col("c0") % 2 == 0, F.lit("http")).otherwise(
+        F.lit("HTTPS")
+    )
+    www = F.when(F.col("c1") % 2 == 0, F.lit("www.")).otherwise(F.lit(""))
+    tld = (
+        F.when(F.col("c2") % 3 == 0, F.lit("com"))
+        .when(F.col("c2") % 3 == 1, F.lit("org"))
+        .otherwise(F.lit("net"))
+    )
+    sub = (
+        F.when(F.col("c7") % 3 == 0, F.lit("Blog."))
+        .when(F.col("c7") % 3 == 1, F.lit("news."))
+        .otherwise(F.lit(""))
+    )
+    host = F.concat(
+        sub, F.lit("p"), F.col("doc_id") % 37, F.lit(".Site-"),
+        F.col("source"), F.lit("."), tld,
+    )
+    port = (
+        F.when(
+            F.col("c3") % 4 == 0,
+            F.when(F.col("c0") % 2 == 0, F.lit(":80")).otherwise(
+                F.lit(":443")
+            ),
+        )
+        .when(F.col("c3") % 4 == 1, F.lit(":8080"))
+        .otherwise(F.lit(""))
+    )
+    path = F.concat(
+        F.lit("/post/"), F.col("doc_id"),
+        F.when(F.col("c4") % 2 == 0, F.lit("/")).otherwise(F.lit("")),
+    )
+    query = (
+        F.when(
+            F.col("c5") % 3 == 0,
+            F.concat(F.lit("?utm_source=feed&id="), F.col("doc_id")),
+        )
+        .when(
+            F.col("c5") % 3 == 1,
+            F.concat(
+                F.lit("?id="), F.col("doc_id"), F.lit("&utm_campaign=x&b=2")
+            ),
+        )
+        .otherwise(F.lit(""))
+    )
+    frag = F.when(F.col("c6") % 2 == 0, F.lit("#frag")).otherwise(F.lit(""))
+    return hexed.select(
+        "doc_id",
+        F.concat(
+            scheme, F.lit("://"), www, host, port, path, query, frag
+        ).alias("url"),
+    )
+
+
+# The oracle rebuilds the same messy URL, then mirrors
+# extensions.web.canonicalize_url / registrable_domain /
+# domain_frequency_cap expression-for-expression. All regexes are
+# anchored, so Spark's replace-all and DuckDB's replace-first agree.
+_URL_ORACLE = f"""
+WITH h AS (
+  SELECT doc_id, source, md5(COALESCE(text, '')) AS x FROM documents
+), c AS (
+  SELECT doc_id, source,
+         {_duck_chan(0)} AS c0, {_duck_chan(1)} AS c1,
+         {_duck_chan(2)} AS c2, {_duck_chan(3)} AS c3,
+         {_duck_chan(4)} AS c4, {_duck_chan(5)} AS c5,
+         {_duck_chan(6)} AS c6, {_duck_chan(7)} AS c7
+  FROM h
+), u AS (
+  SELECT doc_id,
+    (CASE WHEN c0 % 2 = 0 THEN 'http' ELSE 'HTTPS' END) || '://'
+    || (CASE WHEN c1 % 2 = 0 THEN 'www.' ELSE '' END)
+    || (CASE WHEN c7 % 3 = 0 THEN 'Blog.'
+             WHEN c7 % 3 = 1 THEN 'news.' ELSE '' END)
+    || 'p' || (doc_id % 37) || '.Site-' || source || '.'
+    || (CASE WHEN c2 % 3 = 0 THEN 'com'
+             WHEN c2 % 3 = 1 THEN 'org' ELSE 'net' END)
+    || (CASE WHEN c3 % 4 = 0
+             THEN (CASE WHEN c0 % 2 = 0 THEN ':80' ELSE ':443' END)
+             WHEN c3 % 4 = 1 THEN ':8080' ELSE '' END)
+    || '/post/' || doc_id
+    || (CASE WHEN c4 % 2 = 0 THEN '/' ELSE '' END)
+    || (CASE WHEN c5 % 3 = 0 THEN '?utm_source=feed&id=' || doc_id
+             WHEN c5 % 3 = 1 THEN '?id=' || doc_id || '&utm_campaign=x&b=2'
+             ELSE '' END)
+    || (CASE WHEN c6 % 2 = 0 THEN '#frag' ELSE '' END) AS url
+  FROM c
+), split1 AS (
+  SELECT doc_id,
+    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+    regexp_replace(
+      regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://', ''),
+      '#.*$', '') AS rest
+  FROM u
+), split2 AS (
+  SELECT doc_id, scheme,
+    regexp_replace(lower(regexp_extract(rest, '^([^/?#]*)', 1)),
+                   '^www\\.', '') AS hp0,
+    regexp_replace(rest, '^[^/?#]*', '') AS pathq
+  FROM split1
+), split3 AS (
+  SELECT doc_id, scheme,
+    CASE WHEN scheme = 'http' THEN regexp_replace(hp0, ':80$', '')
+         WHEN scheme = 'https' THEN regexp_replace(hp0, ':443$', '')
+         ELSE hp0 END AS hostport,
+    regexp_replace(regexp_extract(pathq, '^([^?]*)', 1), '/$', '') AS path,
+    COALESCE(regexp_extract(pathq, '\\?(.*)$', 1), '') AS q
+  FROM split2
+), split4 AS (
+  SELECT doc_id, scheme, hostport, path,
+    COALESCE(array_to_string(list_sort(list_filter(
+      string_split(q, '&'),
+      p -> p <> '' AND NOT regexp_matches(
+        p, '^(utm_[a-z]+|fbclid|gclid|msclkid|ref)='))), '&'), '') AS qs
+  FROM split3
+), canon AS (
+  SELECT doc_id,
+    scheme || '://' || hostport || path
+      || (CASE WHEN qs <> '' THEN '?' || qs ELSE '' END) AS canonical_url,
+    regexp_extract(regexp_replace(hostport, ':[0-9]+$', ''),
+                   '([^.]+\\.[^.]+)$', 1) AS domain
+  FROM split4
+), ranked AS (
+  SELECT doc_id, canonical_url, domain,
+    ROW_NUMBER() OVER (PARTITION BY domain ORDER BY doc_id) AS rank,
+    COUNT(*) OVER (PARTITION BY domain) AS domain_total
+  FROM canon
+)
+SELECT doc_id, canonical_url, domain, CAST(rank AS INT) AS rank,
+       domain_total, rank <= {_CAP} AS kept
+FROM ranked
+"""
+
+
+@register(
+    "url_frequency_cap",
+    _URL_ORACLE,
+    doc="URL hygiene for a web corpus: canonicalize (scheme/host case, "
+        "www, default ports, fragments, trailing slash, tracking-param "
+        "strip + sort) then keep at most "
+        f"{_CAP} docs per registrable domain with pre-cap totals for "
+        "reweighting — pure codegen map work plus one domain shuffle "
+        "with WindowGroupLimit bounding hot domains at the source",
+    tags=("web", "url", "dedup"),
+)
+def q_url_frequency_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.web import domain_frequency_cap
+
+    docs = load_testdata(spark, sf_dir, "documents")
+    urls = synthesize_messy_urls(docs)
+    marked = domain_frequency_cap(
+        urls, url_col="url", id_col="doc_id", max_per_domain=_CAP,
+        mark_only=True,
+    )
+    return marked.select(
+        "doc_id", "canonical_url", "domain",
+        F.col("rank").cast("int").alias("rank"), "domain_total", "kept",
+    )
