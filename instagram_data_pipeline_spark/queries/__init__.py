@@ -107,13 +107,13 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "bpe_encode_tokens",
     "dup_spans",
     "url_frequency_cap",
+    "training_shards",
     # -- one-round-green (r02) queries earning a second driver row ---------
     "embedding_norms",
     "cosine_topk",
     "embedding_near_dups",
     "embedding_quantize",
     "dataset_split",
-    "label_centroids",
     # -- flagship continuity (slot 50) -------------------------------------
     "mutual_edges",
     # ------------------- driver window ends at slot 50 --------------------
@@ -124,6 +124,7 @@ REGISTRY_ORDER: tuple[str, ...] = (
     # compressed-audio/video + duplicated-span queries (all three are
     # r02-green and CI-oracle-checked).
     "pricing_summary",
+    "label_centroids",
     "ledger_enqueue_due",
     "ledger_dequeue_transition",
     "ledger_point_update",

@@ -209,3 +209,72 @@ def q_url_frequency_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "canonical_url", "domain",
         F.col("rank").cast("int").alias("rank"), "domain_total", "kept",
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-shard export layout (extensions.export): the deterministic
+# global shuffle + shard assignment every training run consumes. The
+# query materializes the per-shard MANIFEST (counts + order-insensitive
+# content checksum + order-SENSITIVE layout checksum): a hash-green row
+# proves shard membership AND the within-shard shuffle order are
+# engine-reproducible — the property that makes the export replayable.
+# ---------------------------------------------------------------------------
+
+_N_SHARDS = 8
+_HASH_MOD = 1 << 52
+
+
+def _duck_hex13(expr: str) -> str:
+    """First 13 md5 hex digits as a bigint via strpos arithmetic
+    (mirrors extensions.export.shuffle_hash; no 0x casts in DuckDB)."""
+    parts = [
+        f"(strpos('0123456789abcdef', substr({expr}, {i + 1}, 1)) - 1)"
+        f" * {16 ** (12 - i)}"
+        for i in range(13)
+    ]
+    return "(" + " + ".join(parts) + ")"
+
+
+_SHARDS_ORACLE = f"""
+WITH hs AS (
+  SELECT doc_id, n_chars,
+         md5('0:' || CAST(doc_id AS VARCHAR)) AS m
+  FROM documents
+), k AS (
+  SELECT doc_id, n_chars, {_duck_hex13('m')} AS h FROM hs
+), p AS (
+  SELECT CAST(h % {_N_SHARDS} AS INT) AS shard, n_chars, h,
+         ROW_NUMBER() OVER (
+           PARTITION BY h % {_N_SHARDS} ORDER BY h, doc_id
+         ) - 1 AS pos
+  FROM k
+)
+SELECT shard,
+       COUNT(*) AS n_rows,
+       CAST(SUM(h % {_HASH_MOD}) % {_HASH_MOD} AS BIGINT) AS content_sum,
+       CAST(SUM(((pos + 1) * (h % {1 << 20})) % {_HASH_MOD})
+            % {_HASH_MOD} AS BIGINT) AS layout_sum,
+       SUM(n_chars) AS n_tokens
+FROM p GROUP BY shard
+"""
+
+
+@register(
+    "training_shards",
+    _SHARDS_ORACLE,
+    doc="deterministic training-export layout: md5 shuffle hash assigns "
+        f"every doc a shard (of {_N_SHARDS}) and a within-shard shuffled "
+        "position, both pure functions of (id, seed); the manifest's "
+        "order-sensitive layout checksum hash-matches the SQL replay, "
+        "proving the full shuffle layout is engine-reproducible — "
+        "map-only assignment plus one shard exchange",
+    tags=("export", "sampling", "shards"),
+)
+def q_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.export import assign_shards, shard_manifest
+
+    docs = load_testdata(spark, sf_dir, "documents")
+    sharded = assign_shards(
+        docs, id_col="doc_id", n_shards=_N_SHARDS, seed=0
+    )
+    return shard_manifest(sharded, id_col="doc_id", token_col="n_chars")
