@@ -23,6 +23,8 @@ documented SimHash pandas_udf (bit-packing has no builtin expression).
 
 from __future__ import annotations
 
+from typing import Optional
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -256,21 +258,20 @@ def minhash_signatures(
     )
 
 
-def lsh_candidate_pairs(
+def lsh_band_rows(
     signatures: DataFrame,
     id_col: str = "doc_id",
     bands: int = 8,
     rows_per_band: int = 4,
     portable: bool = False,
 ) -> DataFrame:
-    """Banded LSH: docs are candidates when any band of the signature
-    matches exactly. P(candidate) = 1 - (1 - s^r)^b for Jaccard s.
-
-    Join is on (band_id, band_hash) — equi-join, shuffle only on band
-    keys; no quadratic blow-up as long as bands are selective.
-    ``portable`` joins on the band's value string instead of an xxhash64
-    digest (band equality is identical either way; the string form is
-    reproducible in SQL)."""
+    """Explode each signature into its ``bands`` band rows
+    ``(id, band_id, band_hash)`` — the storage layout of an LSH index and
+    the join key of every LSH candidate step. Pure per-row expressions,
+    no shuffle. ``portable`` keys the band on the comma-joined value
+    string (reproducible in SQL) instead of an xxhash64 digest (band
+    equality is identical either way; xxhash64 stays the scale default —
+    8 bytes/row vs a ~4*20-char string)."""
 
     def band_key(b: int) -> Column:
         vals = [
@@ -281,7 +282,7 @@ def lsh_candidate_pairs(
             return F.concat_ws(",", *[v.cast("string") for v in vals])
         return F.xxhash64(*vals)
 
-    banded = signatures.select(
+    return signatures.select(
         F.col(id_col),
         F.explode(
             F.array(
@@ -295,6 +296,21 @@ def lsh_candidate_pairs(
             )
         ).alias("band"),
     ).select(id_col, "band.band_id", "band.band_hash")
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 8,
+    rows_per_band: int = 4,
+    portable: bool = False,
+) -> DataFrame:
+    """Banded LSH: docs are candidates when any band of the signature
+    matches exactly. P(candidate) = 1 - (1 - s^r)^b for Jaccard s.
+
+    Join is on (band_id, band_hash) — equi-join, shuffle only on band
+    keys; no quadratic blow-up as long as bands are selective."""
+    banded = lsh_band_rows(signatures, id_col, bands, rows_per_band, portable)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -352,6 +368,188 @@ def minhash_near_dups(
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental MinHash-LSH index (near-dup dedup of a NEW batch against a
+# persisted corpus index — the production shape: the corpus is indexed
+# once, each incoming batch probes and appends; raw corpus text is never
+# re-read)
+# ---------------------------------------------------------------------------
+
+def lsh_index_build(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    portable: bool = False,
+) -> tuple[DataFrame, DataFrame]:
+    """Build the two tables of a persistent LSH index from a corpus:
+
+    - ``signatures`` ``(id, signature array<long>)`` — fixed
+      ``num_hashes * 8`` bytes per doc, used for match verification;
+    - ``band_index`` ``(id, band_id, band_hash)`` — the probe target,
+      equi-keyed on ``(band_id, band_hash)``.
+
+    In a real deployment both are written as parquet partitioned/bucketed
+    by their join key; at 100 TB of text the index is ~3 orders of
+    magnitude smaller than the corpus (32 longs + 8 band keys per doc),
+    and probing never touches the original documents again."""
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes, portable)
+    idx = lsh_band_rows(sigs, id_col, bands, rows_per_band, portable)
+    return sigs, idx
+
+
+def lsh_index_probe(
+    corpus_sigs: DataFrame,
+    corpus_index: DataFrame,
+    batch: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+    max_bucket: Optional[int] = None,
+    portable: bool = False,
+) -> DataFrame:
+    """Probe a NEW batch of documents against an existing LSH index and
+    decide keep/drop per batch doc — incremental near-dup dedup.
+
+    Pipeline: batch signatures (one scan of the batch only) -> batch band
+    rows -> equi-join against the corpus band index on
+    ``(band_id, band_hash)`` -> candidate ``(new, old)`` pairs ->
+    verification via SIGNATURE AGREEMENT (fraction of equal MinHash
+    components estimates Jaccard, Broder '97), so verification joins two
+    32-long arrays instead of re-reading corpus text -> best match per
+    batch doc (highest estimate, lowest old id on ties).
+
+    Returns one row per batch doc: ``(id, match_id, est_jaccard,
+    decision)`` with decision ``'drop'`` iff a match >= ``threshold``
+    exists (``match_id`` null / ``'keep'`` otherwise, including docs too
+    short to shingle).
+
+    Scale notes: one shuffle for the batch signature agg, one equi-join
+    shuffle against the index, one per-new-doc window (WindowGroupLimit).
+    ``max_bucket`` drops corpus band buckets holding more than that many
+    docs (boilerplate-heavy band keys — the band-level analog of
+    stop-shingles): a hot bucket of B corpus docs multiplies every
+    probing batch doc by B, so capping bounds the candidate fan-out at
+    ``max_bucket`` per (batch doc, band); docs matching ONLY through
+    dropped buckets are a documented recall loss, exactly like
+    ``max_df`` in :func:`ngram_jaccard_pairs`."""
+    rows_per_band = num_hashes // bands
+    batch_sigs = minhash_signatures(
+        batch, id_col, text_col, n, num_hashes, portable
+    )
+    batch_bands = lsh_band_rows(
+        batch_sigs, id_col, bands, rows_per_band, portable
+    )
+    idx = corpus_index
+    if max_bucket is not None:
+        w_b = Window.partitionBy("band_id", "band_hash")
+        idx = (
+            idx.withColumn("_df", F.count(F.lit(1)).over(w_b))
+            .filter(F.col("_df") <= max_bucket)
+            .drop("_df")
+        )
+    cand = (
+        batch_bands.select(
+            F.col(id_col).alias("_new_id"), "band_id", "band_hash"
+        )
+        .join(
+            idx.select(
+                F.col(id_col).alias("_old_id"), "band_id", "band_hash"
+            ),
+            ["band_id", "band_hash"],
+        )
+        .select("_new_id", "_old_id")
+        .dropDuplicates(["_new_id", "_old_id"])
+    )
+    agree = F.aggregate(
+        F.zip_with(
+            F.col("_sig_new"),
+            F.col("_sig_old"),
+            lambda x, y: (x == y).cast("int"),
+        ),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    est = (
+        cand.join(
+            batch_sigs.select(
+                F.col(id_col).alias("_new_id"),
+                F.col("signature").alias("_sig_new"),
+            ),
+            "_new_id",
+        )
+        .join(
+            corpus_sigs.select(
+                F.col(id_col).alias("_old_id"),
+                F.col("signature").alias("_sig_old"),
+            ),
+            "_old_id",
+        )
+        .select(
+            "_new_id",
+            "_old_id",
+            (agree * F.lit(1.0) / F.lit(num_hashes)).alias("_est"),
+        )
+        .filter(F.col("_est") >= threshold)
+    )
+    w = Window.partitionBy("_new_id").orderBy(
+        F.col("_est").desc(), F.col("_old_id").asc()
+    )
+    best = (
+        est.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    return (
+        batch.select(id_col)
+        .join(best, F.col(id_col) == F.col("_new_id"), "left")
+        .select(
+            id_col,
+            F.col("_old_id").alias("match_id"),
+            F.round("_est", 6).alias("est_jaccard"),
+            F.when(F.col("_old_id").isNotNull(), F.lit("drop"))
+            .otherwise(F.lit("keep"))
+            .alias("decision"),
+        )
+    )
+
+
+def lsh_index_append(
+    corpus_sigs: DataFrame,
+    corpus_index: DataFrame,
+    batch: DataFrame,
+    decisions: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    portable: bool = False,
+) -> tuple[DataFrame, DataFrame]:
+    """Fold the KEPT batch docs into the index: recompute their
+    signatures/band rows and union onto both tables. Blind append — no
+    rewrite of existing index data (parquet append / transaction-log
+    add-files at scale), so ingesting batch k costs O(|batch k|)
+    regardless of corpus size. Probing then appending the same batch is
+    idempotent for dedup purposes: every doc of a re-delivered batch
+    matches its indexed self at estimate 1.0."""
+    kept = batch.join(
+        decisions.filter(F.col("decision") == "keep").select(id_col),
+        id_col,
+        "semi",
+    )
+    sigs, idx = lsh_index_build(
+        kept, id_col, text_col, n, num_hashes, bands, portable
+    )
+    return corpus_sigs.unionByName(sigs), corpus_index.unionByName(idx)
 
 
 # ---------------------------------------------------------------------------

@@ -108,12 +108,12 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "dup_spans",
     "url_frequency_cap",
     "training_shards",
+    "incremental_minhash_dedup",
     # -- one-round-green (r02) queries earning a second driver row ---------
     "embedding_norms",
     "cosine_topk",
     "embedding_near_dups",
     "embedding_quantize",
-    "dataset_split",
     # -- flagship continuity (slot 50) -------------------------------------
     "mutual_edges",
     # ------------------- driver window ends at slot 50 --------------------
@@ -122,7 +122,9 @@ REGISTRY_ORDER: tuple[str, ...] = (
     # ledger_dequeue_transition / ledger_point_update /
     # ledger_complete_batch yielded their second-row slots to the new
     # compressed-audio/video + duplicated-span queries (all three are
-    # r02-green and CI-oracle-checked).
+    # r02-green and CI-oracle-checked); dataset_split (r02-green) yielded
+    # its second-row slot to the new incremental_minhash_dedup.
+    "dataset_split",
     "pricing_summary",
     "label_centroids",
     "ledger_enqueue_due",

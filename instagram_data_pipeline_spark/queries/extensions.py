@@ -25,7 +25,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..extensions import similarity as S
-from ..extensions.dedup import minhash_near_dups, simhash_near_dups
+from ..extensions.dedup import (
+    lsh_index_build,
+    lsh_index_probe,
+    minhash_near_dups,
+    simhash_near_dups,
+)
 from ..io import load_testdata
 from . import register
 
@@ -731,6 +736,85 @@ WHERE s * 1.0 / (sa.n + sb.n - s) >= 0.1
 def q_minhash_near_dups_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_testdata(spark, sf_dir, "documents")
     return minhash_near_dups(docs, threshold=0.1, portable=True)
+
+
+# ---------------------------------------------------------------------------
+def _incremental_minhash_oracle() -> str:
+    from .text import _NORM
+
+    return f"""
+WITH tok AS (
+  SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents
+), sh0 AS (
+  SELECT DISTINCT doc_id, unnest(
+    CASE WHEN len(w) < 3 THEN []
+         ELSE list_transform(generate_series(1, len(w) - 2),
+                             i -> array_to_string(w[i:i+2], ' '))
+    END) AS shingle
+  FROM tok
+), sig AS (
+  SELECT doc_id, i,
+         MIN(CAST(concat('0x', substr(md5(i || ':' || shingle), 1, 8))
+                  AS BIGINT)) AS h
+  FROM sh0 CROSS JOIN range(32) t(i)
+  GROUP BY doc_id, i
+), band AS (
+  SELECT doc_id, i // 4 AS band_id,
+         string_agg(CAST(h AS VARCHAR), ',' ORDER BY i) AS band_key
+  FROM sig GROUP BY doc_id, i // 4
+), cidx AS (  -- the persisted corpus band index
+  SELECT * FROM band WHERE doc_id % 7 <> 0
+), live AS (  -- hot-bucket cap: corpus buckets with <= 50 docs survive
+  SELECT band_id, band_key FROM cidx
+  GROUP BY band_id, band_key HAVING COUNT(*) <= 50
+), cand AS (
+  SELECT DISTINCT nb.doc_id AS new_id, ob.doc_id AS old_id
+  FROM band nb
+  JOIN cidx ob ON ob.band_id = nb.band_id AND ob.band_key = nb.band_key
+  JOIN live l ON l.band_id = ob.band_id AND l.band_key = ob.band_key
+  WHERE nb.doc_id % 7 = 0
+), agree AS (
+  SELECT c.new_id, c.old_id,
+         SUM(CASE WHEN x.h = y.h THEN 1 ELSE 0 END) AS s
+  FROM cand c
+  JOIN sig x ON x.doc_id = c.new_id
+  JOIN sig y ON y.doc_id = c.old_id AND y.i = x.i
+  GROUP BY c.new_id, c.old_id
+), best AS (
+  SELECT new_id, old_id, s * 1.0 / 32 AS e,
+         ROW_NUMBER() OVER (PARTITION BY new_id
+                            ORDER BY s * 1.0 / 32 DESC, old_id ASC) AS rn
+  FROM agree WHERE s * 1.0 / 32 >= 0.5
+)
+SELECT d.doc_id, b.old_id AS match_id, ROUND(b.e, 6) AS est_jaccard,
+       CASE WHEN b.old_id IS NOT NULL THEN 'drop' ELSE 'keep' END AS decision
+FROM documents d
+LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON b.new_id = d.doc_id
+WHERE d.doc_id % 7 = 0
+"""
+
+
+@register(
+    "incremental_minhash_dedup",
+    _incremental_minhash_oracle(),
+    doc="incremental near-dup dedup: a NEW batch (doc_id % 7 = 0) probes "
+        "a persisted MinHash-LSH index built over the corpus (the other "
+        "six sevenths) and each batch doc gets a keep/drop decision with "
+        "its best match and signature-agreement Jaccard estimate — "
+        "verification never re-reads corpus text. Portable md5 hash "
+        "family end-to-end, so signatures, banding, the hot-bucket cap, "
+        "candidate join, agreement estimate, and best-match tie-break "
+        "are all reproduced in SQL and hash-checked.",
+    tags=("text", "dedup", "minhash", "incremental"),
+)
+def q_incremental_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_testdata(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 7 != 0)
+    batch = docs.filter(F.col("doc_id") % 7 == 0)
+    sigs, idx = lsh_index_build(corpus, portable=True)
+    return lsh_index_probe(
+        sigs, idx, batch, threshold=0.5, max_bucket=50, portable=True
+    )
 
 
 # ---------------------------------------------------------------------------

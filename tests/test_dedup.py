@@ -223,3 +223,89 @@ class TestDupSpanDetect:
         spans = self._spans(spark, rows, k=4, min_tokens=4)
         assert len(spans) == 4
         assert all(v == (4, 2) for v in spans.values())
+
+
+# ---------------------------------------------------------------------------
+# Incremental MinHash-LSH index (build / probe / append)
+# ---------------------------------------------------------------------------
+
+
+class TestLshIndex:
+    @staticmethod
+    def _build_probe(spark, corpus_rows, batch_rows, **kw):
+        from instagram_data_pipeline_spark.extensions.dedup import (
+            lsh_index_build,
+            lsh_index_probe,
+        )
+
+        schema = "doc_id long, text string"
+        corpus = spark.createDataFrame(corpus_rows, schema)
+        batch = spark.createDataFrame(batch_rows, schema)
+        sigs, idx = lsh_index_build(corpus)
+        dec = lsh_index_probe(sigs, idx, batch, **kw)
+        return corpus, batch, sigs, idx, dec
+
+    def test_probe_drops_planted_dup_keeps_novel(self, spark):
+        _, _, _, _, dec = self._build_probe(
+            spark,
+            [(1, BASE), (2, OTHER)],
+            [(10, BASE), (11, NEAR), (12, "fresh unseen text about parquet "
+                                          "row groups and column chunks")],
+            threshold=0.5,
+        )
+        rows = {r.doc_id: r for r in dec.collect()}
+        assert rows[10].decision == "drop" and rows[10].match_id == 1
+        assert rows[10].est_jaccard == 1.0
+        assert rows[11].decision == "drop" and rows[11].match_id == 1
+        assert rows[12].decision == "keep" and rows[12].match_id is None
+
+    def test_short_doc_kept_with_null_match(self, spark):
+        _, _, _, _, dec = self._build_probe(
+            spark, [(1, BASE)], [(10, "no")], threshold=0.5
+        )
+        r = dec.collect()[0]
+        assert (r.decision, r.match_id, r.est_jaccard) == ("keep", None, None)
+
+    def test_append_then_reprobe_self_matches(self, spark):
+        from instagram_data_pipeline_spark.extensions.dedup import (
+            lsh_index_append,
+            lsh_index_probe,
+        )
+
+        corpus, batch, sigs, idx, dec = self._build_probe(
+            spark,
+            [(1, BASE)],
+            [(10, OTHER), (11, BASE)],
+            threshold=0.5,
+        )
+        first = {r.doc_id: r.decision for r in dec.collect()}
+        assert first == {10: "keep", 11: "drop"}
+        sigs2, idx2 = lsh_index_append(sigs, idx, batch, dec)
+        # only the KEPT doc entered the index
+        assert sorted(r.doc_id for r in sigs2.select("doc_id").collect()) == [1, 10]
+        # a re-delivered batch now matches its indexed self at estimate 1.0
+        redec = {
+            r.doc_id: r
+            for r in lsh_index_probe(
+                sigs2, idx2, batch, threshold=0.5
+            ).collect()
+        }
+        assert redec[10].decision == "drop" and redec[10].match_id == 10
+        assert redec[10].est_jaccard == 1.0
+        assert redec[11].decision == "drop" and redec[11].match_id == 1
+
+    def test_hot_bucket_cap_bounds_candidates(self, spark):
+        # 30 identical corpus docs form one hot band bucket per band;
+        # max_bucket below 30 suppresses them, so the probe finds nothing
+        corpus = [(i, BASE) for i in range(1, 31)]
+        _, _, _, _, capped = self._build_probe(
+            spark, corpus, [(100, BASE)], threshold=0.5, max_bucket=10
+        )
+        r = capped.collect()[0]
+        assert r.decision == "keep" and r.match_id is None
+        # generous cap: match returns, tie-break picks the lowest old id
+        _, _, _, _, open_ = self._build_probe(
+            spark, corpus, [(100, BASE)], threshold=0.5, max_bucket=50
+        )
+        r2 = open_.collect()[0]
+        assert r2.decision == "drop" and r2.match_id == 1

@@ -84,6 +84,8 @@ _COLLECT_ALLOWLIST: dict[str, tuple[int, str]] = {
                                "(1-2 for a steady stream)"),
     "formats.py": (2, "touched bucket ids of a merge batch, "
                       "<= num_buckets (one site per TableFormat backend)"),
+    "extensions/export.py": (1, "shard manifest: one summary row per "
+                                "shard, <= n_shards"),
     "testing.py": (1, "test harness oracle comparator, not a data path"),
 }
 
