@@ -381,6 +381,102 @@ def ivf_topk(
     )
 
 
+def ivf_index_build(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Materialize the IVF inverted-list index ``(cluster, id, v)``:
+    every corpus vector assigned once to its nearest frozen centroid.
+
+    This is the persisted form of what :func:`ivf_topk` computes on the
+    fly — at scale it's written as parquet PARTITIONED BY cluster, so a
+    probe with ``n_probe`` lists reads ~n_probe/k of the data via
+    partition pruning and everything else is skipped at the file level."""
+    c = corpus.select(F.col(id_col), as_double_vec(F.col(vec_col)).alias("_v"))
+    cent = centroids.select(
+        "cluster", as_double_vec(F.col("centroid")).alias("cv")
+    )
+    assign = ivf_assign(c, cent, id_col, n_probe=1)
+    return c.join(assign, id_col).select(
+        "cluster", F.col(id_col), F.col("_v").alias("v")
+    )
+
+
+def ivf_index_append(
+    index: DataFrame,
+    centroids: DataFrame,
+    batch: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Fold a NEW batch of vectors into an existing IVF index without
+    retraining: assign only the batch against the FROZEN centroids and
+    blind-union the new list rows — O(|batch| * k) work and, on disk,
+    appended files inside the touched cluster partitions only; the
+    existing index is never rewritten.
+
+    Because assignment is a pure per-vector function of the frozen
+    centroids, append-then-probe is EXACTLY equivalent to rebuilding the
+    index over old+new (the ``ivf_incremental_topk`` query hash-checks
+    this equivalence against a one-shot SQL oracle). The cost is centroid
+    staleness: as the ingested distribution drifts, list balance degrades
+    — monitor with ``extensions.sketches.histogram_drift`` over list
+    sizes and periodically retrain + rebuild."""
+    return index.unionByName(
+        ivf_index_build(batch, centroids, id_col, vec_col)
+    )
+
+
+def ivf_index_topk(
+    index: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    k: int = 5,
+    n_probe: int = 2,
+) -> DataFrame:
+    """Probe a persisted IVF index (from :func:`ivf_index_build` /
+    :func:`ivf_index_append`): queries pick their ``n_probe`` nearest
+    lists, exact cosine scoring runs only inside those lists, per-query
+    top-k via WindowGroupLimit. Same plan shape as :func:`ivf_topk`
+    minus the corpus-assignment join — the index already carries it."""
+    cent = centroids.select(
+        "cluster", as_double_vec(F.col("centroid")).alias("cv")
+    )
+    q = queries.select(
+        F.col(query_id_col), as_double_vec(F.col(vec_col)).alias("_v")
+    )
+    q_assign = ivf_assign(q, cent, query_id_col, n_probe=n_probe)
+    scored = (
+        index.join(
+            F.broadcast(
+                q.join(q_assign, query_id_col).select(
+                    query_id_col, F.col("_v").alias("_qv"), "cluster"
+                )
+            ),
+            "cluster",
+        )
+        .withColumn("_sim", cosine(F.col("_qv"), F.col("v")))
+        .select(query_id_col, id_col, "_sim")
+        .dropDuplicates([query_id_col, id_col])
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("_sim").desc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            query_id_col, id_col,
+            F.round(F.col("_sim"), 6).alias("cosine"), "rank",
+        )
+    )
+
+
 def ann_lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -109,11 +109,11 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "url_frequency_cap",
     "training_shards",
     "incremental_minhash_dedup",
+    "ivf_incremental_topk",
     # -- one-round-green (r02) queries earning a second driver row ---------
     "embedding_norms",
     "cosine_topk",
     "embedding_near_dups",
-    "embedding_quantize",
     # -- flagship continuity (slot 50) -------------------------------------
     "mutual_edges",
     # ------------------- driver window ends at slot 50 --------------------
@@ -122,9 +122,11 @@ REGISTRY_ORDER: tuple[str, ...] = (
     # ledger_dequeue_transition / ledger_point_update /
     # ledger_complete_batch yielded their second-row slots to the new
     # compressed-audio/video + duplicated-span queries (all three are
-    # r02-green and CI-oracle-checked); dataset_split (r02-green) yielded
-    # its second-row slot to the new incremental_minhash_dedup.
+    # r02-green and CI-oracle-checked); dataset_split and
+    # embedding_quantize (both r02-green) yielded their second-row slots
+    # to the new incremental_minhash_dedup / ivf_incremental_topk.
     "dataset_split",
+    "embedding_quantize",
     "pricing_summary",
     "label_centroids",
     "ledger_enqueue_due",

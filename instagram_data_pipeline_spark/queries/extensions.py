@@ -379,6 +379,45 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+@register(
+    "ivf_incremental_topk",
+    _IVF_ORACLE,
+    doc="incremental IVF index maintenance: the index is BUILT over half "
+        "the corpus, the other half is APPENDED against the frozen "
+        "centroids (no retrain, no rewrite), and the probe runs off the "
+        "merged index. The oracle is the ONE-SHOT whole-corpus IVF SQL — "
+        "the hash match is the proof that append-then-probe is exactly "
+        "equivalent to a full rebuild.",
+    tags=("similarity", "ann", "ivf", "incremental"),
+)
+def q_ivf_incremental_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_testdata(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    centroids = (
+        q_label_centroids(spark, sf_dir)
+        .groupBy(F.col("label").alias("cluster"))
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("pos", F.col("centroid").alias("v")))
+            ).alias("pv")
+        )
+        .select(
+            "cluster",
+            F.transform(F.col("pv"), lambda s: s["v"]).alias("centroid"),
+        )
+    )
+    # the corpus arrives in two waves: the index is built on the even
+    # vec_ids and the odd wave is appended later without retraining
+    old = emb.filter((F.col("vec_id") >= 10) & (F.col("vec_id") % 2 == 0))
+    new = emb.filter((F.col("vec_id") >= 10) & (F.col("vec_id") % 2 == 1))
+    idx = S.ivf_index_build(old, centroids)
+    idx = S.ivf_index_append(idx, centroids, new)
+    return S.ivf_index_topk(idx, centroids, queries, k=5, n_probe=3)
+
+
+# ---------------------------------------------------------------------------
 def _kmeans_ctes(k: int = 8, iters: int = 4) -> str:
     """The unrolled Lloyd's-k-means CTE chain, shared by every oracle
     that consumes trained clusters (kmeans_clusters, semantic_dedup):

@@ -297,3 +297,44 @@ def test_pq_codes_shape_and_determinism(spark, sf_dir):
     # deterministic re-encode
     again = pq_encode(emb, books, m=4)
     assert sorted(map(tuple, codes.collect())) == sorted(map(tuple, again.collect()))
+
+
+# ---------------------------------------------------------------------------
+# Incremental IVF index (build / append / probe)
+# ---------------------------------------------------------------------------
+
+
+def test_ivf_index_append_equals_rebuild(spark, sf_dir, emb):
+    from instagram_data_pipeline_spark.extensions.similarity import (
+        ivf_index_append,
+        ivf_index_build,
+    )
+    from instagram_data_pipeline_spark.queries import load_all
+
+    reg = load_all()
+    # reuse the registry's per-label centroids
+    cents = (
+        reg["label_centroids"].spark_fn(spark, sf_dir)
+        .groupBy(F.col("label").alias("cluster"))
+        .agg(F.array_sort(
+            F.collect_list(F.struct("pos", F.col("centroid").alias("v")))
+        ).alias("pv"))
+        .select("cluster", F.transform("pv", lambda s: s["v"]).alias("centroid"))
+    )
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    old = corpus.filter(F.col("vec_id") % 2 == 0)
+    new = corpus.filter(F.col("vec_id") % 2 == 1)
+    merged = ivf_index_append(ivf_index_build(old, cents), cents, new)
+    rebuilt = ivf_index_build(corpus, cents)
+    a = sorted((r.cluster, r.vec_id) for r in merged.collect())
+    b = sorted((r.cluster, r.vec_id) for r in rebuilt.collect())
+    assert a == b and len(a) == corpus.count()
+
+
+def test_ivf_incremental_topk_matches_oneshot(spark, sf_dir):
+    from instagram_data_pipeline_spark.queries import load_all
+
+    reg = load_all()
+    inc = sorted(map(tuple, reg["ivf_incremental_topk"].spark_fn(spark, sf_dir).collect()))
+    one = sorted(map(tuple, reg["ivf_topk"].spark_fn(spark, sf_dir).collect()))
+    assert inc == one
