@@ -828,3 +828,93 @@ def dup_span_detect(
         .filter(F.col("span_tokens") >= min_tokens)
         .drop("_run")
     )
+
+
+def dup_span_remove(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    min_tokens: int | None = None,
+    keep: str = "first",
+) -> DataFrame:
+    """The REMOVAL pass that consumes :func:`dup_span_detect`: rebuild
+    every document's (normalized) text with its duplicated spans cut
+    out — the second half of the Lee et al. 2022 exact-substring dedup.
+
+    ``keep`` policies:
+
+    - ``"first"`` (default): span occurrences are grouped by their exact
+      token content (md5 of the normalized slice) and the canonical
+      occurrence — lowest ``(doc_id, span_start)`` — SURVIVES; every
+      other occurrence is cut. No shared content is lost from the
+      corpus, which is what you want for training data.
+    - ``"none"``: every detected duplicated span is cut from every
+      document (the behavior of Lee et al.'s released tool; simpler,
+      loses the canonical copy).
+
+    ``"first"`` never LOSES content (every content group's canonical
+    survives by construction) but can over-retain: detection returns
+    MAXIMAL covered runs, and runs merge across a junction only when the
+    junction itself is duplicated — a shorter occurrence of the same
+    piece inside a differently-merged extent then forms its own content
+    group and survives too (tested explicitly). Boilerplate embedded in
+    otherwise-unique text — the dominant real case — groups exactly.
+    ``"none"`` has no such asymmetry.
+
+    Output: one row per input doc — ``(id, clean_text, n_removed)``
+    where ``clean_text`` is the NORMALIZED text rejoined (this operator
+    lives after normalization in a pipeline, like every dedup op here)
+    and ``n_removed`` counts cut tokens.
+
+    Scale shape: detection's two shuffles, plus one join of the span
+    table (small: duplicated spans only) back to the token stream to
+    hash span content, one window over the span table (partitioned by
+    content hash), one aggregation of cuts per doc, and a final
+    broadcast-or-merge join onto the docs; the rebuild itself is an
+    in-row higher-order filter — positions x cuts per row, no
+    explode-join of token positions."""
+    min_tokens = k if min_tokens is None else min_tokens
+    spans = dup_span_detect(df, id_col, text_col, k, min_tokens)
+    toks = _tokenized(df, id_col, text_col)
+    occ = spans.join(toks, id_col).select(
+        id_col,
+        "span_start",
+        "span_tokens",
+        F.md5(
+            F.concat_ws(
+                " ", F.slice("_w", F.col("span_start") + 1, F.col("span_tokens"))
+            )
+        ).alias("_h"),
+    )
+    if keep == "first":
+        w = Window.partitionBy("_h").orderBy(id_col, "span_start")
+        cut = (
+            occ.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") > 1)
+        )
+    elif keep == "none":
+        cut = occ
+    else:
+        raise ValueError(f"unknown keep policy: {keep!r}")
+    cuts = cut.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_tokens")).alias("_cs")
+    )
+    covered = lambda i: F.exists(  # noqa: E731
+        F.col("_cs"),
+        lambda c: (i >= c["span_start"]) & (i < c["span_start"] + c["span_tokens"]),
+    )
+    kept = F.filter("_w", lambda t, i: ~covered(i))
+    return (
+        toks.join(cuts, id_col, "left")
+        .select(
+            id_col,
+            F.when(F.col("_cs").isNull(), F.concat_ws(" ", "_w"))
+            .otherwise(F.concat_ws(" ", kept))
+            .alias("clean_text"),
+            F.when(F.col("_cs").isNull(), F.lit(0))
+            .otherwise(F.size("_w") - F.size(kept))
+            .cast("int")
+            .alias("n_removed"),
+        )
+    )

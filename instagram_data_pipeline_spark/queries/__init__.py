@@ -106,6 +106,7 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "c4_line_filter",
     "bpe_encode_tokens",
     "dup_spans",
+    "dup_span_removal",
     "url_frequency_cap",
     "training_shards",
     "incremental_minhash_dedup",
@@ -113,7 +114,6 @@ REGISTRY_ORDER: tuple[str, ...] = (
     # -- one-round-green (r02) queries earning a second driver row ---------
     "embedding_norms",
     "cosine_topk",
-    "embedding_near_dups",
     # -- flagship continuity (slot 50) -------------------------------------
     "mutual_edges",
     # ------------------- driver window ends at slot 50 --------------------
@@ -122,11 +122,13 @@ REGISTRY_ORDER: tuple[str, ...] = (
     # ledger_dequeue_transition / ledger_point_update /
     # ledger_complete_batch yielded their second-row slots to the new
     # compressed-audio/video + duplicated-span queries (all three are
-    # r02-green and CI-oracle-checked); dataset_split and
-    # embedding_quantize (both r02-green) yielded their second-row slots
-    # to the new incremental_minhash_dedup / ivf_incremental_topk.
+    # r02-green and CI-oracle-checked); dataset_split, embedding_quantize
+    # and embedding_near_dups (all r02-green) yielded their second-row
+    # slots to the new incremental_minhash_dedup / ivf_incremental_topk /
+    # dup_span_removal.
     "dataset_split",
     "embedding_quantize",
+    "embedding_near_dups",
     "pricing_summary",
     "label_centroids",
     "ledger_enqueue_due",

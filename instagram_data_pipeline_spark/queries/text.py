@@ -1253,3 +1253,83 @@ def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dup_span_detect(
         docs, "doc_id", "text", k=_SPAN_K, min_tokens=_SPAN_MIN
     ).select("doc_id", "span_start", "span_tokens", "max_share")
+
+
+# ---------------------------------------------------------------------------
+# The REMOVAL pass over the detected duplicated spans: group span
+# occurrences by exact content, keep the lowest-(doc_id, span_start)
+# canonical occurrence, cut every other one, rebuild the text. The
+# oracle replays the full detect -> canonicalize -> cut -> rebuild
+# pipeline: removed positions are expanded and anti-joined in SQL,
+# while Spark cuts in-row with a higher-order filter — same result,
+# hash-checked per document.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dup_span_removal",
+    f"""
+WITH toks AS (
+  SELECT doc_id, string_split({_NORM}, ' ') AS ws FROM documents
+), grams AS (
+  SELECT doc_id, i - 1 AS pos,
+         md5(array_to_string(list_slice(ws, i, i + {_SPAN_K - 1}), ' ')) AS g
+  FROM toks, LATERAL unnest(generate_series(1, len(ws) - {_SPAN_K - 1}))
+       AS u(i)
+  WHERE len(ws) >= {_SPAN_K}
+), shared AS (
+  SELECT g FROM grams GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2
+), runs AS (
+  SELECT doc_id, pos,
+         pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM grams JOIN shared USING (g)
+), spans AS (
+  SELECT doc_id, MIN(pos) AS s,
+         MAX(pos) - MIN(pos) + {_SPAN_K} AS l
+  FROM runs GROUP BY doc_id, grp
+  HAVING MAX(pos) - MIN(pos) + {_SPAN_K} >= {_SPAN_MIN}
+), occ AS (
+  SELECT sp.doc_id, sp.s, sp.l,
+         md5(array_to_string(list_slice(t.ws, sp.s + 1, sp.s + sp.l), ' '))
+           AS h
+  FROM spans sp JOIN toks t USING (doc_id)
+), cut AS (
+  SELECT doc_id, s, l FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY h
+                                 ORDER BY doc_id, s) AS rn
+    FROM occ
+  ) WHERE rn > 1
+), cutpos AS (
+  SELECT DISTINCT doc_id, u.p
+  FROM cut, LATERAL unnest(generate_series(s, s + l - 1)) AS u(p)
+), positions AS (
+  SELECT doc_id, i - 1 AS p, ws[i] AS w
+  FROM toks, LATERAL unnest(generate_series(1, len(ws))) AS u(i)
+), kept AS (
+  SELECT doc_id, p, w FROM positions
+  WHERE NOT EXISTS (SELECT 1 FROM cutpos c
+                    WHERE c.doc_id = positions.doc_id AND c.p = positions.p)
+), rebuilt AS (
+  SELECT doc_id, string_agg(w, ' ' ORDER BY p) AS clean_text,
+         COUNT(*) AS n_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT t.doc_id,
+       COALESCE(r.clean_text, '') AS clean_text,
+       CAST(len(t.ws) - COALESCE(r.n_kept, 0) AS INT) AS n_removed
+FROM toks t LEFT JOIN rebuilt r USING (doc_id)
+""",
+    doc="exact-substring dedup REMOVAL: duplicated spans are grouped by "
+        "content, the lowest-(doc_id, start) occurrence survives as the "
+        "canonical copy, all others are cut in-row and the normalized "
+        "text is rebuilt — the consuming half of dup_spans (Lee et al. "
+        "2022 §4.1), no shared content lost from the corpus",
+    tags=("dedup", "spans", "text"),
+)
+def q_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.dedup import dup_span_remove
+
+    docs = load_testdata(spark, sf_dir, "documents")
+    return dup_span_remove(
+        docs, "doc_id", "text", k=_SPAN_K, min_tokens=_SPAN_MIN, keep="first"
+    )

@@ -309,3 +309,112 @@ class TestLshIndex:
         )
         r2 = open_.collect()[0]
         assert r2.decision == "drop" and r2.match_id == 1
+
+
+# ---------------------------------------------------------------------------
+# Duplicated-span REMOVAL (the consuming half of dup_span_detect)
+# ---------------------------------------------------------------------------
+
+
+class TestDupSpanRemove:
+    @staticmethod
+    def _clean(spark, rows, **kw):
+        from instagram_data_pipeline_spark.extensions.dedup import (
+            dup_span_remove,
+        )
+
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        return {
+            r.doc_id: (r.clean_text, r.n_removed)
+            for r in dup_span_remove(df, **kw).collect()
+        }
+
+    SHARED = "alpha bravo charlie delta echo foxtrot"
+    U1 = "one two three four five six seven"
+    U2 = "red orange yellow green blue indigo violet"
+
+    def test_keep_first_preserves_canonical_copy(self, spark):
+        rows = [
+            (1, f"{self.U1} {self.SHARED}"),
+            (2, f"{self.SHARED} {self.U2}"),
+        ]
+        out = self._clean(spark, rows, k=4, min_tokens=4)
+        # doc 1 is the canonical (lowest doc_id): untouched
+        assert out[1] == (f"{self.U1} {self.SHARED}", 0)
+        # doc 2 lost exactly the 6 shared tokens
+        assert out[2] == (self.U2, 6)
+
+    def test_keep_none_cuts_everywhere(self, spark):
+        rows = [
+            (1, f"{self.U1} {self.SHARED}"),
+            (2, f"{self.SHARED} {self.U2}"),
+        ]
+        out = self._clean(spark, rows, k=4, min_tokens=4, keep="none")
+        assert out[1] == (self.U1, 6)
+        assert out[2] == (self.U2, 6)
+
+    def test_doc_without_dups_is_identity(self, spark):
+        rows = [(1, self.U1), (2, self.U2)]
+        out = self._clean(spark, rows, k=4)
+        assert out[1] == (self.U1, 0) and out[2] == (self.U2, 0)
+
+    def test_full_duplicate_doc_empties_non_canonical(self, spark):
+        rows = [(1, self.SHARED), (2, self.SHARED)]
+        out = self._clean(spark, rows, k=4, min_tokens=4)
+        assert out[1] == (self.SHARED, 0)
+        assert out[2] == ("", 6)
+
+    def test_three_copies_one_survivor(self, spark):
+        rows = [
+            (3, f"u3a u3b u3c u3d {self.SHARED} z3a z3b"),
+            (5, f"{self.SHARED} w5a w5b w5c"),
+            (9, f"m9a m9b {self.SHARED} n9c n9d"),
+        ]
+        out = self._clean(spark, rows, k=4, min_tokens=4)
+        survivors = sorted(d for d, (t, _) in out.items() if self.SHARED in t)
+        assert survivors == [3]  # lowest (doc_id, start) keeps the content
+        assert out[5] == ("w5a w5b w5c", 6)
+        assert out[9] == ("m9a m9b n9c n9d", 6)
+
+    def test_reordered_pieces_split_into_aligned_groups(self, spark):
+        # Junction grams of "U1 SHARED" vs "SHARED U1" are unshared, so
+        # runs do NOT merge across the junction: each doc yields separate
+        # U1 and SHARED runs, groups align by content, and doc 1 holds
+        # both canonicals — doc 2 is fully cut.
+        rows = [
+            (1, f"{self.U1} {self.SHARED}"),
+            (2, f"{self.SHARED} {self.U1}"),
+        ]
+        first = self._clean(spark, rows, k=4, min_tokens=4)
+        assert first[1] == (f"{self.U1} {self.SHARED}", 0)
+        assert first[2] == ("", 13)
+        none = self._clean(spark, rows, k=4, min_tokens=4, keep="none")
+        assert none[1] == ("", 13) and none[2] == ("", 13)
+
+    def test_merged_extent_subcopy_over_retains_never_loses(self, spark):
+        # Docs 1/2 share the junction, so their maximal run is the merged
+        # U1+SHARED extent; doc 3 carries SHARED alone, a DIFFERENT
+        # content group with itself as canonical. Result: doc 2 is cut
+        # against doc 1, doc 3 survives untouched — SHARED is retained
+        # twice (documented over-retention), but never lost: the
+        # canonical of every content group survives by construction.
+        rows = [
+            (1, f"{self.U1} {self.SHARED}"),
+            (2, f"{self.U1} {self.SHARED}"),
+            (3, f"f3a f3b {self.SHARED} f3c"),
+        ]
+        out = self._clean(spark, rows, k=4, min_tokens=4)
+        assert out[1] == (f"{self.U1} {self.SHARED}", 0)
+        assert out[2] == ("", 13)
+        assert out[3] == (f"f3a f3b {self.SHARED} f3c", 0)
+
+    def test_invalid_keep_policy_raises(self, spark):
+        import pytest as _pytest
+
+        from instagram_data_pipeline_spark.extensions.dedup import (
+            dup_span_remove,
+        )
+
+        df = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+        with _pytest.raises(ValueError):
+            dup_span_remove(df, keep="banana").collect()
