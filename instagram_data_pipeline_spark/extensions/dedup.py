@@ -415,9 +415,13 @@ def lsh_index_probe(
     threshold: float = 0.5,
     max_bucket: Optional[int] = None,
     portable: bool = False,
+    batch_sigs: Optional[DataFrame] = None,
 ) -> DataFrame:
     """Probe a NEW batch of documents against an existing LSH index and
     decide keep/drop per batch doc — incremental near-dup dedup.
+    ``batch_sigs`` lets a caller that already computed the batch's
+    signatures (e.g. the streaming sink, which also needs them for the
+    intra-batch pass) supply them instead of re-deriving from text.
 
     Pipeline: batch signatures (one scan of the batch only) -> batch band
     rows -> equi-join against the corpus band index on
@@ -442,9 +446,10 @@ def lsh_index_probe(
     dropped buckets are a documented recall loss, exactly like
     ``max_df`` in :func:`ngram_jaccard_pairs`."""
     rows_per_band = num_hashes // bands
-    batch_sigs = minhash_signatures(
-        batch, id_col, text_col, n, num_hashes, portable
-    )
+    if batch_sigs is None:
+        batch_sigs = minhash_signatures(
+            batch, id_col, text_col, n, num_hashes, portable
+        )
     batch_bands = lsh_band_rows(
         batch_sigs, id_col, bands, rows_per_band, portable
     )

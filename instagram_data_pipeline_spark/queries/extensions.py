@@ -857,6 +857,105 @@ def q_incremental_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+def _stream_neardup_oracle() -> str:
+    """The sink's sequential semantics unrolled over the three batches:
+    kept_b = batch_b minus (near-match to a LOWER-id same-batch doc)
+    minus (near-match to anything kept in earlier batches)."""
+    from .text import _NORM
+
+    return f"""
+WITH tok AS (
+  SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents
+), sh0 AS (
+  SELECT DISTINCT doc_id, unnest(
+    CASE WHEN len(w) < 3 THEN []
+         ELSE list_transform(generate_series(1, len(w) - 2),
+                             i -> array_to_string(w[i:i+2], ' '))
+    END) AS shingle
+  FROM tok
+), sig AS (
+  SELECT doc_id, i,
+         MIN(CAST(concat('0x', substr(md5(i || ':' || shingle), 1, 8))
+                  AS BIGINT)) AS h
+  FROM sh0 CROSS JOIN range(32) t(i)
+  GROUP BY doc_id, i
+), band AS (
+  SELECT doc_id, i // 4 AS band_id,
+         string_agg(CAST(h AS VARCHAR), ',' ORDER BY i) AS band_key
+  FROM sig GROUP BY doc_id, i // 4
+), cand AS (
+  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+  FROM band a JOIN band b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key
+   AND a.doc_id <> b.doc_id
+), m AS (  -- symmetric near-match relation at agreement >= 0.5
+  SELECT c.da, c.db FROM cand c
+  JOIN sig x ON x.doc_id = c.da
+  JOIN sig y ON y.doc_id = c.db AND y.i = x.i
+  GROUP BY c.da, c.db
+  HAVING SUM(CASE WHEN x.h = y.h THEN 1 ELSE 0 END) * 1.0 / 32 >= 0.5
+), intra AS (  -- same-batch lower-id match
+  SELECT DISTINCT da AS doc_id FROM m
+  WHERE da % 3 = db % 3 AND db < da
+), k0 AS (
+  SELECT doc_id FROM documents WHERE doc_id % 3 = 0
+  AND doc_id NOT IN (SELECT doc_id FROM intra)
+), k1 AS (
+  SELECT d.doc_id FROM documents d WHERE d.doc_id % 3 = 1
+  AND d.doc_id NOT IN (SELECT doc_id FROM intra)
+  AND NOT EXISTS (SELECT 1 FROM m JOIN k0 ON m.db = k0.doc_id
+                  WHERE m.da = d.doc_id)
+), k2 AS (
+  SELECT d.doc_id FROM documents d WHERE d.doc_id % 3 = 2
+  AND d.doc_id NOT IN (SELECT doc_id FROM intra)
+  AND NOT EXISTS (SELECT 1 FROM m
+                  JOIN (SELECT doc_id FROM k0
+                        UNION ALL SELECT doc_id FROM k1) k
+                    ON m.db = k.doc_id
+                  WHERE m.da = d.doc_id)
+), kept AS (
+  SELECT doc_id FROM k0 UNION ALL SELECT doc_id FROM k1
+  UNION ALL SELECT doc_id FROM k2
+)
+SELECT d.doc_id, CAST(d.doc_id % 3 AS INT) AS batch,
+       CASE WHEN k.doc_id IS NOT NULL THEN 'keep' ELSE 'drop' END AS decision
+FROM documents d LEFT JOIN kept k USING (doc_id)
+"""
+
+
+@register(
+    "stream_neardup_dedup",
+    _stream_neardup_oracle(),
+    doc="streaming near-dup dedup: documents arrive in three "
+        "micro-batches (doc_id % 3, in order) through the "
+        "NearDupIndexSink — each batch drops intra-batch near-dups and "
+        "anything near-matching the already-kept index, then appends "
+        "only kept docs' signatures/band rows. Portable md5 family; the "
+        "oracle unrolls the sequential kept-set recurrence over the "
+        "three batches in SQL and every per-doc decision hash-checks.",
+    tags=("streaming", "dedup", "minhash", "incremental"),
+)
+def q_stream_neardup_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..streaming.neardup import NearDupIndexSink
+
+    docs = load_testdata(spark, sf_dir, "documents")
+    root = tempfile.mkdtemp(prefix="stream_neardup_")
+    sink = NearDupIndexSink(root, threshold=0.5, portable=True)
+    for b in range(3):
+        sink.process_batch(docs.filter(F.col("doc_id") % 3 == b), b)
+    out = (
+        sink.results(spark, "decisions")
+        .select("doc_id", F.col("batch").cast("int").alias("batch"), "decision")
+        .localCheckpoint()  # materialize before the temp dir is removed
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+# ---------------------------------------------------------------------------
 @register(
     "simhash_near_dups",
     None,  # bit-signature locality is engine-specific (xxhash64)

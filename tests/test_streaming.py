@@ -318,3 +318,96 @@ def test_stream_dedup_across_batches(spark, tmp_path):
     run_available_now(deduped, "stream_dedup_batches", str(tmp_path / "ckpt"))
     got = spark.table("stream_dedup_batches").count()
     assert got == events.select("event_id").distinct().count()
+
+
+def test_neardup_sink_sequential_batches_and_replay(spark, tmp_path):
+    """NearDupIndexSink: batch 2 drops near-dups of batch 1's kept docs,
+    intra-batch dups drop against lower ids, and replaying a batch
+    (foreachBatch at-least-once) overwrites to identical output."""
+    from instagram_data_pipeline_spark.streaming.neardup import (
+        NearDupIndexSink,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat "
+        "watches from the warm windowsill and the birds sing outside"
+    )
+    other = (
+        "completely different content about distributed query engines "
+        "and columnar storage formats with vectorized execution"
+    )
+    third = (
+        "a third unrelated passage describing watermark semantics and "
+        "stateful stream processing with bounded state stores"
+    )
+    sink = NearDupIndexSink(str(tmp_path / "idx"), threshold=0.5)
+    b0 = spark.createDataFrame(
+        [(1, base), (2, other), (3, base + " extra")],
+        "doc_id long, text string",
+    )
+    b1 = spark.createDataFrame(
+        [(10, base), (11, third)], "doc_id long, text string"
+    )
+    sink.process_batch(b0, 0)
+    sink.process_batch(b1, 1)
+    dec = {
+        r.doc_id: r.decision
+        for r in sink.results(spark, "decisions").collect()
+    }
+    # intra-batch: 3 near-matches lower-id 1 -> dropped; cross-batch:
+    # 10 matches kept doc 1 -> dropped; 11 novel -> kept
+    assert dec == {1: "keep", 2: "keep", 3: "drop", 10: "drop", 11: "keep"}
+    kept_ids = sorted(
+        r.doc_id for r in sink.results(spark, "kept").collect()
+    )
+    assert kept_ids == [1, 2, 11]
+    # replay batch 1: decisions recomputed against index batches < 1
+    # only -> identical output, no self-matching, no duplication
+    sink.process_batch(b1, 1)
+    dec2 = {
+        r.doc_id: r.decision
+        for r in sink.results(spark, "decisions").collect()
+    }
+    assert dec2 == dec
+    assert sorted(
+        r.doc_id for r in sink.results(spark, "kept").collect()
+    ) == [1, 2, 11]
+
+
+def test_neardup_sink_through_foreachbatch_stream(spark, tmp_path):
+    """The real writeStream.foreachBatch path: land files, drain
+    availableNow, land more, drain again — the checkpoint carries batch
+    ids forward so the second drain continues the index."""
+    from instagram_data_pipeline_spark.streaming.neardup import (
+        NearDupIndexSink,
+    )
+
+    schema = "doc_id long, text string"
+    base = (
+        "shared boilerplate paragraph that every landed page repeats "
+        "about cookies and javascript and terms of service agreements"
+    )
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    sink = NearDupIndexSink(str(tmp_path / "idx"), threshold=0.5)
+
+    def land(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def drain():
+        stream = spark.readStream.schema(
+            "doc_id long, text string"
+        ).parquet(src)
+        sink.run_available_now(stream, ckpt)
+
+    land([(1, base), (2, "unique first wave content about parquet files")])
+    drain()
+    land([(3, base), (4, "novel second wave content about shuffles")])
+    drain()
+    dec = {
+        r.doc_id: r.decision
+        for r in sink.results(spark, "decisions").collect()
+    }
+    assert dec == {1: "keep", 2: "keep", 3: "drop", 4: "keep"}
