@@ -370,6 +370,34 @@ def minhash_near_dups(
     )
 
 
+def cluster_canonicals_by_score(
+    assignments: DataFrame,
+    scores: DataFrame,
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster",
+    score_col: str = "score",
+) -> DataFrame:
+    """Quality-aware canonical selection: given per-doc cluster
+    assignments (e.g. connected components over near-dup pairs) and a
+    per-doc score, the HIGHEST-scoring doc of each cluster (lowest id on
+    ties) becomes the canonical — what production dedup actually keeps,
+    rather than an arbitrary lowest-id member.
+
+    One window per cluster (WindowGroupLimit-free since we need the
+    winner broadcast to every member, so it's a first_value over the
+    cluster partition — still a single shuffle on the cluster key).
+    Returns ``(id, cluster, canonical_id, is_canonical)``."""
+    joined = assignments.join(scores, id_col)
+    w = Window.partitionBy(cluster_col).orderBy(
+        F.col(score_col).desc(), F.col(id_col)
+    )
+    return joined.select(
+        F.col(id_col),
+        F.col(cluster_col),
+        F.first(id_col).over(w).alias("canonical_id"),
+    ).withColumn("is_canonical", F.col(id_col) == F.col("canonical_id"))
+
+
 # ---------------------------------------------------------------------------
 # Incremental MinHash-LSH index (near-dup dedup of a NEW batch against a
 # persisted corpus index — the production shape: the corpus is indexed

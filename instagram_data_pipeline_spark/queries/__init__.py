@@ -112,8 +112,7 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "incremental_minhash_dedup",
     "ivf_incremental_topk",
     "stream_neardup_dedup",
-    # -- one-round-green (r02) queries earning a second driver row ---------
-    "embedding_norms",
+    "dedup_keep_best",
     # -- flagship continuity (slot 50) -------------------------------------
     "mutual_edges",
     # ------------------- driver window ends at slot 50 --------------------
@@ -122,14 +121,16 @@ REGISTRY_ORDER: tuple[str, ...] = (
     # ledger_dequeue_transition / ledger_point_update /
     # ledger_complete_batch yielded their second-row slots to the new
     # compressed-audio/video + duplicated-span queries (all three are
-    # r02-green and CI-oracle-checked); dataset_split, embedding_quantize,
-    # embedding_near_dups and cosine_topk (all r02-green) yielded their
-    # second-row slots to the new incremental_minhash_dedup /
-    # ivf_incremental_topk / dup_span_removal / stream_neardup_dedup.
+    # r02-green and CI-oracle-checked); the r02-green embeddings family
+    # (dataset_split, embedding_quantize, embedding_near_dups,
+    # cosine_topk, embedding_norms) yielded its second-row slots to the
+    # new round-4 wave (incremental_minhash_dedup, ivf_incremental_topk,
+    # dup_span_removal, stream_neardup_dedup, dedup_keep_best).
     "dataset_split",
     "embedding_quantize",
     "embedding_near_dups",
     "cosine_topk",
+    "embedding_norms",
     "pricing_summary",
     "label_centroids",
     "ledger_enqueue_due",

@@ -465,6 +465,81 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Quality-aware dedup: same pair graph and components as dedup_clusters,
+# but the cluster's canonical is its HIGHEST-quality member (composite
+# quality score, doc_id tiebreak), singletons canonicalize to themselves.
+# The oracle composes the Jaccard CTEs + recursive CC fixpoint with a
+# first_value window over the rounded quality score — both engines rank
+# on the identical 6-decimal value so the argmax is hash-stable.
+# ---------------------------------------------------------------------------
+_DEDUP_KEEP_BEST_ORACLE_TEMPLATE = """
+WITH RECURSIVE {jaccard_ctes}, sym AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT doc_a AS src, doc_b AS dst FROM kept
+    UNION ALL SELECT doc_b, doc_a FROM kept
+  ) t WHERE src <> dst
+), walk(node, label) AS (
+  SELECT src, src FROM sym
+  UNION
+  SELECT e.dst, w.label FROM walk w JOIN sym e ON e.src = w.node
+  WHERE w.label < e.dst
+), comp AS (
+  SELECT node AS doc_id, MIN(label) AS cluster FROM walk GROUP BY node
+), allc AS (
+  SELECT d.doc_id, COALESCE(c.cluster, d.doc_id) AS cluster
+  FROM documents d LEFT JOIN comp c USING (doc_id)
+), sc AS (
+  SELECT doc_id, ROUND({quality_sql}, 6) AS q FROM documents
+)
+SELECT a.doc_id, a.cluster,
+       FIRST_VALUE(a.doc_id) OVER (
+         PARTITION BY a.cluster ORDER BY s.q DESC, a.doc_id
+       ) AS canonical_id,
+       a.doc_id = FIRST_VALUE(a.doc_id) OVER (
+         PARTITION BY a.cluster ORDER BY s.q DESC, a.doc_id
+       ) AS is_canonical
+FROM allc a JOIN sc s ON s.doc_id = a.doc_id
+"""
+
+
+@register(
+    "dedup_keep_best",
+    _DEDUP_KEEP_BEST_ORACLE_TEMPLATE.format(
+        jaccard_ctes=_JACCARD_CTES, quality_sql=_QUALITY_SQL
+    ),
+    doc="quality-aware near-dup dedup: Jaccard pairs -> connected "
+        "components -> the HIGHEST-quality member of each cluster "
+        "(composite quality score, doc_id tiebreak) is kept as "
+        "canonical, singletons keep themselves — production dedup keeps "
+        "the best copy, not an arbitrary one",
+    tags=("text", "dedup", "quality"),
+)
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.dedup import (
+        cluster_canonicals_by_score,
+        ngram_jaccard_pairs,
+    )
+    from ..operators.graph import connected_components
+
+    docs = load_testdata(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, id_col="doc_id", text_col="text",
+                                n=3, threshold=0.1, max_df=100)
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    cc = connected_components(edges).select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster")
+    )
+    assign = docs.select("doc_id").join(cc, "doc_id", "left").select(
+        "doc_id", F.coalesce("cluster", "doc_id").alias("cluster")
+    )
+    scores = docs.select(
+        "doc_id", F.round(X.quality_score(F.col("text")), 6).alias("score")
+    )
+    return cluster_canonicals_by_score(assign, scores)
+
+
+# ---------------------------------------------------------------------------
 _TFIDF_ORACLE = f"""
 WITH tok AS (
   SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS term FROM documents

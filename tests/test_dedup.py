@@ -418,3 +418,35 @@ class TestDupSpanRemove:
         df = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
         with _pytest.raises(ValueError):
             dup_span_remove(df, keep="banana").collect()
+
+
+# ---------------------------------------------------------------------------
+# Quality-aware canonical selection
+# ---------------------------------------------------------------------------
+
+
+def test_cluster_canonicals_by_score(spark):
+    from instagram_data_pipeline_spark.extensions.dedup import (
+        cluster_canonicals_by_score,
+    )
+
+    assign = spark.createDataFrame(
+        [(1, 100), (2, 100), (3, 100), (7, 7), (8, 200), (9, 200)],
+        "doc_id long, cluster long",
+    )
+    scores = spark.createDataFrame(
+        [(1, 0.2), (2, 0.9), (3, 0.9), (7, 0.1), (8, 0.5), (9, 0.5)],
+        "doc_id long, score double",
+    )
+    out = {
+        r.doc_id: (r.canonical_id, r.is_canonical)
+        for r in cluster_canonicals_by_score(assign, scores).collect()
+    }
+    # cluster 100: 2 and 3 tie at 0.9 -> lowest id 2 wins over higher-id 3
+    assert out[1] == (2, False)
+    assert out[2] == (2, True)
+    assert out[3] == (2, False)
+    # singleton is its own canonical
+    assert out[7] == (7, True)
+    # cluster 200: tie -> lowest id
+    assert out[8] == (8, True) and out[9] == (8, False)
