@@ -120,7 +120,11 @@ class TransactionLogFormat:
     files under a fresh commit dir, and publishes version N+1 carrying
     untouched files forward by reference — old versions stay readable
     (time travel for free) and a crash before the rename changes
-    nothing. This is the Delta/Iceberg commit protocol with a
+    nothing. Each manifest records the table schema; merges may ADD
+    columns (old files null-fill under the recorded schema at read
+    time, additive-only — drops/renames/type changes are rejected),
+    and time travel reads each version under its own schema.
+    This is the Delta/Iceberg commit protocol with a
     single-writer assumption (the reference pipeline is single-writer by
     design; multi-writer needs compare-and-swap on the version number,
     which object stores provide via if-none-match)."""
@@ -138,13 +142,19 @@ class TransactionLogFormat:
         with open(versions[-1]) as f:
             return json.load(f)
 
-    def _publish(self, wh, table: str, version: int, files: dict) -> None:
+    def _publish(
+        self, wh, table: str, version: int, files: dict,
+        schema_json: str | None = None,
+    ) -> None:
         d = self._log_dir(wh, table)
         d.mkdir(parents=True, exist_ok=True)
         final = d / f"{version:08d}.json"
         tmp = d / f".{version:08d}.json.tmp"
+        manifest = {"version": version, "files": files}
+        if schema_json is not None:
+            manifest["schema"] = schema_json
         with open(tmp, "w") as f:
-            json.dump({"version": version, "files": files}, f)
+            json.dump(manifest, f)
         os.rename(tmp, final)  # THE commit point
 
     def _write_commit(
@@ -170,6 +180,28 @@ class TransactionLogFormat:
                 files[str(f.relative_to(root))] = b
         return files
 
+    @staticmethod
+    def _check_evolution(old_schema, new_schema) -> None:
+        """Additive-only schema evolution: every existing column must
+        survive with an identical type; new columns may appear anywhere
+        (old files read back with NULL for them — the Delta/Iceberg
+        rule). Drops, renames, and type changes are rejected: in an
+        immutable-file format they would silently corrupt old snapshots
+        rather than evolve them."""
+        new_fields = {f.name: f.dataType for f in new_schema.fields}
+        for f in old_schema.fields:
+            if f.name not in new_fields:
+                raise ValueError(
+                    f"schema evolution is additive-only: column "
+                    f"{f.name!r} missing from incoming batch"
+                )
+            if new_fields[f.name] != f.dataType:
+                raise ValueError(
+                    f"schema evolution cannot change types: {f.name!r} "
+                    f"is {f.dataType.simpleString()}, incoming has "
+                    f"{new_fields[f.name].simpleString()}"
+                )
+
     def merge(self, wh, table, incoming, keys, order_col, num_buckets):
         from .operators.writes import upsert_keep_newest
 
@@ -178,8 +210,13 @@ class TransactionLogFormat:
             empty = wh.spark.createDataFrame([], incoming.schema)
             first = upsert_keep_newest(empty, incoming, keys, order_col)
             files = self._write_commit(wh, table, first, keys, num_buckets)
-            self._publish(wh, table, 1, files)
+            self._publish(wh, table, 1, files, incoming.schema.json())
             return
+        if "schema" in snap:
+            from pyspark.sql.types import StructType
+
+            old_schema = StructType.fromJson(json.loads(snap["schema"]))
+            self._check_evolution(old_schema, incoming.schema)
         touched = {
             r.b
             for r in incoming.select(
@@ -194,7 +231,9 @@ class TransactionLogFormat:
         ]
         if live_touched:
             # bucket is a pure function of the keys — data files never
-            # store it, so reading specific files needs no basePath
+            # store it, so reading specific files needs no basePath.
+            # Reading with the INCOMING schema null-fills columns the
+            # old files don't physically carry (additive evolution).
             existing = wh.spark.read.schema(incoming.schema).parquet(
                 *live_touched
             )
@@ -206,17 +245,28 @@ class TransactionLogFormat:
             f: b for f, b in snap["files"].items() if b not in touched
         }
         self._publish(
-            wh, table, snap["version"] + 1, {**carried, **new_files}
+            wh, table, snap["version"] + 1, {**carried, **new_files},
+            incoming.schema.json(),
         )
+
+    @staticmethod
+    def _read_snapshot(wh, root: Path, snap: dict) -> DataFrame:
+        """Read a manifest's file set under its RECORDED schema so a
+        mixed-physical-schema file set (post-evolution) null-fills
+        uniformly instead of depending on parquet inference order."""
+        paths = [str(root / f) for f in snap["files"]]
+        if "schema" in snap:
+            from pyspark.sql.types import StructType
+
+            schema = StructType.fromJson(json.loads(snap["schema"]))
+            return wh.spark.read.schema(schema).parquet(*paths)
+        return wh.spark.read.parquet(*paths)
 
     def read_merged(self, wh, table):
         snap = self._latest(wh, table)
         if snap is None:
             raise FileNotFoundError(f"no committed version for {table}")
-        root = Path(wh.path(table))
-        return wh.spark.read.parquet(
-            *[str(root / f) for f in snap["files"]]
-        )
+        return self._read_snapshot(wh, Path(wh.path(table)), snap)
 
     def vacuum(self, wh, table: str) -> list[str]:
         """Delete ORPHANED data files — files referenced by NO manifest
@@ -252,10 +302,9 @@ class TransactionLogFormat:
         ) if d.exists() else []
 
     def read_version(self, wh, table: str, version: int) -> DataFrame:
-        """Time travel: read the table exactly as of ``version``."""
+        """Time travel: read the table exactly as of ``version``, under
+        that version's own recorded schema (a later evolution does not
+        retroactively widen history)."""
         with open(self._log_dir(wh, table) / f"{version:08d}.json") as f:
             snap = json.load(f)
-        root = Path(wh.path(table))
-        return wh.spark.read.parquet(
-            *[str(root / f) for f in snap["files"]]
-        )
+        return self._read_snapshot(wh, Path(wh.path(table)), snap)

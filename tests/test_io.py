@@ -280,11 +280,11 @@ def test_txlog_crash_before_commit_is_invisible(spark, tmp_path):
         def __init__(self):
             self.armed = False
 
-        def _publish(self, wh, table, version, files):
+        def _publish(self, wh, table, version, files, schema_json=None):
             if self.armed:
                 self.armed = False
                 raise OSError("simulated crash before manifest publish")
-            super()._publish(wh, table, version, files)
+            super()._publish(wh, table, version, files, schema_json)
 
     fmt = DyingPublish()
     wh = Warehouse(spark, str(tmp_path / "wh"), fmt=fmt)
@@ -316,3 +316,49 @@ def test_txlog_crash_before_commit_is_invisible(spark, tmp_path):
         "old"
     }
     assert {r.k: r.v for r in wh.read_merged("facts").collect()} == got
+
+
+def test_txlog_additive_schema_evolution(spark, tmp_path):
+    """A later merge may ADD columns: old files null-fill under the new
+    recorded schema, time travel keeps each version's own schema, and
+    drops/type changes are rejected."""
+    import datetime as dt
+
+    from instagram_data_pipeline_spark.formats import TransactionLogFormat
+
+    fmt = TransactionLogFormat()
+    wh = Warehouse(spark, str(tmp_path / "wh"), fmt=fmt)
+    t0, t1 = dt.datetime(2024, 1, 1), dt.datetime(2024, 2, 1)
+    base = spark.createDataFrame(
+        [(i, "old", t0) for i in range(20)],
+        "k long, v string, ts timestamp",
+    )
+    wh.upsert_partitioned("facts", base, ["k"], "ts", num_buckets=4)
+    widened = spark.createDataFrame(
+        [(3, "new", t1, 0.9), (100, "fresh", t1, 0.5)],
+        "k long, v string, ts timestamp, score double",
+    )
+    wh.upsert_partitioned("facts", widened, ["k"], "ts", num_buckets=4)
+    got = {r.k: (r.v, r.score) for r in wh.read_merged("facts").collect()}
+    assert got[3] == ("new", 0.9) and got[100] == ("fresh", 0.5)
+    # rows in untouched buckets never rewrote, yet read back null-filled
+    untouched = [k for k in got if k not in (3, 100)]
+    assert untouched and all(got[k] == ("old", None) for k in untouched)
+    # time travel: version 1 keeps its original 3-column schema
+    assert fmt.read_version(wh, "facts", 1).columns == ["k", "v", "ts"]
+    # dropping a column is rejected
+    with pytest.raises(ValueError, match="additive-only"):
+        wh.upsert_partitioned(
+            "facts",
+            spark.createDataFrame([(1, t1)], "k long, ts timestamp"),
+            ["k"], "ts", num_buckets=4,
+        )
+    # changing a column's type is rejected
+    with pytest.raises(ValueError, match="change types"):
+        wh.upsert_partitioned(
+            "facts",
+            spark.createDataFrame(
+                [(1, 2, t1, 0.1)], "k long, v long, ts timestamp, score double"
+            ),
+            ["k"], "ts", num_buckets=4,
+        )
