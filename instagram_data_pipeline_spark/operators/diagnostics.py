@@ -1,0 +1,180 @@
+"""Operability diagnostics: key-skew profiling and declarative data
+constraints — the checks a 100 TB deployment runs BEFORE trusting a
+join plan or a landed batch.
+
+The reference pipeline trusts its inputs implicitly (psycopg2 inserts
+in instagram_pipeline/database/db_manager.py perform no validation
+beyond the DDL types); at warehouse scale both halves below are
+standing infrastructure:
+
+* :func:`skew_report` — the empirical answer to "will this key
+  shuffle?" A celebrity key that owns 10% of a fact table turns a
+  sort-merge join into one straggler task; the report surfaces exactly
+  which keys and how badly, feeding the choice of salting factor /
+  AQE skew thresholds / broadcast cutoffs.
+* :func:`check_constraints` — Deequ-style declarative expectations
+  (not-null, uniqueness, range, referential integrity) evaluated in
+  ONE pass per table side, producing a small violations report instead
+  of a crash deep inside a downstream join.
+
+Everything is built-in expressions — aggregations the optimizer
+map-side combines; nothing collects more than the report itself.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def skew_report(
+    df: DataFrame,
+    keys: list[str],
+    top_n: int = 10,
+) -> DataFrame:
+    """Top-``top_n`` heaviest key groups with exact integer shares.
+
+    Output per heavy key: the key columns, ``n_rows``, ``share_ppm``
+    (floor(n * 1e6 / total) — integer-exact, engine-portable), and
+    ``skew_factor_x100`` = floor(n * n_keys * 100 / total): 100 means
+    the key holds exactly its uniform share; 10_000 means 100x uniform
+    — a salting candidate. One shuffle (the key count), then a
+    top-k over the count frame (TakeOrderedAndProject-sized)."""
+    counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_rows"))
+    totals = counts.agg(
+        F.sum("n_rows").alias("_total"), F.count(F.lit(1)).alias("_nkeys")
+    )
+    w = Window.orderBy(F.col("n_rows").desc(), *[F.col(k) for k in keys])
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_n)
+        .select(
+            *keys,
+            "n_rows",
+            F.floor(F.col("n_rows") * 1000000 / F.col("_total"))
+            .cast("long")
+            .alias("share_ppm"),
+            F.floor(F.col("n_rows") * F.col("_nkeys") * 100 / F.col("_total"))
+            .cast("long")
+            .alias("skew_factor_x100"),
+            "rank",
+        )
+    )
+
+
+@dataclass
+class Constraint:
+    """One declarative expectation. ``predicate`` marks a VIOLATING row
+    (True = bad); constraints whose violation needs another frame
+    (uniqueness, referential integrity) use the dedicated helpers."""
+
+    name: str
+    predicate: Column
+
+
+def not_null(name: str, *cols: str) -> Constraint:
+    cond = F.lit(False)
+    for c in cols:
+        cond = cond | F.col(c).isNull()
+    return Constraint(name, cond)
+
+
+def in_range(name: str, col: str, lo, hi) -> Constraint:
+    return Constraint(
+        name, F.col(col).isNull() | (F.col(col) < lo) | (F.col(col) > hi)
+    )
+
+
+def matches(name: str, col: str, pattern: str) -> Constraint:
+    return Constraint(
+        name, F.col(col).isNull() | ~F.col(col).rlike(pattern)
+    )
+
+
+def check_constraints(
+    df: DataFrame,
+    constraints: list[Constraint],
+    unique_keys: Optional[list[list[str]]] = None,
+    references: Optional[list[tuple[list[str], DataFrame, list[str]]]] = None,
+) -> DataFrame:
+    """Evaluate every expectation and return the report frame
+    ``(constraint, n_checked, n_violations)``.
+
+    Row-local constraints fold into ONE aggregation pass (each is a
+    conditional count — map-side combined, single scan regardless of
+    how many constraints are declared). ``unique_keys`` adds one
+    count-per-key aggregation per key set (rows beyond the first of a
+    key count as violations); ``references`` adds one anti-join per
+    foreign key (child rows whose key is absent from the parent
+    frame). The report is a handful of rows — collect it freely."""
+    parts: list[DataFrame] = []
+    if constraints:
+        total = F.count(F.lit(1))
+        aggs = [total.alias("n_checked")] + [
+            F.sum(c.predicate.cast("long")).alias(c.name) for c in constraints
+        ]
+        row_local = df.agg(*aggs)
+        names = [c.name for c in constraints]
+        parts.append(
+            row_local.select(
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(n).alias("constraint"),
+                                F.col("n_checked").alias("n_checked"),
+                                F.coalesce(F.col(n), F.lit(0)).alias(
+                                    "n_violations"
+                                ),
+                            )
+                            for n in names
+                        ]
+                    )
+                ).alias("r")
+            ).select("r.constraint", "r.n_checked", "r.n_violations")
+        )
+    for keyset in unique_keys or []:
+        name = "unique(" + ",".join(keyset) + ")"
+        dup = (
+            df.groupBy(*keyset)
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .agg(
+                F.coalesce(F.sum("_n"), F.lit(0)).alias("n_checked"),
+                F.coalesce(F.sum(F.col("_n") - 1), F.lit(0)).alias(
+                    "n_violations"
+                ),
+            )
+            .select(
+                F.lit(name).alias("constraint"), "n_checked", "n_violations"
+            )
+        )
+        parts.append(dup)
+    for child_keys, parent, parent_keys in references or []:
+        name = "ref(" + ",".join(child_keys) + ")"
+        cond = None
+        for ck, pk in zip(child_keys, parent_keys):
+            c = df[ck] == parent[pk]
+            cond = c if cond is None else (cond & c)
+        orphans = df.join(parent, cond, "left_anti")
+        ref = (
+            df.agg(F.count(F.lit(1)).alias("n_checked"))
+            .crossJoin(
+                F.broadcast(
+                    orphans.agg(F.count(F.lit(1)).alias("n_violations"))
+                )
+            )
+            .select(
+                F.lit(name).alias("constraint"), "n_checked", "n_violations"
+            )
+        )
+        parts.append(ref)
+    if not parts:
+        raise ValueError("check_constraints: no expectations declared")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

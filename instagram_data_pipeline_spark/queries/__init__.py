@@ -88,8 +88,6 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "cms_heavy_users_portable",
     "approx_distinct_users",
     "approx_distinct_users_portable",
-    "ann_lsh_topk",
-    "ivf_topk",
     "kmeans_clusters",
     # -- implementation changed in round 4 → re-verify (connected
     #    components moved to two-phase star contraction per ADVICE;
@@ -113,6 +111,8 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "ivf_incremental_topk",
     "stream_neardup_dedup",
     "dedup_keep_best",
+    "skew_report",
+    "constraint_report",
     # -- flagship continuity (slot 50) -------------------------------------
     "mutual_edges",
     # ------------------- driver window ends at slot 50 --------------------
@@ -131,6 +131,11 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "embedding_near_dups",
     "cosine_topk",
     "embedding_norms",
+    # ann_lsh_topk and ivf_topk are r03-green hash singles; ivf_topk's
+    # oracle is additionally re-exercised in-window every round that
+    # ivf_incremental_topk is (they share the one-shot IVF SQL).
+    "ann_lsh_topk",
+    "ivf_topk",
     "pricing_summary",
     "label_centroids",
     "ledger_enqueue_due",
@@ -223,6 +228,7 @@ def load_all() -> dict[str, QuerySpec]:
     ``REGISTRY_ORDER`` (names registered but missing from the list are
     appended at the back, past the driver window, never silently dropped)."""
     from . import core  # noqa: F401
+    from . import diagnostics  # noqa: F401
     from . import extensions  # noqa: F401
     from . import graph  # noqa: F401
     from . import ledger  # noqa: F401

@@ -1,0 +1,112 @@
+"""Operability-diagnostic queries: key-skew profiling and declarative
+data constraints (operators/diagnostics.py) over the star schema."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load_testdata
+from ..operators.diagnostics import (
+    check_constraints,
+    in_range,
+    matches,
+    not_null,
+    skew_report,
+)
+from . import register
+
+# ---------------------------------------------------------------------------
+_SKEW_ORACLE = """
+WITH counts AS (
+  SELECT user_id, COUNT(*) AS n_rows FROM events GROUP BY user_id
+), tot AS (
+  SELECT SUM(n_rows) AS total, COUNT(*) AS nkeys FROM counts
+), ranked AS (
+  SELECT c.user_id, c.n_rows,
+         ROW_NUMBER() OVER (ORDER BY c.n_rows DESC, c.user_id) AS rank
+  FROM counts c
+)
+SELECT r.user_id, r.n_rows,
+       CAST(FLOOR(r.n_rows * 1000000.0 / t.total) AS BIGINT) AS share_ppm,
+       CAST(FLOOR(r.n_rows * t.nkeys * 100.0 / t.total) AS BIGINT)
+         AS skew_factor_x100,
+       r.rank
+FROM ranked r CROSS JOIN tot t
+WHERE r.rank <= 10
+"""
+
+
+@register(
+    "skew_report",
+    _SKEW_ORACLE,
+    doc="key-skew profile of events.user_id: the 10 heaviest keys with "
+        "integer-exact corpus share (ppm) and skew factor vs the uniform "
+        "share — the pre-flight answer to whether a join on this key "
+        "needs salting / AQE skew thresholds / broadcast",
+    tags=("diagnostics", "skew"),
+)
+def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_testdata(spark, sf_dir, "events")
+    return skew_report(events, ["user_id"], top_n=10)
+
+
+# ---------------------------------------------------------------------------
+_CONSTRAINT_ORACLE = """
+SELECT 'o_custkey_not_null' AS check_name,
+       (SELECT COUNT(*) FROM orders) AS n_checked,
+       (SELECT COUNT(*) FROM orders WHERE o_custkey IS NULL) AS n_violations
+UNION ALL
+SELECT 'o_totalprice_range',
+       (SELECT COUNT(*) FROM orders),
+       (SELECT COUNT(*) FROM orders
+        WHERE o_totalprice IS NULL OR o_totalprice < 0
+           OR o_totalprice > 1000000)
+UNION ALL
+SELECT 'o_status_format',
+       (SELECT COUNT(*) FROM orders),
+       (SELECT COUNT(*) FROM orders
+        WHERE o_orderstatus IS NULL
+           OR NOT regexp_matches(o_orderstatus, '^[A-Z]$'))
+UNION ALL
+SELECT 'unique(o_orderkey)',
+       (SELECT COUNT(*) FROM orders),
+       (SELECT COUNT(*) - COUNT(DISTINCT o_orderkey) FROM orders)
+UNION ALL
+SELECT 'ref(l_orderkey)',
+       (SELECT COUNT(*) FROM lineitem),
+       (SELECT COUNT(*) FROM lineitem
+        WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+"""
+
+
+@register(
+    "constraint_report",
+    _CONSTRAINT_ORACLE,
+    doc="declarative data-quality expectations (Deequ-style) over "
+        "orders/lineitem: not-null, range, format, key uniqueness, and "
+        "lineitem->orders referential integrity — all row-local checks "
+        "fold into one aggregation pass; uniqueness adds one key count, "
+        "the foreign key one anti-join. The report is rows, not a crash.",
+    tags=("diagnostics", "quality"),
+)
+def q_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_testdata(spark, sf_dir, "orders")
+    lineitem = load_testdata(spark, sf_dir, "lineitem")
+    order_checks = check_constraints(
+        orders,
+        [
+            not_null("o_custkey_not_null", "o_custkey"),
+            in_range("o_totalprice_range", "o_totalprice", 0, 1000000),
+            matches("o_status_format", "o_orderstatus", "^[A-Z]$"),
+        ],
+        unique_keys=[["o_orderkey"]],
+    )
+    ref_checks = check_constraints(
+        lineitem,
+        [],
+        references=[(["l_orderkey"], orders, ["o_orderkey"])],
+    )
+    return order_checks.unionByName(ref_checks).withColumnRenamed(
+        "constraint", "check_name"
+    )

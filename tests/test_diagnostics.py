@@ -1,0 +1,87 @@
+"""Skew profiling and declarative constraints on planted fixtures."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from instagram_data_pipeline_spark.operators.diagnostics import (
+    check_constraints,
+    in_range,
+    matches,
+    not_null,
+    skew_report,
+)
+
+
+def test_skew_report_surfaces_celebrity_key(spark):
+    # 90 rows on key 1, 10 uniform keys with 1 row each -> 100 rows/11 keys
+    rows = [(1,)] * 90 + [(k,) for k in range(2, 12)]
+    df = spark.createDataFrame(rows, "k long")
+    top = skew_report(df, ["k"], top_n=3).collect()
+    assert [r.k for r in top] == [1, 2, 3]  # count desc, key asc tiebreak
+    head = top[0]
+    assert head.n_rows == 90
+    assert head.share_ppm == 900000
+    # 90 * 11 keys * 100 / 100 rows = 990 -> ~9.9x the uniform share
+    assert head.skew_factor_x100 == 990
+    assert [r.rank for r in top] == [1, 2, 3]
+    uni = top[1]
+    assert uni.n_rows == 1 and uni.skew_factor_x100 == 11
+
+
+def test_check_constraints_counts_planted_violations(spark):
+    df = spark.createDataFrame(
+        [
+            (1, 10.0, "A"),
+            (2, -5.0, "B"),      # range violation
+            (None, 20.0, "C"),   # null violation
+            (4, 30.0, "xx"),     # format violation
+            (4, 40.0, None),     # dup key + null format
+        ],
+        "k long, price double, status string",
+    )
+    parent = spark.createDataFrame([(1,), (2,), (4,)], "k long")
+    rep = {
+        r.constraint: (r.n_checked, r.n_violations)
+        for r in check_constraints(
+            df,
+            [
+                not_null("k_not_null", "k"),
+                in_range("price_range", "price", 0, 100),
+                matches("status_format", "status", "^[A-Z]$"),
+            ],
+            unique_keys=[["k"]],
+            references=[(["k"], parent, ["k"])],
+        ).collect()
+    }
+    assert rep["k_not_null"] == (5, 1)
+    assert rep["price_range"] == (5, 1)
+    assert rep["status_format"] == (5, 2)  # 'xx' and NULL
+    assert rep["unique(k)"] == (5, 1)  # key 4 twice -> one extra row
+    # NULL child key never matches the parent -> counted as orphan
+    assert rep["ref(k)"] == (5, 1)
+
+
+def test_check_constraints_clean_table_all_zero(spark):
+    df = spark.createDataFrame([(1, "A"), (2, "B")], "k long, s string")
+    rep = check_constraints(
+        df,
+        [not_null("k_nn", "k"), matches("s_fmt", "s", "^[A-Z]$")],
+        unique_keys=[["k"]],
+    ).collect()
+    assert all(r.n_violations == 0 for r in rep)
+    assert {r.constraint for r in rep} == {"k_nn", "s_fmt", "unique(k)"}
+
+
+def test_check_constraints_requires_expectations(spark):
+    df = spark.createDataFrame([(1,)], "k long")
+    with pytest.raises(ValueError, match="no expectations"):
+        check_constraints(df, [])
+
+
+def test_skew_report_uniform_keys_factor_100(spark):
+    df = spark.range(100).select((F.col("id") % 10).alias("k"))
+    top = skew_report(df, ["k"], top_n=10).collect()
+    assert all(r.skew_factor_x100 == 100 for r in top)
+    assert all(r.share_ppm == 100000 for r in top)
