@@ -88,7 +88,6 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "cms_heavy_users_portable",
     "approx_distinct_users",
     "approx_distinct_users_portable",
-    "kmeans_clusters",
     # -- implementation changed in round 4 → re-verify (connected
     #    components moved to two-phase star contraction per ADVICE;
     #    dedup_clusters consumes it) ---------------------------------------
@@ -113,9 +112,14 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "dedup_keep_best",
     "skew_report",
     "constraint_report",
-    # -- flagship continuity (slot 50) -------------------------------------
-    "mutual_edges",
+    # unigram tokenizer: rows-only trainer next to its hash-checked
+    # encode twin (the bpe_merges / bpe_encode_tokens pairing) ----------
+    "unigram_encode_tokens",
+    "unigram_vocab",
     # ------------------- driver window ends at slot 50 --------------------
+    # mutual_edges sits first past the window: r01+r02 hash rows AND the
+    # driver's entry() smoke-check re-runs it every single round.
+    "mutual_edges",
     # pricing_summary sits first past the window this round: r01+r02
     # driver rows, bench-headline coverage every round, pytest oracle.
     # ledger_dequeue_transition / ledger_point_update /
@@ -131,11 +135,12 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "embedding_near_dups",
     "cosine_topk",
     "embedding_norms",
-    # ann_lsh_topk and ivf_topk are r03-green hash singles; ivf_topk's
-    # oracle is additionally re-exercised in-window every round that
-    # ivf_incremental_topk is (they share the one-shot IVF SQL).
+    # ann_lsh_topk / ivf_topk / kmeans_clusters are r03-green hash
+    # singles; ivf_topk's oracle is additionally re-exercised in-window
+    # every round that ivf_incremental_topk is (same one-shot IVF SQL).
     "ann_lsh_topk",
     "ivf_topk",
+    "kmeans_clusters",
     "pricing_summary",
     "label_centroids",
     "ledger_enqueue_due",

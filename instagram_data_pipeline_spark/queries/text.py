@@ -1276,6 +1276,139 @@ def q_bpe_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Unigram-LM (SentencePiece-style) Viterbi encode with a FIXED literal
+# vocabulary (training is the iterative unigram_vocab query, rows-only
+# by nature — same split as bpe_merges vs bpe_encode_tokens). Integer
+# piece costs make the DP engine-portable: the oracle unrolls the
+# prefix-cost recurrence position-by-position (ROW_NUMBER argmin with
+# the identical cost-then-shortest-piece tie-break) and reconstructs
+# the segmentation with a recursive backtrace walk.
+# ---------------------------------------------------------------------------
+_UNI_VOCAB = {
+    "window": 5, "stream": 5, "filter": 5, "spark": 5, "order": 6,
+    "join": 6, "table": 6, "value": 6, "query": 6, "the": 7,
+    "sc": 8, "an": 8, "cust": 9, "omer": 9, "col": 8, "umn": 9,
+    "vec": 8, "tor": 8, "mer": 8, "ge": 8, "gr": 9, "oup": 9,
+    "ha": 8, "sh": 8, "ro": 8, "li": 8, "ne": 8, "pa": 8, "rt": 8,
+    "so": 8, "da": 8, "ta": 8, "ke": 9, "sl": 8, "ow": 8, "sm": 9,
+    "all": 9, "fa": 8, "st": 8, "ba": 8, "tch": 9, "du": 8,
+    "big": 9, "agg": 9, "a": 10, "w": 10, "y": 10, "p": 10,
+}
+_UNI_L = 6       # max piece length
+_UNI_MAXW = 8    # longest corpus word ('customer')
+
+
+def _unigram_encode_oracle() -> str:
+    from ..extensions.unigram import UNK_COST4
+
+    vocab_values = ", ".join(
+        f"('{p}', {c})" for p, c in sorted(_UNI_VOCAB.items())
+    )
+    ctes = [
+        f"""words AS (
+  SELECT w AS word, COUNT(*) AS freq FROM (
+    SELECT unnest(string_split({_NORM}, ' ')) AS w FROM documents
+  ) WHERE w <> '' GROUP BY w
+)""",
+        f"vocab(piece, cost4) AS (SELECT * FROM (VALUES {vocab_values}))",
+        "c0 AS (SELECT word, 0 AS cost, 0 AS j FROM words)",
+    ]
+    for p in range(1, _UNI_MAXW + 1):
+        branches = []
+        for j in range(1, min(_UNI_L, p) + 1):
+            unk = UNK_COST4 if j == 1 else 1000000
+            branches.append(f"""
+    SELECT w.word,
+           c.cost + COALESCE(v.cost4, {unk}) AS cost, {j} AS j
+    FROM words w
+    JOIN c{p - j} c ON c.word = w.word
+    LEFT JOIN vocab v ON v.piece = substr(w.word, {p - j + 1}, {j})
+    WHERE length(w.word) >= {p}""")
+        ctes.append(f"""c{p} AS (
+  SELECT word, cost, j FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY word ORDER BY cost, j) AS rn
+    FROM ({" UNION ALL ".join(branches)})
+  ) WHERE rn = 1
+)""")
+    dpall = " UNION ALL ".join(
+        f"SELECT word, {p} AS pos, cost, j FROM c{p}"
+        for p in range(1, _UNI_MAXW + 1)
+    )
+    ctes.append(f"dpall AS ({dpall})")
+    ctes.append("""walk(word, pos, parts) AS (
+  SELECT word, length(word), []::VARCHAR[] FROM words
+  UNION ALL
+  SELECT w.word, w.pos - d.j,
+         list_prepend(substr(w.word, w.pos - d.j + 1, d.j), w.parts)
+  FROM walk w JOIN dpall d ON d.word = w.word AND d.pos = w.pos
+  WHERE w.pos > 0
+)""")
+    return f"""
+WITH RECURSIVE {", ".join(ctes)}
+SELECT w.word, w.freq,
+       CAST(len(k.parts) AS INT) AS n_pieces,
+       array_to_string(k.parts, ' ') AS segmentation,
+       CAST(d.cost AS BIGINT) AS cost4
+FROM words w
+JOIN (SELECT word, parts FROM walk WHERE pos = 0) k USING (word)
+JOIN (SELECT word, cost FROM dpall WHERE pos = length(word)) d USING (word)
+"""
+
+
+@register(
+    "unigram_encode_tokens",
+    _unigram_encode_oracle(),
+    doc="unigram-LM (SentencePiece-style) Viterbi segmentation of the "
+        "distinct-word table under a fixed integer-cost vocabulary: the "
+        "DP and backtrace run as per-row higher-order folds in codegen "
+        "(distinct words, not tokens — 10^7 DPs for a trillion-token "
+        "corpus), argmin tie-break = lowest cost then shortest final "
+        "piece, exactly mirrored by the oracle's unrolled recurrence + "
+        "recursive backtrace",
+    tags=("text", "tokenizer"),
+)
+def q_unigram_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.unigram import viterbi_segment, word_freqs
+
+    docs = load_testdata(spark, sf_dir, "documents")
+    words = word_freqs(docs)
+    seg = viterbi_segment(words, _UNI_VOCAB, max_piece_len=_UNI_L)
+    return seg.select(
+        "word",
+        "freq",
+        F.size("pieces").alias("n_pieces"),
+        F.concat_ws(" ", "pieces").alias("segmentation"),
+        "cost4",
+    )
+
+
+# ---------------------------------------------------------------------------
+# The unigram TRAINER (hard EM over the word table). Iterative argmin
+# with data-dependent vocabulary pruning — not SQL-expressible, so the
+# driver records a rows-only check (the bpe_merges precedent); the
+# exact-convergence behavior is pytest-checked against a pure-Python
+# reference in tests/test_unigram.py.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "unigram_vocab",
+    None,  # iterative hard-EM trainer: segment -> recount -> prune loop
+    doc="unigram-LM tokenizer training by hard EM: seed with frequent "
+        "substrings, then (Viterbi-segment distinct words -> recount "
+        "pieces by corpus freq -> keep chars + top multi-char pieces -> "
+        "renormalize) for a fixed number of rounds; returns the final "
+        "(piece, count, cost4) vocabulary",
+    tags=("text", "tokenizer", "iterative"),
+)
+def q_unigram_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.unigram import unigram_train
+
+    docs = load_testdata(spark, sf_dir, "documents")
+    return unigram_train(docs, vocab_size=40, iters=3, max_piece_len=6)
+
+
+# ---------------------------------------------------------------------------
 # Cross-document duplicated spans (exact-substring dedup, Lee et al.
 # 2022): positioned k-gram buckets + islands-and-gaps run merging —
 # the suffix-array pass re-expressed as two keyed shuffles. See

@@ -86,6 +86,9 @@ _COLLECT_ALLOWLIST: dict[str, tuple[int, str]] = {
                       "<= num_buckets (one site per TableFormat backend)"),
     "extensions/export.py": (1, "shard manifest: one summary row per "
                                 "shard, <= n_shards"),
+    "extensions/unigram.py": (2, "vocab table <= seed_size/vocab_size "
+                                 "rows per EM round — the model "
+                                 "parameters, k-means-centroid analog"),
     "testing.py": (1, "test harness oracle comparator, not a data path"),
 }
 
