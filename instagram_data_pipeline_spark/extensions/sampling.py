@@ -284,3 +284,69 @@ def weighted_sample(
         .orderBy(F.col("es_key").desc(), F.col(key_col))
         .limit(k)
     )
+
+
+def contrastive_triplets(
+    pairs: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    pool_size: int = 64,
+) -> DataFrame:
+    """Training-pair generation for embedding models: each near-dup pair
+    ``(doc_a, doc_b)`` becomes an (anchor, positive) and the NEGATIVE is
+    drawn deterministically from a small candidate pool — the corpus
+    docs with the ``pool_size`` smallest ``md5(id)`` values (a fixed
+    pseudo-random sample that needs no RNG state and re-derives
+    identically on every run/engine).
+
+    The per-pair negative is the pool candidate minimizing
+    ``md5(anchor || '|' || candidate)`` — decorrelated across anchors —
+    after excluding the anchor itself and EVERY known near-dup partner
+    of the anchor (else a false negative poisons the loss).
+
+    Scale shape: the pool broadcasts (64 rows), fan-out is bounded at
+    pool_size per pair, the partner exclusion is one anti-join against
+    the pair table, and the per-pair argmin compiles to
+    WindowGroupLimit. No full cross join anywhere."""
+    anchors = pairs.select(
+        F.col("doc_a").alias("anchor_id"), F.col("doc_b").alias("positive_id")
+    )
+    pool = (
+        docs.select(F.col(id_col).alias("cand"))
+        .orderBy(F.md5(F.col("cand").cast("string")), "cand")
+        .limit(pool_size)
+    )
+    partners = (
+        pairs.select(F.col("doc_a").alias("pa"), F.col("doc_b").alias("pp"))
+        .unionByName(
+            pairs.select(
+                F.col("doc_b").alias("pa"), F.col("doc_a").alias("pp")
+            )
+        )
+        .distinct()
+    )
+    cand = (
+        anchors.crossJoin(F.broadcast(pool))
+        .filter(F.col("cand") != F.col("anchor_id"))
+        .join(
+            partners,
+            (F.col("anchor_id") == F.col("pa"))
+            & (F.col("cand") == F.col("pp")),
+            "left_anti",
+        )
+    )
+    w = Window.partitionBy("anchor_id", "positive_id").orderBy(
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.col("anchor_id").cast("string"),
+                F.col("cand").cast("string"),
+            )
+        ),
+        "cand",
+    )
+    return (
+        cand.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("anchor_id", "positive_id", F.col("cand").alias("negative_id"))
+    )

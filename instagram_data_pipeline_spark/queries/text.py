@@ -540,6 +540,60 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Contrastive (anchor, positive, negative) triplets for embedding
+# training: near-dup pairs supply the positives; negatives come from a
+# deterministic md5-ranked candidate pool with the anchor's near-dup
+# partners excluded. Fully derandomized, so the whole generation
+# pipeline is hash-checked in SQL.
+# ---------------------------------------------------------------------------
+_TRIPLETS_ORACLE = f"""
+WITH {_JACCARD_CTES}, pool AS (
+  SELECT doc_id AS cand FROM documents
+  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 64
+), partners AS (
+  SELECT doc_a AS pa, doc_b AS pp FROM kept
+  UNION SELECT doc_b, doc_a FROM kept
+), cand AS (
+  SELECT k.doc_a AS anchor_id, k.doc_b AS positive_id, pl.cand
+  FROM kept k CROSS JOIN pool pl
+  WHERE pl.cand <> k.doc_a
+    AND NOT EXISTS (SELECT 1 FROM partners pa
+                    WHERE pa.pa = k.doc_a AND pa.pp = pl.cand)
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY anchor_id, positive_id
+    ORDER BY md5(CAST(anchor_id AS VARCHAR) || '|'
+                 || CAST(cand AS VARCHAR)), cand
+  ) AS rn
+  FROM cand
+)
+SELECT anchor_id, positive_id, cand AS negative_id
+FROM ranked WHERE rn = 1
+"""
+
+
+@register(
+    "contrastive_triplets",
+    _TRIPLETS_ORACLE,
+    doc="embedding-training data prep: near-dup Jaccard pairs become "
+        "(anchor, positive); each pair's negative is the md5-argmin of "
+        "a 64-doc deterministic pool, excluding the anchor and all its "
+        "near-dup partners (no false negatives). Pool broadcasts, "
+        "fan-out bounded at pool_size per pair, argmin compiles to "
+        "WindowGroupLimit — no full cross join",
+    tags=("text", "sampling", "training"),
+)
+def q_contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.dedup import ngram_jaccard_pairs
+    from ..extensions.sampling import contrastive_triplets
+
+    docs = load_testdata(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, id_col="doc_id", text_col="text",
+                                n=3, threshold=0.1, max_df=100)
+    return contrastive_triplets(pairs, docs, pool_size=64)
+
+
+# ---------------------------------------------------------------------------
 _TFIDF_ORACLE = f"""
 WITH tok AS (
   SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS term FROM documents

@@ -219,3 +219,27 @@ def test_weighted_sample_reproducible_and_weight_sensitive(spark):
     )
     got = [r.k for r in weighted_sample(df2, "k", "w", 10).collect()]
     assert got == [3]
+
+
+def test_contrastive_triplets_exclusions_and_determinism(spark):
+    from instagram_data_pipeline_spark.extensions.sampling import (
+        contrastive_triplets,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(1, 21)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (5, 6)], "doc_a long, doc_b long"
+    )
+    out = contrastive_triplets(pairs, docs, pool_size=8).collect()
+    assert len(out) == 3  # one negative per near-dup pair
+    partners = {1: {2, 3}, 2: {1}, 3: {1}, 5: {6}, 6: {5}}
+    for r in out:
+        assert r.negative_id != r.anchor_id
+        assert r.negative_id not in partners.get(r.anchor_id, set())
+    again = contrastive_triplets(pairs, docs, pool_size=8).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+    # anchors with different ids draw decorrelated negatives: at least
+    # two distinct negatives across the three pairs with pool_size=8
+    assert len({r.negative_id for r in out}) >= 2
