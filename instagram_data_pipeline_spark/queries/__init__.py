@@ -120,9 +120,12 @@ REGISTRY_ORDER: tuple[str, ...] = (
     # mutual_edges sits first past the window: r01+r02 hash rows AND the
     # driver's entry() smoke-check re-runs it every single round.
     "mutual_edges",
-    # contrastive_triplets landed after the round-4 window filled; it is
-    # CI-oracle-checked every run — first in the round-5 promote queue.
+    # contrastive_triplets and the PCA family landed after the round-4
+    # window filled; CI-oracle-checked every run — head of the round-5
+    # promote queue.
     "contrastive_triplets",
+    "pca_project_fixed",
+    "pca_components",
     # pricing_summary sits first past the window this round: r01+r02
     # driver rows, bench-headline coverage every round, pytest oracle.
     # ledger_dequeue_transition / ledger_point_update /

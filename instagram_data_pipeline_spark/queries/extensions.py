@@ -857,6 +857,74 @@ def q_incremental_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# PCA family: the projection path is hash-checked under a FIXED literal
+# basis (the splitmix-derandomized hyperplanes — ±1 entries, so dots are
+# exact integer-weighted sums); the trainer itself (distributed Gram +
+# driver eigh) registers rows-only and is property-tested in
+# tests/test_pca.py (orthonormality, variance ordering, reconstruction).
+# ---------------------------------------------------------------------------
+def _pca_project_oracle() -> str:
+    planes = S.hyperplanes(64, 4, seed=7)
+    lits = [
+        "[" + ", ".join(f"{x:.1f}" for x in p) + "]" for p in planes
+    ]
+    coords = ", ".join(
+        f"ROUND(list_dot_product(embedding::DOUBLE[], {lit}), 6)"
+        for lit in lits
+    )
+    return f"""
+SELECT vec_id, [{coords}] AS projected
+FROM embeddings
+"""
+
+
+@register(
+    "pca_project_fixed",
+    _pca_project_oracle(),
+    doc="embedding projection under a fixed literal basis (the "
+        "derandomized ±1 hyperplanes): per-component codegen folds, no "
+        "Python, no shuffle — the serving half of the PCA family, "
+        "hash-checked; training supplies real components at run time",
+    tags=("similarity", "pca"),
+)
+def q_pca_project_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.pca import project_expr
+
+    emb = load_testdata(spark, sf_dir, "embeddings")
+    planes = S.hyperplanes(64, 4, seed=7)
+    proj = project_expr(
+        S.as_double_vec(F.col("embedding")), planes, mean=None
+    )
+    return emb.select(
+        "vec_id",
+        F.transform(proj, lambda x: F.round(x, 6)).alias("projected"),
+    )
+
+
+@register(
+    "pca_components",
+    None,  # driver-side eigendecomposition of the distributed Gram
+    doc="PCA training over the embedding table: per-Arrow-batch partial "
+        "Gram matrices (one BLAS matmul each, the treeAggregate shape), "
+        "decimal-exact reduce, driver eigh, sign-canonicalized "
+        "components — returns (component, eigval, leading coordinate)",
+    tags=("similarity", "pca", "iterative"),
+)
+def q_pca_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.pca import pca_train
+
+    emb = load_testdata(spark, sf_dir, "embeddings")
+    model = pca_train(emb, k=8)
+    rows = [
+        (i, round(model["eigvals"][i], 6), round(model["components"][i][0], 6))
+        for i in range(len(model["components"]))
+    ]
+    return spark.createDataFrame(
+        rows, "component int, eigval double, c0 double"
+    )
+
+
+# ---------------------------------------------------------------------------
 def _stream_neardup_oracle() -> str:
     """The sink's sequential semantics unrolled over the three batches:
     kept_b = batch_b minus (near-match to a LOWER-id same-batch doc)

@@ -89,6 +89,9 @@ _COLLECT_ALLOWLIST: dict[str, tuple[int, str]] = {
     "extensions/unigram.py": (2, "vocab table <= seed_size/vocab_size "
                                  "rows per EM round — the model "
                                  "parameters, k-means-centroid analog"),
+    "extensions/pca.py": (4, "PCA model reads: 1-row dim probe, d^2 "
+                             "Gram cells, d vector sums, scalar n — "
+                             "O(d^2) model parameters, never vectors"),
     "testing.py": (1, "test harness oracle comparator, not a data path"),
 }
 
