@@ -350,3 +350,96 @@ def contrastive_triplets(
         .filter(F.col("_rn") == 1)
         .select("anchor_id", "positive_id", F.col("cand").alias("negative_id"))
     )
+
+
+def bin_pack_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    token_col: str = "n_tokens",
+    max_len: int = 128,
+    num_shards: int = 4,
+) -> DataFrame:
+    """Padding-aware batch construction: pack documents WHOLE into bins
+    of capacity ``max_len`` by First-Fit-Decreasing — the counterpart of
+    :func:`pack_token_stream` (which concatenates and splits at exactly
+    max_len, crossing document boundaries). Packing whole docs wastes
+    some capacity as padding but never truncates mid-document — the
+    trade instruction-tuning corpora usually take; FFD is the classic
+    11/9-OPT approximation.
+
+    Distributed shape: docs hash to ``num_shards`` shards on the
+    engine-portable md5 key (size shards so one shard's doc LIST fits a
+    task — the standard local-pack/global-shard split), then each shard
+    packs in ONE per-row fold over its (tokens DESC, id ASC)-sorted doc
+    array: lowest-index bin whose remaining capacity fits, else a new
+    bin. Zero Python; one shuffle (the shard collect_list).
+
+    A doc longer than ``max_len`` opens its own (overfull) bin — its
+    capacity goes negative so nothing joins it; truncation is the
+    caller's policy. Returns ``(id, shard, bin_id)`` with 1-based
+    ``bin_id`` per shard."""
+    shard = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+        ).cast("long"),
+        num_shards,
+    ).cast("int")
+    docs = df.select(
+        F.col(id_col), F.col(token_col).cast("int").alias("_nt"),
+        shard.alias("shard"),
+    )
+    per_shard = docs.groupBy("shard").agg(
+        F.array_sort(
+            F.collect_list(F.struct((-F.col("_nt")).alias("negt"),
+                                    F.col(id_col).alias("id")))
+        ).alias("_docs")
+    )
+
+    def step(acc, d):
+        ln = -d["negt"]
+        caps = acc["caps"]
+        fit = F.array_min(
+            F.filter(
+                F.zip_with(
+                    F.sequence(F.lit(1), F.size(caps)),
+                    caps,
+                    lambda i, c: F.when(c >= ln, i),
+                ),
+                lambda x: x.isNotNull(),
+            )
+        )
+        new_caps = F.when(
+            fit.isNull(), F.concat(caps, F.array(F.lit(max_len) - ln))
+        ).otherwise(
+            F.transform(
+                caps,
+                lambda c, i: F.when(i + 1 == fit, c - ln).otherwise(c),
+            )
+        )
+        bin_id = F.coalesce(fit, F.size(caps) + 1)
+        return F.struct(
+            new_caps.alias("caps"),
+            F.concat(
+                acc["asg"],
+                F.array(F.struct(d["id"].alias("id"), bin_id.alias("bin"))),
+            ).alias("asg"),
+        )
+
+    packed = per_shard.select(
+        "shard",
+        F.aggregate(
+            F.col("_docs"),
+            F.struct(
+                F.array().cast("array<int>").alias("caps"),
+                F.array().cast(
+                    "array<struct<id:long,bin:int>>"
+                ).alias("asg"),
+            ),
+            step,
+        )["asg"].alias("_asg"),
+    )
+    return packed.select(
+        "shard", F.explode("_asg").alias("a")
+    ).select(
+        F.col("a.id").alias(id_col), "shard", F.col("a.bin").alias("bin_id")
+    )

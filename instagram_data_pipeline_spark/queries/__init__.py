@@ -126,6 +126,7 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "contrastive_triplets",
     "pca_project_fixed",
     "pca_components",
+    "bin_packing",
     # pricing_summary sits first past the window this round: r01+r02
     # driver rows, bench-headline coverage every round, pytest oracle.
     # ledger_dequeue_transition / ledger_point_update /

@@ -594,6 +594,73 @@ def q_contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# First-Fit-Decreasing whole-document bin packing (the padding-aware
+# twin of token_packing's concat-and-chunk). The per-shard FFD fold is
+# sequential by nature; the oracle replays it as a recursive walk over
+# the (tokens DESC, id)-ranked docs carrying the bin-capacity list.
+# ---------------------------------------------------------------------------
+_BINPACK_ORACLE = f"""
+WITH RECURSIVE docs AS (
+  SELECT doc_id,
+         CAST(len(string_split({_NORM}, ' ')) AS INT) AS nt,
+         CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                   AS BIGINT) % 4 AS INT) AS shard
+  FROM documents
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY shard
+                               ORDER BY nt DESC, doc_id) AS r
+  FROM docs
+), walk(shard, r, caps, ids, bins) AS (
+  SELECT shard, 0, []::INT[], []::BIGINT[], []::INT[]
+  FROM (SELECT DISTINCT shard FROM docs)
+  UNION ALL
+  SELECT w.shard, w.r + 1,
+         CASE WHEN f.fit IS NULL THEN list_append(w.caps, 128 - d.nt)
+              ELSE list_transform(w.caps,
+                     (c, i) -> CASE WHEN i = f.fit THEN c - d.nt
+                                    ELSE c END)
+         END,
+         list_append(w.ids, d.doc_id),
+         list_append(w.bins, COALESCE(f.fit, len(w.caps) + 1))
+  FROM walk w
+  JOIN ranked d ON d.shard = w.shard AND d.r = w.r + 1
+  CROSS JOIN LATERAL (
+    -- list_position returns 0 (not NULL) when nothing fits
+    SELECT NULLIF(
+      list_position(list_transform(w.caps, c -> c >= d.nt), true), 0
+    ) AS fit
+  ) f
+)
+SELECT w.shard, unnest(w.ids) AS doc_id, unnest(w.bins) AS bin_id
+FROM walk w
+WHERE w.r = (SELECT COUNT(*) FROM docs d WHERE d.shard = w.shard)
+"""
+
+
+@register(
+    "bin_packing",
+    _BINPACK_ORACLE,
+    doc="whole-document First-Fit-Decreasing packing into 128-token "
+        "bins, 4 md5 shards: docs shard portably, each shard packs in "
+        "one per-row codegen fold over its sorted doc array (lowest-"
+        "index fitting bin, else a new bin; overlong docs open their "
+        "own bin) — padding-aware batch construction that never splits "
+        "a document, vs token_packing's concat-and-chunk",
+    tags=("text", "sampling", "training"),
+)
+def q_bin_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.sampling import bin_pack_documents
+
+    docs = load_testdata(spark, sf_dir, "documents")
+    with_counts = docs.select(
+        "doc_id", X.token_count(F.col("text")).alias("n_tokens")
+    )
+    return bin_pack_documents(
+        with_counts, max_len=128, num_shards=4
+    ).select("doc_id", "shard", "bin_id")
+
+
+# ---------------------------------------------------------------------------
 _TFIDF_ORACLE = f"""
 WITH tok AS (
   SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS term FROM documents

@@ -243,3 +243,52 @@ def test_contrastive_triplets_exclusions_and_determinism(spark):
     # anchors with different ids draw decorrelated negatives: at least
     # two distinct negatives across the three pairs with pool_size=8
     assert len({r.negative_id for r in out}) >= 2
+
+
+def test_bin_pack_documents_ffd_invariants(spark):
+    from instagram_data_pipeline_spark.extensions.sampling import (
+        bin_pack_documents,
+    )
+
+    rows = [(i, n) for i, n in enumerate(
+        [100, 60, 50, 40, 40, 30, 20, 10, 5, 200]
+    )]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens int")
+    out = bin_pack_documents(
+        df, max_len=128, num_shards=1
+    ).collect()
+    assert len(out) == len(rows)  # every doc placed exactly once
+    sizes = dict(rows)
+    fill = {}
+    for r in out:
+        fill.setdefault(r.bin_id, []).append(sizes[r.doc_id])
+    # no bin over capacity except the overlong doc's own bin
+    for b, docs in fill.items():
+        if docs == [200]:
+            continue
+        assert sum(docs) <= 128, (b, docs)
+    # the 200-token doc sits alone
+    assert [docs for docs in fill.values() if 200 in docs] == [[200]]
+    # FFD beats naive one-doc-per-bin: should need few bins
+    assert len(fill) <= 5
+    # deterministic
+    again = bin_pack_documents(df, max_len=128, num_shards=1).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_bin_pack_sharding_is_hash_stable(spark):
+    from instagram_data_pipeline_spark.extensions.sampling import (
+        bin_pack_documents,
+    )
+
+    df = spark.createDataFrame(
+        [(i, 10) for i in range(40)], "doc_id long, n_tokens int"
+    )
+    out = {r.doc_id: r.shard for r in bin_pack_documents(
+        df, max_len=64, num_shards=4).collect()}
+    # append-stable: re-packing a subset keeps every doc's shard
+    sub = df.filter(F.col("doc_id") < 20)
+    out2 = {r.doc_id: r.shard for r in bin_pack_documents(
+        sub, max_len=64, num_shards=4).collect()}
+    assert all(out[d] == s for d, s in out2.items())
+    assert len(set(out.values())) > 1  # actually spreads over shards
