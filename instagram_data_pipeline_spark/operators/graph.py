@@ -14,7 +14,7 @@ effect); pathological chains are bounded by ``max_iters``.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -300,3 +300,54 @@ def kcore(
     return e.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).alias("deg")
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    rounds: int = 3,
+) -> DataFrame:
+    """Synchronous label propagation (community detection): every node
+    starts as its own label; each round, a node adopts the most frequent
+    label among its neighbors' PREVIOUS-round labels, ties broken by the
+    smallest label — fully deterministic (classic async LPA is run-order
+    dependent; the synchronous fixed-round form is reproducible and, for
+    a FIXED round count, exactly unrollable in SQL, which is how the
+    oracle checks it).
+
+    Per round: one join (neighbor labels), one (node, label) count
+    aggregation with map-side combine, one per-node argmax
+    (WindowGroupLimit) — three exchanges on node-sized frames, with
+    localCheckpoint truncating lineage like the other iterative graph
+    ops here. Returns (node, label) after ``rounds`` rounds.
+    """
+    sym = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .unionByName(
+            edges.select(F.col(dst).alias("s"), F.col(src).alias("d"))
+        )
+        .filter(F.col("s") != F.col("d"))
+        .dropDuplicates(["s", "d"])
+        .localCheckpoint()
+    )
+    labels = sym.select(F.col("s").alias("node")).dropDuplicates().select(
+        "node", F.col("node").alias("label")
+    )
+    for _ in range(rounds):
+        neigh = sym.join(
+            labels.withColumnRenamed("node", "d"), "d"
+        ).select(F.col("s").alias("node"), "label")
+        counts = neigh.groupBy("node", "label").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        w = Window.partitionBy("node").orderBy(
+            F.col("n").desc(), F.col("label").asc()
+        )
+        labels = (
+            counts.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("node", "label")
+            .localCheckpoint()
+        )
+    return labels

@@ -127,6 +127,7 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "pca_project_fixed",
     "pca_components",
     "bin_packing",
+    "label_propagation",
     # pricing_summary sits first past the window this round: r01+r02
     # driver rows, bench-headline coverage every round, pytest oracle.
     # ledger_dequeue_transition / ledger_point_update /

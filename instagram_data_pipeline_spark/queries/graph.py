@@ -195,3 +195,52 @@ def q_kcore_members(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import kcore
 
     return kcore(_copurchase_edges(spark, sf_dir), k=20, rounds=8)
+
+
+# ---------------------------------------------------------------------------
+# Label propagation (community detection), synchronous, 3 fixed rounds:
+# a node adopts the most frequent previous-round label among its
+# neighbors (ties -> smallest label). The fixed round count makes the
+# loop exactly unrollable into SQL — one CTE per round with the
+# identical count-desc/label-asc argmax.
+# ---------------------------------------------------------------------------
+def _lpa_oracle(rounds: int = 3) -> str:
+    ctes = [
+        """sym AS (
+  SELECT DISTINCT s, d FROM (
+    SELECT src AS s, dst AS d FROM ce
+    UNION ALL SELECT dst, src FROM ce
+  ) WHERE s <> d
+)""",
+        "l0 AS (SELECT DISTINCT s AS node, s AS label FROM sym)",
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(f"""l{r} AS (
+  SELECT node, label FROM (
+    SELECT e.s AS node, p.label, COUNT(*) AS n,
+           ROW_NUMBER() OVER (PARTITION BY e.s
+                              ORDER BY COUNT(*) DESC, p.label ASC) AS rn
+    FROM sym e JOIN l{r - 1} p ON p.node = e.d
+    GROUP BY e.s, p.label
+  ) WHERE rn = 1
+)""")
+    return f"""
+WITH {_EDGE_CTES}, {", ".join(ctes)}
+SELECT node, label FROM l{rounds}
+"""
+
+
+@register(
+    "label_propagation",
+    _lpa_oracle(3),
+    doc="synchronous label-propagation communities on the co-purchase "
+        "graph, 3 rounds: most-frequent neighbor label, smallest label "
+        "on ties — deterministic (unlike async LPA) and exactly "
+        "unrolled in the oracle; per round one neighbor join + one "
+        "map-side-combined count + one WindowGroupLimit argmax",
+    tags=("graph", "iterative"),
+)
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import label_propagation
+
+    return label_propagation(_copurchase_edges(spark, sf_dir), rounds=3)

@@ -172,3 +172,45 @@ def test_kcore_whole_graph_when_already_core(spark):
     ring = [(i, (i + 1) % 5) for i in range(5)]
     got = _core(spark, ring, k=2)
     assert set(got) == set(range(5)) and all(d == 2 for d in got.values())
+
+
+def test_label_propagation_two_cliques_with_bridge(spark):
+    """Two 4-cliques joined by one bridge edge: each clique converges to
+    its minimum id; the bridge does not merge them."""
+    from instagram_data_pipeline_spark.operators.graph import (
+        label_propagation,
+    )
+
+    def clique(ids):
+        return [(a, b) for a in ids for b in ids if a < b]
+
+    edges = spark.createDataFrame(
+        clique([1, 2, 3, 4]) + clique([10, 11, 12, 13]) + [(4, 10)],
+        "src long, dst long",
+    )
+    got = {
+        r.node: r.label for r in label_propagation(edges, rounds=4).collect()
+    }
+    assert all(got[n] == 1 for n in (1, 2, 3))
+    assert all(got[n] == 10 for n in (11, 12, 13))
+    # the two communities stay distinct
+    assert {got[4], got[10]} <= {1, 10}
+    assert len(set(got.values())) == 2
+
+
+def test_label_propagation_deterministic_under_partitioning(spark):
+    from instagram_data_pipeline_spark.operators.graph import (
+        label_propagation,
+    )
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 30)], "src long, dst long"
+    )
+    a = sorted(map(tuple, label_propagation(edges, rounds=3).collect()))
+    b = sorted(
+        map(
+            tuple,
+            label_propagation(edges.repartition(13), rounds=3).collect(),
+        )
+    )
+    assert a == b
