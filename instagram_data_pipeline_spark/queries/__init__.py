@@ -128,6 +128,8 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "pca_components",
     "bin_packing",
     "label_propagation",
+    "classifier_score_fixed",
+    "classifier_weights",
     # pricing_summary sits first past the window this round: r01+r02
     # driver rows, bench-headline coverage every round, pytest oracle.
     # ledger_dequeue_transition / ledger_point_update /

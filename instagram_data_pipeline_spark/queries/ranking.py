@@ -9,7 +9,9 @@ bit-identical; per-doc accumulation is DECIMAL-exact on both sides.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+from ..functions import text as X
 from ..io import load_testdata
 from . import register
 from .text import _NORM
@@ -219,6 +221,105 @@ SELECT doc_id, hv % 64 AS bucket,
 FROM h GROUP BY doc_id, hv % 64
 HAVING SUM(CASE WHEN sv & 1 = 0 THEN 1 ELSE -1 END) <> 0
 """
+
+
+# ---------------------------------------------------------------------------
+# Quality-classifier family: the SCORER is hash-checked under a fixed
+# ±1 literal weight vector (integer-exact logits — no cross-engine
+# float-sum hazard at all); the TRAINER (distributed gradients, driver
+# updates) registers rows-only with convergence/determinism pytest.
+# ---------------------------------------------------------------------------
+def _classifier_score_oracle() -> str:
+    from ..extensions.similarity import hyperplanes
+
+    w = hyperplanes(64, 1, seed=11)[0]
+    wlit = "[" + ", ".join(f"{x:.1f}" for x in w) + "]"
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS term FROM documents
+), tks AS (
+  SELECT doc_id, term FROM tok WHERE term <> ''
+), h AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(term), 1, 8)) AS BIGINT) AS hv,
+         CAST(concat('0x', substr(md5(term), 9, 8)) AS BIGINT) AS sv
+  FROM tks
+), sparse AS (
+  SELECT doc_id, hv % 64 AS bucket,
+         SUM(CASE WHEN sv & 1 = 0 THEN 1 ELSE -1 END) AS v
+  FROM h GROUP BY doc_id, hv % 64
+), dense AS (
+  SELECT d.doc_id, list(CAST(COALESCE(s.v, 0) AS DOUBLE) ORDER BY g.b) AS x
+  FROM (SELECT DISTINCT doc_id FROM documents) d
+  CROSS JOIN range(0, 64) g(b)
+  LEFT JOIN sparse s ON s.doc_id = d.doc_id AND s.bucket = g.b
+  GROUP BY d.doc_id
+)
+SELECT doc_id,
+       ROUND(list_dot_product(x, {wlit}) - 2.0, 6) AS logit,
+       list_dot_product(x, {wlit}) - 2.0 >= 0 AS keep
+FROM dense
+"""
+
+
+@register(
+    "classifier_score_fixed",
+    _classifier_score_oracle(),
+    doc="linear quality-classifier scoring of the corpus under a fixed "
+        "±1 literal weight vector over hashed-TF features: integer-"
+        "exact logits, keep = logit >= 0 (sigmoid is monotone, so "
+        "decisions avoid cross-engine exp rounding); pure codegen fold, "
+        "no Python — the serving half of the classifier family",
+    tags=("text", "ranking", "classifier"),
+)
+def q_classifier_score_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.classifier import logit_score
+    from ..extensions.ranking import hashed_tf_vectors
+    from ..extensions.similarity import hyperplanes
+
+    docs = load_testdata(spark, sf_dir, "documents")
+    # every doc scores, even one whose signed TFs all cancelled (the
+    # oracle's dense CTE spans all documents)
+    feats = docs.select("doc_id").join(
+        hashed_tf_vectors(docs, dim=64), "doc_id", "left"
+    ).select(
+        "doc_id",
+        F.coalesce(
+            F.col("embedding"), F.array_repeat(F.lit(0.0), 64)
+        ).alias("embedding"),
+    )
+    model = {"weights": hyperplanes(64, 1, seed=11)[0], "bias": -2.0}
+    return logit_score(feats, model, feat_col="embedding")
+
+
+@register(
+    "classifier_weights",
+    None,  # iterative gradient descent with driver-side weight updates
+    doc="quality-classifier training: full-batch logistic regression on "
+        "hashed-TF features (one BLAS partial gradient per Arrow batch, "
+        "decimal-exact reduce, deterministic under partitioning) against "
+        "the cheap quality_score >= 0.5 label — the FineWeb-Edu distill "
+        "shape; returns (bucket, weight)",
+    tags=("text", "ranking", "classifier", "iterative"),
+)
+def q_classifier_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.classifier import logit_train
+    from ..extensions.ranking import hashed_tf_vectors
+    from ..functions import text as X
+
+    docs = load_testdata(spark, sf_dir, "documents")
+    labeled = hashed_tf_vectors(docs, dim=64).join(
+        docs.select(
+            "doc_id",
+            (X.quality_score(F.col("text")) >= 0.5).cast("int").alias("y"),
+        ),
+        "doc_id",
+    )
+    model = logit_train(labeled, "embedding", "y", iters=15, lr=0.5)
+    rows = [
+        (i, round(w, 6)) for i, w in enumerate(model["weights"])
+    ] + [(-1, round(model["bias"], 6))]
+    return spark.createDataFrame(rows, "bucket int, weight double")
 
 
 @register(

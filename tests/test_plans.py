@@ -92,6 +92,10 @@ _COLLECT_ALLOWLIST: dict[str, tuple[int, str]] = {
     "extensions/pca.py": (4, "PCA model reads: 1-row dim probe, d^2 "
                              "Gram cells, d vector sums, scalar n — "
                              "O(d^2) model parameters, never vectors"),
+    "extensions/classifier.py": (3, "logit model reads: 1-row dim "
+                                    "probe + d gradient cells + 3 "
+                                    "scalars per GD round — O(d) model "
+                                    "parameters"),
     "testing.py": (1, "test harness oracle comparator, not a data path"),
 }
 

@@ -59,6 +59,10 @@ POST_WINDOW_ROWS_ONLY_OK = {
     # recovery, orthonormality, and partition-invariant determinism;
     # the projection half is hash-checked via pca_project_fixed
     "pca_components",
+    # tests/test_classifier.py pins planted-separable convergence,
+    # loss decrease, and partition-invariant determinism; the scoring
+    # half is hash-checked via classifier_score_fixed
+    "classifier_weights",
 }
 
 
