@@ -130,6 +130,7 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "label_propagation",
     "classifier_score_fixed",
     "classifier_weights",
+    "warc_roundtrip",
     # pricing_summary sits first past the window this round: r01+r02
     # driver rows, bench-headline coverage every round, pytest oracle.
     # ledger_dequeue_transition / ledger_point_update /

@@ -278,3 +278,54 @@ def q_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, id_col="doc_id", n_shards=_N_SHARDS, seed=0
     )
     return shard_manifest(sharded, id_col="doc_id", token_col="n_chars")
+
+
+# ---------------------------------------------------------------------------
+# WARC archive round trip (sources/warc.py): documents serialize into
+# spec-shaped WARC/1.0 response records (CRLF framing, Content-Length
+# payloads), the archives parse back through the binaryFile +
+# mapInPandas reader, and every record's (url, byte length, payload
+# md5) must hash-match what SQL derives straight from the table — the
+# whole framing/parsing path proves itself byte-exact.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "warc_roundtrip",
+    """
+SELECT 'https://example.com/doc/' || CAST(doc_id AS VARCHAR) AS url,
+       CAST(strlen(text) AS BIGINT) AS n_bytes,
+       md5(text) AS payload_md5,
+       CAST(0 AS BIGINT) AS n_errors
+FROM documents
+""",
+    doc="web-archive ingestion: write documents as WARC/1.0 response "
+        "records (one archive per hash partition, byte-stable layout), "
+        "re-parse via binaryFile + Arrow-batched framing, and recover "
+        "every payload byte-exactly with zero quarantined records — "
+        "the Common-Crawl source path, self-proving",
+    tags=("source", "warc", "multimodal"),
+)
+def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..sources.warc import read_warc, write_warc
+
+    docs = load_testdata(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="warc_rt_")
+    payloads = docs.select(
+        F.concat(F.lit("https://example.com/doc/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        F.lit("2024-01-01T00:00:00Z").alias("warc_date"),
+        F.col("text").cast("binary").alias("payload"),
+    )
+    write_warc(payloads, out, files=4)
+    parsed = read_warc(spark, out).localCheckpoint()
+    shutil.rmtree(out, ignore_errors=True)
+    errs = F.sum((F.col("error").isNotNull()).cast("long"))
+    return parsed.groupBy("url").agg(
+        F.max(F.length("payload")).cast("long").alias("n_bytes"),
+        F.max(F.md5("payload")).alias("payload_md5"),
+        errs.alias("n_errors"),
+    )

@@ -96,6 +96,8 @@ _COLLECT_ALLOWLIST: dict[str, tuple[int, str]] = {
                                     "probe + d gradient cells + 3 "
                                     "scalars per GD round — O(d) model "
                                     "parameters"),
+    "sources/warc.py": (1, "write manifest: one summary row per "
+                           "archive file, <= files"),
     "testing.py": (1, "test harness oracle comparator, not a data path"),
 }
 
