@@ -227,3 +227,40 @@ def c4_line_filter(lines: Column, min_words: int = 3) -> Column:
     keeps the whole pass inside whole-stage codegen; at 100 TB this is
     a map-only stage fused with the scan, no shuffle, no Python."""
     return F.filter(lines, lambda ln: c4_keep_line(ln, min_words))
+
+
+def html_to_text(col: Column) -> Column:
+    """Boilerplate-free text from raw HTML — the step between a WARC
+    payload and :func:`c4_line_filter` (reference scope note: the
+    reference reads DOM nodes live via Selenium selectors,
+    instagram_pipeline/scraper/instagram_scraper.py; an archive
+    pipeline strips markup in bulk instead).
+
+    Pure codegen regex chain (RE2-portable subset — no lookaround, no
+    backrefs — so the SQL oracle mirrors it verbatim):
+
+    1. drop <script>/<style> subtrees and <!-- comments --> (their text
+       is code, not content);
+    2. turn block-closing tags (</p>, </div>, </li>, </h1..6>, <br>)
+       into newlines so line structure survives for the C4 line filter;
+    3. strip every remaining tag;
+    4. decode the five XML entities + &nbsp;;
+    5. collapse intra-line whitespace, trim each line, drop empty lines.
+    """
+    x = F.regexp_replace(col, r"(?is)<script[^>]*>.*?</script>", " ")
+    x = F.regexp_replace(x, r"(?is)<style[^>]*>.*?</style>", " ")
+    x = F.regexp_replace(x, r"(?s)<!--.*?-->", " ")
+    x = F.regexp_replace(
+        x, r"(?i)</(p|div|li|h1|h2|h3|h4|h5|h6|tr|table|ul|ol)>|<br[^>]*>",
+        "\n",
+    )
+    x = F.regexp_replace(x, r"(?s)<[^>]+>", " ")
+    for ent, ch in (
+        ("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
+        ("&quot;", "\""), ("&#39;", "'"), ("&amp;", "&"),
+    ):
+        x = F.replace(x, F.lit(ent), F.lit(ch))
+    x = F.regexp_replace(x, r"[ \t\r]+", " ")       # collapse within lines
+    x = F.regexp_replace(x, r" ?\n ?", "\n")         # trim around breaks
+    x = F.regexp_replace(x, r"\n+", "\n")            # drop empty lines
+    return F.regexp_replace(x, r"^[ \n]+|[ \n]+$", "")  # outer trim

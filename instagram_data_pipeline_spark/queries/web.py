@@ -329,3 +329,84 @@ def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.md5("payload")).alias("payload_md5"),
         errs.alias("n_errors"),
     )
+
+
+# ---------------------------------------------------------------------------
+# HTML -> text extraction (functions.text.html_to_text): each document
+# is wrapped in a deterministic page shell (title/style/script/list
+# boilerplate + entities), stripped back to content text, and every
+# byte of the result hash-checks against the SQL mirror of the same
+# RE2-portable regex chain.
+# ---------------------------------------------------------------------------
+_HTML_PAGE_SQL = (
+    "'<html><head><title>T</title><style>p{color:red}</style></head>"
+    "<body><h1>Doc ' || CAST(doc_id AS VARCHAR) || '</h1><p>' || text || "
+    "'</p><ul><li>alpha &amp; beta</li><li>x &lt; y</li></ul>"
+    "<script>var a=1;</script></body></html>'"
+)
+
+_HTML_EXTRACT_SQL = _HTML_PAGE_SQL
+for _pat, _rep in (
+    (r"(?is)<script[^>]*>.*?</script>", " "),
+    (r"(?is)<style[^>]*>.*?</style>", " "),
+    (r"(?s)<!--.*?-->", " "),
+    (r"(?i)</(p|div|li|h1|h2|h3|h4|h5|h6|tr|table|ul|ol)>|<br[^>]*>",
+     "\\n"),
+    (r"(?s)<[^>]+>", " "),
+):
+    _esc = _pat.replace("'", "''")
+    _replit = "chr(10)" if _rep == "\\n" else f"'{_rep}'"
+    _HTML_EXTRACT_SQL = (
+        f"regexp_replace({_HTML_EXTRACT_SQL}, '{_esc}', {_replit}, 'g')"
+    )
+for _ent, _ch in (
+    ("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
+    ("&quot;", '"'), ("&#39;", "''"), ("&amp;", "&"),
+):
+    _HTML_EXTRACT_SQL = f"replace({_HTML_EXTRACT_SQL}, '{_ent}', '{_ch}')"
+for _pat, _rep in (
+    (r"[ \t\r]+", " "),
+    (r" ?\n ?", "\\n"),
+    (r"\n+", "\\n"),
+    (r"^[ \n]+|[ \n]+$", ""),
+):
+    _replit2 = "chr(10)" if _rep == "\\n" else f"'{_rep}'"
+    _HTML_EXTRACT_SQL = (
+        f"regexp_replace({_HTML_EXTRACT_SQL}, '{_pat}', {_replit2}, 'g')"
+    )
+
+
+@register(
+    "html_extract",
+    f"""
+SELECT doc_id, {_HTML_EXTRACT_SQL} AS clean_text,
+       CAST(len(string_split({_HTML_EXTRACT_SQL}, chr(10))) AS INT)
+         AS n_lines
+FROM documents
+""",
+    doc="HTML boilerplate stripping: script/style/comment subtrees "
+        "dropped, block-closing tags become newlines (line structure "
+        "survives for the C4 filter), tags stripped, entities decoded, "
+        "whitespace normalized — the WARC-payload -> clean-text step, "
+        "pure codegen regex chain hash-checked byte-for-byte",
+    tags=("text", "web", "source"),
+)
+def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import html_to_text
+
+    docs = load_testdata(spark, sf_dir, "documents")
+    page = F.concat(
+        F.lit("<html><head><title>T</title><style>p{color:red}</style>"
+              "</head><body><h1>Doc "),
+        F.col("doc_id").cast("string"),
+        F.lit("</h1><p>"),
+        F.col("text"),
+        F.lit("</p><ul><li>alpha &amp; beta</li><li>x &lt; y</li></ul>"
+              "<script>var a=1;</script></body></html>"),
+    )
+    clean = html_to_text(page)
+    return docs.select(
+        "doc_id",
+        clean.alias("clean_text"),
+        F.size(F.split(clean, "\n")).alias("n_lines"),
+    )

@@ -130,3 +130,40 @@ def test_c4_line_filter_rules(spark):
     assert df2.select(
         c4_line_filter(F.col("ls")).alias("k")
     ).first().k == ["fine long sentence."]
+
+
+class TestHtmlToText:
+    @staticmethod
+    def _clean(spark, html):
+        from instagram_data_pipeline_spark.functions.text import html_to_text
+
+        df = spark.createDataFrame([(html,)], "h string")
+        return df.select(html_to_text(F.col("h")).alias("t")).collect()[0].t
+
+    def test_script_style_comments_dropped(self, spark):
+        got = self._clean(
+            spark,
+            "<p>keep</p><script>var x = '<p>fake</p>';</script>"
+            "<style>p { display: none }</style><!-- secret -->done",
+        )
+        assert "fake" not in got and "secret" not in got
+        assert "display" not in got
+        assert got == "keep\ndone"
+
+    def test_block_tags_become_lines_inline_tags_do_not(self, spark):
+        got = self._clean(
+            spark,
+            "<div>first</div><p>a <b>bold</b> word</p><span>tail</span>",
+        )
+        assert got == "first\na bold word\ntail"
+
+    def test_entities_decode_once_in_order(self, spark):
+        # &amp;lt; must decode to the literal text "&lt;", NOT to "<"
+        got = self._clean(spark, "<p>&amp;lt; and &lt; and &amp;</p>")
+        assert got == "&lt; and < and &"
+
+    def test_whitespace_collapses_and_empty_lines_drop(self, spark):
+        got = self._clean(
+            spark, "<p>a   b</p>\n\n<p>   </p><p>c</p>"
+        )
+        assert got == "a b\nc"
