@@ -132,6 +132,7 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "classifier_weights",
     "warc_roundtrip",
     "html_extract",
+    "web_pipeline",
     # pricing_summary sits first past the window this round: r01+r02
     # driver rows, bench-headline coverage every round, pytest oracle.
     # ledger_dequeue_transition / ledger_point_update /

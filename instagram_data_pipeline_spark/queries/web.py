@@ -345,35 +345,40 @@ _HTML_PAGE_SQL = (
     "<script>var a=1;</script></body></html>'"
 )
 
-_HTML_EXTRACT_SQL = _HTML_PAGE_SQL
-for _pat, _rep in (
-    (r"(?is)<script[^>]*>.*?</script>", " "),
-    (r"(?is)<style[^>]*>.*?</style>", " "),
-    (r"(?s)<!--.*?-->", " "),
-    (r"(?i)</(p|div|li|h1|h2|h3|h4|h5|h6|tr|table|ul|ol)>|<br[^>]*>",
-     "\\n"),
-    (r"(?s)<[^>]+>", " "),
-):
-    _esc = _pat.replace("'", "''")
-    _replit = "chr(10)" if _rep == "\\n" else f"'{_rep}'"
-    _HTML_EXTRACT_SQL = (
-        f"regexp_replace({_HTML_EXTRACT_SQL}, '{_esc}', {_replit}, 'g')"
-    )
-for _ent, _ch in (
-    ("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
-    ("&quot;", '"'), ("&#39;", "''"), ("&amp;", "&"),
-):
-    _HTML_EXTRACT_SQL = f"replace({_HTML_EXTRACT_SQL}, '{_ent}', '{_ch}')"
-for _pat, _rep in (
-    (r"[ \t\r]+", " "),
-    (r" ?\n ?", "\\n"),
-    (r"\n+", "\\n"),
-    (r"^[ \n]+|[ \n]+$", ""),
-):
-    _replit2 = "chr(10)" if _rep == "\\n" else f"'{_rep}'"
-    _HTML_EXTRACT_SQL = (
-        f"regexp_replace({_HTML_EXTRACT_SQL}, '{_pat}', {_replit2}, 'g')"
-    )
+def _html_strip_sql(page_sql: str) -> str:
+    """SQL mirror of functions.text.html_to_text applied to
+    ``page_sql`` — the identical regex chain, with newline replacements
+    passed as chr(10) expressions (DuckDB replacement strings don't
+    interpret escape sequences)."""
+    out = page_sql
+    for pat, rep in (
+        (r"(?is)<script[^>]*>.*?</script>", " "),
+        (r"(?is)<style[^>]*>.*?</style>", " "),
+        (r"(?s)<!--.*?-->", " "),
+        (r"(?i)</(p|div|li|h1|h2|h3|h4|h5|h6|tr|table|ul|ol)>|<br[^>]*>",
+         "\\n"),
+        (r"(?s)<[^>]+>", " "),
+    ):
+        esc = pat.replace("'", "''")
+        replit = "chr(10)" if rep == "\\n" else f"'{rep}'"
+        out = f"regexp_replace({out}, '{esc}', {replit}, 'g')"
+    for ent, ch in (
+        ("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
+        ("&quot;", '"'), ("&#39;", "''"), ("&amp;", "&"),
+    ):
+        out = f"replace({out}, '{ent}', '{ch}')"
+    for pat, rep in (
+        (r"[ \t\r]+", " "),
+        (r" ?\n ?", "\\n"),
+        (r"\n+", "\\n"),
+        (r"^[ \n]+|[ \n]+$", ""),
+    ):
+        replit = "chr(10)" if rep == "\\n" else f"'{rep}'"
+        out = f"regexp_replace({out}, '{pat}', {replit}, 'g')"
+    return out
+
+
+_HTML_EXTRACT_SQL = _html_strip_sql(_HTML_PAGE_SQL)
 
 
 @register(
@@ -409,4 +414,115 @@ def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         clean.alias("clean_text"),
         F.size(F.split(clean, "\n")).alias("n_lines"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# The END-TO-END web ingest pipeline in one query: synthesize a page
+# shell -> html_to_text -> C4 line filter -> lang-ID + quality score +
+# exact-dedup decision, every stage the REAL operator, the whole chain
+# hash-checked against one composed SQL replay. This is the "a user
+# runs the entire ingest path in one call" proof.
+# ---------------------------------------------------------------------------
+_PIPE_PAGE_SQL = (
+    "'<html><head><title>T</title><style>p{color:red}</style></head>"
+    "<body><h1>Doc ' || CAST(doc_id AS VARCHAR) || '</h1><p>' || text || "
+    "'.</p><ul><li>alpha &amp; beta</li><li>x &lt; y</li></ul>"
+    "<script>var a=1;</script></body></html>'"
+)
+
+
+def _web_pipeline_oracle() -> str:
+    from .text import _NORM, _QUALITY_SQL, _marker_sql
+
+    # the text-referencing macros run against scored_src(doc_id, text)
+    return f"""
+WITH raw AS (
+  SELECT doc_id, {_html_strip_sql(_PIPE_PAGE_SQL)} AS clean FROM documents
+), lines AS (
+  SELECT doc_id, string_split(clean, chr(10)) AS ls FROM raw
+), kept AS (
+  SELECT doc_id, ls,
+         list_filter(ls, x ->
+           substr(x, -1, 1) IN ('.', '!', '?')
+           AND len(list_filter(string_split(x, ' '), w -> w <> '')) >= 3
+           AND NOT contains(lower(x), 'javascript')
+           AND NOT contains(lower(x), 'cookie')) AS kl
+  FROM lines
+), scored_src AS (
+  SELECT doc_id,
+         CAST(len(ls) AS INT) AS n_lines,
+         CAST(len(kl) AS INT) AS n_kept,
+         COALESCE(array_to_string(kl, chr(10)), '') AS text
+  FROM kept
+), feat AS (
+  SELECT doc_id, n_lines, n_kept,
+         {_marker_sql('en')} AS s_en,
+         {_marker_sql('de')} AS s_de,
+         {_marker_sql('es')} AS s_es,
+         {_marker_sql('fr')} AS s_fr,
+         ROUND({_QUALITY_SQL}, 6) AS quality,
+         md5({_NORM}) AS fp
+  FROM scored_src
+)
+SELECT doc_id, n_lines, n_kept,
+       CASE WHEN s_en + s_de + s_es + s_fr = 0 THEN 'und'
+            WHEN s_en >= GREATEST(s_de, s_es, s_fr) THEN 'en'
+            WHEN s_de >= GREATEST(s_es, s_fr) THEN 'de'
+            WHEN s_es >= s_fr THEN 'es'
+            ELSE 'fr' END AS lang,
+       quality,
+       doc_id = MIN(doc_id) OVER (PARTITION BY fp) AS is_canonical
+FROM feat
+"""
+
+
+@register(
+    "web_pipeline",
+    _web_pipeline_oracle(),
+    doc="the composed web ingest path — HTML strip -> C4 line filter "
+        "-> lang-ID -> quality score -> exact-dedup canonical decision "
+        "— every stage the real operator, chained in one DataFrame "
+        "plan (map-only until the single dedup-window shuffle) and "
+        "hash-checked end-to-end against one composed SQL replay",
+    tags=("text", "web", "pipeline"),
+)
+def q_web_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..functions import text as X
+    from ..functions.text import c4_line_filter, html_to_text
+
+    docs = load_testdata(spark, sf_dir, "documents")
+    page = F.concat(
+        F.lit("<html><head><title>T</title><style>p{color:red}</style>"
+              "</head><body><h1>Doc "),
+        F.col("doc_id").cast("string"),
+        F.lit("</h1><p>"),
+        F.col("text"),
+        F.lit(".</p><ul><li>alpha &amp; beta</li><li>x &lt; y</li></ul>"
+              "<script>var a=1;</script></body></html>"),
+    )
+    clean = html_to_text(page)
+    ls = F.split(clean, "\n")
+    kl = c4_line_filter(ls)
+    staged = docs.select(
+        "doc_id",
+        F.size(ls).alias("n_lines"),
+        F.size(kl).alias("n_kept"),
+        F.array_join(kl, "\n").alias("_text"),
+    )
+    w = Window.partitionBy("_fp")
+    return (
+        staged.withColumn("_fp", F.md5(X.normalized(F.col("_text"))))
+        .select(
+            "doc_id",
+            "n_lines",
+            "n_kept",
+            X.lang_id(F.col("_text")).alias("lang"),
+            F.round(X.quality_score(F.col("_text")), 6).alias("quality"),
+            (F.col("doc_id") == F.min("doc_id").over(w)).alias(
+                "is_canonical"
+            ),
+        )
     )
