@@ -539,3 +539,79 @@ def q_multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multitouch_attribution(
         purchases, clicks, window="1 hour",
     )
+
+
+# ---------------------------------------------------------------------------
+# Token-bucket rate limiting (reference T4) + deterministic retry
+# jitter (T5), replayed over the events log at hour resolution. The
+# per-key admission fold is sequential by construction; the oracle
+# replays it with a recursive walk per user — integer-exact bucket
+# arithmetic makes the two bit-identical.
+# ---------------------------------------------------------------------------
+_RL = {"rate": 1, "capacity": 48, "cost": 24, "backoff": 24, "jitter": 12}
+
+_RATELIMIT_ORACLE = f"""
+WITH RECURSIVE base AS (
+  SELECT user_id, event_id, epoch_us(ts) // 3600000000 AS ts_s FROM events
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                               ORDER BY ts_s, event_id) AS r
+  FROM base
+), walk(user_id, r, prev_ts, tokens, event_id, ts_s, tokens_after,
+        admitted) AS (
+  SELECT user_id, 0, ts_s, CAST({_RL["capacity"]} AS BIGINT),
+         NULL::BIGINT, NULL::BIGINT, NULL::BIGINT, NULL::BOOLEAN
+  FROM ranked WHERE r = 1
+  UNION ALL
+  SELECT w.user_id, w.r + 1, d.ts_s,
+         CASE WHEN f.filled >= {_RL["cost"]}
+              THEN f.filled - {_RL["cost"]} ELSE f.filled END,
+         d.event_id, d.ts_s,
+         CASE WHEN f.filled >= {_RL["cost"]}
+              THEN f.filled - {_RL["cost"]} ELSE f.filled END,
+         f.filled >= {_RL["cost"]}
+  FROM walk w
+  JOIN ranked d ON d.user_id = w.user_id AND d.r = w.r + 1
+  CROSS JOIN LATERAL (
+    SELECT LEAST({_RL["capacity"]},
+                 w.tokens + GREATEST((d.ts_s - w.prev_ts)
+                                     * {_RL["rate"]}, 0)) AS filled
+  ) f
+)
+SELECT user_id, event_id, ts_s, tokens_after, admitted,
+       CASE WHEN NOT admitted
+            THEN ts_s + {_RL["backoff"]}
+                 + CAST(concat('0x', substr(md5(CAST(event_id AS VARCHAR)),
+                                            1, 8)) AS BIGINT)
+                   % {_RL["jitter"]}
+       END AS retry_at
+FROM walk WHERE r >= 1
+"""
+
+
+@register(
+    "rate_limit_admission",
+    _RATELIMIT_ORACLE,
+    doc="per-user token-bucket rate limiting replayed over the request "
+        "log (hour resolution, integer-exact refills) with "
+        "deterministic md5 retry jitter for rejected requests — the "
+        "reference's T4 rate limiter + T5 jitter as an auditable, "
+        "replayable engine operator; per-key sequential fold in "
+        "codegen, keys packed in parallel",
+    tags=("temporal", "ratelimit", "control"),
+)
+def q_rate_limit_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ratelimit import token_bucket_admission
+
+    events = load_testdata(spark, sf_dir, "events")
+    reqs = events.select(
+        "user_id",
+        "event_id",
+        (F.unix_micros(F.col("ts")) / F.lit(3600000000)).cast("long")
+        .alias("ts_h"),
+    )
+    return token_bucket_admission(
+        reqs, key_col="user_id", ts_col="ts_h", id_col="event_id",
+        rate=_RL["rate"], capacity=_RL["capacity"], cost=_RL["cost"],
+        backoff=_RL["backoff"], jitter_max=_RL["jitter"],
+    )
