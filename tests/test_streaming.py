@@ -411,3 +411,63 @@ def test_neardup_sink_through_foreachbatch_stream(spark, tmp_path):
         for r in sink.results(spark, "decisions").collect()
     }
     assert dec == {1: "keep", 2: "keep", 3: "drop", 4: "keep"}
+
+
+def test_ivf_index_sink_streamed_equals_batch_rebuild(spark, tmp_path, sf_dir):
+    """Embeddings arriving across micro-batches build the same index a
+    one-shot rebuild does, probes work off the merged index, replay is
+    idempotent, and drift stats accumulate per batch."""
+    import pyspark.sql.functions as F
+
+    from instagram_data_pipeline_spark.extensions.similarity import (
+        ivf_index_build,
+    )
+    from instagram_data_pipeline_spark.io import load_testdata
+    from instagram_data_pipeline_spark.queries import load_all
+    from instagram_data_pipeline_spark.streaming.annindex import IvfIndexSink
+
+    emb = load_testdata(spark, sf_dir, "embeddings")
+    cents = (
+        load_all()["label_centroids"].spark_fn(spark, sf_dir)
+        .groupBy(F.col("label").alias("cluster"))
+        .agg(F.array_sort(
+            F.collect_list(F.struct("pos", F.col("centroid").alias("v")))
+        ).alias("pv"))
+        .select("cluster", F.transform("pv", lambda s: s["v"]).alias("centroid"))
+    )
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    sink = IvfIndexSink(str(tmp_path / "ivf"), cents)
+    # stream in two waves via the real foreachBatch path
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    corpus.filter(F.col("vec_id") % 2 == 0).coalesce(1).write.mode(
+        "append").parquet(src)
+    stream = spark.readStream.schema(corpus.schema).parquet(src)
+    sink.run_available_now(stream, ckpt)
+    corpus.filter(F.col("vec_id") % 2 == 1).coalesce(1).write.mode(
+        "append").parquet(src)
+    sink.run_available_now(
+        spark.readStream.schema(corpus.schema).parquet(src), ckpt
+    )
+    streamed = sorted(
+        (r.cluster, r.vec_id) for r in sink.index(spark).collect()
+    )
+    rebuilt = sorted(
+        (r.cluster, r.vec_id)
+        for r in ivf_index_build(corpus, cents).collect()
+    )
+    assert streamed == rebuilt and len(streamed) == corpus.count()
+    # replaying a batch id overwrites its partition, no duplication
+    sink.process_batch(corpus.filter(F.col("vec_id") % 2 == 0), 0)
+    assert sorted(
+        (r.cluster, r.vec_id) for r in sink.index(spark).collect()
+    ) == rebuilt
+    # drift stats: one batch dimension, totals match corpus size
+    stats = sink.drift_stats(spark)
+    assert stats.agg(F.sum("n_assigned")).collect()[0][0] == corpus.count()
+    assert stats.select("batch").distinct().count() == 2
+    # probing the streamed index returns k results per query
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = sink.topk(spark, queries, k=5, n_probe=2).collect()
+    assert len(got) == 15
