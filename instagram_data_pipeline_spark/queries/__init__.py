@@ -52,6 +52,10 @@ def register(
 # round-4 queries; then one-round-green (r02) queries accumulating a second
 # row.  Multi-round-green queries demote past the window — all of them stay
 # oracle-checked every CI run by tests/test_queries_oracle.py regardless.
+# The late-round-4 wave (contrastive_triplets, PCA, bin_packing, LPA,
+# classifier, WARC, html/web pipeline, rate limiting) landed after the
+# window filled: they sit immediately past slot 50, CI-oracle-checked,
+# and form the head of the round-5 promote queue.
 REGISTRY_ORDER: tuple[str, ...] = (
     # -- slots 1-22: never driver-checked (late-round-3 wave: graph
     #    analytics, ranking/LM/DSIR, semantic dedup, sketches, CDC,

@@ -604,7 +604,7 @@ WITH RECURSIVE docs AS (
   SELECT doc_id,
          CAST(len(string_split({_NORM}, ' ')) AS INT) AS nt,
          CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
-                   AS BIGINT) % 4 AS INT) AS shard
+                   AS BIGINT) % 32 AS INT) AS shard
   FROM documents
 ), ranked AS (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY shard
@@ -641,7 +641,7 @@ WHERE w.r = (SELECT COUNT(*) FROM docs d WHERE d.shard = w.shard)
     "bin_packing",
     _BINPACK_ORACLE,
     doc="whole-document First-Fit-Decreasing packing into 128-token "
-        "bins, 4 md5 shards: docs shard portably, each shard packs in "
+        "bins, 32 md5 shards: docs shard portably, each shard packs in "
         "one per-row codegen fold over its sorted doc array (lowest-"
         "index fitting bin, else a new bin; overlong docs open their "
         "own bin) — padding-aware batch construction that never splits "
@@ -656,7 +656,7 @@ def q_bin_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", X.token_count(F.col("text")).alias("n_tokens")
     )
     return bin_pack_documents(
-        with_counts, max_len=128, num_shards=4
+        with_counts, max_len=128, num_shards=32
     ).select("doc_id", "shard", "bin_id")
 
 
