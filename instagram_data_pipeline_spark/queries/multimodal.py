@@ -348,11 +348,11 @@ WITH m AS (
 ), ycc AS (
   SELECT media_id, width, height,
     LEAST(255.0, GREATEST(0.0,
-      FLOOR(0.299*r + 0.587*g + 0.114*b + 0.5))) AS y,
+      FLOOR(0.299::DOUBLE*r + 0.587::DOUBLE*g + 0.114::DOUBLE*b + 0.5))) AS y,
     LEAST(255.0, GREATEST(0.0,
-      FLOOR(128.0 + (-0.168736*r - 0.331264*g + 0.5*b) + 0.5))) AS cb,
+      FLOOR(128.0 + (-0.168736::DOUBLE*r - 0.331264::DOUBLE*g + 0.5::DOUBLE*b) + 0.5))) AS cb,
     LEAST(255.0, GREATEST(0.0,
-      FLOOR(128.0 + (0.5*r - 0.418688*g - 0.081312*b) + 0.5))) AS cr
+      FLOOR(128.0 + (0.5::DOUBLE*r - 0.418688::DOUBLE*g - 0.081312::DOUBLE*b) + 0.5))) AS cr
   FROM dims
 ), dq AS (
   SELECT media_id, width, height,
@@ -363,12 +363,12 @@ WITH m AS (
 )
 SELECT media_id, CAST(width AS INT) AS width, CAST(height AS INT) AS height,
   CAST(LEAST(255.0, GREATEST(0.0,
-    FLOOR(yd + 1.402*(crd - 128.0) + 0.5))) AS INT) AS mean_r,
+    FLOOR(yd + 1.402::DOUBLE*(crd - 128.0) + 0.5))) AS INT) AS mean_r,
   CAST(LEAST(255.0, GREATEST(0.0,
-    FLOOR(yd - 0.344136*(cbd - 128.0) - 0.714136*(crd - 128.0) + 0.5)))
+    FLOOR(yd - 0.344136::DOUBLE*(cbd - 128.0) - 0.714136::DOUBLE*(crd - 128.0) + 0.5)))
     AS INT) AS mean_g,
   CAST(LEAST(255.0, GREATEST(0.0,
-    FLOOR(yd + 1.772*(cbd - 128.0) + 0.5))) AS INT) AS mean_b
+    FLOOR(yd + 1.772::DOUBLE*(cbd - 128.0) + 0.5))) AS INT) AS mean_b
 FROM dq
 """,
     doc="baseline JFIF JPEG through the real pure-numpy codec (Annex K "
@@ -670,11 +670,11 @@ WITH m AS (
 ), ycc AS (
   SELECT media_id, frame_idx, width, height,
     LEAST(255.0, GREATEST(0.0,
-      FLOOR(0.299*fr_ + 0.587*fg_ + 0.114*fb_ + 0.5))) AS y,
+      FLOOR(0.299::DOUBLE*fr_ + 0.587::DOUBLE*fg_ + 0.114::DOUBLE*fb_ + 0.5))) AS y,
     LEAST(255.0, GREATEST(0.0,
-      FLOOR(128.0 + (-0.168736*fr_ - 0.331264*fg_ + 0.5*fb_) + 0.5))) AS cb,
+      FLOOR(128.0 + (-0.168736::DOUBLE*fr_ - 0.331264::DOUBLE*fg_ + 0.5::DOUBLE*fb_) + 0.5))) AS cb,
     LEAST(255.0, GREATEST(0.0,
-      FLOOR(128.0 + (0.5*fr_ - 0.418688*fg_ - 0.081312*fb_) + 0.5))) AS cr
+      FLOOR(128.0 + (0.5::DOUBLE*fr_ - 0.418688::DOUBLE*fg_ - 0.081312::DOUBLE*fb_) + 0.5))) AS cr
   FROM col
 ), dq AS (
   SELECT media_id, frame_idx, width, height,
@@ -687,12 +687,12 @@ SELECT media_id, CAST(frame_idx AS INT) AS frame_idx,
   CAST(width AS INT) AS width, CAST(height AS INT) AS height,
   {_MJPEG_FPS} AS fps,
   CAST(LEAST(255.0, GREATEST(0.0,
-    FLOOR(yd + 1.402*(crd - 128.0) + 0.5))) AS INT) AS mean_r,
+    FLOOR(yd + 1.402::DOUBLE*(crd - 128.0) + 0.5))) AS INT) AS mean_r,
   CAST(LEAST(255.0, GREATEST(0.0,
-    FLOOR(yd - 0.344136*(cbd - 128.0) - 0.714136*(crd - 128.0) + 0.5)))
+    FLOOR(yd - 0.344136::DOUBLE*(cbd - 128.0) - 0.714136::DOUBLE*(crd - 128.0) + 0.5)))
     AS INT) AS mean_g,
   CAST(LEAST(255.0, GREATEST(0.0,
-    FLOOR(yd + 1.772*(cbd - 128.0) + 0.5))) AS INT) AS mean_b
+    FLOOR(yd + 1.772::DOUBLE*(cbd - 128.0) + 0.5))) AS INT) AS mean_b
 FROM dq
 """,
     doc="compressed video through the real MJPEG/AVI path: multi-frame "
