@@ -351,3 +351,79 @@ def label_propagation(
             .localCheckpoint()
         )
     return labels
+
+
+def incremental_components(
+    components: DataFrame,
+    new_edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Fold a NEW edge batch into an existing (node, component)
+    assignment without recomputing over the full graph — the
+    incremental-maintenance form of :func:`connected_components`
+    (same contract as the LSH/IVF index appends: batch-k cost depends
+    on the batch, not the corpus).
+
+    Only components the new edges TOUCH can merge, so the work
+    contracts to the LABEL graph: map each new edge's endpoints to
+    their current labels (a node unseen by the assignment labels
+    itself), run CC over the distinct (label_a, label_b) pairs — a
+    graph no larger than 2x the batch — and remap. Components untouched
+    by the batch are never read past the one mapping join.
+
+    Append-then-merge is EXACTLY equivalent to recomputing CC over the
+    union graph (min-label semantics compose), which is what the
+    ``incremental_components`` query hash-proves against the full-graph
+    recursive oracle."""
+    sym = (
+        new_edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(
+            new_edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+        )
+        .dropDuplicates()
+    )
+    lab = components.select(
+        F.col("node"), F.col("component").alias("_lab")
+    )
+    mapped = (
+        sym.join(lab.withColumnRenamed("node", "a"), "a", "left")
+        .withColumnRenamed("_lab", "_la")
+        .join(lab.withColumnRenamed("node", "b"), "b", "left")
+        .withColumnRenamed("_lab", "_lb")
+        .select(
+            F.coalesce("_la", F.col("a")).alias("la"),
+            F.coalesce("_lb", F.col("b")).alias("lb"),
+        )
+        .filter(F.col("la") != F.col("lb"))
+        .dropDuplicates()
+    )
+    meta = connected_components(
+        mapped.select(F.col("la").alias("src"), F.col("lb").alias("dst"))
+    ).select(
+        F.col("node").alias("_old"), F.col("component").alias("_new")
+    )
+    # remap existing assignment (labels not in meta keep themselves)
+    updated = (
+        components.join(
+            meta, components["component"] == meta["_old"], "left"
+        )
+        .select(
+            "node", F.coalesce("_new", F.col("component")).alias("component")
+        )
+    )
+    # nodes introduced by the batch: their self-label rides the same map
+    batch_nodes = (
+        sym.select(F.col("a").alias("node"))
+        .dropDuplicates()
+        .join(components.select("node"), "node", "anti")
+    )
+    fresh = (
+        batch_nodes.join(
+            meta, batch_nodes["node"] == meta["_old"], "left"
+        )
+        .select(
+            "node", F.coalesce("_new", F.col("node")).alias("component")
+        )
+    )
+    return updated.unionByName(fresh)

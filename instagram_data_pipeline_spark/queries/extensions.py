@@ -704,6 +704,48 @@ def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 @register(
+    "incremental_components",
+    _CC_ORACLE,
+    doc="incremental connected-components maintenance: the order-burst "
+        "edge set arrives in two waves — base components are computed "
+        "first, then the second wave folds in via the LABEL-graph "
+        "contraction (CC over the touched labels only, a graph no "
+        "larger than 2x the batch). The oracle is the FULL-graph "
+        "recursive fixpoint, so the hash match proves merge-then-fold "
+        "is exactly equivalent to recomputing from scratch — the CC "
+        "member of the incremental-maintenance family (LSH, IVF, CC).",
+    tags=("graph", "iterative", "incremental"),
+)
+def q_incremental_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators.graph import (
+        component_sizes,
+        connected_components,
+        incremental_components,
+    )
+
+    orders = load_testdata(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.lag("o_orderkey").over(w).alias("prev"),
+        F.lag("o_orderdate").over(w).alias("prev_d"),
+    )
+    edges = seq.filter(
+        F.col("prev").isNotNull()
+        & (F.datediff("o_orderdate", "prev_d") <= 30)
+    ).select(F.col("prev").alias("src"), F.col("o_orderkey").alias("dst"))
+    base = edges.filter((F.col("src") + F.col("dst")) % 3 != 0)
+    batch = edges.filter((F.col("src") + F.col("dst")) % 3 == 0)
+    comps = incremental_components(connected_components(base), batch)
+    return component_sizes(comps).orderBy("component")
+
+
+# ---------------------------------------------------------------------------
+@register(
     "minhash_near_dups",
     None,  # xxhash64 hash family is engine-specific (scale tier); the
     # portable-hash twin below is fully oracle-checked

@@ -214,3 +214,55 @@ def test_label_propagation_deterministic_under_partitioning(spark):
         )
     )
     assert a == b
+
+
+def test_incremental_components_merges_and_preserves(spark):
+    from instagram_data_pipeline_spark.operators.graph import (
+        connected_components,
+        incremental_components,
+    )
+
+    base_edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21)], "src long, dst long"
+    )
+    base = connected_components(base_edges)
+    # bridge {1,2,3} with {10,11}; bring in brand-new nodes 30-31
+    batch = spark.createDataFrame(
+        [(3, 10), (30, 31)], "src long, dst long"
+    )
+    got = {
+        r.node: r.component
+        for r in incremental_components(base, batch).collect()
+    }
+    assert all(got[n] == 1 for n in (1, 2, 3, 10, 11))
+    assert got[20] == 20 and got[21] == 20  # untouched component intact
+    assert got[30] == 30 and got[31] == 30  # fresh component
+    # equivalence with full recompute over the union graph
+    full = {
+        r.node: r.component
+        for r in connected_components(
+            base_edges.unionByName(batch)
+        ).collect()
+    }
+    assert got == full
+
+
+def test_incremental_components_chain_of_merges(spark):
+    from instagram_data_pipeline_spark.operators.graph import (
+        connected_components,
+        incremental_components,
+    )
+
+    base = connected_components(
+        spark.createDataFrame(
+            [(1, 2), (5, 6), (9, 10)], "src long, dst long"
+        )
+    )
+    # one batch whose label graph chains all three components together
+    batch = spark.createDataFrame([(2, 5), (6, 9)], "src long, dst long")
+    got = {
+        r.node: r.component
+        for r in incremental_components(base, batch).collect()
+    }
+    assert set(got.values()) == {1}
+    assert len(got) == 6
