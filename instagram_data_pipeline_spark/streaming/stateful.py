@@ -66,3 +66,62 @@ def quota_gate(events: DataFrame, quota: int) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+RL_OUTPUT_SCHEMA = (
+    "user_id long, event_id long, ts_s long, tokens_after long, "
+    "admitted boolean"
+)
+RL_STATE_SCHEMA = "tokens long, last_ts long"
+
+
+def token_bucket_gate(
+    requests: DataFrame,
+    rate: int = 1,
+    capacity: int = 300,
+    cost: int = 60,
+) -> DataFrame:
+    """Streaming form of ``operators.ratelimit.token_bucket_admission``
+    (T4): per-key token-bucket state carried across micro-batches by
+    the state store. Same integer-exact dynamics — refill
+    ``elapsed * rate`` capped at ``capacity``, admit iff
+    ``tokens >= cost`` — and same (ts, id) in-batch ordering, so a
+    drained stream reproduces the batch replay decision-for-decision
+    (tested). Expects columns (user_id, event_id, ts_s) with ts_s in
+    integer seconds."""
+
+    def gate(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        if not len(pdf):
+            return
+        pdf = pdf.sort_values(["ts_s", "event_id"])
+        if state.exists:
+            tokens, last_ts = state.get
+        else:
+            tokens, last_ts = capacity, int(pdf["ts_s"].iloc[0])
+        out_tokens, out_adm = [], []
+        for ts in zip(pdf["ts_s"], pdf["event_id"]):
+            now = int(ts[0])
+            tokens = min(capacity, tokens + max(now - last_ts, 0) * rate)
+            last_ts = now
+            ok = tokens >= cost
+            if ok:
+                tokens -= cost
+            out_tokens.append(tokens)
+            out_adm.append(ok)
+        state.update((int(tokens), int(last_ts)))
+        yield pdf.assign(
+            user_id=key[0], tokens_after=out_tokens, admitted=out_adm
+        )[["user_id", "event_id", "ts_s", "tokens_after", "admitted"]]
+
+    return requests.groupBy("user_id").applyInPandasWithState(
+        gate,
+        outputStructType=RL_OUTPUT_SCHEMA,
+        stateStructType=RL_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
