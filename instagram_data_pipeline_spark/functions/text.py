@@ -264,3 +264,54 @@ def html_to_text(col: Column) -> Column:
     x = F.regexp_replace(x, r" ?\n ?", "\n")         # trim around breaks
     x = F.regexp_replace(x, r"\n+", "\n")            # drop empty lines
     return F.regexp_replace(x, r"^[ \n]+|[ \n]+$", "")  # outer trim
+
+
+SCORED_CHARS = "abcdefghijklmnopqrstuvwxyz0123456789"
+
+
+def sentence_count(col: Column) -> Column:
+    """Sentence-terminator runs ([.!?]+), floored at 1 (a fragment is
+    one sentence for readability purposes)."""
+    return F.greatest(F.regexp_count(col, F.lit(r"[.!?]+")), F.lit(1))
+
+
+def syllable_estimate(col: Column) -> Column:
+    """Crude deterministic syllable proxy: vowel runs in the normalized
+    text (the classic heuristic), floored at the word count so no word
+    counts as zero syllables."""
+    runs = F.regexp_count(normalized(col), F.lit("[aeiouy]+"))
+    return F.greatest(runs, token_count(col))
+
+
+def flesch_score(col: Column) -> Column:
+    """Flesch reading ease: 206.835 - 1.015*(words/sentences)
+    - 84.6*(syllables/words) — the classic readability quality signal
+    (low = dense/garbled, negative = word soup)."""
+    words = token_count(col).cast("double")
+    return (
+        F.lit(206.835)
+        - F.lit(1.015) * (words / sentence_count(col))
+        - F.lit(84.6) * (syllable_estimate(col) / words)
+    )
+
+
+def char_entropy(col: Column) -> Column:
+    """Shannon entropy (bits) of the [a-z0-9] character distribution of
+    the normalized text — the Dolma-style gibberish detector (natural
+    prose sits ~4.1-4.3 bits; near 0 = repeated chars, near log2(36) =
+    random noise).
+
+    Computed WITHOUT an explode: each char's count is
+    ``length(s) - length(replace(s, c, ''))`` — 36 fixed codegen terms,
+    mirrored literally in SQL."""
+    s = F.regexp_replace(normalized(col), " ", "")
+    n = F.nullif(F.length(s), F.lit(0)).cast("double")
+    terms = []
+    for ch in SCORED_CHARS:
+        c = (F.length(s) - F.length(F.replace(s, F.lit(ch), F.lit("")))).cast("double")
+        p = c / n
+        terms.append(F.when(c > 0, -p * F.log2(p)).otherwise(F.lit(0.0)))
+    total = terms[0]
+    for t in terms[1:]:
+        total = total + t
+    return total

@@ -1662,3 +1662,64 @@ def q_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dup_span_remove(
         docs, "doc_id", "text", k=_SPAN_K, min_tokens=_SPAN_MIN, keep="first"
     )
+
+
+# ---------------------------------------------------------------------------
+# Advanced quality signals: Flesch readability + character entropy
+# (the Dolma-style gibberish detector). Entropy is computed WITHOUT an
+# explode — 36 fixed per-char count terms summed in a pinned order, so
+# the SQL mirror is literal; every numeric literal is cast ::DOUBLE
+# (the DuckDB decimal-literal lesson from the JPEG oracle).
+# ---------------------------------------------------------------------------
+def _entropy_sql() -> str:
+    terms = []
+    for ch in X.SCORED_CHARS:
+        cnt = f"CAST(length(s) - length(replace(s, '{ch}', '')) AS DOUBLE)"
+        terms.append(
+            f"(CASE WHEN {cnt} > 0 THEN -({cnt}/n)*log2({cnt}/n) "
+            f"ELSE 0.0 END)"
+        )
+    return " + ".join(terms)
+
+
+@register(
+    "readability_stats",
+    f"""
+WITH base AS (
+  SELECT doc_id, text,
+         replace({_NORM}, ' ', '') AS s,
+         GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1)
+           AS n_sentences,
+         len(string_split({_NORM}, ' ')) AS words
+  FROM documents
+), syl AS (
+  SELECT *, GREATEST(len(regexp_extract_all({_NORM}, '[aeiouy]+')), words)
+            AS n_syllables,
+         CAST(NULLIF(length(s), 0) AS DOUBLE) AS n
+  FROM base
+)
+SELECT doc_id,
+       CAST(n_sentences AS INT) AS n_sentences,
+       CAST(n_syllables AS INT) AS n_syllables,
+       ROUND(206.835::DOUBLE - 1.015::DOUBLE*(CAST(words AS DOUBLE)/n_sentences)
+             - 84.6::DOUBLE*(CAST(n_syllables AS DOUBLE)/words), 4) AS flesch,
+       ROUND({_entropy_sql()}, 6) AS char_entropy
+FROM syl
+""",
+    doc="advanced quality signals: Flesch reading ease (classic "
+        "readability; word soup scores deeply negative) and Shannon "
+        "entropy of the character distribution (gibberish/repetition "
+        "detector) — both pure codegen, entropy via 36 fixed count "
+        "terms with no explode, every literal IEEE-double on both "
+        "engines",
+    tags=("text", "quality"),
+)
+def q_readability_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_testdata(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        X.sentence_count(F.col("text")).cast("int").alias("n_sentences"),
+        X.syllable_estimate(F.col("text")).cast("int").alias("n_syllables"),
+        F.round(X.flesch_score(F.col("text")), 4).alias("flesch"),
+        F.round(X.char_entropy(F.col("text")), 6).alias("char_entropy"),
+    )

@@ -167,3 +167,55 @@ class TestHtmlToText:
             spark, "<p>a   b</p>\n\n<p>   </p><p>c</p>"
         )
         assert got == "a b\nc"
+
+
+class TestReadabilityEntropy:
+    @staticmethod
+    def _one(spark, text, fn):
+        df = spark.createDataFrame([(text,)], "text string")
+        return df.select(fn(F.col("text")).alias("v")).collect()[0].v
+
+    def test_sentence_and_syllable_floors(self, spark):
+        from instagram_data_pipeline_spark.functions import text as X
+
+        assert self._one(spark, "no punctuation here", X.sentence_count) == 1
+        assert self._one(spark, "One. Two! Three?", X.sentence_count) == 3
+        # one vowel-run word ('y' counts) -> exactly 1
+        assert self._one(spark, "rhythm", X.syllable_estimate) == 1
+        # vowel-less word floors at the word count
+        assert self._one(spark, "pfft", X.syllable_estimate) == 1
+
+    def test_flesch_orders_simple_above_dense(self, spark):
+        from instagram_data_pipeline_spark.functions import text as X
+
+        simple = "The cat sat. The dog ran. It was fun."
+        dense = (
+            "notwithstanding institutional interdependencies "
+            "characteristically obfuscate multidimensional "
+            "organizational heterogeneity considerations"
+        )
+        assert self._one(spark, simple, X.flesch_score) > self._one(
+            spark, dense, X.flesch_score
+        )
+
+    def test_char_entropy_extremes(self, spark):
+        import math
+
+        from instagram_data_pipeline_spark.functions import text as X
+
+        # single repeated char -> 0 bits
+        assert self._one(spark, "aaaa aaaa", X.char_entropy) == 0.0
+        # uniform over 4 chars -> exactly 2 bits
+        assert self._one(spark, "abcd", X.char_entropy) == 2.0
+        # all 36 chars once -> log2(36) (float-sum tolerance: 36-term
+        # accumulation differs from math.log2 in the last bits)
+        full = "abcdefghijklmnopqrstuvwxyz0123456789"
+        assert abs(
+            self._one(spark, full, X.char_entropy) - math.log2(36)
+        ) < 1e-12
+        # natural-ish prose sits between
+        mid = self._one(
+            spark, "the quick brown fox jumps over the lazy dog",
+            X.char_entropy,
+        )
+        assert 3.0 < mid < 5.0
