@@ -139,3 +139,32 @@ def export_shards(
         json.dump(manifest, f, indent=1, sort_keys=True)
     os.replace(tmp, os.path.join(path, "_manifest.json"))
     return manifest
+
+
+def shard_source_mix(
+    sharded: DataFrame,
+    source_col: str = "source",
+    token_col: str | None = None,
+) -> DataFrame:
+    """Per-(shard, source) provenance rows — the mix manifest a
+    training run records next to the layout checksums: how many docs
+    (and tokens) of each source landed in each shard, plus the
+    source's integer-exact ppm share of its shard. Because the shuffle
+    hash is source-blind, every shard should show approximately the
+    corpus-wide mix — a skewed row here means the export was built
+    from a filtered or unbalanced input, caught BEFORE training reads
+    it. One aggregation, map-side combined."""
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    if token_col is not None:
+        aggs.append(F.sum(token_col).alias("n_tokens"))
+    per = sharded.groupBy("shard", source_col).agg(*aggs)
+    w_tot = Window.partitionBy("shard")
+    return per.select(
+        "shard",
+        source_col,
+        "n_rows",
+        *( ["n_tokens"] if token_col is not None else [] ),
+        F.floor(
+            F.col("n_rows") * 1000000 / F.sum("n_rows").over(w_tot)
+        ).cast("long").alias("share_ppm"),
+    )

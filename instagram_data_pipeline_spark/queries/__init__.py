@@ -140,6 +140,7 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "rate_limit_admission",
     "incremental_components",
     "readability_stats",
+    "shard_source_mix",
     # pricing_summary sits first past the window this round: r01+r02
     # driver rows, bench-headline coverage every round, pytest oracle.
     # ledger_dequeue_transition / ledger_point_update /

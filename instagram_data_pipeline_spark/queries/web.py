@@ -526,3 +526,49 @@ def q_web_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Shard provenance: the per-(shard, source) mix manifest recorded next
+# to the layout checksums — catches unbalanced/filtered exports before
+# a training job reads them. Same portable shuffle-hash recipe.
+# ---------------------------------------------------------------------------
+_MIX_ORACLE = f"""
+WITH hs AS (
+  SELECT doc_id, source, n_chars,
+         md5('0:' || CAST(doc_id AS VARCHAR)) AS m
+  FROM documents
+), k AS (
+  SELECT doc_id, source, n_chars,
+         CAST({_duck_hex13('m')} % {_N_SHARDS} AS INT) AS shard
+  FROM hs
+), per AS (
+  SELECT shard, source, COUNT(*) AS n_rows, SUM(n_chars) AS n_tokens
+  FROM k GROUP BY shard, source
+)
+SELECT shard, source, n_rows, n_tokens,
+       CAST(FLOOR(n_rows * 1000000.0
+                  / SUM(n_rows) OVER (PARTITION BY shard)) AS BIGINT)
+         AS share_ppm
+FROM per
+"""
+
+
+@register(
+    "shard_source_mix",
+    _MIX_ORACLE,
+    doc="per-(shard, source) provenance manifest for the training "
+        "export: doc/token counts and the source's integer-exact ppm "
+        "share of its shard — a skewed row flags a filtered or "
+        "unbalanced export before training reads it; one map-side-"
+        "combined aggregation over the assignment",
+    tags=("export", "shards", "provenance"),
+)
+def q_shard_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.export import assign_shards, shard_source_mix
+
+    docs = load_testdata(spark, sf_dir, "documents")
+    sharded = assign_shards(docs, id_col="doc_id", n_shards=_N_SHARDS,
+                            seed=0)
+    return shard_source_mix(sharded, source_col="source",
+                            token_col="n_chars")

@@ -109,3 +109,30 @@ def test_layout_sum_detects_reorder(spark, corpus):
     for s in b:
         assert b[s][0] == p[s][0]
         assert b[s][1] != p[s][1]
+
+
+def test_shard_source_mix_balance_and_shares(spark):
+    from instagram_data_pipeline_spark.extensions.export import (
+        assign_shards,
+        shard_source_mix,
+    )
+
+    rows = [(i, "web" if i % 4 else "books", 10 + i % 5)
+            for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, nt int")
+    mix = shard_source_mix(
+        assign_shards(df, n_shards=4), token_col="nt"
+    ).collect()
+    by_shard = {}
+    for r in mix:
+        by_shard.setdefault(r.shard, {})[r.source] = r
+    assert set(by_shard) == {0, 1, 2, 3}
+    for shard, srcs in by_shard.items():
+        # every shard sees both sources (hash is source-blind)
+        assert set(srcs) == {"web", "books"}
+        # shares sum to ~1e6 (floor rounding can lose < n_sources ppm)
+        tot = sum(r.share_ppm for r in srcs.values())
+        assert 999998 <= tot <= 1000000
+        # rough corpus mix (75/25) survives in every shard
+        assert 600000 < srcs["web"].share_ppm < 900000
+        assert srcs["web"].n_tokens > 0
