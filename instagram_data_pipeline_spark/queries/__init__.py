@@ -141,6 +141,7 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "incremental_components",
     "readability_stats",
     "shard_source_mix",
+    "dataset_card",
     # pricing_summary sits first past the window this round: r01+r02
     # driver rows, bench-headline coverage every round, pytest oracle.
     # ledger_dequeue_transition / ledger_point_update /

@@ -1723,3 +1723,99 @@ def q_readability_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(X.flesch_score(F.col("text")), 4).alias("flesch"),
         F.round(X.char_entropy(F.col("text")), 6).alias("char_entropy"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Dataset card: the one-row datasheet a corpus release ships with —
+# composition (docs/tokens/sources), language mix, exact-duplicate
+# rate, and the quality distribution, all integer-exact or
+# decimal-exact so the single row hash-checks. Every signal reuses the
+# operator family that owns it.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dataset_card",
+    f"""
+WITH base AS (
+  SELECT doc_id, source,
+         len(string_split({_NORM}, ' ')) AS n_tok,
+         md5({_NORM}) AS fp,
+         {_QUALITY_SQL} AS q,
+         CASE WHEN {_marker_sql('en')} >= GREATEST({_marker_sql('de')},
+                   {_marker_sql('es')}, {_marker_sql('fr')})
+               AND {_marker_sql('en')} + {_marker_sql('de')}
+                   + {_marker_sql('es')} + {_marker_sql('fr')} > 0
+              THEN 1 ELSE 0 END AS is_en
+  FROM documents
+), dup AS (
+  SELECT fp, COUNT(*) AS n FROM base GROUP BY fp
+)
+SELECT
+  (SELECT COUNT(*) FROM base) AS n_docs,
+  (SELECT SUM(n_tok) FROM base) AS n_tokens,
+  (SELECT COUNT(DISTINCT source) FROM base) AS n_sources,
+  (SELECT CAST(FLOOR(SUM(is_en) * 1000000.0 / COUNT(*)) AS BIGINT)
+   FROM base) AS en_ppm,
+  (SELECT CAST(FLOOR(COALESCE(SUM(n - 1), 0) * 1000000.0
+               / (SELECT COUNT(*) FROM base)) AS BIGINT)
+   FROM dup WHERE n > 1) AS exact_dup_ppm,
+  (SELECT ROUND(CAST(SUM(CAST(q AS DECIMAL(28,10))) AS DOUBLE)
+                / COUNT(*), 6) FROM base) AS mean_quality,
+  (SELECT CAST(FLOOR(SUM(CASE WHEN q < 0.3 THEN 1 ELSE 0 END)
+               * 1000000.0 / COUNT(*)) AS BIGINT)
+   FROM base) AS low_quality_ppm
+""",
+    doc="one-row dataset datasheet: composition (docs/tokens/sources), "
+        "English share, exact-duplicate rate, and the quality "
+        "distribution — integer-exact ppm rates and a decimal-exact "
+        "quality mean, so the release-gate row itself hash-checks; "
+        "two aggregation passes (corpus + fingerprint groups)",
+    tags=("text", "quality", "provenance"),
+)
+def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_testdata(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        "source",
+        X.token_count(F.col("text")).alias("n_tok"),
+        F.md5(X.normalized(F.col("text"))).alias("fp"),
+        X.quality_score(F.col("text")).alias("q"),
+        (X.lang_id(F.col("text")) == "en").cast("int").alias("is_en"),
+    )
+    dup_extra = (
+        base.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+        .agg(F.coalesce(F.sum(F.col("n") - 1), F.lit(0)).alias("extra"))
+    )
+    card = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("n_tokens"),
+        F.count_distinct("source").alias("n_sources"),
+        F.floor(F.sum("is_en") * 1000000 / F.count(F.lit(1)))
+        .cast("long")
+        .alias("en_ppm"),
+        F.round(
+            F.sum(F.col("q").cast("decimal(28,10)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_quality"),
+        F.floor(
+            F.sum((F.col("q") < 0.3).cast("long")) * 1000000
+            / F.count(F.lit(1))
+        )
+        .cast("long")
+        .alias("low_quality_ppm"),
+    )
+    return card.crossJoin(F.broadcast(dup_extra)).select(
+        "n_docs",
+        "n_tokens",
+        "n_sources",
+        "en_ppm",
+        F.floor(F.col("extra") * 1000000 / F.col("n_docs"))
+        .cast("long")
+        .alias("exact_dup_ppm"),
+        "mean_quality",
+        "low_quality_ppm",
+    )
