@@ -1819,3 +1819,68 @@ def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mean_quality",
         "low_quality_ppm",
     )
+
+
+# ---------------------------------------------------------------------------
+# Chunk-level dedup (the RAG-index prep step after chunking): identical
+# chunk text across the corpus collapses to one canonical chunk —
+# boilerplate windows repeated across thousands of pages would
+# otherwise dominate a retrieval index. Composition of context_chunks
+# + md5 fingerprint + first-occurrence window; the oracle composes the
+# same two stages.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "chunk_dedup",
+    f"""
+WITH t AS (
+  SELECT doc_id, string_split({_NORM}, ' ') AS ws FROM documents
+), s AS (
+  SELECT doc_id, ws, len(ws) AS n FROM t
+), st AS (
+  SELECT doc_id, ws, n,
+         unnest(generate_series(0,
+           CASE WHEN n <= 32 THEN 0
+                ELSE CAST(ceil((n - 32) / 24.0) * 24 AS INT) END,
+           24)) AS start_off
+  FROM s
+), chunks AS (
+  SELECT doc_id, CAST(start_off // 24 AS BIGINT) AS chunk_idx,
+         md5(array_to_string(ws[start_off + 1 : start_off + 32], ' '))
+           AS fp
+  FROM st
+)
+SELECT doc_id, chunk_idx,
+       (doc_id, chunk_idx) = MIN((doc_id, chunk_idx))
+         OVER (PARTITION BY fp) AS is_canonical,
+       CAST(COUNT(*) OVER (PARTITION BY fp) AS BIGINT) AS n_copies
+FROM chunks
+""",
+    doc="chunk-level exact dedup for retrieval indexes: identical "
+        "32-token context windows across the corpus collapse to the "
+        "first-occurrence canonical (lowest doc, then chunk index), "
+        "with the copy count exposed — chunking is per-row exprs, "
+        "dedup is one fingerprint-window shuffle",
+    tags=("text", "chunking", "dedup"),
+)
+def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..extensions.sampling import context_chunks
+
+    docs = load_testdata(spark, sf_dir, "documents")
+    chunks = context_chunks(docs, "doc_id", "text", size=32, overlap=8)
+    w = Window.partitionBy("_fp")
+    first = F.min(F.struct("doc_id", "chunk_idx")).over(w)
+    return (
+        chunks.withColumn("_fp", F.md5(F.col("chunk_text")))
+        .select(
+            "doc_id",
+            "chunk_idx",
+            (
+                F.struct("doc_id", "chunk_idx") == first
+            ).alias("is_canonical"),
+            F.count(F.lit(1)).over(w).alias("n_copies"),
+        )
+    )
