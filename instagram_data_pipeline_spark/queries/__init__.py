@@ -143,6 +143,7 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "shard_source_mix",
     "dataset_card",
     "chunk_dedup",
+    "lsh_quality_report",
     # pricing_summary sits first past the window this round: r01+r02
     # driver rows, bench-headline coverage every round, pytest oracle.
     # ledger_dequeue_transition / ledger_point_update /

@@ -1523,3 +1523,90 @@ def q_equidepth_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("n_rows"))
     )
+
+
+# ---------------------------------------------------------------------------
+# LSH quality report: the eval loop you run when TUNING bands/rows —
+# how many exact near-dup pairs (the capped inverted-index ground
+# truth) does banded LSH recover, and how much candidate fan-out does
+# it pay? One hash-checked row: candidate/verified/missed counts and
+# integer-exact precision/recall ppm, portable md5 family end-to-end.
+# ---------------------------------------------------------------------------
+def _lsh_quality_oracle() -> str:
+    from .text import _JACCARD_CTES
+
+    return f"""
+WITH {_JACCARD_CTES}, exact AS (
+  SELECT doc_a, doc_b FROM kept WHERE jaccard >= 0.5
+), msig AS (
+  SELECT doc_id, i,
+         MIN(CAST(concat('0x', substr(md5(i || ':' || shingle), 1, 8))
+                  AS BIGINT)) AS h
+  FROM sh0 CROSS JOIN range(32) t(i)
+  GROUP BY doc_id, i
+), band AS (
+  SELECT doc_id, i // 4 AS band_id,
+         string_agg(CAST(h AS VARCHAR), ',' ORDER BY i) AS band_key
+  FROM msig GROUP BY doc_id, i // 4
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM band a JOIN band b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key
+   AND a.doc_id < b.doc_id
+), verified AS (
+  SELECT c.doc_a, c.doc_b FROM cand c
+  JOIN exact e ON e.doc_a = c.doc_a AND e.doc_b = c.doc_b
+)
+SELECT
+  (SELECT COUNT(*) FROM exact) AS n_exact,
+  (SELECT COUNT(*) FROM cand) AS n_candidates,
+  (SELECT COUNT(*) FROM verified) AS n_verified,
+  (SELECT COUNT(*) FROM exact) - (SELECT COUNT(*) FROM verified)
+    AS n_missed,
+  CAST(FLOOR((SELECT COUNT(*) FROM verified) * 1000000.0
+       / NULLIF((SELECT COUNT(*) FROM cand), 0)) AS BIGINT)
+    AS precision_ppm,
+  CAST(FLOOR((SELECT COUNT(*) FROM verified) * 1000000.0
+       / NULLIF((SELECT COUNT(*) FROM exact), 0)) AS BIGINT)
+    AS recall_ppm
+"""
+
+
+@register(
+    "lsh_quality_report",
+    _lsh_quality_oracle(),
+    doc="banded-LSH tuning report: candidate pairs vs the exact "
+        "inverted-index ground truth at jaccard >= 0.5 — verified and "
+        "missed counts with integer-exact precision/recall ppm, one "
+        "hash-checked row; the eval a deployment runs before changing "
+        "bands/rows-per-band",
+    tags=("text", "dedup", "minhash", "diagnostics"),
+)
+def q_lsh_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        ngram_jaccard_pairs,
+    )
+
+    docs = load_testdata(spark, sf_dir, "documents")
+    exact = ngram_jaccard_pairs(
+        docs, id_col="doc_id", text_col="text", n=3, threshold=0.5,
+        max_df=100,
+    ).select("doc_a", "doc_b").localCheckpoint()
+    sigs = minhash_signatures(docs, portable=True)
+    cand = lsh_candidate_pairs(sigs, portable=True).localCheckpoint()
+    verified = cand.join(exact, ["doc_a", "doc_b"], "semi")
+    n_exact = exact.count()
+    n_cand = cand.count()
+    n_ver = verified.count()
+    row = [(
+        n_exact, n_cand, n_ver, n_exact - n_ver,
+        (n_ver * 1000000) // n_cand if n_cand else None,
+        (n_ver * 1000000) // n_exact if n_exact else None,
+    )]
+    return spark.createDataFrame(
+        row,
+        "n_exact long, n_candidates long, n_verified long, n_missed long, "
+        "precision_ppm long, recall_ppm long",
+    )
