@@ -1610,3 +1610,64 @@ def q_lsh_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_exact long, n_candidates long, n_verified long, n_missed long, "
         "precision_ppm long, recall_ppm long",
     )
+
+
+# ---------------------------------------------------------------------------
+# ANN recall report: the vector-side twin of lsh_quality_report — how
+# much of the exact brute-force top-5 does IVF (n_probe=3) recover?
+# Both sides are already hash-checked individually; this row composes
+# their oracles and measures the overlap, integer-exact.
+# ---------------------------------------------------------------------------
+_ANN_RECALL_ORACLE = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+c AS (SELECT vec_id, v FROM e WHERE vec_id >= 10),
+exact AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.query_id, c.vec_id,
+           ROW_NUMBER() OVER (PARTITION BY q.query_id
+             ORDER BY {_COS.format(a='q.qv', b='c.v')} DESC, c.vec_id)
+             AS rank
+    FROM q CROSS JOIN c
+  ) WHERE rank <= 5
+), approx AS (
+  SELECT query_id, vec_id FROM ({_IVF_ORACLE.strip()})
+), hit AS (
+  SELECT a.query_id, a.vec_id FROM approx a
+  JOIN exact x ON x.query_id = a.query_id AND x.vec_id = a.vec_id
+)
+SELECT
+  (SELECT COUNT(*) FROM exact) AS n_exact,
+  (SELECT COUNT(*) FROM approx) AS n_approx,
+  (SELECT COUNT(*) FROM hit) AS n_hits,
+  CAST(FLOOR((SELECT COUNT(*) FROM hit) * 1000000.0
+       / (SELECT COUNT(*) FROM exact)) AS BIGINT) AS recall_ppm
+"""
+
+
+@register(
+    "ann_recall_report",
+    _ANN_RECALL_ORACLE,
+    doc="ANN eval harness: IVF (per-label centroids, n_probe=3) top-5 "
+        "vs the exact brute-force top-5 — hit counts and integer-exact "
+        "recall ppm in one hash-checked row; the dial-tuning eval for "
+        "n_probe/cluster quality",
+    tags=("similarity", "ann", "diagnostics"),
+)
+def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    exact = (
+        q_cosine_topk(spark, sf_dir)
+        .select("query_id", "vec_id")
+        .localCheckpoint()
+    )
+    approx = (
+        q_ivf_topk(spark, sf_dir)
+        .select("query_id", "vec_id")
+        .localCheckpoint()
+    )
+    hits = approx.join(exact, ["query_id", "vec_id"], "semi")
+    n_exact, n_approx, n_hits = exact.count(), approx.count(), hits.count()
+    return spark.createDataFrame(
+        [(n_exact, n_approx, n_hits, (n_hits * 1000000) // n_exact)],
+        "n_exact long, n_approx long, n_hits long, recall_ppm long",
+    )
