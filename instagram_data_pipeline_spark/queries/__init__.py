@@ -145,6 +145,7 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "chunk_dedup",
     "lsh_quality_report",
     "ann_recall_report",
+    "dedup_funnel_report",
     # pricing_summary sits first past the window this round: r01+r02
     # driver rows, bench-headline coverage every round, pytest oracle.
     # ledger_dequeue_transition / ledger_point_update /

@@ -1884,3 +1884,142 @@ def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).over(w).alias("n_copies"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Dedup funnel report: per-tier impact of the dedup ladder, measured
+# independently over the full corpus (exact fingerprints, near-dup
+# clusters, duplicated spans) — the "what does each tier actually
+# remove" row every dedup deployment reports. One hash-checked frame
+# composing the three families' oracles.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_funnel_report",
+    f"""
+WITH RECURSIVE {_JACCARD_CTES}, nstats AS (
+  SELECT doc_id, md5({_NORM}) AS fp,
+         len(string_split({_NORM}, ' ')) AS nt
+  FROM documents
+), exact_sub AS (
+  SELECT COUNT(*) AS n_docs, COALESCE(SUM(nt), 0) AS n_tokens FROM (
+    SELECT doc_id, nt,
+           MIN(doc_id) OVER (PARTITION BY fp) AS canon
+    FROM nstats
+  ) WHERE doc_id <> canon
+), sym AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT doc_a AS src, doc_b AS dst FROM kept
+    UNION ALL SELECT doc_b, doc_a FROM kept
+  ) t WHERE src <> dst
+), walk(node, label) AS (
+  SELECT src, src FROM sym
+  UNION
+  SELECT e.dst, w.label FROM walk w JOIN sym e ON e.src = w.node
+  WHERE w.label < e.dst
+), comp AS (
+  SELECT node, MIN(label) AS component FROM walk GROUP BY node
+), near_sub AS (
+  SELECT COUNT(*) AS n_docs, COALESCE(SUM(n.nt), 0) AS n_tokens
+  FROM comp c JOIN nstats n ON n.doc_id = c.node
+  WHERE c.node <> c.component
+), sgrams AS (
+  SELECT doc_id, i - 1 AS pos,
+         md5(array_to_string(list_slice(w, i, i + {_SPAN_K - 1}), ' '))
+           AS g
+  FROM tok, LATERAL unnest(generate_series(1, len(w) - {_SPAN_K - 1}))
+       AS u(i)
+  WHERE len(w) >= {_SPAN_K}
+), sshared AS (
+  SELECT g FROM sgrams GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2
+), sruns AS (
+  SELECT doc_id, pos,
+         pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM sgrams JOIN sshared USING (g)
+), sspans AS (
+  SELECT doc_id, MIN(pos) AS s,
+         MAX(pos) - MIN(pos) + {_SPAN_K} AS l
+  FROM sruns GROUP BY doc_id, grp
+  HAVING MAX(pos) - MIN(pos) + {_SPAN_K} >= {_SPAN_MIN}
+), socc AS (
+  SELECT sp.doc_id, sp.s, sp.l,
+         md5(array_to_string(list_slice(t.w, sp.s + 1, sp.s + sp.l), ' '))
+           AS h
+  FROM sspans sp JOIN tok t USING (doc_id)
+), scut AS (
+  SELECT doc_id, s, l FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, s) AS rn
+    FROM socc
+  ) WHERE rn > 1
+), scutpos AS (
+  SELECT DISTINCT doc_id, u.p
+  FROM scut, LATERAL unnest(generate_series(s, s + l - 1)) AS u(p)
+), span_sub AS (
+  SELECT COUNT(DISTINCT doc_id) AS n_docs,
+         COALESCE(COUNT(*), 0) AS n_tokens
+  FROM scutpos
+)
+SELECT 'exact' AS tier, n_docs, n_tokens FROM exact_sub
+UNION ALL SELECT 'near_dup', n_docs, n_tokens FROM near_sub
+UNION ALL SELECT 'span', n_docs, n_tokens FROM span_sub
+""",
+    doc="the dedup-ladder impact report: docs affected and tokens "
+        "removable per tier — exact fingerprints (whole non-canonical "
+        "docs), near-dup clusters (non-canonical members), duplicated "
+        "spans (cut positions under keep-first) — each measured "
+        "independently over the corpus; one hash-checked 3-row frame "
+        "composing the three families' oracles",
+    tags=("text", "dedup", "diagnostics"),
+)
+def q_dedup_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..extensions.dedup import (
+        dup_span_remove,
+        ngram_jaccard_pairs,
+    )
+    from ..operators.graph import connected_components
+
+    docs = load_testdata(spark, sf_dir, "documents")
+    nstats = docs.select(
+        "doc_id",
+        F.md5(X.normalized(F.col("text"))).alias("fp"),
+        X.token_count(F.col("text")).alias("nt"),
+    ).localCheckpoint()
+    w = Window.partitionBy("fp")
+    exact = (
+        nstats.withColumn("canon", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") != F.col("canon"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.coalesce(F.sum("nt"), F.lit(0)).alias("n_tokens"),
+        )
+        .select(F.lit("exact").alias("tier"), "n_docs", "n_tokens")
+    )
+    pairs = ngram_jaccard_pairs(docs, id_col="doc_id", text_col="text",
+                                n=3, threshold=0.1, max_df=100)
+    cc = connected_components(
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    )
+    near = (
+        cc.filter(F.col("node") != F.col("component"))
+        .join(nstats.withColumnRenamed("doc_id", "node"), "node")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.coalesce(F.sum("nt"), F.lit(0)).alias("n_tokens"),
+        )
+        .select(F.lit("near_dup").alias("tier"), "n_docs", "n_tokens")
+    )
+    span = (
+        dup_span_remove(docs, "doc_id", "text", k=_SPAN_K,
+                        min_tokens=_SPAN_MIN, keep="first")
+        .filter(F.col("n_removed") > 0)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.coalesce(F.sum("n_removed"), F.lit(0)).cast("long")
+            .alias("n_tokens"),
+        )
+        .select(F.lit("span").alias("tier"), "n_docs", "n_tokens")
+    )
+    return exact.unionByName(near).unionByName(span)
