@@ -951,3 +951,40 @@ def dup_span_remove(
             .alias("n_removed"),
         )
     )
+
+
+def ngram_novelty(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """Per-document novelty: the share of its distinct n-gram shingles
+    FIRST introduced by this document (owner = lowest doc id seen for
+    the shingle) — the curation signal that separates fresh content
+    from remixes of the existing corpus (documents below a novelty
+    floor are boilerplate/near-copy candidates even when no single
+    pairwise match fires).
+
+    Scale shape: the same inverted shingle index the Jaccard family
+    builds, but consumed as ONE argmin per shingle + one join back —
+    no pairwise expansion at all, so zipfian shingles cost their df,
+    never df^2. Two shuffles total (shingle key, then doc key).
+    Documents with fewer than ``n`` tokens have no shingles and drop
+    out (mirrored by the oracle)."""
+    sh = _distinct_shingles(df, id_col, text_col, n)
+    own = sh.groupBy("shingle").agg(F.min(id_col).alias("_owner"))
+    return (
+        sh.join(own, "shingle")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum(
+                F.when(F.col("_owner") == F.col(id_col), 1).otherwise(0)
+            ).alias("_nov"),
+        )
+        .select(
+            id_col,
+            F.col("_n").cast("int").alias("n_shingles"),
+            F.floor(F.col("_nov") * 1000000.0 / F.col("_n"))
+            .cast("long")
+            .alias("novelty_ppm"),
+        )
+    )

@@ -80,6 +80,12 @@ def viterbi_segment(
     L = max_piece_len
     w = F.col(word_col)
     n = F.length(w)
+    # sequence(1, 0) yields the DESCENDING array [1, 0] — a zero-length
+    # word must fold over an empty index array (dp stays at init,
+    # pieces = [], cost = 0), not run spurious DP steps
+    idx = F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(
+        F.array().cast("array<int>")
+    )
 
     # dp: index p+1 holds struct(c = best cost of prefix p, j = piece
     # length ending that prefix); index 1 = (0, 0)
@@ -97,7 +103,7 @@ def viterbi_segment(
         return F.concat(acc, F.array(F.array_min(cands)))
 
     dp = F.aggregate(
-        F.sequence(F.lit(1), n),
+        idx,
         F.array(F.struct(F.lit(0).alias("c"), F.lit(0).alias("j"))),
         step,
     )
@@ -119,7 +125,7 @@ def viterbi_segment(
         )
 
     walked = F.aggregate(
-        F.sequence(F.lit(1), n),
+        idx,
         F.struct(
             n.alias("pos"), F.array().cast("array<string>").alias("parts")
         ),

@@ -128,3 +128,71 @@ def domain_frequency_cap(
     return kept.join(F.broadcast(totals), "domain").select(
         id_col, "canonical_url", "domain", "rank", "domain_total"
     )
+
+
+def extract_links(html: Column) -> Column:
+    """All ``<a href="...">`` targets of an HTML page, in document
+    order, as ``array<string>`` — the edge emitter for the crawl link
+    graph (pure codegen; no parser on the executor). Double-quoted
+    hrefs only: the corpus synthesizer's contract here; a production
+    extractor extends the same regexp alternation with single-quote /
+    unquoted forms."""
+    return F.regexp_extract_all(html, F.lit('<a href="([^"]+)"'), 1)
+
+
+def url_path(canonical_url: Column) -> Column:
+    """Path component of a canonical URL (``/`` for the empty root) —
+    the match key for robots prefix rules."""
+    p = F.regexp_extract(
+        canonical_url, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1
+    )
+    return F.when(p == "", F.lit("/")).otherwise(p)
+
+
+def robots_exclusion(
+    df: DataFrame,
+    rules: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Longest-prefix robots-rule matching: the crawl-compliance filter.
+
+    ``rules`` is ``(domain, prefix, allow)`` — the parsed Allow/
+    Disallow lines of each domain's robots.txt. Per URL, every rule of
+    its registrable domain whose ``prefix`` starts the canonical path
+    competes; the MOST SPECIFIC (longest prefix) wins and on equal
+    length Allow beats Disallow — the Google/RFC 9309 precedence. URLs
+    with no matching rule are allowed.
+
+    Scale shape: the rule table is robots.txt-sized (small) and rides
+    as a broadcast, so matching is map-only plus one per-URL max — the
+    candidate fan-out is bounded by rules-per-domain, never by corpus
+    size. Winner selection is ``max(struct(len, allow, prefix))``: no
+    window, just a groupBy argmax."""
+    canon = (
+        df.select(
+            F.col(id_col),
+            canonicalize_url(F.col(url_col)).alias("canonical_url"),
+        )
+        .withColumn("domain", registrable_domain(F.col("canonical_url")))
+        .withColumn("path", url_path(F.col("canonical_url")))
+    )
+    matched = canon.join(F.broadcast(rules), "domain").filter(
+        F.col("path").startswith(F.col("prefix"))
+    )
+    winners = matched.groupBy(id_col).agg(
+        F.max(
+            F.struct(
+                F.length("prefix").alias("l"),
+                F.col("allow").alias("allow"),
+                F.col("prefix").alias("prefix"),
+            )
+        ).alias("w")
+    )
+    return canon.join(winners, id_col, "left").select(
+        id_col,
+        "domain",
+        "path",
+        F.col("w.prefix").alias("matched_prefix"),
+        F.coalesce(F.col("w.allow"), F.lit(True)).alias("allowed"),
+    )

@@ -47,11 +47,18 @@ def skew_report(
     totals = counts.agg(
         F.sum("n_rows").alias("_total"), F.count(F.lit(1)).alias("_nkeys")
     )
-    w = Window.orderBy(F.col("n_rows").desc(), *[F.col(k) for k in keys])
+    order = [F.col("n_rows").desc()] + [F.col(k) for k in keys]
+    # orderBy + limit plans TakeOrderedAndProject (per-partition top-n,
+    # merged on the driver) — NOT a global single-partition window sort,
+    # which would funnel the whole count frame through one task at
+    # exactly the scale this diagnostic targets. The rank window then
+    # runs over only the top_n surviving rows.
+    top = (
+        counts.crossJoin(F.broadcast(totals)).orderBy(*order).limit(top_n)
+    )
+    w = Window.orderBy(*order)
     return (
-        counts.crossJoin(F.broadcast(totals))
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= top_n)
+        top.withColumn("rank", F.row_number().over(w))
         .select(
             *keys,
             "n_rows",

@@ -15,10 +15,19 @@ is bit-identical in any engine, so the SQL oracle replays it with a
 recursive walk.
 
 The per-key fold is sequential by nature (each admission changes the
-tokens the next request sees) and runs as ONE codegen fold over the
-key's time-sorted request array — same local-sequential/global-parallel
-split as FFD bin packing; keys are independent and a key's request list
-is bounded by the rate window you replay.
+tokens the next request sees) and runs as a codegen fold over a
+time-sorted request array — same local-sequential/global-parallel
+split as FFD bin packing; keys are independent.
+
+Bounded at scale: the fold is segmented at RESET GAPS. Whenever two
+consecutive requests of a key are ``>= capacity / rate`` seconds
+apart, the refill (``elapsed * rate`` capped at ``capacity``) lands on
+exactly ``capacity`` no matter what came before — the bucket state is
+erased, so each gap-delimited segment replays independently from a
+full bucket. A hot key's array is therefore bounded by its longest
+*continuous* burst, not by the whole replay window; the optional
+``max_segment`` guard turns a pathological never-idle key into a loud
+error instead of a silent straggler task.
 """
 
 from __future__ import annotations
@@ -37,6 +46,7 @@ def token_bucket_admission(
     cost: int = 60,
     backoff: int = 60,
     jitter_max: int = 30,
+    max_segment: int | None = None,
 ) -> DataFrame:
     """Replay a request log through per-key token buckets.
 
@@ -47,6 +57,13 @@ def token_bucket_admission(
     ``retry_at = ts + backoff + md5(id) % jitter_max`` — hash jitter
     decorrelates retry storms with no RNG state (the T5 policy).
 
+    The replay is segmented at reset gaps (``gap * rate >= capacity``
+    refills to exactly ``capacity``, erasing prior state), so each
+    segment folds independently from a full bucket and per-task memory
+    is bounded by the longest continuous burst, not the replay window.
+    ``max_segment`` (optional) raises a task error naming the key if
+    any single burst exceeds it — the documented bound.
+
     Returns ``(key, id, ts_s, tokens_after, admitted, retry_at)``."""
     ts_s = F.col(ts_col).cast("long")
     reqs = df.select(
@@ -54,11 +71,34 @@ def token_bucket_admission(
         F.col(id_col).alias("_id"),
         ts_s.alias("_ts"),
     )
-    per_key = reqs.groupBy("_k").agg(
+    seq = Window.partitionBy("_k").orderBy("_ts", "_id")
+    reset = (
+        (F.col("_ts") - F.lag("_ts").over(seq)) * F.lit(rate)
+        >= F.lit(capacity)
+    ).cast("int")
+    segged = reqs.withColumn(
+        "_seg", F.sum(F.coalesce(reset, F.lit(0))).over(seq)
+    )
+    per_key = segged.groupBy("_k", "_seg").agg(
         F.array_sort(
             F.collect_list(F.struct(F.col("_ts"), F.col("_id")))
         ).alias("_rs")
     )
+    if max_segment is not None:
+        per_key = per_key.withColumn(
+            "_guard",
+            F.assert_true(
+                F.size("_rs") <= max_segment,
+                F.format_string(
+                    "token_bucket_admission: key %s has a continuous "
+                    "burst of %d requests (> max_segment "
+                    f"{max_segment}); raise max_segment or shorten "
+                    "the replay window",
+                    F.col("_k").cast("string"),
+                    F.size("_rs"),
+                ),
+            ),
+        ).filter(F.col("_guard").isNull()).drop("_guard")
 
     def step(acc, r):
         refill = (r["_ts"] - acc["prev_ts"]) * rate

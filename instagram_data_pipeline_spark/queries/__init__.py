@@ -57,9 +57,85 @@ def register(
 # window filled: they sit immediately past slot 50, CI-oracle-checked,
 # and form the head of the round-5 promote queue.
 REGISTRY_ORDER: tuple[str, ...] = (
-    # -- slots 1-22: never driver-checked (late-round-3 wave: graph
-    #    analytics, ranking/LM/DSIR, semantic dedup, sketches, CDC,
-    #    attribution, sampling, multimodal audio) --------------------------
+    # ================= round-5 driver window (50 slots) ==================
+    # Policy unchanged (see above). This round: (a) slots 1-19 promote the
+    # late-round-4 wave that has NEVER received a driver row (VERDICT r4
+    # Next #1) — the only driver-checkable proof of T4/T5
+    # (rate_limit_admission) and the S6 parse-half (warc/html/web);
+    # (b) training_shards re-verifies in-window after the HUGEINT oracle
+    # fix (CAST SUM AS BIGINT, VERDICT r4 Next #2) along with the other
+    # three audited SUM oracles (shard_source_mix, dataset_card,
+    # dedup_funnel_report — all in the promote wave anyway);
+    # (c) mutual_edges_salted is newly registered (VERDICT r4 Next #3);
+    # (d) queries whose IMPLEMENTATION changed this round re-verify
+    # in-window (skew_report -> TakeOrderedAndProject, ADVICE #2;
+    # unigram_encode_tokens -> empty-word DP guard, ADVICE #4;
+    # rate_limit_admission -> integer hour bucket + segmented fold,
+    # ADVICE #3 / VERDICT Next #5);
+    # (e) rows-only probabilistic tiers stay adjacent to their
+    # hash-checked twins; (f) remaining slots give the r04-green-once
+    # singles their second lifetime row (VERDICT r4 Next #8) and seat
+    # the new round-5 queries.
+    # -- (a) slots 1-19: the never-driver-checked promote queue ----------
+    "contrastive_triplets",
+    "pca_project_fixed",
+    "pca_components",
+    "bin_packing",
+    "label_propagation",
+    "classifier_score_fixed",
+    "classifier_weights",
+    "warc_roundtrip",
+    "html_extract",
+    "web_pipeline",
+    "rate_limit_admission",
+    "incremental_components",
+    "readability_stats",
+    "shard_source_mix",
+    "dataset_card",
+    "chunk_dedup",
+    "lsh_quality_report",
+    "ann_recall_report",
+    "dedup_funnel_report",
+    # -- (b) oracle fixed this round: re-verify -------------------------
+    "training_shards",
+    # -- (c) new registration: skew-safe J1 twin ------------------------
+    "mutual_edges_salted",
+    # -- (d) implementation changed this round: re-verify ---------------
+    "skew_report",
+    "unigram_encode_tokens",
+    # -- (e) rows-only tiers adjacent to hash-checked twins -------------
+    "unigram_vocab",
+    "bpe_encode_tokens",
+    "bpe_merges",
+    "minhash_near_dups_portable",
+    "minhash_near_dups",
+    "simhash_near_dups_portable",
+    "simhash_near_dups",
+    "cms_heavy_users_portable",
+    "cms_heavy_users",
+    "approx_distinct_users_portable",
+    "approx_distinct_users",
+    "pq_topk",
+    # -- (f) second lifetime rows for the r04-green singles -------------
+    "ivf_incremental_topk",
+    "incremental_minhash_dedup",
+    "stream_neardup_dedup",
+    "multimodal_jpeg_stats",
+    "dedup_keep_best",
+    "multimodal_mjpeg_stats",
+    "c4_line_filter",
+    "dup_span_removal",
+    "dup_spans",
+    # -- new round-5 queries seat here (slots 45-50) ---------------------
+    "robots_exclusion",
+    "link_graph",
+    "domain_quality_rollup",
+    "wordpiece_encode_tokens",
+    "perplexity_mixture",
+    "ngram_novelty",
+    # ------------------- driver window ends at slot 50 --------------------
+    # Round-4 window graduates: every name below earned its r04 driver row
+    # and demotes past the window; all stay oracle-checked every CI run.
     "triangle_stats",
     "pagerank",
     "kcore_members",
@@ -80,72 +156,15 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "weighted_sample",
     "hashed_tf_features",
     "equidepth_buckets",
-    "pq_topk",
-    "bpe_merges",
-    # -- probabilistic families: rows-only tier + hash-checked portable
-    #    twin, always adjacent and in-window together (VERDICT r3 #5) ------
-    "minhash_near_dups",
-    "minhash_near_dups_portable",
-    "simhash_near_dups",
-    "simhash_near_dups_portable",
-    "cms_heavy_users",
-    "cms_heavy_users_portable",
-    "approx_distinct_users",
-    "approx_distinct_users_portable",
-    # -- implementation changed in round 4 → re-verify (connected
-    #    components moved to two-phase star contraction per ADVICE;
-    #    dedup_clusters consumes it) ---------------------------------------
     "connected_components",
     "dedup_clusters",
-    # -- new in round 4: compressed-media codecs (PNG lossless, JPEG
-    #    deterministic-lossy, G.711 mu-law audio, MJPEG/AVI video — each
-    #    with an arithmetic-replay oracle) ---------------------------------
     "multimodal_png_stats",
-    "multimodal_jpeg_stats",
     "multimodal_ulaw_stats",
-    "multimodal_mjpeg_stats",
-    "c4_line_filter",
-    "bpe_encode_tokens",
-    "dup_spans",
-    "dup_span_removal",
     "url_frequency_cap",
-    "training_shards",
-    "incremental_minhash_dedup",
-    "ivf_incremental_topk",
-    "stream_neardup_dedup",
-    "dedup_keep_best",
-    "skew_report",
     "constraint_report",
-    # unigram tokenizer: rows-only trainer next to its hash-checked
-    # encode twin (the bpe_merges / bpe_encode_tokens pairing) ----------
-    "unigram_encode_tokens",
-    "unigram_vocab",
-    # ------------------- driver window ends at slot 50 --------------------
-    # mutual_edges sits first past the window: r01+r02 hash rows AND the
-    # driver's entry() smoke-check re-runs it every single round.
+    # mutual_edges: r01+r02 hash rows AND re-run by the driver's entry()
+    # smoke-check every round (its salted twin is in-window above).
     "mutual_edges",
-    # contrastive_triplets and the PCA family landed after the round-4
-    # window filled; CI-oracle-checked every run — head of the round-5
-    # promote queue.
-    "contrastive_triplets",
-    "pca_project_fixed",
-    "pca_components",
-    "bin_packing",
-    "label_propagation",
-    "classifier_score_fixed",
-    "classifier_weights",
-    "warc_roundtrip",
-    "html_extract",
-    "web_pipeline",
-    "rate_limit_admission",
-    "incremental_components",
-    "readability_stats",
-    "shard_source_mix",
-    "dataset_card",
-    "chunk_dedup",
-    "lsh_quality_report",
-    "ann_recall_report",
-    "dedup_funnel_report",
     # pricing_summary sits first past the window this round: r01+r02
     # driver rows, bench-headline coverage every round, pytest oracle.
     # ledger_dequeue_transition / ledger_point_update /

@@ -83,6 +83,22 @@ def q_mutual_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mutual_edges_salted",
+    _MUTUAL_ORACLE,
+    doc="skew-safe J1 twin (SURVEY §7 risk 5): followers side spread "
+        "over 8 deterministic salt sub-keys, following side replicated "
+        "8x, so a celebrity key's rows land on 8 tasks instead of one; "
+        "salting is semantics-invisible — same oracle as mutual_edges",
+    tags=("join", "skew", "flagship"),
+)
+def q_mutual_edges_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.mutuals import mutual_edges_salted
+
+    followers, following = _edge_sets(spark, sf_dir)
+    return mutual_edges_salted(followers, following, salt=8)
+
+
+@register(
     "mutual_edges_intersect",
     """
 WITH f1 AS (

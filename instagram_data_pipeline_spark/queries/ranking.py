@@ -336,3 +336,73 @@ def q_hashed_tf_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_testdata(spark, sf_dir, "documents")
     return hashed_tf(docs, dim=64)
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style perplexity mixture: bucket every scored document into
+# head / middle / tail quality tiers by FIXED perplexity cutoffs
+# (CCNet's discipline: cutoffs are trained once on a held-out sample
+# and shipped as constants — so tiering is pure map work, no global
+# window or quantile pass on the corpus), then roll up the per-(tier,
+# lang) mixture a sampling stage consumes. Integer-exact ppm math.
+# ---------------------------------------------------------------------------
+_PPL_T1 = 3390000  # head/middle cutoff, avg_nll ppm (~33rd pct at sf0.01)
+_PPL_T2 = 3416000  # middle/tail cutoff (~66th pct)
+
+_PPL_MIX_ORACLE = f"""
+WITH scored AS (
+  SELECT * FROM ({_LM_ORACLE}) t
+), j AS (
+  SELECT s.doc_id, d.lang, s.n_bigrams,
+         CAST(FLOOR(s.avg_nll * 1000000) AS BIGINT) AS nll_ppm
+  FROM scored s JOIN documents d ON s.doc_id = d.doc_id
+), tiers AS (
+  SELECT CASE WHEN nll_ppm < {_PPL_T1} THEN 'head'
+              WHEN nll_ppm < {_PPL_T2} THEN 'middle'
+              ELSE 'tail' END AS tier,
+         lang, n_bigrams, nll_ppm
+  FROM j
+)
+SELECT tier, lang, COUNT(*) AS n_docs,
+       CAST(SUM(nll_ppm) AS BIGINT) // COUNT(*) AS mean_nll_ppm,
+       CAST(SUM(n_bigrams) AS BIGINT) AS n_bigrams_total
+FROM tiers GROUP BY tier, lang
+"""
+
+
+@register(
+    "perplexity_mixture",
+    _PPL_MIX_ORACLE,
+    doc="CCNet head/middle/tail mixture: per-doc bigram-LM perplexity "
+        "tiered by fixed shipped cutoffs (map-only — no corpus-wide "
+        "quantile pass or global window at scoring time), rolled up "
+        "per (tier, lang) with integer-exact mean NLL and bigram "
+        "totals — the mixture table a quality-aware sampler consumes",
+    tags=("text", "ranking", "quality", "sampling"),
+)
+def q_perplexity_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ..extensions.ranking import bigram_lm_scores
+
+    docs = load_testdata(spark, sf_dir, "documents")
+    scored = bigram_lm_scores(docs, add_k=0.5)
+    j = scored.join(docs.select("doc_id", "lang"), "doc_id").select(
+        "lang",
+        "n_bigrams",
+        F.floor(F.col("avg_nll") * 1000000).cast("long").alias("nll_ppm"),
+    )
+    tiers = j.select(
+        F.when(F.col("nll_ppm") < _PPL_T1, "head")
+        .when(F.col("nll_ppm") < _PPL_T2, "middle")
+        .otherwise("tail")
+        .alias("tier"),
+        "lang",
+        "n_bigrams",
+        "nll_ppm",
+    )
+    return tiers.groupBy("tier", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.expr("sum(nll_ppm) div count(1)").alias("mean_nll_ppm"),
+        F.sum("n_bigrams").cast("long").alias("n_bigrams_total"),
+    )

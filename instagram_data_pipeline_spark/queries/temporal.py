@@ -607,8 +607,9 @@ def q_rate_limit_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     reqs = events.select(
         "user_id",
         "event_id",
-        (F.unix_micros(F.col("ts")) / F.lit(3600000000)).cast("long")
-        .alias("ts_h"),
+        # integer `div`, not double-divide-then-truncate: keeps the
+        # bucket math exact and bit-identical to the oracle's `//`
+        F.expr("unix_micros(ts) div 3600000000").alias("ts_h"),
     )
     return token_bucket_admission(
         reqs, key_col="user_id", ts_col="ts_h", id_col="event_id",

@@ -1753,7 +1753,7 @@ WITH base AS (
 )
 SELECT
   (SELECT COUNT(*) FROM base) AS n_docs,
-  (SELECT SUM(n_tok) FROM base) AS n_tokens,
+  (SELECT CAST(SUM(n_tok) AS BIGINT) FROM base) AS n_tokens,
   (SELECT COUNT(DISTINCT source) FROM base) AS n_sources,
   (SELECT CAST(FLOOR(SUM(is_en) * 1000000.0 / COUNT(*)) AS BIGINT)
    FROM base) AS en_ppm,
@@ -1903,7 +1903,8 @@ WITH RECURSIVE {_JACCARD_CTES}, nstats AS (
          len(string_split({_NORM}, ' ')) AS nt
   FROM documents
 ), exact_sub AS (
-  SELECT COUNT(*) AS n_docs, COALESCE(SUM(nt), 0) AS n_tokens FROM (
+  SELECT COUNT(*) AS n_docs,
+         CAST(COALESCE(SUM(nt), 0) AS BIGINT) AS n_tokens FROM (
     SELECT doc_id, nt,
            MIN(doc_id) OVER (PARTITION BY fp) AS canon
     FROM nstats
@@ -1921,7 +1922,8 @@ WITH RECURSIVE {_JACCARD_CTES}, nstats AS (
 ), comp AS (
   SELECT node, MIN(label) AS component FROM walk GROUP BY node
 ), near_sub AS (
-  SELECT COUNT(*) AS n_docs, COALESCE(SUM(n.nt), 0) AS n_tokens
+  SELECT COUNT(*) AS n_docs,
+         CAST(COALESCE(SUM(n.nt), 0) AS BIGINT) AS n_tokens
   FROM comp c JOIN nstats n ON n.doc_id = c.node
   WHERE c.node <> c.component
 ), sgrams AS (
@@ -2023,3 +2025,136 @@ def q_dedup_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("span").alias("tier"), "n_docs", "n_tokens")
     )
     return exact.unionByName(near).unionByName(span)
+
+
+# ---------------------------------------------------------------------------
+# WordPiece ENCODE (extensions/wordpiece.py): greedy longest-match-first
+# with a FIXED literal vocab — the BERT-family tokenizer next to the BPE
+# merge-replay and unigram Viterbi encoders. The oracle replays the
+# same greedy walk with a recursive CTE, so the hash check proves the
+# longest-match precedence, the ## continuation convention, and the
+# char fallback all behave identically.
+# ---------------------------------------------------------------------------
+_WP_VOCAB = (
+    [chr(c) for c in range(97, 123)]
+    + [str(d) for d in range(10)]
+    + ["th", "the", "sc", "scan", "sp", "spark", "st", "stream",
+       "wi", "win", "window", "ba", "batch", "jo", "join", "or",
+       "order", "ke", "key", "ha", "hash", "me", "merge", "ta",
+       "table", "so", "sort", "fa", "fast", "sm", "small", "pa",
+       "part", "du", "dup"]
+    + ["##" + chr(c) for c in range(97, 123)]
+    + ["##" + str(d) for d in range(10)]
+    + ["##ark", "##an", "##ream", "##dow", "##tch", "##der", "##ble",
+       "##rge", "##all", "##art", "##ast", "##ey", "##in", "##rt",
+       "##st", "##er", "##le", "##ge"]
+)
+_WP_VOCAB_SQL = "[" + ", ".join("'" + v + "'" for v in _WP_VOCAB) + "]"
+_WP_L = 8
+
+_WP_ORACLE = f"""
+WITH RECURSIVE tok AS (
+  SELECT string_split({_NORM}, ' ') AS ws FROM documents
+), words AS (
+  SELECT DISTINCT w AS word FROM (SELECT unnest(ws) AS w FROM tok) t
+  WHERE w <> ''
+), walk(word, pos, parts) AS (
+  SELECT word, 0, CAST([] AS VARCHAR[]) FROM words
+  UNION ALL
+  SELECT word, pos + jj, list_append(parts, pc) FROM (
+    SELECT word, pos, parts,
+           COALESCE(fnd[1], 1) AS jj,
+           CASE WHEN len(fnd) > 0 THEN
+             CASE WHEN pos = 0 THEN substr(word, 1, fnd[1])
+                  ELSE '##' || substr(word, pos + 1, fnd[1]) END
+           ELSE '[UNK]' END AS pc
+    FROM (
+      SELECT word, pos, parts,
+             list_filter(
+               generate_series(LEAST({_WP_L}, length(word) - pos), 1, -1),
+               j -> list_contains({_WP_VOCAB_SQL},
+                 CASE WHEN pos = 0 THEN substr(word, 1, j)
+                      ELSE '##' || substr(word, pos + 1, j) END)) AS fnd
+      FROM walk WHERE pos < length(word)
+    ) a
+  ) b
+)
+SELECT word, array_to_string(parts, ' ') AS wp_tokens,
+       CAST(len(parts) AS INT) AS n_pieces
+FROM walk WHERE pos = length(word)
+"""
+
+
+@register(
+    "wordpiece_encode_tokens",
+    _WP_ORACLE,
+    doc="WordPiece (BERT-style) greedy longest-match-first encode over "
+        "the distinct-word table with a fixed literal vocab and ## "
+        "continuations — a codegen fold (zero Python, zero shuffles "
+        "past the distinct), max len(word) steps of O(max_piece_len) "
+        "membership probes; char fallback to [UNK] documented and "
+        "mirrored by the oracle's recursive walk",
+    tags=("text", "tokenizer"),
+)
+def q_wordpiece_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.wordpiece import wordpiece_encode_expr
+
+    docs = load_testdata(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(X.tokens(F.col("text"))).alias("word"))
+        .filter(F.col("word") != "")
+        .distinct()
+    )
+    enc = words.select(
+        "word",
+        wordpiece_encode_expr(F.col("word"), _WP_VOCAB, _WP_L).alias("p"),
+    )
+    return enc.select(
+        "word",
+        F.array_join("p", " ").alias("wp_tokens"),
+        F.size("p").cast("int").alias("n_pieces"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# N-gram novelty (extensions/dedup.ngram_novelty): share of each doc's
+# distinct shingles FIRST introduced by it — the corpus-freshness
+# signal; inverted index consumed as one argmin per shingle, no
+# pairwise expansion.
+# ---------------------------------------------------------------------------
+_NOVELTY_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, unnest(
+    CASE WHEN len(w) < 3 THEN []
+         ELSE list_transform(generate_series(1, len(w) - 2),
+                             i -> array_to_string(w[i:i+2], ' '))
+    END) AS shingle
+  FROM tok
+), own AS (
+  SELECT shingle, MIN(doc_id) AS owner FROM sh GROUP BY shingle
+)
+SELECT sh.doc_id, CAST(COUNT(*) AS INT) AS n_shingles,
+       CAST(FLOOR(SUM(CASE WHEN own.owner = sh.doc_id THEN 1 ELSE 0 END)
+                  * 1000000.0 / COUNT(*)) AS BIGINT) AS novelty_ppm
+FROM sh JOIN own USING (shingle)
+GROUP BY sh.doc_id
+"""
+
+
+@register(
+    "ngram_novelty",
+    _NOVELTY_ORACLE,
+    doc="per-doc novelty: ppm of its distinct 3-gram shingles first "
+        "introduced by it (owner = lowest doc id) — boilerplate/remix "
+        "detector that needs no pairwise match; the Jaccard family's "
+        "inverted index consumed as one argmin per shingle + one join "
+        "back, so zipfian shingles cost df, never df^2",
+    tags=("text", "dedup", "quality"),
+)
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.dedup import ngram_novelty
+
+    docs = load_testdata(spark, sf_dir, "documents")
+    return ngram_novelty(docs, id_col="doc_id", text_col="text", n=3)

@@ -109,8 +109,10 @@ def synthesize_messy_urls(docs: DataFrame) -> DataFrame:
 # extensions.web.canonicalize_url / registrable_domain /
 # domain_frequency_cap expression-for-expression. All regexes are
 # anchored, so Spark's replace-all and DuckDB's replace-first agree.
-_URL_ORACLE = f"""
-WITH h AS (
+# The chain up to `canon` (messy synthesis -> canonical_url + domain)
+# is shared by url_frequency_cap / robots_exclusion /
+# domain_quality_rollup below.
+_CANON_CTES = f"""h AS (
   SELECT doc_id, source, md5(COALESCE(text, '')) AS x FROM documents
 ), c AS (
   SELECT doc_id, source,
@@ -173,7 +175,10 @@ WITH h AS (
     regexp_extract(regexp_replace(hostport, ':[0-9]+$', ''),
                    '([^.]+\\.[^.]+)$', 1) AS domain
   FROM split4
-), ranked AS (
+)"""
+
+_URL_ORACLE = f"""
+WITH {_CANON_CTES}, ranked AS (
   SELECT doc_id, canonical_url, domain,
     ROW_NUMBER() OVER (PARTITION BY domain ORDER BY doc_id) AS rank,
     COUNT(*) OVER (PARTITION BY domain) AS domain_total
@@ -254,7 +259,7 @@ SELECT shard,
        CAST(SUM(h % {_HASH_MOD}) % {_HASH_MOD} AS BIGINT) AS content_sum,
        CAST(SUM(((pos + 1) * (h % {1 << 20})) % {_HASH_MOD})
             % {_HASH_MOD} AS BIGINT) AS layout_sum,
-       SUM(n_chars) AS n_tokens
+       CAST(SUM(n_chars) AS BIGINT) AS n_tokens
 FROM p GROUP BY shard
 """
 
@@ -543,7 +548,8 @@ WITH hs AS (
          CAST({_duck_hex13('m')} % {_N_SHARDS} AS INT) AS shard
   FROM hs
 ), per AS (
-  SELECT shard, source, COUNT(*) AS n_rows, SUM(n_chars) AS n_tokens
+  SELECT shard, source, COUNT(*) AS n_rows,
+         CAST(SUM(n_chars) AS BIGINT) AS n_tokens
   FROM k GROUP BY shard, source
 )
 SELECT shard, source, n_rows, n_tokens,
@@ -572,3 +578,212 @@ def q_shard_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
                             seed=0)
     return shard_source_mix(sharded, source_col="source",
                             token_col="n_chars")
+
+
+# ---------------------------------------------------------------------------
+# Crawl link graph (extensions.web.extract_links): anchors synthesized
+# into each page by doc_id arithmetic, extracted by the same codegen
+# regexp both engines run, aggregated into per-target in-degrees — the
+# signal PageRank / crawl prioritization consume. Map-only extraction
+# + one target-keyed aggregation; targets live in a bounded id space so
+# the result frame is dimension-sized.
+# ---------------------------------------------------------------------------
+_LG_MOD = 997
+
+
+def _link_page():
+    def t(m: int, a: int):
+        return ((F.col("doc_id") * m + a) % _LG_MOD).cast("string")
+
+    return F.concat(
+        F.lit('<html><body><p>d</p><a href="/d/'), t(7, 13), F.lit('">x</a>'),
+        F.lit('<a href="/d/'), t(31, 5), F.lit('">x</a>'),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit('<a href="/d/'), t(53, 1), F.lit('">x</a>')),
+        ).otherwise(F.lit("")),
+        F.lit("</body></html>"),
+    )
+
+
+_LINK_GRAPH_ORACLE = f"""
+WITH p AS (
+  SELECT doc_id,
+    '<html><body><p>d</p><a href="/d/'
+      || CAST((doc_id * 7 + 13) % {_LG_MOD} AS VARCHAR) || '">x</a>'
+    || '<a href="/d/'
+      || CAST((doc_id * 31 + 5) % {_LG_MOD} AS VARCHAR) || '">x</a>'
+    || (CASE WHEN doc_id % 3 = 0
+             THEN '<a href="/d/'
+                  || CAST((doc_id * 53 + 1) % {_LG_MOD} AS VARCHAR)
+                  || '">x</a>'
+             ELSE '' END)
+    || '</body></html>' AS page
+  FROM documents
+), l AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(page, '<a href="([^"]+)"', 1)) AS target
+  FROM p
+)
+SELECT target, COUNT(*) AS in_degree,
+       COUNT(DISTINCT doc_id) AS n_sources
+FROM l GROUP BY target
+"""
+
+
+@register(
+    "link_graph",
+    _LINK_GRAPH_ORACLE,
+    doc="crawl link graph: <a href> targets extracted from every page "
+        "by a codegen regexp (no parser, no Python), exploded and "
+        "aggregated into per-target in-degree + distinct-source counts "
+        "— the edge list PageRank and frontier prioritization consume; "
+        "map-only extraction plus one target-keyed shuffle",
+    tags=("web", "graph"),
+)
+def q_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.web import extract_links
+
+    docs = load_testdata(spark, sf_dir, "documents")
+    pages = docs.select("doc_id", _link_page().alias("page"))
+    links = pages.select(
+        "doc_id", F.explode(extract_links(F.col("page"))).alias("target")
+    )
+    return links.groupBy("target").agg(
+        F.count(F.lit(1)).alias("in_degree"),
+        F.countDistinct("doc_id").alias("n_sources"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Robots exclusion (extensions.web.robots_exclusion): RFC 9309
+# longest-prefix precedence over parsed Allow/Disallow rules. The rule
+# table is a literal here (a real deployment parses robots.txt bodies
+# into exactly this shape); unmatched URLs default to allowed.
+# ---------------------------------------------------------------------------
+_ROBOTS_RULES = [
+    ("site-src0.com", "/", False),
+    ("site-src0.com", "/post/1", True),
+    ("site-src1.org", "/post/", False),
+    ("site-src1.org", "/post/12", True),
+    ("site-src2.net", "/post/3", False),
+    ("site-src3.com", "/", False),
+]
+
+_ROBOTS_VALUES = ", ".join(
+    f"('{d}', '{p}', {str(a).upper()})" for d, p, a in _ROBOTS_RULES
+)
+
+_PATH_EXTRACT = (
+    "regexp_extract(canonical_url,"
+    " '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1)"
+)
+
+_ROBOTS_ORACLE = f"""
+WITH {_CANON_CTES}, pth AS (
+  SELECT doc_id, domain,
+         CASE WHEN {_PATH_EXTRACT} = '' THEN '/'
+              ELSE {_PATH_EXTRACT} END AS path
+  FROM canon
+), rules(domain, prefix, allow) AS (
+  VALUES {_ROBOTS_VALUES}
+), m AS (
+  SELECT p.doc_id, r.prefix, r.allow,
+         ROW_NUMBER() OVER (
+           PARTITION BY p.doc_id
+           ORDER BY length(r.prefix) DESC, r.allow DESC, r.prefix DESC
+         ) AS rn
+  FROM pth p JOIN rules r ON p.domain = r.domain
+  WHERE starts_with(p.path, r.prefix)
+)
+SELECT p.doc_id, p.domain, p.path,
+       m.prefix AS matched_prefix,
+       COALESCE(m.allow, TRUE) AS allowed
+FROM pth p LEFT JOIN m ON p.doc_id = m.doc_id AND m.rn = 1
+"""
+
+
+@register(
+    "robots_exclusion",
+    _ROBOTS_ORACLE,
+    doc="RFC 9309 robots compliance: per-URL longest-prefix rule match "
+        "(ties: Allow wins) against each domain's Allow/Disallow table; "
+        "rules ride as a broadcast so matching is map-only, winner "
+        "selection is a groupBy argmax over struct(len, allow, prefix) "
+        "— no window, candidate fan-out bounded by rules-per-domain",
+    tags=("web", "url", "compliance"),
+)
+def q_robots_exclusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.web import robots_exclusion
+
+    docs = load_testdata(spark, sf_dir, "documents")
+    urls = synthesize_messy_urls(docs)
+    rules = spark.createDataFrame(
+        _ROBOTS_RULES, "domain string, prefix string, allow boolean"
+    )
+    return robots_exclusion(urls, rules, url_col="url", id_col="doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Per-site quality report: the domain-level rollup (quality, low-quality
+# share, within-domain exact-dup rate) a web pipeline consults before
+# deciding per-site sampling weights. Integer-exact ppm arithmetic.
+# ---------------------------------------------------------------------------
+def _dqr_oracle() -> str:
+    from .text import _NORM, _QUALITY_SQL
+
+    return f"""
+WITH {_CANON_CTES}, q AS (
+  SELECT d.doc_id, c.domain,
+         CAST(FLOOR({_QUALITY_SQL} * 1000000) AS BIGINT) AS qp,
+         md5({_NORM}) AS fp
+  FROM documents d JOIN canon c ON d.doc_id = c.doc_id
+)
+SELECT domain, COUNT(*) AS n_docs,
+       CAST(SUM(qp) AS BIGINT) // COUNT(*) AS mean_q_ppm,
+       CAST(FLOOR(SUM(CASE WHEN qp < 300000 THEN 1 ELSE 0 END) * 1000000.0
+                  / COUNT(*)) AS BIGINT) AS low_q_ppm,
+       CAST(FLOOR((COUNT(*) - COUNT(DISTINCT fp)) * 1000000.0
+                  / COUNT(*)) AS BIGINT) AS dup_ppm
+FROM q GROUP BY domain
+"""
+
+
+@register(
+    "domain_quality_rollup",
+    _dqr_oracle(),
+    doc="per-registrable-domain corpus report: doc count, integer-exact "
+        "mean quality (ppm), low-quality share, and within-domain "
+        "exact-duplicate rate — the per-site signals that drive "
+        "domain sampling weights; one id-keyed join plus one "
+        "map-side-combined aggregation on the domain key",
+    tags=("web", "quality", "diagnostics"),
+)
+def q_domain_quality_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.web import canonicalize_url, registrable_domain
+    from ..functions import text as X
+
+    docs = load_testdata(spark, sf_dir, "documents")
+    urls = synthesize_messy_urls(docs)
+    dom = urls.select(
+        "doc_id",
+        registrable_domain(canonicalize_url(F.col("url"))).alias("domain"),
+    )
+    enriched = docs.join(dom, "doc_id").select(
+        "domain",
+        F.floor(X.quality_score(F.col("text")) * 1000000)
+        .cast("long")
+        .alias("qp"),
+        X.fingerprint(F.col("text")).alias("fp"),
+    )
+    n = F.count(F.lit(1))
+    return enriched.groupBy("domain").agg(
+        n.alias("n_docs"),
+        F.expr("sum(qp) div count(1)").alias("mean_q_ppm"),
+        F.floor(
+            F.sum(F.when(F.col("qp") < 300000, 1).otherwise(0))
+            * 1000000.0 / n
+        ).cast("long").alias("low_q_ppm"),
+        F.floor((n - F.countDistinct("fp")) * 1000000.0 / n)
+        .cast("long").alias("dup_ppm"),
+    )

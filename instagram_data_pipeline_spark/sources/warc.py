@@ -170,20 +170,34 @@ def write_warc(
     os.makedirs(path, exist_ok=True)
 
     def dump(batches: Iterable["pd.DataFrame"]):
+        # rows arrive sorted by (_p, u), so each archive's records are
+        # contiguous: stream every record straight to the open file —
+        # peak task memory is one Arrow batch, not the whole partition
+        # (file-sized gzip members at Common-Crawl scale would OOM a
+        # buffer-then-write task)
         import pandas as pd
 
-        chunks: dict[int, list] = {}
+        out: list[tuple[str, int]] = []
+        cur_p, cur_f, cur_fn, cur_n = None, None, "", 0
+
+        def close():
+            nonlocal cur_f, cur_n
+            if cur_f is not None:
+                cur_f.close()
+                out.append((cur_fn, cur_n))
+                cur_f, cur_n = None, 0
+
         for pdf in batches:
             for p, u, d, b in zip(pdf["_p"], pdf["u"], pdf["d"], pdf["b"]):
-                chunks.setdefault(int(p), []).append(
-                    format_record(u, d, bytes(b))
-                )
-        out = []
-        for p, recs in chunks.items():
-            fn = os.path.join(path, f"part-{p:05d}.warc")
-            with open(fn, "wb") as f:
-                f.write(b"".join(recs))
-            out.append((fn, len(recs)))
+                p = int(p)
+                if p != cur_p:
+                    close()
+                    cur_p = p
+                    cur_fn = os.path.join(path, f"part-{p:05d}.warc")
+                    cur_f = open(cur_fn, "wb")
+                cur_f.write(format_record(u, d, bytes(b)))
+                cur_n += 1
+        close()
         yield pd.DataFrame(out, columns=["file", "n_records"])
 
     # one file per partition; the action materializes the write

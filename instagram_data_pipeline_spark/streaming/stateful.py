@@ -88,7 +88,16 @@ def token_bucket_gate(
     ``tokens >= cost`` — and same (ts, id) in-batch ordering, so a
     drained stream reproduces the batch replay decision-for-decision
     (tested). Expects columns (user_id, event_id, ts_s) with ts_s in
-    integer seconds."""
+    integer seconds.
+
+    Late data: ``last_ts`` only moves FORWARD (``max(last_ts, now)``).
+    An event arriving in a later micro-batch with ts behind the stored
+    watermark refills nothing (elapsed clamps to 0) and cannot rewind
+    the clock — without this, the next on-time event would re-count
+    the elapsed span and over-refill. Batch-equivalence therefore
+    holds exactly when each key's events arrive time-ordered across
+    micro-batches; a late straggler is admitted against the CURRENT
+    bucket, which is the only causal option for an online gate."""
 
     def gate(
         key: tuple[Any, ...],
@@ -107,7 +116,7 @@ def token_bucket_gate(
         for ts in zip(pdf["ts_s"], pdf["event_id"]):
             now = int(ts[0])
             tokens = min(capacity, tokens + max(now - last_ts, 0) * rate)
-            last_ts = now
+            last_ts = max(last_ts, now)
             ok = tokens >= cost
             if ok:
                 tokens -= cost

@@ -71,3 +71,56 @@ def test_admission_summary_rollup(spark):
     got = {r.k: (r.n_requests, r.n_admitted, r.n_rejected)
            for r in admission_summary(dec, "k").collect()}
     assert got == {1: (2, 1, 1), 2: (1, 1, 0)}
+
+
+def test_reset_gap_segmentation_matches_global_replay(spark):
+    """The fold is segmented at reset gaps (gap * rate >= capacity);
+    the output must still equal a single global per-key replay —
+    segmentation is a memory bound, never a semantics change."""
+    rows, rid, ts = [], 0, 0
+    for _burst in range(3):  # key 1: bursts split by reset gaps
+        for i in range(10):
+            rid += 1
+            rows.append((1, rid, ts + i * 7))
+        ts += 500  # >= capacity/rate = 100 -> bucket resets
+    for i in range(40):  # key 2: continuous, never resets
+        rid += 1
+        rows.append((2, rid, i * 3))
+    kw = dict(rate=1, capacity=100, cost=60, backoff=60, jitter_max=30)
+    got = _replay(spark, rows, **kw)
+
+    per: dict[int, list] = {}
+    for k, i, t in rows:
+        per.setdefault(k, []).append((t, i))
+    exp = {}
+    for k, rs in per.items():
+        rs.sort()
+        tokens, prev = 100, rs[0][0]
+        for t, i in rs:
+            tokens = min(100, tokens + max(t - prev, 0))
+            prev = t
+            ok = tokens >= 60
+            if ok:
+                tokens -= 60
+            exp[i] = (tokens, ok)
+    assert {i: (got[i].tokens_after, got[i].admitted) for i in exp} == exp
+
+
+def test_hot_key_max_segment_guard(spark):
+    """A pathological never-idle key (no reset gap anywhere) must fail
+    LOUDLY when its continuous burst exceeds max_segment — and fold
+    fine without the guard (the documented bound, VERDICT r4 #5)."""
+    import pytest
+
+    rows = [(1, i, i) for i in range(1, 301)]  # gap 1 << capacity/rate
+    df = spark.createDataFrame(rows, "k long, id long, ts long")
+    guarded = token_bucket_admission(
+        df, "k", "ts", "id", rate=1, capacity=1000, cost=60,
+        max_segment=100,
+    )
+    with pytest.raises(Exception, match="max_segment"):
+        guarded.collect()
+    unguarded = token_bucket_admission(
+        df, "k", "ts", "id", rate=1, capacity=1000, cost=60
+    )
+    assert unguarded.count() == 300

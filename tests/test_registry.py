@@ -10,25 +10,29 @@ from instagram_data_pipeline_spark.queries import (
     load_all,
 )
 
-# queries that MUST occupy the round-4 driver window: never driver-checked
-# before (VERDICT r3 "What's missing" #1), implementation changed this
-# round, or a rows-only tier whose portable twin must ride along
+# queries that MUST occupy the round-5 driver window: never driver-checked
+# before (VERDICT r4 "What's missing" #1), oracle or implementation changed
+# this round, or a rows-only tier whose portable twin must ride along
 PRIORITY = {
-    # never driver-checked: late-round-3 wave
-    "triangle_stats", "pagerank", "kcore_members", "bm25_topk",
-    "lm_perplexity", "dsir_weights", "semantic_dedup", "leakage_safe_split",
-    "quantile_sketch", "grouped_median_sketch", "distribution_drift",
-    "snapshot_diff", "scd2_history", "multitouch_attribution",
-    "stream_static_enrich", "context_chunks", "multimodal_audio_stats",
-    "weighted_sample", "hashed_tf_features", "equidepth_buckets",
-    "pq_topk", "bpe_merges",
-    # probabilistic tiers: rows-only + portable twin pairs (VERDICT r3 #5)
+    # never driver-checked: late-round-4 wave (VERDICT r4 Next #1)
+    "contrastive_triplets", "pca_project_fixed", "pca_components",
+    "bin_packing", "label_propagation", "classifier_score_fixed",
+    "classifier_weights", "warc_roundtrip", "html_extract", "web_pipeline",
+    "rate_limit_admission", "incremental_components", "readability_stats",
+    "shard_source_mix", "dataset_card", "chunk_dedup", "lsh_quality_report",
+    "ann_recall_report", "dedup_funnel_report",
+    # oracle fixed (HUGEINT CAST) — re-verify (VERDICT r4 Next #2)
+    "training_shards",
+    # new registration (VERDICT r4 Next #3)
+    "mutual_edges_salted",
+    # implementation changed in round 5 (ADVICE #2/#4, VERDICT Next #5)
+    "skew_report", "unigram_encode_tokens",
+    # probabilistic tiers: rows-only + portable twin pairs (policy)
     "minhash_near_dups", "minhash_near_dups_portable",
     "simhash_near_dups", "simhash_near_dups_portable",
     "cms_heavy_users", "cms_heavy_users_portable",
     "approx_distinct_users", "approx_distinct_users_portable",
-    # implementation changed in round 4 (two-phase star-contraction CC)
-    "connected_components", "dedup_clusters",
+    "bpe_merges", "bpe_encode_tokens", "unigram_vocab", "pq_topk",
 }
 
 

@@ -538,3 +538,56 @@ def test_token_bucket_gate_stream_equals_batch_replay(spark, tmp_path, sf_dir):
     assert streamed == batch and len(streamed) == reqs.count()
     # both decision classes show up (the gate genuinely limits)
     assert {a for _, a in streamed.values()} == {True, False}
+
+
+def test_token_bucket_gate_late_event_cannot_rewind_clock(spark, tmp_path):
+    """An out-of-order event landing in a LATER micro-batch must not
+    move last_ts backward — otherwise the next on-time event re-counts
+    the elapsed span and over-refills (ADVICE r5). The late event is
+    admitted against the current bucket with zero refill."""
+    from instagram_data_pipeline_spark.streaming.stateful import (
+        token_bucket_gate,
+    )
+
+    src, ckpt, out = (str(tmp_path / p) for p in ("s", "c", "o"))
+
+    def drain(bid_dir):
+        stream = spark.readStream.schema(
+            "user_id long, event_id long, ts_s long"
+        ).parquet(src)
+
+        def sink(batch, batch_id):
+            batch.write.mode("overwrite").parquet(f"{out}/batch={batch_id}")
+
+        q = (
+            token_bucket_gate(stream, rate=1, capacity=100, cost=60)
+            .writeStream.outputMode("append")
+            .foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    b1 = spark.createDataFrame(
+        [(1, 1, 1000), (1, 2, 1050)], "user_id long, event_id long, ts_s long"
+    )
+    b1.coalesce(1).write.mode("append").parquet(src)
+    drain(1)
+    # batch 2: event 3 is LATE (ts 900 < stored last_ts 1050)
+    b2 = spark.createDataFrame(
+        [(1, 3, 900), (1, 4, 1080)], "user_id long, event_id long, ts_s long"
+    )
+    b2.coalesce(1).write.mode("append").parquet(src)
+    drain(2)
+    got = {
+        r.event_id: (r.tokens_after, r.admitted)
+        for r in spark.read.parquet(out).collect()
+    }
+    # e1: full bucket 100 -> admit, 40. e2: +50 refill -> 90 -> admit, 30.
+    assert got[1] == (40, True) and got[2] == (30, True)
+    # e3 (late): zero refill, 30 < 60 -> rejected, clock NOT rewound.
+    assert got[3] == (30, False)
+    # e4: refill only 1080-1050=30 -> 60 -> admit, 0. A rewound clock
+    # would have refilled 180 and left 40 here.
+    assert got[4] == (0, True)

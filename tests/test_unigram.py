@@ -107,3 +107,13 @@ def test_trainer_deterministic_and_total(spark):
     vocab = {p: c4 for p, _, c4 in a}
     seg = viterbi_segment(word_freqs(docs), vocab, max_piece_len=6)
     assert all(r.cost4 < BIG for r in seg.collect())
+
+
+def test_viterbi_empty_word_yields_empty_segmentation(spark):
+    """sequence(1, 0) counts DOWN in Spark: a zero-length word must not
+    run spurious DP steps (ADVICE r4) — it segments to [] at cost 0."""
+    df = spark.createDataFrame([("",), ("ab",)], "word string")
+    rows = {r.word: r for r in viterbi_segment(df, VOCAB).collect()}
+    assert list(rows[""].pieces) == []
+    assert rows[""].cost4 == 0
+    assert rows["ab"].pieces  # non-empty words still segment

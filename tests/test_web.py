@@ -112,3 +112,85 @@ def test_domain_cap_rank_pushdown_plan(spark, url_corpus):
     df = domain_frequency_cap(url_corpus, max_per_domain=3)
     explained = df._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in explained
+
+
+# ---------------------------------------------------------------------------
+# robots_exclusion / extract_links / ngram_novelty (round 5)
+# ---------------------------------------------------------------------------
+def _robots(spark, urls, rules):
+    from instagram_data_pipeline_spark.extensions.web import robots_exclusion
+
+    udf = spark.createDataFrame(
+        [(i, u) for i, u in enumerate(urls)], "doc_id long, url string"
+    )
+    rdf = spark.createDataFrame(
+        rules, "domain string, prefix string, allow boolean"
+    )
+    out = robots_exclusion(udf, rdf)
+    return {r.doc_id: r for r in out.collect()}
+
+
+def test_robots_longest_prefix_wins(spark):
+    rules = [("ex.com", "/", False), ("ex.com", "/pub", True)]
+    got = _robots(
+        spark,
+        ["http://ex.com/pub/x", "http://ex.com/private"],
+        rules,
+    )
+    assert got[0].allowed and got[0].matched_prefix == "/pub"
+    assert not got[1].allowed and got[1].matched_prefix == "/"
+
+
+def test_robots_allow_beats_disallow_on_equal_length(spark):
+    rules = [("ex.com", "/a", False), ("ex.com", "/a", True)]
+    got = _robots(spark, ["http://ex.com/a/x"], rules)
+    assert got[0].allowed
+
+
+def test_robots_unmatched_defaults_to_allowed(spark):
+    got = _robots(
+        spark, ["http://other.org/x"], [("ex.com", "/", False)]
+    )
+    assert got[0].allowed and got[0].matched_prefix is None
+
+
+def test_robots_matches_canonical_path_not_raw(spark):
+    # trailing slash + fragment are canonicalized away before matching
+    rules = [("ex.com", "/a/b", False)]
+    got = _robots(spark, ["HTTP://EX.com:80/a/b/#frag"], rules)
+    assert not got[0].allowed and got[0].path == "/a/b"
+
+
+def test_extract_links_order_and_contract(spark):
+    from pyspark.sql import functions as F
+
+    from instagram_data_pipeline_spark.extensions.web import extract_links
+
+    df = spark.createDataFrame(
+        [('<p><a href="/a">x</a><b></b><a href="/b">y</a></p>',)],
+        "html string",
+    )
+    got = df.select(extract_links(F.col("html")).alias("l")).first().l
+    assert list(got) == ["/a", "/b"]
+
+
+def test_ngram_novelty_first_owner_and_copy(spark):
+    from instagram_data_pipeline_spark.extensions.dedup import ngram_novelty
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),     # introduces everything
+            (2, "alpha beta gamma delta"),     # exact copy: 0 novel
+            (3, "alpha beta gamma epsilon"),   # 1 of 2 shingles novel
+            (4, "xy"),                         # < 3 tokens: drops out
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_shingles, r.novelty_ppm)
+        for r in ngram_novelty(docs, "doc_id", "text", n=3).collect()
+    }
+    assert got[1] == (2, 1000000)
+    assert got[2] == (2, 0)
+    assert got[3] == (2, 500000)
+    assert 4 not in got
