@@ -42,6 +42,11 @@ if TYPE_CHECKING:  # pragma: no cover - typing only
 BUCKET_COL = "_kb"
 
 
+class CommitConflict(RuntimeError):
+    """Another writer published the manifest version this commit was
+    about to claim (lost the compare-and-swap)."""
+
+
 def bucket_expr(keys: list[str], num_buckets: int):
     return F.pmod(
         F.xxhash64(*[F.col(k) for k in keys]), num_buckets
@@ -124,10 +129,20 @@ class TransactionLogFormat:
     columns (old files null-fill under the recorded schema at read
     time, additive-only — drops/renames/type changes are rejected),
     and time travel reads each version under its own schema.
-    This is the Delta/Iceberg commit protocol with a
-    single-writer assumption (the reference pipeline is single-writer by
-    design; multi-writer needs compare-and-swap on the version number,
-    which object stores provide via if-none-match)."""
+
+    Multi-writer: the version publish is COMPARE-AND-SWAP — an atomic
+    create-if-absent of ``{version:08d}.json`` (``os.link`` here; the
+    if-none-match conditional PUT on an object store). A loser detects
+    the conflict and either REBASES (the winner touched disjoint
+    buckets and the same schema: re-point the carried files at the new
+    snapshot and re-CAS — its already-written data files are reused)
+    or REDOES the merge from the winning snapshot (overlapping buckets
+    or a concurrent schema change). Orphaned data files from abandoned
+    attempts are invisible and vacuumable — the optimistic-concurrency
+    protocol Delta/Iceberg run."""
+
+    #: publish attempts before a merge gives up under contention
+    MAX_COMMIT_RETRIES = 5
 
     def _log_dir(self, wh, table: str) -> Path:
         return Path(wh.path(table)) / "_txlog"
@@ -149,13 +164,23 @@ class TransactionLogFormat:
         d = self._log_dir(wh, table)
         d.mkdir(parents=True, exist_ok=True)
         final = d / f"{version:08d}.json"
-        tmp = d / f".{version:08d}.json.tmp"
+        tmp = d / f".{version:08d}.{uuid.uuid4().hex[:8]}.json.tmp"
         manifest = {"version": version, "files": files}
         if schema_json is not None:
             manifest["schema"] = schema_json
         with open(tmp, "w") as f:
             json.dump(manifest, f)
-        os.rename(tmp, final)  # THE commit point
+        try:
+            # hard link = atomic create-if-absent: THE commit point,
+            # and the CAS — a second writer publishing the same version
+            # number loses loudly instead of silently overwriting
+            os.link(tmp, final)
+        except FileExistsError:
+            raise CommitConflict(
+                f"{table}: version {version} was published concurrently"
+            )
+        finally:
+            os.unlink(tmp)
 
     def _write_commit(
         self, wh, table: str, df: DataFrame, keys, num_buckets
@@ -205,48 +230,90 @@ class TransactionLogFormat:
     def merge(self, wh, table, incoming, keys, order_col, num_buckets):
         from .operators.writes import upsert_keep_newest
 
-        snap = self._latest(wh, table)
-        if snap is None:
-            empty = wh.spark.createDataFrame([], incoming.schema)
-            first = upsert_keep_newest(empty, incoming, keys, order_col)
-            files = self._write_commit(wh, table, first, keys, num_buckets)
-            self._publish(wh, table, 1, files, incoming.schema.json())
-            return
-        if "schema" in snap:
-            from pyspark.sql.types import StructType
+        for _ in range(self.MAX_COMMIT_RETRIES):
+            snap = self._latest(wh, table)
+            if snap is None:
+                empty = wh.spark.createDataFrame([], incoming.schema)
+                first = upsert_keep_newest(empty, incoming, keys, order_col)
+                files = self._write_commit(
+                    wh, table, first, keys, num_buckets
+                )
+                try:
+                    self._publish(
+                        wh, table, 1, files, incoming.schema.json()
+                    )
+                    return
+                except CommitConflict:
+                    continue  # lost the create race: merge into theirs
+            if "schema" in snap:
+                from pyspark.sql.types import StructType
 
-            old_schema = StructType.fromJson(json.loads(snap["schema"]))
-            self._check_evolution(old_schema, incoming.schema)
-        touched = {
-            r.b
-            for r in incoming.select(
-                bucket_expr(keys, num_buckets).alias("b")
+                old_schema = StructType.fromJson(json.loads(snap["schema"]))
+                self._check_evolution(old_schema, incoming.schema)
+            touched = {
+                r.b
+                for r in incoming.select(
+                    bucket_expr(keys, num_buckets).alias("b")
+                )
+                .dropDuplicates()
+                .collect()
+            }
+            root = Path(wh.path(table))
+            live_touched = [
+                str(root / f)
+                for f, b in snap["files"].items()
+                if b in touched
+            ]
+            if live_touched:
+                # bucket is a pure function of the keys — data files
+                # never store it, so reading specific files needs no
+                # basePath. Reading with the INCOMING schema null-fills
+                # columns the old files don't physically carry
+                # (additive evolution).
+                existing = wh.spark.read.schema(incoming.schema).parquet(
+                    *live_touched
+                )
+            else:
+                existing = wh.spark.createDataFrame([], incoming.schema)
+            merged = upsert_keep_newest(existing, incoming, keys, order_col)
+            new_files = self._write_commit(
+                wh, table, merged, keys, num_buckets
             )
-            .dropDuplicates()
-            .collect()
-        }
-        root = Path(wh.path(table))
-        live_touched = [
-            str(root / f) for f, b in snap["files"].items() if b in touched
-        ]
-        if live_touched:
-            # bucket is a pure function of the keys — data files never
-            # store it, so reading specific files needs no basePath.
-            # Reading with the INCOMING schema null-fills columns the
-            # old files don't physically carry (additive evolution).
-            existing = wh.spark.read.schema(incoming.schema).parquet(
-                *live_touched
-            )
-        else:
-            existing = wh.spark.createDataFrame([], incoming.schema)
-        merged = upsert_keep_newest(existing, incoming, keys, order_col)
-        new_files = self._write_commit(wh, table, merged, keys, num_buckets)
-        carried = {
-            f: b for f, b in snap["files"].items() if b not in touched
-        }
-        self._publish(
-            wh, table, snap["version"] + 1, {**carried, **new_files},
-            incoming.schema.json(),
+            # optimistic publish: rebase over disjoint winners, redo
+            # the merge (outer loop) when a winner overlapped
+            base = snap
+            for _ in range(self.MAX_COMMIT_RETRIES):
+                carried = {
+                    f: b
+                    for f, b in base["files"].items()
+                    if b not in touched
+                }
+                try:
+                    self._publish(
+                        wh, table, base["version"] + 1,
+                        {**carried, **new_files}, incoming.schema.json(),
+                    )
+                    return
+                except CommitConflict:
+                    cur = self._latest(wh, table)
+                    base_t = {
+                        f for f, b in base["files"].items() if b in touched
+                    }
+                    cur_t = {
+                        f for f, b in cur["files"].items() if b in touched
+                    }
+                    if base_t != cur_t or base.get("schema") != cur.get(
+                        "schema"
+                    ):
+                        # the winner rewrote one of OUR buckets (our
+                        # merge read stale inputs) or evolved the
+                        # schema — abandon these files (vacuumable)
+                        # and redo from the winning snapshot
+                        break
+                    base = cur  # disjoint winner: reuse our data files
+        raise CommitConflict(
+            f"merge on {table!r}: gave up after "
+            f"{self.MAX_COMMIT_RETRIES} commit conflicts"
         )
 
     @staticmethod
