@@ -42,6 +42,69 @@ BENCH_QUERIES = [
     "lang_id",              # text scoring over documents
 ]
 
+# Timed and reported under "extra_queries" — NOT in the headline value,
+# which must stay sum-of-the-16 comparable across rounds.
+EXTRA_QUERIES = [
+    "mutual_edges_salted",  # skew-safe J1 twin (same inputs as flagship)
+]
+
+# SURVEY §7 risk 5: celebrity fan-out. One synthetic hot key owning
+# HOT_EDGES rows on BOTH edge sides, unioned onto the sf fact-derived
+# edge sets; timed through the plain join and the salted twin so the
+# skew answer is a recorded number, not a code path. Measured verdict
+# (see BENCHNOTES.md): J1 joins on the COMPOSITE (user_id, edge) key,
+# which a celebrity fans out into distinct values — the composite key
+# is never skewed, plain wins, and the salted twin's 8x replication is
+# pure overhead here. Salting pays only where a single-column hot key
+# is forced (single-key joins/groupBys), which this records as data.
+HOT_USER = 1 << 40
+HOT_EDGES = 150_000
+
+
+def _skew_bench(spark, registry, extras, runs: int) -> None:
+    import pyspark.sql.functions as F
+
+    from instagram_data_pipeline_spark.io import load_testdata
+    from instagram_data_pipeline_spark.operators.mutuals import (
+        mutual_edges,
+        mutual_edges_salted,
+    )
+
+    li = load_testdata(spark, SF_DIR, "lineitem")
+    followers = li.filter(F.col("l_discount") > 0.05).select(
+        F.col("l_orderkey").alias("user_id"),
+        F.col("l_suppkey").alias("follower_id"),
+    )
+    following = li.filter(F.col("l_tax") > 0.04).select(
+        F.col("l_orderkey").alias("user_id"),
+        F.col("l_suppkey").alias("following_id"),
+    )
+    hot = spark.range(HOT_EDGES).select(
+        F.lit(HOT_USER).alias("user_id"), F.col("id").alias("edge")
+    )
+    skew_followers = followers.unionByName(
+        hot.select("user_id", F.col("edge").alias("follower_id"))
+    )
+    skew_following = following.unionByName(
+        hot.select("user_id", F.col("edge").alias("following_id"))
+    )
+    for label, fn in (
+        ("mutual_edges_skew_plain",
+         lambda: mutual_edges(skew_followers, skew_following)),
+        ("mutual_edges_skew_salted",
+         lambda: mutual_edges_salted(skew_followers, skew_following,
+                                     salt=8)),
+    ):
+        best, n = None, 0
+        for _ in range(runs):
+            t0 = time.time()
+            n = fn().count()  # count, not collect: hot key emits 150k rows
+            elapsed = time.time() - t0
+            best = elapsed if best is None else min(best, elapsed)
+        extras[label] = round(best, 3)
+        print(f"# {label}: {extras[label]:.3f}s ({n} rows)",
+              file=sys.stderr)
+
 
 def main() -> None:
     from instagram_data_pipeline_spark.queries import load_all
@@ -73,6 +136,21 @@ def main() -> None:
         timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 
+    extras: dict[str, float] = {}
+    for name in EXTRA_QUERIES:
+        if name not in registry:
+            continue
+        best, n = None, 0
+        for _ in range(runs):
+            t0 = time.time()
+            df = registry[name].spark_fn(spark, SF_DIR)
+            n = len(df.collect())
+            elapsed = time.time() - t0
+            best = elapsed if best is None else min(best, elapsed)
+        extras[name] = round(best, 3)
+        print(f"# {name}: {extras[name]:.3f}s ({n} rows)", file=sys.stderr)
+    _skew_bench(spark, registry, extras, runs)
+
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     try:
         sf_val: float | str = float(sf)
@@ -85,6 +163,7 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "extra_queries": extras,
                 "sf": sf_val,
             }
         )

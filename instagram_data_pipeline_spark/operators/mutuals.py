@@ -72,7 +72,17 @@ def mutual_edges_salted(
     side replicated ``salt`` times (``operators.skew.salted_join``), so
     the hot key's rows land on ``salt`` tasks instead of one. Output is
     row-identical to ``mutual_edges`` — asserted on a skewed fixture in
-    tests."""
+    tests and hash-checked against the same SQL oracle as the plain
+    form (salting must be semantics-invisible).
+
+    Measured verdict (bench.py ``mutual_edges_skew_*``, BENCHNOTES.md):
+    J1 itself is STRUCTURALLY skew-resistant — the join key is the
+    composite (user_id, edge_id), which a celebrity fans out into
+    distinct values, so the plain join beats this twin even under a
+    150k-edge hot user and the ``salt``-times replication is pure
+    overhead there. Reach for this ONLY when a single-column hot key is
+    forced (per-user groupBys, single-key joins); for the composite-key
+    join, plain + AQE is the right plan."""
     from .skew import salted_join
 
     f1 = followers.select("user_id", "follower_id").dropDuplicates(
