@@ -44,18 +44,15 @@ def register(
 # dict order against the DuckDB oracle; everything after slot 50 gets no
 # driver-issued evidence that round.  ``REGISTRY_ORDER`` therefore controls —
 # explicitly, not by import side-effect — exactly which queries occupy the
-# window.  Policy (round 4, per VERDICT r3 "Next round" #1/#5): the 22
-# queries that have never received a driver row come first; every rows-only
-# probabilistic tier sits NEXT TO its hash-checked portable twin so each
-# family ships one hard row per round; queries whose IMPLEMENTATION changed
-# this round are re-verified in-window even if previously green; then new
-# round-4 queries; then one-round-green (r02) queries accumulating a second
-# row.  Multi-round-green queries demote past the window — all of them stay
-# oracle-checked every CI run by tests/test_queries_oracle.py regardless.
-# The late-round-4 wave (contrastive_triplets, PCA, bin_packing, LPA,
-# classifier, WARC, html/web pipeline, rate limiting) landed after the
-# window filled: they sit immediately past slot 50, CI-oracle-checked,
-# and form the head of the round-5 promote queue.
+# window.  Standing policy (established round 4, VERDICT r3 #1/#5):
+# never-driver-checked queries come first; every rows-only probabilistic
+# tier sits NEXT TO its hash-checked portable twin so each family ships
+# one hard row per round; queries whose ORACLE or IMPLEMENTATION changed
+# this round re-verify in-window even if previously green; remaining
+# slots give once-green queries a second lifetime row and seat the
+# round's new queries.  Multi-round-green queries demote past the window
+# — all of them stay oracle-checked every CI run by
+# tests/test_queries_oracle.py regardless.
 REGISTRY_ORDER: tuple[str, ...] = (
     # ================= round-5 driver window (50 slots) ==================
     # Policy unchanged (see above). This round: (a) slots 1-19 promote the
@@ -134,6 +131,10 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "perplexity_mixture",
     "ngram_novelty",
     # ------------------- driver window ends at slot 50 --------------------
+    # tokenizer_fertility: new r5, first past the window (CI-oracle-
+    # checked every run; head of the round-6 promote queue with the
+    # rest of the r5 wave)
+    "tokenizer_fertility",
     # Round-4 window graduates: every name below earned its r04 driver row
     # and demotes past the window; all stay oracle-checked every CI run.
     "triangle_stats",

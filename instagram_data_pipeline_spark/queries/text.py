@@ -2158,3 +2158,49 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_testdata(spark, sf_dir, "documents")
     return ngram_novelty(docs, id_col="doc_id", text_col="text", n=3)
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer fertility: the corpus-level subwords-per-word rollup that
+# decides whether a tokenizer suits a language slice (fertility near 1
+# = vocabulary fits; >> 1 = the slice pays a token tax). Composes the
+# BPE encode (fixed merge table) with a (lang, source) aggregation.
+# ---------------------------------------------------------------------------
+def _fertility_oracle() -> str:
+    enc = _bpe_encode_oracle()
+    return f"""
+WITH enc AS ({enc})
+SELECT d.lang, d.source,
+       CAST(SUM(e.n_words) AS BIGINT) AS n_words,
+       CAST(SUM(e.n_subwords) AS BIGINT) AS n_subwords,
+       CAST(FLOOR(SUM(e.n_subwords) * 1000000.0 / SUM(e.n_words))
+            AS BIGINT) AS fertility_ppm
+FROM enc e JOIN documents d ON e.doc_id = d.doc_id
+GROUP BY d.lang, d.source
+"""
+
+
+@register(
+    "tokenizer_fertility",
+    _fertility_oracle(),
+    doc="corpus-level tokenizer fertility (subwords per word, ppm) per "
+        "(lang, source) under the fixed BPE merge table — the signal "
+        "that flags language slices paying a token tax; map-only "
+        "encode + one id join + one map-side-combined rollup",
+    tags=("text", "tokenizer", "diagnostics"),
+)
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.bpe import bpe_encode
+
+    docs = load_testdata(spark, sf_dir, "documents")
+    enc = bpe_encode(docs, _BPE_ENC_MERGES).select(
+        "doc_id", "n_words", "n_subwords"
+    )
+    j = enc.join(docs.select("doc_id", "lang", "source"), "doc_id")
+    return j.groupBy("lang", "source").agg(
+        F.sum("n_words").cast("long").alias("n_words"),
+        F.sum("n_subwords").cast("long").alias("n_subwords"),
+        F.floor(
+            F.sum("n_subwords") * 1000000.0 / F.sum("n_words")
+        ).cast("long").alias("fertility_ppm"),
+    )
