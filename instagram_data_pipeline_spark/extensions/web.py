@@ -165,10 +165,11 @@ def robots_exclusion(
     with no matching rule are allowed.
 
     Scale shape: the rule table is robots.txt-sized (small) and rides
-    as a broadcast, so matching is map-only plus one per-URL max — the
-    candidate fan-out is bounded by rules-per-domain, never by corpus
-    size. Winner selection is ``max(struct(len, allow, prefix))``: no
-    window, just a groupBy argmax."""
+    as a broadcast LEFT join (map-side — unmatched URLs survive with a
+    null rule), so the whole pipeline is map work plus ONE shuffle:
+    the per-URL argmax ``max(struct(len, allow, prefix))`` groupBy.
+    Candidate fan-out is bounded by rules-per-domain, never by corpus
+    size; no window, no join back against the corpus."""
     canon = (
         df.select(
             F.col(id_col),
@@ -177,19 +178,33 @@ def robots_exclusion(
         .withColumn("domain", registrable_domain(F.col("canonical_url")))
         .withColumn("path", url_path(F.col("canonical_url")))
     )
-    matched = canon.join(F.broadcast(rules), "domain").filter(
-        F.col("path").startswith(F.col("prefix"))
+    cand = canon.join(
+        F.broadcast(rules),
+        (canon["domain"] == rules["domain"])
+        & canon["path"].startswith(rules["prefix"]),
+        "left",
+    ).select(
+        canon[id_col],
+        canon["domain"],
+        canon["path"],
+        rules["prefix"],
+        rules["allow"],
     )
-    winners = matched.groupBy(id_col).agg(
+    # max ignores the all-null struct of unmatched URLs -> null winner
+    return cand.groupBy(id_col).agg(
+        F.first("domain").alias("domain"),
+        F.first("path").alias("path"),
         F.max(
-            F.struct(
-                F.length("prefix").alias("l"),
-                F.col("allow").alias("allow"),
-                F.col("prefix").alias("prefix"),
+            F.when(
+                F.col("prefix").isNotNull(),
+                F.struct(
+                    F.length("prefix").alias("l"),
+                    F.col("allow").alias("allow"),
+                    F.col("prefix").alias("prefix"),
+                ),
             )
-        ).alias("w")
-    )
-    return canon.join(winners, id_col, "left").select(
+        ).alias("w"),
+    ).select(
         id_col,
         "domain",
         "path",

@@ -40,15 +40,20 @@ def _duck_chan(i: int) -> str:
     )
 
 
-def synthesize_messy_urls(docs: DataFrame) -> DataFrame:
-    """documents -> (doc_id, url): deterministic messy URL per doc."""
+def synthesize_messy_urls(docs: DataFrame, keep: tuple = ()) -> DataFrame:
+    """documents -> (doc_id, url): deterministic messy URL per doc.
+    ``keep`` carries extra document columns through, so a consumer that
+    needs them (e.g. the per-domain quality rollup) stays map-only
+    instead of joining back on doc_id."""
     hexed = docs.select(
         "doc_id",
         "source",
+        *keep,
         F.md5(F.coalesce(F.col("text"), F.lit("")).cast("binary")).alias("x"),
     ).select(
         "doc_id",
         "source",
+        *keep,
         *[_chan(i).alias(f"c{i}") for i in range(8)],
     )
     scheme = F.when(F.col("c0") % 2 == 0, F.lit("http")).otherwise(
@@ -99,6 +104,7 @@ def synthesize_messy_urls(docs: DataFrame) -> DataFrame:
     frag = F.when(F.col("c6") % 2 == 0, F.lit("#frag")).otherwise(F.lit(""))
     return hexed.select(
         "doc_id",
+        *keep,
         F.concat(
             scheme, F.lit("://"), www, host, port, path, query, frag
         ).alias("url"),
@@ -764,13 +770,11 @@ def q_domain_quality_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions import text as X
 
     docs = load_testdata(spark, sf_dir, "documents")
-    urls = synthesize_messy_urls(docs)
-    dom = urls.select(
-        "doc_id",
+    # text rides through the synthesis (keep=), so the whole pre-agg
+    # stage is map-only — no doc_id join back against the corpus
+    urls = synthesize_messy_urls(docs, keep=("text",))
+    enriched = urls.select(
         registrable_domain(canonicalize_url(F.col("url"))).alias("domain"),
-    )
-    enriched = docs.join(dom, "doc_id").select(
-        "domain",
         F.floor(X.quality_score(F.col("text")) * 1000000)
         .cast("long")
         .alias("qp"),
