@@ -131,10 +131,11 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "perplexity_mixture",
     "ngram_novelty",
     # ------------------- driver window ends at slot 50 --------------------
-    # tokenizer_fertility: new r5, first past the window (CI-oracle-
-    # checked every run; head of the round-6 promote queue with the
-    # rest of the r5 wave)
+    # new-r5 past-window wave: CI-oracle-checked every run; head of the
+    # round-6 promote queue together with the in-window r5 queries
     "tokenizer_fertility",
+    "blocklist_filter",
+    "event_transitions",
     # Round-4 window graduates: every name below earned its r04 driver row
     # and demotes past the window; all stay oracle-checked every CI run.
     "triangle_stats",

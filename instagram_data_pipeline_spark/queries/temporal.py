@@ -616,3 +616,58 @@ def q_rate_limit_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
         rate=_RL["rate"], capacity=_RL["capacity"], cost=_RL["cost"],
         backoff=_RL["backoff"], jitter_max=_RL["jitter"],
     )
+
+
+# ---------------------------------------------------------------------------
+# Event-transition matrix: P(next event type | current) over per-user
+# ordered journeys — the Markov-chain view of the event stream that
+# funnels and anomaly detectors consume. One per-user ordered window
+# (partitioned — no global sort), one map-side-combined pair count, and
+# the per-source totals window runs over the tiny (types x types) agg
+# frame, never the data.
+# ---------------------------------------------------------------------------
+_TRANSITIONS_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_type AS cur,
+         LEAD(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS nxt
+  FROM events
+), pairs AS (
+  SELECT cur, nxt, COUNT(*) AS n
+  FROM seq WHERE nxt IS NOT NULL GROUP BY cur, nxt
+)
+SELECT cur, nxt, n,
+       CAST(FLOOR(n * 1000000.0 / SUM(n) OVER (PARTITION BY cur))
+            AS BIGINT) AS share_ppm
+FROM pairs
+"""
+
+
+@register(
+    "event_transitions",
+    _TRANSITIONS_ORACLE,
+    doc="Markov transition matrix of the event stream: per-user ordered "
+        "LEAD pairs (partitioned window — no global sort), one "
+        "map-side-combined pair count, integer-exact conditional "
+        "shares; the totals window runs over the types-squared agg "
+        "frame, not the data",
+    tags=("temporal", "analytics"),
+)
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    events = load_testdata(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    pairs = seq.groupBy("cur", "nxt").agg(F.count(F.lit(1)).alias("n"))
+    per_cur = Window.partitionBy("cur")
+    return pairs.select(
+        "cur", "nxt", "n",
+        F.floor(F.col("n") * 1000000.0 / F.sum("n").over(per_cur))
+        .cast("long")
+        .alias("share_ppm"),
+    )

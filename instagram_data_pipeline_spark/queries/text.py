@@ -2204,3 +2204,59 @@ def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_subwords") * 1000000.0 / F.sum("n_words")
         ).cast("long").alias("fertility_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Blocklist phrase filter: the banned-phrase curation pass every corpus
+# release runs. Whole-word multi-word phrase matching on the normalized
+# text — pure codegen (space-padded containment over a literal phrase
+# array). At 10^5+ phrases the same semantics move to a token-keyed
+# inverted join (phrase first-words as the probe key); the literal-array
+# form is the right plan for release-sized blocklists (10^2..10^3).
+# ---------------------------------------------------------------------------
+_BLOCK_PHRASES = [
+    "fast key order",
+    "spark window",
+    "batch stream",
+    "hash scan join",
+]
+_BLOCK_SQL = "[" + ", ".join(f"'{p}'" for p in _BLOCK_PHRASES) + "]"
+
+_BLOCKLIST_ORACLE = f"""
+WITH n AS (
+  SELECT doc_id, ' ' || {_NORM} || ' ' AS padded FROM documents
+), h AS (
+  SELECT doc_id,
+         list_filter({_BLOCK_SQL},
+                     p -> contains(padded, ' ' || p || ' ')) AS hits
+  FROM n
+)
+SELECT doc_id, CAST(len(hits) AS INT) AS n_hits,
+       COALESCE(array_to_string(hits, '|'), '') AS hit_phrases,
+       len(hits) > 0 AS blocked
+FROM h
+"""
+
+
+@register(
+    "blocklist_filter",
+    _BLOCKLIST_ORACLE,
+    doc="banned-phrase curation filter: whole-word multi-word phrase "
+        "matching over normalized text against a literal blocklist — "
+        "map-only codegen, zero shuffles, zero Python; per-doc hit "
+        "list + blocked flag (audit mode, like url_frequency_cap)",
+    tags=("text", "quality", "compliance"),
+)
+def q_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_testdata(spark, sf_dir, "documents")
+    padded = F.concat(F.lit(" "), X.normalized(F.col("text")), F.lit(" "))
+    hits = F.filter(
+        F.array(*[F.lit(p) for p in _BLOCK_PHRASES]),
+        lambda p: padded.contains(F.concat(F.lit(" "), p, F.lit(" "))),
+    )
+    return docs.select(
+        "doc_id",
+        F.size(hits).cast("int").alias("n_hits"),
+        F.array_join(hits, "|").alias("hit_phrases"),
+        (F.size(hits) > 0).alias("blocked"),
+    )

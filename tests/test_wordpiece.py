@@ -54,3 +54,38 @@ def test_max_piece_len_caps_matching(spark):
     # 'sp' ('spa' not in vocab) then '##ark'
     got = _enc(spark, ["spark"], max_piece_len=3)
     assert got["spark"] == ["sp", "##ark"]
+
+
+def test_reconstruction_property_seeded_batch(spark):
+    """Length/content accounting over a seeded random batch: pieces
+    with ## stripped concatenate back to the word wherever every char
+    is in-vocab; [UNK] consumes exactly one character, so the length
+    account holds even for out-of-alphabet input."""
+    import random
+
+    rng = random.Random(42)
+    alphabet = "abcdefghijklmnopqrstuvwxyz0123456789_"  # _ is out-of-vocab
+    vocab = (
+        [chr(c) for c in range(97, 123)]
+        + [str(d) for d in range(10)]
+        + ["##" + chr(c) for c in range(97, 123)]
+        + ["##" + str(d) for d in range(10)]
+        + ["sp", "spark", "##ark", "un", "##ed"]
+    )
+    words = list({
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 14)))
+        for _ in range(60)
+    })
+    got = _enc(spark, words, vocab=vocab)
+    for w in words:
+        pieces = got[w]
+        total = sum(
+            1 if p == "[UNK]" else len(p.replace("##", "", 1))
+            for p in pieces
+        )
+        assert total == len(w), (w, pieces)
+        if "_" not in w:
+            rebuilt = "".join(p.replace("##", "", 1) for p in pieces)
+            assert rebuilt == w, (w, pieces)
+        else:
+            assert "[UNK]" in pieces
