@@ -113,6 +113,7 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "approx_distinct_users_portable",
     "approx_distinct_users",
     "pq_topk",
+    "pq_adc_fixed",
     # -- (f) second lifetime rows for the r04-green singles -------------
     "ivf_incremental_topk",
     "incremental_minhash_dedup",
@@ -122,7 +123,6 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "multimodal_mjpeg_stats",
     "c4_line_filter",
     "dup_span_removal",
-    "dup_spans",
     # -- new round-5 queries seat here (slots 45-50) ---------------------
     "robots_exclusion",
     "link_graph",
@@ -135,6 +135,9 @@ REGISTRY_ORDER: tuple[str, ...] = (
     # round-6 promote queue together with the in-window r5 queries
     "tokenizer_fertility",
     "blocklist_filter",
+    # dup_spans (r04-green) yielded its in-window second-row slot to
+    # pq_adc_fixed, the new hash-checked PQ twin
+    "dup_spans",
     "event_transitions",
     # Round-4 window graduates: every name below earned its r04 driver row
     # and demotes past the window; all stay oracle-checked every CI run.

@@ -1671,3 +1671,90 @@ def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(n_exact, n_approx, n_hits, (n_hits * 1000000) // n_exact)],
         "n_exact long, n_approx long, n_hits long, recall_ppm long",
     )
+
+
+# ---------------------------------------------------------------------------
+# PQ ADC machinery, hash-checked (the pq_topk twin): FIXED codebooks and
+# a FIXED query built from exact dyadic fractions (multiples of 1/8 and
+# a one-hot query), so every dot product and every ADC sum is exact in
+# IEEE double REGARDLESS of summation order — the float-ordering hazard
+# that forces pq_topk (trained codebooks) to stay rows-only is designed
+# out, and the REAL pq_topk operator (codes join -> broadcast ADC table
+# -> groupBy sum -> window top-k) runs end-to-end against a SQL replay.
+# Training stays covered by the recall@5 pytest gate.
+# ---------------------------------------------------------------------------
+_PQF_M, _PQF_CODES, _PQF_DIM = 4, 4, 64
+
+
+def _pqf_t(s: int, c: int) -> float:
+    return ((s * 7 + c * 13) % 19 - 9) / 8.0
+
+
+def _pqf_oracle() -> str:
+    cases = []
+    for s in range(_PQF_M):
+        whens = " ".join(
+            f"WHEN {c} THEN CAST({_pqf_t(s, c)!r} AS DOUBLE)"
+            for c in range(_PQF_CODES)
+        )
+        cases.append(f"(CASE (vec_id + {s}) % {_PQF_CODES} {whens} END)")
+    score = " + ".join(cases)
+    return f"""
+WITH s AS (
+  SELECT vec_id, ({score}) AS adc FROM embeddings
+), r AS (
+  SELECT vec_id, adc,
+         ROW_NUMBER() OVER (ORDER BY adc DESC, vec_id) AS rank
+  FROM s
+)
+SELECT CAST(0 AS BIGINT) AS query_id, vec_id,
+       ROUND(adc, 6) AS adc_score, CAST(rank AS INT) AS rank
+FROM r WHERE rank <= 10
+"""
+
+
+@register(
+    "pq_adc_fixed",
+    _pqf_oracle(),
+    doc="PQ asymmetric-distance top-k through the REAL pq_topk operator "
+        "with fixed dyadic-fraction codebooks and a one-hot query — "
+        "every dot and ADC sum exact in double, so the codes-join + "
+        "broadcast-table + groupBy-sum + window-top-k machinery is "
+        "hash-checked; the twin that anchors the rows-only trained "
+        "pq_topk (same pairing as bpe_merges / bpe_encode_tokens)",
+    tags=("similarity", "ann"),
+)
+def q_pq_adc_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.similarity import pq_topk
+
+    emb = load_testdata(spark, sf_dir, "embeddings")
+    sub_d = _PQF_DIM // _PQF_M
+    codes = emb.select(
+        "vec_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(s).alias("sub"),
+                    ((F.col("vec_id") + s) % _PQF_CODES)
+                    .cast("int")
+                    .alias("code"),
+                )
+                for s in range(_PQF_M)
+            ])
+        ).alias("_e"),
+    ).select("vec_id", "_e.sub", "_e.code")
+    books = spark.createDataFrame(
+        [
+            (s, c, [_pqf_t(s, c)] + [0.0] * (sub_d - 1))
+            for s in range(_PQF_M)
+            for c in range(_PQF_CODES)
+        ],
+        "sub int, cluster int, cv array<double>",
+    )
+    qvec = [0.0] * _PQF_DIM
+    for s in range(_PQF_M):
+        qvec[s * sub_d] = 1.0
+    queries = spark.createDataFrame(
+        [(0, qvec)], "query_id long, embedding array<double>"
+    )
+    return pq_topk(codes, books, queries, k=10, m=_PQF_M)
