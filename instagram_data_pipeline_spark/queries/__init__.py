@@ -135,6 +135,7 @@ REGISTRY_ORDER: tuple[str, ...] = (
     # round-6 promote queue together with the in-window r5 queries
     "tokenizer_fertility",
     "blocklist_filter",
+    "crawl_frontier",
     # dup_spans (r04-green) yielded its in-window second-row slot to
     # pq_adc_fixed, the new hash-checked PQ twin
     "dup_spans",

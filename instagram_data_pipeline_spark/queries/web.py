@@ -791,3 +791,82 @@ def q_domain_quality_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor((n - F.countDistinct("fp")) * 1000000.0 / n)
         .cast("long").alias("dup_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Crawl-frontier politeness planner: canonical registrable domain keys a
+# per-domain token bucket (burst 2, refill 1/tick) over discovery-time
+# ordered fetch requests — admitted fetches now, rejected ones get a
+# deterministic jittered retry tick. Composes two proven operators
+# (extensions.web canonicalization + operators.ratelimit bucket fold);
+# the oracle replays the bucket as a GLOBAL per-domain recursive walk,
+# so a hash match also re-proves the reset-gap segmentation of the fold
+# is semantics-invisible.
+# ---------------------------------------------------------------------------
+_FRONTIER = dict(rate=1, capacity=2, cost=1, backoff=2, jitter_max=3)
+
+_FRONTIER_ORACLE = f"""
+WITH RECURSIVE {_CANON_CTES}, req AS (
+  SELECT doc_id, domain, doc_id // 20 AS ts_s FROM canon
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY domain
+                               ORDER BY ts_s, doc_id) AS r
+  FROM req
+), walk(domain, r, prev_ts, tokens, doc_id, ts_s, tokens_after,
+        admitted) AS (
+  SELECT domain, 0, ts_s, CAST({_FRONTIER["capacity"]} AS BIGINT),
+         NULL::BIGINT, NULL::BIGINT, NULL::BIGINT, NULL::BOOLEAN
+  FROM ranked WHERE r = 1
+  UNION ALL
+  SELECT w.domain, w.r + 1, d.ts_s,
+         CASE WHEN f.filled >= {_FRONTIER["cost"]}
+              THEN f.filled - {_FRONTIER["cost"]} ELSE f.filled END,
+         d.doc_id, d.ts_s,
+         CASE WHEN f.filled >= {_FRONTIER["cost"]}
+              THEN f.filled - {_FRONTIER["cost"]} ELSE f.filled END,
+         f.filled >= {_FRONTIER["cost"]}
+  FROM walk w
+  JOIN ranked d ON d.domain = w.domain AND d.r = w.r + 1
+  CROSS JOIN LATERAL (
+    SELECT LEAST({_FRONTIER["capacity"]},
+                 w.tokens + GREATEST((d.ts_s - w.prev_ts)
+                                     * {_FRONTIER["rate"]}, 0)) AS filled
+  ) f
+)
+SELECT domain, doc_id, ts_s, tokens_after, admitted,
+       CASE WHEN NOT admitted
+            THEN ts_s + {_FRONTIER["backoff"]}
+                 + CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),
+                                            1, 8)) AS BIGINT)
+                   % {_FRONTIER["jitter_max"]}
+       END AS retry_at
+FROM walk WHERE r >= 1
+"""
+
+
+@register(
+    "crawl_frontier",
+    _FRONTIER_ORACLE,
+    doc="crawl politeness planner: per-registrable-domain token bucket "
+        "(burst 2, refill 1 per discovery tick) admits fetches and "
+        "jitters retries for the rest — canonicalization feeding the "
+        "segmented bucket fold; the oracle's GLOBAL recursive walk "
+        "hash-matching the gap-segmented fold re-proves segmentation "
+        "is semantics-invisible",
+    tags=("web", "ratelimit", "control"),
+)
+def q_crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.web import canonicalize_url, registrable_domain
+    from ..operators.ratelimit import token_bucket_admission
+
+    docs = load_testdata(spark, sf_dir, "documents")
+    urls = synthesize_messy_urls(docs)
+    reqs = urls.select(
+        "doc_id",
+        registrable_domain(canonicalize_url(F.col("url"))).alias("domain"),
+        F.expr("doc_id div 20").alias("tick"),
+    )
+    return token_bucket_admission(
+        reqs, key_col="domain", ts_col="tick", id_col="doc_id",
+        **_FRONTIER,
+    )
