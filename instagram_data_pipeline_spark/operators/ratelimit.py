@@ -27,7 +27,10 @@ erased, so each gap-delimited segment replays independently from a
 full bucket. A hot key's array is therefore bounded by its longest
 *continuous* burst, not by the whole replay window; the optional
 ``max_segment`` guard turns a pathological never-idle key into a loud
-error instead of a silent straggler task.
+error instead of a silent straggler task. Segmentation costs NO extra
+shuffle: the groupBy on (key, segment) reuses the segment window's
+hash partitioning on the key (subset-key clustering), so the whole
+fold is still one exchange (verified in the plan audit).
 """
 
 from __future__ import annotations

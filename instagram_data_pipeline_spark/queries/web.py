@@ -1,18 +1,22 @@
-"""URL-hygiene queries (SURVEY §2.12 extension family): canonicalization
-+ per-domain frequency capping over deterministic messy URLs
-synthesized from the documents table.
+"""Web-corpus queries (SURVEY §2.12 extension family): URL
+canonicalization, per-domain frequency capping, robots exclusion,
+link-graph extraction, per-site quality rollups, crawl-frontier
+politeness, training-shard export — all over deterministic messy URLs
+and pages synthesized from the documents table.
 
 The synthesis deliberately scatters every kind of URL mess the
 canonicalizer must fix — scheme case, ``www.``, default vs explicit
 ports, trailing slashes, tracking params in both orders, fragments —
 keyed off md5 channels so Spark and the DuckDB oracle build the SAME
-messy strings (hosts like www.Blog.p12.Site-src5.com: per-doc variety lives in
-the subdomain so every canonical URL is distinct, while the
-registrable domain site-src5.{{tld}} spans only source x tld combos —
-small enough that the cap genuinely bites). The query runs in
-mark_only audit mode: EVERY row is returned with its kept flag, then both run their own full canonicalize -> domain ->
-cap pipeline. A hash-green row therefore proves the entire regex chain
-behaves identically, not just the happy path.
+messy strings (hosts like ``www.Blog.p12.Site-src5.com``: per-doc
+variety lives in the subdomain so every canonical URL is distinct,
+while the registrable domain ``site-src5.{tld}`` spans only
+source x tld combos — small enough that the cap genuinely bites).
+Both engines then run their own full canonicalize -> domain ->
+consumer pipeline (the shared ``_CANON_CTES`` chain on the SQL side),
+and the cap query runs in mark_only audit mode so EVERY row is
+returned with its kept flag. A hash-green row therefore proves the
+entire regex chain behaves identically, not just the happy path.
 """
 
 from __future__ import annotations
