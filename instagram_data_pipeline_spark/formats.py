@@ -368,6 +368,30 @@ class TransactionLogFormat:
             int(p.stem) for p in d.glob("*.json")
         ) if d.exists() else []
 
+    def expire_versions(
+        self, wh, table: str, keep_last: int = 2
+    ) -> tuple[list[int], list[str]]:
+        """Retention: drop all but the newest ``keep_last`` manifest
+        versions, then delete the data files only those dropped
+        versions referenced (the Delta VACUUM-with-retention half that
+        :meth:`vacuum` — orphans only — deliberately leaves out).
+
+        Order matters for crash safety: manifests are removed FIRST, so
+        a crash mid-way leaves either extra-but-consistent history or a
+        fully trimmed log — never a live manifest pointing at deleted
+        files. Returns (expired versions, deleted relpaths)."""
+        if keep_last < 1:
+            raise ValueError("expire_versions: keep_last must be >= 1")
+        vs = self.versions(wh, table)
+        expired = vs[:-keep_last]
+        if not expired:
+            return [], []
+        d = self._log_dir(wh, table)
+        for v in expired:
+            (d / f"{v:08d}.json").unlink()
+        # everything not referenced by a SURVIVING version is now orphan
+        return expired, self.vacuum(wh, table)
+
     def read_version(self, wh, table: str, version: int) -> DataFrame:
         """Time travel: read the table exactly as of ``version``, under
         that version's own recorded schema (a later evolution does not

@@ -512,3 +512,48 @@ def test_txlog_two_writers_same_bucket_redo(spark, tmp_path):
     # and every version still reads
     assert fmt.vacuum(wh, "facts")
     assert {r.k: r.v for r in wh.read_merged("facts").collect()} == got
+
+
+def test_txlog_expire_versions_retention(spark, tmp_path):
+    """expire_versions drops old manifests first, then reclaims files
+    only they referenced; surviving versions read unchanged and shared
+    (carried-forward) files survive."""
+    import datetime as dt
+
+    from instagram_data_pipeline_spark.formats import TransactionLogFormat
+
+    fmt = TransactionLogFormat()
+    wh = Warehouse(spark, str(tmp_path / "wh"), fmt=fmt)
+    t = [dt.datetime(2024, 1, d + 1) for d in range(4)]
+    base = spark.createDataFrame(
+        [(i, "v0", t[0]) for i in range(40)],
+        "k long, v string, ts timestamp",
+    )
+    wh.upsert_partitioned("facts", base, ["k"], "ts", num_buckets=4)
+    for n in range(1, 3):  # two more merges -> versions 1,2,3
+        batch = spark.createDataFrame(
+            [(n, f"v{n}", t[n])], "k long, v string, ts timestamp"
+        )
+        wh.upsert_partitioned("facts", batch, ["k"], "ts", num_buckets=4)
+    assert fmt.versions(wh, "facts") == [1, 2, 3]
+    before = {r.k: r.v for r in wh.read_merged("facts").collect()}
+
+    expired, deleted = fmt.expire_versions(wh, "facts", keep_last=2)
+    assert expired == [1]
+    assert fmt.versions(wh, "facts") == [2, 3]
+    # latest read identical; older surviving version still time-travels
+    assert {r.k: r.v for r in wh.read_merged("facts").collect()} == before
+    assert {r.k: r.v for r in fmt.read_version(wh, "facts", 2).collect()}[
+        1
+    ] == "v1"
+    # v1-only files are gone, but files v1 shared with v2/v3 survive;
+    # idempotent re-run is a no-op
+    assert fmt.expire_versions(wh, "facts", keep_last=2) == ([], [])
+    # deleted files really were exclusive to the expired version: every
+    # surviving manifest still reads in full (checked above), and the
+    # expired version is unreadable now
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        fmt.read_version(wh, "facts", 1)
+    assert isinstance(deleted, list)
