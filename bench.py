@@ -112,12 +112,22 @@ def main() -> None:
 
     registry = load_all()
     spark = build_session(app_name="bench")
-    # warm-up: JVM + parquet footers + OS page cache for every input table
+    # warm-up: JVM + parquet footers + OS page cache for every input
+    # table. count() alone is near metadata-only and leaves the column
+    # pages cold — hash-aggregating every column forces a full decode,
+    # so the first TIMED run of each query starts from a warm cache
+    # (this box drops its page cache aggressively; see BENCHNOTES.md).
+    import pyspark.sql.functions as F
+
     from instagram_data_pipeline_spark.io import load_testdata
 
     for table in ("lineitem", "orders", "customer", "events",
                   "documents", "embeddings"):
-        load_testdata(spark, SF_DIR, table).count()
+        df = load_testdata(spark, SF_DIR, table)
+        # pmod keeps the ANSI-mode sum far from long overflow
+        df.agg(
+            F.sum(F.pmod(F.xxhash64(*df.columns), F.lit(1_000_000)))
+        ).collect()
 
     timings: dict[str, float] = {}
     # min-of-3 by default: BENCHNOTES.md — machine noise between rounds
