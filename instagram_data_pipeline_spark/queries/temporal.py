@@ -671,3 +671,75 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("share_ppm"),
     )
+
+
+@register(
+    "stream_event_transitions",
+    _TRANSITIONS_ORACLE,
+    doc="the transition matrix computed ONLINE: per-user previous-event "
+        "state carried across two time-split micro-batch landings by "
+        "applyInPandasWithState (O(1) state per key — one event), "
+        "boundary pairs emitted from state; the drained pair multiset "
+        "aggregates to the same matrix as the batch LEAD window, "
+        "hash-checked against the SAME oracle as event_transitions",
+    tags=("streaming", "temporal", "analytics"),
+)
+def q_stream_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from ..streaming.transitions import transition_pairs
+
+    events = load_testdata(spark, sf_dir, "events").select(
+        "user_id", "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_type",
+    ).localCheckpoint()
+    cut = events.approxQuantile("ts_us", [0.5], 0.0)[0]
+    src = tempfile.mkdtemp(prefix="stream_tr_src_")
+    ckpt = tempfile.mkdtemp(prefix="stream_tr_ckpt_")
+    out = tempfile.mkdtemp(prefix="stream_tr_out_")
+
+    def drain():
+        stream = spark.readStream.schema(
+            "user_id long, event_id long, ts_us long, event_type string"
+        ).parquet(src)
+
+        def sink(batch, batch_id):
+            batch.write.mode("overwrite").parquet(
+                f"{out}/batch={batch_id}"
+            )
+
+        q = (
+            transition_pairs(stream)
+            .writeStream.outputMode("append")
+            .foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    events.filter(F.col("ts_us") <= cut).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    drain()
+    events.filter(F.col("ts_us") > cut).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    drain()
+    pairs = spark.read.parquet(out).localCheckpoint()
+    for d in (src, ckpt, out):
+        shutil.rmtree(d, ignore_errors=True)
+    counted = pairs.groupBy("cur", "nxt").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    per_cur = Window.partitionBy("cur")
+    return counted.select(
+        "cur", "nxt", "n",
+        F.floor(F.col("n") * 1000000.0 / F.sum("n").over(per_cur))
+        .cast("long")
+        .alias("share_ppm"),
+    )

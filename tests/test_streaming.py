@@ -591,3 +591,57 @@ def test_token_bucket_gate_late_event_cannot_rewind_clock(spark, tmp_path):
     # e4: refill only 1080-1050=30 -> 60 -> admit, 0. A rewound clock
     # would have refilled 180 and left 40 here.
     assert got[4] == (0, True)
+
+
+def test_transition_pairs_boundary_across_batches(spark, tmp_path):
+    """The state-carried previous event produces the boundary pair
+    between micro-batches; the drained pair multiset equals the batch
+    LEAD sequence."""
+    from instagram_data_pipeline_spark.streaming.transitions import (
+        transition_pairs,
+    )
+
+    src, ckpt, out = (str(tmp_path / p) for p in ("s", "c", "o"))
+
+    def drain():
+        stream = spark.readStream.schema(
+            "user_id long, event_id long, ts_us long, event_type string"
+        ).parquet(src)
+
+        def sink(batch, batch_id):
+            batch.write.mode("overwrite").parquet(f"{out}/batch={batch_id}")
+
+        q = (
+            transition_pairs(stream)
+            .writeStream.outputMode("append")
+            .foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    schema = "user_id long, event_id long, ts_us long, event_type string"
+    b1 = spark.createDataFrame(
+        [(1, 1, 10, "view"), (1, 2, 20, "click"), (2, 3, 15, "view")],
+        schema,
+    )
+    b2 = spark.createDataFrame(
+        [(1, 4, 30, "purchase"), (2, 5, 25, "click"), (3, 6, 40, "view")],
+        schema,
+    )
+    b1.coalesce(1).write.mode("append").parquet(src)
+    drain()
+    b2.coalesce(1).write.mode("append").parquet(src)
+    drain()
+    got = sorted(
+        (r.user_id, r.cur, r.nxt)
+        for r in spark.read.parquet(out).collect()
+    )
+    # user 1: view->click (batch 1), click->purchase (BOUNDARY);
+    # user 2: view->click (boundary); user 3: single event, no pair
+    assert got == [
+        (1, "click", "purchase"),
+        (1, "view", "click"),
+        (2, "view", "click"),
+    ]
