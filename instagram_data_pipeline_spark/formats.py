@@ -335,6 +335,51 @@ class TransactionLogFormat:
             raise FileNotFoundError(f"no committed version for {table}")
         return self._read_snapshot(wh, Path(wh.path(table)), snap)
 
+    def read_for_keys(
+        self,
+        wh,
+        table: str,
+        keys: list[str],
+        key_rows: DataFrame,
+        num_buckets: int,
+    ) -> DataFrame:
+        """Point-lookup path: read ONLY the buckets the requested keys
+        hash to — the manifest is the index, no data-file footer is
+        even opened for other buckets. A lookup of k keys scans at most
+        min(k, num_buckets)/num_buckets of the table regardless of
+        table size (the property that makes key-scoped reads viable at
+        100 TB). ``key_rows`` is a small frame carrying the key
+        columns; the scan is filtered to the exact keys afterwards via
+        a broadcast semi join, so the result equals
+        ``read_merged(...).join(key_rows, keys, "semi")``."""
+        snap = self._latest(wh, table)
+        if snap is None:
+            raise FileNotFoundError(f"no committed version for {table}")
+        wanted = {
+            r.b
+            for r in key_rows.select(
+                bucket_expr(keys, num_buckets).alias("b")
+            )
+            .dropDuplicates()
+            .collect()
+        }
+        root = Path(wh.path(table))
+        scoped = {
+            f: b for f, b in snap["files"].items() if b in wanted
+        }
+        if not scoped:
+            return wh.spark.createDataFrame(
+                [], self.read_merged(wh, table).schema
+            )
+        sub = dict(snap)
+        sub["files"] = scoped
+        df = self._read_snapshot(wh, root, sub)
+        return df.join(
+            F.broadcast(key_rows.select(*keys).dropDuplicates()),
+            keys,
+            "semi",
+        )
+
     def vacuum(self, wh, table: str) -> list[str]:
         """Delete ORPHANED data files — files referenced by NO manifest
         version (the residue of commits that crashed before their

@@ -557,3 +557,43 @@ def test_txlog_expire_versions_retention(spark, tmp_path):
     with _pytest.raises(FileNotFoundError):
         fmt.read_version(wh, "facts", 1)
     assert isinstance(deleted, list)
+
+
+def test_txlog_read_for_keys_prunes_buckets(spark, tmp_path):
+    """Point lookups read only the buckets the keys hash to (manifest
+    as index) and return exactly the requested live rows."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from instagram_data_pipeline_spark.formats import TransactionLogFormat
+
+    fmt = TransactionLogFormat()
+    wh = Warehouse(spark, str(tmp_path / "wh"), fmt=fmt)
+    t0, t1 = dt.datetime(2024, 1, 1), dt.datetime(2024, 2, 1)
+    base = spark.createDataFrame(
+        [(i, "old", t0) for i in range(100)],
+        "k long, v string, ts timestamp",
+    )
+    wh.upsert_partitioned("facts", base, ["k"], "ts", num_buckets=8)
+    upd = spark.createDataFrame(
+        [(7, "new", t1)], "k long, v string, ts timestamp"
+    )
+    wh.upsert_partitioned("facts", upd, ["k"], "ts", num_buckets=8)
+
+    key_rows = spark.createDataFrame([(7,), (13,), (99999,)], "k long")
+    got = fmt.read_for_keys(wh, "facts", ["k"], key_rows, num_buckets=8)
+    rows = {r.k: r.v for r in got.collect()}
+    assert rows == {7: "new", 13: "old"}  # merged view; absent key omitted
+    # pruning is real: the scoped scan reads strictly fewer files than
+    # the full snapshot (at most the wanted buckets)
+    n_scan_files = len(got.inputFiles())
+    n_all_files = len(fmt.read_merged(wh, "facts").inputFiles())
+    assert 0 < n_scan_files < n_all_files
+    # equals the semi-join over the full table
+    expect = (
+        fmt.read_merged(wh, "facts")
+        .join(F.broadcast(key_rows), ["k"], "semi")
+        .collect()
+    )
+    assert {r.k: r.v for r in expect} == rows
