@@ -137,6 +137,7 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "blocklist_filter",
     "crawl_frontier",
     "stream_event_transitions",
+    "curation_pipeline",
     # dup_spans (r04-green) yielded its in-window second-row slot to
     # pq_adc_fixed, the new hash-checked PQ twin
     "dup_spans",

@@ -2260,3 +2260,136 @@ def q_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(hits, "|").alias("hit_phrases"),
         (F.size(hits) > 0).alias("blocked"),
     )
+
+
+# ---------------------------------------------------------------------------
+# The composed corpus-curation pipeline: quality gate -> lang-ID ->
+# exact-dedup canonical -> blocklist -> perplexity tier -> shard
+# assignment, every stage the REAL operator chained in ONE plan (the
+# text-side sibling of web_pipeline). Audit-mode output: every doc with
+# its per-stage decisions, the final keep verdict, and the training
+# shard kept docs land in — one hash-green row proves the stages
+# compose without interference.
+# ---------------------------------------------------------------------------
+_CUR_T1, _CUR_T2 = 3390000, 3416000  # perplexity_mixture's cutoffs
+
+
+def _hex13_sql(expr: str) -> str:
+    """First 13 md5 hex digits as a BIGINT (mirror of
+    extensions.export.shuffle_hash), strpos arithmetic only."""
+    parts = [
+        f"(strpos('0123456789abcdef', substr({expr}, {i + 1}, 1)) - 1)"
+        f" * {16 ** (12 - i)}"
+        for i in range(13)
+    ]
+    return "(" + " + ".join(parts) + ")"
+
+
+def _curation_oracle() -> str:
+    from .ranking import _LM_ORACLE
+
+    lang_pred = (
+        f"CASE WHEN {_marker_sql('en')} + {_marker_sql('de')}"
+        f" + {_marker_sql('es')} + {_marker_sql('fr')} = 0 THEN 'und'"
+        f" WHEN {_marker_sql('en')} >= GREATEST({_marker_sql('de')},"
+        f" {_marker_sql('es')}, {_marker_sql('fr')}) THEN 'en'"
+        f" WHEN {_marker_sql('de')} >= GREATEST({_marker_sql('es')},"
+        f" {_marker_sql('fr')}) THEN 'de'"
+        f" WHEN {_marker_sql('es')} >= {_marker_sql('fr')} THEN 'es'"
+        f" ELSE 'fr' END"
+    )
+    return f"""
+WITH lmsc AS (
+  SELECT doc_id, CAST(FLOOR(avg_nll * 1000000) AS BIGINT) AS nll_ppm
+  FROM ({_LM_ORACLE}) t
+), base AS (
+  SELECT doc_id,
+         CAST(FLOOR({_QUALITY_SQL} * 1000000) AS BIGINT) >= 300000
+           AS quality_ok,
+         ({lang_pred}) = 'en' AS is_en,
+         md5({_NORM}) AS fp,
+         len(list_filter({_BLOCK_SQL},
+             p -> contains(' ' || {_NORM} || ' ', ' ' || p || ' '))) > 0
+           AS blocked,
+         md5('0:' || CAST(doc_id AS VARCHAR)) AS shash
+  FROM documents
+), canon AS (
+  SELECT *, doc_id = MIN(doc_id) OVER (PARTITION BY fp) AS is_canonical
+  FROM base
+), tiers AS (
+  SELECT c.*, CASE WHEN l.nll_ppm IS NULL THEN 'short'
+                   WHEN l.nll_ppm < {_CUR_T1} THEN 'head'
+                   WHEN l.nll_ppm < {_CUR_T2} THEN 'middle'
+                   ELSE 'tail' END AS tier
+  FROM canon c LEFT JOIN lmsc l ON c.doc_id = l.doc_id
+), verdict AS (
+  SELECT *, quality_ok AND is_en AND is_canonical AND NOT blocked
+            AND tier IN ('head', 'middle') AS kept
+  FROM tiers
+)
+SELECT doc_id, quality_ok, is_en, is_canonical, blocked, tier, kept,
+       CASE WHEN kept
+            THEN CAST({_hex13_sql('shash')} % 8 AS INT) END AS shard
+FROM verdict
+"""
+
+
+@register(
+    "curation_pipeline",
+    _curation_oracle(),
+    doc="the composed corpus-curation pipeline in ONE plan: quality "
+        "gate, lang-ID, exact-dedup canonical selection, blocklist, "
+        "perplexity tiering (fixed cutoffs), and training-shard "
+        "assignment for survivors — audit-mode per-doc decisions "
+        "hash-checked end-to-end; map-only except the fingerprint "
+        "window and the LM score join",
+    tags=("text", "quality", "dedup", "sampling", "pipeline"),
+)
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..extensions.export import shuffle_hash
+    from ..extensions.ranking import bigram_lm_scores
+
+    docs = load_testdata(spark, sf_dir, "documents")
+    scored = bigram_lm_scores(docs, add_k=0.5).select(
+        "doc_id",
+        F.floor(F.col("avg_nll") * 1000000).cast("long").alias("nll_ppm"),
+    )
+    padded = F.concat(F.lit(" "), X.normalized(F.col("text")), F.lit(" "))
+    hits = F.filter(
+        F.array(*[F.lit(p) for p in _BLOCK_PHRASES]),
+        lambda p: padded.contains(F.concat(F.lit(" "), p, F.lit(" "))),
+    )
+    base = docs.select(
+        "doc_id",
+        (F.floor(X.quality_score(F.col("text")) * 1000000) >= 300000)
+        .alias("quality_ok"),
+        (X.lang_id(F.col("text")) == "en").alias("is_en"),
+        X.fingerprint(F.col("text")).alias("fp"),
+        (F.size(hits) > 0).alias("blocked"),
+    )
+    w = Window.partitionBy("fp")
+    canon = base.withColumn(
+        "is_canonical", F.col("doc_id") == F.min("doc_id").over(w)
+    )
+    tiers = canon.join(scored, "doc_id", "left").withColumn(
+        "tier",
+        F.when(F.col("nll_ppm").isNull(), "short")
+        .when(F.col("nll_ppm") < _CUR_T1, "head")
+        .when(F.col("nll_ppm") < _CUR_T2, "middle")
+        .otherwise("tail"),
+    )
+    verdict = tiers.withColumn(
+        "kept",
+        F.col("quality_ok") & F.col("is_en") & F.col("is_canonical")
+        & ~F.col("blocked") & F.col("tier").isin("head", "middle"),
+    )
+    return verdict.select(
+        "doc_id", "quality_ok", "is_en", "is_canonical", "blocked",
+        "tier", "kept",
+        F.when(
+            F.col("kept"),
+            F.pmod(shuffle_hash(F.col("doc_id"), 0), F.lit(8)).cast("int"),
+        ).alias("shard"),
+    )
