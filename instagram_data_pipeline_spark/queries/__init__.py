@@ -138,6 +138,7 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "crawl_frontier",
     "stream_event_transitions",
     "curation_pipeline",
+    "classifier_quality_report",
     # dup_spans (r04-green) yielded its in-window second-row slot to
     # pq_adc_fixed, the new hash-checked PQ twin
     "dup_spans",

@@ -406,3 +406,107 @@ def q_perplexity_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("sum(nll_ppm) div count(1)").alias("mean_nll_ppm"),
         F.sum("n_bigrams").cast("long").alias("n_bigrams_total"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Classifier evaluation report: precision/recall of the fixed-weight
+# scorer against the cheap quality label across a threshold sweep —
+# the report that decides a keep-threshold before a corpus-wide apply
+# (the classifier-family sibling of lsh_quality_report /
+# ann_recall_report). Logits are integer-exact (±1 weights), so every
+# threshold decision is engine-portable.
+# ---------------------------------------------------------------------------
+_CQR_THRESHOLDS = [-6.0, -4.0, -2.0, 0.0, 2.0]
+
+
+def _classifier_report_oracle() -> str:
+    from .text import _QUALITY_SQL
+
+    thr_rows = ", ".join(f"({t!r})" for t in _CQR_THRESHOLDS)
+    return f"""
+WITH scores AS (
+  SELECT * FROM ({_classifier_score_oracle()}) t
+), labeled AS (
+  SELECT s.doc_id, s.logit,
+         ({_QUALITY_SQL}) >= 0.5 AS y
+  FROM scores s JOIN documents d ON s.doc_id = d.doc_id
+), thr(t) AS (VALUES {thr_rows}), agg AS (
+  SELECT thr.t,
+         SUM(CASE WHEN l.logit >= thr.t THEN 1 ELSE 0 END) AS n_pred,
+         SUM(CASE WHEN l.logit >= thr.t AND l.y THEN 1 ELSE 0 END) AS tp,
+         SUM(CASE WHEN l.y THEN 1 ELSE 0 END) AS n_pos
+  FROM labeled l CROSS JOIN thr GROUP BY thr.t
+)
+SELECT CAST(t AS DOUBLE) AS threshold,
+       CAST(n_pred AS BIGINT) AS n_pred, CAST(tp AS BIGINT) AS tp,
+       CASE WHEN n_pred > 0
+            THEN CAST(FLOOR(tp * 1000000.0 / n_pred) AS BIGINT) END
+         AS precision_ppm,
+       CASE WHEN n_pos > 0
+            THEN CAST(FLOOR(tp * 1000000.0 / n_pos) AS BIGINT) END
+         AS recall_ppm
+FROM agg
+"""
+
+
+@register(
+    "classifier_quality_report",
+    _classifier_report_oracle(),
+    doc="threshold sweep for the fixed-weight quality classifier: "
+        "precision/recall (integer-exact ppm) vs the cheap quality "
+        "label at 5 keep thresholds — the report that picks the "
+        "operating point before a corpus-wide apply; one scoring pass "
+        "+ one label join + a 5-row broadcast threshold explode",
+    tags=("text", "ranking", "classifier", "diagnostics"),
+)
+def q_classifier_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ..extensions.classifier import logit_score
+    from ..extensions.ranking import hashed_tf_vectors
+    from ..extensions.similarity import hyperplanes
+    from ..functions import text as X
+
+    docs = load_testdata(spark, sf_dir, "documents")
+    feats = docs.select("doc_id").join(
+        hashed_tf_vectors(docs, dim=64), "doc_id", "left"
+    ).select(
+        "doc_id",
+        F.coalesce(
+            F.col("embedding"), F.array_repeat(F.lit(0.0), 64)
+        ).alias("embedding"),
+    )
+    model = {"weights": hyperplanes(64, 1, seed=11)[0], "bias": -2.0}
+    scores = logit_score(feats, model, feat_col="embedding")
+    labeled = scores.join(
+        docs.select(
+            "doc_id", (X.quality_score(F.col("text")) >= 0.5).alias("y")
+        ),
+        "doc_id",
+    )
+    swept = labeled.select(
+        "logit", "y",
+        F.explode(
+            F.array(*[F.lit(t) for t in _CQR_THRESHOLDS])
+        ).alias("threshold"),
+    )
+    agg = swept.groupBy("threshold").agg(
+        F.sum(F.when(F.col("logit") >= F.col("threshold"), 1).otherwise(0))
+        .alias("n_pred"),
+        F.sum(
+            F.when((F.col("logit") >= F.col("threshold")) & F.col("y"), 1)
+            .otherwise(0)
+        ).alias("tp"),
+        F.sum(F.when(F.col("y"), 1).otherwise(0)).alias("n_pos"),
+    )
+    return agg.select(
+        "threshold", "n_pred", "tp",
+        F.when(
+            F.col("n_pred") > 0,
+            F.floor(F.col("tp") * 1000000.0 / F.col("n_pred")).cast("long"),
+        ).alias("precision_ppm"),
+        F.when(
+            F.col("n_pos") > 0,
+            F.floor(F.col("tp") * 1000000.0 / F.col("n_pos")).cast("long"),
+        ).alias("recall_ppm"),
+    )
