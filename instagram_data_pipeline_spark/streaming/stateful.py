@@ -80,6 +80,8 @@ def token_bucket_gate(
     rate: int = 1,
     capacity: int = 300,
     cost: int = 60,
+    key_col: str = "user_id",
+    key_type: str = "long",
 ) -> DataFrame:
     """Streaming form of ``operators.ratelimit.token_bucket_admission``
     (T4): per-key token-bucket state carried across micro-batches by
@@ -97,7 +99,18 @@ def token_bucket_gate(
     the elapsed span and over-refill. Batch-equivalence therefore
     holds exactly when each key's events arrive time-ordered across
     micro-batches; a late straggler is admitted against the CURRENT
-    bucket, which is the only causal option for an online gate."""
+    bucket, which is the only causal option for an online gate.
+
+    ``key_col``/``key_type`` generalize the gate to any bucket key —
+    the default is the T4 per-user form; ``key_col="domain",
+    key_type="string"`` is the online crawl-politeness form of
+    queries/web.py's crawl_frontier (tested gate == batch fold for
+    both key shapes)."""
+
+    out_schema = (
+        f"{key_col} {key_type}, event_id long, ts_s long, "
+        "tokens_after long, admitted boolean"
+    )
 
     def gate(
         key: tuple[Any, ...],
@@ -123,13 +136,14 @@ def token_bucket_gate(
             out_tokens.append(tokens)
             out_adm.append(ok)
         state.update((int(tokens), int(last_ts)))
-        yield pdf.assign(
-            user_id=key[0], tokens_after=out_tokens, admitted=out_adm
-        )[["user_id", "event_id", "ts_s", "tokens_after", "admitted"]]
+        yield pdf.assign(**{
+            key_col: key[0], "tokens_after": out_tokens,
+            "admitted": out_adm,
+        })[[key_col, "event_id", "ts_s", "tokens_after", "admitted"]]
 
-    return requests.groupBy("user_id").applyInPandasWithState(
+    return requests.groupBy(key_col).applyInPandasWithState(
         gate,
-        outputStructType=RL_OUTPUT_SCHEMA,
+        outputStructType=out_schema,
         stateStructType=RL_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,

@@ -645,3 +645,66 @@ def test_transition_pairs_boundary_across_batches(spark, tmp_path):
         (1, "view", "click"),
         (2, "view", "click"),
     ]
+
+
+def test_token_bucket_gate_string_domain_keys(spark, tmp_path):
+    """The generalized gate (key_col/key_type) reproduces the batch
+    fold for STRING domain keys — the online crawl-politeness form."""
+    import pyspark.sql.functions as F
+
+    from instagram_data_pipeline_spark.operators.ratelimit import (
+        token_bucket_admission,
+    )
+    from instagram_data_pipeline_spark.streaming.stateful import (
+        token_bucket_gate,
+    )
+
+    rows = [
+        (f"site{i % 3}.com", i, t)
+        for i, t in enumerate([0, 0, 1, 2, 2, 3, 10, 10, 11, 30, 31, 31])
+    ]
+    reqs = spark.createDataFrame(
+        rows, "domain string, event_id long, ts_s long"
+    )
+    src, ckpt, out = (str(tmp_path / p) for p in ("s", "c", "o"))
+    params = dict(rate=1, capacity=3, cost=1)
+
+    def drain():
+        stream = spark.readStream.schema(
+            "domain string, event_id long, ts_s long"
+        ).parquet(src)
+
+        def sink(batch, batch_id):
+            batch.write.mode("overwrite").parquet(f"{out}/batch={batch_id}")
+
+        q = (
+            token_bucket_gate(
+                stream, key_col="domain", key_type="string", **params
+            )
+            .writeStream.outputMode("append")
+            .foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    reqs.filter(F.col("ts_s") <= 3).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    drain()
+    reqs.filter(F.col("ts_s") > 3).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    drain()
+    streamed = {
+        r.event_id: (r.domain, r.tokens_after, r.admitted)
+        for r in spark.read.parquet(out).collect()
+    }
+    batch = {
+        r.event_id: (r.domain, r.tokens_after, r.admitted)
+        for r in token_bucket_admission(
+            reqs, "domain", "ts_s", "event_id", **params
+        ).collect()
+    }
+    assert streamed == batch and len(streamed) == len(rows)
