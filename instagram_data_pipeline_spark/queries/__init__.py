@@ -139,6 +139,7 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "stream_event_transitions",
     "curation_pipeline",
     "classifier_quality_report",
+    "anchor_text_index",
     # dup_spans (r04-green) yielded its in-window second-row slot to
     # pq_adc_fixed, the new hash-checked PQ twin
     "dup_spans",

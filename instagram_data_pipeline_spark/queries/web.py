@@ -874,3 +874,118 @@ def q_crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         reqs, key_col="domain", ts_col="tick", id_col="doc_id",
         **_FRONTIER,
     )
+
+
+# ---------------------------------------------------------------------------
+# Anchor-text index: what the web SAYS a page is about. Each synthetic
+# page links to two targets with its own first word as the anchor text;
+# extraction parses whole <a> tags (href + text) in codegen, and the
+# rollup keeps per-target link counts plus the dominant anchor term —
+# the link-based relevance signal retrieval systems index next to BM25.
+# ---------------------------------------------------------------------------
+_AT_MOD = 997
+
+_ANCHOR_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id,
+         COALESCE(string_split({{norm}}, ' ')[1], 'x') AS a
+  FROM documents
+), p AS (
+  SELECT doc_id,
+    '<p>d</p><a href="/d/' || CAST((doc_id * 11 + 3) % {_AT_MOD} AS VARCHAR)
+      || '">' || a || '</a>'
+    || '<a href="/d/' || CAST((doc_id * 29 + 17) % {_AT_MOD} AS VARCHAR)
+      || '">' || a || '</a>' AS page
+  FROM w
+), tags AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(page,
+                '<a href="[^"]+">[^<]*</a>', 0)) AS tag
+  FROM p
+), pairs AS (
+  SELECT regexp_extract(tag, '"([^"]+)"', 1) AS target,
+         regexp_extract(tag, '>([^<]*)<', 1) AS anchor
+  FROM tags
+), cnt AS (
+  SELECT target, anchor, COUNT(*) AS c FROM pairs GROUP BY target, anchor
+), ranked AS (
+  SELECT target, anchor, c,
+         SUM(c) OVER (PARTITION BY target) AS n_links,
+         ROW_NUMBER() OVER (PARTITION BY target
+                            ORDER BY c DESC, anchor DESC) AS rn
+  FROM cnt
+)
+SELECT target, CAST(n_links AS BIGINT) AS n_links,
+       anchor AS top_anchor, CAST(c AS BIGINT) AS top_anchor_links
+FROM ranked WHERE rn = 1
+"""
+
+
+@register(
+    "anchor_text_index",
+    None,  # filled below — needs _NORM from queries.text
+    doc="anchor-text index: <a> tags parsed whole in codegen (href + "
+        "anchor text), rolled up per target into link counts and the "
+        "dominant anchor term — the link-based relevance signal a "
+        "retrieval system indexes next to BM25; two map-side-combined "
+        "aggregations on the target key",
+    tags=("web", "graph", "ranking"),
+)
+def q_anchor_text_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..functions import text as X
+
+    docs = load_testdata(spark, sf_dir, "documents")
+    first_word = F.coalesce(
+        F.element_at(F.split(X.normalized(F.col("text")), " "), 1),
+        F.lit("x"),
+    )
+    page = F.concat(
+        F.lit('<p>d</p><a href="/d/'),
+        ((F.col("doc_id") * 11 + 3) % _AT_MOD).cast("string"),
+        F.lit('">'), first_word, F.lit("</a>"),
+        F.lit('<a href="/d/'),
+        ((F.col("doc_id") * 29 + 17) % _AT_MOD).cast("string"),
+        F.lit('">'), first_word, F.lit("</a>"),
+    )
+    tags = docs.select(
+        F.explode(
+            F.regexp_extract_all(
+                page, F.lit('<a href="[^"]+">[^<]*</a>'), 0
+            )
+        ).alias("tag")
+    )
+    pairs = tags.select(
+        F.regexp_extract("tag", '"([^"]+)"', 1).alias("target"),
+        F.regexp_extract("tag", ">([^<]*)<", 1).alias("anchor"),
+    )
+    cnt = pairs.groupBy("target", "anchor").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    per_t = Window.partitionBy("target")
+    ranked = cnt.select(
+        "target", "anchor", "c",
+        F.sum("c").over(per_t).alias("n_links"),
+    ).withColumn(
+        "_best",
+        F.max(F.struct(F.col("c"), F.col("anchor"))).over(per_t),
+    )
+    return ranked.filter(
+        (F.col("c") == F.col("_best.c"))
+        & (F.col("anchor") == F.col("_best.anchor"))
+    ).select(
+        "target", "n_links",
+        F.col("anchor").alias("top_anchor"),
+        F.col("c").alias("top_anchor_links"),
+    )
+
+
+def _finish_anchor_oracle() -> None:
+    from . import REGISTRY
+    from .text import _NORM
+
+    REGISTRY["anchor_text_index"].oracle = _ANCHOR_ORACLE.format(norm=_NORM)
+
+
+_finish_anchor_oracle()
