@@ -834,3 +834,45 @@ def kmeans_partitioned_train(
             .localCheckpoint()
         )
     return centroids.select(F.col("_p").alias(part_col), "cluster", "cv")
+
+
+def cosine_topk_filtered(
+    corpus: DataFrame,
+    queries: DataFrame,
+    filter_cols: list[str],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    k: int = 5,
+) -> DataFrame:
+    """Filtered vector search: exact top-k among corpus rows whose
+    ``filter_cols`` EQUAL the query's — the metadata-constrained ANN
+    every vector store sells (category-scoped neighbors, tenant
+    isolation, language-matched retrieval).
+
+    The filter IS the join key: the broadcast hash join on
+    ``filter_cols`` prunes candidates BEFORE any cosine is computed,
+    so a predicate with selectivity 1/s cuts scoring work by s — the
+    filter never runs as a post-scoring residual. Ties break by id."""
+    c = corpus.select(
+        F.col(id_col), *[F.col(f) for f in filter_cols],
+        as_double_vec(F.col(vec_col)).alias("_cv"),
+    )
+    q = queries.select(
+        F.col(query_id_col), *[F.col(f) for f in filter_cols],
+        as_double_vec(F.col(vec_col)).alias("_qv"),
+    )
+    scored = c.join(F.broadcast(q), filter_cols).select(
+        query_id_col, id_col, cosine(F.col("_qv"), F.col("_cv")).alias("_sim")
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("_sim").desc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            query_id_col, id_col,
+            F.round("_sim", 6).alias("cosine"), "rank",
+        )
+    )

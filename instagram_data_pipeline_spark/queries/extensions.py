@@ -1758,3 +1758,52 @@ def q_pq_adc_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(0, qvec)], "query_id long, embedding array<double>"
     )
     return pq_topk(codes, books, queries, k=10, m=_PQF_M)
+
+
+# ---------------------------------------------------------------------------
+# Filtered vector search (metadata-constrained ANN): the label equality
+# constraint IS the broadcast-join key, so candidates are pruned before
+# any cosine is computed — the predicate never degrades into a
+# post-scoring residual filter. The vector-store feature (tenant/
+# category/language-scoped retrieval) as a plan property.
+# ---------------------------------------------------------------------------
+_FILTERED_TOPK_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, label, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id < 10
+), c AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS cv
+  FROM embeddings WHERE vec_id >= 10
+), scored AS (
+  SELECT query_id, c.vec_id,
+         {_COS.format(a='qv', b='cv')} AS sim
+  FROM q JOIN c USING (label)
+)
+SELECT query_id, vec_id, ROUND(sim, 6) AS cosine, rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY sim DESC, vec_id
+  ) AS rank FROM scored
+) WHERE rank <= 5
+"""
+
+
+@register(
+    "ann_filtered_topk",
+    _FILTERED_TOPK_ORACLE,
+    doc="filtered vector search: exact top-5 among same-label corpus "
+        "vectors — the metadata constraint IS the broadcast-hash-join "
+        "key, pruning candidates BEFORE any cosine runs (selectivity "
+        "1/s cuts scoring work by s); the tenant/category-scoped "
+        "retrieval every vector store sells, as a plan property",
+    tags=("similarity", "topk", "ann"),
+)
+def q_ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_testdata(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "label", "embedding"
+    )
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    return S.cosine_topk_filtered(
+        corpus, queries, filter_cols=["label"], k=5
+    )
