@@ -443,3 +443,63 @@ def bin_pack_documents(
     ).select(
         F.col("a.id").alias(id_col), "shard", F.col("a.bin").alias("bin_id")
     )
+
+
+def temperature_sample_wor(
+    df: DataFrame,
+    key_col: str,
+    source_col: str,
+    token_col: str,
+    budget_docs: int,
+) -> DataFrame:
+    """Temperature-balanced sampling WITHOUT replacement: per-source
+    document quotas proportional to the renormalized sqrt token share
+    (the T=2 mixture of :func:`temperature_mixture`), members chosen
+    within each source by the derandomized Efraimidis–Spirakis key of
+    :func:`weighted_sample` — exact per-stratum counts instead of a
+    hash-rate cut, and no row sampled twice by construction.
+
+    Plan: the quota frame is sources-sized (broadcast back), the E-S
+    key is one map-side expression, and member selection is a
+    per-source ranked window — one shuffle on the source key."""
+    from pyspark.sql import Window
+
+    totals = df.groupBy(source_col).agg(F.sum(token_col).alias("_tot"))
+    everything = (
+        Window.partitionBy()
+        .orderBy(source_col)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    quotas = (
+        totals.withColumn(
+            "_q", F.sqrt(F.col("_tot") / F.sum("_tot").over(everything))
+        )
+        .withColumn("_qn", F.col("_q") / F.sum("_q").over(everything))
+        .select(
+            source_col,
+            F.floor(F.lit(float(budget_docs)) * F.col("_qn"))
+            .cast("long")
+            .alias("_take"),
+        )
+    )
+    h = F.conv(
+        F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    u = (h.cast("double") + F.lit(0.5)) / F.lit(4294967296.0)
+    keyed = df.filter(F.col(token_col) > 0).withColumn(
+        "es_key", F.round(F.log(u) / F.col(token_col).cast("double"), 12)
+    )
+    wnd = Window.partitionBy(source_col).orderBy(
+        F.col("es_key").desc(), F.col(key_col)
+    )
+    ranked = keyed.withColumn(
+        "rank_in_source", F.row_number().over(wnd)
+    )
+    return (
+        ranked.join(F.broadcast(quotas), source_col)
+        .filter(F.col("rank_in_source") <= F.col("_take"))
+        .select(
+            key_col, source_col, token_col, "es_key",
+            F.col("rank_in_source").cast("int").alias("rank_in_source"),
+        )
+    )

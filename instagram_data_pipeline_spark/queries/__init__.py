@@ -141,6 +141,7 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "classifier_quality_report",
     "anchor_text_index",
     "ann_filtered_topk",
+    "temperature_sample_wor",
     # dup_spans (r04-green) yielded its in-window second-row slot to
     # pq_adc_fixed, the new hash-checked PQ twin
     "dup_spans",

@@ -2393,3 +2393,63 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.pmod(shuffle_hash(F.col("doc_id"), 0), F.lit(8)).cast("int"),
         ).alias("shard"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-balanced sampling WITHOUT replacement: exact per-source
+# quotas from the T=2 sqrt-share mixture + derandomized E-S member
+# selection — the balanced-subcorpus sampler (UNIMAX-flavored) where
+# temperature_mixture's hash-rate cut gives only EXPECTED counts.
+# ---------------------------------------------------------------------------
+_TSW_BUDGET = 100
+
+_TSW_ORACLE = f"""
+WITH totals AS (
+  SELECT source, SUM(n_chars) AS tot FROM documents GROUP BY source
+), shares AS (
+  SELECT source, tot,
+         sqrt(tot * 1.0 / SUM(tot) OVER (ORDER BY source
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)) AS q
+  FROM totals
+), quota AS (
+  SELECT source,
+         CAST(FLOOR({float(_TSW_BUDGET)} * q / SUM(q) OVER (ORDER BY source
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+           AS BIGINT) AS n_take
+  FROM shares
+), keyed AS (
+  SELECT doc_id, source, n_chars,
+         ROUND(LN((CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),
+                   1, 8)) AS BIGINT) + 0.5) / 4294967296.0)
+               / CAST(n_chars AS DOUBLE), 12) AS es_key
+  FROM documents WHERE n_chars > 0
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+                               ORDER BY es_key DESC, doc_id) AS rn
+  FROM keyed
+)
+SELECT r.doc_id, r.source, r.n_chars, r.es_key,
+       CAST(r.rn AS INT) AS rank_in_source
+FROM ranked r JOIN quota q ON r.source = q.source
+WHERE r.rn <= q.n_take
+"""
+
+
+@register(
+    "temperature_sample_wor",
+    _TSW_ORACLE,
+    doc="temperature-balanced sampling WITHOUT replacement: per-source "
+        "doc quotas from the T=2 sqrt-share mixture (exact counts, not "
+        "the hash-rate cut's expected counts), members the derandomized "
+        "E-S winners within each source — sources-sized quota frame "
+        "broadcast back, one shuffle on the source key",
+    tags=("text", "sampling"),
+)
+def q_temperature_sample_wor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.sampling import temperature_sample_wor
+
+    docs = load_testdata(spark, sf_dir, "documents")
+    return temperature_sample_wor(
+        docs, key_col="doc_id", source_col="source",
+        token_col="n_chars", budget_docs=_TSW_BUDGET,
+    )
