@@ -1,0 +1,108 @@
+"""Streaming data-quality monitor: per-micro-batch distribution drift
+against a FROZEN reference histogram — the observability layer that
+catches a broken upstream (unit change, dead segment, filter
+regression) while the batch is landing, not after it poisons a
+training run.
+
+Same exactness discipline as ``extensions.sketches.histogram_drift``:
+shares are never materialized as doubles — the L1 numerator is the
+cross-multiplied integer
+
+    sum_b | c_batch(b) * T_ref  -  c_ref(b) * T_batch |
+
+with one integer floor-division to ppm at the end, so the alert
+decision is bit-identical across engines and replays.
+
+Scale shape: the per-batch histogram is ONE map-side-combined
+aggregation; the driver reads back at most ``n_bins`` rows (a bounded
+control-plane read, audited in the collect allowlist). Stats rows land
+as one parquet partition per epoch with overwrite, so at-least-once
+replays converge to exactly-once without a fence.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class QualityMonitorSink:
+    """foreachBatch sink: per-epoch histogram stats + drift alert."""
+
+    def __init__(
+        self,
+        root: str,
+        reference: dict[int, int],
+        lo: float,
+        hi: float,
+        n_bins: int = 10,
+        alert_l1_ppm: int = 200_000,
+        value_col: str = "value",
+    ) -> None:
+        if not reference or sum(reference.values()) <= 0:
+            raise ValueError("QualityMonitorSink: empty reference")
+        self.root = root
+        self.ref = {int(b): int(c) for b, c in reference.items()}
+        self.lo, self.hi, self.n_bins = lo, hi, n_bins
+        self.alert_l1_ppm = alert_l1_ppm
+        self.value_col = value_col
+
+    def _bin(self):
+        span = self.hi - self.lo
+        b = F.floor(
+            (F.col(self.value_col).cast("double") - F.lit(self.lo))
+            / F.lit(span) * F.lit(float(self.n_bins))
+        ).cast("long")
+        return F.least(F.lit(self.n_bins - 1), F.greatest(F.lit(0), b))
+
+    @staticmethod
+    def batch_histogram(
+        df: DataFrame, value_col: str, lo: float, hi: float, n_bins: int
+    ) -> dict[int, int]:
+        """One map-side-combined aggregation -> {bin: count}; the
+        driver read is <= n_bins rows (bounded)."""
+        sink = QualityMonitorSink.__new__(QualityMonitorSink)
+        sink.lo, sink.hi, sink.n_bins = lo, hi, n_bins
+        sink.value_col = value_col
+        rows = (
+            df.filter(F.col(value_col).isNotNull())
+            .select(sink._bin().alias("bin"))
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        )
+        return {int(r.bin): int(r.c) for r in rows}
+
+    def process_batch(self, df: DataFrame, epoch: int) -> None:
+        counts = self.batch_histogram(
+            df, self.value_col, self.lo, self.hi, self.n_bins
+        )
+        t_b = sum(counts.values())
+        t_r = sum(self.ref.values())
+        if t_b == 0:
+            l1_ppm = 0
+        else:
+            num = sum(
+                abs(counts.get(b, 0) * t_r - self.ref.get(b, 0) * t_b)
+                for b in range(self.n_bins)
+            )
+            l1_ppm = num * 1_000_000 // (t_b * t_r)
+        spark = df.sparkSession
+        row = spark.createDataFrame(
+            [(int(t_b), int(l1_ppm), l1_ppm >= self.alert_l1_ppm)],
+            "n_rows long, l1_ppm long, alert boolean",
+        )
+        # one partition per epoch, overwritten: replays converge
+        row.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(self.root, "stats", f"epoch={int(epoch)}")
+        )
+
+    def results(self, spark: SparkSession) -> DataFrame:
+        return spark.read.option("basePath", os.path.join(
+            self.root, "stats"
+        )).parquet(os.path.join(self.root, "stats"))
+
+    def __call__(self, df: DataFrame, epoch: int) -> None:
+        self.process_batch(df, epoch)

@@ -99,6 +99,9 @@ _COLLECT_ALLOWLIST: dict[str, tuple[int, str]] = {
                                     "parameters"),
     "sources/warc.py": (1, "write manifest: one summary row per "
                            "archive file, <= files"),
+    "streaming/monitor.py": (1, "per-batch histogram read-back, "
+                                "<= n_bins rows — the drift monitor's "
+                                "control-plane summary"),
     "testing.py": (1, "test harness oracle comparator, not a data path"),
 }
 

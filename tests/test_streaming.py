@@ -708,3 +708,46 @@ def test_token_bucket_gate_string_domain_keys(spark, tmp_path):
         ).collect()
     }
     assert streamed == batch and len(streamed) == len(rows)
+
+
+def test_quality_monitor_drift_alert_and_replay(spark, tmp_path):
+    """The streaming quality monitor: a batch matching the reference
+    stays quiet, a shifted batch alerts (integer-exact cross-multiplied
+    L1), and a replayed epoch overwrites instead of duplicating."""
+    import pyspark.sql.functions as F
+
+    from instagram_data_pipeline_spark.streaming.monitor import (
+        QualityMonitorSink,
+    )
+
+    ref_df = spark.range(0, 1000).select(
+        (F.pmod(F.col("id"), 10) / 10.0 + 0.05).alias("value")
+    )  # uniform over the 10 bins
+    reference = QualityMonitorSink.batch_histogram(
+        ref_df, "value", 0.0, 1.0, 10
+    )
+    assert sum(reference.values()) == 1000 and len(reference) == 10
+
+    sink = QualityMonitorSink(
+        str(tmp_path / "mon"), reference, lo=0.0, hi=1.0, n_bins=10,
+        alert_l1_ppm=200_000,
+    )
+    same = spark.range(0, 500).select(
+        (F.pmod(F.col("id"), 10) / 10.0 + 0.05).alias("value")
+    )
+    shifted = spark.range(0, 500).select(
+        (F.pmod(F.col("id"), 2) / 10.0 + 0.05).alias("value")
+    )  # mass collapsed into bins 0-1
+    sink.process_batch(same, 0)
+    sink.process_batch(shifted, 1)
+    got = {r.epoch: r for r in sink.results(spark).collect()}
+    assert not got[0].alert and got[0].l1_ppm == 0
+    assert got[1].alert and got[1].l1_ppm > 500_000
+    assert got[1].n_rows == 500
+    # exact integer L1 for the shifted batch (L1 ranges [0, 2] so ppm
+    # can exceed 1e6): numerator = 2*|250*1000-100*500| +
+    # 8*|0-100*500| = 800000 over T_b*T_r = 500000 -> 1.6 exactly
+    assert got[1].l1_ppm == 800_000 * 1_000_000 // (500 * 1000)
+    # replay: same epoch overwrites, no duplicate stats rows
+    sink.process_batch(shifted, 1)
+    assert sink.results(spark).count() == 2
