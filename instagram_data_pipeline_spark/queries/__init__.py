@@ -142,6 +142,7 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "anchor_text_index",
     "ann_filtered_topk",
     "temperature_sample_wor",
+    "langid_confusion",
     # dup_spans (r04-green) yielded its in-window second-row slot to
     # pq_adc_fixed, the new hash-checked PQ twin
     "dup_spans",

@@ -2453,3 +2453,49 @@ def q_temperature_sample_wor(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, key_col="doc_id", source_col="source",
         token_col="n_chars", budget_docs=_TSW_BUDGET,
     )
+
+
+# ---------------------------------------------------------------------------
+# Lang-ID confusion matrix: the evaluation report for the marker
+# heuristic against the labeled lang column — per (labeled, predicted)
+# cell counts with integer-exact row shares; the report that says
+# which languages the heuristic confuses before it gates a corpus.
+# ---------------------------------------------------------------------------
+_LANGID_CONFUSION_ORACLE = f"""
+WITH pred AS ({_LANG_ORACLE})
+SELECT labeled_lang, predicted_lang, COUNT(*) AS n,
+       CAST(FLOOR(COUNT(*) * 1000000.0
+                  / SUM(COUNT(*)) OVER (PARTITION BY labeled_lang))
+            AS BIGINT) AS row_share_ppm
+FROM pred GROUP BY labeled_lang, predicted_lang
+"""
+
+
+@register(
+    "langid_confusion",
+    _LANGID_CONFUSION_ORACLE,
+    doc="lang-ID evaluation: confusion matrix of the marker heuristic "
+        "vs the labeled lang with integer-exact per-label shares — the "
+        "report that says which languages get confused before the "
+        "heuristic gates a corpus; one aggregation, totals window over "
+        "the languages-squared frame",
+    tags=("text", "langid", "diagnostics"),
+)
+def q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_testdata(spark, sf_dir, "documents")
+    pred = docs.select(
+        F.col("lang").alias("labeled_lang"),
+        X.lang_id(F.col("text")).alias("predicted_lang"),
+    )
+    cells = pred.groupBy("labeled_lang", "predicted_lang").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    per_label = Window.partitionBy("labeled_lang")
+    return cells.select(
+        "labeled_lang", "predicted_lang", "n",
+        F.floor(F.col("n") * 1000000.0 / F.sum("n").over(per_label))
+        .cast("long")
+        .alias("row_share_ppm"),
+    )
