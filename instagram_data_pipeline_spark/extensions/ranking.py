@@ -315,3 +315,79 @@ def hashed_tf_vectors(
             ).alias("embedding"),
         )
     )
+
+
+def bigram_lm_scores_interpolated(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    add_k: float = 0.5,
+    lam: float = 0.75,
+) -> DataFrame:
+    """Jelinek–Mercer interpolated bigram LM: per-bigram probability
+    ``lam * p_bi(w2|w1) + (1-lam) * p_uni(w2)`` — the standard backoff
+    that stops rare-context bigrams from dominating the NLL the way
+    pure add-k does (a doc is no longer punished for one unseen
+    context when its words are common). ``lam`` should be an exact
+    binary fraction (default 3/4) so the mix is bit-identical across
+    engines; sums stay DECIMAL-exact like the plain scorer.
+
+    Same scale shape as :func:`bigram_lm_scores` plus one more
+    vocab-sized join (the w2 unigram table) and a 1-row totals
+    broadcast."""
+    w = X.tokens(F.col(text_col))
+    n = F.size(w)
+    grams = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.arrays_zip(
+                F.slice(w, 1, F.greatest(n - 1, F.lit(0))).alias("w1"),
+                F.slice(w, 2, F.greatest(n - 1, F.lit(0))).alias("w2"),
+            )
+        ).alias("g"),
+    ).select(
+        F.col(id_col),
+        F.col("g.w1").alias("w1"),
+        F.col("g.w2").alias("w2"),
+    ).filter((F.col("w1") != "") & (F.col("w2") != ""))
+
+    toks = _tokens(docs, id_col, text_col)
+    uni = toks.groupBy(F.col("term").alias("w1")).agg(
+        F.count(F.lit(1)).alias("cu")
+    )
+    uni2 = toks.groupBy(F.col("term").alias("w2")).agg(
+        F.count(F.lit(1)).alias("cu2")
+    )
+    stats = F.broadcast(
+        toks.agg(
+            F.count(F.lit(1)).alias("_t"),
+            F.countDistinct("term").alias("_v"),
+        )
+    )
+    bi = grams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+    p_bi = (F.col("cb") + F.lit(add_k)) / (
+        F.col("cu") + F.lit(add_k) * F.col("_v")
+    )
+    p_un = (F.col("cu2") + F.lit(add_k)) / (
+        F.col("_t") + F.lit(add_k) * F.col("_v")
+    )
+    scored = (
+        grams.join(bi, ["w1", "w2"])
+        .join(uni, "w1")
+        .join(uni2, "w2")
+        .crossJoin(stats)
+        .select(
+            F.col(id_col),
+            F.round(
+                F.log(F.lit(lam) * p_bi + F.lit(1.0 - lam) * p_un), 9
+            )
+            .cast("decimal(28,10)")
+            .alias("_lp"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(
+            -(F.sum("_lp").cast("double")) / F.count(F.lit(1)), 6
+        ).alias("avg_nll"),
+    )

@@ -143,6 +143,7 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "ann_filtered_topk",
     "temperature_sample_wor",
     "langid_confusion",
+    "lm_perplexity_interpolated",
     # dup_spans (r04-green) yielded its in-window second-row slot to
     # pq_adc_fixed, the new hash-checked PQ twin
     "dup_spans",

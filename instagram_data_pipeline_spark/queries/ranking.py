@@ -510,3 +510,60 @@ def q_classifier_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.col("tp") * 1000000.0 / F.col("n_pos")).cast("long"),
         ).alias("recall_ppm"),
     )
+
+
+_LM_INTERP_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents
+), uni AS (
+  SELECT doc_id, unnest(w) AS term FROM tok
+), tks AS (
+  SELECT doc_id, term FROM uni WHERE term <> ''
+), cu AS (
+  SELECT term AS w1, COUNT(*) AS cu FROM tks GROUP BY term
+), cu2 AS (
+  SELECT term AS w2, COUNT(*) AS cu2 FROM tks GROUP BY term
+), stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS t,
+         CAST(COUNT(DISTINCT term) AS BIGINT) AS v
+  FROM tks
+), bg AS (
+  SELECT doc_id, w[CAST(i AS INT)] AS w1, w[CAST(i AS INT) + 1] AS w2
+  FROM tok, unnest(generate_series(1, len(w) - 1)) AS t(i)
+), bgf AS (
+  SELECT doc_id, w1, w2 FROM bg WHERE w1 <> '' AND w2 <> ''
+), cb AS (
+  SELECT w1, w2, COUNT(*) AS cb FROM bgf GROUP BY w1, w2
+), s AS (
+  SELECT bgf.doc_id,
+         CAST(ROUND(LN(
+           0.75 * ((cb.cb + 0.5) / (cu.cu + 0.5 * stats.v))
+           + 0.25 * ((cu2.cu2 + 0.5) / (stats.t + 0.5 * stats.v))
+         ), 9) AS DECIMAL(28,10)) AS lp
+  FROM bgf JOIN cb USING (w1, w2) JOIN cu USING (w1)
+  JOIN cu2 USING (w2) CROSS JOIN stats
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       ROUND(-CAST(SUM(lp) AS DOUBLE) / COUNT(*), 6) AS avg_nll
+FROM s GROUP BY doc_id
+"""
+
+
+@register(
+    "lm_perplexity_interpolated",
+    _LM_INTERP_ORACLE,
+    doc="Jelinek-Mercer interpolated bigram LM (lam=3/4 bigram + 1/4 "
+        "unigram, both add-0.5-smoothed): the backoff that stops one "
+        "unseen context from dominating a doc's NLL — exact binary-"
+        "fraction mix, DECIMAL-exact sums; same one-shuffle scoring "
+        "shape as the plain LM plus a vocab-sized w2 join and a 1-row "
+        "totals broadcast",
+    tags=("text", "ranking", "quality"),
+)
+def q_lm_perplexity_interpolated(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..extensions.ranking import bigram_lm_scores_interpolated
+
+    docs = load_testdata(spark, sf_dir, "documents")
+    return bigram_lm_scores_interpolated(docs, add_k=0.5, lam=0.75)
