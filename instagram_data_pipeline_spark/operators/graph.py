@@ -427,3 +427,53 @@ def incremental_components(
         )
     )
     return updated.unionByName(fresh)
+
+
+def community_stats(
+    edges: DataFrame, labels: DataFrame
+) -> DataFrame:
+    """Per-community modularity ingredients over a canonical (src<dst)
+    edge set: member count, internal edge count ``e_in``, and total
+    member degree ``d_sum`` — all exact integers, so the frame is
+    engine-portable; the scalar Newman modularity is one expression
+    away for any consumer, Q = sum_c (e_in/m - (d_sum/2m)^2), kept
+    OUT of the frame on purpose (a cross-community float sum has
+    engine-dependent addition order; the ingredients don't).
+
+    Shape: one degree aggregation, one label groupBy, and the
+    internal-edge count as two node-keyed joins (each edge looks up
+    both endpoint labels) + one label groupBy — no pairwise expansion
+    beyond the edge list itself."""
+    deg = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("_d"))
+    )
+    nl = labels.join(deg, "node", "left").select(
+        "node", "label", F.coalesce(F.col("_d"), F.lit(0)).alias("_d")
+    )
+    grp = nl.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.sum("_d").cast("long").alias("d_sum"),
+    )
+    ein = (
+        edges.join(
+            nl.select(F.col("node").alias("src"),
+                      F.col("label").alias("_la")),
+            "src",
+        )
+        .join(
+            nl.select(F.col("node").alias("dst"),
+                      F.col("label").alias("_lb")),
+            "dst",
+        )
+        .filter(F.col("_la") == F.col("_lb"))
+        .groupBy(F.col("_la").alias("label"))
+        .agg(F.count(F.lit(1)).alias("_e"))
+    )
+    return grp.join(ein, "label", "left").select(
+        "label", "n_nodes",
+        F.coalesce(F.col("_e"), F.lit(0)).cast("long").alias("e_in"),
+        "d_sum",
+    )

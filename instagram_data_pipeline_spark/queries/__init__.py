@@ -144,6 +144,7 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "temperature_sample_wor",
     "langid_confusion",
     "lm_perplexity_interpolated",
+    "community_stats",
     # dup_spans (r04-green) yielded its in-window second-row slot to
     # pq_adc_fixed, the new hash-checked PQ twin
     "dup_spans",

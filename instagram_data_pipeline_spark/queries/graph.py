@@ -244,3 +244,55 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import label_propagation
 
     return label_propagation(_copurchase_edges(spark, sf_dir), rounds=3)
+
+
+# ---------------------------------------------------------------------------
+# Community quality: the modularity ingredients of the LPA communities
+# — per community the member count, internal edge count, and degree
+# mass, all exact integers (the scalar Q is one expression away; a
+# cross-community float sum would have engine-dependent addition
+# order, the ingredients don't). Composes the unrolled LPA oracle.
+# ---------------------------------------------------------------------------
+_COMMUNITY_ORACLE = f"""
+WITH {_EDGE_CTES}, labels AS (
+  SELECT * FROM ({_lpa_oracle(3)}) t
+), deg AS (
+  SELECT node, COUNT(*) AS d FROM (
+    SELECT src AS node FROM ce UNION ALL SELECT dst FROM ce
+  ) GROUP BY node
+), nl AS (
+  SELECT l.node, l.label, COALESCE(deg.d, 0) AS d
+  FROM labels l LEFT JOIN deg ON deg.node = l.node
+), grp AS (
+  SELECT label, COUNT(*) AS n_nodes, CAST(SUM(d) AS BIGINT) AS d_sum
+  FROM nl GROUP BY label
+), ein AS (
+  SELECT la.label, COUNT(*) AS e_in
+  FROM ce
+  JOIN nl la ON la.node = ce.src
+  JOIN nl lb ON lb.node = ce.dst
+  WHERE la.label = lb.label
+  GROUP BY la.label
+)
+SELECT g.label, g.n_nodes,
+       CAST(COALESCE(e.e_in, 0) AS BIGINT) AS e_in, g.d_sum
+FROM grp g LEFT JOIN ein e ON g.label = e.label
+"""
+
+
+@register(
+    "community_stats",
+    _COMMUNITY_ORACLE,
+    doc="modularity ingredients of the 3-round LPA communities on the "
+        "co-purchase graph: per community the member count, internal "
+        "edge count (two node-keyed label lookups, no pairwise "
+        "expansion), and degree mass — exact integers end-to-end; the "
+        "scalar Newman Q is one consumer-side expression away",
+    tags=("graph", "diagnostics"),
+)
+def q_community_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import community_stats, label_propagation
+
+    edges = _copurchase_edges(spark, sf_dir)
+    labels = label_propagation(edges, rounds=3)
+    return community_stats(edges, labels)
