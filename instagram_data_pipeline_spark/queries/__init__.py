@@ -145,6 +145,7 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "langid_confusion",
     "lm_perplexity_interpolated",
     "community_stats",
+    "cross_source_contamination",
     # dup_spans (r04-green) yielded its in-window second-row slot to
     # pq_adc_fixed, the new hash-checked PQ twin
     "dup_spans",

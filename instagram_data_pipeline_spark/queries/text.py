@@ -2499,3 +2499,69 @@ def q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("row_share_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-source contamination matrix: near-dup pairs rolled up by the
+# (source_a, source_b) of their endpoints — the report that catches
+# mirror sites and cross-feed copying (a heavy off-diagonal cell means
+# two "independent" sources aren't). Composes the capped Jaccard
+# inverted index; the rollup itself is one id join per endpoint + one
+# aggregation over the pair list.
+# ---------------------------------------------------------------------------
+_XSRC_ORACLE = f"""
+WITH {_JACCARD_CTES}
+SELECT LEAST(da.source, db.source) AS source_x,
+       GREATEST(da.source, db.source) AS source_y,
+       COUNT(*) AS n_pairs,
+       CAST(ROUND(SUM(CAST(jaccard AS DECIMAL(18,12))), 6) AS DOUBLE)
+         AS jaccard_mass
+FROM kept k
+JOIN documents da ON da.doc_id = k.doc_a
+JOIN documents db ON db.doc_id = k.doc_b
+GROUP BY LEAST(da.source, db.source), GREATEST(da.source, db.source)
+"""
+
+
+@register(
+    "cross_source_contamination",
+    _XSRC_ORACLE,
+    doc="near-dup pairs rolled up by the unordered (source, source) of "
+        "their endpoints with DECIMAL-exact jaccard mass — the mirror-"
+        "site detector: heavy off-diagonal cells mean two 'independent' "
+        "sources copy each other; two id joins + one aggregation over "
+        "the (already capped) pair list",
+    tags=("text", "dedup", "diagnostics", "provenance"),
+)
+def q_cross_source_contamination(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..extensions.dedup import ngram_jaccard_pairs
+
+    docs = load_testdata(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        docs, id_col="doc_id", text_col="text", n=3,
+        threshold=0.1, max_df=100,
+    )
+    src = docs.select("doc_id", "source")
+    joined = (
+        pairs.join(
+            src.select(F.col("doc_id").alias("doc_a"),
+                       F.col("source").alias("_sa")),
+            "doc_a",
+        )
+        .join(
+            src.select(F.col("doc_id").alias("doc_b"),
+                       F.col("source").alias("_sb")),
+            "doc_b",
+        )
+    )
+    return joined.groupBy(
+        F.least("_sa", "_sb").alias("source_x"),
+        F.greatest("_sa", "_sb").alias("source_y"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(
+            F.sum(F.col("jaccard").cast("decimal(18,12)")), 6
+        ).cast("double").alias("jaccard_mass"),
+    )
