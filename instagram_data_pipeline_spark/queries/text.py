@@ -2514,7 +2514,7 @@ WITH {_JACCARD_CTES}
 SELECT LEAST(da.source, db.source) AS source_x,
        GREATEST(da.source, db.source) AS source_y,
        COUNT(*) AS n_pairs,
-       CAST(ROUND(SUM(CAST(jaccard AS DECIMAL(18,12))), 6) AS DOUBLE)
+       CAST(SUM(CAST(ROUND(jaccard, 6) AS DECIMAL(18,6))) AS DOUBLE)
          AS jaccard_mass
 FROM kept k
 JOIN documents da ON da.doc_id = k.doc_a
@@ -2561,7 +2561,9 @@ def q_cross_source_contamination(
         F.greatest("_sa", "_sb").alias("source_y"),
     ).agg(
         F.count(F.lit(1)).alias("n_pairs"),
-        F.round(
-            F.sum(F.col("jaccard").cast("decimal(18,12)")), 6
-        ).cast("double").alias("jaccard_mass"),
+        # round-to-6 FIRST (cross-engine identical, as the pair query
+        # proves), then sum exactly as DECIMAL — casting a raw double
+        # to a 12-digit decimal hits engine rounding-mode knife edges
+        F.sum(F.round(F.col("jaccard"), 6).cast("decimal(18,6)"))
+        .cast("double").alias("jaccard_mass"),
     )
