@@ -743,3 +743,65 @@ def q_stream_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("share_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Event-rate spike detector: per (event_type, day) counts vs the
+# trailing 7 OBSERVED days (rows frame — day gaps use the last seven
+# rows that exist), spike = count * 7 > 2 * trailing_sum, evaluated
+# only once a full 7-row history exists. Pure integer comparisons —
+# no mean/stddev floats — so the alert decision is engine-exact; the
+# window runs over the (type x day) summary frame, never the data.
+# ---------------------------------------------------------------------------
+_SPIKE_ORACLE = """
+WITH d AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+         COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+), w AS (
+  SELECT event_type, day, n,
+         SUM(n) OVER (PARTITION BY event_type ORDER BY day
+                      ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS prev7,
+         COUNT(*) OVER (PARTITION BY event_type ORDER BY day
+                      ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS n_prev
+  FROM d
+)
+SELECT event_type, day, n,
+       CAST(COALESCE(prev7, 0) AS BIGINT) AS prev7,
+       n_prev = 7 AND n * 7 > 2 * prev7 AS spike
+FROM w
+"""
+
+
+@register(
+    "event_rate_spikes",
+    _SPIKE_ORACLE,
+    doc="pipeline-health spike detector: per (event_type, day) counts "
+        "vs the trailing 7 observed days, spike = n*7 > 2*trailing_sum "
+        "once a full history exists — integer comparisons only (no "
+        "float mean/stddev), windows over the type x day summary "
+        "frame, never the data",
+    tags=("temporal", "diagnostics"),
+)
+def q_event_rate_spikes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    events = load_testdata(spark, sf_dir, "events")
+    d = events.groupBy(
+        "event_type",
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-7, -1)
+    )
+    return d.select(
+        "event_type", "day", "n",
+        F.coalesce(F.sum("n").over(w), F.lit(0)).cast("long")
+        .alias("prev7"),
+        (
+            (F.count(F.lit(1)).over(w) == 7)
+            & (F.col("n") * 7 > 2 * F.sum("n").over(w))
+        ).alias("spike"),
+    )
