@@ -2567,3 +2567,87 @@ def q_cross_source_contamination(
         F.sum(F.round(F.col("jaccard"), 6).cast("decimal(18,6)"))
         .cast("double").alias("jaccard_mass"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Dedup-cluster size histogram: how big are the near-dup families —
+# the planning distribution behind dedup cost estimates (one mega-
+# cluster means a boilerplate template; a long tail of pairs means
+# organic copying). Non-trivial clusters come from the CC fixpoint;
+# singletons are everything else; one aggregation over the per-doc
+# assignment.
+# ---------------------------------------------------------------------------
+_CLUSTER_HIST_ORACLE = f"""
+WITH RECURSIVE {_JACCARD_CTES}, sym AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT doc_a AS src, doc_b AS dst FROM kept
+    UNION ALL SELECT doc_b, doc_a FROM kept
+  ) t WHERE src <> dst
+), walk(node, label) AS (
+  SELECT src, src FROM sym
+  UNION
+  SELECT e.dst, w.label FROM walk w JOIN sym e ON e.src = w.node
+  WHERE w.label < e.dst
+), comp AS (
+  SELECT node, MIN(label) AS component FROM walk GROUP BY node
+), csizes AS (
+  SELECT component, COUNT(*) AS cluster_size FROM comp GROUP BY component
+), hist AS (
+  SELECT cluster_size, COUNT(*) AS n_clusters FROM csizes
+  GROUP BY cluster_size
+), singletons AS (
+  SELECT 1 AS cluster_size,
+         (SELECT COUNT(*) FROM documents)
+         - (SELECT COUNT(*) FROM comp) AS n_clusters
+)
+SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+       CAST(n_clusters AS BIGINT) AS n_clusters
+FROM (
+  SELECT * FROM hist UNION ALL
+  SELECT * FROM singletons WHERE n_clusters > 0
+) u
+"""
+
+
+@register(
+    "dedup_cluster_histogram",
+    _CLUSTER_HIST_ORACLE,
+    doc="near-dup family size distribution: CC cluster sizes + the "
+        "singleton count — the planning histogram behind dedup cost "
+        "estimates (a mega-cluster = boilerplate template, a pair tail "
+        "= organic copying); one aggregation over the per-doc "
+        "assignment",
+    tags=("text", "dedup", "diagnostics"),
+)
+def q_dedup_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.dedup import ngram_jaccard_pairs
+    from ..operators.graph import connected_components
+
+    docs = load_testdata(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, id_col="doc_id", text_col="text",
+                                n=3, threshold=0.1, max_df=100)
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    cc = connected_components(edges)
+    sizes = cc.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    hist = sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters")
+    ).select(
+        F.col("cluster_size").cast("long"),
+        F.col("n_clusters").cast("long"),
+    )
+    # singletons: anti-join, counted distributedly (no driver scalars)
+    single_hist = (
+        docs.select(F.col("doc_id").alias("node"))
+        .join(cc.select("node"), "node", "left_anti")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .select(
+            F.lit(1).cast("long").alias("cluster_size"),
+            F.col("n_clusters").cast("long"),
+        )
+        .filter(F.col("n_clusters") > 0)
+    )
+    return hist.unionByName(single_hist)
