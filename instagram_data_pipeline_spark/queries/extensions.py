@@ -1807,3 +1807,81 @@ def q_ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.cosine_topk_filtered(
         corpus, queries, filter_cols=["label"], k=5
     )
+
+
+# ---------------------------------------------------------------------------
+# LSH index health: per-band bucket statistics — bucket count, largest
+# bucket, hot buckets (> cap candidates), and the EXACT candidate-pair
+# cost sum C(sz,2) — the observability report that says whether the
+# banding is doing its job BEFORE the candidate join runs (a band
+# whose candidate_pairs explodes means stop-shingle leakage or a
+# degenerate hash family). Portable md5 family so SQL replays the
+# exact buckets.
+# ---------------------------------------------------------------------------
+def _lsh_band_stats_oracle() -> str:
+    from .text import _NORM
+
+    return f"""
+WITH tok AS (
+  SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents
+), sh0 AS (
+  SELECT DISTINCT doc_id, unnest(
+    CASE WHEN len(w) < 3 THEN []
+         ELSE list_transform(generate_series(1, len(w) - 2),
+                             i -> array_to_string(w[i:i+2], ' '))
+    END) AS shingle
+  FROM tok
+), sig AS (
+  SELECT doc_id, i,
+         MIN(CAST(concat('0x', substr(md5(i || ':' || shingle), 1, 8))
+                  AS BIGINT)) AS h
+  FROM sh0 CROSS JOIN range(32) t(i)
+  GROUP BY doc_id, i
+), band AS (
+  SELECT doc_id, i // 4 AS band_id,
+         string_agg(CAST(h AS VARCHAR), ',' ORDER BY i) AS band_key
+  FROM sig GROUP BY doc_id, i // 4
+), buckets AS (
+  SELECT band_id, band_key, COUNT(*) AS sz
+  FROM band GROUP BY band_id, band_key
+)
+SELECT CAST(band_id AS INT) AS band_id,
+       COUNT(*) AS n_buckets,
+       CAST(MAX(sz) AS BIGINT) AS max_bucket,
+       CAST(SUM(CASE WHEN sz > 4 THEN 1 ELSE 0 END) AS BIGINT) AS n_hot,
+       CAST(SUM(sz * (sz - 1) / 2) AS BIGINT) AS candidate_pairs
+FROM buckets GROUP BY band_id
+"""
+
+
+@register(
+    "lsh_band_stats",
+    _lsh_band_stats_oracle(),
+    doc="LSH index health: per-band bucket count, largest bucket, hot "
+        "buckets (> 4 members) and the EXACT candidate-pair cost "
+        "sum C(sz,2) — says whether banding controls the join BEFORE "
+        "it runs (an exploding band = stop-shingle leakage or a "
+        "degenerate family); one signature pass + two band-keyed "
+        "aggregations, portable md5 family replayed in SQL",
+    tags=("text", "dedup", "minhash", "diagnostics"),
+)
+def q_lsh_band_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.dedup import lsh_band_rows, minhash_signatures
+
+    docs = load_testdata(spark, sf_dir, "documents")
+    sig = minhash_signatures(docs, portable=True)
+    rows = lsh_band_rows(sig, portable=True)
+    buckets = rows.groupBy("band_id", "band_hash").agg(
+        F.count(F.lit(1)).alias("sz")
+    )
+    return buckets.groupBy(
+        F.col("band_id").cast("int").alias("band_id")
+    ).agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.max("sz").cast("long").alias("max_bucket"),
+        F.sum(F.when(F.col("sz") > 4, 1).otherwise(0)).cast("long")
+        .alias("n_hot"),
+        F.sum(
+            (F.col("sz") * (F.col("sz") - 1) / 2).cast("long")
+        ).cast("long").alias("candidate_pairs"),
+    )
