@@ -46,6 +46,7 @@ BENCH_QUERIES = [
 # which must stay sum-of-the-16 comparable across rounds.
 EXTRA_QUERIES = [
     "mutual_edges_salted",  # skew-safe J1 twin (same inputs as flagship)
+    "curation_pipeline",    # the composed 6-stage curation showcase
 ]
 
 # SURVEY §7 risk 5: celebrity fan-out. One synthetic hot key owning
