@@ -1885,3 +1885,154 @@ def q_lsh_band_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("sz") * (F.col("sz") - 1) / 2).cast("long")
         ).cast("long").alias("candidate_pairs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter error measurement: the report that VALIDATES the pruning
+# family. A portable md5 bloom (63-bit words keep every shift off the
+# sign bit in both engines) is built from the dim keys and probed by
+# every fact row — measured pass/true/false-positive counts and the
+# realized FP rate, hash-checked against a SQL replay of the exact
+# bitmap. bloom_pruned_join proves output-equality; this proves the
+# BITS. Fully distributed: the words frame joins by word index
+# (broadcast, <= n_bits/63 rows) — no driver bitmap collect.
+# ---------------------------------------------------------------------------
+_BFP_BITS, _BFP_K = 512, 2
+
+
+def _bfp_pos_sql(i: int, key: str) -> str:
+    return (
+        f"CAST(concat('0x', substr(md5({i} || ':' ||"
+        f" CAST({key} AS VARCHAR)), 1, 8)) AS BIGINT) % {_BFP_BITS}"
+    )
+
+
+def _bloom_fp_oracle() -> str:
+    dim_pos = " UNION ALL ".join(
+        f"SELECT key, {_bfp_pos_sql(i, 'key')} AS p FROM dimk"
+        for i in range(_BFP_K)
+    )
+    probe_pos = " UNION ALL ".join(
+        f"SELECT o_orderkey, key, {_bfp_pos_sql(i, 'key')} AS p FROM probe"
+        for i in range(_BFP_K)
+    )
+    return f"""
+WITH dimk AS (
+  SELECT DISTINCT c_custkey AS key FROM customer WHERE c_acctbal > 9000
+), dpos AS ({dim_pos}), words AS (
+  SELECT p // 63 AS wi, bit_or(CAST(1 AS BIGINT) << CAST(p % 63 AS INT))
+           AS bits
+  FROM dpos GROUP BY p // 63
+), probe AS (
+  SELECT o_orderkey, o_custkey AS key FROM orders
+), ppos AS ({probe_pos}), hit AS (
+  SELECT o_orderkey, key,
+         BOOL_AND(COALESCE((w.bits >> CAST(p % 63 AS INT)) & 1 = 1,
+                           FALSE)) AS pass
+  FROM ppos LEFT JOIN words w ON w.wi = p // 63
+  GROUP BY o_orderkey, key
+), marked AS (
+  SELECT h.o_orderkey, h.pass, d.key IS NOT NULL AS is_true
+  FROM hit h LEFT JOIN dimk d ON d.key = h.key
+)
+SELECT COUNT(*) AS n_probes,
+       CAST(SUM(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+       CAST(SUM(CASE WHEN is_true THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+       CAST(SUM(CASE WHEN pass AND NOT is_true THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_fp,
+       CAST(FLOOR(SUM(CASE WHEN pass AND NOT is_true THEN 1 ELSE 0 END)
+                  * 1000000.0
+                  / NULLIF(COUNT(*) - SUM(CASE WHEN is_true THEN 1
+                                          ELSE 0 END), 0)) AS BIGINT)
+         AS fp_ppm
+FROM marked
+"""
+
+
+def _bfp_pos_col(i: int, key) -> "F.Column":
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.lit(i), key.cast("string"))),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("long") % _BFP_BITS
+    )
+
+
+@register(
+    "bloom_fp_report",
+    _bloom_fp_oracle(),
+    doc="measured Bloom-filter error: portable md5 bloom (63-bit words) "
+        "built from the dim keys, probed by every fact row — pass/true/"
+        "false-positive counts and realized FP rate, the report that "
+        "validates the pruning family's bits (bloom_pruned_join proves "
+        "only output equality); fully distributed — words frame joins "
+        "by word index, no driver bitmap",
+    tags=("join", "bloom", "diagnostics"),
+)
+def q_bloom_fp_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_testdata(spark, sf_dir, "customer")
+    orders = load_testdata(spark, sf_dir, "orders")
+    dimk = (
+        cust.filter(F.col("c_acctbal") > 9000)
+        .select(F.col("c_custkey").alias("key"))
+        .dropDuplicates()
+    )
+    dpos = dimk.select(
+        F.explode(
+            F.array(*[
+                _bfp_pos_col(i, F.col("key")) for i in range(_BFP_K)
+            ])
+        ).alias("p")
+    )
+    words = dpos.groupBy(F.expr("p div 63").alias("wi")).agg(
+        F.bit_or(
+            F.expr("shiftleft(1L, cast(p % 63 as int))")
+        ).alias("bits")
+    )
+    probe = orders.select(
+        "o_orderkey", F.col("o_custkey").alias("key")
+    )
+    ppos = probe.select(
+        "o_orderkey", "key",
+        F.explode(
+            F.array(*[
+                _bfp_pos_col(i, F.col("key")) for i in range(_BFP_K)
+            ])
+        ).alias("p"),
+    )
+    hit = ppos.join(
+        F.broadcast(words),
+        F.expr("p div 63") == F.col("wi"),
+        "left",
+    ).groupBy("o_orderkey", "key").agg(
+        F.bool_and(
+            F.coalesce(
+                F.expr("(bits >> cast(p % 63 as int)) & 1 = 1"),
+                F.lit(False),
+            )
+        ).alias("pass")
+    )
+    marked = hit.join(
+        F.broadcast(dimk.withColumn("_t", F.lit(True))), "key", "left"
+    ).select("pass", F.coalesce(F.col("_t"), F.lit(False)).alias("is_true"))
+    return marked.agg(
+        F.count(F.lit(1)).alias("n_probes"),
+        F.sum(F.when(F.col("pass"), 1).otherwise(0)).cast("long")
+        .alias("n_pass"),
+        F.sum(F.when(F.col("is_true"), 1).otherwise(0)).cast("long")
+        .alias("n_true"),
+        F.sum(F.when(F.col("pass") & ~F.col("is_true"), 1).otherwise(0))
+        .cast("long").alias("n_fp"),
+        F.floor(
+            F.sum(F.when(F.col("pass") & ~F.col("is_true"), 1).otherwise(0))
+            * 1000000.0
+            / F.nullif(
+                F.count(F.lit(1))
+                - F.sum(F.when(F.col("is_true"), 1).otherwise(0)),
+                F.lit(0),
+            )
+        ).cast("long").alias("fp_ppm"),
+    )
