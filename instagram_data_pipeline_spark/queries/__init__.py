@@ -150,6 +150,7 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "dedup_cluster_histogram",
     "lsh_band_stats",
     "bloom_fp_report",
+    "keyset_page",
     # dup_spans (r04-green) yielded its in-window second-row slot to
     # pq_adc_fixed, the new hash-checked PQ twin
     "dup_spans",

@@ -1107,3 +1107,51 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             cnt.alias("count_order"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Keyset pagination: the scale-correct page fetch. OFFSET n scans and
+# discards n rows on every page (O(pages^2) total at serving time);
+# the keyset cursor turns the page boundary into a PUSHED predicate —
+# the scan skips ahead, TakeOrderedAndProject returns one page, and
+# page cost stays O(page) forever. Cursor = the total-order key of the
+# last row of the previous page.
+# ---------------------------------------------------------------------------
+_PAGE_SIZE = 20
+_CURSOR_DATE, _CURSOR_KEY = "1996-01-02", 1223
+
+
+@register(
+    "keyset_page",
+    f"""
+SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+       o_totalprice
+FROM orders
+WHERE o_orderdate > DATE '{_CURSOR_DATE}'
+   OR (o_orderdate = DATE '{_CURSOR_DATE}' AND o_orderkey > {_CURSOR_KEY})
+ORDER BY o_orderdate, o_orderkey
+LIMIT {_PAGE_SIZE}
+""",
+    doc="keyset pagination: the page boundary is a pushed predicate on "
+        "the total-order key (date, orderkey), so the scan skips ahead "
+        "and TakeOrderedAndProject returns one page — O(page) per "
+        "fetch forever, where OFFSET degrades O(pages^2); the serving "
+        "pattern every API layer over the warehouse should use",
+    tags=("relational", "topk", "serving"),
+)
+def q_keyset_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_testdata(spark, sf_dir, "orders")
+    cursor_d = F.lit(_CURSOR_DATE).cast("date")
+    d = F.col("o_orderdate").cast("date")
+    page = (
+        orders.filter(
+            (d > cursor_d)
+            | ((d == cursor_d) & (F.col("o_orderkey") > _CURSOR_KEY))
+        )
+        .select(
+            "o_orderkey", d.alias("o_orderdate"), "o_totalprice"
+        )
+        .orderBy("o_orderdate", "o_orderkey")
+        .limit(_PAGE_SIZE)
+    )
+    return page
