@@ -307,3 +307,20 @@ def scd2_apply(
         .unionByName(to_close.select(*cols))
         .unionByName(to_open.select(*cols))
     )
+
+
+def scd2_as_of(
+    history: DataFrame,
+    at: str,
+    from_col: str = "valid_from",
+    to_col: str = "valid_to",
+) -> DataFrame:
+    """Point-in-time view over an SCD2 history: the rows valid AT the
+    given timestamp (``valid_from <= at < valid_to``, open intervals
+    current) — the consumer-side pair of :func:`scd2_apply`; a pure
+    pushed filter over the history table, no window, no join."""
+    at_c = F.lit(at).cast("timestamp")
+    return history.filter(
+        (F.col(from_col) <= at_c)
+        & (F.col(to_col).isNull() | (F.col(to_col) > at_c))
+    )

@@ -151,6 +151,7 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "lsh_band_stats",
     "bloom_fp_report",
     "keyset_page",
+    "scd2_as_of",
     # dup_spans (r04-green) yielded its in-window second-row slot to
     # pq_adc_fixed, the new hash-checked PQ twin
     "dup_spans",

@@ -503,3 +503,50 @@ def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         history, snapshot, keys=["c_custkey"],
         compare_cols=["c_acctbal"], batch_ts=_SCD2_T1,
     )
+
+
+# ---------------------------------------------------------------------------
+# SCD2 point-in-time views: the consumer-side pair of the history fold
+# — one date inside the first version interval (reconstructing the old
+# snapshot exactly) and one after the fold (the current view), both
+# pure pushed filters over the same history.
+# ---------------------------------------------------------------------------
+_SCD2_AS_OF_A, _SCD2_AS_OF_B = "2024-01-15 00:00:00", "2024-02-15 00:00:00"
+
+_SCD2_AS_OF_ORACLE = f"""
+WITH hist AS ({_SCD2_ORACLE})
+SELECT TIMESTAMP '{_SCD2_AS_OF_A}' AS as_of, c_custkey, c_acctbal
+FROM hist
+WHERE valid_from <= TIMESTAMP '{_SCD2_AS_OF_A}'
+  AND (valid_to IS NULL OR valid_to > TIMESTAMP '{_SCD2_AS_OF_A}')
+UNION ALL
+SELECT TIMESTAMP '{_SCD2_AS_OF_B}', c_custkey, c_acctbal
+FROM hist
+WHERE valid_from <= TIMESTAMP '{_SCD2_AS_OF_B}'
+  AND (valid_to IS NULL OR valid_to > TIMESTAMP '{_SCD2_AS_OF_B}')
+"""
+
+
+@register(
+    "scd2_as_of",
+    _SCD2_AS_OF_ORACLE,
+    doc="SCD2 point-in-time views (the consumer side of the history "
+        "fold): one date inside the first interval reconstructs the "
+        "pre-fold snapshot exactly, one after the fold gives the "
+        "current view — both pure pushed filters over the history, "
+        "no window, no join",
+    tags=("writes", "cdc", "temporal"),
+)
+def q_scd2_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.writes import scd2_as_of
+
+    hist = q_scd2_history(spark, sf_dir)
+    a = scd2_as_of(hist, _SCD2_AS_OF_A).select(
+        F.lit(_SCD2_AS_OF_A).cast("timestamp").alias("as_of"),
+        "c_custkey", "c_acctbal",
+    )
+    b = scd2_as_of(hist, _SCD2_AS_OF_B).select(
+        F.lit(_SCD2_AS_OF_B).cast("timestamp").alias("as_of"),
+        "c_custkey", "c_acctbal",
+    )
+    return a.unionByName(b)
