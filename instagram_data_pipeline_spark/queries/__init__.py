@@ -131,8 +131,10 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "perplexity_mixture",
     "ngram_novelty",
     # ------------------- driver window ends at slot 50 --------------------
-    # new-r5 past-window wave: CI-oracle-checked every run; head of the
-    # round-6 promote queue together with the in-window r5 queries
+    # ROUND-6 PROMOTE QUEUE (head of the next window, per the standing
+    # policy): the 19 new-r5 queries below have never received a driver
+    # row — all CI-oracle-checked every run — plus dup_spans (r04-green,
+    # yielded its second-row slot to pq_adc_fixed). Keep them first.
     "tokenizer_fertility",
     "blocklist_filter",
     "crawl_frontier",
