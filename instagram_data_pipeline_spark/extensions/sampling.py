@@ -459,6 +459,17 @@ def temperature_sample_wor(
     :func:`weighted_sample` — exact per-stratum counts instead of a
     hash-rate cut, and no row sampled twice by construction.
 
+    Quotas are largest-remainder (Hamilton) apportioned: per-source
+    floors of ``budget * share``, then the floored-away remainder goes
+    +1 each to the sources with the largest fractional share
+    (deterministically tie-broken by source name), so the realized
+    total is EXACTLY ``budget_docs`` whenever every source has at
+    least its quota of eligible rows. The one remaining shortfall mode
+    is source exhaustion — a source with fewer ``token_col > 0`` rows
+    than its quota under-fills, and that deficit is deliberately NOT
+    redistributed (redistribution is iterative water-filling; callers
+    that need it can re-run on the residual budget).
+
     Plan: the quota frame is sources-sized (broadcast back), the E-S
     key is one map-side expression, and member selection is a
     per-source ranked window — one shuffle on the source key."""
@@ -470,16 +481,30 @@ def temperature_sample_wor(
         .orderBy(source_col)
         .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     )
+    by_frac = Window.partitionBy().orderBy(
+        F.col("_frac").desc(), F.col(source_col)
+    )
+    exact = F.lit(float(budget_docs)) * F.col("_qn")
     quotas = (
         totals.withColumn(
             "_q", F.sqrt(F.col("_tot") / F.sum("_tot").over(everything))
         )
         .withColumn("_qn", F.col("_q") / F.sum("_q").over(everything))
+        .withColumn("_floor", F.floor(exact).cast("long"))
+        .withColumn("_frac", exact - F.floor(exact))
+        .withColumn(
+            "_shortfall",
+            F.lit(int(budget_docs)) - F.sum("_floor").over(everything),
+        )
+        .withColumn("_pri", F.row_number().over(by_frac))
         .select(
             source_col,
-            F.floor(F.lit(float(budget_docs)) * F.col("_qn"))
-            .cast("long")
-            .alias("_take"),
+            (
+                F.col("_floor")
+                + F.when(
+                    F.col("_pri") <= F.col("_shortfall"), F.lit(1)
+                ).otherwise(F.lit(0))
+            ).cast("long").alias("_take"),
         )
     )
     h = F.conv(

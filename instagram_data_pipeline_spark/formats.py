@@ -380,22 +380,37 @@ class TransactionLogFormat:
             "semi",
         )
 
-    def vacuum(self, wh, table: str) -> list[str]:
+    def vacuum(
+        self, wh, table: str, grace_seconds: float = 3600.0
+    ) -> list[str]:
         """Delete ORPHANED data files — files referenced by NO manifest
         version (the residue of commits that crashed before their
         manifest publish). Every published version stays fully
         readable; trimming old versions themselves is a retention
         policy this minimal format deliberately leaves to the caller.
-        Returns the deleted relpaths."""
+        Returns the deleted relpaths.
+
+        ``grace_seconds`` is the multi-writer safety window (the Delta
+        VACUUM retention analog): a CONCURRENT writer that has run
+        ``_write_commit`` but not yet published its manifest has exactly
+        "unreferenced" files, and deleting them would let its CAS
+        publish succeed with a manifest pointing at deleted files — an
+        unreadable committed version. Files younger than the window
+        (mtime-based) are therefore skipped; pass ``0.0`` only when the
+        caller guarantees writer quiescence (e.g. single-writer crash
+        recovery in tests)."""
+        import time
+
         root = Path(wh.path(table))
         live: set[str] = set()
         for v in self.versions(wh, table):
             with open(self._log_dir(wh, table) / f"{v:08d}.json") as f:
                 live.update(json.load(f)["files"])
+        cutoff = time.time() - grace_seconds
         deleted = []
         for f in sorted((root / "data").rglob("*.parquet")):
             rel = str(f.relative_to(root))
-            if rel not in live:
+            if rel not in live and f.stat().st_mtime <= cutoff:
                 f.unlink()
                 deleted.append(rel)
         # drop empty commit dirs left behind
@@ -414,7 +429,8 @@ class TransactionLogFormat:
         ) if d.exists() else []
 
     def expire_versions(
-        self, wh, table: str, keep_last: int = 2
+        self, wh, table: str, keep_last: int = 2,
+        grace_seconds: float = 3600.0,
     ) -> tuple[list[int], list[str]]:
         """Retention: drop all but the newest ``keep_last`` manifest
         versions, then delete the data files only those dropped
@@ -434,8 +450,11 @@ class TransactionLogFormat:
         d = self._log_dir(wh, table)
         for v in expired:
             (d / f"{v:08d}.json").unlink()
-        # everything not referenced by a SURVIVING version is now orphan
-        return expired, self.vacuum(wh, table)
+        # everything not referenced by a SURVIVING version is now orphan;
+        # the grace window still protects a concurrent unpublished writer
+        # (its fresh files survive this vacuum and a later one reclaims
+        # them once aged out)
+        return expired, self.vacuum(wh, table, grace_seconds=grace_seconds)
 
     def read_version(self, wh, table: str, version: int) -> DataFrame:
         """Time travel: read the table exactly as of ``version``, under

@@ -911,11 +911,11 @@ def _pca_project_oracle() -> str:
         "[" + ", ".join(f"{x:.1f}" for x in p) + "]" for p in planes
     ]
     coords = ", ".join(
-        f"ROUND(list_dot_product(embedding::DOUBLE[], {lit}), 6)"
-        for lit in lits
+        f"ROUND(list_dot_product(embedding::DOUBLE[], {lit}), 6) AS p{i}"
+        for i, lit in enumerate(lits)
     )
     return f"""
-SELECT vec_id, [{coords}] AS projected
+SELECT vec_id, {coords}
 FROM embeddings
 """
 
@@ -926,7 +926,11 @@ FROM embeddings
     doc="embedding projection under a fixed literal basis (the "
         "derandomized ±1 hyperplanes): per-component codegen folds, no "
         "Python, no shuffle — the serving half of the PCA family, "
-        "hash-checked; training supplies real components at run time",
+        "hash-checked; training supplies real components at run time. "
+        "Output is one SCALAR column per component (p0..p3) — the driver "
+        "canonicalizer cannot sort ARRAY columns (VERDICT r5 #1), and "
+        "tests/test_registry.py now bans nested types in oracle-paired "
+        "output schemas.",
     tags=("similarity", "pca"),
 )
 def q_pca_project_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -939,7 +943,10 @@ def q_pca_project_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return emb.select(
         "vec_id",
-        F.transform(proj, lambda x: F.round(x, 6)).alias("projected"),
+        *[
+            F.round(F.element_at(proj, i + 1), 6).alias(f"p{i}")
+            for i in range(len(planes))
+        ],
     )
 
 

@@ -2411,12 +2411,23 @@ WITH totals AS (
          sqrt(tot * 1.0 / SUM(tot) OVER (ORDER BY source
            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)) AS q
   FROM totals
-), quota AS (
+), exact AS (
   SELECT source,
-         CAST(FLOOR({float(_TSW_BUDGET)} * q / SUM(q) OVER (ORDER BY source
-           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
-           AS BIGINT) AS n_take
+         {float(_TSW_BUDGET)} * q / SUM(q) OVER (ORDER BY source
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS ex
   FROM shares
+), quota AS (
+  -- largest-remainder apportionment: floors, then +1 to the biggest
+  -- fractional shares (tie-broken by source) until the budget is exact
+  SELECT source,
+         CAST(FLOOR(ex) AS BIGINT)
+         + CASE WHEN ROW_NUMBER() OVER (ORDER BY ex - FLOOR(ex) DESC,
+                                        source)
+                  <= {_TSW_BUDGET} - SUM(CAST(FLOOR(ex) AS BIGINT))
+                       OVER (ORDER BY source ROWS BETWEEN UNBOUNDED
+                             PRECEDING AND UNBOUNDED FOLLOWING)
+                THEN 1 ELSE 0 END AS n_take
+  FROM exact
 ), keyed AS (
   SELECT doc_id, source, n_chars,
          ROUND(LN((CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),

@@ -43,6 +43,16 @@ class QualityMonitorSink:
     ) -> None:
         if not reference or sum(reference.values()) <= 0:
             raise ValueError("QualityMonitorSink: empty reference")
+        if not lo < hi:
+            raise ValueError(
+                f"QualityMonitorSink: lo must be < hi (got lo={lo}, "
+                f"hi={hi}) — a zero/negative span would divide by zero "
+                "inside the running stream"
+            )
+        if n_bins < 1:
+            raise ValueError(
+                f"QualityMonitorSink: n_bins must be >= 1 (got {n_bins})"
+            )
         self.root = root
         self.ref = {int(b): int(c) for b, c in reference.items()}
         self.lo, self.hi, self.n_bins = lo, hi, n_bins
@@ -82,7 +92,10 @@ class QualityMonitorSink:
         t_b = sum(counts.values())
         t_r = sum(self.ref.values())
         if t_b == 0:
-            l1_ppm = 0
+            # A fully dead upstream IS one of the failure classes this
+            # module exists to catch: an empty batch against a non-empty
+            # reference is maximal drift, not "no news".
+            l1_ppm = 1_000_000
         else:
             num = sum(
                 abs(counts.get(b, 0) * t_r - self.ref.get(b, 0) * t_b)

@@ -52,10 +52,38 @@ def normalize(rows: list[tuple], cols: list[str]) -> list[tuple]:
     return out
 
 
+def nested_output_columns(sdf: DataFrame) -> list[str]:
+    """Columns whose type the DRIVER's canonicalizer cannot sort.
+
+    The driver harness canonicalizes results with a pandas
+    ``sort_values`` over every column; ARRAY/MAP/STRUCT values arrive as
+    Python lists/dicts, which are unhashable there and crash the row
+    (VERDICT r5 #1 — ``pca_project_fixed``). Our own tuple-based
+    ``normalize`` above handles them fine, which is exactly how that
+    escaped five CI-green runs: the CI gate was not harness-faithful on
+    output dtypes. Every oracle-paired query's FINAL schema must
+    therefore be scalar-only; this returns the offending column names.
+    """
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    return [
+        f.name
+        for f in sdf.schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+
+
 def compare_to_oracle(
     sdf: DataFrame, con: duckdb.DuckDBPyConnection, sql: str
 ) -> list[str]:
     """Return a list of mismatch descriptions (empty == match)."""
+    bad = nested_output_columns(sdf)
+    if bad:
+        return [
+            f"driver-incompatible nested output columns {bad} — the "
+            "driver's pandas canonicalizer cannot sort ARRAY/MAP/STRUCT; "
+            "reshape to scalar columns (posexplode or p0..pN)"
+        ]
     scols = sdf.columns
     srows = [tuple(r) for r in sdf.collect()]
     res = con.execute(sql)

@@ -309,9 +309,9 @@ def test_txlog_crash_before_commit_is_invisible(spark, tmp_path):
     assert fmt.versions(wh, "facts") == [1, 2]
     # vacuum removes exactly the crashed commit's orphans; every
     # published version still reads in full afterward
-    deleted = fmt.vacuum(wh, "facts")
+    deleted = fmt.vacuum(wh, "facts", grace_seconds=0.0)
     assert deleted  # the aborted merge left unreferenced files
-    assert fmt.vacuum(wh, "facts") == []  # idempotent
+    assert fmt.vacuum(wh, "facts", grace_seconds=0.0) == []  # idempotent
     assert {r.v for r in fmt.read_version(wh, "facts", 1).collect()} == {
         "old"
     }
@@ -510,7 +510,7 @@ def test_txlog_two_writers_same_bucket_redo(spark, tmp_path):
     assert fmt.versions(wh, "facts") == [1, 2, 3]
     # the abandoned first attempt left orphans; vacuum reclaims them
     # and every version still reads
-    assert fmt.vacuum(wh, "facts")
+    assert fmt.vacuum(wh, "facts", grace_seconds=0.0)
     assert {r.k: r.v for r in wh.read_merged("facts").collect()} == got
 
 
@@ -538,7 +538,9 @@ def test_txlog_expire_versions_retention(spark, tmp_path):
     assert fmt.versions(wh, "facts") == [1, 2, 3]
     before = {r.k: r.v for r in wh.read_merged("facts").collect()}
 
-    expired, deleted = fmt.expire_versions(wh, "facts", keep_last=2)
+    expired, deleted = fmt.expire_versions(
+        wh, "facts", keep_last=2, grace_seconds=0.0
+    )
     assert expired == [1]
     assert fmt.versions(wh, "facts") == [2, 3]
     # latest read identical; older surviving version still time-travels
@@ -548,7 +550,9 @@ def test_txlog_expire_versions_retention(spark, tmp_path):
     ] == "v1"
     # v1-only files are gone, but files v1 shared with v2/v3 survive;
     # idempotent re-run is a no-op
-    assert fmt.expire_versions(wh, "facts", keep_last=2) == ([], [])
+    assert fmt.expire_versions(
+        wh, "facts", keep_last=2, grace_seconds=0.0
+    ) == ([], [])
     # deleted files really were exclusive to the expired version: every
     # surviving manifest still reads in full (checked above), and the
     # expired version is unreadable now
@@ -557,6 +561,47 @@ def test_txlog_expire_versions_retention(spark, tmp_path):
     with _pytest.raises(FileNotFoundError):
         fmt.read_version(wh, "facts", 1)
     assert isinstance(deleted, list)
+
+
+def test_txlog_vacuum_grace_protects_inflight_writer(spark, tmp_path):
+    """A concurrent writer between _write_commit and manifest publish has
+    unreferenced-but-live files; vacuum's mtime grace window must skip
+    them (deleting them would let the CAS publish commit an unreadable
+    version — ADVICE r5 #1). Aged-out true orphans are still reclaimed."""
+    import datetime as dt
+    import os
+    import time
+    from pathlib import Path
+
+    from instagram_data_pipeline_spark.formats import TransactionLogFormat
+
+    fmt = TransactionLogFormat()
+    wh = Warehouse(spark, str(tmp_path / "wh"), fmt=fmt)
+    base = spark.createDataFrame(
+        [(i, "old", dt.datetime(2024, 1, 1)) for i in range(10)],
+        "k long, v string, ts timestamp",
+    )
+    wh.upsert_partitioned("facts", base, ["k"], "ts", num_buckets=4)
+    root = Path(wh.path("facts"))
+    # simulate the in-flight writer: fresh data files, no manifest yet
+    inflight = root / "data" / "commit-inflight" / "part-0.parquet"
+    inflight.parent.mkdir(parents=True)
+    inflight.write_bytes(b"PAR1fake")
+    # and a stale orphan from a long-dead crashed commit
+    stale = root / "data" / "commit-crashed" / "part-0.parquet"
+    stale.parent.mkdir(parents=True)
+    stale.write_bytes(b"PAR1fake")
+    old = time.time() - 7200
+    os.utime(stale, (old, old))
+
+    deleted = fmt.vacuum(wh, "facts")  # default 1h grace
+    rels = set(deleted)
+    assert str(stale.relative_to(root)) in rels  # aged orphan reclaimed
+    assert inflight.exists()  # in-flight writer's files survive
+    # after quiescence (grace waived) the leftover orphan is reclaimed
+    assert fmt.vacuum(wh, "facts", grace_seconds=0.0) == [
+        str(inflight.relative_to(root))
+    ]
 
 
 def test_txlog_read_for_keys_prunes_buckets(spark, tmp_path):

@@ -30,3 +30,20 @@ def test_query_matches_oracle(name, spark, sf_dir, duck):
         return
     problems = compare_to_oracle(sdf, duck, spec.oracle)
     assert not problems, f"{name}: {problems}"
+
+
+def test_nested_output_guard_catches_array_column(spark):
+    """Seeded negative: the harness-faithfulness guard must reject an
+    ARRAY-valued output column the way the driver's pandas canonicalizer
+    would (VERDICT r5 #1)."""
+    from instagram_data_pipeline_spark.testing import nested_output_columns
+
+    df = spark.sql("SELECT 1 AS id, array(1.0, 2.0) AS projected")
+    assert nested_output_columns(df) == ["projected"]
+    import duckdb
+
+    con = duckdb.connect()
+    problems = compare_to_oracle(
+        df, con, "SELECT 1 AS id, [1.0, 2.0] AS projected"
+    )
+    assert problems and "nested" in problems[0]

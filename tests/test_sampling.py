@@ -292,3 +292,58 @@ def test_bin_pack_sharding_is_hash_stable(spark):
         sub, max_len=64, num_shards=4).collect()}
     assert all(out[d] == s for d, s in out2.items())
     assert len(set(out.values())) > 1  # actually spreads over shards
+
+
+def test_temperature_wor_exact_budget_via_largest_remainder(spark):
+    """Hamilton apportionment: when no source is exhausted, the realized
+    sample is EXACTLY budget_docs (the floored-away remainder is
+    redistributed by largest fractional share, tie-broken by source) —
+    ADVICE r5 #4. Also deterministic and without replacement."""
+    from instagram_data_pipeline_spark.extensions.sampling import (
+        temperature_sample_wor,
+    )
+
+    rows = [
+        (i, src, 10 + (i * 7) % 90)
+        for i, src in enumerate(
+            ["web"] * 200 + ["books"] * 80 + ["code"] * 40 + ["wiki"] * 30
+        )
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tok int")
+    # budgets kept below the exhaustion point of the smallest source
+    # (wiki: 30 rows at a ~0.16 sqrt-share supports budgets up to ~180)
+    for budget in (7, 50, 101, 120):
+        got = temperature_sample_wor(
+            df, "doc_id", "source", "n_tok", budget_docs=budget
+        )
+        ids = [r.doc_id for r in got.collect()]
+        assert len(ids) == budget, f"budget={budget}: got {len(ids)}"
+        assert len(set(ids)) == budget  # without replacement
+    # deterministic replay
+    a = sorted(map(tuple, temperature_sample_wor(
+        df, "doc_id", "source", "n_tok", 50).collect()))
+    b = sorted(map(tuple, temperature_sample_wor(
+        df, "doc_id", "source", "n_tok", 50).collect()))
+    assert a == b
+
+
+def test_temperature_wor_exhausted_source_documented_shortfall(spark):
+    """Source exhaustion is the one documented under-fill mode: a source
+    with fewer eligible rows than its quota contributes all its rows and
+    the deficit is not redistributed."""
+    from instagram_data_pipeline_spark.extensions.sampling import (
+        temperature_sample_wor,
+    )
+
+    rows = [(i, "big", 50) for i in range(100)] + [
+        (1000 + i, "tiny", 10_000) for i in range(3)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tok int")
+    got = temperature_sample_wor(df, "doc_id", "source", "n_tok", 40)
+    by_src = {
+        r.source: r.n
+        for r in got.groupBy("source").agg(
+            F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert by_src["tiny"] == 3  # everything it has, quota was larger
+    assert by_src["big"] + 3 < 40  # deficit not redistributed (documented)

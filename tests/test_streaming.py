@@ -751,3 +751,45 @@ def test_quality_monitor_drift_alert_and_replay(spark, tmp_path):
     # replay: same epoch overwrites, no duplicate stats rows
     sink.process_batch(shifted, 1)
     assert sink.results(spark).count() == 2
+
+
+def test_quality_monitor_empty_batch_is_maximal_drift(spark, tmp_path):
+    """A dead upstream (empty micro-batch against a non-empty reference)
+    must ALERT, not record zero drift — ADVICE r5 #2."""
+    import pyspark.sql.functions as F
+
+    from instagram_data_pipeline_spark.streaming.monitor import (
+        QualityMonitorSink,
+    )
+
+    ref_df = spark.range(0, 100).select(
+        (F.pmod(F.col("id"), 10) / 10.0 + 0.05).alias("value")
+    )
+    reference = QualityMonitorSink.batch_histogram(
+        ref_df, "value", 0.0, 1.0, 10
+    )
+    sink = QualityMonitorSink(
+        str(tmp_path / "mon"), reference, lo=0.0, hi=1.0, n_bins=10,
+        alert_l1_ppm=200_000,
+    )
+    sink.process_batch(ref_df.filter(F.lit(False)), 0)
+    row = sink.results(spark).collect()[0]
+    assert row.n_rows == 0 and row.alert and row.l1_ppm == 1_000_000
+
+
+def test_quality_monitor_rejects_bad_bin_config(tmp_path):
+    """Construction-time validation (ADVICE r5 #3): a zero/negative span
+    or n_bins < 1 must fail fast, not divide by zero mid-stream."""
+    import pytest
+
+    from instagram_data_pipeline_spark.streaming.monitor import (
+        QualityMonitorSink,
+    )
+
+    ref = {0: 10}
+    with pytest.raises(ValueError, match="lo must be < hi"):
+        QualityMonitorSink(str(tmp_path), ref, lo=1.0, hi=1.0)
+    with pytest.raises(ValueError, match="lo must be < hi"):
+        QualityMonitorSink(str(tmp_path), ref, lo=2.0, hi=1.0)
+    with pytest.raises(ValueError, match="n_bins"):
+        QualityMonitorSink(str(tmp_path), ref, lo=0.0, hi=1.0, n_bins=0)
