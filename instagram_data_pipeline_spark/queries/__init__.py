@@ -54,87 +54,28 @@ def register(
 # — all of them stay oracle-checked every CI run by
 # tests/test_queries_oracle.py regardless.
 REGISTRY_ORDER: tuple[str, ...] = (
-    # ================= round-5 driver window (50 slots) ==================
-    # Policy unchanged (see above). This round: (a) slots 1-19 promote the
-    # late-round-4 wave that has NEVER received a driver row (VERDICT r4
-    # Next #1) — the only driver-checkable proof of T4/T5
-    # (rate_limit_admission) and the S6 parse-half (warc/html/web);
-    # (b) training_shards re-verifies in-window after the HUGEINT oracle
-    # fix (CAST SUM AS BIGINT, VERDICT r4 Next #2) along with the other
-    # three audited SUM oracles (shard_source_mix, dataset_card,
-    # dedup_funnel_report — all in the promote wave anyway);
-    # (c) mutual_edges_salted is newly registered (VERDICT r4 Next #3);
-    # (d) queries whose IMPLEMENTATION changed this round re-verify
-    # in-window (skew_report -> TakeOrderedAndProject, ADVICE #2;
-    # unigram_encode_tokens -> empty-word DP guard, ADVICE #4;
-    # rate_limit_admission -> integer hour bucket + segmented fold,
-    # ADVICE #3 / VERDICT Next #5);
-    # (e) rows-only probabilistic tiers stay adjacent to their
-    # hash-checked twins; (f) remaining slots give the r04-green-once
-    # singles their second lifetime row (VERDICT r4 Next #8) and seat
-    # the new round-5 queries.
-    # -- (a) slots 1-19: the never-driver-checked promote queue ----------
-    "contrastive_triplets",
-    "pca_project_fixed",
-    "pca_components",
-    "bin_packing",
-    "label_propagation",
-    "classifier_score_fixed",
-    "classifier_weights",
-    "warc_roundtrip",
-    "html_extract",
-    "web_pipeline",
-    "rate_limit_admission",
-    "incremental_components",
-    "readability_stats",
-    "shard_source_mix",
-    "dataset_card",
-    "chunk_dedup",
-    "lsh_quality_report",
-    "ann_recall_report",
-    "dedup_funnel_report",
-    # -- (b) oracle fixed this round: re-verify -------------------------
-    "training_shards",
-    # -- (c) new registration: skew-safe J1 twin ------------------------
-    "mutual_edges_salted",
-    # -- (d) implementation changed this round: re-verify ---------------
-    "skew_report",
-    "unigram_encode_tokens",
-    # -- (e) rows-only tiers adjacent to hash-checked twins -------------
-    "unigram_vocab",
-    "bpe_encode_tokens",
-    "bpe_merges",
-    "minhash_near_dups_portable",
-    "minhash_near_dups",
-    "simhash_near_dups_portable",
-    "simhash_near_dups",
-    "cms_heavy_users_portable",
-    "cms_heavy_users",
-    "approx_distinct_users_portable",
-    "approx_distinct_users",
-    "pq_topk",
-    "pq_adc_fixed",
-    # -- (f) second lifetime rows for the r04-green singles -------------
-    "ivf_incremental_topk",
-    "incremental_minhash_dedup",
-    "stream_neardup_dedup",
-    "multimodal_jpeg_stats",
-    "dedup_keep_best",
-    "multimodal_mjpeg_stats",
-    "c4_line_filter",
-    "dup_span_removal",
-    # -- new round-5 queries seat here (slots 45-50) ---------------------
-    "robots_exclusion",
-    "link_graph",
-    "domain_quality_rollup",
-    "wordpiece_encode_tokens",
-    "perplexity_mixture",
-    "ngram_novelty",
-    # ------------------- driver window ends at slot 50 --------------------
-    # ROUND-6 PROMOTE QUEUE (head of the next window, per the standing
-    # policy): the 19 new-r5 queries below have never received a driver
-    # row — all CI-oracle-checked every run — plus dup_spans (r04-green,
-    # yielded its second-row slot to pq_adc_fixed). Keep them first.
+    # ================= round-6 driver window (50 slots) ==================
+    # Standing policy unchanged (see above). This round (VERDICT r5
+    # "Next round" #1/#3/#5/#6/#7):
+    # (a) slots 1-21 promote the round-6 queue exactly as planned last
+    #     round — the 19 new-r5 queries that have never received a
+    #     driver row, plus dup_spans and event_transitions.
+    #     temperature_sample_wor ALSO changed this round (largest-
+    #     remainder quotas, ADVICE r5 #4) so its in-window seat doubles
+    #     as the changed-implementation re-verify.
+    # (b) pca_project_fixed re-verifies after the r5 red row: output
+    #     reshaped from ARRAY<DOUBLE> to scalar p0..p3 (the driver
+    #     canonicalizer cannot sort list columns); CI now bans nested
+    #     types in oracle-paired output schemas (tests/test_queries_
+    #     oracle.py::test_nested_output_guard_catches_array_column).
+    # (c) NEW pca_eig2_fixed gives the rows-only trainer its hard row
+    #     (distributed Gram -> closed-form 2x2 eigenvalues, the
+    #     pq_adc_fixed pattern) — seated adjacent to pca_components.
+    # (d) NEW txlog_retention_lookup driver-checks expire_versions +
+    #     read_for_keys (r5's pytest-only table-format features).
+    # (e) second lifetime rows for the r5-green singles (VERDICT Next
+    #     #5) fill the remaining slots.
+    # -- (a) slots 1-21: the round-6 promote queue -----------------------
     "tokenizer_fertility",
     "blocklist_filter",
     "crawl_frontier",
@@ -154,12 +95,69 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "bloom_fp_report",
     "keyset_page",
     "scd2_as_of",
-    # dup_spans (r04-green) yielded its in-window second-row slot to
-    # pq_adc_fixed, the new hash-checked PQ twin
     "dup_spans",
     "event_transitions",
-    # Round-4 window graduates: every name below earned its r04 driver row
-    # and demotes past the window; all stay oracle-checked every CI run.
+    # -- (b)/(c) PCA family: re-verify + rows-only + NEW hard twin -------
+    "pca_project_fixed",
+    "pca_components",
+    "pca_eig2_fixed",
+    # -- (d) NEW: retention + point-lookup pruning, driver-checked -------
+    "txlog_retention_lookup",
+    # -- (e) second lifetime rows for the r5-green singles ---------------
+    "warc_roundtrip",
+    "html_extract",
+    "web_pipeline",
+    "rate_limit_admission",
+    "label_propagation",
+    "incremental_components",
+    "classifier_score_fixed",
+    "bin_packing",
+    "contrastive_triplets",
+    "wordpiece_encode_tokens",
+    "pq_topk",
+    "pq_adc_fixed",
+    "training_shards",
+    "mutual_edges_salted",
+    "robots_exclusion",
+    "link_graph",
+    "domain_quality_rollup",
+    "perplexity_mixture",
+    "ngram_novelty",
+    "readability_stats",
+    "shard_source_mix",
+    "dataset_card",
+    "chunk_dedup",
+    "lsh_quality_report",
+    "ann_recall_report",
+    # ------------------- driver window ends at slot 50 --------------------
+    # Demoted past the window: every name below is >=1-round driver-green
+    # (most 2-3 rounds) and stays DuckDB-oracle-checked every CI run by
+    # tests/test_queries_oracle.py. Relative order preserved from the
+    # round-5 file; rows-only allowlist entries are covered by
+    # POST_WINDOW_ROWS_ONLY_OK in tests/test_registry.py.
+    "classifier_weights",
+    "dedup_funnel_report",
+    "skew_report",
+    "unigram_encode_tokens",
+    "unigram_vocab",
+    "bpe_encode_tokens",
+    "bpe_merges",
+    "minhash_near_dups_portable",
+    "minhash_near_dups",
+    "simhash_near_dups_portable",
+    "simhash_near_dups",
+    "cms_heavy_users_portable",
+    "cms_heavy_users",
+    "approx_distinct_users_portable",
+    "approx_distinct_users",
+    "ivf_incremental_topk",
+    "incremental_minhash_dedup",
+    "stream_neardup_dedup",
+    "multimodal_jpeg_stats",
+    "dedup_keep_best",
+    "multimodal_mjpeg_stats",
+    "c4_line_filter",
+    "dup_span_removal",
     "triangle_stats",
     "pagerank",
     "kcore_members",
@@ -186,27 +184,12 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "multimodal_ulaw_stats",
     "url_frequency_cap",
     "constraint_report",
-    # mutual_edges: r01+r02 hash rows AND re-run by the driver's entry()
-    # smoke-check every round (its salted twin is in-window above).
     "mutual_edges",
-    # pricing_summary sits first past the window this round: r01+r02
-    # driver rows, bench-headline coverage every round, pytest oracle.
-    # ledger_dequeue_transition / ledger_point_update /
-    # ledger_complete_batch yielded their second-row slots to the new
-    # compressed-audio/video + duplicated-span queries (all three are
-    # r02-green and CI-oracle-checked); the r02-green embeddings family
-    # (dataset_split, embedding_quantize, embedding_near_dups,
-    # cosine_topk, embedding_norms) yielded its second-row slots to the
-    # new round-4 wave (incremental_minhash_dedup, ivf_incremental_topk,
-    # dup_span_removal, stream_neardup_dedup, dedup_keep_best).
     "dataset_split",
     "embedding_quantize",
     "embedding_near_dups",
     "cosine_topk",
     "embedding_norms",
-    # ann_lsh_topk / ivf_topk / kmeans_clusters are r03-green hash
-    # singles; ivf_topk's oracle is additionally re-exercised in-window
-    # every round that ivf_incremental_topk is (same one-shot IVF SQL).
     "ann_lsh_topk",
     "ivf_topk",
     "kmeans_clusters",
@@ -216,10 +199,6 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "ledger_dequeue_transition",
     "ledger_point_update",
     "ledger_complete_batch",
-    # Post-window: everything below is ≥1-round driver-green (most 2-3
-    # rounds) and stays pytest-oracle-checked every CI run.  Round-5 queue:
-    # promote whichever of the below have the fewest driver rows once the
-    # round-4 wave is green.
     "dedup_exact",
     "doc_fingerprint",
     "token_stats",
@@ -258,10 +237,6 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "incremental_dedup",
     "temperature_mixture",
     "embedding_near_dups_bucketed",
-    # Two-round-green core relational queries, demoted past the window;
-    # each still oracle-checked every CI run by tests/test_queries_oracle.py.
-    # (sessionize_stream's streaming evidence is carried in-window by
-    # stream_stream_attribution + continuous_rollup.)
     "sessionize_batch",
     "sessionize_stream",
     "upsert_keep_newest",
@@ -293,7 +268,6 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "pandas_group_summary",
     "props_json_extract",
 )
-
 DRIVER_WINDOW = 50
 
 

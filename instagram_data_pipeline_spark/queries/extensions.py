@@ -973,6 +973,85 @@ def q_pca_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pca_eig2_oracle() -> str:
+    # Same arithmetic SEQUENCE as the Spark side (cov entries -> half
+    # trace -> discriminant), so the only divergence source is the
+    # distributed-vs-rowwise summation — bounded far below the 1e-6
+    # rounding grain by the DECIMAL(38,12) reduces on both engines.
+    return """
+WITH xy AS (
+  SELECT CAST(embedding[1] AS DOUBLE) AS x,
+         CAST(embedding[2] AS DOUBLE) AS y
+  FROM embeddings
+), s AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(y AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(x * x AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(x * y AS DECIMAL(38,12))) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(y * y AS DECIMAL(38,12))) AS DOUBLE) AS syy
+  FROM xy
+), c AS (
+  SELECT sxx / n - (sx / n) * (sx / n) AS a,
+         sxy / n - (sx / n) * (sy / n) AS b,
+         syy / n - (sy / n) * (sy / n) AS d,
+         n
+  FROM s
+)
+SELECT 0 AS component,
+       ROUND((a + d) / 2
+             + SQRT(((a - d) / 2) * ((a - d) / 2) + b * b), 6) AS eigval,
+       CAST(n AS BIGINT) AS n
+FROM c
+UNION ALL
+SELECT 1 AS component,
+       ROUND((a + d) / 2
+             - SQRT(((a - d) / 2) * ((a - d) / 2) + b * b), 6) AS eigval,
+       CAST(n AS BIGINT) AS n
+FROM c
+"""
+
+
+@register(
+    "pca_eig2_fixed",
+    _pca_eig2_oracle(),
+    doc="hash-checked twin for the PCA TRAINER (the pq_adc_fixed "
+        "pattern): restrict the embedding to its first two coordinates, "
+        "run the REAL distributed trainer path — mapInPandas per-Arrow-"
+        "batch partial Grams, DECIMAL(38,12)-exact reduce (gram_stats) — "
+        "then the 2x2 covariance eigendecomposition in closed form with "
+        "the exact arithmetic sequence the oracle replays in SQL. Gives "
+        "the rows-only pca_components an adjacent hard row: if the "
+        "distributed Gram were wrong, these eigenvalues would not match "
+        "DuckDB's rowwise sums.",
+    tags=("similarity", "pca"),
+)
+def q_pca_eig2_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    from ..extensions.pca import gram_stats
+
+    emb = load_testdata(spark, sf_dir, "embeddings")
+    vec = S.as_double_vec(F.col("embedding"))
+    pair = emb.select(
+        F.array(F.element_at(vec, 1), F.element_at(vec, 2)).alias("embedding")
+    )
+    gram, vsum, n = gram_stats(pair)
+    fn = float(n)
+    gxx, gxy, gyy = float(gram[0][0]), float(gram[0][1]), float(gram[1][1])
+    sx, sy = float(vsum[0]), float(vsum[1])
+    a = gxx / fn - (sx / fn) * (sx / fn)
+    b = gxy / fn - (sx / fn) * (sy / fn)
+    d = gyy / fn - (sy / fn) * (sy / fn)
+    half_tr = (a + d) / 2
+    disc = math.sqrt(((a - d) / 2) * ((a - d) / 2) + b * b)
+    rows = [
+        (0, round(half_tr + disc, 6), n),
+        (1, round(half_tr - disc, 6), n),
+    ]
+    return spark.createDataFrame(rows, "component int, eigval double, n long")
+
+
 # ---------------------------------------------------------------------------
 def _stream_neardup_oracle() -> str:
     """The sink's sequential semantics unrolled over the three batches:

@@ -10,29 +10,29 @@ from instagram_data_pipeline_spark.queries import (
     load_all,
 )
 
-# queries that MUST occupy the round-5 driver window: never driver-checked
-# before (VERDICT r4 "What's missing" #1), oracle or implementation changed
-# this round, or a rows-only tier whose portable twin must ride along
+# queries that MUST occupy the round-6 driver window: the round-6
+# promote queue (VERDICT r5 Next #3 — the 19 new-r5 queries with no
+# lifetime driver row + dup_spans + event_transitions), the
+# changed-implementation re-verifies, and this round's new registrations
 PRIORITY = {
-    # never driver-checked: late-round-4 wave (VERDICT r4 Next #1)
-    "contrastive_triplets", "pca_project_fixed", "pca_components",
-    "bin_packing", "label_propagation", "classifier_score_fixed",
-    "classifier_weights", "warc_roundtrip", "html_extract", "web_pipeline",
-    "rate_limit_admission", "incremental_components", "readability_stats",
-    "shard_source_mix", "dataset_card", "chunk_dedup", "lsh_quality_report",
-    "ann_recall_report", "dedup_funnel_report",
-    # oracle fixed (HUGEINT CAST) — re-verify (VERDICT r4 Next #2)
-    "training_shards",
-    # new registration (VERDICT r4 Next #3)
-    "mutual_edges_salted",
-    # implementation changed in round 5 (ADVICE #2/#4, VERDICT Next #5)
-    "skew_report", "unigram_encode_tokens",
-    # probabilistic tiers: rows-only + portable twin pairs (policy)
-    "minhash_near_dups", "minhash_near_dups_portable",
-    "simhash_near_dups", "simhash_near_dups_portable",
-    "cms_heavy_users", "cms_heavy_users_portable",
-    "approx_distinct_users", "approx_distinct_users_portable",
-    "bpe_merges", "bpe_encode_tokens", "unigram_vocab", "pq_topk",
+    # the round-6 promote queue (VERDICT r5 "What's missing" #1)
+    "tokenizer_fertility", "blocklist_filter", "crawl_frontier",
+    "stream_event_transitions", "curation_pipeline",
+    "classifier_quality_report", "anchor_text_index", "ann_filtered_topk",
+    "temperature_sample_wor", "langid_confusion",
+    "lm_perplexity_interpolated", "community_stats",
+    "cross_source_contamination", "event_rate_spikes",
+    "dedup_cluster_histogram", "lsh_band_stats", "bloom_fp_report",
+    "keyset_page", "scd2_as_of", "dup_spans", "event_transitions",
+    # implementation/output changed in round 6 — re-verify in-window
+    # (pca_project_fixed: ARRAY -> scalar p0..p3, VERDICT r5 Next #1;
+    # temperature_sample_wor is in the queue above and ALSO changed:
+    # largest-remainder quotas, ADVICE r5 #4)
+    "pca_project_fixed",
+    # new registrations this round (VERDICT r5 Next #6/#7)
+    "pca_eig2_fixed", "txlog_retention_lookup",
+    # rows-only trainer adjacent to its new hard twin (policy)
+    "pca_components",
 }
 
 
@@ -57,17 +57,23 @@ def test_priority_queries_inside_driver_window():
 # round 4, so the post-window oracle check below doesn't reach them —
 # the allowlist stays for future rotations.)
 POST_WINDOW_ROWS_ONLY_OK = {
-    "bpe_merges",  # tests/test_bpe.py pins the exact merge sequence
-    "pq_topk",  # tests/test_similarity.py pins recall@5 >= 0.8 vs brute
-    # tests/test_pca.py pins Gram-vs-numpy equality, planted-axis
-    # recovery, orthonormality, and partition-invariant determinism;
-    # the projection half is hash-checked via pca_project_fixed
-    "pca_components",
-    # tests/test_classifier.py pins planted-separable convergence,
-    # loss decrease, and partition-invariant determinism; the scoring
-    # half is hash-checked via classifier_score_fixed
+    "bpe_merges",  # tests/test_bpe.py pins the exact merge sequence;
+    #               hash-checked twin bpe_encode_tokens (r04+r05 green)
+    # tests/test_unigram.py pins the EM vocab; twin unigram_encode_tokens
+    # (r05 green, empty-word DP guard re-verified)
+    "unigram_vocab",
+    # tests/test_classifier.py pins planted-separable convergence, loss
+    # decrease, partition-invariant determinism; twin
+    # classifier_score_fixed (r05 green, 2nd row in the r6 window)
     "classifier_weights",
+    # engine-specific xxhash64 signature tiers: portable md5 twins
+    # (*_portable) are multi-round hash-green and stay CI-checked
+    "minhash_near_dups",
+    "simhash_near_dups",
+    "cms_heavy_users",
+    "approx_distinct_users",
 }
+
 
 
 def test_demoted_queries_all_have_oracles():
