@@ -103,6 +103,8 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "pca_eig2_fixed",
     # -- (d) NEW: retention + point-lookup pruning, driver-checked -------
     "txlog_retention_lookup",
+    # -- (d') NEW: batch twin of the streaming QualityMonitorSink --------
+    "monitor_drift_report",
     # -- (e) second lifetime rows for the r5-green singles ---------------
     "warc_roundtrip",
     "html_extract",
@@ -128,8 +130,10 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "dataset_card",
     "chunk_dedup",
     "lsh_quality_report",
-    "ann_recall_report",
     # ------------------- driver window ends at slot 50 --------------------
+    # (ann_recall_report r05-green; yielded its second-row slot to the
+    # new monitor_drift_report registration)
+    "ann_recall_report",
     # Demoted past the window: every name below is >=1-round driver-green
     # (most 2-3 rounds) and stays DuckDB-oracle-checked every CI run by
     # tests/test_queries_oracle.py. Relative order preserved from the

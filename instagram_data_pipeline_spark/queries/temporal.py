@@ -805,3 +805,86 @@ def q_event_rate_spikes(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("n") * 7 > 2 * F.sum("n").over(w))
         ).alias("spike"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch twin of the streaming QualityMonitorSink (VERDICT r5 Next #8):
+# the SAME integer-exact cross-multiplied L1 drift decision as the
+# foreachBatch sink, expressed as a pure plan so DuckDB can replay it —
+# hash-checked evidence for the alert math the stream runs. Two
+# scenarios: the second half of the month against the first (stationary
+# synthetic data -> quiet) and a value-truncated batch (collapsed
+# distribution -> alert).
+# ---------------------------------------------------------------------------
+_MON_SPLIT = "2024-01-15"
+_MON_TRUNC = 30.0
+
+
+def _mon_hist(pred: str) -> str:
+    return f"""
+  SELECT LEAST(9, GREATEST(0, CAST(FLOOR(value / 10.0) AS BIGINT))) AS bin,
+         COUNT(*) AS c
+  FROM events WHERE value IS NOT NULL AND {pred}
+  GROUP BY 1
+"""
+
+
+def _mon_case(name: str, batch_pred: str) -> str:
+    return f"""
+SELECT '{name}' AS scenario,
+       CAST(tb AS BIGINT) AS n_rows,
+       CAST(num * 1000000 // (tb * tr) AS BIGINT) AS l1_ppm,
+       num * 1000000 // (tb * tr) >= 200000 AS alert
+FROM (
+  SELECT SUM(ABS(COALESCE(b.c, 0) * tr - COALESCE(r.c, 0) * tb)) AS num,
+         MAX(tb) AS tb, MAX(tr) AS tr
+  FROM ({_mon_hist(batch_pred)}) b
+  FULL OUTER JOIN ({_mon_hist(f"ts < TIMESTAMP '{_MON_SPLIT}'")}) r
+    ON b.bin = r.bin
+  CROSS JOIN (
+    SELECT (SELECT SUM(c) FROM ({_mon_hist(batch_pred)})) AS tb,
+           (SELECT SUM(c) FROM (
+              {_mon_hist(f"ts < TIMESTAMP '{_MON_SPLIT}'")})) AS tr
+  )
+)
+"""
+
+
+_MON_ORACLE = (
+    _mon_case("same", f"ts >= TIMESTAMP '{_MON_SPLIT}'")
+    + "\nUNION ALL\n"
+    + _mon_case(
+        "shifted",
+        f"ts >= TIMESTAMP '{_MON_SPLIT}' AND value < {_MON_TRUNC}",
+    )
+)
+
+
+@register(
+    "monitor_drift_report",
+    _MON_ORACLE,
+    doc="batch twin of the streaming quality monitor: integer-exact "
+        "cross-multiplied L1 drift in ppm vs a frozen reference "
+        "histogram, decided entirely in-plan (decimal cross-products, "
+        "no collect) — the stationary second half of the month stays "
+        "quiet, a value-truncated batch alerts. Green means the "
+        "foreachBatch sink's alert arithmetic is DuckDB-reproducible.",
+    tags=("streaming", "diagnostics", "monitor"),
+)
+def q_monitor_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.monitor import drift_report
+
+    events = load_testdata(spark, sf_dir, "events")
+    split = F.lit(_MON_SPLIT).cast("timestamp")
+    ref = events.filter(F.col("ts") < split)
+    same = events.filter(F.col("ts") >= split)
+    shifted = same.filter(F.col("value") < _MON_TRUNC)
+    kw = dict(value_col="value", lo=0.0, hi=100.0, n_bins=10,
+              alert_l1_ppm=200_000)
+    a = drift_report(same, ref, **kw).select(
+        F.lit("same").alias("scenario"), "n_rows", "l1_ppm", "alert"
+    )
+    b = drift_report(shifted, ref, **kw).select(
+        F.lit("shifted").alias("scenario"), "n_rows", "l1_ppm", "alert"
+    )
+    return a.unionByName(b)

@@ -119,3 +119,80 @@ class QualityMonitorSink:
 
     def __call__(self, df: DataFrame, epoch: int) -> None:
         self.process_batch(df, epoch)
+
+
+def drift_report(
+    batch: DataFrame,
+    reference: DataFrame,
+    value_col: str = "value",
+    lo: float = 0.0,
+    hi: float = 1.0,
+    n_bins: int = 10,
+    alert_l1_ppm: int = 200_000,
+) -> DataFrame:
+    """Batch twin of :class:`QualityMonitorSink`: the SAME integer-exact
+    cross-multiplied L1 drift decision, expressed as one pure DataFrame
+    plan (no driver collect) so it can be DuckDB-oracle-checked — the
+    hash-checked evidence for the streaming sink's alert math.
+
+    Returns one row ``(n_rows, l1_ppm, alert)``. The cross-multiplies
+    run in DECIMAL(38,0) so the arithmetic stays exact at counts far
+    beyond bigint cross-products (the sink uses Python ints; this is
+    the codegen equivalent). An empty batch against a non-empty
+    reference is maximal drift (1_000_000 ppm, alert) — same dead-
+    upstream semantics as the sink.
+
+    Plan shape: two map-side-combined histogram aggregations (n_bins
+    rows each), a full-outer merge on bin, window totals over the tiny
+    merged frame, one final aggregate. Nothing row-sized leaves the
+    histogram stage, so the cost at 100 TB is the two scans."""
+    if not lo < hi:
+        raise ValueError(f"drift_report: lo must be < hi (got {lo}, {hi})")
+    if n_bins < 1:
+        raise ValueError(f"drift_report: n_bins must be >= 1 (got {n_bins})")
+    from pyspark.sql import Window
+
+    span = hi - lo
+
+    def hist(df: DataFrame, out: str) -> DataFrame:
+        b = F.floor(
+            (F.col(value_col).cast("double") - F.lit(lo))
+            / F.lit(span) * F.lit(float(n_bins))
+        ).cast("long")
+        b = F.least(F.lit(n_bins - 1), F.greatest(F.lit(0), b))
+        return (
+            df.filter(F.col(value_col).isNotNull())
+            .select(b.alias("bin"))
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).alias(out))
+        )
+
+    j = hist(batch, "cb").join(hist(reference, "cr"), "bin", "full")
+    everything = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    dec = "decimal(38,0)"
+    cb = F.coalesce(F.col("cb"), F.lit(0)).cast(dec)
+    cr = F.coalesce(F.col("cr"), F.lit(0)).cast(dec)
+    j2 = j.select(
+        cb.alias("cb"),
+        cr.alias("cr"),
+        F.sum(cb).over(everything).alias("tb"),
+        F.sum(cr).over(everything).alias("tr"),
+    )
+    agg = j2.agg(
+        F.sum(F.abs(F.col("cb") * F.col("tr") - F.col("cr") * F.col("tb")))
+        .alias("num"),
+        F.max("tb").alias("tb"),
+        F.max("tr").alias("tr"),
+    )
+    l1 = F.when(F.col("tb") == 0, F.lit(1_000_000).cast("long")).otherwise(
+        F.floor(
+            (F.col("num") * F.lit(1_000_000)) / (F.col("tb") * F.col("tr"))
+        ).cast("long")
+    )
+    return agg.select(
+        F.col("tb").cast("long").alias("n_rows"),
+        l1.alias("l1_ppm"),
+        (l1 >= F.lit(alert_l1_ppm)).alias("alert"),
+    )

@@ -793,3 +793,46 @@ def test_quality_monitor_rejects_bad_bin_config(tmp_path):
         QualityMonitorSink(str(tmp_path), ref, lo=2.0, hi=1.0)
     with pytest.raises(ValueError, match="n_bins"):
         QualityMonitorSink(str(tmp_path), ref, lo=0.0, hi=1.0, n_bins=0)
+
+
+def test_drift_report_matches_sink_decision(spark, tmp_path):
+    """The pure-plan batch twin must reproduce the foreachBatch sink's
+    recorded (n_rows, l1_ppm, alert) exactly — integer-exact parity
+    between the streaming and oracle-checkable surfaces."""
+    import pyspark.sql.functions as F
+
+    from instagram_data_pipeline_spark.streaming.monitor import (
+        QualityMonitorSink,
+        drift_report,
+    )
+
+    ref_df = spark.range(0, 997).select(
+        (F.pmod(F.col("id") * 37, 100) / 100.0).alias("value")
+    )
+    batch = spark.range(0, 313).select(
+        (F.pmod(F.col("id") * 11, 60) / 100.0).alias("value")
+    )
+    reference = QualityMonitorSink.batch_histogram(
+        ref_df, "value", 0.0, 1.0, 10
+    )
+    sink = QualityMonitorSink(
+        str(tmp_path / "mon"), reference, lo=0.0, hi=1.0, n_bins=10,
+        alert_l1_ppm=100_000,
+    )
+    sink.process_batch(batch, 0)
+    sink.process_batch(batch.filter(F.lit(False)), 1)  # dead upstream
+    got = {r.epoch: r for r in sink.results(spark).collect()}
+    twin = drift_report(
+        batch, ref_df, value_col="value", lo=0.0, hi=1.0, n_bins=10,
+        alert_l1_ppm=100_000,
+    ).collect()[0]
+    assert (twin.n_rows, twin.l1_ppm, twin.alert) == (
+        got[0].n_rows, got[0].l1_ppm, got[0].alert
+    )
+    empty_twin = drift_report(
+        batch.filter(F.lit(False)), ref_df, value_col="value",
+        lo=0.0, hi=1.0, n_bins=10, alert_l1_ppm=100_000,
+    ).collect()[0]
+    assert (empty_twin.n_rows, empty_twin.l1_ppm, empty_twin.alert) == (
+        got[1].n_rows, got[1].l1_ppm, got[1].alert
+    )
