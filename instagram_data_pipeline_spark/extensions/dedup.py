@@ -988,3 +988,68 @@ def ngram_novelty(
             .alias("novelty_ppm"),
         )
     )
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_df: int | None = None,
+) -> DataFrame:
+    """ASYMMETRIC near-dup detection: n-gram containment
+    ``C(A|B) = |sh(A) & sh(B)| / |sh(A)|`` — the quote-inclusion /
+    subset-document case Jaccard systematically misses (a short doc
+    fully embedded in a long one has tiny Jaccard but containment ~1;
+    this is the signal used to catch benchmark contamination inside
+    larger pages). Emits each unordered candidate pair once with BOTH
+    directions' containment; a pair survives when either direction
+    clears ``threshold``.
+
+    Same inverted-index shape (and stop-shingle ``max_df`` cap) as
+    :func:`ngram_jaccard_pairs`: one shuffle on shingle, pair fan-out
+    inside the task via higher-order expressions, one shuffle on the
+    pair — the per-shingle df cap is what bounds the fan-out at corpus
+    scale."""
+    sh = _distinct_shingles(df, id_col, text_col, n)
+    npart = df.sparkSession.sparkContext.defaultParallelism
+    sh = sh.repartition(npart, "shingle")
+    groups = sh.groupBy("shingle").agg(
+        F.array_sort(F.collect_list(id_col)).alias("ids")
+    )
+    if max_df is not None:
+        groups = groups.filter(F.size("ids") <= max_df)
+    sizes = (
+        groups.select(F.explode("ids").alias(id_col))
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    pairs = (
+        groups.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (x, i) -> "
+                    "transform(slice(ids, i + 2, size(ids)), "
+                    "y -> struct(x AS doc_a, y AS doc_b))))"
+                )
+            ).alias("p")
+        )
+        .groupBy(F.col("p.doc_a").alias("doc_a"),
+                 F.col("p.doc_b").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n").alias("nb"))
+    ca = F.col("shared") * F.lit(1.0) / F.col("na")
+    cb = F.col("shared") * F.lit(1.0) / F.col("nb")
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(F.greatest(ca, cb) >= threshold)
+        .select(
+            "doc_a", "doc_b", "shared",
+            F.round(ca, 6).alias("containment_a"),
+            F.round(cb, 6).alias("containment_b"),
+        )
+    )

@@ -391,3 +391,99 @@ def bigram_lm_scores_interpolated(
             -(F.sum("_lp").cast("double")) / F.count(F.lit(1)), 6
         ).alias("avg_nll"),
     )
+
+
+def _bigram_stream(
+    docs: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """(id, w1, w2) bigram stream — array zip inside the row, no
+    shuffle (shared by the add-k / JM / KN scorers)."""
+    w = X.tokens(F.col(text_col))
+    n = F.size(w)
+    return docs.select(
+        F.col(id_col),
+        F.explode(
+            F.arrays_zip(
+                F.slice(w, 1, F.greatest(n - 1, F.lit(0))).alias("w1"),
+                F.slice(w, 2, F.greatest(n - 1, F.lit(0))).alias("w2"),
+            )
+        ).alias("g"),
+    ).select(
+        F.col(id_col),
+        F.col("g.w1").alias("w1"),
+        F.col("g.w2").alias("w2"),
+    ).filter((F.col("w1") != "") & (F.col("w2") != ""))
+
+
+def kneser_ney_prob_table(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    discount: float = 0.75,
+) -> DataFrame:
+    """Interpolated Kneser–Ney bigram probabilities for every bigram
+    TYPE in the corpus: ``(w1, w2, cb, p)`` with
+
+        p(w2|w1) = (c(w1,w2) - D) / c*(w1)
+                 + D * N1+(w1,·) / c*(w1) * N1+(·,w2) / N1+(·,·)
+
+    where ``c*(w1)`` is the bigram-table context total (so each
+    context's distribution sums to exactly 1 — pinned by
+    tests/test_ranking.py), ``N1+`` are continuation type counts, and
+    ``D`` should be an exact binary fraction (default 3/4) so the
+    arithmetic is bit-identical across engines. Scored corpus-on-
+    itself every bigram has c >= 1 > D, so no zero-probability branch
+    is needed.
+
+    Scale shape: everything derives from the bigram count table
+    (Zipf-bounded, far below corpus size) — one corpus shuffle to build
+    it, then vocab-sized aggregations/joins; the type-count total is a
+    1-row broadcast."""
+    grams = _bigram_stream(docs, id_col, text_col)
+    cb = grams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+    ctx = cb.groupBy("w1").agg(
+        F.sum("cb").alias("cctx"),
+        F.count(F.lit(1)).alias("n1f"),
+    )
+    back = cb.groupBy("w2").agg(F.count(F.lit(1)).alias("n1b"))
+    types = F.broadcast(cb.agg(F.count(F.lit(1)).alias("_nt")))
+    d = F.lit(float(discount))
+    return (
+        cb.join(ctx, "w1")
+        .join(back, "w2")
+        .crossJoin(types)
+        .select(
+            "w1", "w2", "cb",
+            (
+                (F.col("cb") - d) / F.col("cctx")
+                + d * F.col("n1f") / F.col("cctx")
+                * F.col("n1b") / F.col("_nt")
+            ).alias("p"),
+        )
+    )
+
+
+def bigram_lm_scores_kneser_ney(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    discount: float = 0.75,
+) -> DataFrame:
+    """Per-document average bigram NLL under the interpolated
+    Kneser–Ney LM of :func:`kneser_ney_prob_table` — the discounting
+    family standard for n-gram LMs (absolute discount + continuation-
+    count backoff), completing the add-k / Jelinek–Mercer / KN scoring
+    ladder. Same DECIMAL-exact sum + one-shuffle scoring shape as
+    :func:`bigram_lm_scores`."""
+    grams = _bigram_stream(docs, id_col, text_col)
+    probs = kneser_ney_prob_table(docs, id_col, text_col, discount)
+    scored = grams.join(probs.select("w1", "w2", "p"), ["w1", "w2"]).select(
+        F.col(id_col),
+        F.round(F.log(F.col("p")), 9).cast("decimal(28,10)").alias("_lp"),
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(
+            -(F.sum("_lp").cast("double")) / F.count(F.lit(1)), 6
+        ).alias("avg_nll"),
+    )

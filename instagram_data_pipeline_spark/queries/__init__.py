@@ -105,6 +105,10 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "txlog_retention_lookup",
     # -- (d') NEW: batch twin of the streaming QualityMonitorSink --------
     "monitor_drift_report",
+    # -- (d'') NEW round-6 operators: KN discounting LM + asymmetric
+    #    containment dedup ------------------------------------------------
+    "lm_perplexity_kneser_ney",
+    "containment_pairs",
     # -- (e) second lifetime rows for the r5-green singles ---------------
     "warc_roundtrip",
     "html_extract",
@@ -128,11 +132,11 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "readability_stats",
     "shard_source_mix",
     "dataset_card",
+    # ------------------- driver window ends at slot 50 --------------------
+    # (ann_recall_report / lsh_quality_report / chunk_dedup r05-green;
+    # second-row slots yielded to the new round-6 registrations)
     "chunk_dedup",
     "lsh_quality_report",
-    # ------------------- driver window ends at slot 50 --------------------
-    # (ann_recall_report r05-green; yielded its second-row slot to the
-    # new monitor_drift_report registration)
     "ann_recall_report",
     # Demoted past the window: every name below is >=1-round driver-green
     # (most 2-3 rounds) and stays DuckDB-oracle-checked every CI run by

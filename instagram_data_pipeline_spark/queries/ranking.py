@@ -567,3 +567,62 @@ def q_lm_perplexity_interpolated(
 
     docs = load_testdata(spark, sf_dir, "documents")
     return bigram_lm_scores_interpolated(docs, add_k=0.5, lam=0.75)
+
+
+# ---------------------------------------------------------------------------
+# Kneser-Ney: the third rung of the LM-scoring ladder (add-k -> JM
+# interpolation -> absolute discounting with continuation-count
+# backoff). Per-context distributions sum to exactly 1 (pinned in
+# tests/test_ranking.py); D = 3/4 is an exact binary fraction so the
+# discount arithmetic is engine-identical.
+# ---------------------------------------------------------------------------
+_LM_KN_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents
+), bg AS (
+  SELECT doc_id, w[CAST(i AS INT)] AS w1, w[CAST(i AS INT) + 1] AS w2
+  FROM tok, unnest(generate_series(1, len(w) - 1)) AS t(i)
+), bgf AS (
+  SELECT doc_id, w1, w2 FROM bg WHERE w1 <> '' AND w2 <> ''
+), cb AS (
+  SELECT w1, w2, COUNT(*) AS cb FROM bgf GROUP BY w1, w2
+), ctx AS (
+  SELECT w1, SUM(cb) AS cctx, COUNT(*) AS n1f FROM cb GROUP BY w1
+), back AS (
+  SELECT w2, COUNT(*) AS n1b FROM cb GROUP BY w2
+), types AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS nt FROM cb
+), s AS (
+  SELECT bgf.doc_id,
+         CAST(ROUND(LN(
+           (cb.cb - 0.75) / ctx.cctx
+           + 0.75 * ctx.n1f / ctx.cctx * back.n1b / types.nt
+         ), 9) AS DECIMAL(28,10)) AS lp
+  FROM bgf JOIN cb USING (w1, w2) JOIN ctx USING (w1)
+  JOIN back USING (w2) CROSS JOIN types
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       ROUND(-CAST(SUM(lp) AS DOUBLE) / COUNT(*), 6) AS avg_nll
+FROM s GROUP BY doc_id
+"""
+
+
+@register(
+    "lm_perplexity_kneser_ney",
+    _LM_KN_ORACLE,
+    doc="interpolated Kneser-Ney bigram LM (D=3/4 absolute discount, "
+        "continuation-count backoff, bigram-table context normalizer "
+        "so every context distribution sums to exactly 1): the "
+        "standard n-gram discounting family, scored corpus-on-itself "
+        "with DECIMAL-exact sums — everything derives from the Zipf-"
+        "bounded bigram count table; one corpus shuffle, vocab-sized "
+        "joins, 1-row type-total broadcast",
+    tags=("text", "ranking", "quality"),
+)
+def q_lm_perplexity_kneser_ney(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..extensions.ranking import bigram_lm_scores_kneser_ney
+
+    docs = load_testdata(spark, sf_dir, "documents")
+    return bigram_lm_scores_kneser_ney(docs, discount=0.75)

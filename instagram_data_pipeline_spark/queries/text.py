@@ -2662,3 +2662,45 @@ def q_dedup_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_clusters") > 0)
     )
     return hist.unionByName(single_hist)
+
+
+# ---------------------------------------------------------------------------
+# Asymmetric containment: the quote-inclusion / subset-document case
+# Jaccard misses — C(A|B) = |sh(A) & sh(B)| / |sh(A)| over the same
+# capped shingle universe as ngram_jaccard_pairs. The contamination-
+# style signal: a short doc embedded in a long one has tiny Jaccard
+# but containment ~1.
+# ---------------------------------------------------------------------------
+_CONTAINMENT_ORACLE = f"""
+WITH {_JACCARD_CTES.replace(
+    "shared * 1.0 / (sa.n + sb.n - shared) AS jaccard",
+    "shared * 1.0 / sa.n AS ca, shared * 1.0 / sb.n AS cb").replace(
+    "WHERE shared * 1.0 / (sa.n + sb.n - shared) >= 0.1",
+    "WHERE GREATEST(shared * 1.0 / sa.n, shared * 1.0 / sb.n) >= 0.4")}
+SELECT doc_a, doc_b, shared,
+       ROUND(ca, 6) AS containment_a,
+       ROUND(cb, 6) AS containment_b
+FROM kept
+"""
+
+
+@register(
+    "containment_pairs",
+    _CONTAINMENT_ORACLE,
+    doc="asymmetric n-gram containment over the capped shingle "
+        "universe: emits each candidate pair with BOTH directions' "
+        "containment, kept when either clears 0.4 — catches subset/"
+        "quote-inclusion duplicates (and benchmark contamination "
+        "inside larger pages) that symmetric Jaccard misses; same "
+        "two-shuffle inverted-index shape and df cap as "
+        "ngram_jaccard_pairs",
+    tags=("text", "dedup"),
+)
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.dedup import ngram_containment_pairs
+
+    docs = load_testdata(spark, sf_dir, "documents")
+    return ngram_containment_pairs(
+        docs, id_col="doc_id", text_col="text", n=3, threshold=0.4,
+        max_df=100,
+    )

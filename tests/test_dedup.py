@@ -450,3 +450,29 @@ def test_cluster_canonicals_by_score(spark):
     assert out[7] == (7, True)
     # cluster 200: tie -> lowest id
     assert out[8] == (8, True) and out[9] == (8, False)
+
+
+def test_containment_catches_subset_jaccard_misses(spark):
+    """A short doc fully embedded in a long one: containment ~1 in the
+    short direction while Jaccard stays tiny — the quote-inclusion case
+    the asymmetric detector exists for."""
+    from instagram_data_pipeline_spark.extensions.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    quote = "the quick brown fox jumps over the lazy dog near the river"
+    filler = " ".join(f"word{i} token{i} item{i}" for i in range(120))
+    docs = spark.createDataFrame(
+        [(1, quote), (2, filler + " " + quote + " " + filler)],
+        "doc_id long, text string",
+    )
+    cont = ngram_containment_pairs(docs, threshold=0.9).collect()
+    assert len(cont) == 1
+    row = cont[0]
+    assert (row.doc_a, row.doc_b) == (1, 2)
+    assert row.containment_a >= 0.9  # A's shingles live inside B
+    assert row.containment_b < 0.2
+    # symmetric Jaccard at the usual 0.1 threshold misses the pair
+    jac = ngram_jaccard_pairs(docs, threshold=0.1).collect()
+    assert jac == []

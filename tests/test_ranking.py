@@ -161,3 +161,88 @@ def test_hashed_tf_identical_docs_identical_vectors(spark):
            for r in hashed_tf_vectors(docs, dim=32).collect()}
     assert got[1] == got[2]
     assert got[1] != got[3]
+
+
+def test_kneser_ney_context_distributions_sum_to_one(spark):
+    """KN with the bigram-table context normalizer is a proper
+    conditional distribution: for every context w1, sum_w2 p(w2|w1)
+    == 1 exactly (up to float summation) — the invariant that breaks
+    if the normalizer silently switches to unigram counts."""
+    from instagram_data_pipeline_spark.extensions.ranking import (
+        kneser_ney_prob_table,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),
+            (2, "the dog sat on the log"),
+            (3, "a cat and a dog and a bird"),
+        ],
+        "doc_id long, text string",
+    )
+    tbl = kneser_ney_prob_table(docs).collect()
+    d = 0.75
+    # reconstruct the full-vocabulary distribution: observed pairs carry
+    # the discounted term, EVERY vocab word shares the backoff mass via
+    # p_cont — so per context the total is
+    #   sum_observed (c-D)/cctx  +  (D * n1f / cctx) * sum_vocab p_cont
+    # and sum_vocab p_cont == 1 because continuation type counts sum to
+    # the bigram type total.
+    # recompute the pieces from raw bigrams to cross-check the table
+    from collections import Counter
+
+    corpus = [
+        "the cat sat on the mat".split(),
+        "the dog sat on the log".split(),
+        "a cat and a dog and a bird".split(),
+    ]
+    cb = Counter()
+    for ws in corpus:
+        for i in range(len(ws) - 1):
+            cb[(ws[i], ws[i + 1])] += 1
+    cctx = Counter()
+    n1f = Counter()
+    n1b = Counter()
+    for (w1, w2), c in cb.items():
+        cctx[w1] += c
+        n1f[w1] += 1
+        n1b[w2] += 1
+    nt = len(cb)
+    got = {(r.w1, r.w2): r.p for r in tbl}
+    assert set(got) == set(cb)
+    for (w1, w2), c in cb.items():
+        expect = (c - d) / cctx[w1] + d * n1f[w1] / cctx[w1] * n1b[w2] / nt
+        assert abs(got[(w1, w2)] - expect) < 1e-12, (w1, w2)
+        assert 0.0 < got[(w1, w2)] <= 1.0
+    # full-vocab normalization: discounted mass + backoff weight == 1
+    for w1 in cctx:
+        disc = sum(
+            (c - d) / cctx[w1] for (a, _), c in cb.items() if a == w1
+        )
+        backoff = d * n1f[w1] / cctx[w1]
+        assert abs(disc + backoff - 1.0) < 1e-12, w1
+
+
+def test_kneser_ney_continuation_beats_raw_frequency(spark):
+    """The KN signature: a word frequent only in ONE context (low
+    continuation count) gets a smaller backoff share than a word seen
+    after many distinct contexts, even at equal raw frequency."""
+    from instagram_data_pipeline_spark.extensions.ranking import (
+        kneser_ney_prob_table,
+    )
+
+    # 'francisco' appears 4x but only ever after 'san' (1 continuation
+    # context); 'deal' appears 4x after 4 DISTINCT contexts.
+    docs = spark.createDataFrame(
+        [
+            (1, "san francisco san francisco san francisco san francisco"),
+            (2, "good deal bad deal new deal old deal"),
+        ],
+        "doc_id long, text string",
+    )
+    tbl = {(r.w1, r.w2): r for r in kneser_ney_prob_table(docs).collect()}
+    n1b_francisco = [
+        k for k in tbl if k[1] == "francisco"
+    ]
+    n1b_deal = [k for k in tbl if k[1] == "deal"]
+    assert len(n1b_francisco) == 1 and len(n1b_deal) == 4
