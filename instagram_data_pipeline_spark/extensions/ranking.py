@@ -487,3 +487,43 @@ def bigram_lm_scores_kneser_ney(
             -(F.sum("_lp").cast("double")) / F.count(F.lit(1)), 6
         ).alias("avg_nll"),
     )
+
+
+def per_source_score_calibration(
+    scored: DataFrame,
+    score_ppm_col: str = "score_ppm",
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    keep_rate_ppm: int = 500_000,
+) -> DataFrame:
+    """Per-source quantile calibration of a quality score: each doc's
+    in-source percentile (integer ppm) plus a ``keep`` flag selecting
+    the top ``keep_rate_ppm`` fraction WITHIN its source — so every
+    source contributes the same keep-rate even when their absolute
+    score distributions differ wildly (a web source's median can score
+    below a books source's 10th percentile; thresholding on the raw
+    score silently drops whole sources, percentile calibration
+    doesn't).
+
+    All-integer arithmetic on a pre-floored ppm score: rank ties break
+    on ``id_col``, percentile = (rn-1)*1e6 // (n-1), kept-per-source
+    count = n*keep_rate_ppm // 1e6 exactly — engine-reproducible, no
+    float quantile interpolation. One shuffle on the source key; the
+    windows run over each source partition (salting is unnecessary —
+    ranks are per-source by definition, and a skewed giant source is
+    handled by Spark's rank-window spilling, not a hot join key)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(source_col).orderBy(
+        F.col(score_ppm_col), F.col(id_col)
+    )
+    per_src = Window.partitionBy(source_col)
+    rn = F.row_number().over(w)
+    n = F.count(F.lit(1)).over(per_src)
+    n_keep = (n * F.lit(keep_rate_ppm)).cast("long") / F.lit(1_000_000)
+    return scored.select(
+        id_col, source_col, score_ppm_col,
+        ((rn - 1) * F.lit(1_000_000)
+         / F.greatest(n - 1, F.lit(1))).cast("long").alias("pct_ppm"),
+        (rn > n - F.floor(n_keep)).alias("keep"),
+    )

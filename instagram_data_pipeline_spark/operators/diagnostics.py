@@ -185,3 +185,39 @@ def check_constraints(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def join_size_preflight(
+    df: DataFrame,
+    keys: list[str],
+    top_n: int = 10,
+) -> DataFrame:
+    """Pre-flight cardinality check for a SELF-join on ``keys``: the
+    exact output size is ``sum_k c(k)^2`` over the key-count table, so
+    the blowup is computable from ONE cheap aggregation before
+    committing to the join (the mutual-edges/sessionize self-joins die
+    at scale precisely when one hot key contributes c^2 of the total).
+    Returns the ``top_n`` keys by contribution with integer share-ppm
+    of the estimated join output — the keys to salt, cap, or drop.
+
+    Plan: one groupBy on the join keys, a 1-row total broadcast back
+    over the count table, ordered-limit (TakeOrderedAndProject). The
+    count table is #distinct-keys sized; nothing row-sized shuffles
+    twice."""
+    c = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_rows"))
+    pairs = (F.col("n_rows") * F.col("n_rows")).alias("pairs")
+    tot = c.agg(
+        F.sum(F.col("n_rows") * F.col("n_rows")).alias("_total")
+    )
+    return (
+        c.select(*keys, "n_rows", pairs)
+        .crossJoin(F.broadcast(tot))
+        .select(
+            *keys, "n_rows", "pairs",
+            (F.col("pairs") * F.lit(1_000_000) / F.col("_total"))
+            .cast("long").alias("share_ppm"),
+            F.col("_total").alias("est_join_rows"),
+        )
+        .orderBy(F.col("pairs").desc(), *keys)
+        .limit(top_n)
+    )

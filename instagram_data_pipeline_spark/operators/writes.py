@@ -324,3 +324,44 @@ def scd2_as_of(
         (F.col(from_col) <= at_c)
         & (F.col(to_col).isNull() | (F.col(to_col) > at_c))
     )
+
+
+def incremental_agg_refresh(
+    mv_old: DataFrame,
+    delta_agg: DataFrame,
+    keys: list[str],
+    add_cols: list[str],
+) -> DataFrame:
+    """Incremental materialized-view maintenance for distributive
+    aggregates (SUM/COUNT): merge yesterday's aggregate table with the
+    DELTA's partial aggregates — full-outer join on the group keys,
+    coalesce-add every measure — so a refresh costs one aggregation of
+    the delta plus one join against the MV, instead of re-scanning the
+    full history (THE difference between O(delta) and O(100 TB) per
+    refresh). Registered proof: ``mv_incremental_refresh`` checks the
+    merged result hash-equals a from-scratch recompute.
+
+    Both inputs must carry identical schemas: ``keys`` plus the
+    additive measure columns ``add_cols`` (counts as longs, sums as
+    DECIMAL partials so the merge stays exact — round/cast only when
+    serving). Keys present only in the MV pass through; keys only in
+    the delta insert. Deletes/updates arrive as negative partials
+    (retractions), which the same coalesce-add absorbs."""
+    o = mv_old.select(
+        *keys, *[F.col(c).alias(f"_o_{c}") for c in add_cols]
+    )
+    d = delta_agg.select(
+        *keys, *[F.col(c).alias(f"_d_{c}") for c in add_cols]
+    )
+    merged = o.join(d, keys, "full")
+    zero = F.lit(0)
+    return merged.select(
+        *keys,
+        *[
+            (
+                F.coalesce(F.col(f"_o_{c}"), zero)
+                + F.coalesce(F.col(f"_d_{c}"), zero)
+            ).alias(c)
+            for c in add_cols
+        ],
+    )

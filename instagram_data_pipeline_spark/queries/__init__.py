@@ -109,6 +109,9 @@ REGISTRY_ORDER: tuple[str, ...] = (
     #    containment dedup ------------------------------------------------
     "lm_perplexity_kneser_ney",
     "containment_pairs",
+    "score_calibration",
+    "mv_incremental_refresh",
+    "join_size_preflight",
     # -- (e) second lifetime rows for the r5-green singles ---------------
     "warc_roundtrip",
     "html_extract",
@@ -129,12 +132,13 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "domain_quality_rollup",
     "perplexity_mixture",
     "ngram_novelty",
+    # ------------------- driver window ends at slot 50 --------------------
+    # (ann_recall_report / lsh_quality_report / chunk_dedup /
+    # dataset_card / shard_source_mix / readability_stats r05-green;
+    # second-row slots yielded to the new round-6 registrations)
     "readability_stats",
     "shard_source_mix",
     "dataset_card",
-    # ------------------- driver window ends at slot 50 --------------------
-    # (ann_recall_report / lsh_quality_report / chunk_dedup r05-green;
-    # second-row slots yielded to the new round-6 registrations)
     "chunk_dedup",
     "lsh_quality_report",
     "ann_recall_report",

@@ -110,3 +110,42 @@ def q_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return order_checks.unionByName(ref_checks).withColumnRenamed(
         "constraint", "check_name"
     )
+
+
+# ---------------------------------------------------------------------------
+# Join-size preflight: the exact self-join output size from one key
+# aggregation — run BEFORE the expensive join; the top contributors are
+# the keys to salt/cap (companion to skew_report, which profiles raw
+# row counts rather than join blowup).
+# ---------------------------------------------------------------------------
+_JOIN_PREFLIGHT_ORACLE = """
+WITH c AS (
+  SELECT user_id, COUNT(*) AS n_rows FROM events GROUP BY user_id
+), t AS (
+  SELECT SUM(n_rows * n_rows) AS total FROM c
+)
+SELECT user_id, n_rows, n_rows * n_rows AS pairs,
+       CAST(n_rows * n_rows * 1000000 // total AS BIGINT) AS share_ppm,
+       CAST(total AS BIGINT) AS est_join_rows
+FROM c, t
+ORDER BY pairs DESC, user_id
+LIMIT 10
+"""
+
+
+@register(
+    "join_size_preflight",
+    _JOIN_PREFLIGHT_ORACLE,
+    doc="exact self-join output size (sum of per-key count squares) "
+        "from ONE aggregation, with the top-10 contributing keys and "
+        "their integer share-ppm — the pre-flight that decides salt/"
+        "cap/drop before a mutual-edges-style self-join is allowed to "
+        "run at 100 TB; count-table-sized work, 1-row total broadcast, "
+        "TakeOrderedAndProject",
+    tags=("diagnostics", "join", "skew"),
+)
+def q_join_size_preflight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.diagnostics import join_size_preflight
+
+    events = load_testdata(spark, sf_dir, "events")
+    return join_size_preflight(events, ["user_id"], top_n=10)

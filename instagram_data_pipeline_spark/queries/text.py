@@ -2704,3 +2704,51 @@ def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, id_col="doc_id", text_col="text", n=3, threshold=0.4,
         max_df=100,
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-source score calibration: percentile-normalize the quality score
+# WITHIN each source so thresholds mean the same thing everywhere —
+# the step before a global quality gate that otherwise silently drops
+# whole sources whose absolute score distribution sits lower.
+# ---------------------------------------------------------------------------
+_CALIB_ORACLE = f"""
+WITH scored AS (
+  SELECT doc_id, source,
+         CAST(FLOOR(({_QUALITY_SQL}) * 1000000) AS BIGINT) AS score_ppm
+  FROM documents
+), ranked AS (
+  SELECT doc_id, source, score_ppm,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY score_ppm, doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY source) AS n
+  FROM scored
+)
+SELECT doc_id, source, score_ppm,
+       CAST((rn - 1) * 1000000 // GREATEST(n - 1, 1) AS BIGINT) AS pct_ppm,
+       rn > n - (n * 500000 // 1000000) AS keep
+FROM ranked
+"""
+
+
+@register(
+    "score_calibration",
+    _CALIB_ORACLE,
+    doc="per-source quantile calibration: in-source percentile (integer "
+        "ppm, ties broken on doc_id) + a keep flag selecting the top "
+        "half WITHIN each source — equal keep-rates across sources "
+        "whose absolute quality distributions differ; all-integer rank "
+        "arithmetic, one shuffle on source, windows per partition",
+    tags=("text", "quality", "sampling"),
+)
+def q_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.ranking import per_source_score_calibration
+    from ..functions import text as X
+
+    docs = load_testdata(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", "source",
+        F.floor(X.quality_score(F.col("text")) * 1_000_000)
+        .cast("long").alias("score_ppm"),
+    )
+    return per_source_score_calibration(scored, keep_rate_ppm=500_000)

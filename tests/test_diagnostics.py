@@ -85,3 +85,23 @@ def test_skew_report_uniform_keys_factor_100(spark):
     top = skew_report(df, ["k"], top_n=10).collect()
     assert all(r.skew_factor_x100 == 100 for r in top)
     assert all(r.share_ppm == 100000 for r in top)
+
+
+def test_join_size_preflight_flags_the_hot_key(spark):
+    """sum of squares, exactly: a 100-row key contributes 10000 pairs
+    while 10 ten-row keys contribute 100 each — the preflight must put
+    the hot key first with the right integer share."""
+    from instagram_data_pipeline_spark.operators.diagnostics import (
+        join_size_preflight,
+    )
+
+    rows = [(0,) for _ in range(100)] + [
+        (k,) for k in range(1, 11) for _ in range(10)
+    ]
+    df = spark.createDataFrame(rows, "user_id long")
+    got = join_size_preflight(df, ["user_id"], top_n=3).collect()
+    total = 100 * 100 + 10 * 10 * 10
+    assert got[0].user_id == 0
+    assert got[0].pairs == 10000 and got[0].est_join_rows == total
+    assert got[0].share_ppm == 10000 * 1_000_000 // total
+    assert [r.user_id for r in got[1:]] == [1, 2]  # tie-break on key

@@ -246,3 +246,29 @@ def test_kneser_ney_continuation_beats_raw_frequency(spark):
     ]
     n1b_deal = [k for k in tbl if k[1] == "deal"]
     assert len(n1b_francisco) == 1 and len(n1b_deal) == 4
+
+
+def test_score_calibration_equal_keep_rates_across_sources(spark):
+    """The point of calibration: sources with disjoint absolute score
+    ranges keep the same fraction each; a raw global threshold would
+    have dropped the low-scoring source entirely."""
+    from instagram_data_pipeline_spark.extensions.ranking import (
+        per_source_score_calibration,
+    )
+
+    rows = [(i, "low", 100 + i) for i in range(40)] + [
+        (100 + i, "high", 900_000 + i) for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, score_ppm long")
+    got = per_source_score_calibration(df, keep_rate_ppm=500_000).collect()
+    kept = {"low": 0, "high": 0}
+    for r in got:
+        kept[r.source] += int(r.keep)
+    assert kept == {"low": 20, "high": 5}  # floor(n/2) each, exactly
+    # percentiles span 0..1e6 within each source
+    pcts = sorted(r.pct_ppm for r in got if r.source == "low")
+    assert pcts[0] == 0 and pcts[-1] == 1_000_000
+    # the kept set is the TOP half by score within each source
+    for r in got:
+        if r.source == "low":
+            assert r.keep == (r.score_ppm >= 100 + 20)

@@ -166,3 +166,26 @@ def test_scd2_versions_and_replay_idempotence(spark):
     a = sorted(map(tuple, h1.collect()))
     b = sorted(map(tuple, h2.collect()))
     assert a == b
+
+
+def test_incremental_agg_refresh_matches_recompute_and_retractions(spark):
+    """Merge(old MV, delta partials) == recompute; retractions (negative
+    partials) subtract cleanly; MV-only and delta-only keys both
+    survive the full-outer merge."""
+    from instagram_data_pipeline_spark.operators.writes import (
+        incremental_agg_refresh,
+    )
+
+    old = spark.createDataFrame(
+        [(1, 3, 30), (2, 1, 10)], "k long, n long, s long"
+    )
+    delta = spark.createDataFrame(
+        [(2, 2, 25), (3, 1, 5), (1, -1, -10)], "k long, n long, s long"
+    )
+    got = {
+        r.k: (r.n, r.s)
+        for r in incremental_agg_refresh(
+            old, delta, keys=["k"], add_cols=["n", "s"]
+        ).collect()
+    }
+    assert got == {1: (2, 20), 2: (3, 35), 3: (1, 5)}
