@@ -315,3 +315,49 @@ def char_entropy(col: Column) -> Column:
     for t in terms[1:]:
         total = total + t
     return total
+
+
+# ---------------------------------------------------------------------------
+# Encoding-damage (mojibake) detection + repair.
+#
+# The classic corruption in web corpora: UTF-8 bytes decoded once as
+# cp1252/Latin-1 and re-encoded, so U+2019 (') surfaces as "â€™" and
+# U+00E9 (é) as "Ã©" (the ftfy problem, public knowledge). We carry a
+# FIXED table of the highest-frequency digraph/trigraph signatures;
+# detection counts them with length arithmetic and repair is a chained
+# replace in pinned longest-first order — both pure codegen, exactly
+# mirrored in ANSI SQL, map-only at 100 TB.
+# ---------------------------------------------------------------------------
+# (damaged sequence, intended character), longest first so no entry is
+# a substring of an earlier entry's replacement window.
+MOJIBAKE_TABLE: tuple[tuple[str, str], ...] = (
+    ("â€œ", "“"),  # â€œ -> left double quote
+    ("â€™", "’"),  # â€™ -> right single quote
+    ("Ã©", "é"),        # Ã© -> é
+    ("Ã¨", "è"),        # Ã¨ -> è
+    ("Ã¯", "ï"),        # Ã¯ -> ï
+    ("Â·", "·"),        # Â· -> middle dot
+)
+
+
+def mojibake_hits(col: Column) -> Column:
+    """Total count of known double-encoding signatures in the text.
+    Each pattern's count is ``(len(s) - len(replace(s, p, ''))) / len(p)``
+    — fixed codegen terms, no regex, no explode."""
+    total = F.lit(0).cast("long")
+    for bad, _ in MOJIBAKE_TABLE:
+        cnt = (
+            (F.length(col) - F.length(F.replace(col, F.lit(bad), F.lit(""))))
+            / F.lit(len(bad))
+        ).cast("long")
+        total = total + cnt
+    return total
+
+
+def repair_mojibake(col: Column) -> Column:
+    """Chained replace over MOJIBAKE_TABLE in pinned order (trigraphs
+    before digraphs, so 'â€œ' never half-matches after 'Ã©' fires)."""
+    out = col
+    for bad, good in MOJIBAKE_TABLE:
+        out = F.replace(out, F.lit(bad), F.lit(good))
+    return out

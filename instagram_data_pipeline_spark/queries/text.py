@@ -2752,3 +2752,71 @@ def q_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long").alias("score_ppm"),
     )
     return per_source_score_calibration(scored, keep_rate_ppm=500_000)
+
+
+# ---------------------------------------------------------------------------
+# Encoding-damage (mojibake) detection + repair — the ftfy pass as pure
+# codegen. Damage is PLANTED deterministically (doc_id % 7 == 0 gets a
+# suffix built only from MOJIBAKE_TABLE signatures), detection counts
+# the fixed signature set with length arithmetic, repair is the pinned
+# chained replace. The oracle replays synthesis, counting, and repair
+# literally, so the hash check proves the repair table and its order.
+# ---------------------------------------------------------------------------
+_MOJI_SUFFIX = " naÃ¯ve cafÃ© â€œquoteâ€™ Â· fin"
+
+
+def _moji_oracle() -> str:
+    from ..functions.text import MOJIBAKE_TABLE
+
+    damaged = (
+        "CASE WHEN doc_id % 7 = 0 THEN text || '" + _MOJI_SUFFIX + "' "
+        "ELSE text END"
+    )
+    hits = " + ".join(
+        f"(length(x) - length(replace(x, '{bad}', ''))) // {len(bad)}"
+        for bad, _ in MOJIBAKE_TABLE
+    )
+    repaired = "x"
+    for bad, good in MOJIBAKE_TABLE:
+        repaired = f"replace({repaired}, '{bad}', '{good}')"
+    return f"""
+WITH damaged AS (
+  SELECT doc_id, {damaged} AS x FROM documents
+)
+SELECT doc_id,
+       CAST({hits} AS BIGINT) AS hits,
+       {hits} > 0 AS flagged,
+       md5({repaired}) AS repaired_fp
+FROM damaged
+"""
+
+
+@register(
+    "mojibake_repair",
+    _moji_oracle(),
+    doc="encoding-damage detection + repair (the ftfy pass): counts a "
+        "fixed table of UTF-8-as-cp1252 double-encoding signatures "
+        "(â€™ for ', Ã© for é, ...) with length arithmetic and repairs "
+        "them with a pinned chained replace — map-only codegen fused "
+        "with the scan at 100 TB, zero regex, zero Python; damage is "
+        "planted deterministically so the filter provably bites",
+    tags=("text", "quality"),
+)
+def q_mojibake_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_testdata(spark, sf_dir, "documents")
+    damaged = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.col("text"), F.lit(_MOJI_SUFFIX)),
+        ).otherwise(F.col("text")).alias("x"),
+    )
+    hits = X.mojibake_hits(F.col("x"))
+    return damaged.select(
+        "doc_id",
+        hits.alias("hits"),
+        (hits > 0).alias("flagged"),
+        F.md5(X.repair_mojibake(F.col("x")).cast("binary")).alias(
+            "repaired_fp"
+        ),
+    )

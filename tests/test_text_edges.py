@@ -219,3 +219,29 @@ class TestReadabilityEntropy:
             X.char_entropy,
         )
         assert 3.0 < mid < 5.0
+
+
+class TestMojibake:
+    def test_repair_fixes_known_damage(self, spark):
+        from instagram_data_pipeline_spark.functions.text import (
+            mojibake_hits,
+            repair_mojibake,
+        )
+
+        damaged = "naÃ¯ve cafÃ© â€œquoteâ€™ Â· end"
+        clean = "naïve café “quote’ · end"
+        df = spark.createDataFrame([(damaged,), (clean,), ("plain",)], "t string")
+        rows = df.select(
+            mojibake_hits(F.col("t")).alias("h"),
+            repair_mojibake(F.col("t")).alias("r"),
+        ).collect()
+        assert rows[0].h == 5 and rows[0].r == clean
+        # already-clean text: no hits, repair is identity
+        assert rows[1].h == 0 and rows[1].r == clean
+        assert rows[2].h == 0 and rows[2].r == "plain"
+
+    def test_table_order_trigraphs_first(self):
+        from instagram_data_pipeline_spark.functions.text import MOJIBAKE_TABLE
+
+        lens = [len(bad) for bad, _ in MOJIBAKE_TABLE]
+        assert lens == sorted(lens, reverse=True)
