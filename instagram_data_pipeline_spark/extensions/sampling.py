@@ -528,3 +528,76 @@ def temperature_sample_wor(
             F.col("rank_in_source").cast("int").alias("rank_in_source"),
         )
     )
+
+
+def mixture_with_repeats(
+    df: DataFrame,
+    key_col: str,
+    source_col: str,
+    token_col: str,
+    weights: dict[str, float],
+    budget: int,
+) -> DataFrame:
+    """Data mixture WITH epoch upsampling: where
+    :func:`mixture_by_tokens` caps a source at its availability, this
+    op REPEATS an under-sized source — the public pretraining recipe of
+    running a small high-quality corpus for several epochs while web
+    text gets < 1 (LLaMA/Gopher-style mixing).
+
+    Per source, the token target is ``floor(w_s * budget)``; the source
+    ships ``target // tokens_s`` full epochs plus a fractional epoch
+    holding the stable hash-bucket cut ``bucket(key) <
+    (target % tokens_s) * N_BUCKETS // tokens_s`` of its documents —
+    the same md5 bucketing as :func:`split_bucket`, so the fractional
+    membership is append-stable and identical across engines. Every
+    copy is tagged with its 1-based ``epoch`` so downstream shuffling /
+    shard export can decorrelate repeats.
+
+    All quota arithmetic after the single ``w * budget`` IEEE multiply
+    is 64-bit integer (div/mod/cut), so the plan is engine-exact with
+    no rounding hazards. Plan shape: one tiny per-source aggregate
+    (broadcast back), then a map-only explode of
+    ``sequence(1, n_copies)`` — fan-out is the epoch count, bounded by
+    ``w_s * budget / tokens_s``, and there is NO shuffle of the corpus:
+    at 100 TB the expansion fuses with the scan and feeds the shard
+    exchange directly.
+    """
+    totals = df.groupBy(source_col).agg(F.sum(token_col).alias("_tot"))
+    w = F.lit(0.0)
+    for s, wt in sorted(weights.items()):
+        w = F.when(F.col(source_col) == s, F.lit(float(wt))).otherwise(w)
+    target = F.floor(w * F.lit(float(budget))).cast("long")
+    # 64-bit `div` keeps the quota math exact where double division
+    # would round past 2^53 (a 100 TB corpus is ~1e14 tokens).
+    plan = totals.select(
+        source_col, F.col("_tot"), target.alias("_target")
+    ).select(
+        source_col,
+        F.expr("_target div _tot").alias("_full"),
+        F.pmod(F.col("_target"), F.col("_tot")).alias("_rem"),
+        F.col("_tot"),
+    )
+    cut = F.expr(f"(_rem * {N_BUCKETS}) div _tot")
+    joined = df.join(F.broadcast(plan), source_col).withColumn(
+        "_n_copies",
+        (
+            F.col("_full")
+            + F.when(
+                split_bucket(F.col(key_col)) < cut, F.lit(1)
+            ).otherwise(F.lit(0))
+        ).cast("int"),
+    )
+    return (
+        joined.filter(F.col("_n_copies") >= 1)
+        .select(
+            key_col,
+            source_col,
+            F.col(token_col).alias("n_tok"),
+            F.col("_n_copies").cast("long").alias("n_copies"),
+            F.explode(
+                F.sequence(F.lit(1), F.col("_n_copies"))
+            ).alias("_epoch"),
+        )
+        .withColumn("epoch", F.col("_epoch").cast("long"))
+        .drop("_epoch")
+    )

@@ -2820,3 +2820,69 @@ def q_mojibake_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
             "repaired_fp"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Epoch-repeat mixture: the upsampling half of corpus mixing. Where
+# mixture_sample caps every source at its availability, here src0's
+# target EXCEEDS its token mass, so it ships full epochs plus a
+# hash-cut fractional epoch — the public LLaMA/Gopher recipe of
+# running small high-quality sources >1 epoch. All quota math after
+# one IEEE multiply is 64-bit div/mod, replayed literally in SQL.
+# ---------------------------------------------------------------------------
+_MIX_EPOCHS_ORACLE = """
+WITH totals AS (
+  SELECT source, SUM(n_chars) AS tot FROM documents GROUP BY source
+), quotas AS (
+  SELECT source, tot,
+         CAST(FLOOR((CASE WHEN source = 'src0' THEN 0.5
+                          WHEN source = 'src1' THEN 0.2
+                          ELSE 0.0 END) * 50000.0) AS BIGINT) // tot
+           AS full_epochs,
+         CAST(FLOOR((CASE WHEN source = 'src0' THEN 0.5
+                          WHEN source = 'src1' THEN 0.2
+                          ELSE 0.0 END) * 50000.0) AS BIGINT) % tot
+           AS rem
+  FROM totals
+), copies AS (
+  SELECT d.doc_id, d.source, d.n_chars AS n_tok,
+         q.full_epochs
+         + CASE WHEN CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                     % 10000 < (q.rem * 10000) // q.tot
+                THEN 1 ELSE 0 END AS n_copies
+  FROM documents d JOIN quotas q USING (source)
+)
+SELECT doc_id, source, n_tok,
+       CAST(n_copies AS BIGINT) AS n_copies,
+       CAST(g.e AS BIGINT) AS epoch
+FROM copies
+CROSS JOIN LATERAL (
+  SELECT unnest(generate_series(1, CAST(n_copies AS BIGINT))) AS e
+) g
+"""
+
+
+@register(
+    "mixture_epochs",
+    _MIX_EPOCHS_ORACLE,
+    doc="epoch-repeat data mixture (upsampling): src0's token target "
+        "(0.5 x 50k budget) exceeds its mass, so every src0 doc ships "
+        "floor(target/tokens) full epochs plus a stable md5-bucket-cut "
+        "fractional epoch, each copy tagged with its epoch number; "
+        "quota math is 64-bit div/mod after one IEEE multiply — "
+        "engine-exact; plan is one broadcast source-plan + a map-only "
+        "sequence explode, corpus never shuffles",
+    tags=("sampling", "mixture"),
+)
+def q_mixture_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.sampling import mixture_with_repeats
+
+    docs = load_testdata(spark, sf_dir, "documents")
+    return mixture_with_repeats(
+        docs,
+        key_col="doc_id",
+        source_col="source",
+        token_col="n_chars",
+        weights={"src0": 0.5, "src1": 0.2},
+        budget=50_000,
+    )

@@ -347,3 +347,55 @@ def test_temperature_wor_exhausted_source_documented_shortfall(spark):
     }
     assert by_src["tiny"] == 3  # everything it has, quota was larger
     assert by_src["big"] + 3 < 40  # deficit not redistributed (documented)
+
+
+class TestMixtureWithRepeats:
+    def _df(self, spark):
+        rows = [(i, "small" if i < 4 else "big", 100) for i in range(40)]
+        return spark.createDataFrame(
+            rows, "doc_id long, source string, n_tok long"
+        )
+
+    def test_upsampled_source_ships_full_epochs(self, spark):
+        from instagram_data_pipeline_spark.extensions.sampling import (
+            mixture_with_repeats,
+        )
+
+        df = self._df(spark)
+        # small: 400 tokens, target 0.5*2000=1000 -> 2 full epochs + 200
+        # tokens' worth of a fractional epoch; big: weight 0 -> absent.
+        out = mixture_with_repeats(
+            df, "doc_id", "source", "n_tok", {"small": 0.5}, 2000
+        ).collect()
+        assert {r.source for r in out} == {"small"}
+        by_doc = {}
+        for r in out:
+            by_doc.setdefault(r.doc_id, []).append(r.epoch)
+        for doc, epochs in by_doc.items():
+            # every copy tagged 1..n_copies, no gaps
+            assert sorted(epochs) == list(range(1, len(epochs) + 1))
+            assert len(epochs) >= 2  # everyone ships the full epochs
+        # fractional epoch: 200/400 of the docs get one extra copy
+        extras = sum(1 for e in by_doc.values() if len(e) == 3)
+        assert extras == len([d for d in by_doc if len(by_doc[d]) == 3])
+        total_tokens = sum(100 for r in out)
+        # token mass: 2 epochs * 400 + cut-share of 200 (bucket cut is
+        # exact in expectation, never exceeds one doc's granularity * n)
+        assert 800 <= total_tokens <= 1200
+
+    def test_append_stable_membership(self, spark):
+        from instagram_data_pipeline_spark.extensions.sampling import (
+            mixture_with_repeats,
+        )
+
+        df = self._df(spark)
+        base = mixture_with_repeats(
+            df, "doc_id", "source", "n_tok", {"small": 0.5}, 2000
+        )
+        small_only = df.filter(F.col("source") == "small")
+        again = mixture_with_repeats(
+            small_only, "doc_id", "source", "n_tok", {"small": 0.5}, 2000
+        )
+        a = sorted(map(tuple, base.collect()))
+        b = sorted(map(tuple, again.collect()))
+        assert a == b  # other sources don't perturb the quota or cut
