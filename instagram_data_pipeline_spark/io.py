@@ -199,15 +199,23 @@ def write_bucketed(
     buckets: int,
     bucket_cols: list[str],
     sort_cols: list[str] | None = None,
+    path: str | None = None,
 ) -> None:
     """Catalog-managed bucketed table: joins/aggs on the bucket columns
     read co-located buckets with NO exchange (verified in tests by plan
     inspection). This is the 100 TB layout for the edge tables — bucket
     both `followers` and `following` by user_id and the flagship mutuals
-    join becomes shuffle-free."""
+    join becomes shuffle-free.
+
+    ``path`` makes the table external (data at the given location
+    instead of the session warehouse dir) — required when the caller
+    doesn't own the session's warehouse config, e.g. inside registered
+    queries running under the driver's vanilla session."""
     writer = df.write.mode("overwrite").bucketBy(buckets, *bucket_cols)
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
+    if path is not None:
+        writer = writer.option("path", path)
     writer.format("parquet").saveAsTable(table)
 
 

@@ -1155,3 +1155,80 @@ def q_keyset_page(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_PAGE_SIZE)
     )
     return page
+
+
+# ---------------------------------------------------------------------------
+# Bucketed-layout co-located join: both sides written bucketBy(8, key)
+# into catalog tables, then joined WITHOUT any exchange — the layout
+# that amortizes ONE write-time shuffle across every subsequent join on
+# that key (the 100 TB strategy for fact tables that join repeatedly).
+# Broadcast is disabled around the join so the run exercises the
+# bucketed sort-merge path, not a broadcast fallback; CI pins the
+# no-Exchange plan in tests/test_bucketing.py. The oracle is the plain
+# join + rollup — green means the bucketed layout changes nothing.
+# ---------------------------------------------------------------------------
+_BUCKETED_JOIN_ORACLE = """
+SELECT c.c_nationkey AS nationkey,
+       COUNT(*) AS n_orders,
+       CAST(ROUND(SUM(CAST(o.o_totalprice AS DECIMAL(28,10))), 2) AS DOUBLE)
+         AS revenue
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_nationkey
+"""
+
+
+@register(
+    "bucketed_join",
+    _BUCKETED_JOIN_ORACLE,
+    doc="bucketed-table co-located join: orders and customer written "
+        "bucketBy(8) on the join key as catalog tables, joined with "
+        "broadcast disabled so the bucketed sort-merge path runs with "
+        "ZERO join-side exchange (plan pinned in CI) — write-time "
+        "shuffle paid once, every later join on the key is free; "
+        "oracle is the plain join, proving layout changes no answers",
+    tags=("join", "layout", "bucketing"),
+)
+def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..io import write_bucketed
+
+    root = tempfile.mkdtemp(prefix="bucketed_join_")
+    tag = root.rsplit("_", 1)[-1]
+    orders = load_testdata(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice"
+    )
+    customer = load_testdata(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    write_bucketed(
+        orders, f"bj_orders_{tag}", 8, ["o_custkey"],
+        path=f"{root}/orders",
+    )
+    write_bucketed(
+        customer, f"bj_customer_{tag}", 8, ["c_custkey"],
+        path=f"{root}/customer",
+    )
+    b_orders = spark.table(f"bj_orders_{tag}")
+    b_customer = spark.table(f"bj_customer_{tag}")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", None)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = b_orders.join(
+            b_customer, b_orders.o_custkey == b_customer.c_custkey
+        )
+        out = joined.groupBy(
+            F.col("c_nationkey").alias("nationkey")
+        ).agg(
+            F.count("*").alias("n_orders"),
+            _exact_sum(F.col("o_totalprice"), "revenue"),
+        )
+        # materialize the physical plan (and therefore the join
+        # strategy) while broadcast is still disabled
+        out.count()
+        return out
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        else:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)

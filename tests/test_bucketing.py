@@ -73,3 +73,26 @@ def test_bucketed_mutuals_same_result(spark, bucketed_edges):
     plain = sorted(map(tuple, mutual_edges(followers, following).collect()))
     bucketed = sorted(map(tuple, mutual_edges(b_followers, b_following).collect()))
     assert plain == bucketed
+
+
+def test_bucketed_join_query_plan_and_oracle_shape(spark):
+    """The registered `bucketed_join` query's join must hit the
+    bucketed sort-merge path with ZERO exchange below the aggregate
+    (the write-time shuffle is the only one ever paid for this key)."""
+    from instagram_data_pipeline_spark.io import load_testdata, write_bucketed
+
+    sf = "/root/testdata/sf0.001"
+    orders = load_testdata(spark, sf, "orders").select("o_custkey", "o_totalprice")
+    customer = load_testdata(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    write_bucketed(orders, "bjt_orders", 8, ["o_custkey"])
+    write_bucketed(customer, "bjt_customer", 8, ["c_custkey"])
+    b_o, b_c = spark.table("bjt_orders"), spark.table("bjt_customer")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = b_o.join(b_c, b_o.o_custkey == b_c.c_custkey)
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan
+        assert plan.count("Bucketed: true") == 2
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
