@@ -989,3 +989,65 @@ def _finish_anchor_oracle() -> None:
 
 
 _finish_anchor_oracle()
+
+
+# ---------------------------------------------------------------------------
+# JSONL ingest with corrupt-record quarantine: documents serialized to
+# newline-delimited JSON (the corpus interchange format), lines for
+# doc_id % 13 == 0 truncated mid-record, then read back through the
+# native JSON source in PERMISSIVE mode with an explicit corrupt
+# column. Good lines parse to the typed schema; bad lines quarantine
+# with their raw bytes — nothing fails, nothing vanishes. The oracle
+# computes the same parse outcomes directly from the table: green
+# means the serialize -> corrupt -> permissive-parse loop loses and
+# invents nothing.
+# ---------------------------------------------------------------------------
+_JSONL_ORACLE = """
+SELECT doc_id, lang, n_chars, FALSE AS quarantined
+FROM documents WHERE doc_id % 13 <> 0
+UNION ALL
+SELECT CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+       TRUE AS quarantined
+FROM documents WHERE doc_id % 13 = 0
+"""
+
+
+@register(
+    "jsonl_quarantine",
+    _JSONL_ORACLE,
+    doc="JSONL source with corrupt-record quarantine: native JSON "
+        "DataSource, PERMISSIVE mode, explicit _corrupt_record column "
+        "and a REQUIRED schema (inference = a second full scan, never "
+        "at 100 TB) — truncated lines quarantine with raw bytes "
+        "instead of failing the job or silently dropping; one "
+        "splittable scan, zero Python",
+    tags=("source", "jsonl", "quarantine"),
+)
+def q_jsonl_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from ..sources.jsonl import read_jsonl_quarantine
+
+    docs = load_testdata(spark, sf_dir, "documents")
+    line = F.to_json(F.struct("doc_id", "lang", "n_chars"))
+    lines = docs.select(
+        F.when(
+            F.col("doc_id") % 13 == 0,
+            # cut the closing brace and the last field: mid-record
+            # truncation, the classic partial-flush corruption
+            F.substring(line, 1, 20),
+        ).otherwise(line).alias("value")
+    )
+    out = tempfile.mkdtemp(prefix="jsonl_q_")
+    lines.coalesce(4).write.mode("overwrite").text(out)
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    parsed = read_jsonl_quarantine(spark, out, schema)
+    return parsed.select("doc_id", "lang", "n_chars", "quarantined")

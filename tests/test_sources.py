@@ -296,3 +296,52 @@ def test_connector_crash_resume_end_to_end(spark, tmp_path, tmp_path_factory):
 
     # done cursor -> landing is a no-op forever after
     assert land_resumable(adapter, source, "acct", cursor) == 0
+
+
+class TestJsonlQuarantine:
+    def test_good_bad_split(self, spark, tmp_path):
+        from pyspark.sql import types as T
+
+        from instagram_data_pipeline_spark.sources.jsonl import (
+            quarantine_split,
+            read_jsonl_quarantine,
+        )
+
+        p = tmp_path / "in.jsonl"
+        p.write_text(
+            '{"id": 1, "name": "a"}\n'
+            '{"id": 2, "name": "b"}\n'
+            '{"id": 3, "name": '  # truncated mid-record
+            "\nnot json at all\n"
+            '{"id": 4}\n'  # missing field: valid JSON, null-filled
+        )
+        schema = T.StructType(
+            [
+                T.StructField("id", T.LongType()),
+                T.StructField("name", T.StringType()),
+            ]
+        )
+        df = read_jsonl_quarantine(spark, str(p), schema)
+        good, bad = quarantine_split(df)
+        good_rows = sorted(map(tuple, good.collect()))
+        assert good_rows == [(1, "a"), (2, "b"), (4, None)]
+        bad_rows = sorted(r.raw_line for r in bad.collect())
+        assert bad_rows == ["not json at all", '{"id": 3, "name": ']
+
+    def test_type_mismatch_quarantines_not_corrupts(self, spark, tmp_path):
+        from pyspark.sql import types as T
+
+        from instagram_data_pipeline_spark.sources.jsonl import (
+            read_jsonl_quarantine,
+        )
+
+        p = tmp_path / "in.jsonl"
+        p.write_text('{"id": "not-a-number"}\n{"id": 7}\n')
+        schema = T.StructType([T.StructField("id", T.LongType())])
+        df = read_jsonl_quarantine(spark, str(p), schema)
+        rows = sorted(
+            df.select("id", "quarantined").collect(),
+            key=lambda r: (r.id is None, r.id or 0),
+        )
+        assert (rows[0].id, rows[0].quarantined) == (7, False)
+        assert (rows[1].id, rows[1].quarantined) == (None, True)
