@@ -112,6 +112,12 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "score_calibration",
     "mv_incremental_refresh",
     "join_size_preflight",
+    # -- (d''') round-6 second wave: encoding repair, epoch-repeat
+    #    mixture, bucketed-layout join, JSONL quarantine source --------
+    "mojibake_repair",
+    "mixture_epochs",
+    "bucketed_join",
+    "jsonl_quarantine",
     # -- (e) second lifetime rows for the r5-green singles ---------------
     "warc_roundtrip",
     "html_extract",
@@ -128,14 +134,17 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "training_shards",
     "mutual_edges_salted",
     "robots_exclusion",
+    # ------------------- driver window ends at slot 50 --------------------
+    # (link_graph / domain_quality_rollup / perplexity_mixture /
+    # ngram_novelty r05-green — their second-row slots yielded to the
+    # four new round-6 registrations above, same trade as last round;
+    # ann_recall_report / lsh_quality_report / chunk_dedup /
+    # dataset_card / shard_source_mix / readability_stats likewise
+    # r05-green)
     "link_graph",
     "domain_quality_rollup",
     "perplexity_mixture",
     "ngram_novelty",
-    # ------------------- driver window ends at slot 50 --------------------
-    # (ann_recall_report / lsh_quality_report / chunk_dedup /
-    # dataset_card / shard_source_mix / readability_stats r05-green;
-    # second-row slots yielded to the new round-6 registrations)
     "readability_stats",
     "shard_source_mix",
     "dataset_card",
