@@ -361,3 +361,20 @@ def repair_mojibake(col: Column) -> Column:
     for bad, good in MOJIBAKE_TABLE:
         out = F.replace(out, F.lit(bad), F.lit(good))
     return out
+
+
+def dedup_lines(lines: Column) -> Column:
+    """Within-document repeated-line removal (the Dolma-style
+    paragraph-dedup pass): keep each distinct line's FIRST occurrence,
+    preserving order — boilerplate repeated inside one page (nav
+    blocks, cookie banners pasted per section) collapses to one copy.
+
+    Pure higher-order filter: a line survives iff its position is the
+    array's first occurrence of that content. O(L^2) per document in
+    the line count — map-only codegen, no explode, no shuffle; the
+    corpus-wide cross-doc pass is passage_dedup/dup_spans, this is the
+    in-row complement. SQL mirror:
+    ``list_filter(L, (x, i) -> list_position(L, x) = i)``."""
+    return F.filter(
+        lines, lambda x, i: F.array_position(lines, x) == i + F.lit(1)
+    )

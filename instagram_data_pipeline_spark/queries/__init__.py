@@ -118,6 +118,7 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "mixture_epochs",
     "bucketed_join",
     "jsonl_quarantine",
+    "intradoc_line_dedup",
     # -- (e) second lifetime rows for the r5-green singles ---------------
     "warc_roundtrip",
     "html_extract",

@@ -2886,3 +2886,84 @@ def q_mixture_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
         weights={"src0": 0.5, "src1": 0.2},
         budget=50_000,
     )
+
+
+# ---------------------------------------------------------------------------
+# Within-document repeated-line dedup (Dolma-style paragraph pass):
+# lines are synthesized from the doc's own tokens with PLANTED repeats
+# (even docs reuse content slot i%3, so later lines duplicate earlier
+# ones); the operator keeps each distinct line's first occurrence in
+# order. Complement of the cross-doc passes (passage_dedup/dup_spans):
+# this one is in-row, map-only, no shuffle at any scale.
+# ---------------------------------------------------------------------------
+_INTRADOC_ORACLE = """
+WITH toks AS (
+  SELECT doc_id,
+         string_split(TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(text),
+           '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ') AS t
+  FROM documents
+), lined AS (
+  SELECT doc_id,
+         list_transform(
+           generate_series(0, 5 + CAST(doc_id % 3 AS BIGINT)),
+           i -> array_to_string(list_slice(
+                  t,
+                  (CASE WHEN doc_id % 2 = 0 THEN i % 3 ELSE i END) * 4 + 1,
+                  (CASE WHEN doc_id % 2 = 0 THEN i % 3 ELSE i END) * 4 + 4
+                ), ' ')
+         ) AS lines
+  FROM toks
+), nonempty AS (
+  SELECT doc_id,
+         list_filter(list_transform(lines, x -> COALESCE(x, '')),
+                     x -> x <> '') AS lines
+  FROM lined
+), deduped AS (
+  SELECT doc_id, lines,
+         list_filter(lines, (x, i) -> list_position(lines, x) = i) AS kept
+  FROM nonempty
+)
+SELECT doc_id,
+       CAST(len(lines) AS INT) AS n_lines,
+       CAST(len(kept) AS INT) AS n_kept,
+       md5(array_to_string(kept, chr(10))) AS clean_fp
+FROM deduped
+"""
+
+
+@register(
+    "intradoc_line_dedup",
+    _INTRADOC_ORACLE,
+    doc="within-doc repeated-line removal (Dolma-style paragraph "
+        "dedup): keep each distinct line's first occurrence in order "
+        "via one higher-order filter (line survives iff its index is "
+        "the array's first occurrence of that content) — in-row, "
+        "map-only, zero shuffles at any scale; repeats are planted so "
+        "the op provably bites (even doc_ids reuse content slot i%3)",
+    tags=("text", "dedup"),
+)
+def q_intradoc_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_testdata(spark, sf_dir, "documents")
+    toks = X.tokens(F.col("text"))
+    did = F.col("doc_id")
+
+    def content(i):
+        slot = F.when(did % 2 == 0, F.pmod(i, F.lit(3))).otherwise(i)
+        return F.array_join(F.slice(toks, slot * 4 + 1, 4), " ")
+
+    lines = F.transform(
+        F.sequence(F.lit(0), (F.lit(5) + F.pmod(did, F.lit(3))).cast("int")),
+        content,
+    )
+    # slices past the token array end synthesize empty lines — drop
+    # them before dedup (and COALESCE in the oracle: DuckDB's
+    # array_to_string of an empty list is NULL where Spark's is '')
+    lines = F.filter(lines, lambda x: x != F.lit(""))
+    lined = docs.select("doc_id", lines.alias("lines"))
+    kept = X.dedup_lines(F.col("lines"))
+    return lined.select(
+        "doc_id",
+        F.size("lines").cast("int").alias("n_lines"),
+        F.size(kept).cast("int").alias("n_kept"),
+        F.md5(F.array_join(kept, "\n").cast("binary")).alias("clean_fp"),
+    )

@@ -245,3 +245,17 @@ class TestMojibake:
 
         lens = [len(bad) for bad, _ in MOJIBAKE_TABLE]
         assert lens == sorted(lens, reverse=True)
+
+
+class TestDedupLines:
+    def test_keeps_first_occurrence_in_order(self, spark):
+        from instagram_data_pipeline_spark.functions.text import dedup_lines
+
+        df = spark.createDataFrame(
+            [(["a", "b", "a", "c", "b", "a"],), ([],), (["x"],)],
+            "L array<string>",
+        )
+        rows = df.select(dedup_lines(F.col("L")).alias("K")).collect()
+        assert rows[0].K == ["a", "b", "c"]
+        assert rows[1].K == []
+        assert rows[2].K == ["x"]
