@@ -134,14 +134,14 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "pq_adc_fixed",
     "training_shards",
     "mutual_edges_salted",
-    "robots_exclusion",
     # ------------------- driver window ends at slot 50 --------------------
-    # (link_graph / domain_quality_rollup / perplexity_mixture /
-    # ngram_novelty r05-green — their second-row slots yielded to the
-    # four new round-6 registrations above, same trade as last round;
-    # ann_recall_report / lsh_quality_report / chunk_dedup /
-    # dataset_card / shard_source_mix / readability_stats likewise
-    # r05-green)
+    # (robots_exclusion / link_graph / domain_quality_rollup /
+    # perplexity_mixture / ngram_novelty r05-green — their second-row
+    # slots yielded to the five new round-6 registrations above, same
+    # trade as last round; ann_recall_report / lsh_quality_report /
+    # chunk_dedup / dataset_card / shard_source_mix /
+    # readability_stats likewise r05-green)
+    "robots_exclusion",
     "link_graph",
     "domain_quality_rollup",
     "perplexity_mixture",
