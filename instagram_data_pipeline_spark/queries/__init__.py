@@ -119,6 +119,7 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "bucketed_join",
     "jsonl_quarantine",
     "intradoc_line_dedup",
+    "matryoshka_recall",
     # -- (e) second lifetime rows for the r5-green singles ---------------
     "warc_roundtrip",
     "html_extract",

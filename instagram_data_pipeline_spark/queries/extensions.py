@@ -2122,3 +2122,92 @@ def q_bloom_fp_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).cast("long").alias("fp_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka truncation eval (Kusupati et al. 2022, public): how much
+# of the full-dim exact top-5 does retrieval over the FIRST 16 of 64
+# dimensions recover? The 100 TB motivation is 4x less vector IO and
+# a 4x smaller ANN index when the truncated prefix is good enough —
+# this report is the measurement that justifies (or vetoes) the cut.
+# Cosine renormalizes per-vector, so truncation needs no re-scaling;
+# counts and the recall ppm are integer-exact.
+# ---------------------------------------------------------------------------
+_MATRYOSHKA_DIMS = 16
+
+_MATRYOSHKA_ORACLE = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+t AS (SELECT vec_id, v[1:{_MATRYOSHKA_DIMS}] AS v FROM e),
+fq AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+fc AS (SELECT vec_id, v FROM e WHERE vec_id >= 10),
+tq AS (SELECT vec_id AS query_id, v AS qv FROM t WHERE vec_id < 10),
+tc AS (SELECT vec_id, v FROM t WHERE vec_id >= 10),
+exact AS (
+  SELECT query_id, vec_id FROM (
+    SELECT fq.query_id, fc.vec_id,
+           ROW_NUMBER() OVER (PARTITION BY fq.query_id
+             ORDER BY {_COS.format(a='fq.qv', b='fc.v')} DESC, fc.vec_id)
+             AS rank
+    FROM fq CROSS JOIN fc
+  ) WHERE rank <= 5
+), trunc AS (
+  SELECT query_id, vec_id FROM (
+    SELECT tq.query_id, tc.vec_id,
+           ROW_NUMBER() OVER (PARTITION BY tq.query_id
+             ORDER BY {_COS.format(a='tq.qv', b='tc.v')} DESC, tc.vec_id)
+             AS rank
+    FROM tq CROSS JOIN tc
+  ) WHERE rank <= 5
+), hit AS (
+  SELECT t.query_id, t.vec_id FROM trunc t
+  JOIN exact x ON x.query_id = t.query_id AND x.vec_id = t.vec_id
+)
+SELECT
+  CAST({_MATRYOSHKA_DIMS} AS BIGINT) AS kept_dims,
+  (SELECT COUNT(*) FROM exact) AS n_exact,
+  (SELECT COUNT(*) FROM trunc) AS n_trunc,
+  (SELECT COUNT(*) FROM hit) AS n_hits,
+  CAST(FLOOR((SELECT COUNT(*) FROM hit) * 1000000.0
+       / (SELECT COUNT(*) FROM exact)) AS BIGINT) AS recall_ppm
+"""
+
+
+@register(
+    "matryoshka_recall",
+    _MATRYOSHKA_ORACLE,
+    doc="Matryoshka truncation eval: top-5 retrieval over the first "
+        "16 of 64 embedding dims vs the full-dim exact top-5 — hit "
+        "counts + integer-exact recall ppm in one hash-checked row; "
+        "the measurement behind shipping a 4x-smaller ANN index "
+        "(truncate -> 4x less vector IO) when the prefix holds recall",
+    tags=("similarity", "ann", "diagnostics"),
+)
+def q_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_testdata(spark, sf_dir, "embeddings")
+    trunc = emb.select(
+        "vec_id",
+        F.slice("embedding", 1, _MATRYOSHKA_DIMS).alias("embedding"),
+    )
+
+    def top5(frame):
+        qs = frame.filter(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        corpus = frame.filter(F.col("vec_id") >= 10)
+        return (
+            S.cosine_topk(corpus, qs, k=5)
+            .select("query_id", "vec_id")
+            .localCheckpoint()
+        )
+
+    exact, tr = top5(emb), top5(trunc)
+    hits = tr.join(exact, ["query_id", "vec_id"], "semi")
+    n_exact, n_trunc, n_hits = exact.count(), tr.count(), hits.count()
+    return spark.createDataFrame(
+        [(
+            _MATRYOSHKA_DIMS, n_exact, n_trunc, n_hits,
+            (n_hits * 1000000) // n_exact,
+        )],
+        "kept_dims long, n_exact long, n_trunc long, n_hits long, "
+        "recall_ppm long",
+    )
