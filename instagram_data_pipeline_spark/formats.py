@@ -160,6 +160,7 @@ class TransactionLogFormat:
     def _publish(
         self, wh, table: str, version: int, files: dict,
         schema_json: str | None = None,
+        rows: dict | None = None,
     ) -> None:
         d = self._log_dir(wh, table)
         d.mkdir(parents=True, exist_ok=True)
@@ -168,6 +169,8 @@ class TransactionLogFormat:
         manifest = {"version": version, "files": files}
         if schema_json is not None:
             manifest["schema"] = schema_json
+        if rows is not None:
+            manifest["rows"] = rows
         with open(tmp, "w") as f:
             json.dump(manifest, f)
         try:
@@ -184,10 +187,14 @@ class TransactionLogFormat:
 
     def _write_commit(
         self, wh, table: str, df: DataFrame, keys, num_buckets
-    ) -> dict:
+    ) -> tuple[dict, dict]:
         """Write ``df`` as one immutable commit dir, one subdir per
         bucket (repartitioned so each bucket is a single task -> a
-        single file). Returns {relpath: bucket} for the new files."""
+        single file). Returns ({relpath: bucket}, {relpath: n_rows})
+        for the new files — the row counts come straight from the
+        parquet footers just written (a local metadata read, no second
+        scan), and live in the manifest so COUNT-shaped questions are
+        served from the log without opening a single data file."""
         root = Path(wh.path(table))
         commit = f"data/{uuid.uuid4().hex[:12]}"
         bcol = BUCKET_COL
@@ -198,12 +205,17 @@ class TransactionLogFormat:
             .mode("overwrite")
             .parquet(str(root / commit))
         )
+        import pyarrow.parquet as pq
+
         files: dict[str, int] = {}
+        rows: dict[str, int] = {}
         for bdir in (root / commit).glob(f"{bcol}=*"):
             b = int(bdir.name.split("=", 1)[1])
             for f in bdir.glob("*.parquet"):
-                files[str(f.relative_to(root))] = b
-        return files
+                rel = str(f.relative_to(root))
+                files[rel] = b
+                rows[rel] = pq.ParquetFile(str(f)).metadata.num_rows
+        return files, rows
 
     @staticmethod
     def _check_evolution(old_schema, new_schema) -> None:
@@ -235,12 +247,13 @@ class TransactionLogFormat:
             if snap is None:
                 empty = wh.spark.createDataFrame([], incoming.schema)
                 first = upsert_keep_newest(empty, incoming, keys, order_col)
-                files = self._write_commit(
+                files, rows = self._write_commit(
                     wh, table, first, keys, num_buckets
                 )
                 try:
                     self._publish(
-                        wh, table, 1, files, incoming.schema.json()
+                        wh, table, 1, files, incoming.schema.json(),
+                        rows=rows,
                     )
                     return
                 except CommitConflict:
@@ -276,7 +289,7 @@ class TransactionLogFormat:
             else:
                 existing = wh.spark.createDataFrame([], incoming.schema)
             merged = upsert_keep_newest(existing, incoming, keys, order_col)
-            new_files = self._write_commit(
+            new_files, new_rows = self._write_commit(
                 wh, table, merged, keys, num_buckets
             )
             # optimistic publish: rebase over disjoint winners, redo
@@ -288,10 +301,15 @@ class TransactionLogFormat:
                     for f, b in base["files"].items()
                     if b not in touched
                 }
+                base_rows = base.get("rows", {})
+                carried_rows = {
+                    f: base_rows[f] for f in carried if f in base_rows
+                }
                 try:
                     self._publish(
                         wh, table, base["version"] + 1,
                         {**carried, **new_files}, incoming.schema.json(),
+                        rows={**carried_rows, **new_rows},
                     )
                     return
                 except CommitConflict:
@@ -455,6 +473,41 @@ class TransactionLogFormat:
         # (its fresh files survive this vacuum and a later one reclaims
         # them once aged out)
         return expired, self.vacuum(wh, table, grace_seconds=grace_seconds)
+
+    def count_rows(
+        self, wh, table: str, version: int | None = None
+    ) -> int:
+        """COUNT(*) served from the transaction log: sums the per-file
+        row counts the manifest recorded at write time (parquet footer
+        numbers — exact, not estimates). No data file is opened, no
+        Spark job runs: O(manifest) regardless of table size, the same
+        metadata-only count Delta/Iceberg serve. Files committed by a
+        pre-stats manifest (no "rows" entry) fall back to reading just
+        their parquet FOOTERS — still metadata, still no scan."""
+        if version is None:
+            snap = self._latest(wh, table)
+            if snap is None:
+                raise FileNotFoundError(f"no committed version for {table}")
+        else:
+            with open(
+                self._log_dir(wh, table) / f"{version:08d}.json"
+            ) as f:
+                snap = json.load(f)
+        rows = snap.get("rows", {})
+        total = 0
+        missing = []
+        for f in snap["files"]:
+            if f in rows:
+                total += int(rows[f])
+            else:
+                missing.append(f)
+        if missing:
+            import pyarrow.parquet as pq
+
+            root = Path(wh.path(table))
+            for f in missing:
+                total += pq.ParquetFile(str(root / f)).metadata.num_rows
+        return total
 
     def read_version(self, wh, table: str, version: int) -> DataFrame:
         """Time travel: read the table exactly as of ``version``, under

@@ -120,6 +120,7 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "jsonl_quarantine",
     "intradoc_line_dedup",
     "matryoshka_recall",
+    "txlog_count_pushdown",
     # -- (e) second lifetime rows for the r5-green singles ---------------
     "warc_roundtrip",
     "html_extract",
@@ -133,15 +134,16 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "wordpiece_encode_tokens",
     "pq_topk",
     "pq_adc_fixed",
+    # ------------------- driver window ends at slot 50 --------------------
+    # (training_shards / mutual_edges_salted / robots_exclusion /
+    # link_graph / domain_quality_rollup / perplexity_mixture /
+    # ngram_novelty are all r05-green — their second-row slots yielded
+    # to the seven new round-6 registrations above, same trade as last
+    # round; ann_recall_report / lsh_quality_report / chunk_dedup /
+    # dataset_card / shard_source_mix / readability_stats likewise
+    # r05-green)
     "training_shards",
     "mutual_edges_salted",
-    # ------------------- driver window ends at slot 50 --------------------
-    # (robots_exclusion / link_graph / domain_quality_rollup /
-    # perplexity_mixture / ngram_novelty r05-green — their second-row
-    # slots yielded to the five new round-6 registrations above, same
-    # trade as last round; ann_recall_report / lsh_quality_report /
-    # chunk_dedup / dataset_card / shard_source_mix /
-    # readability_stats likewise r05-green)
     "robots_exclusion",
     "link_graph",
     "domain_quality_rollup",

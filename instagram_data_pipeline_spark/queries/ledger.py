@@ -693,3 +693,68 @@ def q_mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_orders").cast("long").alias("n_orders"),
         F.round(F.col("rev"), 2).cast("double").alias("revenue"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Metadata-only COUNT off the transaction log: two keep-newest merges,
+# then both versions' row counts served FROM THE MANIFEST (parquet
+# footer numbers recorded at write time — no data file opened, no scan,
+# O(manifest) at any table size: the Delta/Iceberg stats story). The
+# oracle computes the same two counts semantically from orders; green
+# means write-time stats + rebase carry-forward report exactly the
+# truth a full scan would.
+# ---------------------------------------------------------------------------
+_TXLOG_COUNT_ORACLE = f"""
+SELECT
+  (SELECT COUNT(DISTINCT o_custkey) FROM orders
+   WHERE o_orderdate < TIMESTAMP '{_TXLOG_CUT}') AS v1_rows,
+  (SELECT COUNT(DISTINCT o_custkey) FROM orders) AS v2_rows
+"""
+
+
+@register(
+    "txlog_count_pushdown",
+    _TXLOG_COUNT_ORACLE,
+    doc="metadata-only COUNT from the transaction log: per-file row "
+        "counts recorded in the manifest at write time (parquet footer "
+        "numbers, exact) answer COUNT(*) for the current AND any "
+        "time-travel version without opening one data file — O(log) "
+        "regardless of table size; oracle recomputes both counts "
+        "semantically, proving stats == truth across a keep-newest "
+        "merge with carried files",
+    tags=("writes", "format", "stats"),
+)
+def q_txlog_count_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..formats import TransactionLogFormat
+    from ..io import Warehouse
+
+    orders = load_testdata(spark, sf_dir, "orders")
+
+    def batch(pred):
+        return (
+            orders.filter(pred)
+            .groupBy(F.col("o_custkey").alias("k"))
+            .agg(
+                F.max("o_totalprice").alias("v"),
+                F.max("o_orderdate").alias("ts"),
+            )
+        )
+
+    cut = F.lit(_TXLOG_CUT).cast("timestamp")
+    fmt = TransactionLogFormat()
+    wh = Warehouse(spark, tempfile.mkdtemp(prefix="txlog_count_"), fmt=fmt)
+    wh.upsert_partitioned(
+        "facts", batch(F.col("o_orderdate") < cut), ["k"], "ts",
+        num_buckets=8,
+    )
+    wh.upsert_partitioned(
+        "facts", batch(F.col("o_orderdate") >= cut), ["k"], "ts",
+        num_buckets=8,
+    )
+    v1 = fmt.count_rows(wh, "facts", version=1)
+    v2 = fmt.count_rows(wh, "facts")
+    return spark.createDataFrame(
+        [(v1, v2)], "v1_rows long, v2_rows long"
+    )

@@ -280,11 +280,15 @@ def test_txlog_crash_before_commit_is_invisible(spark, tmp_path):
         def __init__(self):
             self.armed = False
 
-        def _publish(self, wh, table, version, files, schema_json=None):
+        def _publish(
+            self, wh, table, version, files, schema_json=None, rows=None
+        ):
             if self.armed:
                 self.armed = False
                 raise OSError("simulated crash before manifest publish")
-            super()._publish(wh, table, version, files, schema_json)
+            super()._publish(
+                wh, table, version, files, schema_json, rows=rows
+            )
 
     fmt = DyingPublish()
     wh = Warehouse(spark, str(tmp_path / "wh"), fmt=fmt)
@@ -374,7 +378,9 @@ class _RacingPublish:
         self.competitor = None
         self.publishes = 0
 
-    def _publish(self, wh, table, version, files, schema_json=None):
+    def _publish(
+        self, wh, table, version, files, schema_json=None, rows=None
+    ):
         self.publishes += 1
         if self.competitor is not None:
             c, self.competitor = self.competitor, None
@@ -384,7 +390,7 @@ class _RacingPublish:
         )
 
         TransactionLogFormat._publish(
-            self, wh, table, version, files, schema_json
+            self, wh, table, version, files, schema_json, rows=rows
         )
 
 
@@ -642,3 +648,39 @@ def test_txlog_read_for_keys_prunes_buckets(spark, tmp_path):
         .collect()
     )
     assert {r.k: r.v for r in expect} == rows
+
+
+def test_txlog_count_rows_metadata_only(spark, tmp_path):
+    """COUNT served from the manifest's footer stats: equals the data
+    count after merges, per-version counts match time travel, and a
+    pre-stats manifest (no "rows" key) falls back to reading footers."""
+    import datetime as dt
+    import json as _json
+
+    from instagram_data_pipeline_spark.formats import TransactionLogFormat
+    from instagram_data_pipeline_spark.io import Warehouse
+
+    fmt = TransactionLogFormat()
+    wh = Warehouse(spark, str(tmp_path / "wh"), fmt=fmt)
+    t0, t1 = dt.datetime(2024, 1, 1), dt.datetime(2024, 2, 1)
+    base = spark.createDataFrame(
+        [(i, "old", t0) for i in range(50)], "k long, v string, ts timestamp"
+    )
+    wh.upsert_partitioned("facts", base, ["k"], "ts", num_buckets=4)
+    assert fmt.count_rows(wh, "facts") == 50
+    # merge: 10 updates + 5 inserts -> 55 distinct keys
+    incoming = spark.createDataFrame(
+        [(i, "new", t1) for i in range(40, 55)],
+        "k long, v string, ts timestamp",
+    )
+    wh.upsert_partitioned("facts", incoming, ["k"], "ts", num_buckets=4)
+    assert fmt.count_rows(wh, "facts") == 55
+    assert fmt.count_rows(wh, "facts") == fmt.read_merged(wh, "facts").count()
+    # time travel count pins to the version
+    assert fmt.count_rows(wh, "facts", version=1) == 50
+    # pre-stats manifest: strip "rows" -> footer fallback, same answer
+    log = tmp_path / "wh" / "facts" / "_txlog" / "00000002.json"
+    m = _json.loads(log.read_text())
+    del m["rows"]
+    log.write_text(_json.dumps(m))
+    assert fmt.count_rows(wh, "facts") == 55
