@@ -47,6 +47,8 @@ BENCH_QUERIES = [
 EXTRA_QUERIES = [
     "mutual_edges_salted",  # skew-safe J1 twin (same inputs as flagship)
     "curation_pipeline",    # the composed 6-stage curation showcase
+    "bucketed_join",        # bucketBy layout: write-once, join shuffle-free
+    "mixture_epochs",       # epoch-repeat mixture (sequence-explode fan-out)
 ]
 
 # SURVEY §7 risk 5: celebrity fan-out. One synthetic hot key owning
