@@ -96,3 +96,44 @@ def test_bucketed_join_query_plan_and_oracle_shape(spark):
         assert plan.count("Bucketed: true") == 2
     finally:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_sorted_bucketed_join_needs_no_sort_at_all(spark):
+    """The FULL bucketed-layout story: write each side ONCE as
+    bucketBy(k).sortBy(k) with one file per bucket, and a sort-merge
+    join on the key needs neither an Exchange NOR a Sort — the
+    write-time layout pays for both forever after. Requires one file
+    per bucket (a multi-file bucket's concatenated read order isn't
+    sorted) plus the sorted-scan conf, which Spark gates because of
+    exactly that multi-file hazard."""
+    from instagram_data_pipeline_spark.io import load_testdata, write_bucketed
+
+    sf = "/root/testdata/sf0.001"
+    o = load_testdata(spark, sf, "orders").select(
+        "o_custkey", "o_totalprice"
+    ).repartition(1)
+    c = load_testdata(spark, sf, "customer").select(
+        "c_custkey", "c_nationkey"
+    ).repartition(1)
+    write_bucketed(o, "sorted_o", 4, ["o_custkey"], sort_cols=["o_custkey"])
+    write_bucketed(c, "sorted_c", 4, ["c_custkey"], sort_cols=["c_custkey"])
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set(
+        "spark.sql.legacy.bucketedTableScan.outputOrdering", "true"
+    )
+    try:
+        bo, bc = spark.table("sorted_o"), spark.table("sorted_c")
+        j = bo.join(bc, bo.o_custkey == bc.c_custkey)
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan
+        assert "Sort [" not in plan  # scan order satisfies the SMJ
+        # and the sort-free plan returns the same rows as a plain join
+        got = j.count()
+        expected = o.join(c, o.o_custkey == c.c_custkey).count()
+        assert got == expected > 0
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.unset(
+            "spark.sql.legacy.bucketedTableScan.outputOrdering"
+        )
