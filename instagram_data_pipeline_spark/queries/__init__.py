@@ -121,6 +121,7 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "intradoc_line_dedup",
     "matryoshka_recall",
     "txlog_count_pushdown",
+    "csv_quarantine",
     # -- (e) second lifetime rows for the r5-green singles ---------------
     "warc_roundtrip",
     "html_extract",
@@ -129,19 +130,21 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "label_propagation",
     "incremental_components",
     "classifier_score_fixed",
-    "bin_packing",
     "contrastive_triplets",
     "wordpiece_encode_tokens",
     "pq_topk",
     "pq_adc_fixed",
     # ------------------- driver window ends at slot 50 --------------------
-    # (training_shards / mutual_edges_salted / robots_exclusion /
-    # link_graph / domain_quality_rollup / perplexity_mixture /
-    # ngram_novelty are all r05-green — their second-row slots yielded
-    # to the seven new round-6 registrations above, same trade as last
-    # round; ann_recall_report / lsh_quality_report / chunk_dedup /
-    # dataset_card / shard_source_mix / readability_stats likewise
-    # r05-green)
+    # (bin_packing / training_shards / mutual_edges_salted /
+    # robots_exclusion / link_graph / domain_quality_rollup /
+    # perplexity_mixture / ngram_novelty are all r05-green — their
+    # second-row slots yielded to the eight new round-6 registrations
+    # above, same trade as last round; ann_recall_report /
+    # lsh_quality_report / chunk_dedup / dataset_card /
+    # shard_source_mix / readability_stats likewise r05-green; the
+    # rows-only pq_topk stays seated NEXT TO its hash-checked twin
+    # pq_adc_fixed per the standing adjacency policy)
+    "bin_packing",
     "training_shards",
     "mutual_edges_salted",
     "robots_exclusion",

@@ -1051,3 +1051,64 @@ def q_jsonl_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     parsed = read_jsonl_quarantine(spark, out, schema)
     return parsed.select("doc_id", "lang", "n_chars", "quarantined")
+
+
+# ---------------------------------------------------------------------------
+# CSV ingest with malformed-row quarantine — the delimited twin of
+# jsonl_quarantine (wrong-column-count / unparseable rows quarantine
+# with raw bytes; typed rows parse under the REQUIRED schema). Note
+# Spark CSV PERMISSIVE *partially fills* the fields it could parse on
+# a malformed row; the planted damage here is a single junk token so
+# quarantined rows are uniformly null and the oracle stays literal.
+# ---------------------------------------------------------------------------
+_CSV_ORACLE = """
+SELECT doc_id, lang, n_chars, FALSE AS quarantined
+FROM documents WHERE doc_id % 11 <> 0
+UNION ALL
+SELECT CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+       TRUE AS quarantined
+FROM documents WHERE doc_id % 11 = 0
+"""
+
+
+@register(
+    "csv_quarantine",
+    _CSV_ORACLE,
+    doc="CSV source with malformed-row quarantine: native CSV "
+        "DataSource, PERMISSIVE + explicit _corrupt_record + REQUIRED "
+        "schema — junk lines quarantine with raw bytes instead of "
+        "failing the job or silently dropping; one splittable scan, "
+        "zero Python (the delimited twin of jsonl_quarantine)",
+    tags=("source", "csv", "quarantine"),
+)
+def q_csv_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from ..sources.csvq import read_csv_quarantine
+
+    docs = load_testdata(spark, sf_dir, "documents")
+    line = F.concat_ws(
+        ",",
+        F.col("doc_id").cast("string"),
+        F.col("lang"),
+        F.col("n_chars").cast("string"),
+    )
+    lines = docs.select(
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.concat(F.lit("xx"), F.col("doc_id").cast("string")),
+        ).otherwise(line).alias("value")
+    )
+    out = tempfile.mkdtemp(prefix="csv_q_")
+    lines.coalesce(4).write.mode("overwrite").text(out)
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    parsed = read_csv_quarantine(spark, out, schema)
+    return parsed.select("doc_id", "lang", "n_chars", "quarantined")

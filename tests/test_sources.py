@@ -345,3 +345,36 @@ class TestJsonlQuarantine:
         )
         assert (rows[0].id, rows[0].quarantined) == (7, False)
         assert (rows[1].id, rows[1].quarantined) == (None, True)
+
+
+class TestCsvQuarantine:
+    def test_partial_fill_and_quarantine(self, spark, tmp_path):
+        from pyspark.sql import types as T
+
+        from instagram_data_pipeline_spark.sources.csvq import (
+            read_csv_quarantine,
+        )
+
+        p = tmp_path / "in.csv"
+        p.write_text(
+            "1,en,157\n"
+            "2,de\n"          # short row: parsed prefix kept, corrupt set
+            "garbage\n"       # junk: all-null, corrupt set
+            "4,xx,notanint\n"  # type failure: corrupt set
+        )
+        schema = T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("lang", T.StringType()),
+                T.StructField("n_chars", T.LongType()),
+            ]
+        )
+        rows = sorted(
+            map(tuple, read_csv_quarantine(spark, str(p), schema).collect()),
+            key=lambda t: (t[0] is None, t[0] or 0),
+        )
+        assert rows[0] == (1, "en", 157, None, False)
+        # PERMISSIVE keeps the parseable prefix of malformed rows
+        assert rows[1] == (2, "de", None, "2,de", True)
+        assert rows[2] == (4, "xx", None, "4,xx,notanint", True)
+        assert rows[3] == (None, None, None, "garbage", True)
