@@ -2967,3 +2967,85 @@ def q_intradoc_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(kept).cast("int").alias("n_kept"),
         F.md5(F.array_join(kept, "\n").cast("binary")).alias("clean_fp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher quality rules (Rae et al. 2021 §A1.1, public): the second
+# named-recipe document filter next to the C4 line rules — word-count
+# window, mean-word-length window, alphabetic-word share, stopword
+# presence, duplicate-bigram cap. Every rule is INTEGER arithmetic
+# (cross-multiplied thresholds — 3n <= sumlen <= 10n instead of a
+# float mean), so the audit row is engine-exact with no rounding
+# hazard; one scan, zero shuffles, all rules fold into per-row exprs.
+# ---------------------------------------------------------------------------
+_GOPHER_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, string_split({_NORM}, ' ') AS ws FROM documents
+), feats AS (
+  SELECT doc_id,
+         len(ws) AS n_words,
+         list_sum(list_transform(ws, w -> len(w))) AS sum_len,
+         len(list_filter(ws, w -> regexp_matches(w, '[a-z]')))
+           AS n_alpha,
+         len(list_filter(ws, w -> w IN {_EN_STOP_SQL})) AS n_stop,
+         CASE WHEN len(ws) >= 2 THEN len(list_distinct(list_transform(
+           generate_series(1, len(ws) - 1), i -> ws[i] || ' ' || ws[i + 1]
+         ))) ELSE 0 END AS d_g2,
+         CASE WHEN len(ws) >= 2 THEN len(ws) - 1 ELSE 0 END AS n_g2
+  FROM toks
+)
+SELECT doc_id,
+       CAST(n_words AS BIGINT) AS n_words,
+       n_words BETWEEN 20 AND 10000 AS r_words,
+       3 * n_words <= sum_len AND sum_len <= 10 * n_words AS r_meanlen,
+       5 * n_alpha >= 4 * n_words AS r_alpha,
+       n_stop >= 2 AS r_stop,
+       n_g2 = 0 OR 5 * d_g2 >= 4 * n_g2 AS r_dup2,
+       (n_words BETWEEN 20 AND 10000)
+         AND 3 * n_words <= sum_len AND sum_len <= 10 * n_words
+         AND 5 * n_alpha >= 4 * n_words
+         AND n_stop >= 2
+         AND (n_g2 = 0 OR 5 * d_g2 >= 4 * n_g2) AS keep
+FROM feats
+"""
+
+
+@register(
+    "gopher_quality_filter",
+    _GOPHER_ORACLE,
+    doc="Gopher quality rules (public MassiveText recipe) as one "
+        "map-only audit pass: word-count window, mean-word-length "
+        "window via cross-multiplied integers (3n <= sumlen <= 10n), "
+        "alphabetic-word share >= 0.8, >= 2 stopwords, duplicate-"
+        "bigram fraction <= 0.2 — every threshold integer-exact, "
+        "per-rule booleans + the composed keep; zero shuffles, fused "
+        "with the scan at 100 TB",
+    tags=("text", "quality"),
+)
+def q_gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_testdata(spark, sf_dir, "documents")
+    toks = X.tokens(F.col("text"))
+    n = F.size(toks)
+    sum_len = F.aggregate(
+        toks, F.lit(0), lambda acc, w: acc + F.length(w)
+    )
+    n_alpha = F.size(F.filter(toks, lambda w: w.rlike("[a-z]")))
+    n_stop = F.size(F.filter(toks, lambda w: w.isin(*X.EN_STOPWORDS)))
+    g2 = X.word_ngrams_text(F.col("text"), 2)
+    d_g2 = F.size(F.array_distinct(g2))
+    n_g2 = F.size(g2)
+    r_words = (n >= 20) & (n <= 10000)
+    r_meanlen = (3 * n <= sum_len) & (sum_len <= 10 * n)
+    r_alpha = 5 * n_alpha >= 4 * n
+    r_stop = n_stop >= 2
+    r_dup2 = (n_g2 == 0) | (5 * d_g2 >= 4 * n_g2)
+    return docs.select(
+        "doc_id",
+        n.cast("long").alias("n_words"),
+        r_words.alias("r_words"),
+        r_meanlen.alias("r_meanlen"),
+        r_alpha.alias("r_alpha"),
+        r_stop.alias("r_stop"),
+        r_dup2.alias("r_dup2"),
+        (r_words & r_meanlen & r_alpha & r_stop & r_dup2).alias("keep"),
+    )
