@@ -54,96 +54,47 @@ def register(
 # — all of them stay oracle-checked every CI run by
 # tests/test_queries_oracle.py regardless.
 REGISTRY_ORDER: tuple[str, ...] = (
-    # ================= round-6 driver window (50 slots) ==================
-    # Standing policy unchanged (see above). This round (VERDICT r5
-    # "Next round" #1/#3/#5/#6/#7):
-    # (a) slots 1-21 promote the round-6 queue exactly as planned last
-    #     round — the 19 new-r5 queries that have never received a
-    #     driver row, plus dup_spans and event_transitions.
-    #     temperature_sample_wor ALSO changed this round (largest-
-    #     remainder quotas, ADVICE r5 #4) so its in-window seat doubles
-    #     as the changed-implementation re-verify.
-    # (b) pca_project_fixed re-verifies after the r5 red row: output
-    #     reshaped from ARRAY<DOUBLE> to scalar p0..p3 (the driver
-    #     canonicalizer cannot sort list columns); CI now bans nested
-    #     types in oracle-paired output schemas (tests/test_queries_
-    #     oracle.py::test_nested_output_guard_catches_array_column).
-    # (c) NEW pca_eig2_fixed gives the rows-only trainer its hard row
-    #     (distributed Gram -> closed-form 2x2 eigenvalues, the
-    #     pq_adc_fixed pattern) — seated adjacent to pca_components.
-    # (d) NEW txlog_retention_lookup driver-checks expire_versions +
-    #     read_for_keys (r5's pytest-only table-format features).
-    # (e) second lifetime rows for the r5-green singles (VERDICT Next
-    #     #5) fill the remaining slots.
-    # -- (a) slots 1-21: the round-6 promote queue -----------------------
-    "tokenizer_fertility",
-    "blocklist_filter",
-    "crawl_frontier",
-    "stream_event_transitions",
-    "curation_pipeline",
-    "classifier_quality_report",
-    "anchor_text_index",
-    "ann_filtered_topk",
-    "temperature_sample_wor",
-    "langid_confusion",
-    "lm_perplexity_interpolated",
-    "community_stats",
-    "cross_source_contamination",
-    "event_rate_spikes",
-    "dedup_cluster_histogram",
-    "lsh_band_stats",
-    "bloom_fp_report",
-    "keyset_page",
-    "scd2_as_of",
-    "dup_spans",
-    "event_transitions",
-    # -- (b)/(c) PCA family: re-verify + rows-only + NEW hard twin -------
-    "pca_project_fixed",
-    "pca_components",
-    "pca_eig2_fixed",
-    # -- (d) NEW: retention + point-lookup pruning, driver-checked -------
-    "txlog_retention_lookup",
-    # -- (d') NEW: batch twin of the streaming QualityMonitorSink --------
+    # ================= round-7 driver window (50 slots) ==================
+    # Standing policy unchanged (see above). This round (VERDICT r6
+    # "Next round" #1/#2, ADVICE r6):
+    # (a) slot 1: gopher_quality_filter — registered in the final r6
+    #     commit but never seated (the one red pytest, VERDICT r6
+    #     What's-wrong #1); earns its first driver row here.
+    # (b) slots 2-5: changed-implementation re-verifies (ADVICE r6):
+    #     join_size_preflight (share_ppm cross-multiply now DECIMAL(38,0)),
+    #     score_calibration (pct_ppm/n_keep now engine-exact integer div),
+    #     monitor_drift_report (empty batch -> dead_upstream flag, not
+    #     fake maximal drift), bucketed_join (bj_* catalog tables and
+    #     tempdir now dropped in the finally block).
+    # (c) slots 6-18: second lifetime rows for the remaining round-6
+    #     first-row singles; pca_components (rows-only trainer tier)
+    #     stays seated NEXT TO its hash-checked twin pca_eig2_fixed.
+    # (d) slots 19-32: second lifetime rows for the 14 r5-green singles
+    #     that yielded their slots in round 6 (VERDICT r6 Missing #2).
+    # (e) remaining slots: new round-7 registrations are inserted here
+    #     as they land (zone-map range scan, byte-level BPE, watermark
+    #     late-data accounting, ...), displacing the filler third-row
+    #     entries below; pq_topk (rows-only) keeps its seat next to its
+    #     hash-checked twin pq_adc_fixed per the adjacency policy.
+    "gopher_quality_filter",
+    "join_size_preflight",
+    "score_calibration",
     "monitor_drift_report",
-    # -- (d'') NEW round-6 operators: KN discounting LM + asymmetric
-    #    containment dedup ------------------------------------------------
+    "bucketed_join",
     "lm_perplexity_kneser_ney",
     "containment_pairs",
-    "score_calibration",
     "mv_incremental_refresh",
-    "join_size_preflight",
-    # -- (d''') round-6 second wave: encoding repair, epoch-repeat
-    #    mixture, bucketed-layout join, JSONL quarantine source --------
     "mojibake_repair",
     "mixture_epochs",
-    "bucketed_join",
     "jsonl_quarantine",
+    "csv_quarantine",
     "intradoc_line_dedup",
     "matryoshka_recall",
     "txlog_count_pushdown",
-    "csv_quarantine",
-    # -- (e) second lifetime rows for the r5-green singles ---------------
-    "warc_roundtrip",
-    "html_extract",
-    "web_pipeline",
-    "rate_limit_admission",
-    "label_propagation",
-    "incremental_components",
-    "classifier_score_fixed",
-    "contrastive_triplets",
-    "wordpiece_encode_tokens",
-    "pq_topk",
-    "pq_adc_fixed",
-    # ------------------- driver window ends at slot 50 --------------------
-    # (bin_packing / training_shards / mutual_edges_salted /
-    # robots_exclusion / link_graph / domain_quality_rollup /
-    # perplexity_mixture / ngram_novelty are all r05-green — their
-    # second-row slots yielded to the eight new round-6 registrations
-    # above, same trade as last round; ann_recall_report /
-    # lsh_quality_report / chunk_dedup / dataset_card /
-    # shard_source_mix / readability_stats likewise r05-green; the
-    # rows-only pq_topk stays seated NEXT TO its hash-checked twin
-    # pq_adc_fixed per the standing adjacency policy)
+    "txlog_retention_lookup",
+    "pca_eig2_fixed",
+    "pca_components",
+    # -- (d) second rows for the 14 r5-green singles ---------------------
     "bin_packing",
     "training_shards",
     "mutual_edges_salted",
@@ -158,11 +109,45 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "chunk_dedup",
     "lsh_quality_report",
     "ann_recall_report",
+    # -- (e) fillers: displaced as new r7 queries register ---------------
+    "pq_topk",
+    "pq_adc_fixed",
+    "warc_roundtrip",
+    "html_extract",
+    "web_pipeline",
+    "rate_limit_admission",
+    "label_propagation",
+    "incremental_components",
+    "classifier_score_fixed",
+    "contrastive_triplets",
+    "wordpiece_encode_tokens",
+    "tokenizer_fertility",
+    "curation_pipeline",
+    "ann_filtered_topk",
+    "lm_perplexity_interpolated",
+    "keyset_page",
+    "scd2_as_of",
+    "dup_spans",
+    # ------------------- driver window ends at slot 50 --------------------
     # Demoted past the window: every name below is >=1-round driver-green
-    # (most 2-3 rounds) and stays DuckDB-oracle-checked every CI run by
-    # tests/test_queries_oracle.py. Relative order preserved from the
-    # round-5 file; rows-only allowlist entries are covered by
-    # POST_WINDOW_ROWS_ONLY_OK in tests/test_registry.py.
+    # and stays DuckDB-oracle-checked every CI run by
+    # tests/test_queries_oracle.py (rows-only allowlist entries covered by
+    # POST_WINDOW_ROWS_ONLY_OK in tests/test_registry.py).
+    "blocklist_filter",
+    "crawl_frontier",
+    "stream_event_transitions",
+    "classifier_quality_report",
+    "anchor_text_index",
+    "temperature_sample_wor",
+    "langid_confusion",
+    "community_stats",
+    "cross_source_contamination",
+    "event_rate_spikes",
+    "dedup_cluster_histogram",
+    "lsh_band_stats",
+    "bloom_fp_report",
+    "event_transitions",
+    "pca_project_fixed",
     "classifier_weights",
     "dedup_funnel_report",
     "skew_report",

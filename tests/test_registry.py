@@ -10,28 +10,25 @@ from instagram_data_pipeline_spark.queries import (
     load_all,
 )
 
-# queries that MUST occupy the round-6 driver window: the round-6
-# promote queue (VERDICT r5 Next #3 — the 19 new-r5 queries with no
-# lifetime driver row + dup_spans + event_transitions), the
-# changed-implementation re-verifies, and this round's new registrations
+# queries that MUST occupy the round-7 driver window: the r6 red-test
+# fix (gopher_quality_filter, never seated), the changed-implementation
+# re-verifies (ADVICE r6), and second lifetime rows for the round-6
+# first-row singles (VERDICT r6 "What's missing" #2)
 PRIORITY = {
-    # the round-6 promote queue (VERDICT r5 "What's missing" #1)
-    "tokenizer_fertility", "blocklist_filter", "crawl_frontier",
-    "stream_event_transitions", "curation_pipeline",
-    "classifier_quality_report", "anchor_text_index", "ann_filtered_topk",
-    "temperature_sample_wor", "langid_confusion",
-    "lm_perplexity_interpolated", "community_stats",
-    "cross_source_contamination", "event_rate_spikes",
-    "dedup_cluster_histogram", "lsh_band_stats", "bloom_fp_report",
-    "keyset_page", "scd2_as_of", "dup_spans", "event_transitions",
-    # implementation/output changed in round 6 — re-verify in-window
-    # (pca_project_fixed: ARRAY -> scalar p0..p3, VERDICT r5 Next #1;
-    # temperature_sample_wor is in the queue above and ALSO changed:
-    # largest-remainder quotas, ADVICE r5 #4)
-    "pca_project_fixed",
-    # new registrations this round (VERDICT r5 Next #6/#7)
-    "pca_eig2_fixed", "txlog_retention_lookup",
-    # rows-only trainer adjacent to its new hard twin (policy)
+    # the one red pytest of round 6: registered but never seated
+    "gopher_quality_filter",
+    # implementation changed in round 7 — re-verify in-window (ADVICE r6:
+    # decimal cross-multiply, engine-exact integer division, empty-batch
+    # dead_upstream flag, bucketed-join catalog cleanup)
+    "join_size_preflight", "score_calibration", "monitor_drift_report",
+    "bucketed_join",
+    # second lifetime rows for the round-6 first-row singles
+    "lm_perplexity_kneser_ney", "containment_pairs",
+    "mv_incremental_refresh", "mojibake_repair", "mixture_epochs",
+    "jsonl_quarantine", "csv_quarantine", "intradoc_line_dedup",
+    "matryoshka_recall", "txlog_count_pushdown", "txlog_retention_lookup",
+    "pca_eig2_fixed",
+    # rows-only trainer adjacent to its hash-checked twin (policy)
     "pca_components",
 }
 
