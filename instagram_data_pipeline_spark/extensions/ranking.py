@@ -520,10 +520,28 @@ def per_source_score_calibration(
     per_src = Window.partitionBy(source_col)
     rn = F.row_number().over(w)
     n = F.count(F.lit(1)).over(per_src)
-    n_keep = (n * F.lit(keep_rate_ppm)).cast("long") / F.lit(1_000_000)
-    return scored.select(
-        id_col, source_col, score_ppm_col,
-        ((rn - 1) * F.lit(1_000_000)
-         / F.greatest(n - 1, F.lit(1))).cast("long").alias("pct_ppm"),
-        (rn > n - F.floor(n_keep)).alias("keep"),
+    # Integer `div`, not double `/`: above 2^53 the double path rounds
+    # ((rn-1)*1e6 at multi-billion-row sources) and the truncating cast
+    # can differ by 1 from the oracle's integer `//`. Cross-multiply in
+    # DECIMAL(38,0) so the products themselves can't wrap either.
+    rn_d = rn.cast("decimal(38,0)")
+    n_d = n.cast("decimal(38,0)")
+    pct_ppm = F.expr(
+        "CAST((_rn_d - 1) * 1000000 div "
+        "CASE WHEN _n_d > 1 THEN _n_d - 1 ELSE 1 END AS BIGINT)"
+    )
+    n_keep = F.expr(
+        f"CAST(_n_d * {int(keep_rate_ppm)} div 1000000 AS BIGINT)"
+    )
+    return (
+        scored.select(
+            id_col, source_col, score_ppm_col,
+            rn_d.alias("_rn_d"), n_d.alias("_n_d"),
+        )
+        .select(
+            id_col, source_col, score_ppm_col,
+            pct_ppm.alias("pct_ppm"),
+            (F.col("_rn_d").cast("long")
+             > (F.col("_n_d").cast("long") - n_keep)).alias("keep"),
+        )
     )

@@ -203,20 +203,26 @@ def join_size_preflight(
     Plan: one groupBy on the join keys, a 1-row total broadcast back
     over the count table, ordered-limit (TakeOrderedAndProject). The
     count table is #distinct-keys sized; nothing row-sized shuffles
-    twice."""
-    c = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_rows"))
-    pairs = (F.col("n_rows") * F.col("n_rows")).alias("pairs")
-    tot = c.agg(
-        F.sum(F.col("n_rows") * F.col("n_rows")).alias("_total")
-    )
+    twice.
+
+    All blowup arithmetic runs in DECIMAL(38,0): a hot key with >~3.03M
+    rows makes ``pairs * 1_000_000`` exceed 2^63, and BIGINT multiply
+    silently wraps under non-ANSI Spark — producing negative share_ppm
+    exactly in the celebrity-key regime this preflight exists to catch.
+    The decimal cross-multiply + integer ``div`` is engine-exact and
+    matches the oracle's ``//`` at any count."""
+    n_dec = F.count(F.lit(1)).cast("decimal(38,0)")
+    c = df.groupBy(*keys).agg(n_dec.alias("_n"))
+    tot = c.agg(F.sum(F.col("_n") * F.col("_n")).alias("_total"))
     return (
-        c.select(*keys, "n_rows", pairs)
-        .crossJoin(F.broadcast(tot))
+        c.crossJoin(F.broadcast(tot))
         .select(
-            *keys, "n_rows", "pairs",
-            (F.col("pairs") * F.lit(1_000_000) / F.col("_total"))
-            .cast("long").alias("share_ppm"),
-            F.col("_total").alias("est_join_rows"),
+            *keys,
+            F.col("_n").cast("long").alias("n_rows"),
+            (F.col("_n") * F.col("_n")).cast("long").alias("pairs"),
+            F.expr("CAST((_n * _n * 1000000) div _total AS BIGINT)")
+            .alias("share_ppm"),
+            F.col("_total").cast("long").alias("est_join_rows"),
         )
         .orderBy(F.col("pairs").desc(), *keys)
         .limit(top_n)

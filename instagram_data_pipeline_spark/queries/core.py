@@ -1189,12 +1189,17 @@ GROUP BY c.c_nationkey
     tags=("join", "layout", "bucketing"),
 )
 def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
     import tempfile
 
     from ..io import write_bucketed
 
-    root = tempfile.mkdtemp(prefix="bucketed_join_")
-    tag = root.rsplit("_", 1)[-1]
+    # Fixed table names + a fixed external location, overwritten per
+    # run: repeated driver/bench invocations reuse the same two
+    # metastore entries and the same directory instead of accumulating
+    # bj_<tag> tables and tempdirs (ADVICE r6 #5). The driver runs
+    # queries sequentially, so the shared name is not a race.
+    root = os.path.join(tempfile.gettempdir(), "spark_graft_bucketed_join")
     orders = load_testdata(spark, sf_dir, "orders").select(
         "o_custkey", "o_totalprice"
     )
@@ -1202,33 +1207,26 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey", "c_nationkey"
     )
     write_bucketed(
-        orders, f"bj_orders_{tag}", 8, ["o_custkey"],
-        path=f"{root}/orders",
+        orders, "bj_orders", 8, ["o_custkey"], path=f"{root}/orders",
     )
     write_bucketed(
-        customer, f"bj_customer_{tag}", 8, ["c_custkey"],
-        path=f"{root}/customer",
+        customer, "bj_customer", 8, ["c_custkey"], path=f"{root}/customer",
     )
-    b_orders = spark.table(f"bj_orders_{tag}")
-    b_customer = spark.table(f"bj_customer_{tag}")
-    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", None)
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    try:
-        joined = b_orders.join(
-            b_customer, b_orders.o_custkey == b_customer.c_custkey
-        )
-        out = joined.groupBy(
-            F.col("c_nationkey").alias("nationkey")
-        ).agg(
-            F.count("*").alias("n_orders"),
-            _exact_sum(F.col("o_totalprice"), "revenue"),
-        )
-        # materialize the physical plan (and therefore the join
-        # strategy) while broadcast is still disabled
-        out.count()
-        return out
-    finally:
-        if prev is None:
-            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
-        else:
-            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    b_orders = spark.table("bj_orders")
+    b_customer = spark.table("bj_customer")
+    # A MERGE join hint — not a session-wide autoBroadcastJoinThreshold
+    # toggle — pins the sort-merge strategy INSIDE the plan itself: the
+    # returned DataFrame exercises the bucketed zero-exchange SMJ path
+    # no matter when or where it is explained/collected (the r6 conf
+    # dance produced a plan dump showing BroadcastHashJoin because the
+    # conf was restored before the driver explained the result), and
+    # nothing racy touches shared session state.
+    joined = b_orders.hint("merge").join(
+        b_customer, b_orders.o_custkey == b_customer.c_custkey
+    )
+    return joined.groupBy(
+        F.col("c_nationkey").alias("nationkey")
+    ).agg(
+        F.count("*").alias("n_orders"),
+        _exact_sum(F.col("o_totalprice"), "revenue"),
+    )

@@ -832,9 +832,12 @@ def _mon_hist(pred: str) -> str:
 def _mon_case(name: str, batch_pred: str) -> str:
     return f"""
 SELECT '{name}' AS scenario,
-       CAST(tb AS BIGINT) AS n_rows,
-       CAST(num * 1000000 // (tb * tr) AS BIGINT) AS l1_ppm,
-       num * 1000000 // (tb * tr) >= 200000 AS alert
+       CAST(COALESCE(tb, 0) AS BIGINT) AS n_rows,
+       CAST(CASE WHEN COALESCE(tb, 0) = 0 THEN 0
+                 ELSE num * 1000000 // (tb * tr) END AS BIGINT) AS l1_ppm,
+       CASE WHEN COALESCE(tb, 0) = 0 THEN FALSE
+            ELSE num * 1000000 // (tb * tr) >= 200000 END AS alert,
+       COALESCE(tb, 0) = 0 AS dead_upstream
 FROM (
   SELECT SUM(ABS(COALESCE(b.c, 0) * tr - COALESCE(r.c, 0) * tb)) AS num,
          MAX(tb) AS tb, MAX(tr) AS tr
@@ -857,6 +860,8 @@ _MON_ORACLE = (
         "shifted",
         f"ts >= TIMESTAMP '{_MON_SPLIT}' AND value < {_MON_TRUNC}",
     )
+    + "\nUNION ALL\n"
+    + _mon_case("empty", "FALSE")
 )
 
 
@@ -867,8 +872,11 @@ _MON_ORACLE = (
         "cross-multiplied L1 drift in ppm vs a frozen reference "
         "histogram, decided entirely in-plan (decimal cross-products, "
         "no collect) — the stationary second half of the month stays "
-        "quiet, a value-truncated batch alerts. Green means the "
-        "foreachBatch sink's alert arithmetic is DuckDB-reproducible.",
+        "quiet, a value-truncated batch alerts, and an EMPTY batch is "
+        "flagged dead_upstream with zero drift instead of a fake "
+        "maximal-l1 page (idle triggers are not distribution drift). "
+        "Green means the foreachBatch sink's alert arithmetic is "
+        "DuckDB-reproducible.",
     tags=("streaming", "diagnostics", "monitor"),
 )
 def q_monitor_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -881,10 +889,14 @@ def q_monitor_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     shifted = same.filter(F.col("value") < _MON_TRUNC)
     kw = dict(value_col="value", lo=0.0, hi=100.0, n_bins=10,
               alert_l1_ppm=200_000)
+    cols = ["n_rows", "l1_ppm", "alert", "dead_upstream"]
     a = drift_report(same, ref, **kw).select(
-        F.lit("same").alias("scenario"), "n_rows", "l1_ppm", "alert"
+        F.lit("same").alias("scenario"), *cols
     )
     b = drift_report(shifted, ref, **kw).select(
-        F.lit("shifted").alias("scenario"), "n_rows", "l1_ppm", "alert"
+        F.lit("shifted").alias("scenario"), *cols
     )
-    return a.unionByName(b)
+    c = drift_report(same.filter(F.lit(False)), ref, **kw).select(
+        F.lit("empty").alias("scenario"), *cols
+    )
+    return a.unionByName(b).unionByName(c)

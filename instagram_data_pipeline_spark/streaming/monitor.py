@@ -40,7 +40,13 @@ class QualityMonitorSink:
         n_bins: int = 10,
         alert_l1_ppm: int = 200_000,
         value_col: str = "value",
+        dead_after: int = 3,
     ) -> None:
+        if dead_after < 1:
+            raise ValueError(
+                f"QualityMonitorSink: dead_after must be >= 1 "
+                f"(got {dead_after})"
+            )
         if not reference or sum(reference.values()) <= 0:
             raise ValueError("QualityMonitorSink: empty reference")
         if not lo < hi:
@@ -58,6 +64,8 @@ class QualityMonitorSink:
         self.lo, self.hi, self.n_bins = lo, hi, n_bins
         self.alert_l1_ppm = alert_l1_ppm
         self.value_col = value_col
+        self.dead_after = dead_after
+        self._empty_streak = 0
 
     def _bin(self):
         span = self.hi - self.lo
@@ -92,20 +100,31 @@ class QualityMonitorSink:
         t_b = sum(counts.values())
         t_r = sum(self.ref.values())
         if t_b == 0:
-            # A fully dead upstream IS one of the failure classes this
-            # module exists to catch: an empty batch against a non-empty
-            # reference is maximal drift, not "no news".
-            l1_ppm = 1_000_000
+            # "No data this trigger" is NOT distribution drift: idle
+            # periods legitimately produce empty micro-batches, and a
+            # fake maximal-drift l1 would page on every quiet trigger.
+            # A genuinely dead upstream instead surfaces as the
+            # separate dead_upstream flag after ``dead_after``
+            # CONSECUTIVE empty batches (streak resets on data; it also
+            # resets on restart, which only delays the flag — never
+            # false-alarms). Drift alerting stays distribution-only.
+            self._empty_streak += 1
+            l1_ppm, alert = 0, False
+            dead = self._empty_streak >= self.dead_after
         else:
+            self._empty_streak = 0
             num = sum(
                 abs(counts.get(b, 0) * t_r - self.ref.get(b, 0) * t_b)
                 for b in range(self.n_bins)
             )
             l1_ppm = num * 1_000_000 // (t_b * t_r)
+            alert = l1_ppm >= self.alert_l1_ppm
+            dead = False
         spark = df.sparkSession
         row = spark.createDataFrame(
-            [(int(t_b), int(l1_ppm), l1_ppm >= self.alert_l1_ppm)],
-            "n_rows long, l1_ppm long, alert boolean",
+            [(int(t_b), int(l1_ppm), bool(alert), bool(dead))],
+            "n_rows long, l1_ppm long, alert boolean, "
+            "dead_upstream boolean",
         )
         # one partition per epoch, overwritten: replays converge
         row.coalesce(1).write.mode("overwrite").parquet(
@@ -135,12 +154,15 @@ def drift_report(
     plan (no driver collect) so it can be DuckDB-oracle-checked — the
     hash-checked evidence for the streaming sink's alert math.
 
-    Returns one row ``(n_rows, l1_ppm, alert)``. The cross-multiplies
-    run in DECIMAL(38,0) so the arithmetic stays exact at counts far
-    beyond bigint cross-products (the sink uses Python ints; this is
-    the codegen equivalent). An empty batch against a non-empty
-    reference is maximal drift (1_000_000 ppm, alert) — same dead-
-    upstream semantics as the sink.
+    Returns one row ``(n_rows, l1_ppm, alert, dead_upstream)``. The
+    cross-multiplies run in DECIMAL(38,0) so the arithmetic stays exact
+    at counts far beyond bigint cross-products (the sink uses Python
+    ints; this is the codegen equivalent). An empty batch is NOT drift:
+    l1_ppm = 0, alert stays false, and the separate ``dead_upstream``
+    flag carries the no-data signal — the stateless twin of the sink's
+    ``dead_after``-consecutive-empty streak (a single batch has no
+    streak context, so it flags immediately; parity-test the sink with
+    ``dead_after=1``).
 
     Plan shape: two map-side-combined histogram aggregations (n_bins
     rows each), a full-outer merge on bin, window totals over the tiny
@@ -186,13 +208,15 @@ def drift_report(
         F.max("tb").alias("tb"),
         F.max("tr").alias("tr"),
     )
-    l1 = F.when(F.col("tb") == 0, F.lit(1_000_000).cast("long")).otherwise(
+    tb = F.coalesce(F.col("tb"), F.lit(0).cast("decimal(38,0)"))
+    l1 = F.when(tb == 0, F.lit(0).cast("long")).otherwise(
         F.floor(
             (F.col("num") * F.lit(1_000_000)) / (F.col("tb") * F.col("tr"))
         ).cast("long")
     )
     return agg.select(
-        F.col("tb").cast("long").alias("n_rows"),
+        tb.cast("long").alias("n_rows"),
         l1.alias("l1_ppm"),
-        (l1 >= F.lit(alert_l1_ppm)).alias("alert"),
+        ((tb > 0) & (l1 >= F.lit(alert_l1_ppm))).alias("alert"),
+        (tb == 0).alias("dead_upstream"),
     )

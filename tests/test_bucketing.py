@@ -75,6 +75,24 @@ def test_bucketed_mutuals_same_result(spark, bucketed_edges):
     assert plain == bucketed
 
 
+def test_registered_bucketed_join_plan_is_hinted_smj(spark):
+    """The REGISTERED query's returned DataFrame must itself carry the
+    bucketed sort-merge plan — via the in-plan MERGE hint, not a
+    restored session conf — so any later explain (the driver's plans
+    dump included) shows the strategy the query actually runs: SMJ on
+    two bucketed scans, the ONLY exchange being the final nationkey
+    aggregate, and no broadcast fallback."""
+    from instagram_data_pipeline_spark.queries import load_all
+
+    spec = load_all()["bucketed_join"]
+    df = spec.spark_fn(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan
+    assert "BroadcastHashJoin" not in plan
+    assert plan.count("Exchange") == 1  # the groupBy(nationkey) only
+    assert plan.count("Bucketed: true") == 2
+
+
 def test_bucketed_join_query_plan_and_oracle_shape(spark):
     """The registered `bucketed_join` query's join must hit the
     bucketed sort-merge path with ZERO exchange below the aggregate

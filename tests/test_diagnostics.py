@@ -105,3 +105,29 @@ def test_join_size_preflight_flags_the_hot_key(spark):
     assert got[0].pairs == 10000 and got[0].est_join_rows == total
     assert got[0].share_ppm == 10000 * 1_000_000 // total
     assert [r.user_id for r in got[1:]] == [1, 2]  # tie-break on key
+
+
+def test_join_size_preflight_survives_bigint_overflow_regime(spark):
+    """ADVICE r6 #2 regression: a celebrity key with >~3.03M rows makes
+    pairs * 1_000_000 exceed 2^63 — BIGINT multiply would silently wrap
+    negative under non-ANSI Spark, exactly the regime the preflight
+    exists to catch. The decimal cross-multiply must return the exact
+    integer share instead."""
+    import pyspark.sql.functions as F
+
+    from instagram_data_pipeline_spark.operators.diagnostics import (
+        join_size_preflight,
+    )
+
+    hot_n = 3_200_000  # pairs*1e6 = 1.024e19 > 2^63 = 9.22e18
+    df = spark.range(hot_n + 100).select(
+        F.when(F.col("id") < hot_n, F.lit(0)).otherwise(F.lit(1))
+        .alias("user_id")
+    )
+    got = join_size_preflight(df, ["user_id"], top_n=2).collect()
+    total = hot_n * hot_n + 100 * 100
+    assert got[0].user_id == 0 and got[0].n_rows == hot_n
+    assert got[0].pairs == hot_n * hot_n
+    assert got[0].share_ppm == hot_n * hot_n * 1_000_000 // total
+    assert got[0].share_ppm >= 0 and got[0].est_join_rows == total
+    assert got[1].share_ppm == 100 * 100 * 1_000_000 // total

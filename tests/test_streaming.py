@@ -753,9 +753,12 @@ def test_quality_monitor_drift_alert_and_replay(spark, tmp_path):
     assert sink.results(spark).count() == 2
 
 
-def test_quality_monitor_empty_batch_is_maximal_drift(spark, tmp_path):
-    """A dead upstream (empty micro-batch against a non-empty reference)
-    must ALERT, not record zero drift — ADVICE r5 #2."""
+def test_quality_monitor_empty_batches_flag_dead_upstream(spark, tmp_path):
+    """A single empty micro-batch (idle period) must NOT alert — that
+    was ADVICE r6 #4: the old maximal-drift l1 paged on every quiet
+    trigger. Instead, ``dead_after`` CONSECUTIVE empty batches raise the
+    separate dead_upstream flag, and any data batch resets the streak.
+    Drift alerting stays distribution-only throughout."""
     import pyspark.sql.functions as F
 
     from instagram_data_pipeline_spark.streaming.monitor import (
@@ -770,11 +773,24 @@ def test_quality_monitor_empty_batch_is_maximal_drift(spark, tmp_path):
     )
     sink = QualityMonitorSink(
         str(tmp_path / "mon"), reference, lo=0.0, hi=1.0, n_bins=10,
-        alert_l1_ppm=200_000,
+        alert_l1_ppm=200_000, dead_after=3,
     )
-    sink.process_batch(ref_df.filter(F.lit(False)), 0)
-    row = sink.results(spark).collect()[0]
-    assert row.n_rows == 0 and row.alert and row.l1_ppm == 1_000_000
+    empty = ref_df.filter(F.lit(False))
+    sink.process_batch(empty, 0)   # idle trigger: quiet
+    sink.process_batch(empty, 1)   # still under the streak threshold
+    sink.process_batch(ref_df, 2)  # data resets the streak
+    sink.process_batch(empty, 3)
+    sink.process_batch(empty, 4)
+    sink.process_batch(empty, 5)   # 3rd consecutive -> dead_upstream
+    got = {r.epoch: r for r in sink.results(spark).collect()}
+    for ep in (0, 1, 3, 4):
+        r = got[ep]
+        assert r.n_rows == 0 and not r.alert and r.l1_ppm == 0
+        assert not r.dead_upstream
+    assert not got[2].dead_upstream and not got[2].alert
+    r = got[5]
+    assert r.n_rows == 0 and not r.alert and r.l1_ppm == 0
+    assert r.dead_upstream
 
 
 def test_quality_monitor_rejects_bad_bin_config(tmp_path):
@@ -817,8 +833,8 @@ def test_drift_report_matches_sink_decision(spark, tmp_path):
     )
     sink = QualityMonitorSink(
         str(tmp_path / "mon"), reference, lo=0.0, hi=1.0, n_bins=10,
-        alert_l1_ppm=100_000,
-    )
+        alert_l1_ppm=100_000, dead_after=1,
+    )  # dead_after=1: the stateless twin has no streak context
     sink.process_batch(batch, 0)
     sink.process_batch(batch.filter(F.lit(False)), 1)  # dead upstream
     got = {r.epoch: r for r in sink.results(spark).collect()}
@@ -826,13 +842,15 @@ def test_drift_report_matches_sink_decision(spark, tmp_path):
         batch, ref_df, value_col="value", lo=0.0, hi=1.0, n_bins=10,
         alert_l1_ppm=100_000,
     ).collect()[0]
-    assert (twin.n_rows, twin.l1_ppm, twin.alert) == (
-        got[0].n_rows, got[0].l1_ppm, got[0].alert
+    assert (twin.n_rows, twin.l1_ppm, twin.alert, twin.dead_upstream) == (
+        got[0].n_rows, got[0].l1_ppm, got[0].alert, got[0].dead_upstream
     )
     empty_twin = drift_report(
         batch.filter(F.lit(False)), ref_df, value_col="value",
         lo=0.0, hi=1.0, n_bins=10, alert_l1_ppm=100_000,
     ).collect()[0]
-    assert (empty_twin.n_rows, empty_twin.l1_ppm, empty_twin.alert) == (
-        got[1].n_rows, got[1].l1_ppm, got[1].alert
-    )
+    assert (
+        empty_twin.n_rows, empty_twin.l1_ppm, empty_twin.alert,
+        empty_twin.dead_upstream,
+    ) == (got[1].n_rows, got[1].l1_ppm, got[1].alert, got[1].dead_upstream)
+    assert empty_twin.dead_upstream and not empty_twin.alert
