@@ -111,6 +111,59 @@ class ParquetPartitionedFormat:
         return wh.spark.read.parquet(wh.path(table)).drop(BUCKET_COL)
 
 
+def _stat_key(v):
+    """Normalize a parquet-footer statistic (or a caller's range bound)
+    to a JSON-storable, ORDER-PRESERVING key: numbers stay numbers,
+    strings stay strings, datetimes/dates become ISO-8601 strings
+    (lexicographic order == chronological order, including the
+    truncated-fraction forms isoformat emits). Returns None for types
+    zone maps don't cover (binary, decimal, nested) — the file is then
+    conservatively unprunable on that column."""
+    import datetime as _dt
+
+    if isinstance(v, bool):
+        return int(v)
+    if isinstance(v, (int, float)):
+        return v
+    if isinstance(v, str):
+        return v
+    if isinstance(v, (_dt.datetime, _dt.date)):
+        return v.isoformat()
+    return None
+
+
+def _footer_minmax(meta) -> dict:
+    """Per-column [min, max] from a just-written parquet FOOTER
+    (row-group statistics folded together) — the zone-map entry stored
+    in the manifest. Columns with missing/untyped stats in ANY row
+    group are omitted (absent == unprunable, never wrong)."""
+    out: dict[str, list] = {}
+    bad: set[str] = set()
+    for rg in range(meta.num_row_groups):
+        row_group = meta.row_group(rg)
+        for ci in range(row_group.num_columns):
+            col = row_group.column(ci)
+            name = col.path_in_schema
+            if "." in name or name in bad:
+                continue  # nested leaves aren't top-level zone maps
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                bad.add(name)
+                out.pop(name, None)
+                continue
+            lo, hi = _stat_key(st.min), _stat_key(st.max)
+            if lo is None or hi is None:
+                bad.add(name)
+                out.pop(name, None)
+                continue
+            if name in out:
+                out[name][0] = min(out[name][0], lo)
+                out[name][1] = max(out[name][1], hi)
+            else:
+                out[name] = [lo, hi]
+    return out
+
+
 class TransactionLogFormat:
     """Mini transaction-log table: immutable data files + versioned JSON
     manifests, commit = one atomic rename.
@@ -144,6 +197,29 @@ class TransactionLogFormat:
     #: publish attempts before a merge gives up under contention
     MAX_COMMIT_RETRIES = 5
 
+    # class-level defaults so subclasses that replace __init__ (test
+    # fault-injection shims) still get plain unclustered layout
+    cluster_col: str | None = None
+    max_records_per_file: int | None = None
+
+    def __init__(
+        self,
+        cluster_col: str | None = None,
+        max_records_per_file: int | None = None,
+    ) -> None:
+        """``cluster_col`` turns on within-bucket clustering — the
+        ZORDER/liquid-clustering half of the Delta/Iceberg layout
+        story: rows inside each bucket are sorted by this column at
+        write time and split into multiple files
+        (``max_records_per_file``), so each file's min/max zone map
+        covers a NARROW range of the column. Without it, a hash bucket
+        mixes the full value range into one file and range pruning
+        can't drop anything; with it, a range predicate opens only the
+        overlapping slice — the commonest 100 TB scan (``ts > X``)
+        touches O(range), not O(table)."""
+        self.cluster_col = cluster_col
+        self.max_records_per_file = max_records_per_file
+
     def _log_dir(self, wh, table: str) -> Path:
         return Path(wh.path(table)) / "_txlog"
 
@@ -161,6 +237,7 @@ class TransactionLogFormat:
         self, wh, table: str, version: int, files: dict,
         schema_json: str | None = None,
         rows: dict | None = None,
+        stats: dict | None = None,
     ) -> None:
         d = self._log_dir(wh, table)
         d.mkdir(parents=True, exist_ok=True)
@@ -171,6 +248,8 @@ class TransactionLogFormat:
             manifest["schema"] = schema_json
         if rows is not None:
             manifest["rows"] = rows
+        if stats is not None:
+            manifest["stats"] = stats
         with open(tmp, "w") as f:
             json.dump(manifest, f)
         try:
@@ -187,35 +266,63 @@ class TransactionLogFormat:
 
     def _write_commit(
         self, wh, table: str, df: DataFrame, keys, num_buckets
-    ) -> tuple[dict, dict]:
+    ) -> tuple[dict, dict, dict]:
         """Write ``df`` as one immutable commit dir, one subdir per
-        bucket (repartitioned so each bucket is a single task -> a
-        single file). Returns ({relpath: bucket}, {relpath: n_rows})
-        for the new files — the row counts come straight from the
-        parquet footers just written (a local metadata read, no second
-        scan), and live in the manifest so COUNT-shaped questions are
-        served from the log without opening a single data file."""
+        bucket (repartitioned so each bucket is a single task; with
+        ``cluster_col`` set, rows are sorted by that column inside the
+        bucket and split by ``max_records_per_file`` into range-
+        clustered files). Returns ({relpath: bucket}, {relpath:
+        n_rows}, {relpath: {col: [min, max]}}) — counts AND per-column
+        min/max zone maps come straight from the parquet footers just
+        written (a local metadata read, no second scan) and live in the
+        manifest, so COUNT and range-scan questions are answered from
+        the log without opening data files."""
         root = Path(wh.path(table))
         commit = f"data/{uuid.uuid4().hex[:12]}"
         bcol = BUCKET_COL
         out = df.withColumn(bcol, bucket_expr(keys, num_buckets))
-        (
-            out.repartition(F.col(bcol))
-            .write.partitionBy(bcol)
-            .mode("overwrite")
-            .parquet(str(root / commit))
-        )
+        out = out.repartition(F.col(bcol))
+        if self.cluster_col is not None:
+            # bcol FIRST: partitionBy-writes require task rows sorted
+            # by the partition column and insert their own (cluster-
+            # destroying) sort otherwise — leading with bcol satisfies
+            # that requirement so the cluster_col order survives into
+            # the files (verified by zone-map narrowness in tests)
+            out = out.sortWithinPartitions(bcol, self.cluster_col)
+        writer = out.write.partitionBy(bcol).mode("overwrite")
+        if self.max_records_per_file is not None:
+            writer = writer.option(
+                "maxRecordsPerFile", int(self.max_records_per_file)
+            )
+        # Spark's default INT96 timestamp encoding carries NO parquet
+        # footer min/max, which would silently void every timestamp
+        # zone map (ts is the commonest range-scan column). Pin the
+        # stats-bearing micros encoding for the format's own writes.
+        spark = df.sparkSession
+        ts_conf = "spark.sql.parquet.outputTimestampType"
+        prev = spark.conf.get(ts_conf, None)
+        spark.conf.set(ts_conf, "TIMESTAMP_MICROS")
+        try:
+            writer.parquet(str(root / commit))
+        finally:
+            if prev is None:
+                spark.conf.unset(ts_conf)
+            else:
+                spark.conf.set(ts_conf, prev)
         import pyarrow.parquet as pq
 
         files: dict[str, int] = {}
         rows: dict[str, int] = {}
+        stats: dict[str, dict] = {}
         for bdir in (root / commit).glob(f"{bcol}=*"):
             b = int(bdir.name.split("=", 1)[1])
             for f in bdir.glob("*.parquet"):
                 rel = str(f.relative_to(root))
                 files[rel] = b
-                rows[rel] = pq.ParquetFile(str(f)).metadata.num_rows
-        return files, rows
+                meta = pq.ParquetFile(str(f)).metadata
+                rows[rel] = meta.num_rows
+                stats[rel] = _footer_minmax(meta)
+        return files, rows, stats
 
     @staticmethod
     def _check_evolution(old_schema, new_schema) -> None:
@@ -247,13 +354,13 @@ class TransactionLogFormat:
             if snap is None:
                 empty = wh.spark.createDataFrame([], incoming.schema)
                 first = upsert_keep_newest(empty, incoming, keys, order_col)
-                files, rows = self._write_commit(
+                files, rows, stats = self._write_commit(
                     wh, table, first, keys, num_buckets
                 )
                 try:
                     self._publish(
                         wh, table, 1, files, incoming.schema.json(),
-                        rows=rows,
+                        rows=rows, stats=stats,
                     )
                     return
                 except CommitConflict:
@@ -289,7 +396,7 @@ class TransactionLogFormat:
             else:
                 existing = wh.spark.createDataFrame([], incoming.schema)
             merged = upsert_keep_newest(existing, incoming, keys, order_col)
-            new_files, new_rows = self._write_commit(
+            new_files, new_rows, new_stats = self._write_commit(
                 wh, table, merged, keys, num_buckets
             )
             # optimistic publish: rebase over disjoint winners, redo
@@ -305,11 +412,16 @@ class TransactionLogFormat:
                 carried_rows = {
                     f: base_rows[f] for f in carried if f in base_rows
                 }
+                base_stats = base.get("stats", {})
+                carried_stats = {
+                    f: base_stats[f] for f in carried if f in base_stats
+                }
                 try:
                     self._publish(
                         wh, table, base["version"] + 1,
                         {**carried, **new_files}, incoming.schema.json(),
                         rows={**carried_rows, **new_rows},
+                        stats={**carried_stats, **new_stats},
                     )
                     return
                 except CommitConflict:
@@ -397,6 +509,53 @@ class TransactionLogFormat:
             keys,
             "semi",
         )
+
+    @staticmethod
+    def files_for_range(snap: dict, col: str, lo, hi) -> list[str]:
+        """The zone-map pruning decision, exposed for tests and
+        planning: relpaths of manifest files whose recorded [min, max]
+        for ``col`` OVERLAPS [lo, hi] (inclusive), plus — conservatively
+        — every file with no recorded stats for the column (absent
+        stats must never drop rows). Pure manifest arithmetic: no file
+        is opened, O(manifest) at any table size."""
+        lo_k, hi_k = _stat_key(lo), _stat_key(hi)
+        if lo_k is None or hi_k is None:
+            raise TypeError(
+                f"files_for_range: unsupported bound type for {col!r} "
+                f"({type(lo).__name__}/{type(hi).__name__})"
+            )
+        stats = snap.get("stats", {})
+        out = []
+        for f in snap["files"]:
+            mm = stats.get(f, {}).get(col)
+            if mm is None or not (mm[1] < lo_k or mm[0] > hi_k):
+                out.append(f)
+        return out
+
+    def read_for_range(
+        self, wh, table: str, col: str, lo, hi
+    ) -> DataFrame:
+        """Range-scan path: open ONLY the files whose manifest zone map
+        overlaps [lo, hi] — the data-skipping read Delta/Iceberg serve
+        from their file-level min/max stats, and the commonest 100 TB
+        scan shape (``ts > X``). With ``cluster_col`` layout the
+        overlap set is O(range); without it (hash-mixed files) pruning
+        degrades gracefully to a full file list, never a wrong answer.
+        The exact predicate is re-applied to the surviving files, so
+        the result equals ``read_merged(...).filter(col BETWEEN lo AND
+        hi)`` (inclusive bounds)."""
+        snap = self._latest(wh, table)
+        if snap is None:
+            raise FileNotFoundError(f"no committed version for {table}")
+        keep = self.files_for_range(snap, col, lo, hi)
+        if not keep:
+            return wh.spark.createDataFrame(
+                [], self.read_merged(wh, table).schema
+            ).filter(F.col(col).between(F.lit(lo), F.lit(hi)))
+        sub = dict(snap)
+        sub["files"] = {f: snap["files"][f] for f in keep}
+        df = self._read_snapshot(wh, Path(wh.path(table)), sub)
+        return df.filter(F.col(col).between(F.lit(lo), F.lit(hi)))
 
     def vacuum(
         self, wh, table: str, grace_seconds: float = 3600.0

@@ -109,7 +109,9 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "chunk_dedup",
     "lsh_quality_report",
     "ann_recall_report",
-    # -- (e) fillers: displaced as new r7 queries register ---------------
+    # -- (e) new round-7 registrations ------------------------------------
+    "txlog_zonemap_scan",
+    # -- fillers: displaced past the window as new r7 queries register ----
     "pq_topk",
     "pq_adc_fixed",
     "warc_roundtrip",

@@ -758,3 +758,77 @@ def q_txlog_count_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(v1, v2)], "v1_rows long, v2_rows long"
     )
+
+
+# ---------------------------------------------------------------------------
+# Zone-map range scan off the transaction log (VERDICT r6 Next #3): the
+# manifest records per-file column min/max at write time, the format's
+# cluster_col layout (rows sorted by ts inside each bucket, split into
+# bounded files) makes those ranges NARROW, and read_for_range opens
+# only the overlapping files — the Delta/Iceberg data-skipping story
+# for the commonest 100 TB scan filter (ts > X). The query asserts the
+# pruning actually dropped files, then returns the range read; the
+# oracle is the plain filter — green means skipping changes nothing.
+# ---------------------------------------------------------------------------
+_ZM_LO = "1995-01-01 00:00:00"
+_ZM_HI = "1995-03-31 23:59:59"
+
+_TXLOG_ZONEMAP_ORACLE = f"""
+SELECT o_orderkey AS k, o_totalprice AS v, o_orderdate AS ts
+FROM orders
+WHERE o_orderdate BETWEEN TIMESTAMP '{_ZM_LO}' AND TIMESTAMP '{_ZM_HI}'
+"""
+
+
+@register(
+    "txlog_zonemap_scan",
+    _TXLOG_ZONEMAP_ORACLE,
+    doc="manifest min/max zone maps + within-bucket ts clustering: two "
+        "disjoint-key merges build a clustered transaction-log table, "
+        "then read_for_range(ts, Q1-1995) opens ONLY the files whose "
+        "recorded range overlaps (asserted strictly-fewer in-query and "
+        "in tests/test_io.py) — O(range) files at any table size, the "
+        "data-skipping leg of the Delta/Iceberg stats design; oracle "
+        "is the plain full-scan filter, proving skipping drops files, "
+        "never rows",
+    tags=("writes", "format", "stats", "pruning"),
+)
+def q_txlog_zonemap_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..formats import TransactionLogFormat
+    from ..io import Warehouse
+
+    orders = load_testdata(spark, sf_dir, "orders")
+
+    def batch(pred):
+        return orders.filter(pred).select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_totalprice").alias("v"),
+            F.col("o_orderdate").alias("ts"),
+        )
+
+    cut = F.lit(_TXLOG_CUT).cast("timestamp")
+    fmt = TransactionLogFormat(cluster_col="ts", max_records_per_file=512)
+    wh = Warehouse(
+        spark, tempfile.mkdtemp(prefix="txlog_zonemap_"), fmt=fmt
+    )
+    wh.upsert_partitioned(
+        "facts", batch(F.col("o_orderdate") < cut), ["k"], "ts",
+        num_buckets=8,
+    )
+    wh.upsert_partitioned(
+        "facts", batch(F.col("o_orderdate") >= cut), ["k"], "ts",
+        num_buckets=8,
+    )
+    lo = dt.datetime(1995, 1, 1, 0, 0, 0)
+    hi = dt.datetime(1995, 3, 31, 23, 59, 59)
+    snap = fmt._latest(wh, "facts")
+    keep = fmt.files_for_range(snap, "ts", lo, hi)
+    # the layout must make skipping real: strictly fewer files opened
+    assert 0 < len(keep) < len(snap["files"]), (
+        len(keep), len(snap["files"]),
+    )
+    return fmt.read_for_range(wh, "facts", "ts", lo, hi).select(
+        "k", "v", "ts"
+    )

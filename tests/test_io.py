@@ -281,13 +281,15 @@ def test_txlog_crash_before_commit_is_invisible(spark, tmp_path):
             self.armed = False
 
         def _publish(
-            self, wh, table, version, files, schema_json=None, rows=None
+            self, wh, table, version, files, schema_json=None, rows=None,
+            stats=None,
         ):
             if self.armed:
                 self.armed = False
                 raise OSError("simulated crash before manifest publish")
             super()._publish(
-                wh, table, version, files, schema_json, rows=rows
+                wh, table, version, files, schema_json, rows=rows,
+                stats=stats,
             )
 
     fmt = DyingPublish()
@@ -379,7 +381,8 @@ class _RacingPublish:
         self.publishes = 0
 
     def _publish(
-        self, wh, table, version, files, schema_json=None, rows=None
+        self, wh, table, version, files, schema_json=None, rows=None,
+        stats=None,
     ):
         self.publishes += 1
         if self.competitor is not None:
@@ -390,7 +393,8 @@ class _RacingPublish:
         )
 
         TransactionLogFormat._publish(
-            self, wh, table, version, files, schema_json, rows=rows
+            self, wh, table, version, files, schema_json, rows=rows,
+            stats=stats,
         )
 
 
@@ -684,3 +688,96 @@ def test_txlog_count_rows_metadata_only(spark, tmp_path):
     del m["rows"]
     log.write_text(_json.dumps(m))
     assert fmt.count_rows(wh, "facts") == 55
+
+
+def test_txlog_zonemap_range_scan_prunes_files(spark, tmp_path):
+    """Zone maps end-to-end: a cluster_col layout (rows sorted by ts
+    inside each bucket, multiple small files per bucket) must let
+    read_for_range open STRICTLY fewer files than the snapshot holds,
+    and the pruned read must equal the plain filter exactly — absent
+    stats degrade to unprunable, never to dropped rows."""
+    import datetime as dt
+
+    import pyspark.sql.functions as F
+
+    from instagram_data_pipeline_spark.formats import TransactionLogFormat
+    from instagram_data_pipeline_spark.io import Warehouse
+
+    fmt = TransactionLogFormat(cluster_col="ts", max_records_per_file=50)
+    wh = Warehouse(spark, str(tmp_path / "wh"), fmt=fmt)
+    base = dt.datetime(2024, 1, 1)
+    # ts DECORRELATED from k (37 coprime to 800): the write path must
+    # actively cluster by ts — insertion/key order must not be what
+    # makes the zone maps narrow
+    rows = [
+        (i, f"v{i}", base + dt.timedelta(hours=(i * 37) % 800))
+        for i in range(800)
+    ]
+    df = spark.createDataFrame(rows, "k long, v string, ts timestamp")
+    wh.upsert_partitioned("facts", df, ["k"], "ts", num_buckets=4)
+
+    snap = fmt._latest(wh, "facts")
+    assert "stats" in snap and len(snap["stats"]) == len(snap["files"])
+    # every file must carry a ts zone map under the clustered layout
+    assert all("ts" in s for s in snap["stats"].values())
+    # >1 file per bucket (maxRecordsPerFile split), so pruning has
+    # something to drop
+    assert len(snap["files"]) > 4
+
+    lo = base + dt.timedelta(hours=100)
+    hi = base + dt.timedelta(hours=150)
+    keep = fmt.files_for_range(snap, "ts", lo, hi)
+    assert 0 < len(keep) < len(snap["files"])  # strictly fewer files
+
+    got = sorted(
+        map(tuple, fmt.read_for_range(wh, "facts", "ts", lo, hi)
+            .select("k", "v", "ts").collect())
+    )
+    want = sorted(
+        map(tuple, fmt.read_merged(wh, "facts")
+            .filter(F.col("ts").between(F.lit(lo), F.lit(hi)))
+            .select("k", "v", "ts").collect())
+    )
+    assert got == want and len(got) == 51  # inclusive bounds
+
+    # conservative fallback: a file with NO recorded stats for the
+    # column must always survive pruning
+    snap2 = dict(snap)
+    snap2["stats"] = dict(snap["stats"])
+    victim = next(iter(snap2["stats"]))
+    snap2["stats"][victim] = {}
+    keep2 = fmt.files_for_range(snap2, "ts", lo, hi)
+    assert victim in keep2 and set(keep) <= set(keep2)
+
+
+def test_txlog_zonemap_stats_carried_across_merges(spark, tmp_path):
+    """A second merge touching a subset of buckets must carry the
+    untouched files' zone maps forward by reference (same relpath, same
+    stats), and the new files must get fresh stats."""
+    import datetime as dt
+
+    from instagram_data_pipeline_spark.formats import TransactionLogFormat
+    from instagram_data_pipeline_spark.io import Warehouse
+
+    fmt = TransactionLogFormat(cluster_col="ts", max_records_per_file=50)
+    wh = Warehouse(spark, str(tmp_path / "wh"), fmt=fmt)
+    t0 = dt.datetime(2024, 1, 1)
+    b1 = spark.createDataFrame(
+        [(i, "a", t0 + dt.timedelta(hours=i)) for i in range(200)],
+        "k long, v string, ts timestamp",
+    )
+    wh.upsert_partitioned("facts", b1, ["k"], "ts", num_buckets=4)
+    v1 = fmt._latest(wh, "facts")
+    # one key -> touches exactly one bucket
+    b2 = spark.createDataFrame(
+        [(7, "b", t0 + dt.timedelta(days=365))],
+        "k long, v string, ts timestamp",
+    )
+    wh.upsert_partitioned("facts", b2, ["k"], "ts", num_buckets=4)
+    v2 = fmt._latest(wh, "facts")
+    carried = set(v1["files"]) & set(v2["files"])
+    assert carried  # untouched buckets rode along by reference
+    for f in carried:
+        assert v2["stats"][f] == v1["stats"][f]
+    fresh = set(v2["files"]) - set(v1["files"])
+    assert fresh and all(f in v2["stats"] for f in fresh)
