@@ -191,3 +191,114 @@ def bpe_encode(
         n_sub.cast("int").alias("n_subwords"),
         joined.alias("subword_text"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Byte-level BPE (GPT-2 style; Radford et al. 2019, public): the
+# encoding every modern open LLM dump actually uses. Differences from
+# the word-level trainer above: (1) the unit is the BYTE, lifted into
+# printable unicode via the published bytes_to_unicode table so merges
+# operate on ordinary strings; (2) no </w> end marker — the leading
+# space becomes part of the token (byte 0x20 -> 'Ġ'); (3) the
+# pre-tokenizer is the published GPT-2 regex, not whitespace split.
+# The merge application reuses the wrapped-symbol chained-replace fold
+# (apply_merges_expr's argument), with \x01/\x02 wrappers because the
+# byte alphabet's image contains '(' and ')'.
+# ---------------------------------------------------------------------------
+
+#: the published GPT-2 pre-tokenizer pattern (Java-regex flavor; the
+#: (?!\S) lookahead keeps the final space of a run attached to the
+#: following word)
+GPT2_PRETOKEN_RE = (
+    r"'s|'t|'re|'ve|'m|'ll|'d"
+    r"| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+(?!\S)|\s+"
+)
+
+
+def gpt2_byte_to_unicode() -> dict[int, str]:
+    """The published GPT-2 bytes_to_unicode table: printable ASCII and
+    most of Latin-1 map to themselves; the remaining 68 bytes map to
+    256+n in order — every byte becomes exactly one printable unicode
+    char, so byte sequences round-trip through ordinary strings."""
+    bs = (
+        list(range(ord("!"), ord("~") + 1))
+        + list(range(ord("¡"), ord("¬") + 1))
+        + list(range(ord("®"), ord("ÿ") + 1))
+    )
+    cs = bs[:]
+    n = 0
+    for b in range(256):
+        if b not in bs:
+            bs.append(b)
+            cs.append(256 + n)
+            n += 1
+    return {b: chr(c) for b, c in zip(bs, cs)}
+
+
+_B2U = gpt2_byte_to_unicode()
+
+
+def byte_alphabet_expr(col: F.Column) -> F.Column:
+    """Lift a UTF-8 string column into the GPT-2 byte alphabet with
+    FULL byte fidelity, in pure codegen: encode to UTF-8 bytes, decode
+    those bytes as ISO-8859-1 (one char per byte, always valid), then
+    one 256-entry translate to the published byte->unicode table. A
+    multi-byte UTF-8 char correctly becomes multiple byte-symbols —
+    the actual GPT-2 behavior, not an ASCII approximation."""
+    src = "".join(chr(b) for b in range(256))
+    dst = "".join(_B2U[b] for b in range(256))
+    return F.translate(
+        F.decode(F.encode(col, "UTF-8"), "ISO-8859-1"), src, dst
+    )
+
+
+def apply_byte_merges_expr(
+    tok: F.Column, merges: list[tuple[str, str]]
+) -> F.Column:
+    """Greedy BPE encode of ONE byte-alphabet token as a chained-
+    replace expression (the apply_merges_expr argument, restated for
+    byte symbols): each symbol is individually wrapped
+    ``\\x01sym\\x02`` — \\x01/\\x02 are control bytes OUTSIDE the byte
+    alphabet's image, so wrapping is unambiguous for every possible
+    symbol (the image contains '(' and ')', which rules out the paren
+    wrapper the word-level encoder uses). Each merge (a, b) is one
+    ``replace('\\x01a\\x02\\x01b\\x02' -> '\\x01ab\\x02')``: adjacent
+    matches share no characters, so left-to-right replacement IS the
+    greedy pairing, and one pass per merge is exhaustive. Returns the
+    space-joined subword string for the token."""
+    r = F.regexp_replace(tok, "(.)", "\x01$1\x02")
+    for a, b in merges:
+        r = F.replace(
+            r, F.lit(f"\x01{a}\x02\x01{b}\x02"), F.lit(f"\x01{a}{b}\x02")
+        )
+    return F.replace(
+        F.btrim(r, F.lit("\x01\x02")), F.lit("\x02\x01"), F.lit(" ")
+    )
+
+
+def byte_bpe_encode(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, n_pretokens, n_subwords, subword_text): GPT-2-style encode
+    of every document — published pre-tokenizer regex, byte->unicode
+    lift, greedy merge replay. Map-only whole-stage codegen: no
+    shuffle, no Python in the hot path. (At 100 TB: encode the DISTINCT
+    pretoken table once and broadcast-join it back — same expressions,
+    amortized over token frequency.)"""
+    pretoks = F.regexp_extract_all(
+        F.col(text_col), F.lit(GPT2_PRETOKEN_RE), 0
+    )
+    encoded = F.transform(
+        pretoks, lambda t: apply_byte_merges_expr(byte_alphabet_expr(t), merges)
+    )
+    joined = F.array_join(encoded, " ")
+    n_sub = F.size(F.filter(F.split(joined, " "), lambda s: s != ""))
+    return docs.select(
+        F.col(id_col),
+        F.size(pretoks).cast("int").alias("n_pretokens"),
+        n_sub.cast("int").alias("n_subwords"),
+        joined.alias("subword_text"),
+    )

@@ -111,6 +111,7 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "ann_recall_report",
     # -- (e) new round-7 registrations ------------------------------------
     "txlog_zonemap_scan",
+    "byte_bpe_encode_tokens",
     # -- fillers: displaced past the window as new r7 queries register ----
     "pq_topk",
     "pq_adc_fixed",

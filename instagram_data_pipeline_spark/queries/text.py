@@ -3049,3 +3049,72 @@ def q_gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         r_dup2.alias("r_dup2"),
         (r_words & r_meanlen & r_alpha & r_stop & r_dup2).alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Byte-level BPE encode (GPT-2 style; VERDICT r6 Next #4): the published
+# pre-tokenizer regex + bytes_to_unicode lift + greedy merge replay, all
+# in whole-stage codegen — closing the gap that word-level BPE above
+# operates on whitespace words, not bytes (byte-level is what every
+# modern open LLM dump actually ships). The merge table is a FIXED
+# literal (training is the iterative trainer's job); the oracle replays
+# the same wrapped-symbol chained replaces, with the pre-tokenizer
+# specialized to the corpus charset ([a-z ], single-spaced — verified):
+# on such text ' ?[a-z]+' extracts exactly what the full GPT-2 pattern
+# does, and the byte lift reduces to space->Ġ with identity elsewhere.
+# The Spark side runs the FULL published pattern and 256-entry table.
+# ---------------------------------------------------------------------------
+_BYTE_BPE_MERGES = [
+    ("Ġ", "t"), ("h", "e"), ("Ġt", "he"), ("i", "n"),
+    ("Ġ", "o"), ("e", "r"), ("Ġo", "f"),
+]
+
+
+def _byte_bpe_oracle() -> str:
+    w1, w2 = "chr(1)", "chr(2)"
+    enc = (
+        f"regexp_replace(replace(t, ' ', 'Ġ'), '(.)', "
+        f"{w1} || '\\1' || {w2}, 'g')"
+    )
+    for a, b in _BYTE_BPE_MERGES:
+        pat = f"{w1} || '{a}' || {w2} || {w1} || '{b}' || {w2}"
+        rep = f"{w1} || '{a}{b}' || {w2}"
+        enc = f"replace({enc}, {pat}, {rep})"
+    enc = (
+        f"replace(trim({enc}, {w1} || {w2}), {w2} || {w1}, ' ')"
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(text, ' ?[a-z]+') AS tk
+  FROM documents
+), enc AS (
+  SELECT doc_id, len(tk) AS n_pretokens,
+         COALESCE(array_to_string(
+           list_transform(tk, t -> {enc}), ' '), '') AS subword_text
+  FROM toks
+)
+SELECT doc_id, CAST(n_pretokens AS INT) AS n_pretokens,
+       CAST(len(list_filter(string_split(subword_text, ' '),
+                            s -> s <> '')) AS INT) AS n_subwords,
+       subword_text
+FROM enc
+"""
+
+
+@register(
+    "byte_bpe_encode_tokens",
+    _byte_bpe_oracle(),
+    doc="GPT-2-style byte-level BPE encode with a fixed merge table: "
+        "published pre-tokenizer regex (leading space joins the next "
+        "token), full 256-entry bytes_to_unicode lift (space -> Ġ, "
+        "multi-byte UTF-8 chars become multiple byte symbols), greedy "
+        "merge replay as boundary-safe chained replaces — map-only "
+        "codegen, zero shuffles; at 100 TB encode the distinct "
+        "pretoken table once and broadcast-join it back",
+    tags=("text", "tokenizer"),
+)
+def q_byte_bpe_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.bpe import byte_bpe_encode
+
+    docs = load_testdata(spark, sf_dir, "documents")
+    return byte_bpe_encode(docs, _BYTE_BPE_MERGES)
