@@ -112,6 +112,7 @@ REGISTRY_ORDER: tuple[str, ...] = (
     # -- (e) new round-7 registrations ------------------------------------
     "txlog_zonemap_scan",
     "byte_bpe_encode_tokens",
+    "late_data_accounting",
     # -- fillers: displaced past the window as new r7 queries register ----
     "pq_topk",
     "pq_adc_fixed",

@@ -900,3 +900,84 @@ def q_monitor_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("empty").alias("scenario"), *cols
     )
     return a.unionByName(b).unionByName(c)
+
+
+# ---------------------------------------------------------------------------
+# Watermark late-data accounting (VERDICT r6 Next #5): what the
+# watermark DROPS, counted per window — the observability surface the
+# streaming layer lacked (Structured Streaming discards late rows
+# before any user operator can see them). Arrival micro-batches are
+# synthesized deterministically (event time + a per-user hash jitter of
+# up to 2 days, batched by arrival day), the engine's published
+# watermark rule is replayed (wm_k = max event time of earlier batches
+# - delay; a row below its batch's wm is late), and the oracle repeats
+# the identical arithmetic — the drift_report pattern. The streaming
+# sink twin is parity-tested in tests/test_streaming.py.
+# ---------------------------------------------------------------------------
+_LATE_JITTER_MOD = 172_800   # 0..2 days of arrival jitter
+_LATE_DELAY_S = 21_600       # 6 h watermark delay
+_LATE_BATCH_S = 86_400       # daily arrival micro-batches
+
+_LATE_ORACLE = f"""
+WITH e AS (
+  SELECT ts,
+         CAST(FLOOR((CAST(epoch(ts) AS BIGINT)
+                     + (user_id * 2654435761) % {_LATE_JITTER_MOD})
+                    / {_LATE_BATCH_S}) AS BIGINT) AS b
+  FROM events WHERE ts IS NOT NULL
+), m AS (
+  SELECT b, MAX(CAST(epoch(ts) AS BIGINT)) AS mx FROM e GROUP BY b
+), w AS (
+  SELECT b,
+         MAX(mx) OVER (ORDER BY b
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           - {_LATE_DELAY_S} AS wm
+  FROM m
+)
+SELECT date_trunc('hour', e.ts) AS window_start,
+       CAST(SUM(CASE WHEN w.wm IS NULL
+                       OR CAST(epoch(e.ts) AS BIGINT) >= w.wm
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_admitted,
+       CAST(SUM(CASE WHEN w.wm IS NOT NULL
+                      AND CAST(epoch(e.ts) AS BIGINT) < w.wm
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_late
+FROM e JOIN w USING (b)
+GROUP BY 1
+"""
+
+
+@register(
+    "late_data_accounting",
+    _LATE_ORACLE,
+    doc="watermark late-data accounting: per-hour admitted vs "
+        "late-discarded counts under the engine's watermark rule "
+        "(wm = running max event time of prior arrival batches minus "
+        "delay), over deterministically jittered arrival batches — "
+        "answers 'what is the watermark silently dropping' for a "
+        "streaming ingest; two map-side-combined aggregations + one "
+        "broadcast of the #batches-sized watermark table, row data "
+        "touched exactly twice",
+    tags=("streaming", "diagnostics", "watermark"),
+)
+def q_late_data_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.lateness import late_data_accounting
+
+    events = load_testdata(spark, sf_dir, "events")
+    arrival_batch = F.floor(
+        (
+            F.unix_timestamp(F.col("ts"))
+            + (F.col("user_id") * F.lit(2654435761))
+            % F.lit(_LATE_JITTER_MOD)
+        )
+        / F.lit(_LATE_BATCH_S)
+    )
+    batched = events.filter(F.col("ts").isNotNull()).withColumn(
+        "_arrival", arrival_batch
+    )
+    return late_data_accounting(
+        batched,
+        batch_col="_arrival",
+        ts_col="ts",
+        delay_seconds=_LATE_DELAY_S,
+        window_seconds=3600,
+    )

@@ -854,3 +854,98 @@ def test_drift_report_matches_sink_decision(spark, tmp_path):
         empty_twin.dead_upstream,
     ) == (got[1].n_rows, got[1].l1_ppm, got[1].alert, got[1].dead_upstream)
     assert empty_twin.dead_upstream and not empty_twin.alert
+
+
+def test_late_data_sink_cross_batch_watermark(spark, tmp_path):
+    """The accounting sink must replay the engine's watermark rule
+    ACROSS batches: batch 0 can never be late (no prior watermark), a
+    batch-1 row older than batch 0's max - delay is counted late, and
+    the watermark only ever advances (a late batch does not drag it
+    back)."""
+    import datetime as dt
+
+    from instagram_data_pipeline_spark.streaming.lateness import (
+        LateDataAccountingSink,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def batch(*offsets_s):
+        return spark.createDataFrame(
+            [(t0 + dt.timedelta(seconds=s),) for s in offsets_s],
+            "ts timestamp",
+        )
+
+    sink = LateDataAccountingSink(
+        str(tmp_path / "late"), ts_col="ts",
+        delay_seconds=600, window_seconds=3600,
+    )
+    # batch 0: events up to t0+7200 -> wm becomes 7200-600 = 6600
+    sink.process_batch(batch(0, 3600, 7200), 0)
+    # batch 1: 6500 < wm (late), 6700 >= wm (admitted), 8000 advances
+    # the max to 8000 -> wm becomes 7400
+    sink.process_batch(batch(6500, 6700, 8000), 1)
+    # batch 2: 7000 < 7400 late; 100 (ancient) late; 7500 admitted
+    sink.process_batch(batch(7000, 100, 7500), 2)
+    got = {
+        (r.epoch, r.window_start): (r.n_admitted, r.n_late)
+        for r in sink.results(spark).collect()
+    }
+    h0 = t0
+    h1 = t0 + dt.timedelta(hours=1)
+    h2 = t0 + dt.timedelta(hours=2)
+    assert got[(0, h0)] == (1, 0)
+    assert got[(0, h1)] == (1, 0)
+    assert got[(0, h2)] == (1, 0)
+    assert got[(1, h1)] == (1, 1)   # 6700 admitted, 6500 late
+    assert got[(1, h2)] == (1, 0)   # 8000 admitted
+    assert got[(2, h0)] == (0, 1)   # 100 ancient -> late
+    assert got[(2, h1)] == (0, 1)   # 7000 < 7400 -> late
+    assert got[(2, h2)] == (1, 0)   # 7500 >= 7400 -> admitted
+
+
+def test_late_data_batch_twin_matches_sink(spark, tmp_path):
+    """The pure-plan batch twin over (row, arrival-batch) data must
+    reproduce the sink's per-window totals exactly when batches are
+    processed in batch order — integer-exact parity between the
+    streaming and oracle-checkable surfaces."""
+    import datetime as dt
+
+    import pyspark.sql.functions as F
+
+    from instagram_data_pipeline_spark.streaming.lateness import (
+        LateDataAccountingSink,
+        late_data_accounting,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        # (arrival_batch, event offset seconds) — deliberately jumbled
+        (0, 0), (0, 5400), (0, 9000),
+        (1, 8000), (1, 200), (1, 12_000),
+        (2, 11_500), (2, 3600), (2, 15_000),
+        (3, 100), (3, 14_000), (3, 16_000),
+    ]
+    df = spark.createDataFrame(
+        [(b, t0 + dt.timedelta(seconds=s)) for b, s in rows],
+        "b long, ts timestamp",
+    )
+    kw = dict(delay_seconds=1200, window_seconds=3600)
+    sink = LateDataAccountingSink(
+        str(tmp_path / "late"), ts_col="ts", **kw
+    )
+    for b in range(4):
+        sink.process_batch(df.filter(F.col("b") == b).select("ts"), b)
+    want = sorted(
+        map(tuple, sink.totals(spark).collect())
+    )
+    got = sorted(
+        map(
+            tuple,
+            late_data_accounting(df, batch_col="b", ts_col="ts", **kw)
+            .collect(),
+        )
+    )
+    assert got == want
+    # sanity: lateness actually occurred in this fixture
+    assert sum(r[2] for r in got) > 0
