@@ -149,9 +149,15 @@ def ngram_jaccard_pairs(
     sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n").alias("na"))
     sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n").alias("nb"))
     jac = F.col("shared") * F.lit(1.0) / (F.col("na") + F.col("nb") - F.col("shared"))
+    # SHUFFLE_HASH on the per-doc size side: without a hint the static
+    # planner may estimate the PAIR table as small and broadcast it —
+    # at an 8x corpus that broadcast OOMs the driver (found by
+    # scripts/scale_probe.py), and at 100 TB the pair side is never
+    # broadcastable. Shuffled-hash builds from the bounded size-table
+    # partition instead: scale-safe at every size, no sort.
     return (
-        pairs.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        pairs.join(sa.hint("shuffle_hash"), "doc_a")
+        .join(sb.hint("shuffle_hash"), "doc_b")
         .filter(jac >= threshold)
         .select("doc_a", "doc_b", "shared", F.round(jac, 6).alias("jaccard"))
     )
@@ -362,9 +368,11 @@ def minhash_near_dups(
     jac = shared * F.lit(1.0) / (
         F.size("sh_a") + F.size("sh_b") - shared
     )
+    # shuffle_hash: the candidate table must never be the broadcast
+    # side (its size is corpus-dependent; see ngram_jaccard_pairs)
     return (
-        cand.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        cand.join(sa.hint("shuffle_hash"), "doc_a")
+        .join(sb.hint("shuffle_hash"), "doc_b")
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
@@ -1043,9 +1051,11 @@ def ngram_containment_pairs(
     sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n").alias("nb"))
     ca = F.col("shared") * F.lit(1.0) / F.col("na")
     cb = F.col("shared") * F.lit(1.0) / F.col("nb")
+    # shuffle_hash: the pair table must never be the broadcast side
+    # (its size is corpus-dependent; see ngram_jaccard_pairs)
     return (
-        pairs.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        pairs.join(sa.hint("shuffle_hash"), "doc_a")
+        .join(sb.hint("shuffle_hash"), "doc_b")
         .filter(F.greatest(ca, cb) >= threshold)
         .select(
             "doc_a", "doc_b", "shared",

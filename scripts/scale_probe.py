@@ -1,0 +1,139 @@
+#!/usr/bin/env python
+"""Scale-trend probe (VERDICT r6 Next #8): measure the top-3 expensive
+document queries at sf0.1 AND at an 8x synthetic scale-up, and report
+the fitted scaling exponent alpha = log(T_8x / T_1x) / log(8) — one
+number that says whether the claimed near-linear shapes hold beyond
+the largest fixture.
+
+The 8x corpus is NOT 8 verbatim copies: identical (or near-identical)
+replicas would multiply every doc's near-duplicate cluster by 8 and
+grow candidate PAIRS quadratically, so the probe would measure the
+pair explosion of a degenerate corpus, not the operator's scaling.
+Each replica k instead word-permutes the text by a distinct stride
+coprime to the word count (replica 0 is the original), which destroys
+almost all shared 3-gram shingles between replicas while preserving
+word counts, lengths, and vocabulary — the size grows 8x, the
+similarity structure per document stays comparable.
+
+    python scripts/scale_probe.py [--sf DIR] [--factor 8] [--runs 2]
+
+Prints one JSON line {query: {t_1x, t_8x, alpha}} and a markdown table
+to paste into BENCHNOTES.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import shutil
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+PROBE_QUERIES = ["curation_pipeline", "ngram_jaccard_pairs",
+                 "minhash_near_dups"]
+
+# distinct strides, coprime to virtually all word counts
+_STRIDES = [1, 7, 11, 13, 17, 19, 23, 29, 31, 37, 41, 43]
+
+
+def build_scaled_documents(spark, sf_dir: str, out_dir: str,
+                           factor: int) -> None:
+    import pyspark.sql.functions as F
+
+    from instagram_data_pipeline_spark.io import load_testdata
+
+    docs = load_testdata(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    reps = []
+    for k in range(factor):
+        stride = _STRIDES[k % len(_STRIDES)]
+        words = F.split(F.col("text"), " ")
+        n = F.size(words)
+        permuted = F.when(n <= 1, F.col("text")).otherwise(
+            F.array_join(
+                F.transform(
+                    F.sequence(F.lit(0), n - 1),
+                    lambda i: F.element_at(
+                        words, (F.pmod(i * F.lit(stride), n) + 1).cast("int")
+                    ),
+                ),
+                " ",
+            )
+        )
+        reps.append(
+            docs.withColumn(
+                "doc_id", F.col("doc_id") + F.lit(k * 10 * n_docs)
+            ).withColumn("text", permuted if k else F.col("text"))
+        )
+    out = reps[0]
+    for r in reps[1:]:
+        out = out.unionByName(r)
+    out.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "documents.parquet")
+    )
+
+
+def time_query(registry, spark, name: str, sf_dir: str, runs: int) -> float:
+    best = None
+    for _ in range(runs):
+        t0 = time.time()
+        # collect(), not count(): a trailing LIMIT lets count() plan an
+        # early-exit that skips the upstream full-corpus aggregations,
+        # which would fake a flat (even negative) scaling exponent
+        len(registry[name].spark_fn(spark, sf_dir).collect())
+        el = time.time() - t0
+        best = el if best is None else min(best, el)
+    return best
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default=os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument("--factor", type=int, default=8)
+    ap.add_argument("--runs", type=int, default=2)
+    args = ap.parse_args()
+
+    from instagram_data_pipeline_spark.queries import load_all
+    from instagram_data_pipeline_spark.session import build_session
+
+    spark = build_session(app_name="scale_probe")
+    registry = load_all()
+
+    base = tempfile.mkdtemp(prefix="scale_probe_1x_")
+    big = tempfile.mkdtemp(prefix=f"scale_probe_{args.factor}x_")
+    try:
+        # re-land 1x through the same writer so both sides read
+        # identically-encoded parquet (no INT96/nanos asymmetry)
+        build_scaled_documents(spark, args.sf, base, 1)
+        build_scaled_documents(spark, args.sf, big, args.factor)
+
+        results = {}
+        print(f"| query | t_1x (s) | t_{args.factor}x (s) | alpha |")
+        print("|---|---|---|---|")
+        for name in PROBE_QUERIES:
+            t1 = time_query(registry, spark, name, base, args.runs)
+            t8 = time_query(registry, spark, name, big, args.runs)
+            alpha = math.log(t8 / t1) / math.log(args.factor)
+            results[name] = {
+                "t_1x": round(t1, 3),
+                f"t_{args.factor}x": round(t8, 3),
+                "alpha": round(alpha, 3),
+            }
+            print(f"| {name} | {t1:.2f} | {t8:.2f} | {alpha:.3f} |")
+        print(json.dumps({"factor": args.factor, "sf": args.sf,
+                          "results": results}))
+        return 0
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+        shutil.rmtree(big, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
