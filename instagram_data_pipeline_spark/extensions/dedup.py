@@ -1063,3 +1063,96 @@ def ngram_containment_pairs(
             F.round(cb, 6).alias("containment_b"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking (CDC) dedup: variable-size chunks whose
+# boundaries depend only on LOCAL content (a word's portable hash
+# hitting a residue class), the rolling-hash recipe (Rabin/LBFS,
+# restic/borg, FastCDC) restated at word granularity. The property
+# fixed-size chunking (sampling.context_chunks) lacks: inserting one
+# word near the start of a document shifts every fixed chunk after it,
+# but CDC boundaries downstream of the edit are unchanged — so shared
+# passages keep identical fingerprints across near-duplicate documents
+# and chunk-level dedup actually fires.
+# ---------------------------------------------------------------------------
+
+def cdc_chunk_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    divisor: int = 8,
+) -> DataFrame:
+    """Per-document CDC dedup report: ``(id, n_chunks, n_dup_chunks,
+    dup_ppm)`` where a chunk is duplicated if its fingerprint occurs at
+    more than one (doc, position) in the corpus.
+
+    A word CLOSES its chunk when ``md5_32(word) % divisor == 0`` (the
+    md5-derived portable hash family, engine-reproducible), giving
+    expected chunk length ``divisor`` words. Chunk assembly is one
+    in-row fold (struct accumulator: completed chunks + the open one)
+    — documents never explode to words, only to chunks. One shuffle on
+    the chunk fingerprint counts corpus-wide copies; one more groups
+    back per doc. dup_ppm uses integer ``div`` (engine-exact)."""
+    words = F.filter(
+        F.split(F.col(text_col), " "), lambda w: w != ""
+    )
+
+    def step(acc, w):
+        joined = F.when(
+            acc["cur"] == "", w
+        ).otherwise(F.concat(acc["cur"], F.lit(" "), w))
+        boundary = F.pmod(
+            F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast("long"),
+            F.lit(divisor),
+        ) == 0
+        return F.struct(
+            F.when(
+                boundary, F.concat(acc["done"], F.array(joined))
+            ).otherwise(acc["done"]).alias("done"),
+            F.when(boundary, F.lit("")).otherwise(joined).alias("cur"),
+        )
+
+    init = F.struct(
+        F.array().cast("array<string>").alias("done"),
+        F.lit("").alias("cur"),
+    )
+    chunks = F.aggregate(
+        words,
+        init,
+        step,
+        lambda acc: F.when(
+            acc["cur"] == "", acc["done"]
+        ).otherwise(F.concat(acc["done"], F.array(acc["cur"]))),
+    )
+    exploded = df.select(
+        F.col(id_col), F.explode(chunks).alias("chunk_text")
+    ).select(id_col, F.md5("chunk_text").alias("_fp"))
+    from pyspark.sql import Window
+
+    copies = F.count(F.lit(1)).over(Window.partitionBy("_fp"))
+    per_doc = (
+        exploded.withColumn("_copies", copies)
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.when(F.col("_copies") > 1, 1).otherwise(0))
+            .cast("long").alias("n_dup_chunks"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_chunks", F.lit(0)).cast("long")
+            .alias("n_chunks"),
+            F.coalesce("n_dup_chunks", F.lit(0)).cast("long")
+            .alias("n_dup_chunks"),
+            F.expr(
+                "CAST(CASE WHEN coalesce(n_chunks, 0) = 0 THEN 0 "
+                "ELSE coalesce(n_dup_chunks, 0) * 1000000 div n_chunks "
+                "END AS BIGINT)"
+            ).alias("dup_ppm"),
+        )
+    )

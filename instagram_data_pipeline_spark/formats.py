@@ -557,6 +557,85 @@ class TransactionLogFormat:
         df = self._read_snapshot(wh, Path(wh.path(table)), sub)
         return df.filter(F.col(col).between(F.lit(lo), F.lit(hi)))
 
+    def compact(
+        self,
+        wh,
+        table: str,
+        keys: list[str],
+        num_buckets: int,
+        min_files: int = 2,
+    ) -> tuple[int, int]:
+        """Small-file compaction (the Delta OPTIMIZE / Iceberg rewrite
+        analog): rewrite every bucket that currently holds >=
+        ``min_files`` data files into a fresh commit (one file per
+        bucket, or the ``max_records_per_file``-bounded minimum),
+        carry all other buckets forward BY REFERENCE, and
+        publish version N+1. Answers never change — only layout; with
+        ``cluster_col`` set, the rewrite re-sorts, so compaction also
+        repairs zone-map narrowness degraded by many small merges.
+        Returns (files_before, files_after) for the touched buckets.
+
+        Cost is proportional to the compacted buckets only — an
+        incremental-merge table accumulates one file per merge per
+        touched bucket, and at 100 TB reading 40 small files per bucket
+        costs 40 footer reads + seeks per scan; periodic compaction
+        caps that at 1. Concurrency: the publish is the same CAS as
+        merge; on conflict the compaction simply retries from the
+        winning snapshot (its rewrite is layout-only, so redoing is
+        always safe)."""
+        for _ in range(self.MAX_COMMIT_RETRIES):
+            snap = self._latest(wh, table)
+            if snap is None:
+                raise FileNotFoundError(f"no committed version for {table}")
+            by_bucket: dict[int, list[str]] = {}
+            for f, b in snap["files"].items():
+                by_bucket.setdefault(b, []).append(f)
+            touched = {
+                b for b, fs in by_bucket.items() if len(fs) >= min_files
+            }
+            if not touched:
+                n = len(snap["files"])
+                return n, n
+            root = Path(wh.path(table))
+            sub = dict(snap)
+            sub["files"] = {
+                f: b for f, b in snap["files"].items() if b in touched
+            }
+            df = self._read_snapshot(wh, root, sub)
+            before = len(sub["files"])
+            # layout-only rewrite: same rows, same bucket function
+            new_files, new_rows, new_stats = self._write_commit(
+                wh, table, df, keys, num_buckets
+            )
+            carried = {
+                f: b for f, b in snap["files"].items() if b not in touched
+            }
+            base_rows = snap.get("rows", {})
+            base_stats = snap.get("stats", {})
+            try:
+                self._publish(
+                    wh, table, snap["version"] + 1,
+                    {**carried, **new_files},
+                    snap.get("schema"),
+                    rows={
+                        **{f: base_rows[f] for f in carried
+                           if f in base_rows},
+                        **new_rows,
+                    },
+                    stats={
+                        **{f: base_stats[f] for f in carried
+                           if f in base_stats},
+                        **new_stats,
+                    },
+                )
+                return before, len(new_files)
+            except CommitConflict:
+                continue  # a writer won the version: recompact on top
+        raise CommitConflict(
+            f"compact on {table!r}: gave up after "
+            f"{self.MAX_COMMIT_RETRIES} commit conflicts"
+        )
+
     def vacuum(
         self, wh, table: str, grace_seconds: float = 3600.0
     ) -> list[str]:

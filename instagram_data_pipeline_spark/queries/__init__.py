@@ -113,6 +113,9 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "txlog_zonemap_scan",
     "byte_bpe_encode_tokens",
     "late_data_accounting",
+    "txlog_compact",
+    "cdc_chunk_stats",
+    "json_schema_infer",
     # -- fillers: displaced past the window as new r7 queries register ----
     "pq_topk",
     "pq_adc_fixed",

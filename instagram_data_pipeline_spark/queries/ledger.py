@@ -832,3 +832,84 @@ def q_txlog_zonemap_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fmt.read_for_range(wh, "facts", "ts", lo, hi).select(
         "k", "v", "ts"
     )
+
+
+# ---------------------------------------------------------------------------
+# Small-file compaction off the transaction log (the Delta OPTIMIZE /
+# Iceberg rewrite analog): incremental merges accrete files per bucket;
+# compact() rewrites the oversized buckets into fresh files, carries
+# the rest by reference, and CAS-publishes a new version — layout-only,
+# answers identical, old versions still readable. The query builds a
+# deliberately fragmented table (tiny max_records_per_file), compacts,
+# asserts the file count strictly dropped, and returns the post-compact
+# content; the oracle replays the merge semantically — green means
+# compaction changed layout and nothing else.
+# ---------------------------------------------------------------------------
+_TXLOG_COMPACT_ORACLE = f"""
+WITH b1 AS (
+  SELECT o_custkey AS k, MAX(o_totalprice) AS v, MAX(o_orderdate) AS ts
+  FROM orders WHERE o_orderdate < TIMESTAMP '{_TXLOG_CUT}' GROUP BY 1
+), b2 AS (
+  SELECT o_custkey AS k, MAX(o_totalprice) AS v, MAX(o_orderdate) AS ts
+  FROM orders WHERE o_orderdate >= TIMESTAMP '{_TXLOG_CUT}' GROUP BY 1
+), merged AS (
+  SELECT COALESCE(b2.k, b1.k) AS k,
+         COALESCE(b2.v, b1.v) AS v,
+         COALESCE(b2.ts, b1.ts) AS ts
+  FROM b1 FULL OUTER JOIN b2 ON b1.k = b2.k
+)
+SELECT k, v, ts FROM merged WHERE k % 31 = 0
+"""
+
+
+@register(
+    "txlog_compact",
+    _TXLOG_COMPACT_ORACLE,
+    doc="transaction-log small-file compaction (OPTIMIZE analog): two "
+        "keep-newest merges under a tiny max_records_per_file fragment "
+        "every bucket, compact() rewrites fragmented buckets into a "
+        "fresh CAS-published version carrying the rest by reference "
+        "(file count strictly reduced — asserted in-query and in "
+        "tests/test_io.py, with time travel and zone maps intact); "
+        "oracle replays the merge, proving compaction is layout-only",
+    tags=("writes", "format", "compaction"),
+)
+def q_txlog_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..formats import TransactionLogFormat
+    from ..io import Warehouse
+
+    orders = load_testdata(spark, sf_dir, "orders")
+
+    def batch(pred):
+        return (
+            orders.filter(pred)
+            .groupBy(F.col("o_custkey").alias("k"))
+            .agg(
+                F.max("o_totalprice").alias("v"),
+                F.max("o_orderdate").alias("ts"),
+            )
+        )
+
+    cut = F.lit(_TXLOG_CUT).cast("timestamp")
+    frag = TransactionLogFormat(cluster_col="ts", max_records_per_file=32)
+    wh = Warehouse(
+        spark, tempfile.mkdtemp(prefix="txlog_compact_"), fmt=frag
+    )
+    wh.upsert_partitioned(
+        "facts", batch(F.col("o_orderdate") < cut), ["k"], "ts",
+        num_buckets=8,
+    )
+    wh.upsert_partitioned(
+        "facts", batch(F.col("o_orderdate") >= cut), ["k"], "ts",
+        num_buckets=8,
+    )
+    compactor = TransactionLogFormat(cluster_col="ts")
+    n_before, n_after = compactor.compact(wh, "facts", ["k"], 8)
+    assert n_after < n_before, (n_before, n_after)
+    return (
+        compactor.read_merged(wh, "facts")
+        .filter(F.col("k") % 31 == 0)
+        .select("k", "v", "ts")
+    )

@@ -3118,3 +3118,175 @@ def q_byte_bpe_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_testdata(spark, sf_dir, "documents")
     return byte_bpe_encode(docs, _BYTE_BPE_MERGES)
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking dedup (CDC — the Rabin/FastCDC recipe at
+# word granularity): chunk boundaries depend only on local content (a
+# word's portable hash in residue class 0 mod 8 closes the chunk), so
+# an insertion near the start of a near-duplicate document does NOT
+# shift downstream chunk fingerprints the way fixed-size chunking
+# (chunk_dedup) does. The Spark side assembles chunks with an in-row
+# struct-accumulator fold (docs explode to CHUNKS, never to words);
+# the oracle takes a completely different route — unnest words with
+# ordinality, prefix-sum the boundary flags with a window, string_agg
+# per (doc, chunk id) — so a hash match pins the semantics, not the
+# plan.
+# ---------------------------------------------------------------------------
+_CDC_DIV = 8
+
+_CDC_ORACLE = f"""
+WITH l AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), x -> x <> '') AS ws
+  FROM documents
+), w AS (
+  SELECT doc_id, UNNEST(ws) AS w, UNNEST(range(len(ws))) AS ord
+  FROM l
+), wb AS (
+  SELECT doc_id, w, ord,
+         CASE WHEN CAST(concat('0x', substr(md5(w), 1, 8)) AS BIGINT)
+                   % {_CDC_DIV} = 0 THEN 1 ELSE 0 END AS bnd
+  FROM w
+), cid AS (
+  SELECT doc_id, w, ord,
+         COALESCE(SUM(bnd) OVER (PARTITION BY doc_id ORDER BY ord
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING), 0) AS chunk_id
+  FROM wb
+), chunks AS (
+  SELECT doc_id, chunk_id,
+         md5(string_agg(w, ' ' ORDER BY ord)) AS fp
+  FROM cid GROUP BY doc_id, chunk_id
+), counted AS (
+  SELECT doc_id, COUNT(*) OVER (PARTITION BY fp) AS copies
+  FROM chunks
+), per_doc AS (
+  SELECT doc_id, COUNT(*) AS n_chunks,
+         SUM(CASE WHEN copies > 1 THEN 1 ELSE 0 END) AS n_dup
+  FROM counted GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(p.n_chunks, 0) AS BIGINT) AS n_chunks,
+       CAST(COALESCE(p.n_dup, 0) AS BIGINT) AS n_dup_chunks,
+       CAST(CASE WHEN COALESCE(p.n_chunks, 0) = 0 THEN 0
+                 ELSE COALESCE(p.n_dup, 0) * 1000000 // p.n_chunks
+            END AS BIGINT) AS dup_ppm
+FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+"""
+
+
+@register(
+    "cdc_chunk_stats",
+    _CDC_ORACLE,
+    doc="content-defined chunking dedup report: boundaries from a "
+        "word's portable hash residue (expected chunk = 8 words), "
+        "chunks assembled by one in-row fold (docs explode to chunks, "
+        "never words), corpus-wide copy counts from one fingerprint "
+        "shuffle — insertion-robust chunk fingerprints, the property "
+        "fixed-size chunking lacks; oracle rebuilds chunks via "
+        "unnest+window prefix-sum, a disjoint plan",
+    tags=("text", "chunking", "dedup"),
+)
+def q_cdc_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.dedup import cdc_chunk_stats
+
+    docs = load_testdata(spark, sf_dir, "documents")
+    return cdc_chunk_stats(docs, divisor=_CDC_DIV)
+
+
+# ---------------------------------------------------------------------------
+# JSON schema inference / drift report: given a corpus of raw JSON
+# event payloads, report per-key type histograms — the first tool an
+# operator reaches for when an upstream producer changes a field type
+# (the "user" key below is an integer for most producers but a STRING
+# for the purchase producer: a planted type conflict the report must
+# surface). Payloads are synthesized deterministically from event
+# columns (flat objects: int / quoted string / boolean / null values,
+# no float formatting so both engines build byte-identical JSON); the
+# extraction is one regexp_extract_all + explode + type sniff + count
+# — map-only until a single (key, type) aggregation.
+# ---------------------------------------------------------------------------
+_JS_PAIR_RE = '"[A-Za-z_]+"\\s*:\\s*("[^"]*"|[^,}\\s]+)'
+
+
+def _js_synth_sql() -> str:
+    return """
+      CASE event_type
+        WHEN 'click' THEN
+          '{"user": ' || user_id || ', "clicks": ' ||
+          CAST(FLOOR(value) AS BIGINT) || ', "tag": "t' ||
+          user_id % 10 || '"}'
+        WHEN 'view' THEN
+          '{"user": ' || user_id || ', "hot": ' ||
+          CASE WHEN value > 50 THEN 'true' ELSE 'false' END || '}'
+        WHEN 'purchase' THEN
+          '{"user": "' || user_id || '", "amount": ' ||
+          CAST(FLOOR(value) AS BIGINT) || '}'
+        WHEN 'signup' THEN
+          '{"user": ' || user_id || ', "ref": null}'
+        ELSE '{"user": ' || user_id || ', "code": "e' ||
+          user_id % 7 || '"}'
+      END
+    """
+
+
+_JS_ORACLE = f"""
+WITH payload AS (
+  SELECT ({_js_synth_sql()}) AS js FROM events
+), pairs AS (
+  SELECT UNNEST(regexp_extract_all(js, '{_JS_PAIR_RE}')) AS kv
+  FROM payload
+), typed AS (
+  SELECT regexp_extract(kv, '"([A-Za-z_]+)"', 1) AS json_key,
+         trim(regexp_extract(kv, ':\\s*(.*)$', 1)) AS v
+  FROM pairs
+)
+SELECT json_key,
+       CASE WHEN v LIKE '"%' THEN 'string'
+            WHEN v IN ('true', 'false') THEN 'boolean'
+            WHEN v = 'null' THEN 'null'
+            WHEN regexp_matches(v, '^-?[0-9]+$') THEN 'integer'
+            ELSE 'other' END AS vtype,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM typed
+GROUP BY 1, 2
+"""
+
+
+@register(
+    "json_schema_infer",
+    _JS_ORACLE,
+    doc="JSON schema inference over raw payloads: per-key value-type "
+        "histogram (integer/string/boolean/null) via one "
+        "regexp_extract_all + explode + sniff + count — surfaces the "
+        "planted producer drift ('user' is integer for four producers "
+        "but string for purchases) that silently breaks a typed "
+        "ingest; map-only until one (key, type) aggregation, no "
+        "Python, no JSON parser in the hot path",
+    tags=("text", "json", "diagnostics"),
+)
+def q_json_schema_infer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_testdata(spark, sf_dir, "events")
+    js = F.expr(_js_synth_sql())
+    pairs = events.select(js.alias("js")).select(
+        F.explode(F.regexp_extract_all(F.col("js"), F.lit(_JS_PAIR_RE), 0))
+        .alias("kv")
+    )
+    v = F.trim(F.regexp_extract(F.col("kv"), r":\s*(.*)$", 1))
+    vtype = (
+        F.when(v.startswith('"'), "string")
+        .when(v.isin("true", "false"), "boolean")
+        .when(v == "null", "null")
+        .when(v.rlike("^-?[0-9]+$"), "integer")
+        .otherwise("other")
+    )
+    return (
+        pairs.select(
+            F.regexp_extract(F.col("kv"), '"([A-Za-z_]+)"', 1)
+            .alias("json_key"),
+            vtype.alias("vtype"),
+        )
+        .groupBy("json_key", "vtype")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )

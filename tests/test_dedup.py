@@ -476,3 +476,57 @@ def test_containment_catches_subset_jaccard_misses(spark):
     # symmetric Jaccard at the usual 0.1 threshold misses the pair
     jac = ngram_jaccard_pairs(docs, threshold=0.1).collect()
     assert jac == []
+
+
+def test_cdc_chunks_are_insertion_robust(spark):
+    """THE content-defined-chunking property: inserting one word near
+    the start of a document must leave every chunk after the edit's
+    chunk byte-identical (boundaries depend only on local content), so
+    shared passages keep their fingerprints across near-duplicates —
+    exactly what fixed-size chunking cannot do."""
+    import hashlib
+
+    import pyspark.sql.functions as F
+
+    from instagram_data_pipeline_spark.extensions.dedup import (
+        cdc_chunk_stats,
+    )
+
+    words = [f"w{(i * 7919) % 1000:03d}" for i in range(400)]
+    original = " ".join(words)
+    edited = " ".join(words[:3] + ["zzinserted"] + words[3:])
+
+    def ref_chunks(text, divisor=8):
+        out, cur = [], []
+        for w in text.split():
+            cur.append(w)
+            h = int(hashlib.md5(w.encode()).hexdigest()[:8], 16)
+            if h % divisor == 0:
+                out.append(" ".join(cur))
+                cur = []
+        if cur:
+            out.append(" ".join(cur))
+        return out
+
+    c_orig, c_edit = ref_chunks(original), ref_chunks(edited)
+    # all chunks after the edited one are identical -> fingerprints too
+    assert c_orig[1:] == c_edit[1:]
+    assert c_orig[0] != c_edit[0]
+
+    # and the operator agrees: in a corpus of the two docs, every chunk
+    # except the two edited heads is a corpus-level duplicate
+    docs = spark.createDataFrame(
+        [(1, original), (2, edited)], "doc_id long, text string"
+    )
+    got = {r.doc_id: r for r in cdc_chunk_stats(docs).collect()}
+    assert got[1].n_chunks == len(c_orig)
+    assert got[2].n_chunks == len(c_edit)
+    assert got[1].n_dup_chunks == len(c_orig) - 1
+    assert got[2].n_dup_chunks == len(c_edit) - 1
+
+    # empty doc: zero chunks, zero dup, dup_ppm 0 (no divide-by-zero)
+    docs2 = spark.createDataFrame(
+        [(1, "a b"), (2, "")], "doc_id long, text string"
+    )
+    empty = {r.doc_id: r for r in cdc_chunk_stats(docs2).collect()}[2]
+    assert (empty.n_chunks, empty.n_dup_chunks, empty.dup_ppm) == (0, 0, 0)

@@ -781,3 +781,56 @@ def test_txlog_zonemap_stats_carried_across_merges(spark, tmp_path):
         assert v2["stats"][f] == v1["stats"][f]
     fresh = set(v2["files"]) - set(v1["files"])
     assert fresh and all(f in v2["stats"] for f in fresh)
+
+
+def test_txlog_compact_reduces_files_preserves_answers(spark, tmp_path):
+    """Compaction is layout-only: after several merges accumulate many
+    small files, compact() must strictly reduce the live file count,
+    keep the table contents byte-identical, keep zone maps for the new
+    files, and leave every OLD version readable (time travel intact)."""
+    import datetime as dt
+
+    from instagram_data_pipeline_spark.formats import TransactionLogFormat
+    from instagram_data_pipeline_spark.io import Warehouse
+
+    fmt = TransactionLogFormat(cluster_col="ts", max_records_per_file=40)
+    wh = Warehouse(spark, str(tmp_path / "wh"), fmt=fmt)
+    t0 = dt.datetime(2024, 1, 1)
+
+    def batch(lo, hi):
+        return spark.createDataFrame(
+            [(i, f"v{i}", t0 + dt.timedelta(hours=(i * 37) % 500))
+             for i in range(lo, hi)],
+            "k long, v string, ts timestamp",
+        )
+
+    for lo in range(0, 500, 100):  # 5 merges -> many small files
+        wh.upsert_partitioned(
+            "facts", batch(lo, lo + 100), ["k"], "ts", num_buckets=4
+        )
+    before_snap = fmt._latest(wh, "facts")
+    want = sorted(map(tuple, fmt.read_merged(wh, "facts").collect()))
+
+    compactor = TransactionLogFormat(cluster_col="ts")  # unbounded files
+    n_before, n_after = compactor.compact(
+        wh, "facts", ["k"], num_buckets=4
+    )
+    assert n_after < n_before
+    after_snap = compactor._latest(wh, "facts")
+    assert after_snap["version"] == before_snap["version"] + 1
+    assert len(after_snap["files"]) < len(before_snap["files"])
+    assert len(after_snap["files"]) == 4  # one file per bucket
+    got = sorted(map(tuple, compactor.read_merged(wh, "facts").collect()))
+    assert got == want
+    # zone maps recomputed for the rewritten files
+    assert all(
+        "ts" in after_snap["stats"][f] for f in after_snap["files"]
+    )
+    # the pre-compaction version is still fully readable
+    old = compactor.read_version(wh, "facts", before_snap["version"])
+    assert sorted(map(tuple, old.collect())) == want
+    # idempotence: nothing left >= min_files, second compact is a no-op
+    n2_before, n2_after = compactor.compact(
+        wh, "facts", ["k"], num_buckets=4
+    )
+    assert n2_before == n2_after == 4
