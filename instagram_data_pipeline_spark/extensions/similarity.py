@@ -876,3 +876,66 @@ def cosine_topk_filtered(
             F.round("_sim", 6).alias("cosine"), "rank",
         )
     )
+
+
+def semdedup_drops(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Semantic deduplication, the SemDeDup recipe (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the corpus, then WITHIN each cluster
+    rank members by centroid similarity ascending (outliers first — the
+    released implementation keeps low-centroid-sim items) and drop any
+    member whose cosine to some earlier-ranked member reaches
+    ``threshold``.  Pairwise work never crosses a cluster boundary.
+
+    Scale shape: assignment is one corpus scan against broadcast
+    centroids; the candidate join shuffles once on the cluster id and
+    scores only same-cluster pairs — with k chosen ∝ N (the paper uses
+    ~0.1% of N) the per-cluster member count, and hence the pair
+    count, stays bounded.  All vector math is the sequential-fold
+    ``dot`` above, bit-identical to the oracle's list_dot_product.
+
+    ``centroids`` must be small (broadcast): (cluster, cv) with cv
+    array<double>.  Returns one row per DROPPED member: (id, cluster,
+    max_prior_sim rounded to 6) — the audit trail of what semantic
+    dedup removed and why.
+    """
+    v = vectors.select(
+        F.col(id_col), as_double_vec(F.col(vec_col)).alias("_v")
+    )
+    cent = centroids.select("cluster", F.col("cv").alias("_cv"))
+    w_assign = Window.partitionBy(id_col).orderBy(
+        F.col("_csim").desc(), F.col("cluster")
+    )
+    assigned = (
+        v.join(F.broadcast(cent))
+        .withColumn("_csim", cosine(F.col("_v"), F.col("_cv")))
+        .withColumn("_rk", F.row_number().over(w_assign))
+        .filter(F.col("_rk") == 1)
+        .select(id_col, "cluster", "_csim", "_v")
+    )
+    w_prio = Window.partitionBy("cluster").orderBy(
+        F.col("_csim").asc(), F.col(id_col)
+    )
+    ranked = assigned.withColumn("_prio", F.row_number().over(w_prio))
+    a = ranked.select(
+        F.col("cluster"),
+        F.col("_prio").alias("_pa"), F.col("_v").alias("_va"),
+    )
+    b = ranked.select(
+        F.col(id_col), F.col("cluster"),
+        F.col("_prio").alias("_pb"), F.col("_v").alias("_vb"),
+    )
+    pair_sim = cosine(F.col("_va"), F.col("_vb"))
+    return (
+        a.join(b, "cluster")
+        .filter(F.col("_pa") < F.col("_pb"))
+        .withColumn("_sim", pair_sim)
+        .filter(F.col("_sim") >= F.lit(threshold))
+        .groupBy(id_col, "cluster")
+        .agg(F.round(F.max("_sim"), 6).alias("max_prior_sim"))
+    )

@@ -116,6 +116,8 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "txlog_compact",
     "cdc_chunk_stats",
     "json_schema_infer",
+    "record_linkage",
+    "semdedup_drops",
     # -- fillers: displaced past the window as new r7 queries register ----
     "pq_topk",
     "pq_adc_fixed",

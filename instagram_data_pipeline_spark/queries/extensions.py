@@ -2211,3 +2211,191 @@ def q_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "kept_dims long, n_exact long, n_trunc long, n_hits long, "
         "recall_ppm long",
     )
+
+
+# ---------------------------------------------------------------------------
+# Record linkage with blocking (Fellegi-Sunter-lite): a synthesized
+# "dirty" feed of the customer table (names with swapped/dropped
+# characters, phones with a flipped digit — deterministic per key) is
+# re-linked to the clean table via an EQUALITY join on the blocking
+# keys (nation x segment; never a cartesian product) + integer
+# per-mille edit-distance scoring + best-match-per-dirty-record. The
+# oracle replays the same synthesis, blocking, levenshtein arithmetic,
+# and window pick — green means the whole entity-resolution decision
+# is engine-exact.
+# ---------------------------------------------------------------------------
+_LINK_THRESHOLD_PM = 850
+
+_LINK_SYNTH = """
+  SELECT c_custkey, c_name, c_nationkey, c_mktsegment,
+         'p' || lpad(CAST((c_custkey * 7919) % 10000000 AS VARCHAR),
+                     7, '0') AS phone
+  FROM customer
+"""
+
+_LINK_DIRTY = """
+  SELECT c_custkey + 1000000 AS dirty_id, c_nationkey, c_mktsegment,
+         CASE CAST(c_custkey % 3 AS INT)
+           WHEN 0 THEN substr(c_name, 1, 16) || substr(c_name, 18, 1)
+                       || substr(c_name, 17, 1)
+           WHEN 1 THEN substr(c_name, 1, 17)
+           ELSE c_name
+         END AS d_name,
+         CASE CAST(c_custkey % 3 AS INT)
+           WHEN 0 THEN substr(phone, 1, 7) ||
+                       CAST((CAST(substr(phone, 8, 1) AS INT) + 1) % 10
+                            AS VARCHAR)
+           ELSE phone
+         END AS d_phone
+  FROM clean
+"""
+
+_LINK_ORACLE = f"""
+WITH clean AS ({_LINK_SYNTH}),
+dirty AS ({_LINK_DIRTY}),
+cand AS (
+  SELECT d.dirty_id, c.c_custkey AS clean_id,
+         (  (1000 - levenshtein(c.c_name, d.d_name) * 1000
+             // GREATEST(length(c.c_name), length(d.d_name)))
+          + (1000 - levenshtein(c.phone, d.d_phone) * 1000
+             // GREATEST(length(c.phone), length(d.d_phone)))
+         ) // 2 AS score_pm
+  FROM clean c JOIN dirty d
+    ON c.c_nationkey = d.c_nationkey
+   AND c.c_mktsegment = d.c_mktsegment
+), best AS (
+  SELECT dirty_id, clean_id, CAST(score_pm AS BIGINT) AS score_pm,
+         ROW_NUMBER() OVER (PARTITION BY dirty_id
+                            ORDER BY score_pm DESC, clean_id) AS rn
+  FROM cand WHERE score_pm >= {_LINK_THRESHOLD_PM}
+)
+SELECT dirty_id, clean_id, score_pm FROM best WHERE rn = 1
+"""
+
+
+@register(
+    "record_linkage",
+    _LINK_ORACLE,
+    doc="record linkage with blocking: dirty customer feed (swapped/"
+        "dropped name chars, flipped phone digit) re-linked to the "
+        "clean table via an equi-join on nation x segment blocks, "
+        "integer per-mille levenshtein scoring over two fields, and a "
+        "best-match window per dirty record — the standard two-source "
+        "entity-resolution shape; blocking join shuffles like any "
+        "equi-join (no cartesian), scoring is whole-stage codegen",
+    tags=("linkage", "dedup", "join"),
+)
+def q_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.linkage import blocked_link
+
+    cust = load_testdata(spark, sf_dir, "customer")
+    clean = cust.select(
+        F.col("c_custkey").alias("clean_id"),
+        "c_name", "c_nationkey", "c_mktsegment",
+        F.concat(
+            F.lit("p"),
+            F.lpad(((F.col("c_custkey") * 7919) % 10_000_000)
+                   .cast("string"), 7, "0"),
+        ).alias("phone"),
+    )
+    mod3 = (F.col("clean_id") % 3).cast("int")
+    d_name = (
+        F.when(
+            mod3 == 0,
+            F.concat(
+                F.substring("c_name", 1, 16),
+                F.substring("c_name", 18, 1),
+                F.substring("c_name", 17, 1),
+            ),
+        )
+        .when(mod3 == 1, F.substring("c_name", 1, 17))
+        .otherwise(F.col("c_name"))
+    )
+    d_phone = F.when(
+        mod3 == 0,
+        F.concat(
+            F.substring("phone", 1, 7),
+            ((F.substring("phone", 8, 1).cast("int") + 1) % 10)
+            .cast("string"),
+        ),
+    ).otherwise(F.col("phone"))
+    dirty = clean.select(
+        (F.col("clean_id") + 1_000_000).alias("dirty_id"),
+        "c_nationkey", "c_mktsegment",
+        d_name.alias("d_name"), d_phone.alias("d_phone"),
+    )
+    return blocked_link(
+        clean, dirty,
+        block_cols=["c_nationkey", "c_mktsegment"],
+        fields=[("c_name", "d_name", 1), ("phone", "d_phone", 1)],
+        clean_id="clean_id", dirty_id="dirty_id",
+        threshold_pm=_LINK_THRESHOLD_PM,
+    )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup (Abbas et al. 2023): cluster-scoped semantic dedup. Seed
+# centroids are the first 10 corpus vectors (deterministic, replayed
+# verbatim by the oracle), assignment is argmax cosine, and within each
+# cluster members are ranked outliers-first (centroid-sim ascending —
+# the released implementation's keep-priority); a member is dropped
+# when any earlier-ranked member is cosine-similar above the
+# threshold. The oracle replays assignment, ranking, and the pairwise
+# drop decision — green means the entire semantic-dedup decision
+# procedure is engine-exact, not just the final counts.
+# ---------------------------------------------------------------------------
+_SEMDEDUP_TAU = 0.35
+
+_SEMDEDUP_ORACLE = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cent AS (SELECT vec_id AS cluster, v AS cv FROM e WHERE vec_id < 10),
+scored AS (
+  SELECT e.vec_id, c.cluster, e.v,
+         {_COS.format(a='e.v', b='c.cv')} AS csim
+  FROM e CROSS JOIN cent c
+),
+asg AS (
+  SELECT vec_id, cluster, v, csim FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY vec_id ORDER BY csim DESC, cluster
+    ) AS rk FROM scored
+  ) WHERE rk = 1
+),
+ranked AS (
+  SELECT vec_id, cluster, v,
+         ROW_NUMBER() OVER (
+           PARTITION BY cluster ORDER BY csim ASC, vec_id
+         ) AS prio
+  FROM asg
+)
+SELECT b.vec_id, b.cluster, ROUND(MAX(sim), 6) AS max_prior_sim
+FROM (
+  SELECT a.cluster, b.vec_id,
+         {_COS.format(a='a.v', b='b.v')} AS sim
+  FROM ranked a JOIN ranked b
+    ON a.cluster = b.cluster AND a.prio < b.prio
+) p JOIN ranked b ON p.vec_id = b.vec_id AND p.cluster = b.cluster
+WHERE sim >= {_SEMDEDUP_TAU}
+GROUP BY b.vec_id, b.cluster
+"""
+
+
+@register(
+    "semdedup_drops",
+    _SEMDEDUP_ORACLE,
+    doc="SemDeDup semantic dedup (Abbas et al. 2023): broadcast-"
+        "centroid cluster assignment, outliers-first keep priority "
+        "within each cluster, drop any member cosine-similar above "
+        "0.35 to an earlier-ranked member — pairwise work never "
+        "crosses a cluster boundary, so with k ∝ N the per-cluster "
+        "pair cost stays bounded; one row per dropped vector with "
+        "the similarity evidence",
+    tags=("similarity", "dedup", "semdedup"),
+)
+def q_semdedup_drops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_testdata(spark, sf_dir, "embeddings")
+    cent = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("cluster"),
+        S.as_double_vec(F.col("embedding")).alias("cv"),
+    )
+    return S.semdedup_drops(emb, cent, threshold=_SEMDEDUP_TAU)

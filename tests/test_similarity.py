@@ -338,3 +338,37 @@ def test_ivf_incremental_topk_matches_oneshot(spark, sf_dir):
     inc = sorted(map(tuple, reg["ivf_incremental_topk"].spark_fn(spark, sf_dir).collect()))
     one = sorted(map(tuple, reg["ivf_topk"].spark_fn(spark, sf_dir).collect()))
     assert inc == one
+
+
+def test_semdedup_drops_planted(spark):
+    from instagram_data_pipeline_spark.extensions.similarity import (
+        semdedup_drops,
+    )
+
+    # Two orthogonal clusters; in cluster 0 two near-identical vectors
+    # plus one orthogonal-ish outlier; cluster 1 a lone vector.
+    vecs = spark.createDataFrame(
+        [
+            (10, [1.0, 0.0, 0.0, 0.0]),
+            (11, [0.999, 0.01, 0.0, 0.0]),   # near-dup of 10
+            (12, [0.7, 0.0, 0.714, 0.0]),    # same cluster, dissimilar
+            (20, [0.0, 1.0, 0.0, 0.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    cent = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0])],
+        "cluster int, cv array<double>",
+    )
+    got = {
+        r.vec_id: (r.cluster, r.max_prior_sim)
+        for r in semdedup_drops(vecs, cent, threshold=0.95).collect()
+    }
+    # Priority in cluster 0 is centroid-sim ASC: 12 (outlier) first,
+    # then 11, then 10. 10 is dropped against 11 (cos ~0.99995); 11
+    # survives (12 is below tau); 12 and 20 survive.
+    assert set(got) == {10}
+    assert got[10][0] == 0 and got[10][1] > 0.99
+
+    # Raising the threshold above the planted similarity drops nothing.
+    assert semdedup_drops(vecs, cent, threshold=0.99999).count() == 0
