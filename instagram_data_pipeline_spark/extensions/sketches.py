@@ -183,6 +183,23 @@ def portable_hll_distinct(
     over register rows. Same monoid merge story as the other sketches:
     registers merge by MAX."""
     m = 1 << p
+    regs = hll_registers(df, group_cols, value_col, p)
+    return hll_estimate_from_registers(regs, group_cols, p, "approx_users")
+
+
+def hll_registers(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    p: int = 12,
+) -> DataFrame:
+    """Per-group HLL register frame ``(*group_cols, _bkt, _m)`` — the
+    mergeable sketch state.  Registers from ANY partitioning of the
+    same data merge by MAX on ``(_bkt)``: per-day registers roll up to
+    per-month/global with one re-aggregate instead of a re-scan — the
+    mergeability that makes sketch rollups work at 100 TB (compute once
+    at the finest grain, derive every coarser grain from state)."""
+    m = 1 << p
     md5 = F.md5(F.col(value_col).cast("string").cast("binary"))
     bkt = F.pmod(
         F.conv(F.substring(md5, 1, 8), 16, 10).cast("long"), F.lit(m)
@@ -191,12 +208,34 @@ def portable_hll_distinct(
     rho = F.when(w == F.lit(0), F.lit(33)).otherwise(
         F.lit(33) - F.length(F.bin(w))
     )
-    regs = (
+    return (
         df.filter(F.col(value_col).isNotNull())
         .select(*group_cols, bkt.alias("_bkt"), rho.alias("_rho"))
         .groupBy(*group_cols, "_bkt")
         .agg(F.max("_rho").alias("_m"))
     )
+
+
+def hll_merge_registers(
+    regs: DataFrame, group_cols: list[str]
+) -> DataFrame:
+    """Merge register frames down to a coarser grouping (possibly
+    none): MAX per (group, bucket) — associative, commutative,
+    idempotent, so any merge tree gives the identical sketch."""
+    return regs.groupBy(*group_cols, "_bkt").agg(
+        F.max("_m").alias("_m")
+    )
+
+
+def hll_estimate_from_registers(
+    regs: DataFrame,
+    group_cols: list[str],
+    p: int = 12,
+    out_col: str = "approx_users",
+) -> DataFrame:
+    """Evaluate the shared estimator over a register frame (see
+    :func:`portable_hll_distinct` for the portability discipline)."""
+    m = 1 << p
     agg = regs.groupBy(*group_cols).agg(
         F.sum(
             F.pow(F.lit(2.0), F.lit(40) - F.col("_m")).cast("long")
@@ -215,7 +254,7 @@ def portable_hll_distinct(
         *group_cols,
         F.floor(F.expr(_hll_estimator_sql(m)) + F.lit(0.5))
         .cast("long")
-        .alias("approx_users"),
+        .alias(out_col),
     )
 
 

@@ -477,3 +477,57 @@ def community_stats(
         F.coalesce(F.col("_e"), F.lit(0)).cast("long").alias("e_in"),
         "d_sum",
     )
+
+
+def adamic_adar(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    k: int = 100,
+) -> DataFrame:
+    """Adamic-Adar link prediction (Adamic & Adar 2003): score each
+    NON-adjacent pair (u, w) with a common neighbor by
+    sum_v 1/ln(deg(v)) over the shared neighbors v — rare shared
+    neighbors are strong evidence, hubs are weak evidence. The
+    friend-of-friend recommendation every social/graph product ships.
+
+    Shape: two-hop wedge enumeration via one neighbor self-join on the
+    mid node (fan-out sum(deg(v)^2) — a hub mid is a hot key; at scale
+    cap or salt hub mids exactly as the degree-oriented trick in
+    :func:`triangle_stats` bounds its wedge join), an anti-join
+    removing already-connected pairs, and one aggregation. Numeric
+    discipline: each 1/ln(deg) term is rounded to 12 decimals and
+    summed as DECIMAL(28,12) — order-independent, so the score is
+    engine-exact; a common neighbor always has deg >= 2, so ln never
+    hits zero.
+
+    Returns the top-``k`` candidates by (aa_score desc, src, dst) with
+    the evidence: (src, dst, n_common, aa_score rounded to 6).
+    """
+    und = _undirected(edges, src, dst).localCheckpoint()
+    deg = und.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    a = und.select(F.col("src").alias("u"), F.col("dst").alias("mid"))
+    b = und.select(F.col("src").alias("w"), F.col("dst").alias("mid"))
+    wedges = a.join(b, "mid").filter(F.col("u") < F.col("w"))
+    canon = und.filter(F.col("src") < F.col("dst"))
+    open_pairs = wedges.join(
+        canon,
+        (wedges.u == canon.src) & (wedges.w == canon.dst),
+        "left_anti",
+    )
+    term = F.round(F.lit(1.0) / F.log(F.col("deg")), 12).cast(
+        "decimal(28,12)"
+    )
+    scored = (
+        open_pairs.join(deg, open_pairs.mid == deg.node)
+        .groupBy(F.col("u").alias(src), F.col("w").alias(dst))
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.round(F.sum(term), 6).cast("double").alias("aa_score"),
+        )
+    )
+    return scored.orderBy(
+        F.col("aa_score").desc(), F.col(src), F.col(dst)
+    ).limit(k)

@@ -118,6 +118,8 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "json_schema_infer",
     "record_linkage",
     "semdedup_drops",
+    "hll_merge_rollup",
+    "adamic_adar",
     # -- fillers: displaced past the window as new r7 queries register ----
     "pq_topk",
     "pq_adc_fixed",

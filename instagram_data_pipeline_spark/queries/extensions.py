@@ -2383,13 +2383,15 @@ GROUP BY b.vec_id, b.cluster
 @register(
     "semdedup_drops",
     _SEMDEDUP_ORACLE,
-    doc="SemDeDup semantic dedup (Abbas et al. 2023): broadcast-"
-        "centroid cluster assignment, outliers-first keep priority "
-        "within each cluster, drop any member cosine-similar above "
-        "0.35 to an earlier-ranked member — pairwise work never "
-        "crosses a cluster boundary, so with k ∝ N the per-cluster "
-        "pair cost stays bounded; one row per dropped vector with "
-        "the similarity evidence",
+    doc="SemDeDup drop audit: the companion of `semantic_dedup` "
+        "(which uses trained k-means + keep-lowest-id) implementing "
+        "the released SemDeDup priority rule instead — outliers-first "
+        "(centroid-sim ascending) keep order within each cluster, "
+        "drop any member cosine-similar above 0.35 to an "
+        "earlier-ranked member — and emitting one row per DROPPED "
+        "vector with its max-prior-similarity evidence; pairwise "
+        "work never crosses a cluster boundary, so with k ∝ N the "
+        "per-cluster pair cost stays bounded",
     tags=("similarity", "dedup", "semdedup"),
 )
 def q_semdedup_drops(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2399,3 +2401,92 @@ def q_semdedup_drops(spark: SparkSession, sf_dir: str) -> DataFrame:
         S.as_double_vec(F.col("embedding")).alias("cv"),
     )
     return S.semdedup_drops(emb, cent, threshold=_SEMDEDUP_TAU)
+
+
+# ---------------------------------------------------------------------------
+# Sketch-merge rollup: the property that makes sketches worth carrying
+# at 100 TB is MERGEABILITY — per-day HLL registers roll up to the
+# global estimate by a MAX re-aggregate over sketch state, never a
+# re-scan of the raw data. This query computes per-day distinct-user
+# estimates AND the merged-all-days estimate from the same register
+# frame; the oracle replays both paths (registers, merge, shared
+# estimator expression), so green hash-checks the merge algebra
+# itself, not just one estimate.
+# ---------------------------------------------------------------------------
+def _hll_rollup_oracle() -> str:
+    from ..extensions.sketches import _hll_estimator_sql
+
+    m = 1 << _HLL_P
+    est = _hll_estimator_sql(m)
+    return f"""
+WITH h AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+              AS BIGINT) % {m} AS bkt,
+         CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 9, 8))
+              AS BIGINT) AS w
+  FROM events WHERE user_id IS NOT NULL
+), r AS (
+  SELECT day, bkt,
+         MAX(CASE WHEN w = 0 THEN 33 ELSE 33 - LENGTH(bin(w)) END) AS mreg
+  FROM h GROUP BY 1, 2
+), a AS (
+  SELECT day,
+         SUM(CAST(POWER(2.0, 40 - mreg) AS BIGINT))
+           + ({m} - COUNT(*)) * CAST(POWER(2.0, 40) AS BIGINT) AS sum_int,
+         {m} - COUNT(*) AS n_zero
+  FROM r GROUP BY 1
+), mr AS (
+  SELECT bkt, MAX(mreg) AS mreg FROM r GROUP BY 1
+), ma AS (
+  SELECT SUM(CAST(POWER(2.0, 40 - mreg) AS BIGINT))
+           + ({m} - COUNT(*)) * CAST(POWER(2.0, 40) AS BIGINT) AS sum_int,
+         {m} - COUNT(*) AS n_zero
+  FROM mr
+)
+SELECT 'day' AS level, CAST(day AS VARCHAR) AS grp,
+       CAST(FLOOR(({est}) + 0.5) AS BIGINT) AS approx_users
+FROM a
+UNION ALL
+SELECT 'all' AS level, '*' AS grp,
+       CAST(FLOOR(({est}) + 0.5) AS BIGINT) AS approx_users
+FROM ma
+"""
+
+
+@register(
+    "hll_merge_rollup",
+    _hll_rollup_oracle(),
+    doc="HLL sketch-merge rollup: per-day distinct-user registers "
+        "estimated at day grain AND max-merged into the global "
+        "estimate from sketch state alone (no raw re-scan) — the "
+        "mergeability contract that lets a 100 TB pipeline compute "
+        "registers once at the finest grain and derive every coarser "
+        "rollup from kilobytes of state; both paths replayed by the "
+        "oracle",
+    tags=("sketch", "approx", "rollup"),
+)
+def q_hll_merge_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.sketches import (
+        hll_estimate_from_registers,
+        hll_merge_registers,
+        hll_registers,
+    )
+
+    ev = load_testdata(spark, sf_dir, "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    regs = hll_registers(ev, ["day"], "user_id", p=_HLL_P)
+    daily = hll_estimate_from_registers(regs, ["day"], _HLL_P).select(
+        F.lit("day").alias("level"),
+        F.col("day").cast("string").alias("grp"),
+        "approx_users",
+    )
+    overall = hll_estimate_from_registers(
+        hll_merge_registers(regs, []), [], _HLL_P
+    ).select(
+        F.lit("all").alias("level"),
+        F.lit("*").alias("grp"),
+        "approx_users",
+    )
+    return daily.unionByName(overall)

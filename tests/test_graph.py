@@ -266,3 +266,27 @@ def test_incremental_components_chain_of_merges(spark):
     }
     assert set(got.values()) == {1}
     assert len(got) == 6
+
+
+def test_adamic_adar_square_cycle(spark):
+    from instagram_data_pipeline_spark.operators.graph import adamic_adar
+
+    import math
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (1, 4)], "src long, dst long"
+    )
+    got = {(r.src, r.dst): (r.n_common, r.aa_score)
+           for r in adamic_adar(edges).collect()}
+    # In the 4-cycle the two diagonals are the only open pairs; each
+    # has two shared degree-2 neighbors.
+    expect = round(2 * round(1 / math.log(2), 12), 6)
+    assert got == {(1, 3): (2, expect), (2, 4): (2, expect)}
+
+    # Closing one diagonal removes it from the candidates (anti-join)
+    # and leaves the other.
+    closed = edges.union(
+        spark.createDataFrame([(1, 3)], "src long, dst long")
+    )
+    got2 = {(r.src, r.dst) for r in adamic_adar(closed).collect()}
+    assert (1, 3) not in got2 and (2, 4) in got2

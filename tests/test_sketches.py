@@ -183,3 +183,26 @@ def test_equidepth_buckets_carry_roughly_equal_mass(spark, sf_dir):
     # each decile bucket holds ~10% of rows, within sketch-bin tolerance
     for b, n in counts.items():
         assert 0.05 <= n / total <= 0.15, (b, n / total)
+
+
+def test_hll_register_merge_equals_direct(spark):
+    from instagram_data_pipeline_spark.extensions.sketches import (
+        hll_estimate_from_registers,
+        hll_merge_registers,
+        hll_registers,
+    )
+
+    df = spark.range(0, 3000).select(
+        (F.col("id") % 3).alias("part"), F.col("id").alias("uid")
+    )
+    # Merging per-part registers must give the IDENTICAL sketch (and
+    # hence the identical estimate) as registers built over all rows:
+    # the merge is a lossless MAX over register state.
+    per_part = hll_registers(df, ["part"], "uid", p=10)
+    merged = hll_merge_registers(per_part, [])
+    direct = hll_registers(df, [], "uid", p=10)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+    est = hll_estimate_from_registers(merged, [], 10).collect()[0][0]
+    assert abs(est - 3000) / 3000 < 0.1  # ~3.25% expected at m=1024
