@@ -545,3 +545,60 @@ def per_source_score_calibration(
              > (F.col("_n_d").cast("long") - n_keep)).alias("keep"),
         )
     )
+
+
+def positional_postings(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Positional inverted-index postings ``(doc_id, pos, term)`` —
+    1-based positions over the same normalization as :func:`_tokens`.
+    This is the index layout phrase and proximity queries need (the
+    classic positional index, Manning IR ch. 2); at rest it would be
+    written partitioned/bucketed by term so a phrase probe touches
+    only its terms' postings."""
+    return (
+        docs.select(
+            F.col(id_col),
+            F.posexplode(X.tokens(F.col(text_col))).alias("_p0", "term"),
+        )
+        .filter(F.col("term") != "")
+        .select(id_col, (F.col("_p0") + 1).alias("pos"), "term")
+    )
+
+
+def phrase_search(
+    docs: DataFrame,
+    phrases: Sequence[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact phrase match via positional-postings joins: the phrase
+    ``w1 w2 ... wL`` occurs at position p iff each wi has a posting at
+    p+i-1 — an (L-1)-way equi-join on (doc, position), each leg
+    pre-filtered to ONE term so the join inputs are single-term
+    postings lists, never the full index. Returns (phrase, doc_id,
+    n_hits) for every document containing each phrase at least once.
+
+    Scale: per-phrase cost is the size of its rarest term's postings
+    (start the join chain anywhere — Catalyst reorders equi-joins; a
+    term-bucketed index makes each leg a pruned read)."""
+    post = positional_postings(docs, id_col, text_col)
+    out = None
+    for phrase in phrases:
+        words = phrase.split()
+        m = (
+            post.filter(F.col("term") == words[0])
+            .select(id_col, "pos")
+        )
+        for i, w in enumerate(words[1:], start=1):
+            leg = post.filter(F.col("term") == w).select(
+                id_col, (F.col("pos") - i).alias("pos")
+            )
+            m = m.join(leg, [id_col, "pos"])
+        hits = (
+            m.groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_hits"))
+            .select(F.lit(phrase).alias("phrase"), id_col, "n_hits")
+        )
+        out = hits if out is None else out.unionByName(hits)
+    return out

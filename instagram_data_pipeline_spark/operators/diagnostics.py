@@ -227,3 +227,69 @@ def join_size_preflight(
         .orderBy(F.col("pairs").desc(), *keys)
         .limit(top_n)
     )
+
+
+def mad_outlier_report(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    c: float = 3.0,
+) -> DataFrame:
+    """Robust per-group outlier report via median absolute deviation:
+    flag x where |x - median| > c * 1.4826 * MAD (1.4826 scales MAD to
+    sigma under normality — Hampel's rule). Median/MAD resist the very
+    outliers a mean/stddev z-score would absorb, which is why data
+    monitors use them for metric anomalies.
+
+    Engine-exactness: both medians are LOWER medians SELECTED by rank
+    (ordered by (value, id), rank = (n+1) div 2) — never interpolated —
+    so no averaging float enters the decision; deviations and the
+    c*1.4826*MAD threshold use one shared expression shape, making the
+    outlier count bit-stable across engines.
+
+    Shape: two windowed selections + one aggregate, all shuffling on
+    the group key only. Exact grouped medians sort within groups — for
+    100 TB-scale groups use the mergeable histogram sketch twin
+    (``extensions.sketches.grouped_quantile_sketch``); this exact
+    report is for the bounded-cardinality monitoring grain (per
+    metric/day), where a group fits a partition.
+    """
+    n_w = Window.partitionBy(group_col)
+    rank_w = n_w.orderBy(F.col(value_col).asc(), F.col(id_col).asc())
+    base = (
+        df.filter(F.col(value_col).isNotNull())
+        .withColumn("_rn", F.row_number().over(rank_w))
+        .withColumn("_n", F.count(F.lit(1)).over(n_w))
+    )
+    med = base.filter(
+        F.col("_rn") == F.floor((F.col("_n") + 1) / 2)
+    ).select(F.col(group_col), F.col(value_col).alias("_med"))
+    dev = (
+        df.filter(F.col(value_col).isNotNull())
+        .join(med, group_col)
+        .withColumn("_dev", F.abs(F.col(value_col) - F.col("_med")))
+    )
+    dev_rank_w = Window.partitionBy(group_col).orderBy(
+        F.col("_dev").asc(), F.col(id_col).asc()
+    )
+    devs = (
+        dev.withColumn("_rn", F.row_number().over(dev_rank_w))
+        .withColumn("_n", F.count(F.lit(1)).over(n_w))
+    )
+    mad = devs.filter(
+        F.col("_rn") == F.floor((F.col("_n") + 1) / 2)
+    ).select(F.col(group_col), F.col("_dev").alias("_mad"))
+    thresh = F.lit(c) * F.lit(1.4826) * F.col("_mad")
+    return (
+        dev.join(mad, group_col)
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.max("_med"), 6).alias("med"),
+            F.round(F.max("_mad"), 6).alias("mad"),
+            F.sum(
+                F.when(F.col("_dev") > thresh, 1).otherwise(0)
+            ).alias("n_outliers"),
+        )
+    )

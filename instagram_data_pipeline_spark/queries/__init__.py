@@ -120,6 +120,8 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "semdedup_drops",
     "hll_merge_rollup",
     "adamic_adar",
+    "phrase_search",
+    "mad_outliers",
     # -- fillers: displaced past the window as new r7 queries register ----
     "pq_topk",
     "pq_adc_fixed",

@@ -149,3 +149,62 @@ def q_join_size_preflight(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = load_testdata(spark, sf_dir, "events")
     return join_size_preflight(events, ["user_id"], top_n=10)
+
+
+# ---------------------------------------------------------------------------
+# Robust outlier report (median / MAD, Hampel's 3-sigma rule). Both
+# medians are rank-SELECTED lower medians — never interpolated — so no
+# averaging float enters the decision and the outlier count is
+# engine-exact; the threshold expression (c * 1.4826 * MAD) has the
+# same literals on both sides.
+# ---------------------------------------------------------------------------
+_MAD_ORACLE = """
+WITH v AS (
+  SELECT event_type, event_id, value FROM events WHERE value IS NOT NULL
+), r AS (
+  SELECT *,
+         ROW_NUMBER() OVER (
+           PARTITION BY event_type ORDER BY value, event_id
+         ) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM v
+), med AS (
+  SELECT event_type, value AS med FROM r WHERE rn = FLOOR((n + 1) / 2)
+), d AS (
+  SELECT v.event_type, v.event_id,
+         ABS(v.value - med.med) AS dev, med.med AS med
+  FROM v JOIN med USING (event_type)
+), dr AS (
+  SELECT *,
+         ROW_NUMBER() OVER (
+           PARTITION BY event_type ORDER BY dev, event_id
+         ) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM d
+), mad AS (
+  SELECT event_type, dev AS mad FROM dr WHERE rn = FLOOR((n + 1) / 2)
+)
+SELECT d.event_type, COUNT(*) AS n_rows,
+       ROUND(MAX(d.med), 6) AS med, ROUND(MAX(mad.mad), 6) AS mad,
+       CAST(SUM(CASE WHEN d.dev > 3.0 * 1.4826 * mad.mad
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM d JOIN mad USING (event_type) GROUP BY 1
+"""
+
+
+@register(
+    "mad_outliers",
+    _MAD_ORACLE,
+    doc="robust per-metric outlier report: median + MAD (both lower "
+        "medians selected by rank, never interpolated) and Hampel's "
+        "|x - med| > 3 * 1.4826 * MAD count — the monitoring rule that "
+        "survives the outliers a mean/stddev z-score absorbs; exact "
+        "grouped medians for the bounded monitoring grain, sketch twin "
+        "(grouped_median_sketch) for unbounded groups",
+    tags=("diagnostics", "monitoring"),
+)
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.diagnostics import mad_outlier_report
+
+    events = load_testdata(spark, sf_dir, "events")
+    return mad_outlier_report(events, "event_type", "value", "event_id")

@@ -626,3 +626,55 @@ def q_lm_perplexity_kneser_ney(
 
     docs = load_testdata(spark, sf_dir, "documents")
     return bigram_lm_scores_kneser_ney(docs, discount=0.75)
+
+
+# ---------------------------------------------------------------------------
+# Positional phrase search: exact "w1 w2 ..." matches via (L-1)-way
+# joins over a positional postings frame, each leg pre-filtered to one
+# term. Counts are exact integers, so the whole result hash-checks.
+# ---------------------------------------------------------------------------
+PHRASE_QUERIES = ("value table", "fast table", "hash join spark")
+
+
+def _phrase_oracle() -> str:
+    parts = []
+    for phrase in PHRASE_QUERIES:
+        words = phrase.split()
+        joins = " ".join(
+            f"JOIN i m{i} ON m{i}.doc_id = m0.doc_id "
+            f"AND m{i}.pos = m0.pos + {i} AND m{i}.term = '{w}'"
+            for i, w in enumerate(words[1:], start=1)
+        )
+        parts.append(
+            f"SELECT '{phrase}' AS phrase, m0.doc_id, COUNT(*) AS n_hits\n"
+            f"  FROM i m0 {joins}\n"
+            f"  WHERE m0.term = '{words[0]}' GROUP BY 1, 2"
+        )
+    union = "\nUNION ALL\n".join(parts)
+    return f"""
+WITH tok AS (
+  SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents
+), idx AS (
+  SELECT doc_id, unnest(generate_series(1, len(w))) AS pos,
+         unnest(w) AS term
+  FROM tok
+), i AS (SELECT * FROM idx WHERE term <> '')
+{union}
+"""
+
+
+@register(
+    "phrase_search",
+    _phrase_oracle(),
+    doc="positional-index phrase search: exact multi-word matches via "
+        "per-term-filtered postings joined on (doc, position) — each "
+        "join leg is one term's postings list, never the full index, "
+        "so per-phrase cost tracks the rarest term; exact per-doc hit "
+        "counts for two bigram phrases and one trigram phrase",
+    tags=("text", "ranking", "index"),
+)
+def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.ranking import phrase_search
+
+    docs = load_testdata(spark, sf_dir, "documents")
+    return phrase_search(docs, PHRASE_QUERIES)

@@ -131,3 +131,28 @@ def test_join_size_preflight_survives_bigint_overflow_regime(spark):
     assert got[0].share_ppm == hot_n * hot_n * 1_000_000 // total
     assert got[0].share_ppm >= 0 and got[0].est_join_rows == total
     assert got[1].share_ppm == 100 * 100 * 1_000_000 // total
+
+
+def test_mad_outlier_report_planted(spark):
+    from instagram_data_pipeline_spark.operators.diagnostics import (
+        mad_outlier_report,
+    )
+
+    # Group 'a': values 1..9 (median 5, deviations 0..4, MAD 2) plus a
+    # wild 1000.0 -> n=10, lower median of [1..9, 1000] is 5 at
+    # rank 5; deviations [0,1,1,2,2,3,3,4,4,995], lower-median MAD at
+    # rank 5 = 2; threshold 3*1.4826*2 = 8.8956 -> only 1000 flagged.
+    rows = [("a", i, float(v)) for i, v in enumerate([1,2,3,4,5,6,7,8,9])]
+    rows.append(("a", 99, 1000.0))
+    rows += [("b", i, 7.0) for i in range(4)]   # constant group: MAD 0
+    df = spark.createDataFrame(
+        rows, "grp string, event_id long, value double"
+    )
+    got = {
+        r.grp: (r.n_rows, r.med, r.mad, r.n_outliers)
+        for r in mad_outlier_report(df, "grp", "value", "event_id").collect()
+    }
+    assert got["a"] == (10, 5.0, 2.0, 1)
+    # MAD 0 (constant metric): anything not exactly the median is an
+    # outlier; here all rows equal it, so none are.
+    assert got["b"] == (4, 7.0, 0.0, 0)

@@ -272,3 +272,27 @@ def test_score_calibration_equal_keep_rates_across_sources(spark):
     for r in got:
         if r.source == "low":
             assert r.keep == (r.score_ppm >= 100 + 20)
+
+
+def test_phrase_search_overlap_and_normalization(spark):
+    from instagram_data_pipeline_spark.extensions.ranking import (
+        phrase_search,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the cat sat mat"),
+            (2, "The  CAT, sat!"),          # case/punct normalize to a hit
+            (3, "cat cat cat"),              # overlapping "cat cat" x2
+            (4, "sat cat"),                  # reversed: no hit
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.phrase, r.doc_id): r.n_hits
+        for r in phrase_search(docs, ["cat sat", "cat cat"]).collect()
+    }
+    assert got[("cat sat", 1)] == 2
+    assert got[("cat sat", 2)] == 1
+    assert got[("cat cat", 3)] == 2      # overlapping matches both count
+    assert ("cat sat", 4) not in got
