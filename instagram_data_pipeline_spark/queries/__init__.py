@@ -122,6 +122,7 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "adamic_adar",
     "phrase_search",
     "mad_outliers",
+    "stream_outer_attribution",
     # -- fillers: displaced past the window as new r7 queries register ----
     "pq_topk",
     "pq_adc_fixed",

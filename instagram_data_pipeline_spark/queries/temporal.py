@@ -981,3 +981,107 @@ def q_late_data_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         delay_seconds=_LATE_DELAY_S,
         window_seconds=3600,
     )
+
+
+# ---------------------------------------------------------------------------
+# Stream-stream LEFT OUTER interval join, drained completely. Outer
+# results only flush in a batch that RUNS with an advanced watermark
+# (batch N's watermark comes from data seen through batch N-1), so a
+# drain that stops when the data stops strands the tail's unmatched
+# purchases in the state store. The fix is the production one:
+# heartbeat/sentinel ticks. Pass 1 drains the real data; passes 2-3
+# each append a far-future sentinel tick on BOTH streams and re-drain
+# the SAME checkpoint — the file sink is exactly-once across restarts,
+# and pass 3's batch runs with pass 2's sentinel watermark, flushing
+# every real unmatched purchase deterministically. Sentinels (negative
+# user ids) are filtered from the result; the oracle is the plain
+# batch LEFT JOIN.
+# ---------------------------------------------------------------------------
+_STREAM_OUTER_ORACLE = """
+WITH c AS (
+  SELECT user_id, event_id AS click_id, ts AS click_ts
+  FROM events WHERE event_type = 'click'
+), p AS (
+  SELECT user_id, event_id AS purchase_id, ts AS purchase_ts
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT p.user_id, p.purchase_id, c.click_id,
+       epoch_us(p.purchase_ts) AS purchase_ts_us,
+       epoch_us(c.click_ts) AS click_ts_us
+FROM p LEFT JOIN c ON c.user_id = p.user_id
+  AND c.click_ts <= p.purchase_ts
+  AND c.click_ts >= p.purchase_ts - INTERVAL 1 HOUR
+"""
+
+
+@register(
+    "stream_outer_attribution",
+    _STREAM_OUTER_ORACLE,
+    doc="stream-stream LEFT OUTER interval join drained to a file sink "
+        "with sentinel-tick flushing: unmatched purchases null-pad "
+        "only when a batch runs with an advanced watermark, so two "
+        "sentinel passes (exactly-once across restarts via the file "
+        "sink's commit log) deterministically flush the tail the "
+        "plain availableNow drain would strand in the state store; "
+        "result equals the batch LEFT JOIN row-for-row",
+    tags=("streaming", "temporal", "join"),
+)
+def q_stream_outer_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from ..streaming.events import (
+        interval_left_outer_attribution,
+        run_available_now_files,
+        stream_from_parquet,
+    )
+
+    # Fixed scratch root, wiped at START of each run (the bucketed_join
+    # convention): repeated driver/bench invocations reuse one
+    # directory instead of accumulating tmpdirs, and the returned
+    # DataFrame stays readable after the query function exits.
+    root = os.path.join(tempfile.gettempdir(), "spark_graft_stream_oattr")
+    shutil.rmtree(root, ignore_errors=True)
+    src, out, ckpt = (os.path.join(root, d) for d in ("src", "out", "ckpt"))
+
+    events = load_testdata(spark, sf_dir, "events")
+    events.repartition(4, "event_id").write.mode("overwrite").parquet(src)
+
+    def drain() -> None:
+        clicks = stream_from_parquet(spark, src).filter(
+            F.col("event_type") == "click"
+        )
+        purchases = stream_from_parquet(spark, src).filter(
+            F.col("event_type") == "purchase"
+        )
+        joined = interval_left_outer_attribution(
+            clicks, purchases, max_gap="1 hour"
+        )
+        run_available_now_files(joined, out, ckpt)
+
+    drain()  # pass 1: all real data
+    for i, day in enumerate(("2100-01-01", "2100-01-02")):
+        tick = spark.createDataFrame(
+            [
+                (-(2 * i + 1), day, -1, "click", 0.0, None),
+                (-(2 * i + 2), day, -1, "purchase", 0.0, None),
+            ],
+            "event_id long, ts string, user_id long, event_type string,"
+            " value double, props string",
+        ).select(
+            "event_id", F.to_timestamp("ts").alias("ts"), "user_id",
+            "event_type", "value", "props",
+        )
+        tick.coalesce(1).write.mode("append").parquet(src)
+        drain()  # passes 2-3: sentinel advances the watermark, re-drain
+
+    return (
+        spark.read.parquet(out)
+        .filter(F.col("user_id") >= 0)
+        .select(
+            "user_id", "purchase_id", "click_id",
+            F.unix_micros("purchase_ts").alias("purchase_ts_us"),
+            F.unix_micros("click_ts").alias("click_ts_us"),
+        )
+    )

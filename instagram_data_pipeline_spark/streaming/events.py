@@ -168,3 +168,78 @@ def run_available_now(
         .start()
     )
     q.awaitTermination()
+
+
+def interval_left_outer_attribution(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    max_gap: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Outer twin of :func:`interval_join_attribution`: every purchase
+    emits — matched rows immediately, UNmatched purchases as
+    null-padded rows once the click-side watermark passes the point
+    where a qualifying click can no longer arrive.
+
+    The operational catch (and why :func:`run_available_now_files` +
+    sentinel ticks exist): outer results are flushed by a BATCH that
+    RUNS with an advanced watermark. The watermark for batch N is
+    computed from data seen through batch N-1, so a drain that ends
+    exactly when the data ends leaves the tail's unmatched rows parked
+    in the state store. Production streams don't notice (the next
+    event flushes them); bounded drains must append heartbeat/sentinel
+    events — the standard fix for stream-stream outer-join stragglers.
+    """
+    c = (
+        clicks.withWatermark("ts", watermark)
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+    )
+    p = (
+        purchases.withWatermark("ts", watermark)
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+    )
+    return p.join(
+        c,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (
+            F.col("click_ts")
+            >= F.col("purchase_ts") - F.expr(f"INTERVAL {max_gap}")
+        ),
+        "left_outer",
+    ).select(
+        F.col("p_user").alias("user_id"),
+        "purchase_id",
+        "click_id",
+        "purchase_ts",
+        "click_ts",
+    )
+
+
+def run_available_now_files(
+    df: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+) -> None:
+    """Drain to a parquet FILE sink and stop. Unlike the memory sink,
+    the file sink is exactly-once across RESTARTS of the same
+    checkpoint — the property the sentinel-flush protocol needs: each
+    pass appends new rows; replays are deduped by the sink's commit
+    log. Read the result with ``spark.read.parquet(out_dir)``."""
+    q = (
+        df.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -949,3 +949,61 @@ def test_late_data_batch_twin_matches_sink(spark, tmp_path):
     assert got == want
     # sanity: lateness actually occurred in this fixture
     assert sum(r[2] for r in got) > 0
+
+
+def test_outer_join_sentinel_flush(spark, tmp_path):
+    """Unmatched rows strand without a watermark-advancing batch and
+    flush deterministically with sentinel ticks — the protocol
+    stream_outer_attribution relies on."""
+    from pyspark.sql import functions as F
+
+    from instagram_data_pipeline_spark.streaming.events import (
+        interval_left_outer_attribution,
+        run_available_now_files,
+        stream_from_parquet,
+    )
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    sch = ("event_id long, ts string, user_id long, event_type string, "
+           "value double, props string")
+
+    def land(rows):
+        spark.createDataFrame(rows, sch).select(
+            "event_id", F.to_timestamp("ts").alias("ts"), "user_id",
+            "event_type", "value", "props",
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    def drain():
+        c = stream_from_parquet(spark, src).filter(
+            F.col("event_type") == "click")
+        p = stream_from_parquet(spark, src).filter(
+            F.col("event_type") == "purchase")
+        run_available_now_files(
+            interval_left_outer_attribution(c, p, max_gap="1 hour"),
+            out, ckpt,
+        )
+
+    land([
+        (1, "2024-01-01 10:00:00", 100, "click", 1.0, None),
+        (2, "2024-01-01 10:30:00", 100, "purchase", 5.0, None),
+        (3, "2024-01-01 10:30:00", 200, "purchase", 7.0, None),  # no click
+    ])
+    drain()
+    got = spark.read.parquet(out)
+    # single-batch drain: the match emits, the unmatched row strands
+    assert got.count() == 1
+
+    for i, day in enumerate(("2100-01-01", "2100-01-02")):
+        land([
+            (-(2 * i + 1), f"{day} 00:00:00", -1, "click", 0.0, None),
+            (-(2 * i + 2), f"{day} 00:00:00", -1, "purchase", 0.0, None),
+        ])
+        drain()
+    rows = {
+        (r.user_id, r.purchase_id): r.click_id
+        for r in spark.read.parquet(out)
+        .filter(F.col("user_id") >= 0).collect()
+    }
+    assert rows == {(100, 2): 1, (200, 3): None}
