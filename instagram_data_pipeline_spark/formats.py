@@ -200,12 +200,14 @@ class TransactionLogFormat:
     # class-level defaults so subclasses that replace __init__ (test
     # fault-injection shims) still get plain unclustered layout
     cluster_col: str | None = None
+    zorder_cols: tuple[str, ...] | None = None
     max_records_per_file: int | None = None
 
     def __init__(
         self,
         cluster_col: str | None = None,
         max_records_per_file: int | None = None,
+        zorder_cols: list[str] | tuple[str, ...] | None = None,
     ) -> None:
         """``cluster_col`` turns on within-bucket clustering — the
         ZORDER/liquid-clustering half of the Delta/Iceberg layout
@@ -216,8 +218,25 @@ class TransactionLogFormat:
         mixes the full value range into one file and range pruning
         can't drop anything; with it, a range predicate opens only the
         overlapping slice — the commonest 100 TB scan (``ts > X``)
-        touches O(range), not O(table)."""
+        touches O(range), not O(table).
+
+        ``zorder_cols`` is the MULTI-column form (Delta ``OPTIMIZE
+        ZORDER BY (a, b)``): rows are sorted by the Morton code of the
+        named columns — each column min-max-scaled to 16 bits, bits
+        interleaved — so every file's zone map is a small BOX in the
+        multi-dimensional value space and a predicate on ANY subset of
+        the columns prunes files. A single sort column gives perfect
+        pruning on one dimension and none on the others; the Z-curve
+        trades a little per-dimension narrowness for usable pruning on
+        all of them. Mutually exclusive with ``cluster_col``."""
+        if cluster_col is not None and zorder_cols:
+            raise ValueError(
+                "cluster_col and zorder_cols are mutually exclusive"
+            )
+        if zorder_cols is not None and len(zorder_cols) < 2:
+            raise ValueError("zorder_cols needs >= 2 columns")
         self.cluster_col = cluster_col
+        self.zorder_cols = tuple(zorder_cols) if zorder_cols else None
         self.max_records_per_file = max_records_per_file
 
     def _log_dir(self, wh, table: str) -> Path:
@@ -289,6 +308,44 @@ class TransactionLogFormat:
             # that requirement so the cluster_col order survives into
             # the files (verified by zone-map narrowness in tests)
             out = out.sortWithinPartitions(bcol, self.cluster_col)
+        elif self.zorder_cols is not None:
+            # Morton sort key from operators.layout (the same codegen
+            # interleave zorder_layout uses on vanilla parquet), with
+            # this batch's per-column bounds arriving as a 1-row
+            # BROADCAST stats frame — no driver-side read at all.
+            # Timestamps enter as epoch seconds via CAST to double;
+            # a NULL value yields a NULL key (sorts first — a
+            # placement choice, never correctness: zone maps only
+            # over-approximate). Same bcol-first sort discipline as
+            # cluster_col so partitionBy doesn't re-sort.
+            from .operators.layout import _normalize, zorder_key
+
+            zcols = list(self.zorder_cols)
+            aggs = []
+            for c in zcols:
+                d = F.col(c).cast("double")
+                aggs += [
+                    F.min(d).alias(f"_zmn_{c}"),
+                    F.max(d).alias(f"_zmx_{c}"),
+                ]
+            stats = F.broadcast(df.agg(*aggs))
+            ranks = [
+                _normalize(
+                    F.col(c).cast("double"),
+                    F.col(f"_zmn_{c}"),
+                    F.col(f"_zmx_{c}"),
+                    16,
+                )
+                for c in zcols
+            ]
+            out = (
+                out.crossJoin(stats)
+                .withColumn("_zkey", zorder_key(ranks, 16))
+                .drop(*[f"_zmn_{c}" for c in zcols])
+                .drop(*[f"_zmx_{c}" for c in zcols])
+                .sortWithinPartitions(bcol, "_zkey")
+                .drop("_zkey")
+            )
         writer = out.write.partitionBy(bcol).mode("overwrite")
         if self.max_records_per_file is not None:
             writer = writer.option(
@@ -557,6 +614,49 @@ class TransactionLogFormat:
         df = self._read_snapshot(wh, Path(wh.path(table)), sub)
         return df.filter(F.col(col).between(F.lit(lo), F.lit(hi)))
 
+    @classmethod
+    def files_for_box(
+        cls, snap: dict, preds: dict[str, tuple]
+    ) -> list[str]:
+        """Multi-column zone-map pruning: relpaths surviving the
+        INTERSECTION of per-column [lo, hi] overlap tests — the prune a
+        conjunctive box predicate (``a BETWEEN .. AND b BETWEEN ..``)
+        earns. With ``zorder_cols`` layout each file's zone map is a
+        small box, so every conjunct drops files; with a single-column
+        sort only that column prunes and the rest pass everything
+        through (conservative, never wrong). Pure manifest arithmetic."""
+        keep = None
+        for col, (lo, hi) in preds.items():
+            got = set(cls.files_for_range(snap, col, lo, hi))
+            keep = got if keep is None else (keep & got)
+        if keep is None:
+            raise ValueError("files_for_box: empty predicate dict")
+        return sorted(keep)
+
+    def read_for_box(
+        self, wh, table: str, preds: dict[str, tuple]
+    ) -> DataFrame:
+        """Box-scan path: open only the files whose zone maps overlap
+        EVERY conjunct, then re-apply the exact predicate — equals
+        ``read_merged(...).filter(a BETWEEN .. AND b BETWEEN ..)``
+        (inclusive bounds) at O(box) files under Z-order layout."""
+        snap = self._latest(wh, table)
+        if snap is None:
+            raise FileNotFoundError(f"no committed version for {table}")
+        keep = self.files_for_box(snap, preds)
+        cond = None
+        for col, (lo, hi) in preds.items():
+            c = F.col(col).between(F.lit(lo), F.lit(hi))
+            cond = c if cond is None else (cond & c)
+        if not keep:
+            return wh.spark.createDataFrame(
+                [], self.read_merged(wh, table).schema
+            ).filter(cond)
+        sub = dict(snap)
+        sub["files"] = {f: snap["files"][f] for f in keep}
+        df = self._read_snapshot(wh, Path(wh.path(table)), sub)
+        return df.filter(cond)
+
     def compact(
         self,
         wh,
@@ -746,6 +846,106 @@ class TransactionLogFormat:
             for f in missing:
                 total += pq.ParquetFile(str(root / f)).metadata.num_rows
         return total
+
+    #: types whose parquet footer min/max are exact by construction
+    #: (order-preserving physical encodings, no writer truncation) —
+    #: the set MIN/MAX may be served for without opening data files.
+    #: Strings/binary are excluded: the parquet spec lets writers
+    #: TRUNCATE long byte-array stats to any valid bound, so a footer
+    #: bound need not be an attained value — fine for pruning (bounds
+    #: stay conservative), wrong for an exact aggregate.
+    _MINMAX_EXACT_TYPES = frozenset(
+        {
+            "byte", "short", "integer", "long", "float", "double",
+            "boolean", "date", "timestamp", "timestamp_ntz",
+        }
+    )
+
+    def minmax_stats(
+        self,
+        wh,
+        table: str,
+        cols: list[str],
+        version: int | None = None,
+    ) -> dict[str, tuple]:
+        """MIN/MAX served from the transaction log — the aggregate-
+        pushdown twin of :meth:`count_rows`: the true column minimum is
+        the min of per-file minima (maximum symmetric) because every
+        snapshot file holds exactly live rows (merges rewrite whole
+        touched buckets, never leave superseded rows behind). Exactness
+        is type-gated to numeric/temporal columns (see
+        ``_MINMAX_EXACT_TYPES``); files a pre-stats manifest committed
+        fall back to their parquet FOOTERS — still metadata — and a
+        file whose footer carries no stats for the column (e.g. all
+        NULL) falls back to a column-pruned scan of just that file,
+        so the answer is exact in every case and the fast path opens
+        zero data files. Timestamps come back as the manifest's
+        ISO-8601 strings (lexicographic == chronological); an empty
+        table or all-NULL column yields ``(None, None)`` — SQL MIN/MAX
+        semantics (NULLs ignored)."""
+        if version is None:
+            snap = self._latest(wh, table)
+            if snap is None:
+                raise FileNotFoundError(f"no committed version for {table}")
+        else:
+            with open(
+                self._log_dir(wh, table) / f"{version:08d}.json"
+            ) as f:
+                snap = json.load(f)
+        if "schema" in snap:
+            from pyspark.sql.types import StructType
+
+            schema = StructType.fromJson(json.loads(snap["schema"]))
+            for c in cols:
+                tn = schema[c].dataType.typeName()
+                if tn not in self._MINMAX_EXACT_TYPES:
+                    raise TypeError(
+                        f"minmax_stats: {c!r} is {tn} — footer stats "
+                        "for string/binary/nested types may be "
+                        "truncated bounds, not attained values; scan "
+                        "instead"
+                    )
+        stats = snap.get("stats", {})
+        root = Path(wh.path(table))
+        out: dict[str, list] = {c: [None, None] for c in cols}
+        must_scan: dict[str, list[str]] = {c: [] for c in cols}
+        footer_cache: dict[str, dict] = {}
+        for f in snap["files"]:
+            fstats = stats.get(f)
+            if fstats is None:  # pre-stats commit: footer fallback
+                if f not in footer_cache:
+                    import pyarrow.parquet as pq
+
+                    footer_cache[f] = _footer_minmax(
+                        pq.ParquetFile(str(root / f)).metadata
+                    )
+                fstats = footer_cache[f]
+            for c in cols:
+                mm = fstats.get(c)
+                if mm is None:
+                    # stats-less column in this file (all-NULL or
+                    # untyped): metadata can't answer — exact scan of
+                    # just this file, just this column
+                    must_scan[c].append(f)
+                    continue
+                cur = out[c]
+                cur[0] = mm[0] if cur[0] is None else min(cur[0], mm[0])
+                cur[1] = mm[1] if cur[1] is None else max(cur[1], mm[1])
+        for c, files in must_scan.items():
+            if not files:
+                continue
+            row = (
+                wh.spark.read.parquet(*[str(root / f) for f in files])
+                .agg(F.min(c).alias("lo"), F.max(c).alias("hi"))
+                .first()
+            )
+            lo, hi = _stat_key(row["lo"]), _stat_key(row["hi"])
+            cur = out[c]
+            if lo is not None:
+                cur[0] = lo if cur[0] is None else min(cur[0], lo)
+            if hi is not None:
+                cur[1] = hi if cur[1] is None else max(cur[1], hi)
+        return {c: (v[0], v[1]) for c, v in out.items()}
 
     def read_version(self, wh, table: str, version: int) -> DataFrame:
         """Time travel: read the table exactly as of ``version``, under

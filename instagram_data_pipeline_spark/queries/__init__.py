@@ -123,6 +123,8 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "phrase_search",
     "mad_outliers",
     "stream_outer_attribution",
+    "txlog_zorder_scan",
+    "txlog_minmax_pushdown",
     # -- fillers: displaced past the window as new r7 queries register ----
     "pq_topk",
     "pq_adc_fixed",

@@ -913,3 +913,196 @@ def q_txlog_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("k") % 31 == 0)
         .select("k", "v", "ts")
     )
+
+
+# ---------------------------------------------------------------------------
+# MIN/MAX aggregate pushdown off the transaction log — the companion of
+# txlog_count_pushdown: a snapshot's files hold exactly the live rows
+# (merges rewrite whole touched buckets), so the table minimum is the
+# min of per-file minima already sitting in the manifest's zone maps.
+# minmax_stats serves MIN/MAX for numeric/timestamp columns — current
+# AND time-travel versions — without opening one data file; the oracle
+# recomputes all of it semantically from orders, replaying the
+# keep-newest merge (batch-2 rows win overlapping keys because their
+# order-col is >= the cut). Green means write-time footer stats == the
+# truth a full scan would find, across carried and rewritten files.
+# ---------------------------------------------------------------------------
+_TXLOG_MINMAX_ORACLE = f"""
+WITH b1 AS (
+  SELECT o_custkey AS k, MAX(o_totalprice) AS v, MAX(o_orderdate) AS ts
+  FROM orders WHERE o_orderdate < TIMESTAMP '{_TXLOG_CUT}' GROUP BY 1
+), b2 AS (
+  SELECT o_custkey AS k, MAX(o_totalprice) AS v, MAX(o_orderdate) AS ts
+  FROM orders WHERE o_orderdate >= TIMESTAMP '{_TXLOG_CUT}' GROUP BY 1
+), merged AS (
+  SELECT COALESCE(b2.k, b1.k) AS k,
+         COALESCE(b2.v, b1.v) AS v,
+         COALESCE(b2.ts, b1.ts) AS ts
+  FROM b1 FULL OUTER JOIN b2 ON b1.k = b2.k
+)
+SELECT
+  (SELECT MIN(k) FROM merged) AS k_min,
+  (SELECT MAX(k) FROM merged) AS k_max,
+  (SELECT MIN(v) FROM merged) AS v_min,
+  (SELECT MAX(v) FROM merged) AS v_max,
+  (SELECT epoch_us(MIN(ts)) FROM merged) AS ts_min_us,
+  (SELECT epoch_us(MAX(ts)) FROM merged) AS ts_max_us,
+  (SELECT COUNT(*) FROM merged) AS n_rows,
+  (SELECT MIN(v) FROM b1) AS v1_v_min,
+  (SELECT MAX(v) FROM b1) AS v1_v_max
+"""
+
+
+def _iso_to_us(s: str) -> int:
+    """Manifest ISO-8601 timestamp key -> unix microseconds, integer
+    arithmetic throughout (total_seconds() is a double and rounds past
+    2^53 us; day/second/microsecond fields never do)."""
+    import datetime as _dt
+
+    d = _dt.datetime.fromisoformat(s)
+    if d.tzinfo is None:
+        d = d.replace(tzinfo=_dt.timezone.utc)
+    td = d - _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)
+    return (td.days * 86400 + td.seconds) * 1_000_000 + td.microseconds
+
+
+@register(
+    "txlog_minmax_pushdown",
+    _TXLOG_MINMAX_ORACLE,
+    doc="metadata-only MIN/MAX from the transaction log's zone maps: "
+        "per-file footer min/max recorded at write time answer column "
+        "MIN/MAX for the current AND any time-travel version without "
+        "opening one data file (exactness type-gated to numeric/"
+        "temporal — string footer bounds may be truncated, so they're "
+        "refused, never wrong); oracle replays the keep-newest merge "
+        "and recomputes every aggregate semantically, proving manifest "
+        "stats == full-scan truth across carried and rewritten files",
+    tags=("writes", "format", "stats"),
+)
+def q_txlog_minmax_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..formats import TransactionLogFormat
+    from ..io import Warehouse
+
+    orders = load_testdata(spark, sf_dir, "orders")
+
+    def batch(pred):
+        return (
+            orders.filter(pred)
+            .groupBy(F.col("o_custkey").alias("k"))
+            .agg(
+                F.max("o_totalprice").alias("v"),
+                F.max("o_orderdate").alias("ts"),
+            )
+        )
+
+    cut = F.lit(_TXLOG_CUT).cast("timestamp")
+    fmt = TransactionLogFormat(cluster_col="ts", max_records_per_file=512)
+    wh = Warehouse(spark, tempfile.mkdtemp(prefix="txlog_minmax_"), fmt=fmt)
+    wh.upsert_partitioned(
+        "facts", batch(F.col("o_orderdate") < cut), ["k"], "ts",
+        num_buckets=8,
+    )
+    wh.upsert_partitioned(
+        "facts", batch(F.col("o_orderdate") >= cut), ["k"], "ts",
+        num_buckets=8,
+    )
+    # the fast path must actually be metadata: every live file carries
+    # recorded stats for every served column
+    snap = fmt._latest(wh, "facts")
+    assert all(
+        {"k", "v", "ts"} <= set(snap["stats"].get(f, {}))
+        for f in snap["files"]
+    )
+    cur = fmt.minmax_stats(wh, "facts", ["k", "v", "ts"])
+    v1 = fmt.minmax_stats(wh, "facts", ["v"], version=1)
+    n = fmt.count_rows(wh, "facts")
+    return spark.createDataFrame(
+        [(
+            cur["k"][0], cur["k"][1], cur["v"][0], cur["v"][1],
+            _iso_to_us(cur["ts"][0]), _iso_to_us(cur["ts"][1]),
+            n, v1["v"][0], v1["v"][1],
+        )],
+        "k_min long, k_max long, v_min double, v_max double, "
+        "ts_min_us long, ts_max_us long, n_rows long, "
+        "v1_v_min double, v1_v_max double",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Z-order (Morton) clustered layout + conjunctive box scan: the
+# multi-column half of the zone-map story. txlog_zonemap_scan proves
+# single-column clustering prunes its one column; here the format
+# sorts each bucket by the interleaved-bit Z-curve of (customer,
+# price) — Delta's OPTIMIZE ZORDER recipe — so EVERY file's zone map
+# is a small box in the 2-D value space and a predicate on either
+# column, or both, drops files. The query asserts in-plan that each
+# dimension alone pruned and that the conjunction pruned at least as
+# hard, then returns the box read; the oracle is the plain two-range
+# filter — green means the curve changes which files open, never
+# which rows return.
+# ---------------------------------------------------------------------------
+_TXLOG_ZORDER_ORACLE = """
+SELECT o_orderkey AS k, o_totalprice AS v, o_orderdate AS ts
+FROM orders
+WHERE o_totalprice BETWEEN 50000 AND 150000
+  AND o_orderdate BETWEEN TIMESTAMP '1994-01-01 00:00:00'
+                      AND TIMESTAMP '1995-12-31 23:59:59'
+"""
+
+
+@register(
+    "txlog_zorder_scan",
+    _TXLOG_ZORDER_ORACLE,
+    doc="Z-order clustered transaction-log layout (Morton interleave "
+        "of min-max-scaled customer/price, one codegen expression, no "
+        "UDF) + manifest box pruning: a conjunctive 2-D range opens "
+        "only files whose zone-map BOX overlaps both ranges — each "
+        "dimension alone prunes (asserted in-query; single-column "
+        "clustering leaves the second dimension unprunable, pinned in "
+        "tests/test_io.py) — the OPTIMIZE ZORDER data-skipping story; "
+        "oracle is the plain full-scan filter",
+    tags=("writes", "format", "stats", "pruning"),
+)
+def q_txlog_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..formats import TransactionLogFormat
+    from ..io import Warehouse
+
+    orders = load_testdata(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").alias("v"),
+        F.col("o_orderdate").alias("ts"),
+    )
+    # file granularity scaled to the SF so the layout always yields
+    # multiple files per bucket (the pruning targets) — at a fixed
+    # size, small SFs would collapse to one file per bucket and the
+    # in-query pruning assertions would test nothing
+    n = orders.count()
+    fmt = TransactionLogFormat(
+        zorder_cols=["v", "ts"], max_records_per_file=max(64, n // 32)
+    )
+    wh = Warehouse(spark, tempfile.mkdtemp(prefix="txlog_zorder_"), fmt=fmt)
+    wh.upsert_partitioned("facts", orders, ["k"], "ts", num_buckets=4)
+
+    box = {
+        "v": (50000.0, 150000.0),
+        "ts": (
+            dt.datetime(1994, 1, 1, 0, 0, 0),
+            dt.datetime(1995, 12, 31, 23, 59, 59),
+        ),
+    }
+    snap = fmt._latest(wh, "facts")
+    total = len(snap["files"])
+    keep_v = fmt.files_for_range(snap, "v", *box["v"])
+    keep_ts = fmt.files_for_range(snap, "ts", *box["ts"])
+    keep = fmt.files_for_box(snap, box)
+    # the curve must make BOTH dimensions individually prunable, and
+    # the conjunction can only tighten
+    assert len(keep_v) < total and len(keep_ts) < total, (
+        len(keep_v), len(keep_ts), total,
+    )
+    assert 0 < len(keep) <= min(len(keep_v), len(keep_ts))
+    return fmt.read_for_box(wh, "facts", box).select("k", "v", "ts")

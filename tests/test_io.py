@@ -834,3 +834,144 @@ def test_txlog_compact_reduces_files_preserves_answers(spark, tmp_path):
         wh, "facts", ["k"], num_buckets=4
     )
     assert n2_before == n2_after == 4
+
+
+def test_txlog_zorder_box_scan_prunes_every_dimension(spark, tmp_path):
+    """Z-order layout end-to-end: with zorder_cols=(x, y) — the two
+    dims DECORRELATED from each other and from insertion order — the
+    manifest zone maps must prune files on EITHER dimension alone AND
+    strictly tighter on the conjunctive box, while a single-column
+    cluster_col=x layout prunes nothing on y. The box read must equal
+    the plain two-predicate filter exactly."""
+    import pyspark.sql.functions as F
+
+    from instagram_data_pipeline_spark.formats import TransactionLogFormat
+    from instagram_data_pipeline_spark.io import Warehouse
+
+    # x and y walk coprime strides: neither correlates with k or with
+    # the other, so only an actual multi-dim clustering can narrow both
+    rows = [(i, (i * 37) % 1000, (i * 211) % 1000) for i in range(2000)]
+    df = spark.createDataFrame(rows, "k long, x long, y long")
+
+    zfmt = TransactionLogFormat(
+        zorder_cols=["x", "y"], max_records_per_file=64
+    )
+    zwh = Warehouse(spark, str(tmp_path / "z"), fmt=zfmt)
+    zwh.upsert_partitioned("facts", df, ["k"], "x", num_buckets=4)
+    snap = zfmt._latest(zwh, "facts")
+    total = len(snap["files"])
+    assert total > 8  # maxRecordsPerFile split gave pruning targets
+
+    box = {"x": (100, 260), "y": (100, 260)}
+    keep_x = zfmt.files_for_range(snap, "x", *box["x"])
+    keep_y = zfmt.files_for_range(snap, "y", *box["y"])
+    keep_box = zfmt.files_for_box(snap, box)
+    # every dimension prunes by itself under the Z-curve...
+    assert len(keep_x) < total and len(keep_y) < total
+    # ...and the box intersection is strictly tighter than either leg
+    assert 0 < len(keep_box) < min(len(keep_x), len(keep_y))
+
+    got = sorted(
+        map(tuple, zfmt.read_for_box(zwh, "facts", box)
+            .select("k", "x", "y").collect())
+    )
+    want = sorted(
+        map(tuple, zfmt.read_merged(zwh, "facts")
+            .filter(F.col("x").between(100, 260)
+                    & F.col("y").between(100, 260))
+            .select("k", "x", "y").collect())
+    )
+    assert got == want and len(got) > 0
+
+    # control: single-column cluster on x narrows x but leaves y
+    # hash-mixed — y-only pruning drops nothing
+    cfmt = TransactionLogFormat(cluster_col="x", max_records_per_file=64)
+    cwh = Warehouse(spark, str(tmp_path / "c"), fmt=cfmt)
+    cwh.upsert_partitioned("facts", df, ["k"], "x", num_buckets=4)
+    csnap = cfmt._latest(cwh, "facts")
+    assert len(cfmt.files_for_range(csnap, "y", *box["y"])) == len(
+        csnap["files"]
+    )
+    # and the same box prunes strictly fewer files than Z-order does
+    assert len(cfmt.files_for_box(csnap, box)) > len(keep_box)
+
+
+def test_txlog_zorder_validation_and_null_dimension(spark, tmp_path):
+    import pytest as _pytest
+
+    from instagram_data_pipeline_spark.formats import TransactionLogFormat
+    from instagram_data_pipeline_spark.io import Warehouse
+
+    with _pytest.raises(ValueError):
+        TransactionLogFormat(cluster_col="x", zorder_cols=["x", "y"])
+    with _pytest.raises(ValueError):
+        TransactionLogFormat(zorder_cols=["x"])
+
+    # an all-NULL dimension can't be quantized: layout degrades to
+    # plain (no crash), answers stay exact
+    fmt = TransactionLogFormat(zorder_cols=["x", "y"])
+    wh = Warehouse(spark, str(tmp_path / "wh"), fmt=fmt)
+    df = spark.sql(
+        "SELECT id AS k, id % 7 AS x, CAST(NULL AS LONG) AS y "
+        "FROM range(100)"
+    )
+    wh.upsert_partitioned("facts", df, ["k"], "x", num_buckets=2)
+    assert fmt.read_merged(wh, "facts").count() == 100
+
+
+def test_txlog_minmax_stats_metadata_only(spark, tmp_path):
+    """MIN/MAX aggregate pushdown: manifest answer == scan answer for
+    numeric and timestamp columns, pinned per version, surviving a
+    pre-stats manifest (footer fallback) and an all-NULL column (file
+    scan fallback); strings are refused (truncatable footer bounds)."""
+    import datetime as dt
+    import json as _json
+
+    import pytest as _pytest
+
+    from instagram_data_pipeline_spark.formats import TransactionLogFormat
+    from instagram_data_pipeline_spark.io import Warehouse
+
+    fmt = TransactionLogFormat()
+    wh = Warehouse(spark, str(tmp_path / "wh"), fmt=fmt)
+    base = dt.datetime(2024, 3, 1)
+
+    def mk(lo, n):
+        rows = [
+            (i, float((i * 13) % 97), f"s{i}",
+             base + dt.timedelta(minutes=i), None)
+            for i in range(lo, lo + n)
+        ]
+        return spark.createDataFrame(
+            rows, "k long, v double, s string, ts timestamp, w long"
+        )
+
+    wh.upsert_partitioned("facts", mk(0, 500), ["k"], "ts", num_buckets=4)
+    wh.upsert_partitioned("facts", mk(400, 300), ["k"], "ts", num_buckets=4)
+
+    got = fmt.minmax_stats(wh, "facts", ["k", "v", "ts", "w"])
+    assert got["k"] == (0, 699)
+    assert got["v"] == (0.0, 96.0)
+    # timestamps come back as ISO strings (order-preserving keys; the
+    # footer yields tz-aware UTC datetimes, so the offset rides along)
+    utc = dt.timezone.utc
+    assert got["ts"] == (
+        base.replace(tzinfo=utc).isoformat(),
+        (base + dt.timedelta(minutes=699)).replace(tzinfo=utc).isoformat(),
+    )
+    # all-NULL column: exact SQL semantics via the per-file scan path
+    assert got["w"] == (None, None)
+    # version pinning: v1 covers only the first batch
+    assert fmt.minmax_stats(wh, "facts", ["k"], version=1)["k"] == (0, 499)
+    # strings refused — footer bounds may be truncated, not attained
+    with _pytest.raises(TypeError):
+        fmt.minmax_stats(wh, "facts", ["s"])
+
+    # pre-stats manifest: strip "stats" entirely -> footer fallback,
+    # identical answers without a data scan path change
+    log = sorted((tmp_path / "wh" / "facts" / "_txlog").glob("*.json"))[-1]
+    m = _json.loads(log.read_text())
+    del m["stats"]
+    log.write_text(_json.dumps(m))
+    got2 = fmt.minmax_stats(wh, "facts", ["k", "v"])
+    assert got2["k"] == (0, 699) and got2["v"] == (0.0, 96.0)

@@ -102,6 +102,10 @@ _COLLECT_ALLOWLIST: dict[str, tuple[int, str]] = {
     "streaming/monitor.py": (1, "per-batch histogram read-back, "
                                 "<= n_bins rows — the drift monitor's "
                                 "control-plane summary"),
+    "streaming/lateness.py": (1, "per-batch watermark advance: one "
+                                 "1-row MAX(ts) scalar read — the "
+                                 "engine's own watermark bookkeeping "
+                                 "replicated for the accounting twin"),
     "testing.py": (1, "test harness oracle comparator, not a data path"),
 }
 
