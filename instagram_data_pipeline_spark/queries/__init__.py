@@ -129,6 +129,10 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "pq_topk",
     "pq_adc_fixed",
     "warc_roundtrip",
+    # ------------------- driver window ends at slot 50 --------------------
+    # Demoted past the window: every name below is >=1-round driver-green
+    # and stays DuckDB-oracle-checked every CI run by
+    # tests/test_queries_oracle.py.
     "html_extract",
     "web_pipeline",
     "rate_limit_admission",
@@ -144,11 +148,8 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "keyset_page",
     "scd2_as_of",
     "dup_spans",
-    # ------------------- driver window ends at slot 50 --------------------
-    # Demoted past the window: every name below is >=1-round driver-green
-    # and stays DuckDB-oracle-checked every CI run by
-    # tests/test_queries_oracle.py (rows-only allowlist entries covered by
-    # POST_WINDOW_ROWS_ONLY_OK in tests/test_registry.py).
+    # (rows-only allowlist entries past the window are covered by
+    # POST_WINDOW_ROWS_ONLY_OK in tests/test_registry.py.)
     "blocklist_filter",
     "crawl_frontier",
     "stream_event_transitions",
