@@ -453,53 +453,158 @@ class TransactionLogFormat:
             else:
                 existing = wh.spark.createDataFrame([], incoming.schema)
             merged = upsert_keep_newest(existing, incoming, keys, order_col)
-            new_files, new_rows, new_stats = self._write_commit(
-                wh, table, merged, keys, num_buckets
-            )
-            # optimistic publish: rebase over disjoint winners, redo
-            # the merge (outer loop) when a winner overlapped
-            base = snap
-            for _ in range(self.MAX_COMMIT_RETRIES):
-                carried = {
-                    f: b
-                    for f, b in base["files"].items()
-                    if b not in touched
-                }
-                base_rows = base.get("rows", {})
-                carried_rows = {
-                    f: base_rows[f] for f in carried if f in base_rows
-                }
-                base_stats = base.get("stats", {})
-                carried_stats = {
-                    f: base_stats[f] for f in carried if f in base_stats
-                }
-                try:
-                    self._publish(
-                        wh, table, base["version"] + 1,
-                        {**carried, **new_files}, incoming.schema.json(),
-                        rows={**carried_rows, **new_rows},
-                        stats={**carried_stats, **new_stats},
-                    )
-                    return
-                except CommitConflict:
-                    cur = self._latest(wh, table)
-                    base_t = {
-                        f for f, b in base["files"].items() if b in touched
-                    }
-                    cur_t = {
-                        f for f, b in cur["files"].items() if b in touched
-                    }
-                    if base_t != cur_t or base.get("schema") != cur.get(
-                        "schema"
-                    ):
-                        # the winner rewrote one of OUR buckets (our
-                        # merge read stale inputs) or evolved the
-                        # schema — abandon these files (vacuumable)
-                        # and redo from the winning snapshot
-                        break
-                    base = cur  # disjoint winner: reuse our data files
+            if self._rewrite_and_publish(
+                wh, table, snap, touched, merged,
+                incoming.schema.json(), keys, num_buckets,
+            ):
+                return
         raise CommitConflict(
             f"merge on {table!r}: gave up after "
+            f"{self.MAX_COMMIT_RETRIES} commit conflicts"
+        )
+
+    def _rewrite_and_publish(
+        self,
+        wh,
+        table: str,
+        snap: dict,
+        touched: set[int],
+        replacement: DataFrame,
+        schema_json: str,
+        keys: list[str],
+        num_buckets: int,
+    ) -> bool:
+        """Write ``replacement`` as the new content of the ``touched``
+        buckets and CAS-publish it on top of ``snap``, carrying every
+        untouched file by reference. Optimistic publish: rebase over
+        DISJOINT winners (re-point carried files at the new snapshot,
+        reuse our already-written data files, re-CAS); return False —
+        caller redoes its read-transform from the winning snapshot —
+        when a winner rewrote one of OUR buckets or evolved the schema.
+        Shared by merge (upsert transform) and delete_keys (anti-join
+        transform). Returns the published manifest dict, or None when
+        the caller must redo."""
+        new_files, new_rows, new_stats = self._write_commit(
+            wh, table, replacement, keys, num_buckets
+        )
+        base = snap
+        for _ in range(self.MAX_COMMIT_RETRIES):
+            carried = {
+                f: b
+                for f, b in base["files"].items()
+                if b not in touched
+            }
+            base_rows = base.get("rows", {})
+            carried_rows = {
+                f: base_rows[f] for f in carried if f in base_rows
+            }
+            base_stats = base.get("stats", {})
+            carried_stats = {
+                f: base_stats[f] for f in carried if f in base_stats
+            }
+            try:
+                published = {
+                    "version": base["version"] + 1,
+                    "files": {**carried, **new_files},
+                    "rows": {**carried_rows, **new_rows},
+                    "stats": {**carried_stats, **new_stats},
+                    "schema": schema_json,
+                }
+                self._publish(
+                    wh, table, published["version"],
+                    published["files"], schema_json,
+                    rows=published["rows"],
+                    stats=published["stats"],
+                )
+                return published
+            except CommitConflict:
+                cur = self._latest(wh, table)
+                base_t = {
+                    f for f, b in base["files"].items() if b in touched
+                }
+                cur_t = {
+                    f for f, b in cur["files"].items() if b in touched
+                }
+                if base_t != cur_t or base.get("schema") != cur.get(
+                    "schema"
+                ):
+                    # the winner rewrote one of OUR buckets (our
+                    # transform read stale inputs) or evolved the
+                    # schema — abandon these files (vacuumable)
+                    # and redo from the winning snapshot
+                    return None
+                base = cur  # disjoint winner: reuse our data files
+        return None
+
+    def delete_keys(
+        self,
+        wh,
+        table: str,
+        keys: list[str],
+        key_rows: DataFrame,
+        num_buckets: int,
+    ) -> int:
+        """Targeted key erasure — the A8 DELETE at format level (and
+        the GDPR/right-to-be-forgotten path a 100 TB store needs):
+        rewrite ONLY the buckets the requested keys hash to, anti-join
+        the keys out, CAS-publish version N+1 carrying every other file
+        by reference. Cost is O(touched buckets), not O(table); the
+        erased rows stop being served immediately, and disappear from
+        STORAGE once retention expires the older versions
+        (``expire_versions`` + ``vacuum`` — the same two-step erasure
+        contract Delta/Iceberg document). A bucket whose rows are all
+        deleted simply publishes no replacement file. Returns the exact
+        number of rows deleted (manifest row-count arithmetic over the
+        replaced vs replacement files — no extra scan; concurrency-safe
+        because an overlapping winner forces a redo from its snapshot).
+        Same optimistic-concurrency protocol as ``merge``."""
+        key_frame = F.broadcast(key_rows.select(*keys).dropDuplicates())
+        for _ in range(self.MAX_COMMIT_RETRIES):
+            snap = self._latest(wh, table)
+            if snap is None:
+                raise FileNotFoundError(f"no committed version for {table}")
+            touched = {
+                r.b
+                for r in key_rows.select(
+                    bucket_expr(keys, num_buckets).alias("b")
+                )
+                .dropDuplicates()
+                .collect()
+            }
+            root = Path(wh.path(table))
+            live = {
+                f: b for f, b in snap["files"].items() if b in touched
+            }
+            if not live:
+                return 0  # keys hash only to empty buckets: no-op
+            sub = dict(snap)
+            sub["files"] = live
+            existing = self._read_snapshot(wh, root, sub)
+            remaining = existing.join(key_frame, keys, "anti")
+            schema_json = snap.get("schema", existing.schema.json())
+            prior = snap["version"]
+            published = self._rewrite_and_publish(
+                wh, table, snap, touched, remaining,
+                schema_json, keys, num_buckets,
+            )
+            if published:
+                if any(f not in snap.get("rows", {}) for f in live):
+                    # a pre-stats file among the replaced: footer-read
+                    # counts for both versions (still metadata-only)
+                    return self.count_rows(
+                        wh, table, version=prior
+                    ) - self.count_rows(
+                        wh, table, version=published["version"]
+                    )
+                before = sum(int(snap["rows"][f]) for f in live)
+                after = sum(
+                    int(published["rows"][f])
+                    for f, b in published["files"].items()
+                    if b in touched
+                )
+                return before - after
+        raise CommitConflict(
+            f"delete_keys on {table!r}: gave up after "
             f"{self.MAX_COMMIT_RETRIES} commit conflicts"
         )
 
@@ -954,3 +1059,109 @@ class TransactionLogFormat:
         with open(self._log_dir(wh, table) / f"{version:08d}.json") as f:
             snap = json.load(f)
         return self._read_snapshot(wh, Path(wh.path(table)), snap)
+
+    def _snap_at(self, wh, table: str, version: int) -> dict:
+        with open(self._log_dir(wh, table) / f"{version:08d}.json") as f:
+            return json.load(f)
+
+    def changes_between(
+        self,
+        wh,
+        table: str,
+        keys: list[str],
+        v_from: int,
+        v_to: int,
+    ) -> DataFrame:
+        """Change data feed between two committed versions — the Delta
+        CDF / Iceberg changelog analog, derived entirely from time
+        travel (no per-write change files): one row per key whose value
+        changed, tagged ``_change_type`` in {insert, delete,
+        update_preimage, update_postimage} (updates emit BOTH images,
+        the CDF convention downstream MERGE consumers need).
+
+        Scale shape: a bucket whose file list is IDENTICAL in both
+        manifests was carried by reference — it cannot contain a
+        change, so both sides read only the buckets whose file sets
+        differ (pure manifest arithmetic). An incremental merge touches
+        O(batch) buckets, so the diff costs O(changed data), not
+        O(table) — then ONE full-outer join on the key and a single-
+        pass classify-and-explode (rows in rewritten buckets that are
+        byte-identical across versions classify unchanged and emit
+        nothing). Value comparison is null-safe per column
+        (NULL-to-value transitions are updates); compared columns are
+        the non-key columns common to both versions' schemas, output
+        under the ``v_to`` ordering."""
+        snap_a = self._snap_at(wh, table, v_from)
+        snap_b = self._snap_at(wh, table, v_to)
+        by_bucket_a: dict[int, set] = {}
+        by_bucket_b: dict[int, set] = {}
+        for f, b in snap_a["files"].items():
+            by_bucket_a.setdefault(b, set()).add(f)
+        for f, b in snap_b["files"].items():
+            by_bucket_b.setdefault(b, set()).add(f)
+        changed_buckets = {
+            b
+            for b in (by_bucket_a.keys() | by_bucket_b.keys())
+            if by_bucket_a.get(b, set()) != by_bucket_b.get(b, set())
+        }
+        root = Path(wh.path(table))
+
+        def scoped(snap):
+            sub = dict(snap)
+            sub["files"] = {
+                f: b
+                for f, b in snap["files"].items()
+                if b in changed_buckets
+            }
+            if not sub["files"]:
+                return wh.spark.createDataFrame(
+                    [], self._read_snapshot(wh, root, snap).schema
+                )
+            return self._read_snapshot(wh, root, sub)
+
+        old, new = scoped(snap_a), scoped(snap_b)
+        vals = [
+            c for c in new.columns if c in old.columns and c not in keys
+        ]
+        o = old.select(
+            *keys,
+            *[F.col(c).alias(f"_o_{c}") for c in vals],
+            F.lit(True).alias("_in_old"),
+        )
+        n = new.select(
+            *keys,
+            *[F.col(c).alias(f"_n_{c}") for c in vals],
+            F.lit(True).alias("_in_new"),
+        )
+        j = o.join(n, keys, "full_outer")
+        same = F.lit(True)
+        for c in vals:
+            same = same & F.col(f"_o_{c}").eqNullSafe(F.col(f"_n_{c}"))
+
+        def img(side: str, tag: str):
+            return F.struct(
+                F.lit(tag).alias("_change_type"),
+                *[F.col(f"_{side}_{c}").alias(c) for c in vals],
+            )
+
+        # unchanged rows inside a rewritten bucket drop out BEFORE the
+        # explode — the remaining three cases are exhaustive
+        j = j.filter(
+            F.col("_in_old").isNull() | F.col("_in_new").isNull() | ~same
+        )
+        entries = (
+            F.when(F.col("_in_old").isNull(), F.array(img("n", "insert")))
+            .when(F.col("_in_new").isNull(), F.array(img("o", "delete")))
+            .otherwise(
+                F.array(
+                    img("o", "update_preimage"),
+                    img("n", "update_postimage"),
+                )
+            )
+        )
+        e = j.select(*keys, F.explode(entries).alias("_e"))
+        return e.select(
+            F.col("_e._change_type").alias("_change_type"),
+            *keys,
+            *[F.col(f"_e.{c}").alias(c) for c in vals],
+        )

@@ -125,14 +125,15 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "stream_outer_attribution",
     "txlog_zorder_scan",
     "txlog_minmax_pushdown",
+    "txlog_change_feed",
     # -- fillers: displaced past the window as new r7 queries register ----
     "pq_topk",
     "pq_adc_fixed",
-    "warc_roundtrip",
     # ------------------- driver window ends at slot 50 --------------------
     # Demoted past the window: every name below is >=1-round driver-green
     # and stays DuckDB-oracle-checked every CI run by
     # tests/test_queries_oracle.py.
+    "warc_roundtrip",
     "html_extract",
     "web_pipeline",
     "rate_limit_admission",

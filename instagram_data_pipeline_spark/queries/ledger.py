@@ -1106,3 +1106,94 @@ def q_txlog_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     assert 0 < len(keep) <= min(len(keep_v), len(keep_ts))
     return fmt.read_for_box(wh, "facts", box).select("k", "v", "ts")
+
+
+# ---------------------------------------------------------------------------
+# Change data feed between committed versions — the Delta CDF analog,
+# derived from time travel alone (no per-write change files): v1 = the
+# pre-cut ledger, v2 = a keep-newest merge of refreshed aggregates for
+# every third customer (a mix of inserts, real updates, and no-op
+# re-writes), v3 = delete_keys of every fifth customer (the GDPR-erase
+# path: only the victims' buckets rewritten, CAS-published). The feed
+# v1 -> v3 must emit insert / delete / update_preimage +
+# update_postimage rows and stay SILENT for rows that were rewritten
+# byte-identical (the no-op refreshes) — the oracle replays all three
+# states semantically and derives the same classification.
+# ---------------------------------------------------------------------------
+_TXLOG_CDF_ORACLE = f"""
+WITH b1 AS (
+  SELECT o_custkey AS k, MAX(o_totalprice) AS v, MAX(o_orderdate) AS ts
+  FROM orders WHERE o_orderdate < TIMESTAMP '{_TXLOG_CUT}' GROUP BY 1
+), b2 AS (
+  SELECT o_custkey AS k, MAX(o_totalprice) AS v, MAX(o_orderdate) AS ts
+  FROM orders WHERE o_custkey % 3 = 0 GROUP BY 1
+), s2 AS (
+  SELECT COALESCE(b2.k, b1.k) AS k,
+         COALESCE(b2.v, b1.v) AS v,
+         COALESCE(b2.ts, b1.ts) AS ts
+  FROM b1 FULL OUTER JOIN b2 ON b1.k = b2.k
+), s3 AS (
+  SELECT * FROM s2 WHERE k % 5 <> 0
+)
+SELECT 'insert' AS _change_type, s3.k, s3.v, s3.ts
+FROM s3 LEFT JOIN b1 ON b1.k = s3.k WHERE b1.k IS NULL
+UNION ALL
+SELECT 'delete', b1.k, b1.v, b1.ts
+FROM b1 LEFT JOIN s3 ON s3.k = b1.k WHERE s3.k IS NULL
+UNION ALL
+SELECT 'update_preimage', b1.k, b1.v, b1.ts
+FROM b1 JOIN s3 ON b1.k = s3.k WHERE b1.v <> s3.v OR b1.ts <> s3.ts
+UNION ALL
+SELECT 'update_postimage', s3.k, s3.v, s3.ts
+FROM b1 JOIN s3 ON b1.k = s3.k WHERE b1.v <> s3.v OR b1.ts <> s3.ts
+"""
+
+
+@register(
+    "txlog_change_feed",
+    _TXLOG_CDF_ORACLE,
+    doc="change data feed between transaction-log versions (Delta CDF "
+        "analog, no per-write change files): manifest diff scopes both "
+        "reads to buckets whose FILE SETS differ (carried-by-reference "
+        "buckets cannot hold changes — O(changed data), not O(table)), "
+        "then one full-outer join classifies insert / delete / update "
+        "pre+post, silent on byte-identical re-writes; exercises "
+        "delete_keys, the targeted GDPR-erase (anti-join rewrite of "
+        "only the victims' buckets, exact deleted-count from manifest "
+        "arithmetic); oracle replays all three versions semantically",
+    tags=("writes", "format", "cdc"),
+)
+def q_txlog_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..formats import TransactionLogFormat
+    from ..io import Warehouse
+
+    orders = load_testdata(spark, sf_dir, "orders")
+
+    def agg(df):
+        return df.groupBy(F.col("o_custkey").alias("k")).agg(
+            F.max("o_totalprice").alias("v"),
+            F.max("o_orderdate").alias("ts"),
+        )
+
+    cut = F.lit(_TXLOG_CUT).cast("timestamp")
+    fmt = TransactionLogFormat()
+    wh = Warehouse(spark, tempfile.mkdtemp(prefix="txlog_cdf_"), fmt=fmt)
+    wh.upsert_partitioned(
+        "facts", agg(orders.filter(F.col("o_orderdate") < cut)),
+        ["k"], "ts", num_buckets=8,
+    )
+    wh.upsert_partitioned(
+        "facts", agg(orders.filter(F.col("o_custkey") % 3 == 0)),
+        ["k"], "ts", num_buckets=8,
+    )
+    victims = (
+        orders.filter(F.col("o_custkey") % 5 == 0)
+        .select(F.col("o_custkey").alias("k"))
+        .dropDuplicates()
+    )
+    deleted = fmt.delete_keys(wh, "facts", ["k"], victims, num_buckets=8)
+    assert deleted > 0
+    feed = fmt.changes_between(wh, "facts", ["k"], 1, 3)
+    return feed.select("_change_type", "k", "v", "ts")

@@ -975,3 +975,129 @@ def test_txlog_minmax_stats_metadata_only(spark, tmp_path):
     log.write_text(_json.dumps(m))
     got2 = fmt.minmax_stats(wh, "facts", ["k", "v"])
     assert got2["k"] == (0, 699) and got2["v"] == (0.0, 96.0)
+
+
+def test_txlog_delete_keys_targeted_erasure(spark, tmp_path):
+    """delete_keys rewrites ONLY the buckets the keys hash to (others
+    carried by reference), returns the exact deleted-row count from
+    manifest arithmetic, serves the post-delete state immediately, and
+    keeps the pre-delete version readable until retention expires it."""
+    from instagram_data_pipeline_spark.formats import (
+        TransactionLogFormat, bucket_expr,
+    )
+    from instagram_data_pipeline_spark.io import Warehouse
+
+    fmt = TransactionLogFormat()
+    wh = Warehouse(spark, str(tmp_path / "wh"), fmt=fmt)
+    df = spark.sql(
+        "SELECT id AS k, CAST(id * 1.5 AS DOUBLE) AS v, "
+        "TIMESTAMP '2024-01-01' + make_interval(0,0,0,0,0,CAST(id AS INT),0)"
+        " AS ts FROM range(400)"
+    )
+    wh.upsert_partitioned("facts", df, ["k"], "ts", num_buckets=8)
+
+    # victims confined to the buckets they hash to
+    victims = spark.sql("SELECT id AS k FROM range(0, 400, 7)")  # 58 keys
+    n_victim_buckets = (
+        victims.select(bucket_expr(["k"], 8).alias("b"))
+        .distinct().count()
+    )
+    snap1 = fmt._latest(wh, "facts")
+    deleted = fmt.delete_keys(wh, "facts", ["k"], victims, num_buckets=8)
+    assert deleted == 58
+    snap2 = fmt._latest(wh, "facts")
+    assert snap2["version"] == snap1["version"] + 1
+    # untouched buckets: same relpaths carried by reference; rewritten
+    # ones are exactly the victims' buckets
+    carried = set(snap1["files"]) & set(snap2["files"])
+    touched_buckets = {
+        snap1["files"][f] for f in set(snap1["files"]) - carried
+    }
+    assert touched_buckets == {
+        r.b for r in victims.select(
+            bucket_expr(["k"], 8).alias("b")).distinct().collect()
+    }
+    assert len(touched_buckets) == n_victim_buckets
+    # served state: victims gone, everyone else intact
+    got = fmt.read_merged(wh, "facts")
+    assert got.count() == 400 - 58
+    assert got.filter("k % 7 = 0").count() == 0
+    # time travel still serves the pre-delete state (until expiry)
+    assert fmt.read_version(wh, "facts", snap1["version"]).count() == 400
+    # metadata count agrees
+    assert fmt.count_rows(wh, "facts") == 342
+    # no-op delete: keys that don't exist
+    ghosts = spark.sql("SELECT id + 10000 AS k FROM range(5)")
+    assert fmt.delete_keys(wh, "facts", ["k"], ghosts, num_buckets=8) == 0
+
+
+def test_txlog_changes_between_scopes_to_changed_buckets(spark, tmp_path):
+    """changes_between emits Delta-CDF-style rows (insert / delete /
+    update pre+post, unchanged rows silent) and reads ONLY the buckets
+    whose file sets differ between the two manifests."""
+    import pyspark.sql.functions as F
+
+    from instagram_data_pipeline_spark.formats import TransactionLogFormat
+    from instagram_data_pipeline_spark.io import Warehouse
+
+    read_file_counts = []
+
+    class Spy(TransactionLogFormat):
+        def _read_snapshot(self, wh, root, snap):  # noqa: N805
+            read_file_counts.append(len(snap["files"]))
+            return TransactionLogFormat._read_snapshot(wh, root, snap)
+
+    fmt = Spy()
+    wh = Warehouse(spark, str(tmp_path / "wh"), fmt=fmt)
+    base = spark.sql(
+        "SELECT id AS k, CAST(id AS DOUBLE) AS v, "
+        "TIMESTAMP '2024-01-01' AS ts FROM range(200)"
+    )
+    wh.upsert_partitioned("facts", base, ["k"], "ts", num_buckets=8)
+    v1 = fmt._latest(wh, "facts")["version"]
+
+    # second merge: 3 updates (new v, later ts), 2 no-op re-writes
+    # (identical rows), 2 inserts — all confined to a few buckets
+    batch2 = spark.sql(
+        "SELECT CAST(k AS BIGINT) AS k, v, ts FROM VALUES "
+        "(3, CAST(999 AS DOUBLE), TIMESTAMP '2024-02-01'),"
+        "(14, CAST(998 AS DOUBLE), TIMESTAMP '2024-02-01'),"
+        "(25, CAST(997 AS DOUBLE), TIMESTAMP '2024-02-01'),"
+        "(40, CAST(40 AS DOUBLE), TIMESTAMP '2024-01-01'),"
+        "(41, CAST(41 AS DOUBLE), TIMESTAMP '2024-01-01'),"
+        "(500, CAST(500 AS DOUBLE), TIMESTAMP '2024-02-01'),"
+        "(501, CAST(501 AS DOUBLE), TIMESTAMP '2024-02-01')"
+        " AS t(k, v, ts)"
+    )
+    wh.upsert_partitioned("facts", batch2, ["k"], "ts", num_buckets=8)
+    # third version: delete two keys (one just-updated, one untouched)
+    fmt.delete_keys(
+        wh, "facts", ["k"],
+        spark.sql("SELECT CAST(k AS BIGINT) AS k FROM VALUES (25), (100) AS t(k)"),
+        num_buckets=8,
+    )
+    v3 = fmt._latest(wh, "facts")["version"]
+    snap3 = fmt._latest(wh, "facts")
+
+    read_file_counts.clear()
+    feed = fmt.changes_between(wh, "facts", ["k"], v1, v3)
+    rows = {
+        (r._change_type, r.k): (r.v, r.ts) for r in feed.collect()
+    }
+    # scoping: both snapshot reads saw fewer files than the full table
+    assert len(read_file_counts) == 2
+    assert all(0 < n < len(snap3["files"]) for n in read_file_counts)
+
+    kinds = {}
+    for (t, k) in rows:
+        kinds.setdefault(t, set()).add(k)
+    assert kinds["insert"] == {500, 501}
+    assert kinds["delete"] == {25, 100}  # updated-then-deleted = delete
+    assert kinds["update_preimage"] == kinds["update_postimage"] == {3, 14}
+    # no-op re-writes (40, 41) and untouched keys emit nothing
+    assert all(k not in {40, 41} for (_, k) in rows)
+    # images carry the right values
+    assert rows[("update_preimage", 3)][0] == 3.0
+    assert rows[("update_postimage", 3)][0] == 999.0
+    assert rows[("delete", 100)][0] == 100.0
+    assert rows[("insert", 500)][0] == 500.0
