@@ -49,6 +49,8 @@ EXTRA_QUERIES = [
     "curation_pipeline",    # the composed 6-stage curation showcase
     "bucketed_join",        # bucketBy layout: write-once, join shuffle-free
     "mixture_epochs",       # epoch-repeat mixture (sequence-explode fan-out)
+    "txlog_zorder_scan",    # Z-order write + manifest box-pruned 2-D scan
+    "txlog_change_feed",    # merge+delete+CDF diff over the txlog
 ]
 
 # SURVEY §7 risk 5: celebrity fan-out. One synthetic hot key owning

@@ -543,6 +543,7 @@ class TransactionLogFormat:
         keys: list[str],
         key_rows: DataFrame,
         num_buckets: int,
+        broadcast_keys: bool = True,
     ) -> int:
         """Targeted key erasure — the A8 DELETE at format level (and
         the GDPR/right-to-be-forgotten path a 100 TB store needs):
@@ -557,8 +558,16 @@ class TransactionLogFormat:
         number of rows deleted (manifest row-count arithmetic over the
         replaced vs replacement files — no extra scan; concurrency-safe
         because an overlapping winner forces a redo from its snapshot).
-        Same optimistic-concurrency protocol as ``merge``."""
-        key_frame = F.broadcast(key_rows.select(*keys).dropDuplicates())
+        Same optimistic-concurrency protocol as ``merge``.
+
+        ``broadcast_keys`` (default) pins the anti-join's build side to
+        the victim frame — right for the common point-erasure batch.
+        A BULK erasure (millions of keys) must pass False so the
+        anti-join shuffles both sides instead of materializing the key
+        set on every executor."""
+        key_frame = key_rows.select(*keys).dropDuplicates()
+        if broadcast_keys:
+            key_frame = F.broadcast(key_frame)
         for _ in range(self.MAX_COMMIT_RETRIES):
             snap = self._latest(wh, table)
             if snap is None:

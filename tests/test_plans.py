@@ -82,9 +82,10 @@ _COLLECT_ALLOWLIST: dict[str, tuple[int, str]] = {
                                    "27-row interest taxonomy"),
     "streaming/rollup.py": (1, "touched partition dates per micro-batch "
                                "(1-2 for a steady stream)"),
-    "formats.py": (3, "touched bucket ids of a merge batch (one site "
-                      "per TableFormat backend) + read_for_keys' "
-                      "wanted-bucket set — each <= num_buckets ints"),
+    "formats.py": (4, "touched bucket ids of a merge batch (one site "
+                      "per TableFormat backend) + read_for_keys' and "
+                      "delete_keys' wanted-bucket sets — each "
+                      "<= num_buckets ints"),
     "extensions/export.py": (1, "shard manifest: one summary row per "
                                 "shard, <= n_shards"),
     "extensions/unigram.py": (2, "vocab table <= seed_size/vocab_size "
