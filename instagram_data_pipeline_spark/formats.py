@@ -132,6 +132,52 @@ def _stat_key(v):
     return None
 
 
+#: reserved key inside a file's stats dict holding its bloom bitmaps
+#: ({col: base64}); never a real column name (zone-map lookups use
+#: plain column names and cannot collide)
+BLOOM_KEY = "__bloom__"
+
+
+def _bloom_positions(value, bits: int, k: int) -> list[int]:
+    """The ``k`` bit positions a value sets/tests — double hashing
+    (Kirsch-Mitzenmacher) over one md5: position_i = (h1 + i*h2) mod
+    bits. Values canonicalize as str() — bloom columns are type-gated
+    to integer/string at write time, where str() is injective and
+    engine-independent (floats are refused: equality probes on floats
+    are ill-defined anyway)."""
+    import hashlib
+
+    d = hashlib.md5(str(value).encode("utf-8")).digest()
+    h1 = int.from_bytes(d[:8], "big")
+    h2 = int.from_bytes(d[8:], "big") | 1  # odd: full-period stepping
+    return [(h1 + i * h2) % bits for i in range(k)]
+
+
+def _bloom_build(values, bits: int, k: int) -> str:
+    """Base64 bitmap with every value's positions set — the per-file
+    bloom entry stored in the manifest."""
+    import base64
+
+    bm = bytearray((bits + 7) // 8)
+    for v in values:
+        if v is None:
+            continue
+        for p in _bloom_positions(v, bits, k):
+            bm[p >> 3] |= 1 << (p & 7)
+    return base64.b64encode(bytes(bm)).decode("ascii")
+
+
+def _bloom_maybe_contains(b64: str, value, k: int) -> bool:
+    import base64
+
+    bm = base64.b64decode(b64)
+    bits = len(bm) * 8
+    return all(
+        bm[p >> 3] & (1 << (p & 7))
+        for p in _bloom_positions(value, bits, k)
+    )
+
+
 def _footer_minmax(meta) -> dict:
     """Per-column [min, max] from a just-written parquet FOOTER
     (row-group statistics folded together) — the zone-map entry stored
@@ -202,12 +248,18 @@ class TransactionLogFormat:
     cluster_col: str | None = None
     zorder_cols: tuple[str, ...] | None = None
     max_records_per_file: int | None = None
+    bloom_cols: tuple[str, ...] | None = None
+    bloom_bits: int = 1 << 16
+    bloom_hashes: int = 7
 
     def __init__(
         self,
         cluster_col: str | None = None,
         max_records_per_file: int | None = None,
         zorder_cols: list[str] | tuple[str, ...] | None = None,
+        bloom_cols: list[str] | tuple[str, ...] | None = None,
+        bloom_bits: int = 1 << 16,
+        bloom_hashes: int = 7,
     ) -> None:
         """``cluster_col`` turns on within-bucket clustering — the
         ZORDER/liquid-clustering half of the Delta/Iceberg layout
@@ -228,7 +280,19 @@ class TransactionLogFormat:
         the columns prunes files. A single sort column gives perfect
         pruning on one dimension and none on the others; the Z-curve
         trades a little per-dimension narrowness for usable pruning on
-        all of them. Mutually exclusive with ``cluster_col``."""
+        all of them. Mutually exclusive with ``cluster_col``.
+
+        ``bloom_cols`` stores a per-file Bloom bitmap in the manifest
+        for each named column (integer/string typed) — the Delta/
+        Parquet bloom-index design: a point lookup on a NON-key,
+        NON-clustered column (zone maps can't prune those: hash-mixed
+        files span the full value range) opens only the files whose
+        bloom may contain the probe. For a high-cardinality column
+        (fingerprints, URLs, ids) each value lives in O(1) files, so
+        the lookup opens O(1) + false-positive files at any table
+        size, paying ``bloom_bits``/8 manifest bytes per file per
+        column (size ~10-16 bits per expected distinct value for ~1%
+        false positives at the default 7 hashes)."""
         if cluster_col is not None and zorder_cols:
             raise ValueError(
                 "cluster_col and zorder_cols are mutually exclusive"
@@ -238,6 +302,9 @@ class TransactionLogFormat:
         self.cluster_col = cluster_col
         self.zorder_cols = tuple(zorder_cols) if zorder_cols else None
         self.max_records_per_file = max_records_per_file
+        self.bloom_cols = tuple(bloom_cols) if bloom_cols else None
+        self.bloom_bits = int(bloom_bits)
+        self.bloom_hashes = int(bloom_hashes)
 
     def _log_dir(self, wh, table: str) -> Path:
         return Path(wh.path(table)) / "_txlog"
@@ -379,6 +446,35 @@ class TransactionLogFormat:
                 meta = pq.ParquetFile(str(f)).metadata
                 rows[rel] = meta.num_rows
                 stats[rel] = _footer_minmax(meta)
+                if self.bloom_cols:
+                    # one LOCAL column-pruned read of the file just
+                    # written (a real writer computes this inline);
+                    # the bitmap rides the stats dict, so every carry/
+                    # rebase/compact path moves it with its file
+                    import pyarrow as pa
+
+                    t = pq.read_table(
+                        str(f), columns=list(self.bloom_cols)
+                    )
+                    blooms = {}
+                    for c in self.bloom_cols:
+                        typ = t.schema.field(c).type
+                        if not (
+                            pa.types.is_integer(typ)
+                            or pa.types.is_string(typ)
+                            or pa.types.is_large_string(typ)
+                        ):
+                            raise TypeError(
+                                f"bloom_cols: {c!r} is {typ} — bloom "
+                                "probes are equality tests, supported "
+                                "for integer/string columns only"
+                            )
+                        blooms[c] = _bloom_build(
+                            t.column(c).to_pylist(),
+                            self.bloom_bits,
+                            self.bloom_hashes,
+                        )
+                    stats[rel][BLOOM_KEY] = blooms
         return files, rows, stats
 
     @staticmethod
@@ -771,6 +867,41 @@ class TransactionLogFormat:
         df = self._read_snapshot(wh, Path(wh.path(table)), sub)
         return df.filter(cond)
 
+    def files_for_value(self, snap: dict, col: str, value) -> list[str]:
+        """Bloom pruning decision: relpaths whose manifest bloom MAY
+        contain ``value`` for ``col`` — plus, conservatively, every
+        file with no bloom for the column (absent must never drop
+        rows). False positives only ever open extra files. Pure
+        manifest arithmetic, no file opened."""
+        stats = snap.get("stats", {})
+        out = []
+        for f in snap["files"]:
+            b64 = stats.get(f, {}).get(BLOOM_KEY, {}).get(col)
+            if b64 is None or _bloom_maybe_contains(
+                b64, value, self.bloom_hashes
+            ):
+                out.append(f)
+        return out
+
+    def read_for_value(self, wh, table: str, col: str, value) -> DataFrame:
+        """Point-lookup on a NON-key column via the manifest blooms:
+        open only the files whose bloom may contain the probe, then
+        re-apply the exact equality — equals
+        ``read_merged(...).filter(col == value)`` at O(1 + fp) files
+        for a high-cardinality column, at any table size."""
+        snap = self._latest(wh, table)
+        if snap is None:
+            raise FileNotFoundError(f"no committed version for {table}")
+        keep = self.files_for_value(snap, col, value)
+        if not keep:
+            return wh.spark.createDataFrame(
+                [], self.read_merged(wh, table).schema
+            ).filter(F.col(col) == F.lit(value))
+        sub = dict(snap)
+        sub["files"] = {f: snap["files"][f] for f in keep}
+        df = self._read_snapshot(wh, Path(wh.path(table)), sub)
+        return df.filter(F.col(col) == F.lit(value))
+
     def compact(
         self,
         wh,
@@ -786,8 +917,11 @@ class TransactionLogFormat:
         carry all other buckets forward BY REFERENCE, and
         publish version N+1. Answers never change — only layout; with
         ``cluster_col`` set, the rewrite re-sorts, so compaction also
-        repairs zone-map narrowness degraded by many small merges.
-        Returns (files_before, files_after) for the touched buckets.
+        repairs zone-map narrowness degraded by many small merges —
+        and compacting with a ``zorder_cols`` instance IS ``OPTIMIZE
+        ZORDER``: it re-clusters hash-mixed files into Z-curve boxes
+        (pinned in tests/test_io.py). Returns (files_before,
+        files_after) for the touched buckets.
 
         Cost is proportional to the compacted buckets only — an
         incremental-merge table accumulates one file per merge per

@@ -126,13 +126,17 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "txlog_zorder_scan",
     "txlog_minmax_pushdown",
     "txlog_change_feed",
-    # -- fillers: displaced past the window as new r7 queries register ----
-    "pq_topk",
+    "txlog_bloom_lookup",
+    # -- last filler: displaced as new r7 queries register -----------------
     "pq_adc_fixed",
     # ------------------- driver window ends at slot 50 --------------------
     # Demoted past the window: every name below is >=1-round driver-green
     # and stays DuckDB-oracle-checked every CI run by
-    # tests/test_queries_oracle.py.
+    # tests/test_queries_oracle.py. pq_topk demotes TOGETHER with its
+    # hash-checked twin pq_adc_fixed (adjacent across the boundary;
+    # both shipped their r6 rows — the family keeps one in-window hard
+    # row this round via pq_adc_fixed at slot 50).
+    "pq_topk",
     "warc_roundtrip",
     "html_extract",
     "web_pipeline",

@@ -1197,3 +1197,71 @@ def q_txlog_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     assert deleted > 0
     feed = fmt.changes_between(wh, "facts", ["k"], 1, 3)
     return feed.select("_change_type", "k", "v", "ts")
+
+
+# ---------------------------------------------------------------------------
+# Bloom-indexed point lookup off the transaction log — the third leg of
+# the manifest-stats story (COUNT/MIN-MAX = aggregates, zone maps =
+# ranges, blooms = equality on columns neither keyed nor clustered):
+# each file carries a bloom bitmap for the document fingerprint column,
+# so "find the doc(s) with THIS hash" — the dedup-probe every ingest
+# batch runs against the corpus — opens O(1 + false positives) files
+# at any table size instead of scanning the corpus. The probe is doc 7's
+# md5 recomputed identically in both engines; the oracle is the plain
+# full-scan equality. Green means bloom pruning drops files, never rows
+# (planted exact-dups of the probed text surface on both sides).
+# ---------------------------------------------------------------------------
+_TXLOG_BLOOM_ORACLE = """
+SELECT d.doc_id AS k, d.source, md5(d.text) AS fp
+FROM documents d
+WHERE md5(d.text) = (SELECT md5(text) FROM documents WHERE doc_id = 7)
+"""
+
+
+@register(
+    "txlog_bloom_lookup",
+    _TXLOG_BLOOM_ORACLE,
+    doc="manifest bloom index (Delta/Parquet bloom-filter design): "
+        "per-file bitmaps for the fingerprint column let an equality "
+        "probe on a non-key, non-clustered, high-cardinality column "
+        "open O(1 + fp) files at any table size (asserted in-query: "
+        "strictly fewer files than the snapshot); md5 double-hashing, "
+        "bitmaps ride the stats dict through every carry/rebase path; "
+        "oracle is the plain full-scan equality on the same recomputed "
+        "fingerprint",
+    tags=("writes", "format", "stats", "pruning"),
+)
+def q_txlog_bloom_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..formats import BLOOM_KEY, TransactionLogFormat
+    from ..io import Warehouse
+
+    docs = load_testdata(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("k"),
+        "source",
+        F.md5(F.col("text")).alias("fp"),
+        F.lit("2024-01-01").cast("timestamp").alias("ts"),
+    )
+    n = docs.count()
+    mrpf = max(8, n // 16)
+    fmt = TransactionLogFormat(
+        bloom_cols=["fp"],
+        bloom_bits=max(4096, mrpf * 16),
+        max_records_per_file=mrpf,
+    )
+    wh = Warehouse(spark, tempfile.mkdtemp(prefix="txlog_bloom_"), fmt=fmt)
+    wh.upsert_partitioned("facts", docs, ["k"], "ts", num_buckets=8)
+
+    probe = docs.filter(F.col("k") == 7).select("fp").first().fp
+    snap = fmt._latest(wh, "facts")
+    assert all(
+        "fp" in s.get(BLOOM_KEY, {}) for s in snap["stats"].values()
+    )
+    keep = fmt.files_for_value(snap, "fp", probe)
+    assert 0 < len(keep) < len(snap["files"]), (
+        len(keep), len(snap["files"]),
+    )
+    return fmt.read_for_value(wh, "facts", "fp", probe).select(
+        "k", "source", "fp"
+    )

@@ -1101,3 +1101,108 @@ def test_txlog_changes_between_scopes_to_changed_buckets(spark, tmp_path):
     assert rows[("update_postimage", 3)][0] == 999.0
     assert rows[("delete", 100)][0] == 100.0
     assert rows[("insert", 500)][0] == 500.0
+
+
+def test_txlog_bloom_point_lookup_prunes_files(spark, tmp_path):
+    """Manifest bloom index: a point lookup on a non-key, non-clustered
+    column opens only the files whose bloom may contain the probe;
+    absent blooms keep files conservatively; non-equality-safe types
+    are refused at write time."""
+    import json as _json
+
+    import pytest as _pytest
+
+    from instagram_data_pipeline_spark.formats import (
+        BLOOM_KEY, TransactionLogFormat,
+    )
+    from instagram_data_pipeline_spark.io import Warehouse
+
+    fmt = TransactionLogFormat(
+        bloom_cols=["fp"], bloom_bits=4096, max_records_per_file=64
+    )
+    wh = Warehouse(spark, str(tmp_path / "wh"), fmt=fmt)
+    df = spark.sql(
+        "SELECT id AS k, concat('fp-', md5(CAST(id AS STRING))) AS fp, "
+        "CAST(id AS DOUBLE) AS v, TIMESTAMP '2024-01-01' AS ts "
+        "FROM range(1000)"
+    )
+    wh.upsert_partitioned("facts", df, ["k"], "ts", num_buckets=8)
+    snap = fmt._latest(wh, "facts")
+    total = len(snap["files"])
+    assert total >= 16  # several files per bucket: pruning targets
+    assert all(
+        "fp" in s.get(BLOOM_KEY, {}) for s in snap["stats"].values()
+    )
+
+    probe = df.filter("k = 37").select("fp").first().fp
+    keep = fmt.files_for_value(snap, "fp", probe)
+    # unique value -> 1 true file + bloom false positives (few at
+    # 4096 bits / 7 hashes / 64 values per file)
+    assert 1 <= len(keep) <= 4, (len(keep), total)
+    got = fmt.read_for_value(wh, "facts", "fp", probe).collect()
+    assert [r.k for r in got] == [37]
+
+    # a value nowhere in the table: pruning may drop every file and
+    # the read must still answer (empty) correctly
+    assert fmt.read_for_value(wh, "facts", "fp", "fp-nope").count() == 0
+
+    # conservative fallback: a file with no bloom always survives
+    victim = next(iter(snap["stats"]))
+    snap2 = _json.loads(_json.dumps(snap))
+    snap2["stats"][victim].pop(BLOOM_KEY, None)
+    keep2 = fmt.files_for_value(snap2, "fp", probe)
+    assert victim in keep2 and set(keep) <= set(keep2)
+
+    # integer bloom columns work; float ones are refused
+    ifmt = TransactionLogFormat(bloom_cols=["k2"], bloom_bits=4096)
+    iwh = Warehouse(spark, str(tmp_path / "iwh"), fmt=ifmt)
+    idf = spark.sql(
+        "SELECT id AS k, id * 7 AS k2, TIMESTAMP '2024-01-01' AS ts "
+        "FROM range(100)"
+    )
+    iwh.upsert_partitioned("facts", idf, ["k"], "ts", num_buckets=2)
+    isnap = ifmt._latest(iwh, "facts")
+    assert len(ifmt.files_for_value(isnap, "k2", 7 * 41)) >= 1
+    assert [r.k for r in
+            ifmt.read_for_value(iwh, "facts", "k2", 7 * 41).collect()
+            ] == [41]
+
+    ffmt = TransactionLogFormat(bloom_cols=["v"])
+    fwh = Warehouse(spark, str(tmp_path / "fwh"), fmt=ffmt)
+    with _pytest.raises(TypeError, match="integer/string"):
+        fwh.upsert_partitioned("facts", df, ["k"], "ts", num_buckets=2)
+
+
+def test_txlog_compact_with_zorder_recusters(spark, tmp_path):
+    """OPTIMIZE ZORDER: compacting with a zorder_cols compactor
+    re-clusters fragmented hash-mixed files into Z-curve boxes — the
+    box prune must strictly improve after the rewrite."""
+    from instagram_data_pipeline_spark.formats import TransactionLogFormat
+    from instagram_data_pipeline_spark.io import Warehouse
+
+    plain = TransactionLogFormat(max_records_per_file=64)
+    wh = Warehouse(spark, str(tmp_path / "wh"), fmt=plain)
+    rows = [(i, (i * 37) % 1000, (i * 211) % 1000) for i in range(2000)]
+    df = spark.createDataFrame(rows, "k long, x long, y long")
+    wh.upsert_partitioned("facts", df, ["k"], "x", num_buckets=4)
+    snap = plain._latest(wh, "facts")
+    box = {"x": (100, 260), "y": (100, 260)}
+    before_keep = len(plain.files_for_box(snap, box))
+    before_total = len(snap["files"])
+
+    zc = TransactionLogFormat(
+        zorder_cols=["x", "y"], max_records_per_file=64
+    )
+    n_before, n_after = zc.compact(wh, "facts", ["k"], 4, min_files=1)
+    snap2 = zc._latest(wh, "facts")
+    after_keep = len(zc.files_for_box(snap2, box))
+    # hash-mixed files overlapped nearly everything; boxes don't
+    assert after_keep < before_keep or before_keep == before_total
+    assert after_keep < len(snap2["files"])
+    got = sorted(map(tuple, zc.read_for_box(wh, "facts", box).collect()))
+    import pyspark.sql.functions as F
+
+    want = sorted(map(tuple, zc.read_merged(wh, "facts").filter(
+        F.col("x").between(100, 260) & F.col("y").between(100, 260)
+    ).collect()))
+    assert got == want

@@ -69,6 +69,10 @@ POST_WINDOW_ROWS_ONLY_OK = {
     "simhash_near_dups",
     "cms_heavy_users",
     "approx_distinct_users",
+    # two-stage PQ ANN trainer tier: hash-checked twin pq_adc_fixed
+    # seated at the window's last slot (r06 green); k-means codebook
+    # convergence pinned in tests/test_similarity.py
+    "pq_topk",
 }
 
 
