@@ -127,15 +127,14 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "txlog_minmax_pushdown",
     "txlog_change_feed",
     "txlog_bloom_lookup",
-    # -- last filler: displaced as new r7 queries register -----------------
-    "pq_adc_fixed",
+    "grouping_sets_revenue",
     # ------------------- driver window ends at slot 50 --------------------
     # Demoted past the window: every name below is >=1-round driver-green
     # and stays DuckDB-oracle-checked every CI run by
-    # tests/test_queries_oracle.py. pq_topk demotes TOGETHER with its
-    # hash-checked twin pq_adc_fixed (adjacent across the boundary;
-    # both shipped their r6 rows — the family keeps one in-window hard
-    # row this round via pq_adc_fixed at slot 50).
+    # tests/test_queries_oracle.py. The pq family demotes TOGETHER
+    # (rows-only pq_topk adjacent to its hash-checked twin
+    # pq_adc_fixed; both shipped r6 rows).
+    "pq_adc_fixed",
     "pq_topk",
     "warc_roundtrip",
     "html_extract",

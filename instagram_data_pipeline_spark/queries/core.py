@@ -1230,3 +1230,40 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_orders"),
         _exact_sum(F.col("o_totalprice"), "revenue"),
     )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "grouping_sets_revenue",
+    """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+       CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(28,10))), 2) AS DOUBLE)
+         AS revenue,
+       COUNT(*) AS n_orders
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+""",
+    doc="GROUPING SETS with a NON-uniform set list — per-status,  "
+        "per-priority, and grand total, skipping the (status, priority) "
+        "cross CUBE would compute: one Expand + one hash aggregate pass "
+        "(3x row replication instead of cube's 4x), the exact-cost "
+        "report-rollup shape; GROUPING() markers disambiguate the "
+        "all-NULL grand-total row from a NULL group value",
+    tags=("agg", "cube"),
+)
+def q_grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_testdata(spark, sf_dir, "orders")
+    return orders.groupingSets(
+        [[F.col("o_orderstatus")], [F.col("o_orderpriority")], []],
+        F.col("o_orderstatus"),
+        F.col("o_orderpriority"),
+    ).agg(
+        F.grouping("o_orderstatus").cast("int").alias("g_status"),
+        F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(28,10)")), 2)
+        .cast("double")
+        .alias("revenue"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
