@@ -809,7 +809,13 @@ def q_txlog_zonemap_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     cut = F.lit(_TXLOG_CUT).cast("timestamp")
-    fmt = TransactionLogFormat(cluster_col="ts", max_records_per_file=512)
+    # file granularity scaled to the SF: a fixed size collapses to one
+    # file per bucket at small SFs and the pruning assertion tests
+    # nothing (caught by the sf0.001 CI run)
+    n = orders.count()
+    fmt = TransactionLogFormat(
+        cluster_col="ts", max_records_per_file=max(64, n // 32)
+    )
     wh = Warehouse(
         spark, tempfile.mkdtemp(prefix="txlog_zonemap_"), fmt=fmt
     )
@@ -893,7 +899,13 @@ def q_txlog_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     cut = F.lit(_TXLOG_CUT).cast("timestamp")
-    frag = TransactionLogFormat(cluster_col="ts", max_records_per_file=32)
+    # fragment granularity scaled to the SF (custkey-grained table is
+    # ~10x smaller than orders): a fixed size leaves nothing to
+    # compact at sf0.001 and the file-count assertion tests nothing
+    n_keys = orders.select("o_custkey").dropDuplicates().count()
+    frag = TransactionLogFormat(
+        cluster_col="ts", max_records_per_file=max(8, n_keys // 48)
+    )
     wh = Warehouse(
         spark, tempfile.mkdtemp(prefix="txlog_compact_"), fmt=frag
     )
