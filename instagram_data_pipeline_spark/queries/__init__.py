@@ -94,10 +94,13 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "txlog_retention_lookup",
     "pca_eig2_fixed",
     "pca_components",
-    # -- (d) second rows for the 14 r5-green singles ---------------------
+    # -- (d) second rows for the r5-green singles -------------------------
+    # (mutual_edges_salted yields its seat to the 7th new r7 query: it
+    # is benched as an extra EVERY round — continuous timing evidence on
+    # top of the CI hash check — so it is the single best-evidenced
+    # one-row query; second driver row deferred to r8.)
     "bin_packing",
     "training_shards",
-    "mutual_edges_salted",
     "robots_exclusion",
     "link_graph",
     "domain_quality_rollup",
@@ -128,6 +131,7 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "txlog_change_feed",
     "txlog_bloom_lookup",
     "grouping_sets_revenue",
+    "txlog_datasource_scan",
     # ------------------- driver window ends at slot 50 --------------------
     # Demoted past the window: every name below is >=1-round driver-green
     # and stays DuckDB-oracle-checked every CI run by
@@ -136,6 +140,7 @@ REGISTRY_ORDER: tuple[str, ...] = (
     # pq_adc_fixed; both shipped r6 rows).
     "pq_adc_fixed",
     "pq_topk",
+    "mutual_edges_salted",
     "warc_roundtrip",
     "html_extract",
     "web_pipeline",

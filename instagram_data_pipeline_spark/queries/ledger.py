@@ -1277,3 +1277,69 @@ def q_txlog_bloom_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fmt.read_for_value(wh, "facts", "fp", probe).select(
         "k", "source", "fp"
     )
+
+
+# ---------------------------------------------------------------------------
+# The transaction log as a first-class Spark data source: the SAME
+# range scan txlog_zonemap_scan serves through the format's own API,
+# here through spark.read.format("txlog") with SPARK'S planner calling
+# pushFilters — the manifest zone maps prune files inside query
+# planning (pinned directly in tests/test_sources.py), every filter
+# re-evaluated exactly post-scan. Green means the DataSource surface
+# (schema from the manifest, one partition per surviving file, Arrow
+# batches, additive-evolution null-fill) returns exactly the plain
+# full-scan filter's rows.
+# ---------------------------------------------------------------------------
+_TXLOG_DS_ORACLE = f"""
+SELECT o_orderkey AS k, o_totalprice AS v, o_orderdate AS ts
+FROM orders
+WHERE o_orderdate BETWEEN TIMESTAMP '{_ZM_LO}' AND TIMESTAMP '{_ZM_HI}'
+"""
+
+
+@register(
+    "txlog_datasource_scan",
+    _TXLOG_DS_ORACLE,
+    doc="format('txlog') batch read (PySpark 4 Python DataSource API): "
+        "manifest schema, one input partition per data file, Arrow "
+        "record batches, time travel via option('version'), and "
+        "Spark's own pushFilters driving the manifest zone maps/blooms "
+        "(files dropped in planning, rows never — filters re-applied "
+        "exactly); oracle is the plain full-scan range filter",
+    tags=("source", "format", "pruning"),
+)
+def q_txlog_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..formats import TransactionLogFormat
+    from ..io import Warehouse
+    from ..sources.txlog_source import TxlogDataSource
+
+    orders = load_testdata(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").alias("v"),
+        F.col("o_orderdate").alias("ts"),
+    )
+    n = orders.count()
+    fmt = TransactionLogFormat(
+        cluster_col="ts", max_records_per_file=max(64, n // 32)
+    )
+    wh = Warehouse(spark, tempfile.mkdtemp(prefix="txlog_ds_"), fmt=fmt)
+    wh.upsert_partitioned("facts", orders, ["k"], "ts", num_buckets=4)
+
+    # set-and-leave (the load_testdata nanosAsLong convention): the
+    # returned frame plans at driver-execution time, AFTER this
+    # function exits — restoring the conf would fail that planning
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(TxlogDataSource)
+    return (
+        spark.read.format("txlog")
+        .load(wh.path("facts"))
+        .filter(
+            F.col("ts").between(
+                F.lit(_ZM_LO).cast("timestamp"),
+                F.lit(_ZM_HI).cast("timestamp"),
+            )
+        )
+        .select("k", "v", "ts")
+    )
