@@ -95,10 +95,11 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "pca_eig2_fixed",
     "pca_components",
     # -- (d) second rows for the r5-green singles -------------------------
-    # (mutual_edges_salted yields its seat to the 7th new r7 query: it
-    # is benched as an extra EVERY round — continuous timing evidence on
-    # top of the CI hash check — so it is the single best-evidenced
-    # one-row query; second driver row deferred to r8.)
+    # (mutual_edges_salted and dataset_card yield their seats to the 7th
+    # and 8th new r7 queries: the salted twin is benched as an extra
+    # EVERY round — continuous timing evidence on top of the CI hash
+    # check — and the dataset card is a static report whose exact
+    # content stays CI-hash-checked; second driver rows deferred to r8.)
     "bin_packing",
     "training_shards",
     "robots_exclusion",
@@ -108,7 +109,6 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "ngram_novelty",
     "readability_stats",
     "shard_source_mix",
-    "dataset_card",
     "chunk_dedup",
     "lsh_quality_report",
     "ann_recall_report",
@@ -132,6 +132,7 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "txlog_bloom_lookup",
     "grouping_sets_revenue",
     "txlog_datasource_scan",
+    "txlog_stream_changes",
     # ------------------- driver window ends at slot 50 --------------------
     # Demoted past the window: every name below is >=1-round driver-green
     # and stays DuckDB-oracle-checked every CI run by
@@ -141,6 +142,7 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "pq_adc_fixed",
     "pq_topk",
     "mutual_edges_salted",
+    "dataset_card",
     "warc_roundtrip",
     "html_extract",
     "web_pipeline",

@@ -1343,3 +1343,113 @@ def q_txlog_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("k", "v", "ts")
     )
+
+
+# ---------------------------------------------------------------------------
+# The change feed as a STREAM: readStream.format("txlog_changes") with
+# version-number offsets — the Delta-CDF streaming-source analog, built
+# on the PySpark 4 simple stream-reader API. Three drains of one
+# checkpoint (after the initial load, after a refresh merge, after a
+# targeted delete) must emit exactly the three per-version change sets,
+# exactly-once through the sink's commit log; the oracle replays all
+# three steps semantically. The simple reader is driver-side by design
+# (Spark's control-plane streaming path; bulk backfills belong on the
+# distributed changes_between inside foreachBatch — module docstring).
+# ---------------------------------------------------------------------------
+_TXLOG_STREAM_CDF_ORACLE = f"""
+WITH b1 AS (
+  SELECT o_custkey AS k, MAX(o_totalprice) AS v, MAX(o_orderdate) AS ts
+  FROM orders WHERE o_orderdate < TIMESTAMP '{_TXLOG_CUT}' GROUP BY 1
+), b2 AS (
+  SELECT o_custkey AS k, MAX(o_totalprice) AS v, MAX(o_orderdate) AS ts
+  FROM orders WHERE o_custkey % 3 = 0 GROUP BY 1
+), s2 AS (
+  SELECT COALESCE(b2.k, b1.k) AS k,
+         COALESCE(b2.v, b1.v) AS v,
+         COALESCE(b2.ts, b1.ts) AS ts
+  FROM b1 FULL OUTER JOIN b2 ON b1.k = b2.k
+)
+SELECT 'insert' AS _change_type, k, v, ts FROM b1
+UNION ALL
+SELECT 'insert', b2.k, b2.v, b2.ts
+FROM b2 LEFT JOIN b1 ON b1.k = b2.k WHERE b1.k IS NULL
+UNION ALL
+SELECT 'update_preimage', b1.k, b1.v, b1.ts
+FROM b1 JOIN b2 ON b1.k = b2.k WHERE b1.v <> b2.v OR b1.ts <> b2.ts
+UNION ALL
+SELECT 'update_postimage', b2.k, b2.v, b2.ts
+FROM b1 JOIN b2 ON b1.k = b2.k WHERE b1.v <> b2.v OR b1.ts <> b2.ts
+UNION ALL
+SELECT 'delete', k, v, ts FROM s2 WHERE k % 5 = 0
+"""
+
+
+@register(
+    "txlog_stream_changes",
+    _TXLOG_STREAM_CDF_ORACLE,
+    doc="streaming change feed: readStream.format('txlog_changes') "
+        "with version-number offsets (PySpark 4 simple stream reader) "
+        "drained after each of three commits — initial load, refresh "
+        "merge, targeted delete — into one exactly-once file sink; "
+        "per-version insert/update-pre+post/delete rows, silent on "
+        "byte-identical re-writes; oracle replays the three steps "
+        "semantically (the Delta CDF streaming-source analog)",
+    tags=("streaming", "format", "cdc", "source"),
+)
+def q_txlog_stream_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from ..formats import TransactionLogFormat
+    from ..io import Warehouse
+    from ..sources.txlog_source import TxlogChangesDataSource
+
+    # fixed scratch root, wiped at start (the stream_outer_attribution
+    # convention): repeated runs reuse one directory, and the returned
+    # frame stays readable after this function exits
+    scratch = os.path.join(tempfile.gettempdir(), "spark_graft_txlog_cdf")
+    shutil.rmtree(scratch, ignore_errors=True)
+    out, ckpt = os.path.join(scratch, "out"), os.path.join(scratch, "ckpt")
+
+    orders = load_testdata(spark, sf_dir, "orders")
+
+    def agg(df):
+        return df.groupBy(F.col("o_custkey").alias("k")).agg(
+            F.max("o_totalprice").alias("v"),
+            F.max("o_orderdate").alias("ts"),
+        )
+
+    fmt = TransactionLogFormat()
+    wh = Warehouse(spark, os.path.join(scratch, "wh"), fmt=fmt)
+    spark.dataSource.register(TxlogChangesDataSource)
+
+    def drain():
+        q = (
+            spark.readStream.format("txlog_changes")
+            .option("keys", "k").load(wh.path("facts"))
+            .writeStream.format("parquet").option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+
+    cut = F.lit(_TXLOG_CUT).cast("timestamp")
+    wh.upsert_partitioned(
+        "facts", agg(orders.filter(F.col("o_orderdate") < cut)),
+        ["k"], "ts", num_buckets=8,
+    )
+    drain()  # version 1: everything arrives as insert
+    wh.upsert_partitioned(
+        "facts", agg(orders.filter(F.col("o_custkey") % 3 == 0)),
+        ["k"], "ts", num_buckets=8,
+    )
+    drain()  # version 2: refresh-merge inserts + updates
+    victims = (
+        orders.filter(F.col("o_custkey") % 5 == 0)
+        .select(F.col("o_custkey").alias("k"))
+        .dropDuplicates()
+    )
+    fmt.delete_keys(wh, "facts", ["k"], victims, num_buckets=8)
+    drain()  # version 3: targeted erasure flows as delete rows
+    return spark.read.parquet(out).select("_change_type", "k", "v", "ts")

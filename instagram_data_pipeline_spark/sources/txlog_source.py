@@ -42,6 +42,7 @@ from pyspark.sql.datasource import (
     InputPartition,
     LessThan,
     LessThanOrEqual,
+    SimpleDataSourceStreamReader,
 )
 from pyspark.sql.types import StructType
 
@@ -194,3 +195,145 @@ class TxlogDataSource(DataSource):
 
     def reader(self, schema: StructType) -> TxlogBatchReader:
         return TxlogBatchReader(schema, dict(self.options))
+
+
+# ---------------------------------------------------------------------------
+# Streaming change feed: the transaction log as a readStream source
+# ---------------------------------------------------------------------------
+
+def _rows_by_key(root: str, snap: dict, buckets: set, keys: list[str]):
+    """{key tuple: row dict} for the given buckets of one version —
+    pure pyarrow, no Spark (this reader is driver-side control plane)."""
+    import pyarrow.parquet as pq
+
+    out: dict[tuple, dict] = {}
+    for f, b in snap.get("files", {}).items():
+        if b not in buckets:
+            continue
+        for row in pq.read_table(os.path.join(root, f)).to_pylist():
+            out[tuple(row[k] for k in keys)] = row
+    return out
+
+
+def _cdf_tuples(
+    root: str, keys: list[str], cols: list[str], v_from: int, v_to: int
+):
+    """Net change rows between two versions as schema-ordered tuples —
+    the same classification changes_between runs in Spark (insert /
+    delete / update pre+post, silent on identical re-writes), scoped to
+    buckets whose file sets differ. ``v_from=0`` is the empty table."""
+    empty = {"files": {}}
+    snap_a = _load_manifest(root, str(v_from)) if v_from > 0 else empty
+    snap_b = _load_manifest(root, str(v_to))
+    by_a: dict[int, set] = {}
+    by_b: dict[int, set] = {}
+    for f, b in snap_a["files"].items():
+        by_a.setdefault(b, set()).add(f)
+    for f, b in snap_b["files"].items():
+        by_b.setdefault(b, set()).add(f)
+    changed = {
+        b
+        for b in (by_a.keys() | by_b.keys())
+        if by_a.get(b, set()) != by_b.get(b, set())
+    }
+    old = _rows_by_key(root, snap_a, changed, keys)
+    new = _rows_by_key(root, snap_b, changed, keys)
+    vals = [c for c in cols if c not in keys and c != "_change_type"]
+
+    def tup(tag: str, row: dict) -> tuple:
+        return tuple(
+            tag if c == "_change_type" else row.get(c) for c in cols
+        )
+
+    for k in old.keys() | new.keys():
+        o, n = old.get(k), new.get(k)
+        if o is None:
+            yield tup("insert", n)
+        elif n is None:
+            yield tup("delete", o)
+        elif any(o.get(c) != n.get(c) for c in vals):
+            yield tup("update_preimage", o)
+            yield tup("update_postimage", n)
+
+
+class TxlogChangesStreamReader(SimpleDataSourceStreamReader):
+    """Version-number offsets: each micro-batch emits the NET change
+    rows between the last-seen and the current manifest version —
+    exactly-once through Spark's offset log (readBetweenOffsets replays
+    a batch deterministically from the immutable manifests). Net
+    semantics per batch: a trigger spanning several versions collapses
+    them (same end state, fewer intermediate images than a per-version
+    replay). Driver-side by design — the SIMPLE stream-reader API is
+    Spark's control-plane path; a bulk backfill belongs on the batch
+    ``changes_between`` (distributed) inside foreachBatch."""
+
+    def __init__(self, schema: StructType, options: dict) -> None:
+        self.root = options.get("path")
+        if not self.root:
+            raise ValueError("txlog_changes: path is required")
+        keys = options.get("keys")
+        if not keys:
+            raise ValueError(
+                "txlog_changes: option('keys', 'col1,col2') is required"
+            )
+        self.keys = [k.strip() for k in keys.split(",")]
+        self.cols = schema.fieldNames()
+
+    def _latest_version(self) -> int:
+        log = os.path.join(self.root, "_txlog")
+        names = sorted(
+            n for n in os.listdir(log)
+            if n.endswith(".json") and not n.startswith(".")
+        )
+        return int(names[-1].split(".")[0]) if names else 0
+
+    def initialOffset(self) -> dict:
+        return {"version": 0}
+
+    def read(self, start: dict):
+        latest = self._latest_version()
+        v0 = int(start["version"])
+        if latest <= v0:
+            return iter(()), {"version": v0}
+        return (
+            iter(list(_cdf_tuples(self.root, self.keys, self.cols,
+                                  v0, latest))),
+            {"version": latest},
+        )
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter(list(_cdf_tuples(
+            self.root, self.keys, self.cols,
+            int(start["version"]), int(end["version"]),
+        )))
+
+    def commit(self, end: dict) -> None:
+        pass  # manifests are immutable; nothing to release
+
+
+class TxlogChangesDataSource(DataSource):
+    """``readStream.format("txlog_changes")``: stream a transaction-log
+    table's change feed (Delta CDF streaming-source analog). Schema =
+    ``_change_type`` + the current manifest schema, all nullable."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "txlog_changes"
+
+    def schema(self) -> StructType:
+        from pyspark.sql.types import StringType, StructField
+
+        snap = _load_manifest(self.options.get("path"), None)
+        if "schema" not in snap:
+            raise ValueError("txlog_changes: manifest records no schema")
+        base = StructType.fromJson(json.loads(snap["schema"]))
+        fields = [StructField("_change_type", StringType(), False)]
+        for f in base.fields:
+            f.nullable = True
+            fields.append(f)
+        return StructType(fields)
+
+    def simpleStreamReader(
+        self, schema: StructType
+    ) -> TxlogChangesStreamReader:
+        return TxlogChangesStreamReader(schema, dict(self.options))

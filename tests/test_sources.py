@@ -458,3 +458,93 @@ def test_txlog_datasource_reads_prunes_and_time_travels(spark, tmp_path):
     v1 = spark.read.format("txlog").option("version", 1).load(root)
     assert v1.schema.fieldNames() == ["k", "s", "ts"]
     assert v1.count() == 500
+
+
+def test_txlog_changes_stream_matches_batch_cdf(spark, tmp_path):
+    """readStream.format('txlog_changes'): version-offset micro-batches
+    whose rows must equal the Spark-side changes_between twin for each
+    version step — exactly-once across drains of one checkpoint, delete
+    rows included, idle drains emitting nothing."""
+    import pyspark.sql.functions as F
+
+    from instagram_data_pipeline_spark.formats import TransactionLogFormat
+    from instagram_data_pipeline_spark.io import Warehouse
+    from instagram_data_pipeline_spark.sources.txlog_source import (
+        TxlogChangesDataSource,
+    )
+
+    spark.dataSource.register(TxlogChangesDataSource)
+    fmt = TransactionLogFormat()
+    wh = Warehouse(spark, str(tmp_path / "wh"), fmt=fmt)
+    root = wh.path("facts")
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def drain():
+        q = (
+            spark.readStream.format("txlog_changes")
+            .option("keys", "k").load(root)
+            .writeStream.format("parquet").option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+
+    def feed_rows():
+        return {
+            (r._change_type, r.k, r.v)
+            for r in spark.read.parquet(out).collect()
+        }
+
+    def batch_cdf(v0, v1):
+        return {
+            (r._change_type, r.k, r.v)
+            for r in fmt.changes_between(wh, "facts", ["k"], v0, v1)
+            .collect()
+        } if v0 > 0 else {
+            ("insert", r.k, r.v)
+            for r in fmt.read_version(wh, "facts", v1).collect()
+        }
+
+    wh.upsert_partitioned(
+        "facts",
+        spark.sql("SELECT id AS k, CAST(id AS DOUBLE) AS v, "
+                  "TIMESTAMP '2024-01-01' AS ts FROM range(50)"),
+        ["k"], "ts", num_buckets=4,
+    )
+    drain()
+    want = batch_cdf(0, 1)
+    assert feed_rows() == want
+
+    # v2: 3 updates, 2 identical re-writes (silent), 4 inserts
+    wh.upsert_partitioned(
+        "facts",
+        spark.sql(
+            "SELECT id AS k, CAST(IF(id < 48, id * 100, id) AS DOUBLE) "
+            "AS v, IF(id < 48, TIMESTAMP '2024-02-01', "
+            "TIMESTAMP '2024-01-01') AS ts FROM range(45, 54)"
+        ),
+        ["k"], "ts", num_buckets=4,
+    )
+    drain()
+    want |= batch_cdf(1, 2)
+    assert feed_rows() == want
+    # the identical re-writes (48, 49) stayed silent in the v2 step:
+    # their only feed rows are the legitimate v1 inserts
+    assert {
+        t for (t, k, _v) in feed_rows() if k in (48, 49)
+    } == {"insert"}
+
+    # v3: targeted erasure flows as delete rows
+    fmt.delete_keys(
+        wh, "facts", ["k"],
+        spark.sql("SELECT id * 7 AS k FROM range(4)"), num_buckets=4,
+    )
+    drain()
+    want |= batch_cdf(2, 3)
+    assert feed_rows() == want
+    assert ("delete", 7, 7.0) in feed_rows()
+
+    # idle drain: no new version -> nothing new, no error
+    before = feed_rows()
+    drain()
+    assert feed_rows() == before
