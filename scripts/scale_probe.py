@@ -38,6 +38,12 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 PROBE_QUERIES = ["curation_pipeline", "ngram_jaccard_pairs",
                  "minhash_near_dups"]
 
+# write-path probes over the scaled ORDERS table: merge + clustered
+# write + manifest-pruned read (txlog_zorder_scan) and merge + refresh
+# + delete + version diff (txlog_change_feed) — the format's cost must
+# track the data it rewrites, not the table
+TXLOG_PROBE_QUERIES = ["txlog_zorder_scan", "txlog_change_feed"]
+
 # distinct strides, coprime to virtually all word counts
 _STRIDES = [1, 7, 11, 13, 17, 19, 23, 29, 31, 37, 41, 43]
 
@@ -79,6 +85,33 @@ def build_scaled_documents(spark, sf_dir: str, out_dir: str,
     )
 
 
+def build_scaled_orders(spark, sf_dir: str, out_dir: str,
+                        factor: int) -> None:
+    """factor x orders: replica k shifts both keys past the originals
+    (rows are independent — no permutation needed; value/date
+    distributions, and so zone-map selectivity, stay identical)."""
+    import pyspark.sql.functions as F
+
+    from instagram_data_pipeline_spark.io import load_testdata
+
+    orders = load_testdata(spark, sf_dir, "orders")
+    n_keys = orders.count()
+    reps = [
+        orders.withColumn(
+            "o_orderkey", F.col("o_orderkey") + F.lit(k * 10 * n_keys)
+        ).withColumn(
+            "o_custkey", F.col("o_custkey") + F.lit(k * 10 * n_keys)
+        )
+        for k in range(factor)
+    ]
+    out = reps[0]
+    for r in reps[1:]:
+        out = out.unionByName(r)
+    out.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "orders.parquet")
+    )
+
+
 def time_query(registry, spark, name: str, sf_dir: str, runs: int) -> float:
     best = None
     for _ in range(runs):
@@ -113,11 +146,13 @@ def main() -> int:
         # identically-encoded parquet (no INT96/nanos asymmetry)
         build_scaled_documents(spark, args.sf, base, 1)
         build_scaled_documents(spark, args.sf, big, args.factor)
+        build_scaled_orders(spark, args.sf, base, 1)
+        build_scaled_orders(spark, args.sf, big, args.factor)
 
         results = {}
         print(f"| query | t_1x (s) | t_{args.factor}x (s) | alpha |")
         print("|---|---|---|---|")
-        for name in PROBE_QUERIES:
+        for name in PROBE_QUERIES + TXLOG_PROBE_QUERIES:
             t1 = time_query(registry, spark, name, base, args.runs)
             t8 = time_query(registry, spark, name, big, args.runs)
             alpha = math.log(t8 / t1) / math.log(args.factor)
