@@ -71,11 +71,16 @@ REGISTRY_ORDER: tuple[str, ...] = (
     #     stays seated NEXT TO its hash-checked twin pca_eig2_fixed.
     # (d) slots 19-32: second lifetime rows for the 14 r5-green singles
     #     that yielded their slots in round 6 (VERDICT r6 Missing #2).
-    # (e) remaining slots: new round-7 registrations are inserted here
-    #     as they land (zone-map range scan, byte-level BPE, watermark
-    #     late-data accounting, ...), displacing the filler third-row
-    #     entries below; pq_topk (rows-only) keeps its seat next to its
-    #     hash-checked twin pq_adc_fixed per the adjacency policy.
+    # (e) remaining slots: the 20 new round-7 registrations, in landing
+    #     order — zone maps/byte-BPE/late-data accounting/compaction/
+    #     CDC chunking/schema inference/record linkage/SemDeDup/HLL
+    #     rollup/Adamic-Adar/phrase search/MAD outliers from the first
+    #     half of the round, then the streaming outer join, the
+    #     Z-order/MIN-MAX/bloom/CDF format legs, GROUPING SETS, and the
+    #     txlog batch + streaming DataSources. They displaced the
+    #     filler third-row entries (now just past the marker); the pq
+    #     family demoted together, twin adjacency preserved across the
+    #     boundary.
     "gopher_quality_filter",
     "join_size_preflight",
     "score_calibration",
