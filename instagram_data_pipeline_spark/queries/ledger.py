@@ -46,6 +46,21 @@ from . import register
 _NOW = dt.datetime(2001, 8, 1)
 _CUTOFF = _NOW - dt.timedelta(days=7)
 
+
+def _scratch(name: str) -> str:
+    """Fixed per-query scratch root, WIPED AT START of each run (the
+    bucketed_join convention, ADVICE r6 #5): repeated driver/bench
+    invocations reuse one directory instead of accumulating a tmpdir
+    per run, and the returned DataFrame stays readable after the query
+    function exits (nothing is deleted at the end)."""
+    import os
+    import shutil
+    import tempfile
+
+    root = os.path.join(tempfile.gettempdir(), f"spark_graft_{name}")
+    shutil.rmtree(root, ignore_errors=True)
+    return root
+
 _JOBS_CTE = """
 jobs AS (
   SELECT o_orderkey AS job_id,
@@ -594,7 +609,6 @@ SELECT k, v, ts FROM merged WHERE k % 97 = 0
     tags=("writes", "format", "retention"),
 )
 def q_txlog_retention_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
 
     from ..formats import TransactionLogFormat
     from ..io import Warehouse
@@ -614,7 +628,7 @@ def q_txlog_retention_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cut = F.lit(_TXLOG_CUT).cast("timestamp")
     fmt = TransactionLogFormat()
     wh = Warehouse(
-        spark, tempfile.mkdtemp(prefix="txlog_retention_"), fmt=fmt
+        spark, _scratch("txlog_retention"), fmt=fmt
     )
     wh.upsert_partitioned(
         "facts", batch(F.col("o_orderdate") < cut), ["k"], "ts",
@@ -725,7 +739,6 @@ SELECT
     tags=("writes", "format", "stats"),
 )
 def q_txlog_count_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
 
     from ..formats import TransactionLogFormat
     from ..io import Warehouse
@@ -744,7 +757,7 @@ def q_txlog_count_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cut = F.lit(_TXLOG_CUT).cast("timestamp")
     fmt = TransactionLogFormat()
-    wh = Warehouse(spark, tempfile.mkdtemp(prefix="txlog_count_"), fmt=fmt)
+    wh = Warehouse(spark, _scratch("txlog_count"), fmt=fmt)
     wh.upsert_partitioned(
         "facts", batch(F.col("o_orderdate") < cut), ["k"], "ts",
         num_buckets=8,
@@ -794,7 +807,6 @@ WHERE o_orderdate BETWEEN TIMESTAMP '{_ZM_LO}' AND TIMESTAMP '{_ZM_HI}'
     tags=("writes", "format", "stats", "pruning"),
 )
 def q_txlog_zonemap_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
 
     from ..formats import TransactionLogFormat
     from ..io import Warehouse
@@ -817,7 +829,7 @@ def q_txlog_zonemap_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         cluster_col="ts", max_records_per_file=max(64, n // 32)
     )
     wh = Warehouse(
-        spark, tempfile.mkdtemp(prefix="txlog_zonemap_"), fmt=fmt
+        spark, _scratch("txlog_zonemap"), fmt=fmt
     )
     wh.upsert_partitioned(
         "facts", batch(F.col("o_orderdate") < cut), ["k"], "ts",
@@ -881,7 +893,6 @@ SELECT k, v, ts FROM merged WHERE k % 31 = 0
     tags=("writes", "format", "compaction"),
 )
 def q_txlog_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
 
     from ..formats import TransactionLogFormat
     from ..io import Warehouse
@@ -907,7 +918,7 @@ def q_txlog_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         cluster_col="ts", max_records_per_file=max(8, n_keys // 48)
     )
     wh = Warehouse(
-        spark, tempfile.mkdtemp(prefix="txlog_compact_"), fmt=frag
+        spark, _scratch("txlog_compact"), fmt=frag
     )
     wh.upsert_partitioned(
         "facts", batch(F.col("o_orderdate") < cut), ["k"], "ts",
@@ -992,7 +1003,6 @@ def _iso_to_us(s: str) -> int:
     tags=("writes", "format", "stats"),
 )
 def q_txlog_minmax_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
 
     from ..formats import TransactionLogFormat
     from ..io import Warehouse
@@ -1011,7 +1021,7 @@ def q_txlog_minmax_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cut = F.lit(_TXLOG_CUT).cast("timestamp")
     fmt = TransactionLogFormat(cluster_col="ts", max_records_per_file=512)
-    wh = Warehouse(spark, tempfile.mkdtemp(prefix="txlog_minmax_"), fmt=fmt)
+    wh = Warehouse(spark, _scratch("txlog_minmax"), fmt=fmt)
     wh.upsert_partitioned(
         "facts", batch(F.col("o_orderdate") < cut), ["k"], "ts",
         num_buckets=8,
@@ -1078,7 +1088,6 @@ WHERE o_totalprice BETWEEN 50000 AND 150000
     tags=("writes", "format", "stats", "pruning"),
 )
 def q_txlog_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
 
     from ..formats import TransactionLogFormat
     from ..io import Warehouse
@@ -1096,7 +1105,7 @@ def q_txlog_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     fmt = TransactionLogFormat(
         zorder_cols=["v", "ts"], max_records_per_file=max(64, n // 32)
     )
-    wh = Warehouse(spark, tempfile.mkdtemp(prefix="txlog_zorder_"), fmt=fmt)
+    wh = Warehouse(spark, _scratch("txlog_zorder"), fmt=fmt)
     wh.upsert_partitioned("facts", orders, ["k"], "ts", num_buckets=4)
 
     box = {
@@ -1176,7 +1185,6 @@ FROM b1 JOIN s3 ON b1.k = s3.k WHERE b1.v <> s3.v OR b1.ts <> s3.ts
     tags=("writes", "format", "cdc"),
 )
 def q_txlog_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
 
     from ..formats import TransactionLogFormat
     from ..io import Warehouse
@@ -1191,7 +1199,7 @@ def q_txlog_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cut = F.lit(_TXLOG_CUT).cast("timestamp")
     fmt = TransactionLogFormat()
-    wh = Warehouse(spark, tempfile.mkdtemp(prefix="txlog_cdf_"), fmt=fmt)
+    wh = Warehouse(spark, _scratch("txlog_cdf"), fmt=fmt)
     wh.upsert_partitioned(
         "facts", agg(orders.filter(F.col("o_orderdate") < cut)),
         ["k"], "ts", num_buckets=8,
@@ -1244,7 +1252,6 @@ WHERE md5(d.text) = (SELECT md5(text) FROM documents WHERE doc_id = 7)
     tags=("writes", "format", "stats", "pruning"),
 )
 def q_txlog_bloom_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
 
     from ..formats import BLOOM_KEY, TransactionLogFormat
     from ..io import Warehouse
@@ -1262,7 +1269,7 @@ def q_txlog_bloom_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         bloom_bits=max(4096, mrpf * 16),
         max_records_per_file=mrpf,
     )
-    wh = Warehouse(spark, tempfile.mkdtemp(prefix="txlog_bloom_"), fmt=fmt)
+    wh = Warehouse(spark, _scratch("txlog_bloom"), fmt=fmt)
     wh.upsert_partitioned("facts", docs, ["k"], "ts", num_buckets=8)
 
     probe = docs.filter(F.col("k") == 7).select("fp").first().fp
@@ -1309,7 +1316,6 @@ WHERE o_orderdate BETWEEN TIMESTAMP '{_ZM_LO}' AND TIMESTAMP '{_ZM_HI}'
     tags=("source", "format", "pruning"),
 )
 def q_txlog_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
 
     from ..formats import TransactionLogFormat
     from ..io import Warehouse
@@ -1324,7 +1330,7 @@ def q_txlog_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     fmt = TransactionLogFormat(
         cluster_col="ts", max_records_per_file=max(64, n // 32)
     )
-    wh = Warehouse(spark, tempfile.mkdtemp(prefix="txlog_ds_"), fmt=fmt)
+    wh = Warehouse(spark, _scratch("txlog_ds"), fmt=fmt)
     wh.upsert_partitioned("facts", orders, ["k"], "ts", num_buckets=4)
 
     # set-and-leave (the load_testdata nanosAsLong convention): the
@@ -1398,18 +1404,12 @@ SELECT 'delete', k, v, ts FROM s2 WHERE k % 5 = 0
 )
 def q_txlog_stream_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
-    import shutil
-    import tempfile
 
     from ..formats import TransactionLogFormat
     from ..io import Warehouse
     from ..sources.txlog_source import TxlogChangesDataSource
 
-    # fixed scratch root, wiped at start (the stream_outer_attribution
-    # convention): repeated runs reuse one directory, and the returned
-    # frame stays readable after this function exits
-    scratch = os.path.join(tempfile.gettempdir(), "spark_graft_txlog_cdf")
-    shutil.rmtree(scratch, ignore_errors=True)
+    scratch = _scratch("txlog_stream_cdf")
     out, ckpt = os.path.join(scratch, "out"), os.path.join(scratch, "ckpt")
 
     orders = load_testdata(spark, sf_dir, "orders")
