@@ -1029,6 +1029,14 @@ def test_txlog_delete_keys_targeted_erasure(spark, tmp_path):
     # no-op delete: keys that don't exist
     ghosts = spark.sql("SELECT id + 10000 AS k FROM range(5)")
     assert fmt.delete_keys(wh, "facts", ["k"], ghosts, num_buckets=8) == 0
+    # bulk path: broadcast_keys=False (shuffled anti-join), same answer
+    more = spark.sql("SELECT id AS k FROM range(1, 400, 11)")  # 37 keys
+    survivors = 400 - 58
+    hit = 37 - 5  # range(1,400,11) ∩ range(0,400,7) = 5 keys already gone
+    assert fmt.delete_keys(
+        wh, "facts", ["k"], more, num_buckets=8, broadcast_keys=False
+    ) == hit
+    assert fmt.count_rows(wh, "facts") == survivors - hit
 
 
 def test_txlog_changes_between_scopes_to_changed_buckets(spark, tmp_path):
