@@ -1214,3 +1214,105 @@ def test_txlog_compact_with_zorder_recusters(spark, tmp_path):
         F.col("x").between(100, 260) & F.col("y").between(100, 260)
     ).collect()))
     assert got == want
+
+
+def test_txlog_delete_races_merge_disjoint_rebase(spark, tmp_path):
+    """delete_keys vs a concurrent merge into a DIFFERENT bucket: the
+    delete loses the CAS, rebases its already-written files over the
+    winner, and both effects land — linear history, exact count."""
+    import datetime as dt
+
+    from instagram_data_pipeline_spark.formats import TransactionLogFormat
+
+    class Fmt(_RacingPublish, TransactionLogFormat):
+        pass
+
+    fmt = Fmt()
+    wh = Warehouse(spark, str(tmp_path / "wh"), fmt=fmt)
+    k_a, k_b = _two_buckets(spark)
+    t0, t1 = dt.datetime(2024, 1, 1), dt.datetime(2024, 2, 1)
+    base = spark.createDataFrame(
+        [(i, "old", t0) for i in range(20)],
+        "k long, v string, ts timestamp",
+    )
+    wh.upsert_partitioned("facts", base, ["k"], "ts", num_buckets=4)
+
+    plain = TransactionLogFormat()
+
+    def competitor():
+        plain.merge(
+            wh, "facts",
+            spark.createDataFrame(
+                [(k_b, "from_b", t1)], "k long, v string, ts timestamp"
+            ),
+            ["k"], "ts", 4,
+        )
+
+    fmt.publishes = 0
+    fmt.competitor = competitor
+    victims = spark.createDataFrame([(k_a,)], "k long")
+    deleted = fmt.delete_keys(wh, "facts", ["k"], victims, num_buckets=4)
+    assert deleted == 1
+    got = {r.k: r.v for r in fmt.read_merged(wh, "facts").collect()}
+    assert k_a not in got and got[k_b] == "from_b"
+    # 20 base rows, minus the victim, plus k_b only if it was new
+    assert len(got) == 20 - 1 + (0 if k_b < 20 else 1)
+    assert fmt.versions(wh, "facts") == [1, 2, 3]
+
+
+def test_txlog_delete_races_merge_same_bucket_redo(spark, tmp_path):
+    """delete_keys vs a concurrent merge into the SAME bucket: the
+    delete's read was stale, so it must REDO from the winner — the
+    merged-in row survives, the victim still dies, count exact."""
+    import datetime as dt
+
+    import pyspark.sql.functions as F
+
+    from instagram_data_pipeline_spark.formats import TransactionLogFormat
+
+    class Fmt(_RacingPublish, TransactionLogFormat):
+        pass
+
+    # victim from the base range and a NEW key hashing to its bucket
+    rows = spark.range(0, 2000).select(
+        "id", F.pmod(F.xxhash64("id"), 4).cast("int").alias("b")
+    ).collect()
+    bucket_of = {r.id: r.b for r in rows}
+    k_victim = 7
+    k_new = next(
+        i for i in range(1000, 2000)
+        if bucket_of[i] == bucket_of[k_victim]
+    )
+
+    fmt = Fmt()
+    wh = Warehouse(spark, str(tmp_path / "wh"), fmt=fmt)
+    t0, t1 = dt.datetime(2024, 1, 1), dt.datetime(2024, 2, 1)
+    base = spark.createDataFrame(
+        [(i, "old", t0) for i in range(20)],
+        "k long, v string, ts timestamp",
+    )
+    wh.upsert_partitioned("facts", base, ["k"], "ts", num_buckets=4)
+
+    plain = TransactionLogFormat()
+
+    def competitor():
+        plain.merge(
+            wh, "facts",
+            spark.createDataFrame(
+                [(k_new, "new", t1)], "k long, v string, ts timestamp"
+            ),
+            ["k"], "ts", 4,
+        )
+
+    fmt.publishes = 0
+    fmt.competitor = competitor
+    deleted = fmt.delete_keys(
+        wh, "facts", ["k"],
+        spark.createDataFrame([(k_victim,)], "k long"), num_buckets=4,
+    )
+    assert deleted == 1
+    got = {r.k: r.v for r in fmt.read_merged(wh, "facts").collect()}
+    assert k_victim not in got and got[k_new] == "new"
+    assert len(got) == 20  # 20 base - 1 victim + 1 merged-in new key
+    assert fmt.versions(wh, "facts") == [1, 2, 3]
+    assert fmt.count_rows(wh, "facts") == 20
