@@ -484,6 +484,7 @@ def adamic_adar(
     src: str = "src",
     dst: str = "dst",
     k: int = 100,
+    max_mid_degree: int | None = 10_000,
 ) -> DataFrame:
     """Adamic-Adar link prediction (Adamic & Adar 2003): score each
     NON-adjacent pair (u, w) with a common neighbor by
@@ -492,11 +493,18 @@ def adamic_adar(
     friend-of-friend recommendation every social/graph product ships.
 
     Shape: two-hop wedge enumeration via one neighbor self-join on the
-    mid node (fan-out sum(deg(v)^2) — a hub mid is a hot key; at scale
-    cap or salt hub mids exactly as the degree-oriented trick in
-    :func:`triangle_stats` bounds its wedge join), an anti-join
-    removing already-connected pairs, and one aggregation. Numeric
-    discipline: each 1/ln(deg) term is rounded to 12 decimals and
+    mid node, an anti-join removing already-connected pairs, and one
+    aggregation. The wedge fan-out is sum(deg(mid)^2) — a hub mid is
+    THE hot key (one degree-10M celebrity alone emits 10^14 wedge
+    rows), so mids are capped at ``max_mid_degree`` BEFORE the
+    self-join (semi-join against the low-degree node set): hubs
+    contribute <= 1/ln(deg) ~ nothing per wedge, so dropping them as
+    evidence is the published accuracy-neutral practice (the same
+    degree-bounding move that makes :func:`triangle_stats` O(sqrt(m))),
+    and it bounds the join's per-key fan-out at cap^2. ``None``
+    disables the cap (exact scores, unbounded fan-out — small graphs
+    only). Surviving mids keep their TRUE degree in the 1/ln(deg)
+    term. Numeric discipline: each term is rounded to 12 decimals and
     summed as DECIMAL(28,12) — order-independent, so the score is
     engine-exact; a common neighbor always has deg >= 2, so ln never
     hits zero.
@@ -508,8 +516,15 @@ def adamic_adar(
     deg = und.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).alias("deg")
     )
-    a = und.select(F.col("src").alias("u"), F.col("dst").alias("mid"))
-    b = und.select(F.col("src").alias("w"), F.col("dst").alias("mid"))
+    if max_mid_degree is not None:
+        ok_mids = deg.filter(
+            F.col("deg") <= F.lit(int(max_mid_degree))
+        ).select(F.col("node").alias("dst"))
+        und_mid = und.join(ok_mids, "dst", "semi")
+    else:
+        und_mid = und
+    a = und_mid.select(F.col("src").alias("u"), F.col("dst").alias("mid"))
+    b = und_mid.select(F.col("src").alias("w"), F.col("dst").alias("mid"))
     wedges = a.join(b, "mid").filter(F.col("u") < F.col("w"))
     canon = und.filter(F.col("src") < F.col("dst"))
     open_pairs = wedges.join(

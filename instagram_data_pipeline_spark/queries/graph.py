@@ -303,8 +303,15 @@ def q_community_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # customer pairs ranked by sum 1/ln(deg) over shared neighbors. Terms
 # are rounded to 12 decimals and summed as DECIMAL(28,12), so the
 # score — and therefore the top-100 ranking — is engine-exact; the
-# LIMIT rides a total order (score desc, src, dst).
+# LIMIT rides a total order (score desc, src, dst). Hub mids above
+# _AA_MID_CAP are excluded as wedge centers in BOTH engines (the
+# degree cap that bounds the self-join's per-key fan-out at cap^2 —
+# VERDICT r7 What's-wrong #1); the cap BINDS at sf0.01 (max degree
+# 396 > 256), so the driver row verifies the threading, not just the
+# uncapped plan.
 # ---------------------------------------------------------------------------
+_AA_MID_CAP = 256
+
 _ADAMIC_ADAR_ORACLE = f"""
 WITH {_EDGE_CTES},
 und AS (
@@ -312,9 +319,14 @@ und AS (
   UNION ALL SELECT dst, src FROM ce
 ),
 deg AS (SELECT u AS node, COUNT(*) AS d FROM und GROUP BY 1),
+und_mid AS (
+  SELECT und.u, und.v FROM und
+  JOIN deg ON deg.node = und.v
+  WHERE deg.d <= {_AA_MID_CAP}
+),
 wedges AS (
   SELECT a.u AS u, b.u AS w, a.v AS mid
-  FROM und a JOIN und b ON a.v = b.v AND a.u < b.u
+  FROM und_mid a JOIN und_mid b ON a.v = b.v AND a.u < b.u
 ),
 open_pairs AS (
   SELECT wd.* FROM wedges wd
@@ -339,13 +351,17 @@ ORDER BY aa_score DESC, src, dst LIMIT 100
     doc="Adamic-Adar link prediction: top-100 non-adjacent customer "
         "pairs by sum 1/ln(deg) over shared co-purchase neighbors — "
         "the friend-of-friend recommendation; one wedge self-join on "
-        "the mid node (hub mids are the hot keys; cap/salt like the "
-        "triangle wedge join at scale), one anti-join vs existing "
-        "edges, one aggregation; 12-decimal DECIMAL term sums make "
-        "the ranking engine-exact",
+        "the mid node with hub mids capped at deg <= 256 BEFORE the "
+        "join (identical cap in the oracle; bounds the hot-key "
+        "fan-out at cap^2 — hubs contribute ~nothing to AA scores), "
+        "one anti-join vs existing edges, one aggregation; 12-decimal "
+        "DECIMAL term sums make the ranking engine-exact",
     tags=("graph", "ranking", "join"),
 )
 def q_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import adamic_adar
 
-    return adamic_adar(_copurchase_edges(spark, sf_dir), k=100)
+    return adamic_adar(
+        _copurchase_edges(spark, sf_dir), k=100,
+        max_mid_degree=_AA_MID_CAP,
+    )
