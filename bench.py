@@ -111,10 +111,34 @@ def _skew_bench(spark, registry, extras, runs: int) -> None:
               file=sys.stderr)
 
 
+def _wait_for_quiet() -> tuple[float, bool]:
+    """Gate the run on machine quiet (VERDICT r7 What's-wrong #2: four
+    rounds of co-tenant-polluted artifacts): if the 1-min load average
+    exceeds SPARK_GRAFT_BENCH_MAX_LOAD (default 2.0), wait up to
+    SPARK_GRAFT_BENCH_MAX_WAIT seconds (default 600) for it to drop,
+    polling every 15s. Returns (loadavg at go-time, exceeded flag) —
+    if the box never quiets, the run proceeds but the artifact carries
+    loadavg_exceeded=true so the number is self-describing."""
+    max_load = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_LOAD", "2.0"))
+    max_wait = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_WAIT", "600"))
+    deadline = time.time() + max_wait
+    load = os.getloadavg()[0]
+    while load > max_load and time.time() < deadline:
+        print(
+            f"# load {load:.2f} > {max_load:.2f}: waiting for quiet "
+            f"({deadline - time.time():.0f}s left)",
+            file=sys.stderr,
+        )
+        time.sleep(15)
+        load = os.getloadavg()[0]
+    return load, load > max_load
+
+
 def main() -> None:
     from instagram_data_pipeline_spark.queries import load_all
     from instagram_data_pipeline_spark.session import build_session
 
+    load_start, load_exceeded = _wait_for_quiet()
     registry = load_all()
     spark = build_session(app_name="bench")
     # warm-up: JVM + parquet footers + OS page cache for every input
@@ -171,18 +195,21 @@ def main() -> None:
         sf_val: float | str = float(sf)
     except ValueError:
         sf_val = sf
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_seconds",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "extra_queries": extras,
-                "sf": sf_val,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_suite_seconds",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "extra_queries": extras,
+        "sf": sf_val,
+        # machine-noise provenance: the committed artifact must be
+        # self-describing about co-tenancy (VERDICT r7 #2)
+        "loadavg_start": round(load_start, 2),
+        "loadavg_end": round(os.getloadavg()[0], 2),
+    }
+    if load_exceeded:
+        out["loadavg_exceeded"] = True
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
