@@ -116,8 +116,12 @@ def _stat_key(v):
     to a JSON-storable, ORDER-PRESERVING key: numbers stay numbers,
     strings stay strings, datetimes/dates become ISO-8601 strings
     (lexicographic order == chronological order, including the
-    truncated-fraction forms isoformat emits). Returns None for types
-    zone maps don't cover (binary, decimal, nested) — the file is then
+    truncated-fraction forms isoformat emits). Plain dates normalize to
+    midnight-datetime form ('1995-03-31T00:00:00'), so a date bound and
+    a datetime stat (or vice versa) stay mutually order-consistent —
+    the bare date form sorts BEFORE its own midnight and would prune
+    the boundary file (ADVICE r7 #3). Returns None for types zone maps
+    don't cover (binary, decimal, nested) — the file is then
     conservatively unprunable on that column."""
     import datetime as _dt
 
@@ -127,8 +131,10 @@ def _stat_key(v):
         return v
     if isinstance(v, str):
         return v
-    if isinstance(v, (_dt.datetime, _dt.date)):
+    if isinstance(v, _dt.datetime):
         return v.isoformat()
+    if isinstance(v, _dt.date):
+        return _dt.datetime.combine(v, _dt.time.min).isoformat()
     return None
 
 
@@ -178,6 +184,19 @@ def _bloom_maybe_contains(b64: str, value, k: int) -> bool:
     )
 
 
+def _bloom_entry_maybe_contains(entry, value, default_k: int) -> bool:
+    """Probe a manifest bloom entry with the hash count IT was built
+    with: entries are ``{"k": n, "bm": b64}`` (the k is persisted
+    alongside the bitmap — ADVICE r7 #1: probing with a reader-side k
+    that differs from the writer's produces FALSE NEGATIVES, silently
+    pruning files that contain the value). A bare-string entry (legacy
+    pre-k manifest) falls back to ``default_k`` — the old behavior,
+    correct exactly when reader and writer agree on the default."""
+    if isinstance(entry, dict):
+        return _bloom_maybe_contains(entry["bm"], value, int(entry["k"]))
+    return _bloom_maybe_contains(entry, value, default_k)
+
+
 def _footer_minmax(meta) -> dict:
     """Per-column [min, max] from a just-written parquet FOOTER
     (row-group statistics folded together) — the zone-map entry stored
@@ -210,6 +229,47 @@ def _footer_minmax(meta) -> dict:
     return out
 
 
+# ---------------------------------------------------------------------------
+# Deletion-vector bitmaps: base64 bitsets over row ORDINALS within one
+# immutable data file (bit i set == physical row i is deleted) — the
+# Delta deletion-vector / Iceberg v2 positional-delete design, inlined
+# in the manifest because point-delete DVs are control-plane sized.
+# ---------------------------------------------------------------------------
+
+def _dv_build(ordinals) -> str:
+    import base64
+
+    ords = sorted(set(int(o) for o in ordinals))
+    if not ords:
+        return ""
+    bm = bytearray(ords[-1] // 8 + 1)
+    for o in ords:
+        bm[o >> 3] |= 1 << (o & 7)
+    return base64.b64encode(bytes(bm)).decode("ascii")
+
+
+def _dv_ordinals(b64: str) -> list[int]:
+    import base64
+
+    bm = base64.b64decode(b64)
+    return [
+        (i << 3) | j
+        for i, byte in enumerate(bm)
+        if byte
+        for j in range(8)
+        if byte & (1 << j)
+    ]
+
+
+def _dv_union(b64_a: str, b64_b: str) -> str:
+    return _dv_build(_dv_ordinals(b64_a) + _dv_ordinals(b64_b))
+
+
+def _dv_count(entry: dict | None) -> int:
+    """Deleted-row count of one manifest dv entry ({"bm", "n"})."""
+    return int(entry["n"]) if entry else 0
+
+
 class TransactionLogFormat:
     """Mini transaction-log table: immutable data files + versioned JSON
     manifests, commit = one atomic rename.
@@ -226,8 +286,14 @@ class TransactionLogFormat:
     (time travel for free) and a crash before the rename changes
     nothing. Each manifest records the table schema; merges may ADD
     columns (old files null-fill under the recorded schema at read
-    time, additive-only — drops/renames/type changes are rejected),
-    and time travel reads each version under its own schema.
+    time; type changes are rejected), RENAME/DROP are metadata-only
+    commits through column-mapping indirection (``rename_column`` /
+    ``drop_column`` — field-id -> physical-name, the Delta column
+    mapping / Iceberg field-ID design), and time travel reads each
+    version under its own schema AND its own mapping. Point deletes
+    can be MERGE-ON-READ (``delete_keys_dv``): per-file deletion
+    vectors in the manifest, applied at read, materialized away by
+    ``compact`` — zero data files touched at delete time.
 
     Multi-writer: the version publish is COMPARE-AND-SWAP — an atomic
     create-if-absent of ``{version:08d}.json`` (``os.link`` here; the
@@ -324,7 +390,12 @@ class TransactionLogFormat:
         schema_json: str | None = None,
         rows: dict | None = None,
         stats: dict | None = None,
+        **extra,
     ) -> None:
+        """``extra`` carries the optional manifest sections a version
+        may record: ``fields`` / ``dropped_fields`` / ``next_fid``
+        (column-mapping indirection) and ``dv`` (deletion vectors).
+        None-valued extras are omitted from the manifest."""
         d = self._log_dir(wh, table)
         d.mkdir(parents=True, exist_ok=True)
         final = d / f"{version:08d}.json"
@@ -336,6 +407,9 @@ class TransactionLogFormat:
             manifest["rows"] = rows
         if stats is not None:
             manifest["stats"] = stats
+        for k, v in extra.items():
+            if v is not None:
+                manifest[k] = v
         with open(tmp, "w") as f:
             json.dump(manifest, f)
         try:
@@ -351,7 +425,8 @@ class TransactionLogFormat:
             os.unlink(tmp)
 
     def _write_commit(
-        self, wh, table: str, df: DataFrame, keys, num_buckets
+        self, wh, table: str, df: DataFrame, keys, num_buckets,
+        mapping: dict | None = None,
     ) -> tuple[dict, dict, dict]:
         """Write ``df`` as one immutable commit dir, one subdir per
         bucket (repartitioned so each bucket is a single task; with
@@ -362,7 +437,15 @@ class TransactionLogFormat:
         min/max zone maps come straight from the parquet footers just
         written (a local metadata read, no second scan) and live in the
         manifest, so COUNT and range-scan questions are answered from
-        the log without opening data files."""
+        the log without opening data files.
+
+        ``df`` arrives under LOGICAL column names; with ``mapping``
+        (logical -> physical, column-mapping tables) columns are
+        renamed to their physical names just before the write, so
+        every data file of the table shares one physical naming
+        regardless of later renames. Zone-map/bloom stats are keyed by
+        PHYSICAL name (they come from the footers); readers translate
+        through the manifest mapping."""
         root = Path(wh.path(table))
         commit = f"data/{uuid.uuid4().hex[:12]}"
         bcol = BUCKET_COL
@@ -413,6 +496,17 @@ class TransactionLogFormat:
                 .sortWithinPartitions(bcol, "_zkey")
                 .drop("_zkey")
             )
+        if mapping:
+            # logical -> physical rename LAST (sorts/bucketing above
+            # ran on logical names); a projection is a narrow map, so
+            # the within-partition cluster order survives it
+            out = out.select(
+                F.col(bcol),
+                *[
+                    F.col(c).alias(mapping.get(c, c))
+                    for c in df.columns
+                ],
+            )
         writer = out.write.partitionBy(bcol).mode("overwrite")
         if self.max_records_per_file is not None:
             writer = writer.option(
@@ -453,12 +547,17 @@ class TransactionLogFormat:
                     # rebase/compact path moves it with its file
                     import pyarrow as pa
 
+                    phys_bloom = {
+                        c: (mapping or {}).get(c, c)
+                        for c in self.bloom_cols
+                    }
                     t = pq.read_table(
-                        str(f), columns=list(self.bloom_cols)
+                        str(f), columns=list(phys_bloom.values())
                     )
                     blooms = {}
                     for c in self.bloom_cols:
-                        typ = t.schema.field(c).type
+                        pc = phys_bloom[c]
+                        typ = t.schema.field(pc).type
                         if not (
                             pa.types.is_integer(typ)
                             or pa.types.is_string(typ)
@@ -469,28 +568,41 @@ class TransactionLogFormat:
                                 "probes are equality tests, supported "
                                 "for integer/string columns only"
                             )
-                        blooms[c] = _bloom_build(
-                            t.column(c).to_pylist(),
-                            self.bloom_bits,
-                            self.bloom_hashes,
-                        )
+                        # k persisted WITH the bitmap (bits derive from
+                        # its length): probes always use the writer's k,
+                        # whatever the reader was configured with.
+                        # Keyed by PHYSICAL name like every footer stat.
+                        blooms[pc] = {
+                            "k": self.bloom_hashes,
+                            "bm": _bloom_build(
+                                t.column(pc).to_pylist(),
+                                self.bloom_bits,
+                                self.bloom_hashes,
+                            ),
+                        }
                     stats[rel][BLOOM_KEY] = blooms
         return files, rows, stats
 
     @staticmethod
     def _check_evolution(old_schema, new_schema) -> None:
-        """Additive-only schema evolution: every existing column must
-        survive with an identical type; new columns may appear anywhere
-        (old files read back with NULL for them — the Delta/Iceberg
-        rule). Drops, renames, and type changes are rejected: in an
-        immutable-file format they would silently corrupt old snapshots
-        rather than evolve them."""
+        """Additive-only schema evolution ON THE MERGE PATH: every
+        current logical column must survive with an identical type; new
+        columns may appear anywhere (old files read back with NULL for
+        them — the Delta/Iceberg rule). Renames and drops are NOT
+        merge-side operations — they are explicit metadata commits
+        (:meth:`rename_column` / :meth:`drop_column`, column-mapping
+        indirection), after which merges simply use the new logical
+        names. Type changes stay rejected: in an immutable-file format
+        they would silently corrupt old snapshots rather than evolve
+        them."""
         new_fields = {f.name: f.dataType for f in new_schema.fields}
         for f in old_schema.fields:
             if f.name not in new_fields:
                 raise ValueError(
                     f"schema evolution is additive-only: column "
-                    f"{f.name!r} missing from incoming batch"
+                    f"{f.name!r} missing from incoming batch (use "
+                    f"drop_column/rename_column for non-additive "
+                    f"evolution)"
                 )
             if new_fields[f.name] != f.dataType:
                 raise ValueError(
@@ -532,26 +644,35 @@ class TransactionLogFormat:
                 .collect()
             }
             root = Path(wh.path(table))
-            live_touched = [
-                str(root / f)
-                for f, b in snap["files"].items()
-                if b in touched
-            ]
-            if live_touched:
+            scoped_files = {
+                f: b for f, b in snap["files"].items() if b in touched
+            }
+            if scoped_files:
                 # bucket is a pure function of the keys — data files
                 # never store it, so reading specific files needs no
-                # basePath. Reading with the INCOMING schema null-fills
-                # columns the old files don't physically carry
-                # (additive evolution).
-                existing = wh.spark.read.schema(incoming.schema).parquet(
-                    *live_touched
-                )
+                # basePath. The snapshot read applies the version's
+                # column mapping and deletion vectors (a DV'd row must
+                # NOT resurrect through a merge rewrite); columns this
+                # batch ADDS (additive evolution) null-fill below.
+                sub = dict(snap)
+                sub["files"] = scoped_files
+                existing = self._read_snapshot(wh, root, sub)
+                for fld in incoming.schema.fields:
+                    if fld.name not in existing.columns:
+                        existing = existing.withColumn(
+                            fld.name, F.lit(None).cast(fld.dataType)
+                        )
+                existing = existing.select(*incoming.columns)
             else:
                 existing = wh.spark.createDataFrame([], incoming.schema)
             merged = upsert_keep_newest(existing, incoming, keys, order_col)
+            fields, dropped, next_fid = self._evolve_fields(
+                snap, incoming.schema
+            )
             if self._rewrite_and_publish(
                 wh, table, snap, touched, merged,
                 incoming.schema.json(), keys, num_buckets,
+                fields=fields, dropped_fields=dropped, next_fid=next_fid,
             ):
                 return
         raise CommitConflict(
@@ -569,19 +690,28 @@ class TransactionLogFormat:
         schema_json: str,
         keys: list[str],
         num_buckets: int,
-    ) -> bool:
+        fields: list | None = None,
+        dropped_fields: list | None = None,
+        next_fid: int | None = None,
+    ) -> dict | None:
         """Write ``replacement`` as the new content of the ``touched``
         buckets and CAS-publish it on top of ``snap``, carrying every
-        untouched file by reference. Optimistic publish: rebase over
-        DISJOINT winners (re-point carried files at the new snapshot,
-        reuse our already-written data files, re-CAS); return False —
-        caller redoes its read-transform from the winning snapshot —
-        when a winner rewrote one of OUR buckets or evolved the schema.
-        Shared by merge (upsert transform) and delete_keys (anti-join
-        transform). Returns the published manifest dict, or None when
-        the caller must redo."""
+        untouched file by reference (deletion vectors ride WITH their
+        carried files; replaced files shed theirs — the rewrite
+        materialized them). Optimistic publish: rebase over DISJOINT
+        winners (re-point carried files at the new snapshot, reuse our
+        already-written data files, re-CAS). Shared by merge (upsert
+        transform) and delete_keys (anti-join transform). ``fields``/
+        ``dropped_fields``/``next_fid`` are the column-mapping metadata
+        to publish (None on unmapped tables). Returns the published
+        manifest dict, or None when the caller must redo its
+        read-transform from the winning snapshot (a winner rewrote one
+        of OUR buckets or evolved the schema)."""
+        mapping = (
+            {f["name"]: f["phys"] for f in fields} if fields else None
+        )
         new_files, new_rows, new_stats = self._write_commit(
-            wh, table, replacement, keys, num_buckets
+            wh, table, replacement, keys, num_buckets, mapping=mapping
         )
         base = snap
         for _ in range(self.MAX_COMMIT_RETRIES):
@@ -598,6 +728,10 @@ class TransactionLogFormat:
             carried_stats = {
                 f: base_stats[f] for f in carried if f in base_stats
             }
+            base_dv = base.get("dv", {})
+            carried_dv = {
+                f: base_dv[f] for f in carried if f in base_dv
+            }
             try:
                 published = {
                     "version": base["version"] + 1,
@@ -606,11 +740,22 @@ class TransactionLogFormat:
                     "stats": {**carried_stats, **new_stats},
                     "schema": schema_json,
                 }
+                if carried_dv:
+                    published["dv"] = carried_dv
+                if fields is not None:
+                    published["fields"] = fields
+                    published["next_fid"] = next_fid
+                    if dropped_fields:
+                        published["dropped_fields"] = dropped_fields
                 self._publish(
                     wh, table, published["version"],
                     published["files"], schema_json,
                     rows=published["rows"],
                     stats=published["stats"],
+                    dv=published.get("dv"),
+                    fields=published.get("fields"),
+                    dropped_fields=published.get("dropped_fields"),
+                    next_fid=published.get("next_fid"),
                 )
                 return published
             except CommitConflict:
@@ -621,8 +766,17 @@ class TransactionLogFormat:
                 cur_t = {
                     f for f, b in cur["files"].items() if b in touched
                 }
-                if base_t != cur_t or base.get("schema") != cur.get(
-                    "schema"
+                # a winner that added a DELETION VECTOR to one of our
+                # touched files changed its live content without
+                # changing the file set — that is an overlap too
+                base_dvt = {
+                    f: base.get("dv", {}).get(f) for f in base_t
+                }
+                cur_dvt = {f: cur.get("dv", {}).get(f) for f in cur_t}
+                if (
+                    base_t != cur_t
+                    or base_dvt != cur_dvt
+                    or base.get("schema") != cur.get("schema")
                 ):
                     # the winner rewrote one of OUR buckets (our
                     # transform read stale inputs) or evolved the
@@ -687,21 +841,32 @@ class TransactionLogFormat:
             existing = self._read_snapshot(wh, root, sub)
             remaining = existing.join(key_frame, keys, "anti")
             schema_json = snap.get("schema", existing.schema.json())
-            prior = snap["version"]
             published = self._rewrite_and_publish(
                 wh, table, snap, touched, remaining,
                 schema_json, keys, num_buckets,
             )
             if published:
-                if any(f not in snap.get("rows", {}) for f in live):
-                    # a pre-stats file among the replaced: footer-read
-                    # counts for both versions (still metadata-only)
-                    return self.count_rows(
-                        wh, table, version=prior
-                    ) - self.count_rows(
-                        wh, table, version=published["version"]
-                    )
-                before = sum(int(snap["rows"][f]) for f in live)
+                # before-count from the REPLACED files only (manifest
+                # rows, else that file's parquet footer — still
+                # metadata). Never a whole-table version diff: a
+                # concurrent DISJOINT winner's row delta in OTHER
+                # buckets would pollute (even negate) the reported
+                # count (ADVICE r7 #2).
+                rows_rec = snap.get("rows", {})
+                dv_rec = snap.get("dv", {})
+                before = 0
+                for f in live:
+                    if f in rows_rec:
+                        before += int(rows_rec[f])
+                    else:
+                        import pyarrow.parquet as pq
+
+                        before += pq.ParquetFile(
+                            str(root / f)
+                        ).metadata.num_rows
+                    # rows already DV-deleted were never served: they
+                    # are not part of this delete's count
+                    before -= _dv_count(dv_rec.get(f))
                 after = sum(
                     int(published["rows"][f])
                     for f, b in published["files"].items()
@@ -713,18 +878,417 @@ class TransactionLogFormat:
             f"{self.MAX_COMMIT_RETRIES} commit conflicts"
         )
 
+    def rename_column(self, wh, table: str, old: str, new: str) -> int:
+        """Metadata-only column RENAME (the Delta column-mapping /
+        Iceberg field-ID design): the field keeps its id and PHYSICAL
+        name — every data file is carried untouched by reference — and
+        only the logical name the new version serves changes. Cost is
+        one manifest publish at any table size; on a 100 TB table the
+        alternative (rewrite every file under the new name) is the
+        exact failure mode column mapping exists to avoid. Bootstraps
+        identity field metadata on a table that predates mapping. Time
+        travel reads each version under ITS OWN mapping, so history
+        keeps answering under the pre-rename name. Returns the
+        published version. CAS-retried like every commit."""
+        from pyspark.sql.types import StructField, StructType
+
+        if old == new:
+            raise ValueError("rename_column: old == new")
+        for _ in range(self.MAX_COMMIT_RETRIES):
+            snap = self._latest(wh, table)
+            if snap is None:
+                raise FileNotFoundError(f"no committed version for {table}")
+            if "schema" not in snap:
+                raise ValueError(
+                    f"rename_column: {table!r} has a pre-schema manifest"
+                )
+            schema = StructType.fromJson(json.loads(snap["schema"]))
+            names = [f.name for f in schema.fields]
+            if old not in names:
+                raise ValueError(f"rename_column: no column {old!r}")
+            if new in names:
+                raise ValueError(f"rename_column: {new!r} already exists")
+            fields, dropped, next_fid = self._bootstrap_fields(
+                snap, schema
+            )
+            for fm in fields:
+                if fm["name"] == old:
+                    fm["name"] = new
+            new_schema = StructType(
+                [
+                    StructField(
+                        new if f.name == old else f.name,
+                        f.dataType, f.nullable, f.metadata,
+                    )
+                    for f in schema.fields
+                ]
+            )
+            try:
+                self._publish(
+                    wh, table, snap["version"] + 1, snap["files"],
+                    new_schema.json(),
+                    rows=snap.get("rows"), stats=snap.get("stats"),
+                    dv=snap.get("dv"), fields=fields,
+                    dropped_fields=dropped or None, next_fid=next_fid,
+                )
+                return snap["version"] + 1
+            except CommitConflict:
+                continue
+        raise CommitConflict(
+            f"rename_column on {table!r}: gave up after "
+            f"{self.MAX_COMMIT_RETRIES} commit conflicts"
+        )
+
+    def drop_column(self, wh, table: str, name: str) -> int:
+        """Metadata-only column DROP: the field moves to the manifest's
+        tombstone list (its physical name stays RESERVED — a later
+        re-add of the same logical name gets a fresh physical name, so
+        old file bytes can never resurrect into the new column), every
+        data file is carried by reference, and the new version's
+        schema simply omits the column. The bytes remain in history
+        (time travel still serves them) until retention expires the
+        old versions — the same two-step erasure contract as
+        ``delete_keys``. The caller must not drop a MERGE key column
+        (the format cannot know key sets; a later merge on that key
+        would fail to resolve it). Returns the published version."""
+        from pyspark.sql.types import StructField, StructType
+
+        for _ in range(self.MAX_COMMIT_RETRIES):
+            snap = self._latest(wh, table)
+            if snap is None:
+                raise FileNotFoundError(f"no committed version for {table}")
+            if "schema" not in snap:
+                raise ValueError(
+                    f"drop_column: {table!r} has a pre-schema manifest"
+                )
+            schema = StructType.fromJson(json.loads(snap["schema"]))
+            names = [f.name for f in schema.fields]
+            if name not in names:
+                raise ValueError(f"drop_column: no column {name!r}")
+            if len(names) == 1:
+                raise ValueError("drop_column: cannot drop the last column")
+            fields, dropped, next_fid = self._bootstrap_fields(
+                snap, schema
+            )
+            keep_fields = []
+            for fm in fields:
+                (dropped if fm["name"] == name else keep_fields).append(fm)
+            new_schema = StructType(
+                [
+                    StructField(f.name, f.dataType, f.nullable, f.metadata)
+                    for f in schema.fields
+                    if f.name != name
+                ]
+            )
+            try:
+                self._publish(
+                    wh, table, snap["version"] + 1, snap["files"],
+                    new_schema.json(),
+                    rows=snap.get("rows"), stats=snap.get("stats"),
+                    dv=snap.get("dv"), fields=keep_fields,
+                    dropped_fields=dropped, next_fid=next_fid,
+                )
+                return snap["version"] + 1
+            except CommitConflict:
+                continue
+        raise CommitConflict(
+            f"drop_column on {table!r}: gave up after "
+            f"{self.MAX_COMMIT_RETRIES} commit conflicts"
+        )
+
+    def delete_keys_dv(
+        self,
+        wh,
+        table: str,
+        keys: list[str],
+        key_rows: DataFrame,
+        num_buckets: int,
+    ) -> int:
+        """Targeted key erasure, MERGE-ON-READ (the Delta deletion-
+        vector / Iceberg v2 positional-delete design): instead of
+        rewriting the touched buckets (``delete_keys``, copy-on-write),
+        publish version N+1 that carries EVERY data file by reference
+        and records the victims' (file, row-ordinal) positions as
+        per-file bitmaps in the manifest. A point delete therefore
+        touches ZERO data files — at 100 TB with GDPR erasures arriving
+        daily, copy-on-write would rewrite a multi-GB bucket per key
+        while this publishes one manifest. Reads apply the DV as a
+        broadcast anti-join on (file, ordinal); ``compact`` later
+        materializes DVs away. Answers are identical to the
+        copy-on-write path (pinned in tests). Returns the number of
+        rows newly deleted.
+
+        Victim positions are computed by ONE metadata-augmented scan of
+        just the touched buckets' files (already-DV'd rows excluded so
+        re-deleting is a counted no-op) and collected driver-side —
+        bounded by the number of deleted rows, the same control-plane
+        budget the manifest itself pays to store them. Bulk erasures
+        (millions of rows) belong on ``delete_keys``.
+
+        Concurrency: same CAS protocol; any winner that touched our
+        buckets' files OR their DVs forces a recompute (positions are
+        only valid against the exact file+DV state they were read
+        from)."""
+        import os as _os
+
+        key_frame = F.broadcast(key_rows.select(*keys).dropDuplicates())
+        for _ in range(self.MAX_COMMIT_RETRIES):
+            snap = self._latest(wh, table)
+            if snap is None:
+                raise FileNotFoundError(f"no committed version for {table}")
+            touched = {
+                r.b
+                for r in key_rows.select(
+                    bucket_expr(keys, num_buckets).alias("b")
+                )
+                .dropDuplicates()
+                .collect()
+            }
+            root = Path(wh.path(table))
+            live = {
+                f: b for f, b in snap["files"].items() if b in touched
+            }
+            if not live:
+                return 0
+            # scan ONLY the touched buckets' files, under the snapshot
+            # mapping + existing DVs, keeping the scan to the key
+            # columns plus file/ordinal metadata
+            sub = dict(snap)
+            sub["files"] = live
+            mapping = self._mapping(snap)
+            if "schema" in snap:
+                from pyspark.sql.types import StructField, StructType
+
+                logical = StructType.fromJson(json.loads(snap["schema"]))
+                phys = StructType(
+                    [
+                        StructField(
+                            mapping.get(f.name, f.name),
+                            f.dataType, f.nullable, f.metadata,
+                        )
+                        for f in logical.fields
+                    ]
+                )
+                scan = wh.spark.read.schema(phys).parquet(
+                    *[str(root / f) for f in live]
+                )
+            else:
+                scan = wh.spark.read.parquet(
+                    *[str(root / f) for f in live]
+                )
+            scan = scan.select(
+                F.regexp_replace(
+                    F.col("_metadata.file_path"), "^file:/+", "/"
+                ).alias("_dv_fp"),
+                F.col("_metadata.row_index").alias("_dv_ri"),
+                *[
+                    F.col(mapping.get(k, k)).alias(k) for k in keys
+                ],
+            )
+            old_dv = {
+                f: e for f, e in snap.get("dv", {}).items() if f in live
+            }
+            if old_dv:
+                already = wh.spark.createDataFrame(
+                    [
+                        (_os.path.abspath(str(root / f)), o)
+                        for f, e in old_dv.items()
+                        for o in _dv_ordinals(e["bm"])
+                    ],
+                    "_dv_fp string, _dv_ri long",
+                )
+                scan = scan.join(
+                    F.broadcast(already), ["_dv_fp", "_dv_ri"], "anti"
+                )
+            victims = (
+                scan.join(key_frame, keys, "semi")
+                .select("_dv_fp", "_dv_ri")
+                .collect()
+            )  # bounded: one row per newly deleted row (see docstring)
+            if not victims:
+                return 0
+            by_file: dict[str, list[int]] = {}
+            abs_to_rel = {
+                _os.path.abspath(str(root / f)): f for f in live
+            }
+            for r in victims:
+                by_file.setdefault(abs_to_rel[r._dv_fp], []).append(
+                    r._dv_ri
+                )
+            new_dv = dict(snap.get("dv", {}))
+            for f, ords in by_file.items():
+                prev = new_dv.get(f)
+                bm = (
+                    _dv_union(prev["bm"], _dv_build(ords))
+                    if prev
+                    else _dv_build(ords)
+                )
+                new_dv[f] = {
+                    "bm": bm,
+                    "n": _dv_count(prev) + len(ords),
+                }
+            try:
+                self._publish(
+                    wh, table, snap["version"] + 1, snap["files"],
+                    snap.get("schema"),
+                    rows=snap.get("rows"), stats=snap.get("stats"),
+                    dv=new_dv, fields=snap.get("fields"),
+                    dropped_fields=snap.get("dropped_fields"),
+                    next_fid=snap.get("next_fid"),
+                )
+                return len(victims)
+            except CommitConflict:
+                continue  # recompute: positions bind to exact file+DV
+        raise CommitConflict(
+            f"delete_keys_dv on {table!r}: gave up after "
+            f"{self.MAX_COMMIT_RETRIES} commit conflicts"
+        )
+
+    # -- column mapping (Delta column-mapping / Iceberg field-ID design) --
+    #
+    # A mapped table's manifest carries ``fields`` ([{id, name, phys}]),
+    # ``dropped_fields`` (tombstones — their physical names stay
+    # reserved so a re-added same-named column can never resurrect old
+    # file data), and ``next_fid``. Data files always store PHYSICAL
+    # names; ``name`` is the logical name the version serves. RENAME
+    # flips ``name`` only (metadata-only, zero data files touched);
+    # DROP moves the field to the tombstone list. Unmapped tables
+    # (no ``fields``) behave exactly as before: identity mapping.
+
     @staticmethod
-    def _read_snapshot(wh, root: Path, snap: dict) -> DataFrame:
+    def _mapping(snap: dict) -> dict[str, str]:
+        """logical -> physical column mapping of one manifest version
+        (empty == identity for every column)."""
+        return {f["name"]: f["phys"] for f in snap.get("fields", [])}
+
+    @classmethod
+    def _phys(cls, snap: dict, col: str) -> str:
+        return cls._mapping(snap).get(col, col)
+
+    @staticmethod
+    def _bootstrap_fields(snap: dict, schema) -> tuple[list, list, int]:
+        """Current (fields, dropped_fields, next_fid) of a manifest,
+        initializing identity field metadata from ``schema`` for a
+        table that predates column mapping (ids in field order — the
+        Iceberg assignment rule)."""
+        if "fields" in snap:
+            fields = [dict(f) for f in snap["fields"]]
+            dropped = [dict(f) for f in snap.get("dropped_fields", [])]
+            default_next = 1 + max(
+                (f["id"] for f in fields + dropped), default=0
+            )
+            return fields, dropped, int(snap.get("next_fid", default_next))
+        fields = [
+            {"id": i + 1, "name": f.name, "phys": f.name}
+            for i, f in enumerate(schema.fields)
+        ]
+        return fields, [], len(fields) + 1
+
+    @classmethod
+    def _evolve_fields(cls, snap: dict, new_schema):
+        """Field metadata after an ADDITIVE merge under ``new_schema``:
+        unmapped tables stay unmapped (returns (None, None, None));
+        mapped tables assign each new column a fresh field id and a
+        physical name no live or tombstoned field has ever used (else
+        old file bytes under a recycled name would leak into the new
+        logical column)."""
+        if "fields" not in snap:
+            return None, None, None
+        fields, dropped, next_fid = cls._bootstrap_fields(snap, new_schema)
+        known = {f["name"] for f in fields}
+        used_phys = {f["phys"] for f in fields + dropped}
+        for fld in new_schema.fields:
+            if fld.name in known:
+                continue
+            phys = (
+                fld.name
+                if fld.name not in used_phys
+                else f"{fld.name}_f{next_fid}"
+            )
+            fields.append({"id": next_fid, "name": fld.name, "phys": phys})
+            used_phys.add(phys)
+            next_fid += 1
+        return fields, dropped, next_fid
+
+    @staticmethod
+    def _apply_dv(wh, root: Path, df: DataFrame, dv: dict) -> DataFrame:
+        """Merge-on-read deletes: anti-join the manifest's deleted
+        (file, row-ordinal) positions out of a file scan — the
+        read-time half of the Delta deletion-vector design. Positions
+        come from ``_metadata.file_path``/``row_index`` (stable
+        per-file ordinals), the deleted set arrives as a BROADCAST
+        frame (DV cardinality is point-delete sized by contract; bulk
+        erasure belongs on the copy-on-write ``delete_keys``). Path
+        matching normalizes the scheme prefix (local ``file:`` URIs);
+        an object-store deployment swaps the normalization, nothing
+        else."""
+        import os as _os
+
+        pairs = [
+            (_os.path.abspath(str(root / f)), o)
+            for f, e in dv.items()
+            for o in _dv_ordinals(e["bm"])
+        ]
+        pos = wh.spark.createDataFrame(
+            pairs, "_dv_fp string, _dv_ri long"
+        )
+        out = df.withColumn(
+            "_dv_fp",
+            F.regexp_replace(
+                F.col("_metadata.file_path"), "^file:/+", "/"
+            ),
+        ).withColumn("_dv_ri", F.col("_metadata.row_index"))
+        out = out.join(F.broadcast(pos), ["_dv_fp", "_dv_ri"], "anti")
+        return out.drop("_dv_fp", "_dv_ri")
+
+    @classmethod
+    def _read_snapshot(cls, wh, root: Path, snap: dict) -> DataFrame:
         """Read a manifest's file set under its RECORDED schema so a
         mixed-physical-schema file set (post-evolution) null-fills
-        uniformly instead of depending on parquet inference order."""
+        uniformly instead of depending on parquet inference order.
+        Column-mapping tables read under PHYSICAL names and alias back
+        to the version's logical names; files with a deletion vector
+        get their deleted ordinals anti-joined out — every read path
+        of the format funnels through here, so DV/rename semantics
+        hold uniformly (snapshot, time travel, range/point/box scans,
+        merge's own re-reads)."""
         paths = [str(root / f) for f in snap["files"]]
+        dv = {
+            f: e
+            for f, e in snap.get("dv", {}).items()
+            if f in snap["files"] and e and e.get("bm")
+        }
         if "schema" in snap:
-            from pyspark.sql.types import StructType
+            from pyspark.sql.types import StructField, StructType
 
-            schema = StructType.fromJson(json.loads(snap["schema"]))
-            return wh.spark.read.schema(schema).parquet(*paths)
-        return wh.spark.read.parquet(*paths)
+            logical = StructType.fromJson(json.loads(snap["schema"]))
+            mapping = cls._mapping(snap)
+            phys = StructType(
+                [
+                    StructField(
+                        mapping.get(f.name, f.name),
+                        f.dataType,
+                        f.nullable,
+                        f.metadata,
+                    )
+                    for f in logical.fields
+                ]
+            )
+            df = wh.spark.read.schema(phys).parquet(*paths)
+            if dv:
+                df = cls._apply_dv(wh, root, df, dv)
+            if mapping:
+                df = df.select(
+                    *[
+                        F.col(mapping.get(f.name, f.name)).alias(f.name)
+                        for f in logical.fields
+                    ]
+                )
+            return df
+        df = wh.spark.read.parquet(*paths)
+        if dv:
+            df = cls._apply_dv(wh, root, df, dv)
+        return df
 
     def read_merged(self, wh, table):
         snap = self._latest(wh, table)
@@ -777,24 +1341,29 @@ class TransactionLogFormat:
             "semi",
         )
 
-    @staticmethod
-    def files_for_range(snap: dict, col: str, lo, hi) -> list[str]:
+    @classmethod
+    def files_for_range(cls, snap: dict, col: str, lo, hi) -> list[str]:
         """The zone-map pruning decision, exposed for tests and
         planning: relpaths of manifest files whose recorded [min, max]
         for ``col`` OVERLAPS [lo, hi] (inclusive), plus — conservatively
         — every file with no recorded stats for the column (absent
-        stats must never drop rows). Pure manifest arithmetic: no file
-        is opened, O(manifest) at any table size."""
+        stats must never drop rows). ``col`` is a LOGICAL name (stats
+        are keyed physical; the manifest mapping translates). A file
+        with a deletion vector stays prunable: its zone map merely
+        over-approximates the live rows — extra opens, never row loss.
+        Pure manifest arithmetic: no file is opened, O(manifest) at
+        any table size."""
         lo_k, hi_k = _stat_key(lo), _stat_key(hi)
         if lo_k is None or hi_k is None:
             raise TypeError(
                 f"files_for_range: unsupported bound type for {col!r} "
                 f"({type(lo).__name__}/{type(hi).__name__})"
             )
+        pc = cls._phys(snap, col)
         stats = snap.get("stats", {})
         out = []
         for f in snap["files"]:
-            mm = stats.get(f, {}).get(col)
+            mm = stats.get(f, {}).get(pc)
             if mm is None or not (mm[1] < lo_k or mm[0] > hi_k):
                 out.append(f)
         return out
@@ -874,11 +1443,12 @@ class TransactionLogFormat:
         rows). False positives only ever open extra files. Pure
         manifest arithmetic, no file opened."""
         stats = snap.get("stats", {})
+        pc = self._phys(snap, col)
         out = []
         for f in snap["files"]:
-            b64 = stats.get(f, {}).get(BLOOM_KEY, {}).get(col)
-            if b64 is None or _bloom_maybe_contains(
-                b64, value, self.bloom_hashes
+            entry = stats.get(f, {}).get(BLOOM_KEY, {}).get(pc)
+            if entry is None or _bloom_entry_maybe_contains(
+                entry, value, self.bloom_hashes
             ):
                 out.append(f)
         return out
@@ -935,11 +1505,20 @@ class TransactionLogFormat:
             snap = self._latest(wh, table)
             if snap is None:
                 raise FileNotFoundError(f"no committed version for {table}")
+            dv = snap.get("dv", {})
             by_bucket: dict[int, list[str]] = {}
             for f, b in snap["files"].items():
                 by_bucket.setdefault(b, []).append(f)
             touched = {
                 b for b, fs in by_bucket.items() if len(fs) >= min_files
+            }
+            # a bucket holding any DV'd file compacts too: the rewrite
+            # MATERIALIZES the deletion vector away (the Delta/Iceberg
+            # contract — DVs are a read-time overlay until OPTIMIZE)
+            touched |= {
+                b
+                for f, b in snap["files"].items()
+                if _dv_count(dv.get(f))
             }
             if not touched:
                 n = len(snap["files"])
@@ -953,13 +1532,15 @@ class TransactionLogFormat:
             before = len(sub["files"])
             # layout-only rewrite: same rows, same bucket function
             new_files, new_rows, new_stats = self._write_commit(
-                wh, table, df, keys, num_buckets
+                wh, table, df, keys, num_buckets,
+                mapping=self._mapping(snap) or None,
             )
             carried = {
                 f: b for f, b in snap["files"].items() if b not in touched
             }
             base_rows = snap.get("rows", {})
             base_stats = snap.get("stats", {})
+            carried_dv = {f: dv[f] for f in carried if f in dv}
             try:
                 self._publish(
                     wh, table, snap["version"] + 1,
@@ -975,6 +1556,10 @@ class TransactionLogFormat:
                            if f in base_stats},
                         **new_stats,
                     },
+                    dv=carried_dv or None,
+                    fields=snap.get("fields"),
+                    dropped_fields=snap.get("dropped_fields"),
+                    next_fid=snap.get("next_fid"),
                 )
                 return before, len(new_files)
             except CommitConflict:
@@ -1080,6 +1665,7 @@ class TransactionLogFormat:
             ) as f:
                 snap = json.load(f)
         rows = snap.get("rows", {})
+        dv = snap.get("dv", {})
         total = 0
         missing = []
         for f in snap["files"]:
@@ -1087,6 +1673,9 @@ class TransactionLogFormat:
                 total += int(rows[f])
             else:
                 missing.append(f)
+            # LIVE rows = physical rows minus the file's deletion
+            # vector (popcount cached in the manifest entry)
+            total -= _dv_count(dv.get(f))
         if missing:
             import pyarrow.parquet as pq
 
@@ -1154,11 +1743,19 @@ class TransactionLogFormat:
                         "instead"
                     )
         stats = snap.get("stats", {})
+        dv = snap.get("dv", {})
+        mapping = self._mapping(snap)
         root = Path(wh.path(table))
         out: dict[str, list] = {c: [None, None] for c in cols}
         must_scan: dict[str, list[str]] = {c: [] for c in cols}
         footer_cache: dict[str, dict] = {}
+        dv_files: list[str] = []
         for f in snap["files"]:
+            if _dv_count(dv.get(f)):
+                # a deleted row may BE the footer extremum: files with
+                # a deletion vector fall to an exact DV-applied scan
+                dv_files.append(f)
+                continue
             fstats = stats.get(f)
             if fstats is None:  # pre-stats commit: footer fallback
                 if f not in footer_cache:
@@ -1169,7 +1766,7 @@ class TransactionLogFormat:
                     )
                 fstats = footer_cache[f]
             for c in cols:
-                mm = fstats.get(c)
+                mm = fstats.get(mapping.get(c, c))
                 if mm is None:
                     # stats-less column in this file (all-NULL or
                     # untyped): metadata can't answer — exact scan of
@@ -1179,20 +1776,35 @@ class TransactionLogFormat:
                 cur = out[c]
                 cur[0] = mm[0] if cur[0] is None else min(cur[0], mm[0])
                 cur[1] = mm[1] if cur[1] is None else max(cur[1], mm[1])
-        for c, files in must_scan.items():
-            if not files:
-                continue
-            row = (
-                wh.spark.read.parquet(*[str(root / f) for f in files])
-                .agg(F.min(c).alias("lo"), F.max(c).alias("hi"))
-                .first()
-            )
+
+        def _fold(c: str, row) -> None:
             lo, hi = _stat_key(row["lo"]), _stat_key(row["hi"])
             cur = out[c]
             if lo is not None:
                 cur[0] = lo if cur[0] is None else min(cur[0], lo)
             if hi is not None:
                 cur[1] = hi if cur[1] is None else max(cur[1], hi)
+
+        for c, files in must_scan.items():
+            if not files:
+                continue
+            pc = mapping.get(c, c)
+            row = (
+                wh.spark.read.parquet(*[str(root / f) for f in files])
+                .agg(F.min(pc).alias("lo"), F.max(pc).alias("hi"))
+                .first()
+            )
+            _fold(c, row)
+        if dv_files:
+            sub = dict(snap)
+            sub["files"] = {f: snap["files"][f] for f in dv_files}
+            live = self._read_snapshot(wh, root, sub)
+            row = live.agg(
+                *[F.min(c).alias(f"lo_{c}") for c in cols],
+                *[F.max(c).alias(f"hi_{c}") for c in cols],
+            ).first()
+            for c in cols:
+                _fold(c, {"lo": row[f"lo_{c}"], "hi": row[f"hi_{c}"]})
         return {c: (v[0], v[1]) for c, v in out.items()}
 
     def read_version(self, wh, table: str, version: int) -> DataFrame:
@@ -1236,12 +1848,20 @@ class TransactionLogFormat:
         under the ``v_to`` ordering."""
         snap_a = self._snap_at(wh, table, v_from)
         snap_b = self._snap_at(wh, table, v_to)
+        dv_a, dv_b = snap_a.get("dv", {}), snap_b.get("dv", {})
         by_bucket_a: dict[int, set] = {}
         by_bucket_b: dict[int, set] = {}
         for f, b in snap_a["files"].items():
-            by_bucket_a.setdefault(b, set()).add(f)
+            # a file's identity for change detection includes its DV
+            # state: a deletion vector added between the versions
+            # changes live content without changing the file set
+            by_bucket_a.setdefault(b, set()).add(
+                (f, json.dumps(dv_a.get(f), sort_keys=True))
+            )
         for f, b in snap_b["files"].items():
-            by_bucket_b.setdefault(b, set()).add(f)
+            by_bucket_b.setdefault(b, set()).add(
+                (f, json.dumps(dv_b.get(f), sort_keys=True))
+            )
         changed_buckets = {
             b
             for b in (by_bucket_a.keys() | by_bucket_b.keys())
@@ -1263,6 +1883,24 @@ class TransactionLogFormat:
             return self._read_snapshot(wh, root, sub)
 
         old, new = scoped(snap_a), scoped(snap_b)
+        # column-mapping tables: a column RENAMED between the versions
+        # is the SAME field (same id) under a new logical name — align
+        # the old frame to v_to's names by field id before diffing, so
+        # a metadata-only rename never fakes an update storm
+        if "fields" in snap_a and "fields" in snap_b:
+            a_by_id = {f["id"]: f["name"] for f in snap_a["fields"]}
+            renames = {
+                a_by_id[f["id"]]: f["name"]
+                for f in snap_b["fields"]
+                if f["id"] in a_by_id and a_by_id[f["id"]] != f["name"]
+            }
+            if renames:
+                old = old.select(
+                    *[
+                        F.col(c).alias(renames.get(c, c))
+                        for c in old.columns
+                    ]
+                )
         vals = [
             c for c in new.columns if c in old.columns and c not in keys
         ]

@@ -46,7 +46,20 @@ from pyspark.sql.datasource import (
 )
 from pyspark.sql.types import StructType
 
-from ..formats import BLOOM_KEY, _bloom_maybe_contains, _stat_key
+from ..formats import (
+    BLOOM_KEY,
+    _bloom_entry_maybe_contains,
+    _dv_ordinals,
+    _stat_key,
+)
+
+
+def _manifest_mapping(snap: dict) -> dict[str, str]:
+    """logical -> physical column mapping of one manifest (identity
+    when the table has no column-mapping metadata) — mirrors
+    ``TransactionLogFormat._mapping`` without importing Spark-side
+    state into the executor."""
+    return {f["name"]: f["phys"] for f in snap.get("fields", [])}
 
 
 def _load_manifest(root: str, version: str | None) -> dict:
@@ -69,7 +82,9 @@ class TxlogBatchReader(DataSourceReader):
     """One partition per surviving data file; pushFilters prunes the
     file list via manifest zone maps + blooms before planning."""
 
-    #: bloom hash count must match the writer's (format default)
+    #: fallback hash count for LEGACY bare-string bloom entries only —
+    #: current manifests persist k alongside each bitmap (ADVICE r7 #1)
+    #: and probes always use the stored k
     BLOOM_HASHES = 7
 
     def __init__(self, schema: StructType, options: dict) -> None:
@@ -83,6 +98,7 @@ class TxlogBatchReader(DataSourceReader):
     # -- pushdown ---------------------------------------------------------
     def _prune_range(self, col: str, lo, hi) -> None:
         stats = self.snap.get("stats", {})
+        col = _manifest_mapping(self.snap).get(col, col)
         lo_k = _stat_key(lo) if lo is not None else None
         hi_k = _stat_key(hi) if hi is not None else None
         if (lo is not None and lo_k is None) or (
@@ -104,11 +120,12 @@ class TxlogBatchReader(DataSourceReader):
 
     def _prune_bloom(self, col: str, value) -> None:
         stats = self.snap.get("stats", {})
+        col = _manifest_mapping(self.snap).get(col, col)
         kept = []
         for f in self.keep:
-            b64 = stats.get(f, {}).get(BLOOM_KEY, {}).get(col)
-            if b64 is None or _bloom_maybe_contains(
-                b64, value, self.BLOOM_HASHES
+            entry = stats.get(f, {}).get(BLOOM_KEY, {}).get(col)
+            if entry is None or _bloom_entry_maybe_contains(
+                entry, value, self.BLOOM_HASHES
             ):
                 kept.append(f)
         self.keep = kept
@@ -149,18 +166,32 @@ class TxlogBatchReader(DataSourceReader):
 
         target = to_arrow_schema(self.schema)
         target = pa.schema([f.with_nullable(True) for f in target])
+        mapping = _manifest_mapping(self.snap)
+        phys_of = {n: mapping.get(n, n) for n in target.names}
         path = os.path.join(self.root, partition.value)
         avail = set(pq.ParquetFile(path).schema_arrow.names)
         table = pq.read_table(
-            path, columns=[n for n in target.names if n in avail]
+            path,
+            columns=[p for p in phys_of.values() if p in avail],
         )
+        # merge-on-read deletes: drop this file's DV'd row ordinals
+        # BEFORE any projection (ordinals are physical row positions)
+        dv = self.snap.get("dv", {}).get(partition.value)
+        if dv and dv.get("bm"):
+            gone = set(_dv_ordinals(dv["bm"]))
+            table = table.take(
+                [i for i in range(len(table)) if i not in gone]
+            )
         # additive schema evolution: null-fill columns this (older)
-        # file doesn't physically carry, then cast to the manifest
-        # schema's arrow types (e.g. tz normalization on timestamps)
+        # file doesn't physically carry; column mapping: physical
+        # file names serve under the manifest's LOGICAL names; then
+        # cast to the manifest schema's arrow types (e.g. tz
+        # normalization on timestamps)
         cols = []
         for field in target:
-            if field.name in table.column_names:
-                cols.append(table.column(field.name))
+            p = phys_of[field.name]
+            if p in table.column_names:
+                cols.append(table.column(p))
             else:
                 cols.append(pa.nulls(len(table), type=field.type))
         out = pa.table(dict(zip(target.names, cols))).cast(
@@ -203,41 +234,94 @@ class TxlogDataSource(DataSource):
 
 def _rows_by_key(root: str, snap: dict, buckets: set, keys: list[str]):
     """{key tuple: row dict} for the given buckets of one version —
-    pure pyarrow, no Spark (this reader is driver-side control plane)."""
+    pure pyarrow, no Spark (runs on the driver for the SIMPLE stream
+    reader, on an executor for the batch backfill reader). Rows come
+    back under the snapshot's LOGICAL names with its deletion vectors
+    applied, so CDF semantics match the Spark-side
+    ``changes_between``."""
     import pyarrow.parquet as pq
 
+    mapping = _manifest_mapping(snap)
+    to_logical = {p: lg for lg, p in mapping.items()}
+    dv = snap.get("dv", {})
     out: dict[tuple, dict] = {}
     for f, b in snap.get("files", {}).items():
         if b not in buckets:
             continue
-        for row in pq.read_table(os.path.join(root, f)).to_pylist():
-            out[tuple(row[k] for k in keys)] = row
+        e = dv.get(f)
+        gone = set(_dv_ordinals(e["bm"])) if e and e.get("bm") else set()
+        rows = pq.read_table(os.path.join(root, f)).to_pylist()
+        for i, row in enumerate(rows):
+            if i in gone:
+                continue
+            if to_logical:
+                row = {to_logical.get(c, c): v for c, v in row.items()}
+            out[tuple(row.get(k) for k in keys)] = row
     return out
 
 
-def _cdf_tuples(
-    root: str, keys: list[str], cols: list[str], v_from: int, v_to: int
-):
-    """Net change rows between two versions as schema-ordered tuples —
-    the same classification changes_between runs in Spark (insert /
-    delete / update pre+post, silent on identical re-writes), scoped to
-    buckets whose file sets differ. ``v_from=0`` is the empty table."""
-    empty = {"files": {}}
-    snap_a = _load_manifest(root, str(v_from)) if v_from > 0 else empty
-    snap_b = _load_manifest(root, str(v_to))
+def _changed_buckets(snap_a: dict, snap_b: dict) -> set:
+    """Buckets whose live content can differ between two manifests: a
+    file's identity includes its deletion-vector state (a DV added
+    between versions changes live rows without changing the file
+    set)."""
+    dv_a, dv_b = snap_a.get("dv", {}), snap_b.get("dv", {})
     by_a: dict[int, set] = {}
     by_b: dict[int, set] = {}
     for f, b in snap_a["files"].items():
-        by_a.setdefault(b, set()).add(f)
+        by_a.setdefault(b, set()).add(
+            (f, json.dumps(dv_a.get(f), sort_keys=True))
+        )
     for f, b in snap_b["files"].items():
-        by_b.setdefault(b, set()).add(f)
-    changed = {
+        by_b.setdefault(b, set()).add(
+            (f, json.dumps(dv_b.get(f), sort_keys=True))
+        )
+    return {
         b
         for b in (by_a.keys() | by_b.keys())
         if by_a.get(b, set()) != by_b.get(b, set())
     }
-    old = _rows_by_key(root, snap_a, changed, keys)
-    new = _rows_by_key(root, snap_b, changed, keys)
+
+
+def _rename_map(snap_a: dict, snap_b: dict) -> dict[str, str]:
+    """old-logical -> new-logical for columns RENAMED between two
+    versions of a column-mapping table (matched by field id — a rename
+    is the same field under a new name, not a drop+add)."""
+    if "fields" not in snap_a or "fields" not in snap_b:
+        return {}
+    a_by_id = {f["id"]: f["name"] for f in snap_a["fields"]}
+    return {
+        a_by_id[f["id"]]: f["name"]
+        for f in snap_b["fields"]
+        if f["id"] in a_by_id and a_by_id[f["id"]] != f["name"]
+    }
+
+
+def _cdf_bucket_tuples(
+    root: str,
+    keys: list[str],
+    cols: list[str],
+    snap_a: dict,
+    snap_b: dict,
+    buckets: set,
+):
+    """Net change rows of the given buckets between two manifests as
+    schema-ordered tuples — the same classification changes_between
+    runs in Spark (insert / delete / update pre+post, silent on
+    identical re-writes). ``keys``/``cols`` are ``snap_b``'s logical
+    names; rows read from ``snap_a`` align to them by field id, so a
+    metadata-only rename between the versions never fakes changes."""
+    renames = _rename_map(snap_a, snap_b)
+    old_keys = {v: k for k, v in renames.items()}
+    old = _rows_by_key(
+        root, snap_a, buckets, [old_keys.get(k, k) for k in keys]
+    )
+    if renames:
+        old = {
+            k: {renames.get(c, c): v for c, v in row.items()}
+            for k, row in old.items()
+        }
+    new = _rows_by_key(root, snap_b, buckets, keys)
     vals = [c for c in cols if c not in keys and c != "_change_type"]
 
     def tup(tag: str, row: dict) -> tuple:
@@ -254,6 +338,21 @@ def _cdf_tuples(
         elif any(o.get(c) != n.get(c) for c in vals):
             yield tup("update_preimage", o)
             yield tup("update_postimage", n)
+
+
+def _cdf_tuples(
+    root: str, keys: list[str], cols: list[str], v_from: int, v_to: int
+):
+    """All-bucket net change rows between two versions (the SIMPLE
+    stream reader's per-batch payload). ``v_from=0`` is the empty
+    table."""
+    empty = {"files": {}}
+    snap_a = _load_manifest(root, str(v_from)) if v_from > 0 else empty
+    snap_b = _load_manifest(root, str(v_to))
+    changed = _changed_buckets(snap_a, snap_b)
+    yield from _cdf_bucket_tuples(
+        root, keys, cols, snap_a, snap_b, changed
+    )
 
 
 class TxlogChangesStreamReader(SimpleDataSourceStreamReader):
@@ -311,10 +410,66 @@ class TxlogChangesStreamReader(SimpleDataSourceStreamReader):
         pass  # manifests are immutable; nothing to release
 
 
+class TxlogChangesBatchReader(DataSourceReader):
+    """Distributed CDF BACKFILL (VERDICT r7 Next #6): one input
+    partition per CHANGED bucket between ``v_from`` and ``v_to``, so a
+    many-version history replays across executors instead of through
+    the driver-side SIMPLE stream reader (whose documented contract is
+    control-plane-sized per-trigger deltas). Each partition diffs just
+    its bucket's files of the two manifests — the same manifest
+    arithmetic ``changes_between`` runs, executed executor-side with
+    pyarrow; per-task memory is bounded by one bucket's two versions.
+    Bucket-level pruning comes free: carried-by-reference buckets
+    (identical files AND deletion vectors) ship no partition at all."""
+
+    def __init__(self, schema: StructType, options: dict) -> None:
+        self.schema = schema
+        self.root = options.get("path")
+        if not self.root:
+            raise ValueError("txlog_changes: path is required")
+        keys = options.get("keys")
+        if not keys:
+            raise ValueError(
+                "txlog_changes: option('keys', 'col1,col2') is required"
+            )
+        self.keys = [k.strip() for k in keys.split(",")]
+        self.cols = schema.fieldNames()
+        v_to = options.get("v_to")
+        self.snap_b = _load_manifest(self.root, v_to)
+        v_from = int(options.get("v_from", "0"))
+        self.snap_a = (
+            _load_manifest(self.root, str(v_from))
+            if v_from > 0
+            else {"files": {}}
+        )
+
+    def partitions(self):
+        changed = sorted(_changed_buckets(self.snap_a, self.snap_b))
+        return [InputPartition(b) for b in changed] or [
+            InputPartition(None)  # no change between the versions
+        ]
+
+    def read(self, partition: InputPartition):
+        if partition.value is None:
+            return
+        yield from _cdf_bucket_tuples(
+            self.root, self.keys, self.cols,
+            self.snap_a, self.snap_b, {partition.value},
+        )
+
+
 class TxlogChangesDataSource(DataSource):
-    """``readStream.format("txlog_changes")``: stream a transaction-log
-    table's change feed (Delta CDF streaming-source analog). Schema =
-    ``_change_type`` + the current manifest schema, all nullable."""
+    """``format("txlog_changes")``: a transaction-log table's change
+    feed (Delta CDF analog), in BOTH execution shapes:
+
+    * ``readStream`` — version-offset exactly-once micro-batches via
+      the SIMPLE (driver-side, control-plane) stream reader;
+    * ``read`` + ``option("v_from", N).option("v_to", M)`` — the
+      distributed BACKFILL: partition-per-changed-bucket batch scan
+      for replaying a long version range at scale.
+
+    Schema = ``_change_type`` + the manifest schema of the target
+    version (``v_to``, default latest), all nullable."""
 
     @classmethod
     def name(cls) -> str:
@@ -323,7 +478,9 @@ class TxlogChangesDataSource(DataSource):
     def schema(self) -> StructType:
         from pyspark.sql.types import StringType, StructField
 
-        snap = _load_manifest(self.options.get("path"), None)
+        snap = _load_manifest(
+            self.options.get("path"), self.options.get("v_to")
+        )
         if "schema" not in snap:
             raise ValueError("txlog_changes: manifest records no schema")
         base = StructType.fromJson(json.loads(snap["schema"]))
@@ -332,6 +489,9 @@ class TxlogChangesDataSource(DataSource):
             f.nullable = True
             fields.append(f)
         return StructType(fields)
+
+    def reader(self, schema: StructType) -> TxlogChangesBatchReader:
+        return TxlogChangesBatchReader(schema, dict(self.options))
 
     def simpleStreamReader(
         self, schema: StructType

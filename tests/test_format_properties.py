@@ -49,8 +49,11 @@ def _snap(file_rows, drop_stats_for: int | None = None,
             "y": [min(ys), max(ys)],
         }
         if with_blooms:
+            # alternate the CURRENT {"k","bm"} entry form with the
+            # legacy bare string so both probe paths stay exercised
+            bm = _bloom_build([r[2] for r in rows], 256, 7)
             entry[BLOOM_KEY] = {
-                "s": _bloom_build([r[2] for r in rows], 256, 7)
+                "s": {"k": 7, "bm": bm} if i % 2 == 0 else bm
             }
         snap["stats"][rel] = entry
     return snap

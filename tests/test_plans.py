@@ -82,10 +82,15 @@ _COLLECT_ALLOWLIST: dict[str, tuple[int, str]] = {
                                    "27-row interest taxonomy"),
     "streaming/rollup.py": (1, "touched partition dates per micro-batch "
                                "(1-2 for a steady stream)"),
-    "formats.py": (4, "touched bucket ids of a merge batch (one site "
-                      "per TableFormat backend) + read_for_keys' and "
-                      "delete_keys' wanted-bucket sets — each "
-                      "<= num_buckets ints"),
+    "formats.py": (6, "touched bucket ids of a merge batch (one site "
+                      "per TableFormat backend) + read_for_keys'/"
+                      "delete_keys'/delete_keys_dv's wanted-bucket "
+                      "sets (each <= num_buckets ints) + "
+                      "delete_keys_dv's victim positions — one (file, "
+                      "ordinal) pair per newly deleted row, the same "
+                      "control-plane budget the manifest pays to "
+                      "store the DV; bulk erasure is documented onto "
+                      "the copy-on-write delete_keys"),
     "extensions/export.py": (1, "shard manifest: one summary row per "
                                 "shard, <= n_shards"),
     "extensions/unigram.py": (2, "vocab table <= seed_size/vocab_size "

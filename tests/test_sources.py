@@ -548,3 +548,95 @@ def test_txlog_changes_stream_matches_batch_cdf(spark, tmp_path):
     before = feed_rows()
     drain()
     assert feed_rows() == before
+
+
+def test_txlog_changes_batch_backfill_distributed(spark, tmp_path):
+    """format('txlog_changes') BATCH reader (VERDICT r7 Next #6): a
+    many-version backfill replays partition-per-changed-bucket — the
+    distributed CDF path — matching the Spark-side changes_between
+    classification exactly, across renames (field-id aligned), DV
+    deletes, and a carried-by-reference bucket (which ships no
+    partition)."""
+    import pyspark.sql.functions as F
+
+    from instagram_data_pipeline_spark.formats import TransactionLogFormat
+    from instagram_data_pipeline_spark.io import Warehouse
+    from instagram_data_pipeline_spark.sources.txlog_source import (
+        TxlogChangesBatchReader, TxlogChangesDataSource,
+    )
+
+    spark.dataSource.register(TxlogChangesDataSource)
+    fmt = TransactionLogFormat()
+    wh = Warehouse(spark, str(tmp_path / "wh"), fmt=fmt)
+
+    def batch(lo, n, tag, ts):
+        return spark.sql(
+            f"SELECT id AS k, '{tag}' AS v, TIMESTAMP '{ts}' AS ts "
+            f"FROM range({lo}, {lo + n})"
+        )
+
+    wh.upsert_partitioned(
+        "t", batch(0, 60, "a", "2024-01-01"), ["k"], "ts", num_buckets=4
+    )
+    wh.upsert_partitioned(
+        "t", batch(50, 20, "b", "2024-02-01"), ["k"], "ts", num_buckets=4
+    )
+    fmt.rename_column(wh, "t", "v", "val")
+    fmt.delete_keys_dv(
+        wh, "t", ["k"],
+        spark.createDataFrame([(3,), (51,)], "k long"), num_buckets=4,
+    )
+    tbl = str(tmp_path / "wh" / "t")
+
+    # full-history backfill nets out to the live snapshot as inserts
+    bf = (
+        spark.read.format("txlog_changes")
+        .option("keys", "k").option("v_from", "0").load(tbl)
+    )
+    assert bf.columns == ["_change_type", "k", "val", "ts"]
+    got = {r._change_type: r["count"]
+           for r in bf.groupBy("_change_type").count().collect()}
+    assert got == {"insert": 68}  # 70 keys - 2 DV-deleted
+    live = {r.k for r in bf.filter("_change_type = 'insert'").collect()}
+    assert live == set(range(70)) - {3, 51}
+
+    # window v1->v2: 50..59 update a->b, 60..69 insert — and it must
+    # agree row-for-row with the Spark-side changes_between
+    win = (
+        spark.read.format("txlog_changes")
+        .option("keys", "k")
+        .option("v_from", "1").option("v_to", "2").load(tbl)
+    )
+    # v2 predates the rename: its own schema serves 'v'
+    assert win.columns == ["_change_type", "k", "v", "ts"]
+    spark_side = fmt.changes_between(wh, "t", ["k"], 1, 2)
+    assert sorted(map(tuple, win.collect())) == sorted(
+        map(tuple, spark_side.select(win.columns).collect())
+    )
+
+    # rename-only window: zero rows AND zero scheduled partitions
+    r = TxlogChangesBatchReader(
+        spark.read.format("txlog_changes")
+        .option("keys", "k")
+        .option("v_from", "2").option("v_to", "3").load(tbl).schema,
+        {"path": tbl, "keys": "k", "v_from": "2", "v_to": "3"},
+    )
+    parts = r.partitions()
+    assert len(parts) == 1 and parts[0].value is None
+
+    # DV window: only the two deletes, under the renamed column
+    dvw = (
+        spark.read.format("txlog_changes")
+        .option("keys", "k")
+        .option("v_from", "3").option("v_to", "4").load(tbl)
+    )
+    rows = dvw.collect()
+    assert {r._change_type for r in rows} == {"delete"}
+    assert {r.k for r in rows} == {3, 51}
+    # the DV window scheduled only the CHANGED buckets' partitions
+    r2 = TxlogChangesBatchReader(
+        dvw.schema, {"path": tbl, "keys": "k", "v_from": "3",
+                     "v_to": "4"},
+    )
+    n_changed = len(r2.partitions())
+    assert n_changed <= 2  # the two victims' buckets at most
