@@ -313,6 +313,7 @@ class TransactionLogFormat:
     # fault-injection shims) still get plain unclustered layout
     cluster_col: str | None = None
     zorder_cols: tuple[str, ...] | None = None
+    zorder_equidepth: bool = False
     max_records_per_file: int | None = None
     bloom_cols: tuple[str, ...] | None = None
     bloom_bits: int = 1 << 16
@@ -326,6 +327,7 @@ class TransactionLogFormat:
         bloom_cols: list[str] | tuple[str, ...] | None = None,
         bloom_bits: int = 1 << 16,
         bloom_hashes: int = 7,
+        zorder_equidepth: bool = False,
     ) -> None:
         """``cluster_col`` turns on within-bucket clustering — the
         ZORDER/liquid-clustering half of the Delta/Iceberg layout
@@ -347,6 +349,14 @@ class TransactionLogFormat:
         pruning on one dimension and none on the others; the Z-curve
         trades a little per-dimension narrowness for usable pruning on
         all of them. Mutually exclusive with ``cluster_col``.
+        ``zorder_equidepth`` switches the per-column ranks from linear
+        min/max scaling to EQUI-DEPTH quantile buckets
+        (approx_percentile cut points, 8-bit): on a power-law column,
+        linear ranks collapse the dense region into a few codes (one
+        outlier stretches the range) and box pruning degrades — rank
+        space keeps every bucket ~equal row count, so Z-boxes stay
+        balanced whatever the distribution (the Delta
+        range_partition_id practice).
 
         ``bloom_cols`` stores a per-file Bloom bitmap in the manifest
         for each named column (integer/string typed) — the Delta/
@@ -365,8 +375,11 @@ class TransactionLogFormat:
             )
         if zorder_cols is not None and len(zorder_cols) < 2:
             raise ValueError("zorder_cols needs >= 2 columns")
+        if zorder_equidepth and not zorder_cols:
+            raise ValueError("zorder_equidepth requires zorder_cols")
         self.cluster_col = cluster_col
         self.zorder_cols = tuple(zorder_cols) if zorder_cols else None
+        self.zorder_equidepth = bool(zorder_equidepth)
         self.max_records_per_file = max_records_per_file
         self.bloom_cols = tuple(bloom_cols) if bloom_cols else None
         self.bloom_bits = int(bloom_bits)
@@ -468,31 +481,58 @@ class TransactionLogFormat:
             # placement choice, never correctness: zone maps only
             # over-approximate). Same bcol-first sort discipline as
             # cluster_col so partitionBy doesn't re-sort.
-            from .operators.layout import _normalize, zorder_key
+            from .operators.layout import (
+                EQUIDEPTH_BITS,
+                _equidepth_rank,
+                _normalize,
+                equidepth_bounds,
+                zorder_key,
+            )
 
             zcols = list(self.zorder_cols)
-            aggs = []
-            for c in zcols:
-                d = F.col(c).cast("double")
-                aggs += [
-                    F.min(d).alias(f"_zmn_{c}"),
-                    F.max(d).alias(f"_zmx_{c}"),
-                ]
-            stats = F.broadcast(df.agg(*aggs))
-            ranks = [
-                _normalize(
-                    F.col(c).cast("double"),
-                    F.col(f"_zmn_{c}"),
-                    F.col(f"_zmx_{c}"),
-                    16,
+            if self.zorder_equidepth:
+                # quantile cut points instead of min/max: balanced
+                # Z-boxes under power-law skew (see __init__)
+                bits = EQUIDEPTH_BITS
+                stats = F.broadcast(
+                    df.agg(
+                        *[
+                            equidepth_bounds(c, bits).alias(f"_zbd_{c}")
+                            for c in zcols
+                        ]
+                    )
                 )
-                for c in zcols
-            ]
+                ranks = [
+                    _equidepth_rank(F.col(c), F.col(f"_zbd_{c}"))
+                    for c in zcols
+                ]
+                drop_cols = [f"_zbd_{c}" for c in zcols]
+            else:
+                bits = 16
+                aggs = []
+                for c in zcols:
+                    d = F.col(c).cast("double")
+                    aggs += [
+                        F.min(d).alias(f"_zmn_{c}"),
+                        F.max(d).alias(f"_zmx_{c}"),
+                    ]
+                stats = F.broadcast(df.agg(*aggs))
+                ranks = [
+                    _normalize(
+                        F.col(c).cast("double"),
+                        F.col(f"_zmn_{c}"),
+                        F.col(f"_zmx_{c}"),
+                        16,
+                    )
+                    for c in zcols
+                ]
+                drop_cols = [f"_zmn_{c}" for c in zcols] + [
+                    f"_zmx_{c}" for c in zcols
+                ]
             out = (
                 out.crossJoin(stats)
-                .withColumn("_zkey", zorder_key(ranks, 16))
-                .drop(*[f"_zmn_{c}" for c in zcols])
-                .drop(*[f"_zmx_{c}" for c in zcols])
+                .withColumn("_zkey", zorder_key(ranks, bits))
+                .drop(*drop_cols)
                 .sortWithinPartitions(bcol, "_zkey")
                 .drop("_zkey")
             )

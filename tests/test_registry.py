@@ -10,26 +10,29 @@ from instagram_data_pipeline_spark.queries import (
     load_all,
 )
 
-# queries that MUST occupy the round-7 driver window: the r6 red-test
-# fix (gopher_quality_filter, never seated), the changed-implementation
-# re-verifies (ADVICE r6), and second lifetime rows for the round-6
-# first-row singles (VERDICT r6 "What's missing" #2)
+# queries that MUST occupy the round-8 driver window: the new
+# format-lifecycle queries, the changed-implementation re-verifies
+# (formats.py grew column mapping + deletion vectors + the ADVICE r7
+# fixes; adamic_adar gained the hub-degree cap), and second lifetime
+# rows for the round-7 first-row singles (VERDICT r7 Missing #1)
 PRIORITY = {
-    # the one red pytest of round 6: registered but never seated
-    "gopher_quality_filter",
-    # implementation changed in round 7 — re-verify in-window (ADVICE r6:
-    # decimal cross-multiply, engine-exact integer division, empty-batch
-    # dead_upstream flag, bucketed-join catalog cleanup)
-    "join_size_preflight", "score_calibration", "monitor_drift_report",
-    "bucketed_join",
-    # second lifetime rows for the round-6 first-row singles
-    "lm_perplexity_kneser_ney", "containment_pairs",
-    "mv_incremental_refresh", "mojibake_repair", "mixture_epochs",
-    "jsonl_quarantine", "csv_quarantine", "intradoc_line_dedup",
-    "matryoshka_recall", "txlog_count_pushdown", "txlog_retention_lookup",
-    "pca_eig2_fixed",
-    # rows-only trainer adjacent to its hash-checked twin (policy)
-    "pca_components",
+    # new round-8 format-lifecycle queries
+    "txlog_rename_evolution", "txlog_delete_vectors",
+    "txlog_changes_backfill",
+    # implementation changed in round 8 — re-verify in-window
+    "adamic_adar",
+    "txlog_zonemap_scan", "txlog_compact", "txlog_zorder_scan",
+    "txlog_minmax_pushdown", "txlog_change_feed", "txlog_bloom_lookup",
+    "txlog_datasource_scan", "txlog_stream_changes",
+    "txlog_retention_lookup", "txlog_count_pushdown",
+    # second lifetime rows for the round-7 first-row singles
+    "gopher_quality_filter", "byte_bpe_encode_tokens",
+    "late_data_accounting", "grouping_sets_revenue", "record_linkage",
+    "semdedup_drops", "hll_merge_rollup", "phrase_search",
+    "mad_outliers", "stream_outer_attribution", "cdc_chunk_stats",
+    "json_schema_infer",
+    # the two second rows round 7 explicitly deferred
+    "mutual_edges_salted", "dataset_card",
 }
 
 
@@ -73,6 +76,10 @@ POST_WINDOW_ROWS_ONLY_OK = {
     # seated at the window's last slot (r06 green); k-means codebook
     # convergence pinned in tests/test_similarity.py
     "pq_topk",
+    # iterative eigen-trainer tier, demoted ADJACENT to its
+    # hash-checked twin pca_eig2_fixed (both r6+r7 driver-green);
+    # tests/test_pca.py pins reconstruction + orthonormality
+    "pca_components",
 }
 
 
