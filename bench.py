@@ -51,6 +51,8 @@ EXTRA_QUERIES = [
     "mixture_epochs",       # epoch-repeat mixture (sequence-explode fan-out)
     "txlog_zorder_scan",    # Z-order write + manifest box-pruned 2-D scan
     "txlog_change_feed",    # merge+delete+CDF diff over the txlog
+    "txlog_delete_vectors", # merge-on-read deletes: zero-file point
+    #                         erase (asserted in-query) + compaction
 ]
 
 # SURVEY §7 risk 5: celebrity fan-out. One synthetic hot key owning

@@ -38,11 +38,21 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 PROBE_QUERIES = ["curation_pipeline", "ngram_jaccard_pairs",
                  "minhash_near_dups"]
 
+# the remaining >0.5s headline queries (VERDICT r7 Next #8): the J1
+# self-join over scaled lineitem edges, per-user window sessionization
+# over scaled events, fixed-probe brute-force ANN over a scaled corpus
+# (queries stay the 10 originals, so the expected shape is linear in
+# corpus), and text scoring over the scaled documents
+HEADLINE_PROBE_QUERIES = ["mutual_edges", "sessionize_batch",
+                          "cosine_topk", "lang_id"]
+
 # write-path probes over the scaled ORDERS table: merge + clustered
-# write + manifest-pruned read (txlog_zorder_scan) and merge + refresh
-# + delete + version diff (txlog_change_feed) — the format's cost must
-# track the data it rewrites, not the table
-TXLOG_PROBE_QUERIES = ["txlog_zorder_scan", "txlog_change_feed"]
+# write + manifest-pruned read (txlog_zorder_scan), merge + refresh +
+# delete + version diff (txlog_change_feed), and the five-version
+# distributed CDF backfill (txlog_changes_backfill) — the format's
+# cost must track the data it rewrites/replays, not the table
+TXLOG_PROBE_QUERIES = ["txlog_zorder_scan", "txlog_change_feed",
+                       "txlog_changes_backfill"]
 
 # distinct strides, coprime to virtually all word counts
 _STRIDES = [1, 7, 11, 13, 17, 19, 23, 29, 31, 37, 41, 43]
@@ -112,14 +122,78 @@ def build_scaled_orders(spark, sf_dir: str, out_dir: str,
     )
 
 
+def build_scaled_simple(spark, sf_dir: str, out_dir: str, factor: int,
+                        table: str, shift_cols: list[str]) -> None:
+    """factor x ``table``: replica k shifts the named id columns past
+    the originals — rows/groups stay independent across replicas, so
+    the operator under probe sees factor x its real key space, not a
+    degenerate all-duplicates corpus."""
+    import pyspark.sql.functions as F
+
+    from instagram_data_pipeline_spark.io import load_testdata
+
+    base = load_testdata(spark, sf_dir, table)
+    n = base.count()
+    reps = []
+    for k in range(factor):
+        r = base
+        for c in shift_cols:
+            r = r.withColumn(c, F.col(c) + F.lit(k * 10 * n))
+        reps.append(r)
+    out = reps[0]
+    for r in reps[1:]:
+        out = out.unionByName(r)
+    out.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(out_dir, f"{table}.parquet")
+    )
+
+
+def build_scaled_embeddings(spark, sf_dir: str, out_dir: str,
+                            factor: int) -> None:
+    """factor x embeddings CORPUS with the 10 probe queries kept
+    un-replicated (vec_id < 10 stays singular): replica k shifts only
+    corpus ids, so cosine_topk's work is linear in corpus size — the
+    operator's real scaling — instead of quadratic in the replica
+    count."""
+    import pyspark.sql.functions as F
+
+    from instagram_data_pipeline_spark.io import load_testdata
+
+    emb = load_testdata(spark, sf_dir, "embeddings")
+    n = emb.count()
+    queries = emb.filter(F.col("vec_id") < 10)
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    reps = [
+        corpus.withColumn("vec_id", F.col("vec_id") + F.lit(k * 10 * n))
+        for k in range(factor)
+    ]
+    out = queries
+    for r in reps:
+        out = out.unionByName(r)
+    out.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "embeddings.parquet")
+    )
+
+
+# LIMIT-free queries whose output grows with the input (~1M rows at
+# 8x): count() executes the identical full join/window plan while a
+# collect() would time driver-side row serialization, not the operator
+COUNT_QUERIES = {"mutual_edges", "sessionize_batch"}
+
+
 def time_query(registry, spark, name: str, sf_dir: str, runs: int) -> float:
     best = None
     for _ in range(runs):
         t0 = time.time()
-        # collect(), not count(): a trailing LIMIT lets count() plan an
-        # early-exit that skips the upstream full-corpus aggregations,
-        # which would fake a flat (even negative) scaling exponent
-        len(registry[name].spark_fn(spark, sf_dir).collect())
+        df = registry[name].spark_fn(spark, sf_dir)
+        if name in COUNT_QUERIES:
+            df.count()
+        else:
+            # collect(), not count(): a trailing LIMIT lets count()
+            # plan an early-exit that skips the upstream full-corpus
+            # aggregations, which would fake a flat (even negative)
+            # scaling exponent
+            len(df.collect())
         el = time.time() - t0
         best = el if best is None else min(best, el)
     return best
@@ -144,15 +218,20 @@ def main() -> int:
     try:
         # re-land 1x through the same writer so both sides read
         # identically-encoded parquet (no INT96/nanos asymmetry)
-        build_scaled_documents(spark, args.sf, base, 1)
-        build_scaled_documents(spark, args.sf, big, args.factor)
-        build_scaled_orders(spark, args.sf, base, 1)
-        build_scaled_orders(spark, args.sf, big, args.factor)
+        for dst, fac in ((base, 1), (big, args.factor)):
+            build_scaled_documents(spark, args.sf, dst, fac)
+            build_scaled_orders(spark, args.sf, dst, fac)
+            build_scaled_simple(spark, args.sf, dst, fac, "lineitem",
+                                ["l_orderkey", "l_suppkey"])
+            build_scaled_simple(spark, args.sf, dst, fac, "events",
+                                ["event_id", "user_id"])
+            build_scaled_embeddings(spark, args.sf, dst, fac)
 
         results = {}
         print(f"| query | t_1x (s) | t_{args.factor}x (s) | alpha |")
         print("|---|---|---|---|")
-        for name in PROBE_QUERIES + TXLOG_PROBE_QUERIES:
+        for name in (PROBE_QUERIES + HEADLINE_PROBE_QUERIES
+                     + TXLOG_PROBE_QUERIES):
             t1 = time_query(registry, spark, name, base, args.runs)
             t8 = time_query(registry, spark, name, big, args.runs)
             alpha = math.log(t8 / t1) / math.log(args.factor)
