@@ -640,3 +640,70 @@ def test_txlog_changes_batch_backfill_distributed(spark, tmp_path):
     )
     n_changed = len(r2.partitions())
     assert n_changed <= 2  # the two victims' buckets at most
+
+
+def test_txlog_changes_stream_across_rename_and_dv(spark, tmp_path):
+    """The STREAMING face of the change feed across the r8 lifecycle
+    ops: a metadata-only rename between drains emits NOTHING (field-id
+    alignment — same field, new name), and a deletion-vector point
+    delete emits exactly its delete rows — matching the Spark-side
+    changes_between for every step. The stream schema follows the
+    manifest current at stream start; keys are current logical names."""
+    from instagram_data_pipeline_spark.formats import TransactionLogFormat
+    from instagram_data_pipeline_spark.io import Warehouse
+    from instagram_data_pipeline_spark.sources.txlog_source import (
+        TxlogChangesDataSource,
+    )
+
+    spark.dataSource.register(TxlogChangesDataSource)
+    fmt = TransactionLogFormat()
+    wh = Warehouse(spark, str(tmp_path / "wh"), fmt=fmt)
+    root = wh.path("facts")
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    wh.upsert_partitioned(
+        "facts",
+        spark.sql("SELECT id AS k, CAST(id AS DOUBLE) AS v, "
+                  "TIMESTAMP '2024-01-01' AS ts FROM range(30)"),
+        ["k"], "ts", num_buckets=4,
+    )
+    fmt.rename_column(wh, "facts", "v", "score")
+
+    def drain():
+        q = (
+            spark.readStream.format("txlog_changes")
+            .option("keys", "k").load(root)
+            .writeStream.format("parquet").option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+
+    def feed_rows():
+        return {
+            (r._change_type, r.k, r.score)
+            for r in spark.read.parquet(out).collect()
+        }
+
+    # stream starts after the rename: schema speaks 'score', and the
+    # v1 rows (physically stored under 'v') surface through the
+    # mapping as inserts
+    drain()
+    assert feed_rows() == {("insert", k, float(k)) for k in range(30)}
+
+    # a DV point delete between drains: exactly its delete rows
+    fmt.delete_keys_dv(
+        wh, "facts", ["k"],
+        spark.createDataFrame([(5,), (17,)], "k long"), num_buckets=4,
+    )
+    drain()
+    got = feed_rows()
+    deletes = {(t, k, s) for (t, k, s) in got if t == "delete"}
+    assert deletes == {("delete", 5, 5.0), ("delete", 17, 17.0)}
+    # and nothing else changed: inserts stay the original 30
+    assert len(got) == 32
+
+    # a rename mid-stream is metadata-only: NO feed rows for it
+    fmt.rename_column(wh, "facts", "score", "quality")
+    drain()
+    assert len(feed_rows()) == 32  # idle drain, rename stayed silent
