@@ -665,11 +665,20 @@ class TransactionLogFormat:
                 try:
                     self._publish(
                         wh, table, 1, files, incoming.schema.json(),
-                        rows=rows, stats=stats,
+                        rows=rows, stats=stats, keys=list(keys),
                     )
                     return
                 except CommitConflict:
                     continue  # lost the create race: merge into theirs
+            recorded = self._keys_of(snap)
+            if recorded is not None and recorded != list(keys):
+                # ORDER included: xxhash64(*keys) is order-sensitive,
+                # so a different key list re-buckets nothing that is
+                # already on disk — rows would silently duplicate
+                raise ValueError(
+                    f"merge on {table!r}: committed under keys "
+                    f"{recorded}, caller passed {list(keys)}"
+                )
             if "schema" in snap:
                 from pyspark.sql.types import StructType
 
@@ -787,6 +796,9 @@ class TransactionLogFormat:
                     published["next_fid"] = next_fid
                     if dropped_fields:
                         published["dropped_fields"] = dropped_fields
+                # key recording bootstraps on the first rewrite of a
+                # pre-keys table (the caller's keys ARE the contract)
+                published["keys"] = base.get("keys", list(keys))
                 self._publish(
                     wh, table, published["version"],
                     published["files"], schema_json,
@@ -796,6 +808,7 @@ class TransactionLogFormat:
                     fields=published.get("fields"),
                     dropped_fields=published.get("dropped_fields"),
                     next_fid=published.get("next_fid"),
+                    keys=published["keys"],
                 )
                 return published
             except CommitConflict:
@@ -963,6 +976,12 @@ class TransactionLogFormat:
                     for f in schema.fields
                 ]
             )
+            # the key list tracks the rename: it names LOGICAL columns
+            # and a rename does not change hashing (physical bytes and
+            # bucket function are untouched)
+            rec_keys = self._keys_of(snap)
+            if rec_keys is not None:
+                rec_keys = [new if k == old else k for k in rec_keys]
             try:
                 self._publish(
                     wh, table, snap["version"] + 1, snap["files"],
@@ -970,6 +989,7 @@ class TransactionLogFormat:
                     rows=snap.get("rows"), stats=snap.get("stats"),
                     dv=snap.get("dv"), fields=fields,
                     dropped_fields=dropped or None, next_fid=next_fid,
+                    keys=rec_keys,
                 )
                 return snap["version"] + 1
             except CommitConflict:
@@ -1007,6 +1027,13 @@ class TransactionLogFormat:
                 raise ValueError(f"drop_column: no column {name!r}")
             if len(names) == 1:
                 raise ValueError("drop_column: cannot drop the last column")
+            rec_keys = self._keys_of(snap)
+            if rec_keys is not None and name in rec_keys:
+                raise ValueError(
+                    f"drop_column: {name!r} is a merge key of {table!r} "
+                    f"(recorded keys {rec_keys}) — later merges could "
+                    f"not resolve the bucket function"
+                )
             fields, dropped, next_fid = self._bootstrap_fields(
                 snap, schema
             )
@@ -1027,12 +1054,132 @@ class TransactionLogFormat:
                     rows=snap.get("rows"), stats=snap.get("stats"),
                     dv=snap.get("dv"), fields=keep_fields,
                     dropped_fields=dropped, next_fid=next_fid,
+                    keys=rec_keys,
                 )
                 return snap["version"] + 1
             except CommitConflict:
                 continue
         raise CommitConflict(
             f"drop_column on {table!r}: gave up after "
+            f"{self.MAX_COMMIT_RETRIES} commit conflicts"
+        )
+
+    def widen_column(self, wh, table: str, col: str, new_type) -> int:
+        """Metadata-only TYPE WIDENING (the Delta type-widening
+        feature): publish version N+1 whose schema records ``col`` at
+        a strictly wider type from the safe lattice (``_WIDENINGS`` —
+        integral up-chain, float->double, small-integral->double; all
+        conversions Spark's parquet reader upcasts losslessly at scan
+        time, verified: int32 files read exactly under a long/double
+        schema). Every data file is carried by reference; subsequent
+        merges simply arrive with the wider type. Time travel keeps
+        each version's own narrower type.
+
+        A MERGE KEY column is refused: xxhash64 hashes int32 and int64
+        to DIFFERENT values, so widening a key would silently re-bucket
+        incoming rows away from their stored twins (verified:
+        xxhash64(CAST(5 AS INT)) != xxhash64(CAST(5 AS BIGINT))) —
+        duplicate keys, the corruption this guard exists to prevent.
+        Widening to a floating type also strips the column's manifest
+        BLOOM entries (bloom values canonicalize via str(); str(5.0)
+        != str(5) would turn probes into silent false negatives —
+        absent blooms merely cost extra file opens). Returns the
+        published version."""
+        from pyspark.sql.types import (
+            DoubleType,
+            IntegerType,
+            LongType,
+            ShortType,
+            StructField,
+            StructType,
+        )
+
+        named = {
+            "short": ShortType(), "smallint": ShortType(),
+            "integer": IntegerType(), "int": IntegerType(),
+            "long": LongType(), "bigint": LongType(),
+            "double": DoubleType(),
+        }
+        if isinstance(new_type, str):
+            if new_type not in named:
+                raise ValueError(
+                    f"widen_column: unknown target type {new_type!r} "
+                    f"(one of {sorted(named)})"
+                )
+            new_dt = named[new_type]
+        else:
+            new_dt = new_type
+        for _ in range(self.MAX_COMMIT_RETRIES):
+            snap = self._latest(wh, table)
+            if snap is None:
+                raise FileNotFoundError(f"no committed version for {table}")
+            if "schema" not in snap:
+                raise ValueError(
+                    f"widen_column: {table!r} has a pre-schema manifest"
+                )
+            schema = StructType.fromJson(json.loads(snap["schema"]))
+            names = [f.name for f in schema.fields]
+            if col not in names:
+                raise ValueError(f"widen_column: no column {col!r}")
+            rec_keys = self._keys_of(snap)
+            if rec_keys is not None and col in rec_keys:
+                raise ValueError(
+                    f"widen_column: {col!r} is a merge key of "
+                    f"{table!r} — xxhash64 buckets int32 and int64 "
+                    f"differently, widening would silently re-bucket"
+                )
+            old_dt = schema[col].dataType
+            pair = (old_dt.typeName(), new_dt.typeName())
+            if pair not in self._WIDENINGS:
+                raise ValueError(
+                    f"widen_column: {pair[0]} -> {pair[1]} is not a "
+                    f"safe widening (allowed: integral up-chain, "
+                    f"float->double, small-integral->double)"
+                )
+            new_schema = StructType(
+                [
+                    StructField(
+                        f.name,
+                        new_dt if f.name == col else f.dataType,
+                        f.nullable, f.metadata,
+                    )
+                    for f in schema.fields
+                ]
+            )
+            stats = snap.get("stats")
+            if new_dt.typeName() in ("float", "double") and stats:
+                pc = self._phys(snap, col)
+                stats = {
+                    f: {
+                        **{k: v for k, v in s.items() if k != BLOOM_KEY},
+                        **(
+                            {
+                                BLOOM_KEY: {
+                                    c: b
+                                    for c, b in s[BLOOM_KEY].items()
+                                    if c != pc
+                                }
+                            }
+                            if BLOOM_KEY in s
+                            else {}
+                        ),
+                    }
+                    for f, s in stats.items()
+                }
+            try:
+                self._publish(
+                    wh, table, snap["version"] + 1, snap["files"],
+                    new_schema.json(),
+                    rows=snap.get("rows"), stats=stats,
+                    dv=snap.get("dv"), fields=snap.get("fields"),
+                    dropped_fields=snap.get("dropped_fields"),
+                    next_fid=snap.get("next_fid"), keys=rec_keys,
+                )
+                return snap["version"] + 1
+            except CommitConflict:
+                continue
+        raise CommitConflict(
+            f"widen_column on {table!r}: gave up after "
             f"{self.MAX_COMMIT_RETRIES} commit conflicts"
         )
 
@@ -1175,6 +1322,7 @@ class TransactionLogFormat:
                     dv=new_dv, fields=snap.get("fields"),
                     dropped_fields=snap.get("dropped_fields"),
                     next_fid=snap.get("next_fid"),
+                    keys=snap.get("keys", list(keys)),
                 )
                 return len(victims)
             except CommitConflict:
@@ -1194,6 +1342,30 @@ class TransactionLogFormat:
     # flips ``name`` only (metadata-only, zero data files touched);
     # DROP moves the field to the tombstone list. Unmapped tables
     # (no ``fields``) behave exactly as before: identity mapping.
+
+    #: safe read-time widenings (the Delta type-widening lattice,
+    #: restricted to conversions Spark's parquet reader upcasts
+    #: losslessly): integral up-chain, float->double, and small
+    #: integrals -> double (every int32 is exact in a double).
+    #: long->double is NOT here — it loses precision above 2^53.
+    _WIDENINGS = frozenset(
+        {
+            ("byte", "short"), ("byte", "integer"), ("byte", "long"),
+            ("short", "integer"), ("short", "long"),
+            ("integer", "long"),
+            ("float", "double"),
+            ("byte", "double"), ("short", "double"),
+            ("integer", "double"),
+        }
+    )
+
+    @staticmethod
+    def _keys_of(snap: dict) -> list | None:
+        """The merge-key column list this table was committed under
+        (recorded at first write; ORDER matters — xxhash64(*keys) is
+        order-sensitive, so the key list is part of the table's
+        physical contract)."""
+        return snap.get("keys")
 
     @staticmethod
     def _mapping(snap: dict) -> dict[str, str]:
@@ -1600,6 +1772,7 @@ class TransactionLogFormat:
                     fields=snap.get("fields"),
                     dropped_fields=snap.get("dropped_fields"),
                     next_fid=snap.get("next_fid"),
+                    keys=snap.get("keys", list(keys)),
                 )
                 return before, len(new_files)
             except CommitConflict:

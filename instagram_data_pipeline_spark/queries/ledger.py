@@ -1721,3 +1721,96 @@ def q_txlog_changes_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load(wh.path("facts"))
         .select("_change_type", "k", "v", "ts")
     )
+
+
+# ---------------------------------------------------------------------------
+# Type widening (Delta type-widening analog): the metric column starts
+# INT, widens to BIGINT in a metadata-only commit (asserted in-query:
+# identical file set), then a merge lands values that OVERFLOW int32 —
+# the mixed int32/int64 physical files read back exactly under the
+# wide schema (Spark's parquet reader upcasts losslessly at scan
+# time), while version 1 time-travels under its own narrow type. The
+# oracle replays both states semantically; values above 2^31 prove the
+# widening is live, not cosmetic.
+# ---------------------------------------------------------------------------
+_TXLOG_WIDEN_ORACLE = f"""
+WITH pre AS (
+  SELECT o_custkey AS k, CAST(COUNT(*) AS BIGINT) AS cnt,
+         MAX(o_orderdate) AS ts
+  FROM orders WHERE o_orderdate < TIMESTAMP '{_TXLOG_CUT}' GROUP BY 1
+), post AS (
+  SELECT o_custkey AS k,
+         CAST(CAST(MAX(o_totalprice) AS DECIMAL(18,2)) * 100000
+              AS BIGINT) AS cnt,
+         MAX(o_orderdate) AS ts
+  FROM orders WHERE o_orderdate >= TIMESTAMP '{_TXLOG_CUT}' GROUP BY 1
+), cur AS (
+  SELECT COALESCE(post.k, pre.k) AS k,
+         COALESCE(post.cnt, pre.cnt) AS cnt,
+         COALESCE(post.ts, pre.ts) AS ts
+  FROM pre FULL OUTER JOIN post ON pre.k = post.k
+)
+SELECT 'v1' AS snapshot, k, cnt, ts FROM pre
+UNION ALL
+SELECT 'current' AS snapshot, k, cnt, ts FROM cur
+"""
+
+
+@register(
+    "txlog_widen_evolution",
+    _TXLOG_WIDEN_ORACLE,
+    doc="type widening (Delta type-widening analog): widen_column "
+        "publishes a metadata-only INT->BIGINT version — asserted "
+        "in-query: identical file set — then a merge lands values "
+        "beyond int32 range; mixed int32/int64 physical files read "
+        "exactly under the wide schema via Spark's lossless parquet "
+        "upcast, v1 time-travels under its own narrow type, and the "
+        "manifest-recorded merge-key list (bucket contract) refuses "
+        "key-column widening because xxhash64 buckets int32/int64 "
+        "differently; oracle replays both states semantically",
+    tags=("writes", "format", "evolution"),
+)
+def q_txlog_widen_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+
+    from ..formats import TransactionLogFormat
+    from ..io import Warehouse
+
+    orders = load_testdata(spark, sf_dir, "orders")
+    cut = F.lit(_TXLOG_CUT).cast("timestamp")
+    b1 = (
+        orders.filter(F.col("o_orderdate") < cut)
+        .groupBy(F.col("o_custkey").alias("k"))
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("cnt"),
+            F.max("o_orderdate").alias("ts"),
+        )
+    )
+    b2 = (
+        orders.filter(F.col("o_orderdate") >= cut)
+        .groupBy(F.col("o_custkey").alias("k"))
+        .agg(
+            (F.max("o_totalprice").cast("decimal(18,2)") * 100000)
+            .cast("long").alias("cnt"),
+            F.max("o_orderdate").alias("ts"),
+        )
+    )
+    fmt = TransactionLogFormat()
+    wh = Warehouse(spark, _scratch("txlog_widen"), fmt=fmt)
+    wh.upsert_partitioned("facts", b1, ["k"], "ts", num_buckets=8)
+    files_v1 = fmt._latest(wh, "facts")["files"]
+    fmt.widen_column(wh, "facts", "cnt", "long")
+    assert fmt._latest(wh, "facts")["files"] == files_v1  # metadata-only
+    wh.upsert_partitioned("facts", b2, ["k"], "ts", num_buckets=8)
+    v1 = fmt.read_version(wh, "facts", 1)
+    assert dict(v1.dtypes)["cnt"] == "int"  # history keeps narrow
+    cur = fmt.read_merged(wh, "facts")
+    assert dict(cur.dtypes)["cnt"] == "bigint"
+    return (
+        v1.select(
+            F.lit("v1").alias("snapshot"), "k",
+            F.col("cnt").cast("long").alias("cnt"), "ts",
+        )
+        .unionByName(
+            cur.select(F.lit("current").alias("snapshot"), "k", "cnt", "ts")
+        )
+    )

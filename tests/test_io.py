@@ -1748,3 +1748,120 @@ def test_txlog_zorder_equidepth_prunes_under_power_law(spark, tmp_path):
             r.k for r in fmt.read_for_box(wh, "facts", box).collect()
         )
         assert got == want
+
+
+def test_txlog_widen_column_and_recorded_keys(spark, tmp_path):
+    """Type widening (Delta type-widening analog) is metadata-only and
+    read-time exact over mixed physical widths; the manifest-recorded
+    merge-key list enforces the bucket contract: wrong-key merges,
+    key-column widening (xxhash64 buckets int32/int64 differently),
+    and key-column drops are refused; a key rename tracks the list."""
+    from instagram_data_pipeline_spark.formats import TransactionLogFormat
+    from instagram_data_pipeline_spark.io import Warehouse
+
+    fmt = TransactionLogFormat()
+    wh = Warehouse(spark, str(tmp_path / "wh"), fmt=fmt)
+    df = spark.sql(
+        "SELECT id AS k, CAST(id AS INT) AS cnt, "
+        "CAST(id AS FLOAT) AS score, TIMESTAMP '2024-01-01' AS ts "
+        "FROM range(100)"
+    )
+    wh.upsert_partitioned("t", df, ["k"], "ts", num_buckets=4)
+    snap = fmt._latest(wh, "t")
+    assert snap["keys"] == ["k"]
+
+    # the key list is the physical contract — order and membership
+    with pytest.raises(ValueError, match="committed under keys"):
+        wh.upsert_partitioned("t", df, ["cnt"], "ts", num_buckets=4)
+
+    # widening: zero data files touched, reads upcast exactly
+    files_v1 = snap["files"]
+    fmt.widen_column(wh, "t", "cnt", "long")
+    assert fmt._latest(wh, "t")["files"] == files_v1
+    cur = fmt.read_merged(wh, "t")
+    assert dict(cur.dtypes)["cnt"] == "bigint"
+    assert cur.filter("k = 7").first().cnt == 7
+
+    # merge with the wide type: mixed int32/int64 physical files under
+    # one manifest, keep-newest still exact
+    up = spark.sql(
+        "SELECT id AS k, CAST(id * 10 AS BIGINT) AS cnt, "
+        "CAST(id AS FLOAT) AS score, TIMESTAMP '2024-02-01' AS ts "
+        "FROM range(95, 105)"
+    )
+    wh.upsert_partitioned("t", up, ["k"], "ts", num_buckets=4)
+    cur = fmt.read_merged(wh, "t")
+    assert cur.count() == 105
+    assert cur.filter("k = 98").first().cnt == 980
+    assert cur.filter("k = 7").first().cnt == 7
+    # minmax stats fold the mixed-width files exactly
+    assert fmt.minmax_stats(wh, "t", ["cnt"])["cnt"] == (0, 1040)
+    # time travel keeps the narrow type
+    assert dict(fmt.read_version(wh, "t", 1).dtypes)["cnt"] == "int"
+
+    fmt.widen_column(wh, "t", "score", "double")
+    assert dict(fmt.read_merged(wh, "t").dtypes)["score"] == "double"
+
+    # guards: key widening, non-widening pairs, key drop
+    with pytest.raises(ValueError, match="merge key"):
+        fmt.widen_column(wh, "t", "k", "double")
+    with pytest.raises(ValueError, match="safe widening"):
+        fmt.widen_column(wh, "t", "ts", "long")
+    with pytest.raises(ValueError, match="safe widening"):
+        fmt.widen_column(wh, "t", "cnt", "int")
+    with pytest.raises(ValueError, match="merge key"):
+        fmt.drop_column(wh, "t", "k")
+
+    # a key RENAME tracks the recorded list; merges speak the new name
+    fmt.rename_column(wh, "t", "k", "user_id")
+    assert fmt._latest(wh, "t")["keys"] == ["user_id"]
+    up2 = spark.sql(
+        "SELECT id AS user_id, CAST(id AS BIGINT) AS cnt, "
+        "CAST(id AS DOUBLE) AS score, TIMESTAMP '2024-03-01' AS ts "
+        "FROM range(103, 108)"
+    )
+    wh.upsert_partitioned("t", up2, ["user_id"], "ts", num_buckets=4)
+    assert fmt.read_merged(wh, "t").count() == 108
+
+
+def test_txlog_widen_strips_blooms_on_float_target(spark, tmp_path):
+    """Widening an integral bloom column to double strips that
+    column's manifest blooms (str(5.0) != str(5) would make probes
+    silent false negatives); absent blooms only cost extra opens."""
+    from instagram_data_pipeline_spark.formats import (
+        BLOOM_KEY, TransactionLogFormat,
+    )
+    from instagram_data_pipeline_spark.io import Warehouse
+
+    fmt = TransactionLogFormat(bloom_cols=["tag_id"], bloom_bits=1024)
+    wh = Warehouse(spark, str(tmp_path / "wh"), fmt=fmt)
+    df = spark.sql(
+        "SELECT id AS k, CAST(id * 7 AS INT) AS tag_id, "
+        "TIMESTAMP '2024-01-01' AS ts FROM range(200)"
+    )
+    wh.upsert_partitioned("t", df, ["k"], "ts", num_buckets=4)
+    snap = fmt._latest(wh, "t")
+    assert all("tag_id" in s.get(BLOOM_KEY, {})
+               for s in snap["stats"].values())
+
+    # int -> long keeps blooms (str() canonicalization unchanged)
+    fmt.widen_column(wh, "t", "tag_id", "long")
+    snap = fmt._latest(wh, "t")
+    assert all("tag_id" in s.get(BLOOM_KEY, {})
+               for s in snap["stats"].values())
+    got = fmt.read_for_value(wh, "t", "tag_id", 7 * 41)
+    assert [r.k for r in got.collect()] == [41]
+
+    # long is terminal for ints; rebuild an int table and go double
+    fmt2 = TransactionLogFormat(bloom_cols=["tag_id"], bloom_bits=1024)
+    wh2 = Warehouse(spark, str(tmp_path / "wh2"), fmt=fmt2)
+    wh2.upsert_partitioned("t", df, ["k"], "ts", num_buckets=4)
+    fmt2.widen_column(wh2, "t", "tag_id", "double")
+    snap2 = fmt2._latest(wh2, "t")
+    assert all(
+        "tag_id" not in s.get(BLOOM_KEY, {})
+        for s in snap2["stats"].values()
+    )
+    # absent blooms: conservative keep-all, answers exact
+    got = fmt2.read_for_value(wh2, "t", "tag_id", 7.0 * 41)
+    assert [r.k for r in got.collect()] == [41]
