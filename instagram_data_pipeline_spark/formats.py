@@ -77,9 +77,15 @@ class ParquetPartitionedFormat:
     ``Warehouse.overwrite_partitions`` for the crash-atomicity caveat
     this format carries — the log format below is the fix."""
 
-    def merge(self, wh, table, incoming, keys, order_col, num_buckets):
+    def merge(self, wh, table, incoming, keys, order_col, num_buckets,
+              txn=None):
         from .operators.writes import upsert_keep_newest
 
+        if txn is not None:
+            raise ValueError(
+                "idempotent transactions need a manifest to record "
+                "them in — use TransactionLogFormat for txn= merges"
+            )
         bcol = BUCKET_COL
         incoming_b = incoming.withColumn(
             bcol, bucket_expr(keys, num_buckets)
@@ -651,7 +657,14 @@ class TransactionLogFormat:
                     f"{new_fields[f.name].simpleString()}"
                 )
 
-    def merge(self, wh, table, incoming, keys, order_col, num_buckets):
+    def merge(self, wh, table, incoming, keys, order_col, num_buckets,
+              txn=None):
+        """``txn=(app_id, version)`` — idempotent transactional merge
+        (the Delta txnAppId/txnVersion design): the manifest records
+        each app's last applied version, and a merge at or below it is
+        a SILENT NO-OP. This is the exactly-once contract a streaming
+        foreachBatch sink needs — Spark replays a failed batch with
+        the SAME batch id, so the replay must commit nothing twice."""
         from .operators.writes import upsert_keep_newest
 
         for _ in range(self.MAX_COMMIT_RETRIES):
@@ -666,10 +679,19 @@ class TransactionLogFormat:
                     self._publish(
                         wh, table, 1, files, incoming.schema.json(),
                         rows=rows, stats=stats, keys=list(keys),
+                        num_buckets=int(num_buckets),
+                        txns=(
+                            {txn[0]: int(txn[1])} if txn else None
+                        ),
                     )
                     return
                 except CommitConflict:
                     continue  # lost the create race: merge into theirs
+            self._check_buckets(snap, num_buckets, "merge")
+            if txn is not None:
+                last = snap.get("txns", {}).get(txn[0])
+                if last is not None and int(txn[1]) <= int(last):
+                    return  # replay of an applied batch: no-op
             recorded = self._keys_of(snap)
             if recorded is not None and recorded != list(keys):
                 # ORDER included: xxhash64(*keys) is order-sensitive,
@@ -722,6 +744,7 @@ class TransactionLogFormat:
                 wh, table, snap, touched, merged,
                 incoming.schema.json(), keys, num_buckets,
                 fields=fields, dropped_fields=dropped, next_fid=next_fid,
+                txn=txn,
             ):
                 return
         raise CommitConflict(
@@ -742,6 +765,7 @@ class TransactionLogFormat:
         fields: list | None = None,
         dropped_fields: list | None = None,
         next_fid: int | None = None,
+        txn: tuple | None = None,
     ) -> dict | None:
         """Write ``replacement`` as the new content of the ``touched``
         buckets and CAS-publish it on top of ``snap``, carrying every
@@ -796,9 +820,21 @@ class TransactionLogFormat:
                     published["next_fid"] = next_fid
                     if dropped_fields:
                         published["dropped_fields"] = dropped_fields
-                # key recording bootstraps on the first rewrite of a
-                # pre-keys table (the caller's keys ARE the contract)
+                # key/bucket recording bootstraps on the first rewrite
+                # of a pre-contract table (the caller's values ARE the
+                # contract)
                 published["keys"] = base.get("keys", list(keys))
+                published["num_buckets"] = int(
+                    base.get("num_buckets", num_buckets)
+                )
+                # transaction bookkeeping: carry every app's last
+                # applied version; stamp ours (a rebase re-reads the
+                # winner's table, so base always has the latest)
+                txns = dict(base.get("txns", {}))
+                if txn is not None:
+                    txns[txn[0]] = int(txn[1])
+                if txns:
+                    published["txns"] = txns
                 self._publish(
                     wh, table, published["version"],
                     published["files"], schema_json,
@@ -809,6 +845,8 @@ class TransactionLogFormat:
                     dropped_fields=published.get("dropped_fields"),
                     next_fid=published.get("next_fid"),
                     keys=published["keys"],
+                    num_buckets=published["num_buckets"],
+                    txns=published.get("txns"),
                 )
                 return published
             except CommitConflict:
@@ -875,6 +913,7 @@ class TransactionLogFormat:
             snap = self._latest(wh, table)
             if snap is None:
                 raise FileNotFoundError(f"no committed version for {table}")
+            self._check_buckets(snap, num_buckets, "delete_keys")
             touched = {
                 r.b
                 for r in key_rows.select(
@@ -989,7 +1028,8 @@ class TransactionLogFormat:
                     rows=snap.get("rows"), stats=snap.get("stats"),
                     dv=snap.get("dv"), fields=fields,
                     dropped_fields=dropped or None, next_fid=next_fid,
-                    keys=rec_keys,
+                    keys=rec_keys, num_buckets=snap.get("num_buckets"),
+                    txns=snap.get("txns"),
                 )
                 return snap["version"] + 1
             except CommitConflict:
@@ -1054,7 +1094,8 @@ class TransactionLogFormat:
                     rows=snap.get("rows"), stats=snap.get("stats"),
                     dv=snap.get("dv"), fields=keep_fields,
                     dropped_fields=dropped, next_fid=next_fid,
-                    keys=rec_keys,
+                    keys=rec_keys, num_buckets=snap.get("num_buckets"),
+                    txns=snap.get("txns"),
                 )
                 return snap["version"] + 1
             except CommitConflict:
@@ -1174,12 +1215,66 @@ class TransactionLogFormat:
                     dv=snap.get("dv"), fields=snap.get("fields"),
                     dropped_fields=snap.get("dropped_fields"),
                     next_fid=snap.get("next_fid"), keys=rec_keys,
+                    num_buckets=snap.get("num_buckets"),
+                    txns=snap.get("txns"),
                 )
                 return snap["version"] + 1
             except CommitConflict:
                 continue
         raise CommitConflict(
             f"widen_column on {table!r}: gave up after "
+            f"{self.MAX_COMMIT_RETRIES} commit conflicts"
+        )
+
+    def rebucket(self, wh, table: str, new_num_buckets: int) -> int:
+        """Partition-layout evolution (the Iceberg partition-evolution
+        / Delta OPTIMIZE-relayout analog for this format's hash
+        buckets): rewrite EVERY bucket under the new modulus and
+        publish it as the recorded ``num_buckets``. A growing table
+        eventually outgrows its bucket count (each bucket's per-merge
+        rewrite slice gets too large); this is the sanctioned way to
+        change it — per-call overrides are refused by
+        ``_check_buckets`` because a mismatched modulus mis-scopes
+        every bucket read. Cost is a FULL table rewrite by design
+        (every row changes bucket); time travel keeps old versions
+        under their own layout (bucket ids live in the manifest, so
+        old manifests stay self-consistent). Deletion vectors
+        materialize away in the rewrite. Returns the published
+        version."""
+        if new_num_buckets < 1:
+            raise ValueError("rebucket: new_num_buckets must be >= 1")
+        for _ in range(self.MAX_COMMIT_RETRIES):
+            snap = self._latest(wh, table)
+            if snap is None:
+                raise FileNotFoundError(f"no committed version for {table}")
+            keys = self._keys_of(snap)
+            if keys is None:
+                raise ValueError(
+                    f"rebucket: {table!r} predates key recording — "
+                    f"run one merge first to bootstrap the contract"
+                )
+            root = Path(wh.path(table))
+            df = self._read_snapshot(wh, root, snap)
+            new_files, new_rows, new_stats = self._write_commit(
+                wh, table, df, keys, int(new_num_buckets),
+                mapping=self._mapping(snap) or None,
+            )
+            try:
+                self._publish(
+                    wh, table, snap["version"] + 1, new_files,
+                    snap.get("schema"),
+                    rows=new_rows, stats=new_stats,
+                    fields=snap.get("fields"),
+                    dropped_fields=snap.get("dropped_fields"),
+                    next_fid=snap.get("next_fid"),
+                    keys=keys, num_buckets=int(new_num_buckets),
+                    txns=snap.get("txns"),
+                )
+                return snap["version"] + 1
+            except CommitConflict:
+                continue  # a writer won the version: re-read, redo
+        raise CommitConflict(
+            f"rebucket on {table!r}: gave up after "
             f"{self.MAX_COMMIT_RETRIES} commit conflicts"
         )
 
@@ -1223,6 +1318,7 @@ class TransactionLogFormat:
             snap = self._latest(wh, table)
             if snap is None:
                 raise FileNotFoundError(f"no committed version for {table}")
+            self._check_buckets(snap, num_buckets, "delete_keys_dv")
             touched = {
                 r.b
                 for r in key_rows.select(
@@ -1323,6 +1419,10 @@ class TransactionLogFormat:
                     dropped_fields=snap.get("dropped_fields"),
                     next_fid=snap.get("next_fid"),
                     keys=snap.get("keys", list(keys)),
+                    num_buckets=int(
+                        snap.get("num_buckets", num_buckets)
+                    ),
+                    txns=snap.get("txns"),
                 )
                 return len(victims)
             except CommitConflict:
@@ -1366,6 +1466,24 @@ class TransactionLogFormat:
         order-sensitive, so the key list is part of the table's
         physical contract)."""
         return snap.get("keys")
+
+    @staticmethod
+    def _check_buckets(snap: dict, num_buckets: int, op: str) -> None:
+        """The bucket COUNT is the other half of the physical contract
+        (bucket = pmod(hash, num_buckets)): an operation computing
+        touched/wanted buckets under a different modulus than the
+        table was written with scopes its reads to the WRONG files —
+        merges silently duplicate keys, point lookups silently miss
+        rows. Recorded at first write; changing it is a full rewrite
+        (:meth:`rebucket`), never a per-call argument."""
+        rec = snap.get("num_buckets")
+        if rec is not None and int(rec) != int(num_buckets):
+            raise ValueError(
+                f"{op}: table committed with num_buckets={rec}, "
+                f"caller passed {num_buckets} — a different modulus "
+                f"mis-scopes every bucket read (use rebucket() to "
+                f"change the layout)"
+            )
 
     @staticmethod
     def _mapping(snap: dict) -> dict[str, str]:
@@ -1528,6 +1646,7 @@ class TransactionLogFormat:
         snap = self._latest(wh, table)
         if snap is None:
             raise FileNotFoundError(f"no committed version for {table}")
+        self._check_buckets(snap, num_buckets, "read_for_keys")
         wanted = {
             r.b
             for r in key_rows.select(
@@ -1717,6 +1836,7 @@ class TransactionLogFormat:
             snap = self._latest(wh, table)
             if snap is None:
                 raise FileNotFoundError(f"no committed version for {table}")
+            self._check_buckets(snap, num_buckets, "compact")
             dv = snap.get("dv", {})
             by_bucket: dict[int, list[str]] = {}
             for f, b in snap["files"].items():
@@ -1773,6 +1893,10 @@ class TransactionLogFormat:
                     dropped_fields=snap.get("dropped_fields"),
                     next_fid=snap.get("next_fid"),
                     keys=snap.get("keys", list(keys)),
+                    num_buckets=int(
+                        snap.get("num_buckets", num_buckets)
+                    ),
+                    txns=snap.get("txns"),
                 )
                 return before, len(new_files)
             except CommitConflict:

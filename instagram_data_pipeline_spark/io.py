@@ -310,6 +310,7 @@ class Warehouse:
         keys: list[str],
         order_col: str,
         num_buckets: int = 64,
+        txn: tuple[str, int] | None = None,
     ) -> None:
         """Partition-scoped upsert-keep-newest: the A1 MERGE.
 
@@ -327,8 +328,25 @@ class Warehouse:
         merge through a versioned manifest with one atomic rename
         (crash-atomic, Delta/Iceberg-style). Same signature, same
         semantics, same tests — pick per deployment.
+
+        ``txn=(app_id, version)`` makes the merge IDEMPOTENT on the
+        transaction-log backend (the Delta txnAppId/txnVersion
+        design): a merge whose version is <= the app's last recorded
+        version is a silent no-op — exactly what a foreachBatch
+        streaming sink passes (query_id, batch_id) to get
+        exactly-once MERGE semantics under Spark's replay-on-failure
+        contract. The plain-parquet backend has no manifest to record
+        transactions in and rejects the option.
         """
-        self.fmt.merge(self, table, incoming, keys, order_col, num_buckets)
+        if txn is not None:
+            self.fmt.merge(
+                self, table, incoming, keys, order_col, num_buckets,
+                txn=txn,
+            )
+        else:
+            self.fmt.merge(
+                self, table, incoming, keys, order_col, num_buckets
+            )
 
     def overwrite_partitions(
         self, table: str, df: DataFrame, part_col: str

@@ -1814,3 +1814,81 @@ def q_txlog_widen_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             cur.select(F.lit("current").alias("snapshot"), "k", "cnt", "ts")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Exactly-once streaming MERGE sink (the Delta streaming-sink analog):
+# foreachBatch merges each micro-batch into the transaction log with
+# txn=(app, batch_id) — Spark's recovery contract REPLAYS a failed
+# batch under the SAME id, so the sink must make replays no-ops, which
+# the manifest's per-app last-applied-version record provides. The
+# query streams the orders table in per-file micro-batches, merges
+# each, then REPLAYS a batch id with poisoned GHOST rows: a green row
+# proves the replay published nothing (no ghost survives) and the
+# final table equals the plain projection. Keys are o_orderkey
+# (globally unique), so the final state is batch-grouping-independent.
+# ---------------------------------------------------------------------------
+_TXLOG_SINK_ORACLE = """
+SELECT o_orderkey AS k, o_totalprice AS v, o_orderdate AS ts
+FROM orders WHERE o_orderkey % 3 = 0
+"""
+
+
+@register(
+    "txlog_stream_merge_sink",
+    _TXLOG_SINK_ORACLE,
+    doc="exactly-once streaming MERGE sink: foreachBatch merges every "
+        "micro-batch (maxFilesPerTrigger=1, availableNow) into the "
+        "transaction log with txn=(app, batch_id) — the Delta "
+        "txnAppId/txnVersion idempotence design — then a poisoned "
+        "GHOST replay at an already-applied id proves replays publish "
+        "NOTHING (asserted in-query: version count unchanged, zero "
+        "ghost rows); oracle is the plain projection",
+    tags=("streaming", "writes", "format"),
+)
+def q_txlog_stream_merge_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from ..formats import TransactionLogFormat
+    from ..io import Warehouse
+
+    scratch = _scratch("txlog_sink")
+    in_dir = os.path.join(scratch, "in")
+    orders = load_testdata(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").alias("v"),
+        F.col("o_orderdate").alias("ts"),
+    )
+    # land 4 files so the stream sees 4 micro-batches
+    orders.repartition(4).write.mode("overwrite").parquet(in_dir)
+
+    fmt = TransactionLogFormat()
+    wh = Warehouse(spark, scratch, fmt=fmt)
+
+    def sink(batch_df, batch_id: int) -> None:
+        wh.upsert_partitioned(
+            "facts", batch_df, ["k"], "ts", num_buckets=8,
+            txn=("sink", batch_id),
+        )
+
+    q = (
+        spark.readStream.schema(orders.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", os.path.join(scratch, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    snap = fmt._latest(wh, "facts")
+    last_applied = snap["txns"]["sink"]
+    versions_before = fmt.versions(wh, "facts")
+    # the recovery scenario: a replayed batch id (poisoned so survival
+    # would be visible) must publish NOTHING
+    ghost = orders.limit(50).withColumn("v", F.lit(-1.0).cast("double"))
+    sink(ghost, last_applied)
+    assert fmt.versions(wh, "facts") == versions_before
+    out = fmt.read_merged(wh, "facts")
+    assert out.filter(F.col("v") < 0).count() == 0
+    return out.filter(F.col("k") % 3 == 0).select("k", "v", "ts")

@@ -1865,3 +1865,130 @@ def test_txlog_widen_strips_blooms_on_float_target(spark, tmp_path):
     # absent blooms: conservative keep-all, answers exact
     got = fmt2.read_for_value(wh2, "t", "tag_id", 7.0 * 41)
     assert [r.k for r in got.collect()] == [41]
+
+
+def test_txlog_num_buckets_contract_and_rebucket(spark, tmp_path):
+    """The bucket modulus is manifest-recorded at first write: merges,
+    deletes, and point lookups under a different num_buckets are
+    refused (a mismatched modulus mis-scopes every bucket read —
+    silent duplicate keys / missed rows); rebucket() is the sanctioned
+    full-rewrite layout change, after which the OLD modulus is the one
+    refused and reads/merges continue exactly."""
+    from instagram_data_pipeline_spark.formats import TransactionLogFormat
+    from instagram_data_pipeline_spark.io import Warehouse
+
+    fmt = TransactionLogFormat()
+    wh = Warehouse(spark, str(tmp_path / "wh"), fmt=fmt)
+    df = spark.sql(
+        "SELECT id AS k, CAST(id AS STRING) AS v, "
+        "TIMESTAMP '2024-01-01' AS ts FROM range(200)"
+    )
+    wh.upsert_partitioned("t", df, ["k"], "ts", num_buckets=4)
+    assert fmt._latest(wh, "t")["num_buckets"] == 4
+
+    with pytest.raises(ValueError, match="num_buckets=4"):
+        wh.upsert_partitioned("t", df, ["k"], "ts", num_buckets=8)
+    with pytest.raises(ValueError, match="num_buckets=4"):
+        fmt.read_for_keys(
+            wh, "t", ["k"], df.select("k").limit(3), num_buckets=8
+        )
+    with pytest.raises(ValueError, match="num_buckets=4"):
+        fmt.delete_keys_dv(
+            wh, "t", ["k"], df.select("k").limit(1), num_buckets=8
+        )
+
+    v = fmt.rebucket(wh, "t", 16)
+    snap = fmt._latest(wh, "t")
+    assert snap["num_buckets"] == 16 and snap["version"] == v
+    buckets = set(snap["files"].values())
+    assert len(buckets) > 4 and buckets <= set(range(16))
+    assert fmt.read_merged(wh, "t").count() == 200
+    # time travel keeps the old layout self-consistent
+    assert fmt.read_version(wh, "t", 1).count() == 200
+
+    with pytest.raises(ValueError, match="num_buckets=16"):
+        wh.upsert_partitioned("t", df.limit(1), ["k"], "ts", num_buckets=4)
+    wh.upsert_partitioned(
+        "t",
+        spark.sql("SELECT CAST(999 AS BIGINT) AS k, "
+                  "CAST('x' AS STRING) AS v, "
+                  "TIMESTAMP '2024-05-01' AS ts"),
+        ["k"], "ts", num_buckets=16,
+    )
+    got = fmt.read_for_keys(
+        wh, "t", ["k"],
+        spark.createDataFrame([(7,), (999,)], "k long"), num_buckets=16,
+    )
+    assert sorted(r.k for r in got.collect()) == [7, 999]
+
+
+def test_txlog_idempotent_txn_merges(spark, tmp_path):
+    """txn=(app, version) merges are exactly-once (the Delta
+    txnAppId/txnVersion design): a replay at or below the recorded
+    version publishes nothing and changes nothing; independent apps
+    track independently; compaction and metadata commits carry the
+    bookkeeping; the plain-parquet backend refuses the option."""
+    from instagram_data_pipeline_spark.formats import (
+        ParquetPartitionedFormat, TransactionLogFormat,
+    )
+    from instagram_data_pipeline_spark.io import Warehouse
+
+    fmt = TransactionLogFormat()
+    wh = Warehouse(spark, str(tmp_path / "wh"), fmt=fmt)
+
+    def batch(lo, n, tag, ts):
+        return spark.sql(
+            f"SELECT id AS k, '{tag}' AS v, TIMESTAMP '{ts}' AS ts "
+            f"FROM range({lo}, {lo + n})"
+        )
+
+    wh.upsert_partitioned(
+        "t", batch(0, 50, "b0", "2024-01-01"), ["k"], "ts",
+        num_buckets=4, txn=("sink", 0),
+    )
+    assert fmt._latest(wh, "t")["txns"] == {"sink": 0}
+    wh.upsert_partitioned(
+        "t", batch(40, 20, "b1", "2024-02-01"), ["k"], "ts",
+        num_buckets=4, txn=("sink", 1),
+    )
+    v_after = fmt.versions(wh, "t")[-1]
+    n_after = fmt.count_rows(wh, "t")
+
+    # replays: batch 1 again, batch 0 again — both silent no-ops
+    for ver in (1, 0):
+        wh.upsert_partitioned(
+            "t", batch(40, 20, "GHOST", "2024-09-09"), ["k"], "ts",
+            num_buckets=4, txn=("sink", ver),
+        )
+    assert fmt.versions(wh, "t")[-1] == v_after
+    assert fmt.count_rows(wh, "t") == n_after == 60
+    assert fmt.read_merged(wh, "t").filter("v = 'GHOST'").count() == 0
+
+    # a different app is independent bookkeeping
+    wh.upsert_partitioned(
+        "t", batch(58, 4, "other", "2024-03-01"), ["k"], "ts",
+        num_buckets=4, txn=("backfill", 1),
+    )
+    assert fmt._latest(wh, "t")["txns"] == {"sink": 1, "backfill": 1}
+
+    # compaction + metadata commits carry the bookkeeping forward
+    fmt.compact(wh, "t", ["k"], num_buckets=4)
+    fmt.rename_column(wh, "t", "v", "val")
+    assert fmt._latest(wh, "t")["txns"] == {"sink": 1, "backfill": 1}
+    # and the replay guard still holds after both
+    wh.upsert_partitioned(
+        "t", batch(0, 5, "GHOST", "2024-09-09").withColumnRenamed(
+            "v", "val"
+        ),
+        ["k"], "ts", num_buckets=4, txn=("sink", 1),
+    )
+    assert fmt.read_merged(wh, "t").filter("val = 'GHOST'").count() == 0
+
+    pwh = Warehouse(
+        spark, str(tmp_path / "p"), fmt=ParquetPartitionedFormat()
+    )
+    with pytest.raises(ValueError, match="TransactionLogFormat"):
+        pwh.upsert_partitioned(
+            "t", batch(0, 5, "x", "2024-01-01"), ["k"], "ts",
+            num_buckets=4, txn=("sink", 0),
+        )
