@@ -144,6 +144,40 @@ def _stat_key(v):
     return None
 
 
+import re as _re
+
+_BARE_DATE = _re.compile(r"^\d{4}-\d{2}-\d{2}$")
+_NAIVE_DT = _re.compile(r"^\d{4}-\d{2}-\d{2}T[0-9:.]+$")
+_AWARE_DT = _re.compile(r"^\d{4}-\d{2}-\d{2}T[0-9:.]+\+00:00$")
+
+
+def _mixed_form_fix(a, b) -> tuple:
+    """Make two ISO temporal keys mutually order-comparable when they
+    arrived in DIFFERENT forms — a LEGACY bare-date stat vs a
+    midnight-normalized datetime bound ('1995-03-31' sorts BEFORE
+    '1995-03-31T00:00:00'), or a tz-aware UTC footer stat vs a naive
+    bound (the '+00:00' suffix sorts an equal instant AFTER its naive
+    twin) — by promoting the shorter form: bare date -> midnight
+    datetime, then naive -> '+00:00' (this codebase pins the session
+    to UTC, so naive == UTC wall time). Same-form pairs (including
+    plain strings that merely look like dates) pass through untouched,
+    so genuine string-column ordering is never rewritten."""
+    if isinstance(a, str) and isinstance(b, str):
+        if _BARE_DATE.match(a) and (
+            _NAIVE_DT.match(b) or _AWARE_DT.match(b)
+        ):
+            a = a + "T00:00:00"
+        elif _BARE_DATE.match(b) and (
+            _NAIVE_DT.match(a) or _AWARE_DT.match(a)
+        ):
+            b = b + "T00:00:00"
+        if _NAIVE_DT.match(a) and _AWARE_DT.match(b):
+            a = a + "+00:00"
+        elif _NAIVE_DT.match(b) and _AWARE_DT.match(a):
+            b = b + "+00:00"
+    return a, b
+
+
 #: reserved key inside a file's stats dict holding its bloom bitmaps
 #: ({col: base64}); never a real column name (zone-map lookups use
 #: plain column names and cannot collide)
@@ -274,6 +308,69 @@ def _dv_union(b64_a: str, b64_b: str) -> str:
 def _dv_count(entry: dict | None) -> int:
     """Deleted-row count of one manifest dv entry ({"bm", "n"})."""
     return int(entry["n"]) if entry else 0
+
+
+# ---------------------------------------------------------------------------
+# Change-detection identity — ONE definition shared by the Spark-side
+# changes_between and the txlog_changes stream/batch sources, so the
+# three CDF faces can never drift apart on what counts as a change.
+# ---------------------------------------------------------------------------
+
+def _fields_or_identity(snap: dict) -> list | None:
+    """Field metadata of a manifest version, synthesizing the identity
+    list a later ``_bootstrap_fields`` would assign (ids in schema
+    field order) for versions that PREDATE column mapping — without
+    this, a rename whose FROM version is pre-mapping would silently
+    drop the renamed column from cross-version alignment."""
+    if "fields" in snap:
+        return snap["fields"]
+    if "schema" not in snap:
+        return None
+    names = [f["name"] for f in json.loads(snap["schema"])["fields"]]
+    return [
+        {"id": i + 1, "name": n, "phys": n} for i, n in enumerate(names)
+    ]
+
+
+def changed_buckets(snap_a: dict, snap_b: dict) -> set:
+    """Buckets whose LIVE content can differ between two manifests: a
+    file's identity includes its deletion-vector state (a DV added
+    between the versions changes live rows without changing the file
+    set), so carried-by-reference means identical files AND identical
+    DVs."""
+    dv_a, dv_b = snap_a.get("dv", {}), snap_b.get("dv", {})
+    by_a: dict[int, set] = {}
+    by_b: dict[int, set] = {}
+    for f, b in snap_a.get("files", {}).items():
+        by_a.setdefault(b, set()).add(
+            (f, json.dumps(dv_a.get(f), sort_keys=True))
+        )
+    for f, b in snap_b.get("files", {}).items():
+        by_b.setdefault(b, set()).add(
+            (f, json.dumps(dv_b.get(f), sort_keys=True))
+        )
+    return {
+        b
+        for b in (by_a.keys() | by_b.keys())
+        if by_a.get(b, set()) != by_b.get(b, set())
+    }
+
+
+def rename_map(snap_a: dict, snap_b: dict) -> dict[str, str]:
+    """old-logical -> new-logical for columns RENAMED between two
+    versions (matched by field id — a rename is the same field under a
+    new name, not a drop+add). Pre-mapping versions synthesize
+    identity ids by schema order (``_fields_or_identity``), so
+    alignment holds across the bootstrap boundary."""
+    fa, fb = _fields_or_identity(snap_a), _fields_or_identity(snap_b)
+    if not fa or not fb:
+        return {}
+    a_by_id = {f["id"]: f["name"] for f in fa}
+    return {
+        a_by_id[f["id"]]: f["name"]
+        for f in fb
+        if f["id"] in a_by_id and a_by_id[f["id"]] != f["name"]
+    }
 
 
 class TransactionLogFormat:
@@ -688,19 +785,11 @@ class TransactionLogFormat:
                 except CommitConflict:
                     continue  # lost the create race: merge into theirs
             self._check_buckets(snap, num_buckets, "merge")
+            self._check_keys(snap, keys, "merge")
             if txn is not None:
                 last = snap.get("txns", {}).get(txn[0])
                 if last is not None and int(txn[1]) <= int(last):
                     return  # replay of an applied batch: no-op
-            recorded = self._keys_of(snap)
-            if recorded is not None and recorded != list(keys):
-                # ORDER included: xxhash64(*keys) is order-sensitive,
-                # so a different key list re-buckets nothing that is
-                # already on disk — rows would silently duplicate
-                raise ValueError(
-                    f"merge on {table!r}: committed under keys "
-                    f"{recorded}, caller passed {list(keys)}"
-                )
             if "schema" in snap:
                 from pyspark.sql.types import StructType
 
@@ -914,6 +1003,7 @@ class TransactionLogFormat:
             if snap is None:
                 raise FileNotFoundError(f"no committed version for {table}")
             self._check_buckets(snap, num_buckets, "delete_keys")
+            self._check_keys(snap, keys, "delete_keys")
             touched = {
                 r.b
                 for r in key_rows.select(
@@ -933,9 +1023,17 @@ class TransactionLogFormat:
             existing = self._read_snapshot(wh, root, sub)
             remaining = existing.join(key_frame, keys, "anti")
             schema_json = snap.get("schema", existing.schema.json())
+            # the snapshot's column-mapping metadata rides along: the
+            # replacement files must write PHYSICAL names and the new
+            # manifest must keep fields/tombstones, or carried files
+            # would be read under the wrong names and a re-added
+            # dropped column could resurrect old bytes
             published = self._rewrite_and_publish(
                 wh, table, snap, touched, remaining,
                 schema_json, keys, num_buckets,
+                fields=snap.get("fields"),
+                dropped_fields=snap.get("dropped_fields"),
+                next_fid=snap.get("next_fid"),
             )
             if published:
                 # before-count from the REPLACED files only (manifest
@@ -1319,6 +1417,7 @@ class TransactionLogFormat:
             if snap is None:
                 raise FileNotFoundError(f"no committed version for {table}")
             self._check_buckets(snap, num_buckets, "delete_keys_dv")
+            self._check_keys(snap, keys, "delete_keys_dv")
             touched = {
                 r.b
                 for r in key_rows.select(
@@ -1466,6 +1565,21 @@ class TransactionLogFormat:
         order-sensitive, so the key list is part of the table's
         physical contract)."""
         return snap.get("keys")
+
+    @classmethod
+    def _check_keys(cls, snap: dict, keys, op: str) -> None:
+        """Validate the caller's key list against the recorded merge
+        keys (ORDER included — xxhash64(*keys) is order-sensitive): a
+        wrong list computes wrong touched/wanted buckets, so deletes
+        silently miss their victims and lookups silently miss rows —
+        the merge-side hazard, on every other bucket-scoped op."""
+        rec = cls._keys_of(snap)
+        if rec is not None and rec != list(keys):
+            raise ValueError(
+                f"{op}: table committed under keys {rec}, caller "
+                f"passed {list(keys)} — a different key list scopes "
+                f"the wrong buckets"
+            )
 
     @staticmethod
     def _check_buckets(snap: dict, num_buckets: int, op: str) -> None:
@@ -1647,6 +1761,7 @@ class TransactionLogFormat:
         if snap is None:
             raise FileNotFoundError(f"no committed version for {table}")
         self._check_buckets(snap, num_buckets, "read_for_keys")
+        self._check_keys(snap, keys, "read_for_keys")
         wanted = {
             r.b
             for r in key_rows.select(
@@ -1695,7 +1810,16 @@ class TransactionLogFormat:
         out = []
         for f in snap["files"]:
             mm = stats.get(f, {}).get(pc)
-            if mm is None or not (mm[1] < lo_k or mm[0] > hi_k):
+            if mm is None:
+                out.append(f)
+                continue
+            # mixed ISO forms (legacy bare-date stats, tz-aware footer
+            # vs naive bound) promote to one form before comparing —
+            # the boundary file must never prune on a formatting
+            # artifact
+            hi_s, lo_b = _mixed_form_fix(mm[1], lo_k)
+            lo_s, hi_b = _mixed_form_fix(mm[0], hi_k)
+            if not (hi_s < lo_b or lo_s > hi_b):
                 out.append(f)
         return out
 
@@ -1837,6 +1961,7 @@ class TransactionLogFormat:
             if snap is None:
                 raise FileNotFoundError(f"no committed version for {table}")
             self._check_buckets(snap, num_buckets, "compact")
+            self._check_keys(snap, keys, "compact")
             dv = snap.get("dv", {})
             by_bucket: dict[int, list[str]] = {}
             for f, b in snap["files"].items():
@@ -2185,25 +2310,10 @@ class TransactionLogFormat:
         under the ``v_to`` ordering."""
         snap_a = self._snap_at(wh, table, v_from)
         snap_b = self._snap_at(wh, table, v_to)
-        dv_a, dv_b = snap_a.get("dv", {}), snap_b.get("dv", {})
-        by_bucket_a: dict[int, set] = {}
-        by_bucket_b: dict[int, set] = {}
-        for f, b in snap_a["files"].items():
-            # a file's identity for change detection includes its DV
-            # state: a deletion vector added between the versions
-            # changes live content without changing the file set
-            by_bucket_a.setdefault(b, set()).add(
-                (f, json.dumps(dv_a.get(f), sort_keys=True))
-            )
-        for f, b in snap_b["files"].items():
-            by_bucket_b.setdefault(b, set()).add(
-                (f, json.dumps(dv_b.get(f), sort_keys=True))
-            )
-        changed_buckets = {
-            b
-            for b in (by_bucket_a.keys() | by_bucket_b.keys())
-            if by_bucket_a.get(b, set()) != by_bucket_b.get(b, set())
-        }
+        # shared change-detection identity (module helpers, also used
+        # by the txlog_changes stream/batch sources): DV state is part
+        # of a file's identity, renames align by field id
+        changed = changed_buckets(snap_a, snap_b)
         root = Path(wh.path(table))
 
         def scoped(snap):
@@ -2211,7 +2321,7 @@ class TransactionLogFormat:
             sub["files"] = {
                 f: b
                 for f, b in snap["files"].items()
-                if b in changed_buckets
+                if b in changed
             }
             if not sub["files"]:
                 return wh.spark.createDataFrame(
@@ -2220,24 +2330,19 @@ class TransactionLogFormat:
             return self._read_snapshot(wh, root, sub)
 
         old, new = scoped(snap_a), scoped(snap_b)
-        # column-mapping tables: a column RENAMED between the versions
-        # is the SAME field (same id) under a new logical name — align
-        # the old frame to v_to's names by field id before diffing, so
-        # a metadata-only rename never fakes an update storm
-        if "fields" in snap_a and "fields" in snap_b:
-            a_by_id = {f["id"]: f["name"] for f in snap_a["fields"]}
-            renames = {
-                a_by_id[f["id"]]: f["name"]
-                for f in snap_b["fields"]
-                if f["id"] in a_by_id and a_by_id[f["id"]] != f["name"]
-            }
-            if renames:
-                old = old.select(
-                    *[
-                        F.col(c).alias(renames.get(c, c))
-                        for c in old.columns
-                    ]
-                )
+        # a column RENAMED between the versions is the SAME field
+        # (same id) under a new logical name — align the old frame to
+        # v_to's names before diffing, so a metadata-only rename never
+        # fakes an update storm (and a rename whose FROM version
+        # predates mapping still aligns via synthesized identity ids)
+        renames = rename_map(snap_a, snap_b)
+        if renames:
+            old = old.select(
+                *[
+                    F.col(c).alias(renames.get(c, c))
+                    for c in old.columns
+                ]
+            )
         vals = [
             c for c in new.columns if c in old.columns and c not in keys
         ]

@@ -46,11 +46,14 @@ from pyspark.sql.datasource import (
 )
 from pyspark.sql.types import StructType
 
-from ..formats import (
-    BLOOM_KEY,
-    _bloom_entry_maybe_contains,
+from ..formats import (  # ONE change-detection identity across all
+    BLOOM_KEY,            # three CDF faces (Spark changes_between,
+    _bloom_entry_maybe_contains,  # stream reader, batch backfill)
     _dv_ordinals,
+    _mixed_form_fix,
     _stat_key,
+    changed_buckets as _changed_buckets,
+    rename_map as _rename_map,
 )
 
 
@@ -111,10 +114,15 @@ class TxlogBatchReader(DataSourceReader):
             if mm is None:
                 kept.append(f)  # absent stats: conservatively keep
                 continue
-            if hi_k is not None and mm[0] > hi_k:
-                continue
-            if lo_k is not None and mm[1] < lo_k:
-                continue
+            # same mixed-ISO-form promotion as files_for_range
+            if hi_k is not None:
+                lo_s, hi_b = _mixed_form_fix(mm[0], hi_k)
+                if lo_s > hi_b:
+                    continue
+            if lo_k is not None:
+                hi_s, lo_b = _mixed_form_fix(mm[1], lo_k)
+                if hi_s < lo_b:
+                    continue
             kept.append(f)
         self.keep = kept
 
@@ -260,43 +268,6 @@ def _rows_by_key(root: str, snap: dict, buckets: set, keys: list[str]):
     return out
 
 
-def _changed_buckets(snap_a: dict, snap_b: dict) -> set:
-    """Buckets whose live content can differ between two manifests: a
-    file's identity includes its deletion-vector state (a DV added
-    between versions changes live rows without changing the file
-    set)."""
-    dv_a, dv_b = snap_a.get("dv", {}), snap_b.get("dv", {})
-    by_a: dict[int, set] = {}
-    by_b: dict[int, set] = {}
-    for f, b in snap_a["files"].items():
-        by_a.setdefault(b, set()).add(
-            (f, json.dumps(dv_a.get(f), sort_keys=True))
-        )
-    for f, b in snap_b["files"].items():
-        by_b.setdefault(b, set()).add(
-            (f, json.dumps(dv_b.get(f), sort_keys=True))
-        )
-    return {
-        b
-        for b in (by_a.keys() | by_b.keys())
-        if by_a.get(b, set()) != by_b.get(b, set())
-    }
-
-
-def _rename_map(snap_a: dict, snap_b: dict) -> dict[str, str]:
-    """old-logical -> new-logical for columns RENAMED between two
-    versions of a column-mapping table (matched by field id — a rename
-    is the same field under a new name, not a drop+add)."""
-    if "fields" not in snap_a or "fields" not in snap_b:
-        return {}
-    a_by_id = {f["id"]: f["name"] for f in snap_a["fields"]}
-    return {
-        a_by_id[f["id"]]: f["name"]
-        for f in snap_b["fields"]
-        if f["id"] in a_by_id and a_by_id[f["id"]] != f["name"]
-    }
-
-
 def _cdf_bucket_tuples(
     root: str,
     keys: list[str],
@@ -377,6 +348,25 @@ class TxlogChangesStreamReader(SimpleDataSourceStreamReader):
             )
         self.keys = [k.strip() for k in keys.split(",")]
         self.cols = schema.fieldNames()
+        # the manifest the FROZEN stream schema came from: Spark pins
+        # a stream's output schema at start, so a mid-stream
+        # rename_column must not desynchronize the feed — each batch
+        # aligns the then-current logical names back to these frozen
+        # names by field id before emitting
+        self.schema_snap = _load_manifest(self.root, None)
+
+    def _aligned(self, v_to: int) -> tuple[list, list]:
+        """(keys, cols) translated from the frozen stream-schema names
+        to version ``v_to``'s current logical names — without this, a
+        rename after stream start would make every later batch probe a
+        name the rows no longer carry (updates silently suppressed,
+        inserts emitting NULLs)."""
+        snap_to = _load_manifest(self.root, str(v_to))
+        ren = _rename_map(self.schema_snap, snap_to)
+        return (
+            [ren.get(k, k) for k in self.keys],
+            [ren.get(c, c) for c in self.cols],
+        )
 
     def _latest_version(self) -> int:
         log = os.path.join(self.root, "_txlog")
@@ -394,15 +384,16 @@ class TxlogChangesStreamReader(SimpleDataSourceStreamReader):
         v0 = int(start["version"])
         if latest <= v0:
             return iter(()), {"version": v0}
+        keys, cols = self._aligned(latest)
         return (
-            iter(list(_cdf_tuples(self.root, self.keys, self.cols,
-                                  v0, latest))),
+            iter(list(_cdf_tuples(self.root, keys, cols, v0, latest))),
             {"version": latest},
         )
 
     def readBetweenOffsets(self, start: dict, end: dict):
+        keys, cols = self._aligned(int(end["version"]))
         return iter(list(_cdf_tuples(
-            self.root, self.keys, self.cols,
+            self.root, keys, cols,
             int(start["version"]), int(end["version"]),
         )))
 

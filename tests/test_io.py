@@ -1992,3 +1992,174 @@ def test_txlog_idempotent_txn_merges(spark, tmp_path):
             "t", batch(0, 5, "x", "2024-01-01"), ["k"], "ts",
             num_buckets=4, txn=("sink", 0),
         )
+
+
+def test_txlog_delete_keys_preserves_column_mapping(spark, tmp_path):
+    """Code-review r8 #1: delete_keys on a column-mapped table must
+    carry the fields/tombstone metadata and write replacement files
+    under PHYSICAL names — otherwise carried files read back NULL for
+    every renamed column and a re-added dropped column can resurrect
+    old bytes."""
+    from instagram_data_pipeline_spark.formats import TransactionLogFormat
+    from instagram_data_pipeline_spark.io import Warehouse
+
+    fmt = TransactionLogFormat()
+    wh = Warehouse(spark, str(tmp_path / "wh"), fmt=fmt)
+    df = spark.sql(
+        "SELECT id AS k, CAST(id AS DOUBLE) AS v, 'secret' AS s, "
+        "TIMESTAMP '2024-01-01' AS ts FROM range(200)"
+    )
+    wh.upsert_partitioned("t", df, ["k"], "ts", num_buckets=8)
+    fmt.rename_column(wh, "t", "v", "val")
+    fmt.drop_column(wh, "t", "s")
+
+    victims = spark.createDataFrame([(3,), (77,)], "k long")
+    deleted = fmt.delete_keys(wh, "t", ["k"], victims, num_buckets=8)
+    assert deleted == 2
+    snap = fmt._latest(wh, "t")
+    # mapping metadata survived the copy-on-write rewrite
+    assert {f["name"] for f in snap["fields"]} == {"k", "val", "ts"}
+    assert next(
+        f for f in snap["fields"] if f["name"] == "val"
+    )["phys"] == "v"
+    assert [f["name"] for f in snap["dropped_fields"]] == ["s"]
+    # carried (untouched-bucket) files still serve the renamed column
+    cur = fmt.read_merged(wh, "t")
+    vals = {r.k: r.val for r in cur.collect()}
+    assert len(vals) == 198 and vals[10] == 10.0 and 3 not in vals
+    # re-adding the dropped name after the delete: fresh physical
+    # name, no resurrection of 'secret' through the rewritten files
+    up = spark.sql(
+        "SELECT id AS k, CAST(id AS DOUBLE) AS val, "
+        "TIMESTAMP '2024-02-01' AS ts, 'fresh' AS s FROM range(5)"
+    )
+    wh.upsert_partitioned("t", up, ["k"], "ts", num_buckets=8)
+    got = {r.k: r.s for r in fmt.read_merged(wh, "t").collect()}
+    assert got[2] == "fresh" and got[10] is None
+
+
+def test_txlog_wrong_key_list_refused_on_every_bucket_op(
+    spark, tmp_path
+):
+    """Code-review r8 #4: the recorded-keys contract holds on deletes,
+    point lookups, and compaction too — a reordered or different key
+    list computes the WRONG buckets (xxhash64 is order-sensitive), so
+    a delete would silently miss its victims."""
+    from instagram_data_pipeline_spark.formats import TransactionLogFormat
+    from instagram_data_pipeline_spark.io import Warehouse
+
+    fmt = TransactionLogFormat()
+    wh = Warehouse(spark, str(tmp_path / "wh"), fmt=fmt)
+    df = spark.sql(
+        "SELECT id AS a, id * 2 AS b, TIMESTAMP '2024-01-01' AS ts "
+        "FROM range(100)"
+    )
+    wh.upsert_partitioned("t", df, ["a", "b"], "ts", num_buckets=4)
+    victims = df.select("a", "b").limit(3)
+    for op in (
+        lambda: fmt.delete_keys(wh, "t", ["b", "a"], victims, 4),
+        lambda: fmt.delete_keys_dv(wh, "t", ["b", "a"], victims, 4),
+        lambda: fmt.read_for_keys(wh, "t", ["b", "a"], victims, 4),
+        lambda: fmt.compact(wh, "t", ["b", "a"], 4),
+    ):
+        with pytest.raises(ValueError, match="committed under keys"):
+            op()
+
+
+def test_txlog_changes_between_across_mapping_bootstrap(
+    spark, tmp_path
+):
+    """Code-review r8 #3: a CDF window whose FROM version predates
+    column mapping still aligns the renamed column by synthesized
+    identity field ids — value updates emit under the NEW name instead
+    of silently vanishing from the diff."""
+    from instagram_data_pipeline_spark.formats import TransactionLogFormat
+    from instagram_data_pipeline_spark.io import Warehouse
+
+    fmt = TransactionLogFormat()
+    wh = Warehouse(spark, str(tmp_path / "wh"), fmt=fmt)
+
+    def batch(lo, n, mult, ts):
+        return spark.sql(
+            f"SELECT id AS k, CAST(id * {mult} AS DOUBLE) AS v, "
+            f"TIMESTAMP '{ts}' AS ts FROM range({lo}, {lo + n})"
+        )
+
+    wh.upsert_partitioned(
+        "t", batch(0, 40, 1, "2024-01-01"), ["k"], "ts", num_buckets=4
+    )  # v1: pre-mapping
+    fmt.rename_column(wh, "t", "v", "score")  # v2: bootstraps fields
+    wh.upsert_partitioned(
+        "t",
+        batch(30, 20, 100, "2024-02-01").withColumnRenamed("v", "score"),
+        ["k"], "ts", num_buckets=4,
+    )  # v3: 10 updates + 10 inserts
+    feed = fmt.changes_between(wh, "t", ["k"], 1, 3)
+    assert "score" in feed.columns
+    got = {(r._change_type, r.k, r.score) for r in feed.collect()}
+    ups = {t for t in got if t[0].startswith("update")}
+    # every update carries REAL pre/post values under the new name
+    assert {t for t in got if t[0] == "update_preimage"} == {
+        ("update_preimage", k, float(k)) for k in range(30, 40)
+    }
+    assert {t for t in got if t[0] == "update_postimage"} == {
+        ("update_postimage", k, float(k * 100)) for k in range(30, 40)
+    }
+    assert {t[1] for t in got if t[0] == "insert"} == set(range(40, 50))
+    assert None not in {t[2] for t in ups}
+
+
+def test_stat_pruning_survives_mixed_iso_forms(spark, tmp_path):
+    """Code-review r8 #5: LEGACY bare-date zone-map stats compared
+    against midnight-normalized datetime bounds (and tz-aware footer
+    stats against naive bounds) must not prune the boundary file —
+    mixed ISO forms promote to one form before comparing, while plain
+    string stats stay untouched."""
+    import datetime as dt
+    import json as _json
+
+    from instagram_data_pipeline_spark.formats import (
+        TransactionLogFormat, _mixed_form_fix,
+    )
+    from instagram_data_pipeline_spark.io import Warehouse
+
+    # unit: the promotion rules
+    assert _mixed_form_fix("1995-03-31", "1995-03-31T00:00:00") == (
+        "1995-03-31T00:00:00", "1995-03-31T00:00:00",
+    )
+    a, b = _mixed_form_fix(
+        "1995-03-31T00:00:00", "1995-03-31T00:00:00+00:00"
+    )
+    assert a == b
+    # plain strings that merely look like dates stay raw on BOTH sides
+    assert _mixed_form_fix("1995-03-31", "1995-03-31") == (
+        "1995-03-31", "1995-03-31",
+    )
+    assert _mixed_form_fix("abc", "1995-03-31T00:00:00") == (
+        "abc", "1995-03-31T00:00:00",
+    )
+
+    # end-to-end: forge a legacy manifest whose ts stats are bare dates
+    fmt = TransactionLogFormat(cluster_col="ts", max_records_per_file=8)
+    wh = Warehouse(spark, str(tmp_path / "wh"), fmt=fmt)
+    rows = [
+        (i, dt.datetime(1995, 3, 28) + dt.timedelta(hours=12 * i))
+        for i in range(16)
+    ]
+    wh.upsert_partitioned(
+        "t", spark.createDataFrame(rows, "k long, ts timestamp"),
+        ["k"], "ts", num_buckets=1,
+    )
+    log = sorted((tmp_path / "wh" / "t" / "_txlog").glob("*.json"))[-1]
+    m = _json.loads(log.read_text())
+    for s in m["stats"].values():
+        if "ts" in s:
+            s["ts"] = [v[:10] for v in s["ts"]]  # legacy bare dates
+    log.write_text(_json.dumps(m))
+
+    lo, hi = dt.datetime(1995, 3, 31), dt.datetime(1995, 4, 2)
+    got = sorted(
+        r.k for r in fmt.read_for_range(wh, "t", "ts", lo, hi).collect()
+    )
+    want = sorted(r[0] for r in rows if lo <= r[1] <= hi)
+    assert got == want and want  # boundary rows survive legacy stats

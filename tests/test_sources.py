@@ -680,9 +680,21 @@ def test_txlog_changes_stream_across_rename_and_dv(spark, tmp_path):
         q.awaitTermination()
 
     def feed_rows():
+        # the sink dir legitimately accumulates BOTH schemas once a
+        # drain restarts after the second rename (each availableNow
+        # run re-derives the source schema — even an idle drain can
+        # land an empty file under the new name, which un-merged
+        # schema inference picks nondeterministically): always merge
+        # and coalesce the two eras of the value column
+        import pyspark.sql.functions as F
+
+        df = spark.read.option("mergeSchema", "true").parquet(out)
+        vals = [c for c in ("score", "quality") if c in df.columns]
         return {
-            (r._change_type, r.k, r.score)
-            for r in spark.read.parquet(out).collect()
+            (r[0], r[1], r[2])
+            for r in df.select(
+                "_change_type", "k", F.coalesce(*map(F.col, vals))
+            ).collect()
         }
 
     # stream starts after the rename: schema speaks 'score', and the
@@ -703,7 +715,62 @@ def test_txlog_changes_stream_across_rename_and_dv(spark, tmp_path):
     # and nothing else changed: inserts stay the original 30
     assert len(got) == 32
 
-    # a rename mid-stream is metadata-only: NO feed rows for it
+    # a rename between drains is metadata-only: NO feed rows for it.
+    # (each drain RESTARTS the availableNow query, so the next run's
+    # schema legitimately speaks the new name — the sink dir evolves)
     fmt.rename_column(wh, "facts", "score", "quality")
     drain()
     assert len(feed_rows()) == 32  # idle drain, rename stayed silent
+
+    # code-review r8 #2, restart half: a DATA change after the rename
+    # flows through the restarted query under the NEW name — merge the
+    # sink dir's two schemas and the values line up
+    up = spark.sql(
+        "SELECT id AS k, CAST(id * 100 AS DOUBLE) AS quality, "
+        "TIMESTAMP '2024-06-01' AS ts FROM range(2, 4)"
+    )
+    wh.upsert_partitioned("facts", up, ["k"], "ts", num_buckets=4)
+    drain()
+    got = feed_rows()
+    assert ("update_preimage", 2, 2.0) in got
+    assert ("update_postimage", 2, 200.0) in got
+    assert ("update_postimage", 3, 300.0) in got
+    assert len(got) == 36  # 32 + 2x(pre+post)
+    assert None not in {s for (_t, _k, s) in got}
+
+    # code-review r8 #2, long-running half: a reader whose schema was
+    # FROZEN before a rename must keep emitting real values afterwards
+    # — _aligned() maps the frozen names to the current logical names
+    # by field id (without it, updates silently suppress and inserts
+    # emit NULLs)
+    from pyspark.sql.types import (
+        DoubleType, LongType, StringType, StructField, StructType,
+        TimestampType,
+    )
+
+    from instagram_data_pipeline_spark.sources.txlog_source import (
+        TxlogChangesStreamReader,
+    )
+
+    frozen = StructType([
+        StructField("_change_type", StringType()),
+        StructField("k", LongType()),
+        StructField("score", DoubleType()),
+        StructField("ts", TimestampType()),
+    ])
+    reader = TxlogChangesStreamReader(
+        frozen, {"path": root, "keys": "k"},
+    )
+    # pin the reader to the manifest its frozen schema came from: the
+    # 'score' era, while the table now speaks 'quality'
+    reader.schema_snap = fmt._snap_at(wh, "facts", 2)
+    v_last = fmt.versions(wh, "facts")[-1]
+    rows, off = reader.read({"version": v_last - 1})
+    tuples = list(rows)
+    assert off == {"version": v_last}
+    by_type = {}
+    for t in tuples:
+        by_type.setdefault(t[0], set()).add((t[1], t[2]))
+    # frozen column position 2 ('score') carries the CURRENT values
+    assert by_type["update_preimage"] == {(2, 2.0), (3, 3.0)}
+    assert by_type["update_postimage"] == {(2, 200.0), (3, 300.0)}
