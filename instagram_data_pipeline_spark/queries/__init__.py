@@ -126,10 +126,12 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "dedup_funnel_report",
     "triangle_stats",
     # ------------------- driver window ends at slot 50 --------------------
-    # Slots 51-52: registered AFTER the r8 window was verified — first
+    # Slots 51-54: registered AFTER the r8 window was verified — first
     # in line for the r9 window; CI-hash-checked every run meanwhile.
     "txlog_widen_evolution",
     "txlog_stream_merge_sink",
+    "txlog_rebucket_layout",
+    "txlog_zorder_equidepth",
     # Demoted past the window: every name below is >=1-round driver-green
     # (the round-7 window block demotes together, 2+ lifetime rows each)
     # and stays DuckDB-oracle-checked every CI run by

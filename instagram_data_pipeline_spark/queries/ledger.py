@@ -1892,3 +1892,161 @@ def q_txlog_stream_merge_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = fmt.read_merged(wh, "facts")
     assert out.filter(F.col("v") < 0).count() == 0
     return out.filter(F.col("k") % 3 == 0).select("k", "v", "ts")
+
+
+# ---------------------------------------------------------------------------
+# Bucket-layout evolution: a table committed at num_buckets=4 outgrows
+# its layout, rebucket(16) rewrites every row under the new modulus
+# (asserted in-query: the manifest records 16, files spread past 4
+# buckets, and the OLD modulus is afterwards refused), and merges
+# continue under the new layout. The oracle is last-batch-wins
+# keep-newest over the three quarterly batches — layout evolution
+# changes WHERE rows live, never what they are.
+# ---------------------------------------------------------------------------
+_TXLOG_REBUCKET_ORACLE = f"""
+WITH q AS (
+  SELECT o_custkey AS k,
+         CASE
+           WHEN o_orderdate < TIMESTAMP '{_BF_CUTS[0]}' THEN 1
+           WHEN o_orderdate < TIMESTAMP '{_BF_CUTS[1]}' THEN 2
+           ELSE 3
+         END AS qtr,
+         MAX(o_totalprice) AS v, MAX(o_orderdate) AS ts
+  FROM orders GROUP BY 1, 2
+)
+SELECT k, v, ts FROM (
+  SELECT q.*, ROW_NUMBER() OVER (
+    PARTITION BY k ORDER BY qtr DESC
+  ) AS rn FROM q
+) WHERE rn = 1
+"""
+
+
+@register(
+    "txlog_rebucket_layout",
+    _TXLOG_REBUCKET_ORACLE,
+    doc="bucket-layout evolution (Iceberg partition-evolution analog): "
+        "rebucket(16) rewrites a num_buckets=4 table under the new "
+        "modulus — asserted in-query: manifest records 16, files "
+        "spread past 4 buckets, the old modulus is refused afterwards "
+        "(the recorded bucket contract), and a later merge lands under "
+        "the new layout; oracle is last-batch-wins keep-newest over "
+        "the three quarterly batches",
+    tags=("writes", "format", "evolution"),
+)
+def q_txlog_rebucket_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+
+    from ..formats import TransactionLogFormat
+    from ..io import Warehouse
+
+    orders = load_testdata(spark, sf_dir, "orders")
+
+    def agg(df):
+        return df.groupBy(F.col("o_custkey").alias("k")).agg(
+            F.max("o_totalprice").alias("v"),
+            F.max("o_orderdate").alias("ts"),
+        )
+
+    cuts = [F.lit(c).cast("timestamp") for c in _BF_CUTS[:2]]
+    d = F.col("o_orderdate")
+    fmt = TransactionLogFormat()
+    wh = Warehouse(spark, _scratch("txlog_rebucket"), fmt=fmt)
+    wh.upsert_partitioned(
+        "facts", agg(orders.filter(d < cuts[0])), ["k"], "ts",
+        num_buckets=4,
+    )
+    wh.upsert_partitioned(
+        "facts", agg(orders.filter((d >= cuts[0]) & (d < cuts[1]))),
+        ["k"], "ts", num_buckets=4,
+    )
+    fmt.rebucket(wh, "facts", 16)
+    snap = fmt._latest(wh, "facts")
+    assert snap["num_buckets"] == 16
+    assert len(set(snap["files"].values())) > 4  # really re-laid-out
+    try:  # the old modulus is now a refused contract violation
+        wh.upsert_partitioned(
+            "facts", agg(orders.filter(d >= cuts[1])).limit(1),
+            ["k"], "ts", num_buckets=4,
+        )
+        raise AssertionError("old modulus accepted after rebucket")
+    except ValueError:
+        pass
+    wh.upsert_partitioned(
+        "facts", agg(orders.filter(d >= cuts[1])), ["k"], "ts",
+        num_buckets=16,
+    )
+    return fmt.read_merged(wh, "facts").select("k", "v", "ts")
+
+
+# ---------------------------------------------------------------------------
+# Equi-depth Z-order under heavy-tailed data: a few synthetic outliers
+# stretch the price range ~100000x, which collapses LINEAR min/max
+# ranks (the dense region maps to one Morton code and box pruning on
+# price dies — pinned against a linear-layout control in
+# tests/test_io.py); quantile-bucket ranks keep every code ~equal row
+# count, so the dense-region box still prunes (asserted in-query).
+# The oracle is the plain two-range filter over the same derived
+# column — rank layout changes FILES, never answers.
+# ---------------------------------------------------------------------------
+_EQZ_X = (
+    "CASE WHEN o_orderkey % 5000 = 0 THEN o_totalprice * 100000 "
+    "ELSE o_totalprice END"
+)
+
+_TXLOG_EQZ_ORACLE = f"""
+SELECT o_orderkey AS k, {_EQZ_X} AS x, o_orderdate AS ts
+FROM orders
+WHERE ({_EQZ_X} BETWEEN 100000 AND 200000)
+  AND o_orderdate BETWEEN TIMESTAMP '1994-01-01'
+                      AND TIMESTAMP '1995-12-31 23:59:59'
+"""
+
+
+@register(
+    "txlog_zorder_equidepth",
+    _TXLOG_EQZ_ORACLE,
+    doc="equi-depth Z-order clustering (quantile-bucket ranks — the "
+        "Delta range_partition_id practice) on a heavy-tailed column "
+        "whose outliers stretch the range ~100000x: linear min/max "
+        "ranks collapse the dense region into one Morton code "
+        "(control pinned in tests/test_io.py), equi-depth keeps the "
+        "dense-region box prunable (asserted in-query: strictly fewer "
+        "files than the snapshot on the skewed dimension AND on the "
+        "box); oracle is the plain two-range filter",
+    tags=("writes", "format", "pruning", "skew"),
+)
+def q_txlog_zorder_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+
+    from ..formats import TransactionLogFormat
+    from ..io import Warehouse
+
+    orders = load_testdata(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.expr(_EQZ_X.replace("o_orderkey", "o_orderkey")
+               .replace("o_totalprice", "o_totalprice")).alias("x"),
+        F.col("o_orderdate").alias("ts"),
+    )
+    n = orders.count()
+    fmt = TransactionLogFormat(
+        zorder_cols=["x", "ts"], zorder_equidepth=True,
+        max_records_per_file=max(64, n // 32),
+    )
+    wh = Warehouse(spark, _scratch("txlog_eqz"), fmt=fmt)
+    wh.upsert_partitioned("facts", orders, ["k"], "ts", num_buckets=4)
+
+    box = {
+        "x": (100000.0, 200000.0),
+        "ts": (
+            dt.datetime(1994, 1, 1, 0, 0, 0),
+            dt.datetime(1995, 12, 31, 23, 59, 59),
+        ),
+    }
+    snap = fmt._latest(wh, "facts")
+    total = len(snap["files"])
+    # the skewed dimension prunes despite the 100000x outliers — the
+    # property linear ranks lose — and the box only tightens
+    keep_x = fmt.files_for_range(snap, "x", *box["x"])
+    keep = fmt.files_for_box(snap, box)
+    assert len(keep_x) < total, (len(keep_x), total)
+    assert 0 < len(keep) <= len(keep_x)
+    return fmt.read_for_box(wh, "facts", box).select("k", "x", "ts")
