@@ -1194,12 +1194,18 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..io import write_bucketed
 
-    # Fixed table names + a fixed external location, overwritten per
-    # run: repeated driver/bench invocations reuse the same two
-    # metastore entries and the same directory instead of accumulating
-    # bj_<tag> tables and tempdirs (ADVICE r6 #5). The driver runs
-    # queries sequentially, so the shared name is not a race.
-    root = os.path.join(tempfile.gettempdir(), "spark_graft_bucketed_join")
+    # Fixed per-SF table names + a fixed per-SF external location,
+    # overwritten per run: repeated driver/bench invocations reuse the
+    # same two metastore entries and the same directory instead of
+    # accumulating tables/tempdirs (ADVICE r6 #5); the SF digest keeps
+    # CONCURRENT different-SF runs (e.g. an overlapping sf0.01 gate
+    # and sf0.1 sweep) from overwriting each other's tables mid-read.
+    import hashlib
+
+    _tag = hashlib.md5(sf_dir.encode()).hexdigest()[:6]
+    root = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_bucketed_join_{_tag}"
+    )
     orders = load_testdata(spark, sf_dir, "orders").select(
         "o_custkey", "o_totalprice"
     )
@@ -1207,13 +1213,15 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey", "c_nationkey"
     )
     write_bucketed(
-        orders, "bj_orders", 8, ["o_custkey"], path=f"{root}/orders",
+        orders, f"bj_orders_{_tag}", 8, ["o_custkey"],
+        path=f"{root}/orders",
     )
     write_bucketed(
-        customer, "bj_customer", 8, ["c_custkey"], path=f"{root}/customer",
+        customer, f"bj_customer_{_tag}", 8, ["c_custkey"],
+        path=f"{root}/customer",
     )
-    b_orders = spark.table("bj_orders")
-    b_customer = spark.table("bj_customer")
+    b_orders = spark.table(f"bj_orders_{_tag}")
+    b_customer = spark.table(f"bj_customer_{_tag}")
     # A MERGE join hint — not a session-wide autoBroadcastJoinThreshold
     # toggle — pins the sort-merge strategy INSIDE the plan itself: the
     # returned DataFrame exercises the bucketed zero-exchange SMJ path

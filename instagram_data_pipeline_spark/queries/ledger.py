@@ -47,17 +47,25 @@ _NOW = dt.datetime(2001, 8, 1)
 _CUTOFF = _NOW - dt.timedelta(days=7)
 
 
-def _scratch(name: str) -> str:
-    """Fixed per-query scratch root, WIPED AT START of each run (the
-    bucketed_join convention, ADVICE r6 #5): repeated driver/bench
-    invocations reuse one directory instead of accumulating a tmpdir
-    per run, and the returned DataFrame stays readable after the query
-    function exits (nothing is deleted at the end)."""
+def _scratch(name: str, sf_dir: str = "") -> str:
+    """Fixed per-(query, SF) scratch root, WIPED AT START of each run
+    (the bucketed_join convention, ADVICE r6 #5): repeated driver/
+    bench invocations reuse one directory instead of accumulating a
+    tmpdir per run, and the returned DataFrame stays readable after
+    the query function exits (nothing is deleted at the end). The SF
+    digest keeps CONCURRENT runs against different scale factors from
+    wiping each other's tables mid-read (observed when the sf0.01
+    gate and the sf0.1 sweep overlapped); concurrent same-SF runs
+    compute identical state and still share."""
+    import hashlib
     import os
     import shutil
     import tempfile
 
-    root = os.path.join(tempfile.gettempdir(), f"spark_graft_{name}")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:6] if sf_dir else ""
+    root = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_{name}{'_' + tag if tag else ''}"
+    )
     shutil.rmtree(root, ignore_errors=True)
     return root
 
@@ -628,7 +636,7 @@ def q_txlog_retention_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cut = F.lit(_TXLOG_CUT).cast("timestamp")
     fmt = TransactionLogFormat()
     wh = Warehouse(
-        spark, _scratch("txlog_retention"), fmt=fmt
+        spark, _scratch("txlog_retention", sf_dir), fmt=fmt
     )
     wh.upsert_partitioned(
         "facts", batch(F.col("o_orderdate") < cut), ["k"], "ts",
@@ -757,7 +765,7 @@ def q_txlog_count_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cut = F.lit(_TXLOG_CUT).cast("timestamp")
     fmt = TransactionLogFormat()
-    wh = Warehouse(spark, _scratch("txlog_count"), fmt=fmt)
+    wh = Warehouse(spark, _scratch("txlog_count", sf_dir), fmt=fmt)
     wh.upsert_partitioned(
         "facts", batch(F.col("o_orderdate") < cut), ["k"], "ts",
         num_buckets=8,
@@ -829,7 +837,7 @@ def q_txlog_zonemap_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         cluster_col="ts", max_records_per_file=max(64, n // 32)
     )
     wh = Warehouse(
-        spark, _scratch("txlog_zonemap"), fmt=fmt
+        spark, _scratch("txlog_zonemap", sf_dir), fmt=fmt
     )
     wh.upsert_partitioned(
         "facts", batch(F.col("o_orderdate") < cut), ["k"], "ts",
@@ -918,7 +926,7 @@ def q_txlog_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         cluster_col="ts", max_records_per_file=max(8, n_keys // 48)
     )
     wh = Warehouse(
-        spark, _scratch("txlog_compact"), fmt=frag
+        spark, _scratch("txlog_compact", sf_dir), fmt=frag
     )
     wh.upsert_partitioned(
         "facts", batch(F.col("o_orderdate") < cut), ["k"], "ts",
@@ -1021,7 +1029,7 @@ def q_txlog_minmax_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cut = F.lit(_TXLOG_CUT).cast("timestamp")
     fmt = TransactionLogFormat(cluster_col="ts", max_records_per_file=512)
-    wh = Warehouse(spark, _scratch("txlog_minmax"), fmt=fmt)
+    wh = Warehouse(spark, _scratch("txlog_minmax", sf_dir), fmt=fmt)
     wh.upsert_partitioned(
         "facts", batch(F.col("o_orderdate") < cut), ["k"], "ts",
         num_buckets=8,
@@ -1105,7 +1113,7 @@ def q_txlog_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     fmt = TransactionLogFormat(
         zorder_cols=["v", "ts"], max_records_per_file=max(64, n // 32)
     )
-    wh = Warehouse(spark, _scratch("txlog_zorder"), fmt=fmt)
+    wh = Warehouse(spark, _scratch("txlog_zorder", sf_dir), fmt=fmt)
     wh.upsert_partitioned("facts", orders, ["k"], "ts", num_buckets=4)
 
     box = {
@@ -1199,7 +1207,7 @@ def q_txlog_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cut = F.lit(_TXLOG_CUT).cast("timestamp")
     fmt = TransactionLogFormat()
-    wh = Warehouse(spark, _scratch("txlog_cdf"), fmt=fmt)
+    wh = Warehouse(spark, _scratch("txlog_cdf", sf_dir), fmt=fmt)
     wh.upsert_partitioned(
         "facts", agg(orders.filter(F.col("o_orderdate") < cut)),
         ["k"], "ts", num_buckets=8,
@@ -1269,7 +1277,7 @@ def q_txlog_bloom_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         bloom_bits=max(4096, mrpf * 16),
         max_records_per_file=mrpf,
     )
-    wh = Warehouse(spark, _scratch("txlog_bloom"), fmt=fmt)
+    wh = Warehouse(spark, _scratch("txlog_bloom", sf_dir), fmt=fmt)
     wh.upsert_partitioned("facts", docs, ["k"], "ts", num_buckets=8)
 
     probe = docs.filter(F.col("k") == 7).select("fp").first().fp
@@ -1330,7 +1338,7 @@ def q_txlog_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     fmt = TransactionLogFormat(
         cluster_col="ts", max_records_per_file=max(64, n // 32)
     )
-    wh = Warehouse(spark, _scratch("txlog_ds"), fmt=fmt)
+    wh = Warehouse(spark, _scratch("txlog_ds", sf_dir), fmt=fmt)
     wh.upsert_partitioned("facts", orders, ["k"], "ts", num_buckets=4)
 
     # set-and-leave (the load_testdata nanosAsLong convention): the
@@ -1409,7 +1417,7 @@ def q_txlog_stream_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..io import Warehouse
     from ..sources.txlog_source import TxlogChangesDataSource
 
-    scratch = _scratch("txlog_stream_cdf")
+    scratch = _scratch("txlog_stream_cdf", sf_dir)
     out, ckpt = os.path.join(scratch, "out"), os.path.join(scratch, "ckpt")
 
     orders = load_testdata(spark, sf_dir, "orders")
@@ -1513,7 +1521,7 @@ def q_txlog_rename_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cut = F.lit(_TXLOG_CUT).cast("timestamp")
     fmt = TransactionLogFormat()
-    wh = Warehouse(spark, _scratch("txlog_rename"), fmt=fmt)
+    wh = Warehouse(spark, _scratch("txlog_rename", sf_dir), fmt=fmt)
     wh.upsert_partitioned(
         "facts", agg(orders.filter(F.col("o_orderdate") < cut), "v"),
         ["k"], "ts", num_buckets=8,
@@ -1588,7 +1596,7 @@ def q_txlog_delete_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("o_orderdate").alias("ts"),
     )
     fmt = TransactionLogFormat()
-    wh = Warehouse(spark, _scratch("txlog_dv"), fmt=fmt)
+    wh = Warehouse(spark, _scratch("txlog_dv", sf_dir), fmt=fmt)
     wh.upsert_partitioned("facts", facts, ["k"], "ts", num_buckets=8)
     keys = facts.select("k")
     n5 = fmt.delete_keys_dv(
@@ -1697,7 +1705,7 @@ def q_txlog_changes_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.filter(d >= cuts[2]),
     ]
     fmt = TransactionLogFormat()
-    wh = Warehouse(spark, _scratch("txlog_backfill"), fmt=fmt)
+    wh = Warehouse(spark, _scratch("txlog_backfill", sf_dir), fmt=fmt)
     for qdf in quarters:
         wh.upsert_partitioned("facts", agg(qdf), ["k"], "ts",
                               num_buckets=8)
@@ -1795,7 +1803,7 @@ def q_txlog_widen_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     fmt = TransactionLogFormat()
-    wh = Warehouse(spark, _scratch("txlog_widen"), fmt=fmt)
+    wh = Warehouse(spark, _scratch("txlog_widen", sf_dir), fmt=fmt)
     wh.upsert_partitioned("facts", b1, ["k"], "ts", num_buckets=8)
     files_v1 = fmt._latest(wh, "facts")["files"]
     fmt.widen_column(wh, "facts", "cnt", "long")
@@ -1852,7 +1860,7 @@ def q_txlog_stream_merge_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..formats import TransactionLogFormat
     from ..io import Warehouse
 
-    scratch = _scratch("txlog_sink")
+    scratch = _scratch("txlog_sink", sf_dir)
     in_dir = os.path.join(scratch, "in")
     orders = load_testdata(spark, sf_dir, "orders").select(
         F.col("o_orderkey").alias("k"),
@@ -1950,7 +1958,7 @@ def q_txlog_rebucket_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     cuts = [F.lit(c).cast("timestamp") for c in _BF_CUTS[:2]]
     d = F.col("o_orderdate")
     fmt = TransactionLogFormat()
-    wh = Warehouse(spark, _scratch("txlog_rebucket"), fmt=fmt)
+    wh = Warehouse(spark, _scratch("txlog_rebucket", sf_dir), fmt=fmt)
     wh.upsert_partitioned(
         "facts", agg(orders.filter(d < cuts[0])), ["k"], "ts",
         num_buckets=4,
@@ -2031,7 +2039,7 @@ def q_txlog_zorder_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
         zorder_cols=["x", "ts"], zorder_equidepth=True,
         max_records_per_file=max(64, n // 32),
     )
-    wh = Warehouse(spark, _scratch("txlog_eqz"), fmt=fmt)
+    wh = Warehouse(spark, _scratch("txlog_eqz", sf_dir), fmt=fmt)
     wh.upsert_partitioned("facts", orders, ["k"], "ts", num_buckets=4)
 
     box = {

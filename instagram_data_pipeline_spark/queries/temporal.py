@@ -1037,11 +1037,18 @@ def q_stream_outer_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream_from_parquet,
     )
 
-    # Fixed scratch root, wiped at START of each run (the bucketed_join
-    # convention): repeated driver/bench invocations reuse one
-    # directory instead of accumulating tmpdirs, and the returned
-    # DataFrame stays readable after the query function exits.
-    root = os.path.join(tempfile.gettempdir(), "spark_graft_stream_oattr")
+    # Fixed per-SF scratch root, wiped at START of each run (the
+    # bucketed_join convention): repeated driver/bench invocations
+    # reuse one directory instead of accumulating tmpdirs, the
+    # returned DataFrame stays readable after the query function
+    # exits, and the SF digest keeps concurrent different-SF runs
+    # from wiping each other mid-read.
+    import hashlib
+
+    _tag = hashlib.md5(sf_dir.encode()).hexdigest()[:6]
+    root = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_stream_oattr_{_tag}"
+    )
     shutil.rmtree(root, ignore_errors=True)
     src, out, ckpt = (os.path.join(root, d) for d in ("src", "out", "ckpt"))
 
