@@ -224,16 +224,23 @@ def _bloom_maybe_contains(b64: str, value, k: int) -> bool:
     )
 
 
-def _bloom_entry_maybe_contains(entry, value, default_k: int) -> bool:
+def _bloom_entry_maybe_contains(
+    entry, value, default_k: int | None
+) -> bool:
     """Probe a manifest bloom entry with the hash count IT was built
     with: entries are ``{"k": n, "bm": b64}`` (the k is persisted
     alongside the bitmap — ADVICE r7 #1: probing with a reader-side k
     that differs from the writer's produces FALSE NEGATIVES, silently
     pruning files that contain the value). A bare-string entry (legacy
-    pre-k manifest) falls back to ``default_k`` — the old behavior,
-    correct exactly when reader and writer agree on the default."""
+    pre-k manifest) falls back to ``default_k`` when the caller KNOWS
+    the writer's k (the format object carries its own config); with
+    ``default_k=None`` the entry is treated as unprunable — keep the
+    file (ADVICE r8 #3: a reader that merely assumes the default k
+    reproduces the very false-negative bug the persisted k fixed)."""
     if isinstance(entry, dict):
         return _bloom_maybe_contains(entry["bm"], value, int(entry["k"]))
+    if default_k is None:
+        return True  # legacy entry, unknown writer k: never prune
     return _bloom_maybe_contains(entry, value, default_k)
 
 
@@ -917,11 +924,17 @@ class TransactionLogFormat:
                     base.get("num_buckets", num_buckets)
                 )
                 # transaction bookkeeping: carry every app's last
-                # applied version; stamp ours (a rebase re-reads the
-                # winner's table, so base always has the latest)
+                # applied version; stamp ours MONOTONICALLY (ADVICE
+                # r8 #4: a disjoint concurrent winner under the SAME
+                # app id may have advanced past the caller's stale
+                # version — rebasing must never regress the recorded
+                # high-water mark, or later replays of the winner's
+                # batch would slip past the idempotence check)
                 txns = dict(base.get("txns", {}))
                 if txn is not None:
-                    txns[txn[0]] = int(txn[1])
+                    txns[txn[0]] = max(
+                        int(txn[1]), int(txns.get(txn[0], -1))
+                    )
                 if txns:
                     published["txns"] = txns
                 self._publish(
@@ -1409,8 +1422,6 @@ class TransactionLogFormat:
         buckets' files OR their DVs forces a recompute (positions are
         only valid against the exact file+DV state they were read
         from)."""
-        import os as _os
-
         key_frame = F.broadcast(key_rows.select(*keys).dropDuplicates())
         for _ in range(self.MAX_COMMIT_RETRIES):
             snap = self._latest(wh, table)
@@ -1458,10 +1469,10 @@ class TransactionLogFormat:
                 scan = wh.spark.read.parquet(
                     *[str(root / f) for f in live]
                 )
+            # key rows by the manifest-relative path suffix (same
+            # symlink-proof pairing as _apply_dv / _dv_path_key)
             scan = scan.select(
-                F.regexp_replace(
-                    F.col("_metadata.file_path"), "^file:/+", "/"
-                ).alias("_dv_fp"),
+                self._dv_path_key(live).alias("_dv_fp"),
                 F.col("_metadata.row_index").alias("_dv_ri"),
                 *[
                     F.col(mapping.get(k, k)).alias(k) for k in keys
@@ -1473,7 +1484,7 @@ class TransactionLogFormat:
             if old_dv:
                 already = wh.spark.createDataFrame(
                     [
-                        (_os.path.abspath(str(root / f)), o)
+                        (f, o)
                         for f, e in old_dv.items()
                         for o in _dv_ordinals(e["bm"])
                     ],
@@ -1490,13 +1501,13 @@ class TransactionLogFormat:
             if not victims:
                 return 0
             by_file: dict[str, list[int]] = {}
-            abs_to_rel = {
-                _os.path.abspath(str(root / f)): f for f in live
-            }
             for r in victims:
-                by_file.setdefault(abs_to_rel[r._dv_fp], []).append(
-                    r._dv_ri
-                )
+                if r._dv_fp not in live:
+                    raise ValueError(
+                        f"delete_keys_dv: scanned row's path suffix "
+                        f"{r._dv_fp!r} is not a manifest file"
+                    )
+                by_file.setdefault(r._dv_fp, []).append(r._dv_ri)
             new_dv = dict(snap.get("dv", {}))
             for f, ords in by_file.items():
                 prev = new_dv.get(f)
@@ -1655,21 +1666,47 @@ class TransactionLogFormat:
         return fields, dropped, next_fid
 
     @staticmethod
-    def _apply_dv(wh, root: Path, df: DataFrame, dv: dict) -> DataFrame:
+    def _dv_path_key(files) -> "F.Column":
+        """Spark-side join key matching a manifest RELPATH: the last
+        ``depth+1`` components of ``_metadata.file_path``. Matching on
+        the manifest-relative suffix instead of an absolute path makes
+        the (file, ordinal) pairing immune to path aliasing between
+        the JVM and Python views of the same file — symlinked
+        warehouse roots (macOS ``/tmp`` -> ``/private/tmp``), scheme
+        prefixes, double slashes (ADVICE r8 #2: abspath-vs-URI-regex
+        equality silently matched nothing on a symlinked root,
+        resurrecting DV-deleted rows). Every ``_write_commit`` relpath
+        has the fixed shape ``data/<commit>/<bcol>=<n>/<file>``; the
+        depth is still derived from the manifest entries defensively,
+        and mixed depths (impossible for format-written manifests) are
+        rejected loudly rather than mismatched silently."""
+        depths = {f.count("/") for f in files}
+        if len(depths) != 1:
+            raise ValueError(
+                f"deletion-vector manifest entries have mixed path "
+                f"depths {sorted(depths)}; cannot derive a unique "
+                f"suffix key"
+            )
+        d = depths.pop()
+        return F.regexp_extract(
+            F.col("_metadata.file_path"),
+            r"((?:[^/]+/){%d}[^/]+)$" % d,
+            1,
+        )
+
+    @classmethod
+    def _apply_dv(cls, wh, root: Path, df: DataFrame, dv: dict) -> DataFrame:
         """Merge-on-read deletes: anti-join the manifest's deleted
         (file, row-ordinal) positions out of a file scan — the
         read-time half of the Delta deletion-vector design. Positions
         come from ``_metadata.file_path``/``row_index`` (stable
         per-file ordinals), the deleted set arrives as a BROADCAST
         frame (DV cardinality is point-delete sized by contract; bulk
-        erasure belongs on the copy-on-write ``delete_keys``). Path
-        matching normalizes the scheme prefix (local ``file:`` URIs);
-        an object-store deployment swaps the normalization, nothing
-        else."""
-        import os as _os
-
+        erasure belongs on the copy-on-write ``delete_keys``). The
+        pairing key is the manifest-relative path suffix
+        (``_dv_path_key``), never an absolute path."""
         pairs = [
-            (_os.path.abspath(str(root / f)), o)
+            (f, o)
             for f, e in dv.items()
             for o in _dv_ordinals(e["bm"])
         ]
@@ -1677,10 +1714,7 @@ class TransactionLogFormat:
             pairs, "_dv_fp string, _dv_ri long"
         )
         out = df.withColumn(
-            "_dv_fp",
-            F.regexp_replace(
-                F.col("_metadata.file_path"), "^file:/+", "/"
-            ),
+            "_dv_fp", cls._dv_path_key(dv)
         ).withColumn("_dv_ri", F.col("_metadata.row_index"))
         out = out.join(F.broadcast(pos), ["_dv_fp", "_dv_ri"], "anti")
         return out.drop("_dv_fp", "_dv_ri")

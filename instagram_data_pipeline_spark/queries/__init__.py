@@ -54,39 +54,90 @@ def register(
 # — all of them stay oracle-checked every CI run by
 # tests/test_queries_oracle.py regardless.
 REGISTRY_ORDER: tuple[str, ...] = (
-    # ================= round-8 driver window (50 slots) ==================
-    # Standing policy unchanged (see above). This round (VERDICT r7
-    # "Next round" #3/#4/#5/#6, ADVICE r7):
-    # (a) slots 1-3: the NEW round-8 format-lifecycle queries —
-    #     column-mapping rename evolution, deletion vectors, and the
-    #     distributed CDF backfill batch source.
-    # (b) slots 4-14: changed-implementation re-verifies: adamic_adar
-    #     (hub-degree cap threaded into operator + oracle — the r7
-    #     weak item) and ALL ten txlog_* queries (formats.py grew
-    #     column mapping + deletion vectors + the persisted bloom k,
-    #     the dated-stats midnight fix, and the delete-count locality
-    #     fix — every query riding the format re-proves on the new
-    #     code even where previously green).
-    # (c) slots 15-26: second lifetime rows for the remaining r7
-    #     first-row singles (VERDICT r7 Missing #1).
-    # (d) slots 27-28: the two second rows r7 explicitly deferred
-    #     (mutual_edges_salted, dataset_card).
-    # (e) slots 29-50: the oldest hash-checkable singles from rounds
-    #     3-5, FIFO. classifier_weights (rows-only trainer tier) waits
-    #     for a window with room to seat its hash-checked twin
-    #     classifier_score_fixed beside it per the adjacency policy.
-    "txlog_rename_evolution",
-    "txlog_delete_vectors",
+    # ================= round-9 driver window (50 slots) ==================
+    # Standing policy unchanged (see above). This round (VERDICT r8
+    # "Next round" #1/#2, ADVICE r8):
+    # (a) slots 1-4: the four r8 queries registered AFTER the r8
+    #     driver check ran — their first driver row (VERDICT r8
+    #     Missing #1 / Next #1).
+    # (b) slots 5-6: the NEW round-9 queries (SQL time-travel surface
+    #     for the txlog catalog, FLAC subset codec).
+    # (c) slots 7-11: changed-implementation re-verifies — the ADVICE
+    #     r8 fixes touched the CDF backfill reader (joint diff across
+    #     a rebucket), deletion-vector path matching, legacy bloom
+    #     pruning, and merge's rebase txn stamping; every query riding
+    #     those paths re-proves on the new code.
+    # (d) slots 12-50: the oldest-first rotation (VERDICT r8 Next #2):
+    #     the entire r2-vintage backlog FIFO — the §2 core (flagship
+    #     mutual_edges first) whose newest driver row was r2.
+    "txlog_widen_evolution",
+    "txlog_stream_merge_sink",
+    "txlog_rebucket_layout",
+    "txlog_zorder_equidepth",
+    "txlog_time_travel_sql",
     "txlog_changes_backfill",
+    "txlog_delete_vectors",
+    "txlog_bloom_lookup",
+    "txlog_change_feed",
+    "txlog_stream_changes",
+    "mutual_edges",
+    "dataset_split",
+    "embedding_quantize",
+    "embedding_near_dups",
+    "cosine_topk",
+    "embedding_norms",
+    "pricing_summary",
+    "label_centroids",
+    "ledger_enqueue_due",
+    "ledger_dequeue_transition",
+    "ledger_point_update",
+    "ledger_complete_batch",
+    "sessionize_batch",
+    "sessionize_stream",
+    "upsert_keep_newest",
+    "insert_if_absent",
+    "top_k_per_group",
+    "running_total",
+    "hourly_window_counts",
+    "mutual_edges_intersect",
+    "key_lookup",
+    "enrichment_join",
+    "pending_anti_join",
+    "dim_hierarchy",
+    "three_way_join",
+    "count_via_join",
+    "fifo_dequeue",
+    "temporal_in_filter",
+    "daily_counts",
+    "conditional_counts",
+    "union_dedup",
+    "semi_join_exists",
+    "pivot_status_counts",
+    "rollup_revenue",
+    "regional_revenue",
+    "sql_api_top_spenders",
+    "copurchase_pairs",
+    "table_profile",
+    "event_funnel",
+    # ------------------- driver window ends at slot 50 --------------------
+    # r2-vintage stragglers that missed the 50-slot budget: first in
+    # line for the r10 window (and they slide IN this round if a new
+    # query above fails to register - load_all skips unknown names).
+    "price_quantiles",
+    "pandas_group_summary",
+    "props_json_extract",
+    # Demoted in current relative order: every name below is >=1-round
+    # driver-green (r3+ vintage, oldest first next rotation) and stays
+    # DuckDB-oracle-checked every CI run by tests/test_queries_oracle.py.
+    # Rows-only tiers keep their hash-checked-twin adjacency; entries
+    # past the window are covered by POST_WINDOW_ROWS_ONLY_OK.
+    "txlog_rename_evolution",
     "adamic_adar",
     "txlog_zonemap_scan",
     "txlog_compact",
     "txlog_zorder_scan",
     "txlog_minmax_pushdown",
-    "txlog_change_feed",
-    "txlog_bloom_lookup",
     "txlog_datasource_scan",
-    "txlog_stream_changes",
     "txlog_retention_lookup",
     "txlog_count_pushdown",
     "gopher_quality_filter",
@@ -125,20 +176,6 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "event_transitions",
     "dedup_funnel_report",
     "triangle_stats",
-    # ------------------- driver window ends at slot 50 --------------------
-    # Slots 51-54: registered AFTER the r8 window was verified — first
-    # in line for the r9 window; CI-hash-checked every run meanwhile.
-    "txlog_widen_evolution",
-    "txlog_stream_merge_sink",
-    "txlog_rebucket_layout",
-    "txlog_zorder_equidepth",
-    # Demoted past the window: every name below is >=1-round driver-green
-    # (the round-7 window block demotes together, 2+ lifetime rows each)
-    # and stays DuckDB-oracle-checked every CI run by
-    # tests/test_queries_oracle.py. The pq and pca families keep their
-    # rows-only-next-to-twin adjacency across the boundary; rows-only
-    # entries past the window are covered by POST_WINDOW_ROWS_ONLY_OK
-    # in tests/test_registry.py.
     "join_size_preflight",
     "score_calibration",
     "monitor_drift_report",
@@ -226,21 +263,9 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "multimodal_ulaw_stats",
     "url_frequency_cap",
     "constraint_report",
-    "mutual_edges",
-    "dataset_split",
-    "embedding_quantize",
-    "embedding_near_dups",
-    "cosine_topk",
-    "embedding_norms",
     "ann_lsh_topk",
     "ivf_topk",
     "kmeans_clusters",
-    "pricing_summary",
-    "label_centroids",
-    "ledger_enqueue_due",
-    "ledger_dequeue_transition",
-    "ledger_point_update",
-    "ledger_complete_batch",
     "dedup_exact",
     "doc_fingerprint",
     "token_stats",
@@ -279,36 +304,6 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "incremental_dedup",
     "temperature_mixture",
     "embedding_near_dups_bucketed",
-    "sessionize_batch",
-    "sessionize_stream",
-    "upsert_keep_newest",
-    "insert_if_absent",
-    "top_k_per_group",
-    "running_total",
-    "hourly_window_counts",
-    "mutual_edges_intersect",
-    "key_lookup",
-    "enrichment_join",
-    "pending_anti_join",
-    "dim_hierarchy",
-    "three_way_join",
-    "count_via_join",
-    "fifo_dequeue",
-    "temporal_in_filter",
-    "daily_counts",
-    "conditional_counts",
-    "union_dedup",
-    "semi_join_exists",
-    "pivot_status_counts",
-    "rollup_revenue",
-    "regional_revenue",
-    "sql_api_top_spenders",
-    "copurchase_pairs",
-    "table_profile",
-    "event_funnel",
-    "price_quantiles",
-    "pandas_group_summary",
-    "props_json_extract",
 )
 DRIVER_WINDOW = 50
 

@@ -85,16 +85,21 @@ class TxlogBatchReader(DataSourceReader):
     """One partition per surviving data file; pushFilters prunes the
     file list via manifest zone maps + blooms before planning."""
 
-    #: fallback hash count for LEGACY bare-string bloom entries only —
-    #: current manifests persist k alongside each bitmap (ADVICE r7 #1)
-    #: and probes always use the stored k
-    BLOOM_HASHES = 7
-
     def __init__(self, schema: StructType, options: dict) -> None:
         self.schema = schema
         self.root = options.get("path")
         if not self.root:
             raise ValueError("txlog: .load(<table root>) path is required")
+        # hash count for LEGACY bare-string bloom entries only: current
+        # manifests persist k alongside each bitmap (ADVICE r7 #1) and
+        # probes always use the stored k. A pre-k manifest written with
+        # a non-default k would be silently FALSE-NEGATIVE-pruned by a
+        # hard-coded reader constant (ADVICE r8 #3), so legacy entries
+        # prune ONLY when the caller explicitly passes the writer's k
+        # via option("bloom_hashes", k); otherwise they are skipped
+        # (file kept — conservative, never wrong).
+        bh = options.get("bloom_hashes")
+        self.legacy_bloom_hashes = int(bh) if bh is not None else None
         self.snap = _load_manifest(self.root, options.get("version"))
         self.keep = sorted(self.snap["files"])
 
@@ -133,7 +138,7 @@ class TxlogBatchReader(DataSourceReader):
         for f in self.keep:
             entry = stats.get(f, {}).get(BLOOM_KEY, {}).get(col)
             if entry is None or _bloom_entry_maybe_contains(
-                entry, value, self.BLOOM_HASHES
+                entry, value, self.legacy_bloom_hashes
             ):
                 kept.append(f)
         self.keep = kept
@@ -433,19 +438,48 @@ class TxlogChangesBatchReader(DataSourceReader):
             if v_from > 0
             else {"files": {}}
         )
+        # A rebucket() between the versions changes the key->bucket
+        # modulus: the same key lives in DIFFERENT bucket ids in the
+        # two manifests, so a per-bucket independent diff would emit a
+        # spurious delete (old bucket's partition) + insert (new
+        # bucket's) for every carried row — diverging from
+        # changes_between and the stream reader, which diff all changed
+        # buckets jointly (ADVICE r8 #1: the three CDF faces must never
+        # drift apart). On a modulus mismatch, fall back to ONE
+        # partition running the global joint diff; the parallel
+        # per-bucket fan-out is only sound while bucket ids are
+        # version-stable.
+        nb_a = self.snap_a.get("num_buckets")
+        nb_b = self.snap_b.get("num_buckets")
+        same_modulus = (
+            nb_a is not None and nb_b is not None
+            and int(nb_a) == int(nb_b)
+        )
+        # manifests that PREDATE num_buckets recording can't prove
+        # bucket-id stability either — joint diff is the safe default
+        self.joint_diff = bool(self.snap_a.get("files")) and not same_modulus
 
     def partitions(self):
         changed = sorted(_changed_buckets(self.snap_a, self.snap_b))
-        return [InputPartition(b) for b in changed] or [
-            InputPartition(None)  # no change between the versions
-        ]
+        if not changed:
+            return [InputPartition(None)]  # no change between versions
+        if self.joint_diff:
+            # rebucket boundary: one partition, all changed buckets
+            # diffed jointly (key identity, not bucket-id identity)
+            return [InputPartition(list(changed))]
+        return [InputPartition(b) for b in changed]
 
     def read(self, partition: InputPartition):
         if partition.value is None:
             return
+        buckets = (
+            set(partition.value)
+            if isinstance(partition.value, list)
+            else {partition.value}
+        )
         yield from _cdf_bucket_tuples(
             self.root, self.keys, self.cols,
-            self.snap_a, self.snap_b, {partition.value},
+            self.snap_a, self.snap_b, buckets,
         )
 
 

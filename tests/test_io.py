@@ -2163,3 +2163,104 @@ def test_stat_pruning_survives_mixed_iso_forms(spark, tmp_path):
     )
     want = sorted(r[0] for r in rows if lo <= r[1] <= hi)
     assert got == want and want  # boundary rows survive legacy stats
+
+
+def test_txlog_rebase_never_regresses_same_app_txn(spark, tmp_path):
+    """ADVICE r8 #4: a merge rebasing over a DISJOINT concurrent winner
+    that advanced the SAME app's txn version must carry the winner's
+    (higher) version forward, not regress it to the loser's stale
+    value — otherwise a later replay of the winner's batch would slip
+    past the idempotence check and double-apply."""
+    import datetime as dt
+
+    from instagram_data_pipeline_spark.formats import TransactionLogFormat
+
+    class Fmt(_RacingPublish, TransactionLogFormat):
+        pass
+
+    fmt = Fmt()
+    wh = Warehouse(spark, str(tmp_path / "wh"), fmt=fmt)
+    k_a, k_b = _two_buckets(spark)
+    t0, t1 = dt.datetime(2024, 1, 1), dt.datetime(2024, 2, 1)
+    base = spark.createDataFrame(
+        [(i, "old", t0) for i in range(20)],
+        "k long, v string, ts timestamp",
+    )
+    plain = TransactionLogFormat()
+    plain.merge(wh, "facts", base, ["k"], "ts", 4, txn=("app", 5))
+
+    winner_batch = spark.createDataFrame(
+        [(k_b, "from_winner", t1)], "k long, v string, ts timestamp"
+    )
+
+    def competitor():
+        # same app id, HIGHER version, disjoint bucket
+        plain.merge(wh, "facts", winner_batch, ["k"], "ts", 4,
+                    txn=("app", 9))
+
+    fmt.competitor = competitor
+    loser_batch = spark.createDataFrame(
+        [(k_a, "from_loser", t1)], "k long, v string, ts timestamp"
+    )
+    # loser carries version 7 (> snapshot's 5, so not a replay; < the
+    # winner's 9 that lands mid-flight)
+    fmt.merge(wh, "facts", loser_batch, ["k"], "ts", 4, txn=("app", 7))
+
+    snap = plain._latest(wh, "facts")
+    assert snap["txns"]["app"] == 9  # high-water mark, never regressed
+    got = {r.k: r.v for r in wh.read_merged("facts").collect()}
+    assert got[k_a] == "from_loser" and got[k_b] == "from_winner"
+
+    # replaying the winner's batch is now correctly a silent no-op
+    v_before = fmt.versions(wh, "facts")
+    plain.merge(wh, "facts", winner_batch.withColumn(
+        "v", F.lit("replayed")
+    ), ["k"], "ts", 4, txn=("app", 9))
+    assert fmt.versions(wh, "facts") == v_before
+    assert {r.k: r.v for r in wh.read_merged("facts").collect()} == got
+
+
+def test_txlog_dv_matching_survives_symlinked_root(spark, tmp_path):
+    """ADVICE r8 #2: deletion-vector (file, ordinal) pairing keys on
+    the manifest-relative path suffix, so a warehouse reached through a
+    SYMLINKED root (macOS /tmp -> /private/tmp) neither resurrects
+    DV-deleted rows on read nor crashes delete_keys_dv."""
+    import datetime as dt
+    import os
+
+    from instagram_data_pipeline_spark.formats import TransactionLogFormat
+
+    fmt = TransactionLogFormat()
+    real = tmp_path / "real_wh"
+    real.mkdir()
+    wh = Warehouse(spark, str(real), fmt=fmt)
+    t0 = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(i, f"v{i}", t0) for i in range(40)],
+        "k long, v string, ts timestamp",
+    )
+    wh.upsert_partitioned("facts", df, ["k"], "ts", num_buckets=4)
+    assert fmt.delete_keys_dv(
+        wh, "facts", ["k"],
+        spark.createDataFrame([(3,), (17,)], "k long"), 4,
+    ) == 2
+
+    link = tmp_path / "link_wh"
+    os.symlink(str(real), str(link))
+    wh_link = Warehouse(spark, str(link), fmt=fmt)
+
+    # read through the symlink: deleted rows stay gone, and the
+    # anti-join removed EXACTLY the manifest's recorded dv row count
+    snap = fmt._latest(wh_link, "facts")
+    n_dv = sum(int(e["n"]) for e in snap.get("dv", {}).values())
+    got = wh_link.read_merged("facts")
+    assert got.count() == 40 - n_dv == 38
+    assert {r.k for r in got.collect()} == set(range(40)) - {3, 17}
+
+    # and a further DV delete THROUGH the symlinked root works
+    assert fmt.delete_keys_dv(
+        wh_link, "facts", ["k"],
+        spark.createDataFrame([(25,)], "k long"), 4,
+    ) == 1
+    assert wh_link.read_merged("facts").count() == 37
+    assert wh.read_merged("facts").count() == 37

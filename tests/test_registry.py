@@ -10,29 +10,26 @@ from instagram_data_pipeline_spark.queries import (
     load_all,
 )
 
-# queries that MUST occupy the round-8 driver window: the new
-# format-lifecycle queries, the changed-implementation re-verifies
-# (formats.py grew column mapping + deletion vectors + the ADVICE r7
-# fixes; adamic_adar gained the hub-degree cap), and second lifetime
-# rows for the round-7 first-row singles (VERDICT r7 Missing #1)
+# queries that MUST occupy the round-9 driver window: the four r8
+# registrations that never got a driver row (VERDICT r8 Next #1), the
+# ADVICE-r8-fix re-verifies (CDF joint diff across rebucket, DV path
+# suffix matching, legacy bloom skip, rebase txn stamping), and the
+# head of the oldest-first rotation (VERDICT r8 Next #2)
 PRIORITY = {
-    # new round-8 format-lifecycle queries
-    "txlog_rename_evolution", "txlog_delete_vectors",
-    "txlog_changes_backfill",
-    # implementation changed in round 8 — re-verify in-window
-    "adamic_adar",
-    "txlog_zonemap_scan", "txlog_compact", "txlog_zorder_scan",
-    "txlog_minmax_pushdown", "txlog_change_feed", "txlog_bloom_lookup",
-    "txlog_datasource_scan", "txlog_stream_changes",
-    "txlog_retention_lookup", "txlog_count_pushdown",
-    # second lifetime rows for the round-7 first-row singles
-    "gopher_quality_filter", "byte_bpe_encode_tokens",
-    "late_data_accounting", "grouping_sets_revenue", "record_linkage",
-    "semdedup_drops", "hll_merge_rollup", "phrase_search",
-    "mad_outliers", "stream_outer_attribution", "cdc_chunk_stats",
-    "json_schema_infer",
-    # the two second rows round 7 explicitly deferred
-    "mutual_edges_salted", "dataset_card",
+    # first driver row for the post-r8-check registrations
+    "txlog_widen_evolution", "txlog_stream_merge_sink",
+    "txlog_rebucket_layout", "txlog_zorder_equidepth",
+    # implementation changed in round 9 — re-verify in-window
+    "txlog_changes_backfill", "txlog_delete_vectors",
+    "txlog_bloom_lookup", "txlog_change_feed", "txlog_stream_changes",
+    # oldest-first rotation head: the r2-vintage §2 core
+    "mutual_edges", "pricing_summary", "upsert_keep_newest",
+    "insert_if_absent", "top_k_per_group", "running_total",
+    "key_lookup", "enrichment_join", "pending_anti_join",
+    "dim_hierarchy", "three_way_join", "count_via_join",
+    "fifo_dequeue", "temporal_in_filter", "daily_counts",
+    "conditional_counts", "sessionize_batch", "cosine_topk",
+    "regional_revenue", "hourly_window_counts",
 }
 
 

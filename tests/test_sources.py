@@ -774,3 +774,246 @@ def test_txlog_changes_stream_across_rename_and_dv(spark, tmp_path):
     # frozen column position 2 ('score') carries the CURRENT values
     assert by_type["update_preimage"] == {(2, 2.0), (3, 3.0)}
     assert by_type["update_postimage"] == {(2, 200.0), (3, 300.0)}
+
+
+def test_txlog_changes_backfill_across_rebucket(spark, tmp_path):
+    """ADVICE r8 #1: a backfill window spanning a rebucket() must not
+    emit spurious delete+insert pairs for carried rows — bucket ids are
+    not version-stable across a modulus change, so the reader falls
+    back to ONE partition running the joint diff, agreeing with the
+    Spark-side changes_between row-for-row."""
+    from instagram_data_pipeline_spark.formats import TransactionLogFormat
+    from instagram_data_pipeline_spark.io import Warehouse
+    from instagram_data_pipeline_spark.sources.txlog_source import (
+        TxlogChangesBatchReader, TxlogChangesDataSource,
+    )
+
+    spark.dataSource.register(TxlogChangesDataSource)
+    fmt = TransactionLogFormat()
+    wh = Warehouse(spark, str(tmp_path / "wh"), fmt=fmt)
+
+    def batch(lo, n, tag, ts):
+        return spark.sql(
+            f"SELECT id AS k, '{tag}' AS v, TIMESTAMP '{ts}' AS ts "
+            f"FROM range({lo}, {lo + n})"
+        )
+
+    # v1: 60 rows @ 4 buckets; v2: rebucket to 8; v3: update 5, add 10
+    wh.upsert_partitioned(
+        "t", batch(0, 60, "a", "2024-01-01"), ["k"], "ts", num_buckets=4
+    )
+    fmt.rebucket(wh, "t", 8)
+    wh.upsert_partitioned(
+        "t", batch(55, 15, "b", "2024-02-01"), ["k"], "ts", num_buckets=8
+    )
+    tbl = str(tmp_path / "wh" / "t")
+
+    def backfill(v0, v1):
+        return (
+            spark.read.format("txlog_changes")
+            .option("keys", "k")
+            .option("v_from", str(v0)).option("v_to", str(v1)).load(tbl)
+        )
+
+    # window v1 -> v2 (the rebucket itself): NO logical change at all
+    assert backfill(1, 2).count() == 0
+
+    # window v1 -> v3 (spans the rebucket): only the real changes —
+    # 5 updates (55..59 a->b) and 10 inserts (60..69); rows 0..54 are
+    # carried and MUST NOT surface as delete+insert churn
+    win = backfill(1, 3)
+    got = {r._change_type: r["count"]
+           for r in win.groupBy("_change_type").count().collect()}
+    assert got == {"update_preimage": 5, "update_postimage": 5,
+                   "insert": 10}
+    spark_side = fmt.changes_between(wh, "t", ["k"], 1, 3)
+    assert sorted(map(tuple, win.collect())) == sorted(
+        map(tuple, spark_side.select(win.columns).collect())
+    )
+
+    # the cross-modulus window planned ONE joint partition; the
+    # same-modulus window (v2 -> v3) still fans out per changed bucket
+    r_cross = TxlogChangesBatchReader(
+        win.schema, {"path": tbl, "keys": "k", "v_from": "1",
+                     "v_to": "3"},
+    )
+    parts = r_cross.partitions()
+    assert len(parts) == 1 and isinstance(parts[0].value, list)
+    r_same = TxlogChangesBatchReader(
+        win.schema, {"path": tbl, "keys": "k", "v_from": "2",
+                     "v_to": "3"},
+    )
+    same_parts = r_same.partitions()
+    assert len(same_parts) >= 1
+    assert all(isinstance(p.value, int) for p in same_parts)
+    # and the same-modulus window agrees with changes_between too
+    win23 = backfill(2, 3)
+    s23 = fmt.changes_between(wh, "t", ["k"], 2, 3)
+    assert sorted(map(tuple, win23.collect())) == sorted(
+        map(tuple, s23.select(win23.columns).collect())
+    )
+
+
+def test_txlog_legacy_bare_bloom_entry_prunes_only_with_explicit_k(
+    spark, tmp_path
+):
+    """ADVICE r8 #3: a LEGACY bare-string bloom entry (pre-k manifest)
+    written with a non-default k must not be probed with the reader's
+    hard-coded default — that silently false-negative-prunes files
+    containing the value. Without an explicit k the reader keeps the
+    file (no pruning, correct rows); with option('bloom_hashes', k)
+    matching the writer, pruning engages and rows stay correct."""
+    import json as _json
+
+    from instagram_data_pipeline_spark.formats import (
+        BLOOM_KEY, TransactionLogFormat,
+    )
+    from instagram_data_pipeline_spark.io import Warehouse
+    from instagram_data_pipeline_spark.sources.txlog_source import (
+        TxlogBatchReader,
+    )
+
+    writer = TransactionLogFormat(
+        bloom_cols=["fp"], bloom_bits=4096, bloom_hashes=3,
+        max_records_per_file=64,
+    )
+    wh = Warehouse(spark, str(tmp_path / "wh"), fmt=writer)
+    df = spark.sql(
+        "SELECT id AS k, concat('fp-', md5(CAST(id AS STRING))) AS fp, "
+        "TIMESTAMP '2024-01-01' AS ts FROM range(1000)"
+    )
+    wh.upsert_partitioned("facts", df, ["k"], "ts", num_buckets=8)
+    tbl = tmp_path / "wh" / "facts"
+
+    # rewrite the manifest to the LEGACY shape: bare b64 strings (built
+    # with k=3), dropping the persisted k
+    log = sorted((tbl / "_txlog").glob("*.json"))[-1]
+    m = _json.loads(log.read_text())
+    for s in m["stats"].values():
+        if BLOOM_KEY in s:
+            s[BLOOM_KEY] = {
+                c: e["bm"] for c, e in s[BLOOM_KEY].items()
+            }
+    log.write_text(_json.dumps(m))
+
+    probe = df.filter("k = 37").select("fp").first().fp
+    from pyspark.sql.datasource import EqualTo
+
+    def run_reader(options, strip_blooms=False):
+        r = TxlogBatchReader(schema=None, options=options)
+        if strip_blooms:
+            for s in r.snap.get("stats", {}).values():
+                s.pop(BLOOM_KEY, None)
+        r.pushFilters([EqualTo(("fp",), probe)])
+        return set(r.keep)
+
+    # zone-map-only baseline (blooms removed entirely)
+    keep_zone = run_reader({"path": str(tbl)}, strip_blooms=True)
+    # no explicit k: legacy bare entries contribute NOTHING — pruning
+    # equals the zone-map baseline, no silent false-negative drops
+    keep_nok = run_reader({"path": str(tbl)})
+    assert keep_nok == keep_zone
+    # explicit writer k: bloom pruning engages on top of zone maps
+    keep_k = run_reader({"path": str(tbl), "bloom_hashes": "3"})
+    assert keep_k <= keep_zone and 1 <= len(keep_k) < len(keep_zone)
+
+    # end-to-end rows stay correct both ways
+    from instagram_data_pipeline_spark.sources.txlog_source import (
+        TxlogDataSource,
+    )
+
+    spark.dataSource.register(TxlogDataSource)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    import pyspark.sql.functions as F
+
+    got = (
+        spark.read.format("txlog").load(str(tbl))
+        .filter(F.col("fp") == probe).collect()
+    )
+    assert len(got) == 1 and got[0].k == 37
+    got_k = (
+        spark.read.format("txlog").option("bloom_hashes", "3")
+        .load(str(tbl)).filter(F.col("fp") == probe).collect()
+    )
+    assert len(got_k) == 1 and got_k[0].k == 37
+
+
+def test_txlog_sql_catalog_time_travel(spark, tmp_path):
+    """TxlogSqlCatalog (VERDICT r8 Next #5): snapshot + VERSION AS OF
+    through spark.sql text — rewrite scoped to registered names only,
+    pinned-version views immutable, latest view tracking new commits,
+    and catalog-level errors for unknown tables/versions."""
+    import pytest as _pytest
+
+    from instagram_data_pipeline_spark.formats import TransactionLogFormat
+    from instagram_data_pipeline_spark.io import Warehouse
+    from instagram_data_pipeline_spark.sources.txlog_catalog import (
+        TxlogSqlCatalog,
+    )
+
+    fmt = TransactionLogFormat()
+    wh = Warehouse(spark, str(tmp_path / "wh"), fmt=fmt)
+
+    def batch(lo, n, tag, ts):
+        return spark.sql(
+            f"SELECT id AS k, '{tag}' AS v, TIMESTAMP '{ts}' AS ts "
+            f"FROM range({lo}, {lo + n})"
+        )
+
+    wh.upsert_partitioned(
+        "orders_t", batch(0, 30, "a", "2024-01-01"), ["k"], "ts",
+        num_buckets=4,
+    )
+    wh.upsert_partitioned(
+        "orders_t", batch(20, 20, "b", "2024-02-01"), ["k"], "ts",
+        num_buckets=4,
+    )
+
+    cat = TxlogSqlCatalog(spark)
+    cat.register("orders_t", wh.path("orders_t"))
+    assert cat.versions("orders_t") == [1, 2]
+
+    # latest view == merged state
+    assert spark.sql("SELECT count(*) AS n FROM orders_t").first().n == 40
+    # time travel in plain SQL, both spellings, same statement as a join
+    got = cat.sql(
+        "SELECT cur.k FROM orders_t cur "
+        "LEFT JOIN orders_t VERSION AS OF 1 old ON cur.k = old.k "
+        "WHERE old.k IS NULL ORDER BY cur.k"
+    ).collect()
+    assert [r.k for r in got] == list(range(30, 40))
+    n_v1 = cat.sql(
+        "SELECT count(*) AS n FROM orders_t FOR SYSTEM_VERSION AS OF 1"
+    ).first().n
+    assert n_v1 == 30
+
+    # updated keys read their PINNED values through the version view
+    row = cat.sql(
+        "SELECT old.v AS was, cur.v AS now FROM orders_t cur "
+        "JOIN orders_t VERSION AS OF 1 old ON cur.k = old.k "
+        "WHERE cur.k = 25"
+    ).first()
+    assert (row.was, row.now) == ("a", "b")
+
+    # a NEW commit is visible through cat.sql without re-registering
+    # (the DataSource pins manifests at view creation; sql() refreshes
+    # the latest view of every referenced table)
+    wh.upsert_partitioned(
+        "orders_t", batch(100, 5, "c", "2024-03-01"), ["k"], "ts",
+        num_buckets=4,
+    )
+    assert cat.sql("SELECT count(*) AS n FROM orders_t").first().n == 45
+
+    # rewrite is scoped: an UNREGISTERED name passes through untouched
+    # (Spark raises its own error, not a catalog KeyError)
+    with _pytest.raises(Exception) as ei:
+        cat.sql("SELECT * FROM nope VERSION AS OF 1")
+    assert not isinstance(ei.value, KeyError)
+    # unknown version fails fast at the catalog layer
+    with _pytest.raises(FileNotFoundError):
+        cat.sql("SELECT * FROM orders_t VERSION AS OF 99")
+    with _pytest.raises(KeyError):
+        cat.snapshot("never_registered")
+    # programmatic twin agrees with the SQL surface
+    assert cat.snapshot("orders_t", 1).count() == 30
+    assert cat.snapshot("orders_t").count() == 45
