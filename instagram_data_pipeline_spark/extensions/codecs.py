@@ -578,6 +578,19 @@ def decode_wav(data: bytes) -> tuple[int, list[int]]:
     raise ValueError(f"unsupported WAV fmt tag {fmt_tag}")
 
 
+def decode_audio(data: bytes) -> tuple[int, list[int]]:
+    """Container-agnostic audio decode dispatching on the magic bytes:
+    RIFF/WAVE (PCM16, mu-law, IMA ADPCM via :func:`decode_wav`) or a
+    FLAC subset stream (fixed predictors + Rice residuals,
+    :mod:`.flac`). Always mono PCM16 ``(sample_rate, samples)``, so
+    downstream stats operators are wire-format agnostic."""
+    if data[:4] == b"fLaC":
+        from .flac import decode_flac
+
+        return decode_flac(data)
+    return decode_wav(data)
+
+
 # ---------------------------------------------------------------------------
 # Compressed video: MJPEG in an AVI (RIFF) container — closes the
 # compressed-VIDEO half of the stubbed-modality seam. Motion-JPEG is a

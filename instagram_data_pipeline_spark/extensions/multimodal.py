@@ -54,20 +54,23 @@ FEATURE_SCHEMA = (
 
 def real_decode(payload: bytes, kind: str) -> Any:
     """STUB for PERCEPTUAL-CODEC AUDIO/VIDEO (MP3/AAC/H.264...):
-    librosa/ffmpeg are unavailable in this environment. Every IMAGE
-    format has a REAL pure-Python path — see :mod:`codecs` (PPM/BMP/PNG
-    decode) and :mod:`jpeg` (baseline JFIF), used via
+    librosa/ffmpeg are unavailable in this environment, and a
+    psychoacoustic decoder cannot be honestly reimplemented inline.
+    Every IMAGE format has a REAL pure-Python path — see :mod:`codecs`
+    (PPM/BMP/PNG decode) and :mod:`jpeg` (baseline JFIF), used via
     ``extract_features(decoder=codecs.mean_rgb_feature)`` /
     ``resize_images(decoder=codecs.image_resizer)``. AUDIO decodes via
-    ``codecs.decode_wav`` (PCM16, G.711 mu-law, IMA ADPCM — the latter
-    two genuinely compressed) and MJPEG/AVI video via
-    ``codecs`` + :mod:`jpeg` frame decode."""
+    ``codecs.decode_audio`` (WAV PCM16, G.711 mu-law, IMA ADPCM, and
+    the FLAC subset in :mod:`.flac` — mu-law/ADPCM/FLAC genuinely
+    compressed, FLAC losslessly so) and MJPEG/AVI video via
+    ``codecs`` + :mod:`jpeg` frame decode. The remaining seam is
+    exactly the perceptual (lossy-transform) family."""
     raise NotImplementedError(
         "perceptual audio/video codecs (MP3/AAC/H.264) not installed; "
         "plug a decoder via extract_features(decoder=...); images "
-        "(PPM/BMP/PNG/JPEG), WAV audio (PCM16/mu-law/ADPCM) and "
-        "MJPEG/AVI video have real codecs in extensions.codecs / "
-        "extensions.jpeg"
+        "(PPM/BMP/PNG/JPEG), audio (WAV PCM16/mu-law/ADPCM + FLAC "
+        "subset) and MJPEG/AVI video have real codecs in "
+        "extensions.codecs / extensions.jpeg / extensions.flac"
     )
 
 
@@ -187,41 +190,51 @@ AUDIO_SCHEMA = (
     "peak int, sum_sq long"
 )
 
+AUDIO_SIZED_SCHEMA = AUDIO_SCHEMA + ", smaller_than_pcm boolean"
 
-def audio_stats(media: DataFrame) -> DataFrame:
-    """Decode WAV/PCM16 payloads and emit integer-exact audio stats
-    through ``mapInPandas`` (iterator form, one Arrow batch at a time).
+
+def audio_stats(media: DataFrame, with_size: bool = False) -> DataFrame:
+    """Decode audio payloads (any wire format ``codecs.decode_audio``
+    speaks: WAV PCM16 / mu-law / IMA ADPCM, FLAC) and emit
+    integer-exact audio stats through ``mapInPandas`` (iterator form,
+    one Arrow batch at a time).
 
     The stats are deliberately INTEGER (sample count, microsecond
     duration via integer division, peak amplitude, sum of squared
     samples) so downstream checks — and the SQL oracle that predicts
     them from the synthesis formula — are exact across engines; RMS is
-    ``sqrt(sum_sq / n)`` for whoever wants the float."""
+    ``sqrt(sum_sq / n)`` for whoever wants the float. With
+    ``with_size=True`` an extra ``smaller_than_pcm`` boolean records
+    whether the wire payload beat raw PCM16 bytes — the assertable
+    footprint of a genuinely compressed codec."""
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from .codecs import decode_wav
+        from .codecs import decode_audio
 
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                rate, samples = decode_wav(payload)
+                rate, samples = decode_audio(payload)
                 n = len(samples)
-                rows.append(
-                    (
-                        mid,
-                        n,
-                        rate,
-                        n * 1_000_000 // rate,
-                        max((abs(s) for s in samples), default=0),
-                        sum(s * s for s in samples),
-                    )
+                row = (
+                    mid,
+                    n,
+                    rate,
+                    n * 1_000_000 // rate,
+                    max((abs(s) for s in samples), default=0),
+                    sum(s * s for s in samples),
                 )
-            yield pd.DataFrame(
-                rows,
-                columns=[
-                    "media_id", "n_samples", "sample_rate",
-                    "duration_us", "peak", "sum_sq",
-                ],
-            )
+                if with_size:
+                    row += (len(payload) < 2 * n,)
+                rows.append(row)
+            cols = [
+                "media_id", "n_samples", "sample_rate",
+                "duration_us", "peak", "sum_sq",
+            ]
+            if with_size:
+                cols.append("smaller_than_pcm")
+            yield pd.DataFrame(rows, columns=cols)
 
-    return media.mapInPandas(op, schema=AUDIO_SCHEMA)
+    return media.mapInPandas(
+        op, schema=AUDIO_SIZED_SCHEMA if with_size else AUDIO_SCHEMA
+    )

@@ -75,6 +75,7 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "txlog_rebucket_layout",
     "txlog_zorder_equidepth",
     "txlog_time_travel_sql",
+    "multimodal_flac_stats",
     "txlog_changes_backfill",
     "txlog_delete_vectors",
     "txlog_bloom_lookup",

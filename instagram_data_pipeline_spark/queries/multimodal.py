@@ -706,3 +706,81 @@ FROM dq
 def q_multimodal_mjpeg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = synthesize_mjpeg_media(load_testdata(spark, sf_dir, "documents"))
     return mjpeg_frame_stats(media)
+
+
+# ---------------------------------------------------------------------------
+# FLAC subset (VERDICT r8 Next #6: one genuinely-compressed
+# perceptual-adjacent codec to shrink the MP3/AAC seam). The SAME
+# synthesis formula as the WAV/mu-law twins, compressed through real
+# fixed-predictor + Rice-residual FLAC frames (extensions/flac.py:
+# spec frame headers, CRC-8/CRC-16 verified, STREAMINFO MD5 checked on
+# decode). FLAC is LOSSLESS, so the oracle's prediction of the decoded
+# stats from the synthesis formula is exact — the predictor/residual
+# arithmetic must cancel to the identity, and a hash-green row proves
+# it did, bit-for-bit, through a genuinely compressed wire format
+# (smaller_than_pcm must come back TRUE for every payload: the
+# synthesis signal is near-linear in i, exactly what polynomial
+# predictors compress ~3:1).
+# ---------------------------------------------------------------------------
+
+
+def synthesize_flac_media(docs: DataFrame) -> DataFrame:
+    """documents -> (media_id, kind, payload): the shared synthesis
+    formula (n = 50 + doc_id % 50, sample i = ((doc_id*31 + i*97) %
+    65536) - 32768) encoded through the real FLAC subset encoder."""
+    ids = docs.select(F.col("doc_id").alias("media_id"))
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..extensions.flac import encode_flac
+
+        for pdf in batches:
+            payloads = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                n = 50 + mid % 50
+                samples = [
+                    ((mid * 31 + i * 97) % 65536) - 32768 for i in range(n)
+                ]
+                payloads.append(encode_flac(_AUDIO_RATE, samples))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": "flac",
+                    "payload": payloads,
+                }
+            )
+
+    return ids.mapInPandas(encode, schema=_MEDIA_SCHEMA)
+
+
+@register(
+    "multimodal_flac_stats",
+    f"""
+WITH s AS (
+  SELECT doc_id, unnest(generate_series(0, 50 + doc_id % 50 - 1)) AS i
+  FROM documents
+), v AS (
+  SELECT doc_id, ((doc_id * 31 + i * 97) % 65536) - 32768 AS x FROM s
+)
+SELECT doc_id AS media_id,
+       COUNT(*) AS n_samples,
+       {_AUDIO_RATE} AS sample_rate,
+       CAST(COUNT(*) * 1000000 // {_AUDIO_RATE} AS BIGINT) AS duration_us,
+       CAST(MAX(ABS(x)) AS INT) AS peak,
+       CAST(SUM(x * x) AS BIGINT) AS sum_sq,
+       TRUE AS smaller_than_pcm
+FROM v GROUP BY doc_id
+""",
+    doc="audio through the real FLAC subset codec (fixed polynomial "
+        "predictors + Rice-coded residuals, CRC-8/CRC-16 + STREAMINFO "
+        "MD5 verified on decode): synthesis -> compressed frames -> "
+        "parse -> reconstruct; losslessness makes the synthesis "
+        "formula the exact oracle, and smaller_than_pcm=TRUE pins that "
+        "every payload genuinely compressed below raw PCM16 bytes",
+    tags=("multimodal", "audio", "flac", "mapInPandas"),
+)
+def q_multimodal_flac_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.multimodal import audio_stats
+
+    docs = load_testdata(spark, sf_dir, "documents")
+    return audio_stats(synthesize_flac_media(docs), with_size=True)

@@ -349,3 +349,87 @@ def test_avi_mjpeg_rejects_non_avi():
 
     with pytest.raises(ValueError):
         avi_mjpeg_frames(encode_wav_pcm16(8000, [1, 2, 3]))
+
+
+# ---------------------------------------------------------------------------
+# FLAC subset codec (round 9): lossless round trip under arbitrary
+# 16-bit signals, every subframe strategy (constant / fixed / verbatim
+# escape), multi-frame block splits, CRC + MD5 corruption detection,
+# and real compression on predictor-friendly signals.
+# ---------------------------------------------------------------------------
+
+pcm16 = st.integers(-32768, 32767)
+
+
+@given(
+    st.lists(pcm16, min_size=1, max_size=400),
+    st.sampled_from([64, 192, 4096]),
+    st.sampled_from([8000, 44100, 96000]),
+)
+@SETTINGS
+def test_flac_roundtrip_identity(samples, block_size, rate):
+    from instagram_data_pipeline_spark.extensions.flac import (
+        decode_flac, encode_flac,
+    )
+
+    blob = encode_flac(rate, samples, block_size=block_size)
+    assert blob[:4] == b"fLaC"
+    got_rate, got = decode_flac(blob)
+    assert got_rate == rate and got == samples
+
+
+def test_flac_subframe_strategies_and_compression():
+    from instagram_data_pipeline_spark.extensions.flac import (
+        decode_flac, encode_flac,
+    )
+
+    # constant signal: CONSTANT subframe, tiny payload
+    const = [123] * 1000
+    blob = encode_flac(8000, const)
+    assert decode_flac(blob) == (8000, const)
+    assert len(blob) < 60
+
+    # pure linear ramp: the order-2 predictor zeroes every residual
+    ramp = [i * 4 - 8192 for i in range(4096)]
+    blob = encode_flac(8000, ramp)
+    assert decode_flac(blob) == (8000, ramp)
+    assert len(blob) < 2 * len(ramp) // 8  # >8:1 vs raw PCM16
+
+    # alternating extremes: worst case for polynomial predictors —
+    # the escape/verbatim path must hold losslessness anyway
+    evil = [32767 if i % 2 == 0 else -32768 for i in range(500)]
+    blob = encode_flac(8000, evil, block_size=128)
+    assert decode_flac(blob) == (8000, evil)
+
+
+def test_flac_corruption_detected_never_misdecoded():
+    import pytest as _pytest
+
+    from instagram_data_pipeline_spark.extensions.flac import (
+        decode_flac, encode_flac,
+    )
+
+    samples = [(i * 7) % 2000 - 1000 for i in range(300)]
+    blob = bytearray(encode_flac(8000, samples, block_size=128))
+    # flip one data bit in the LAST frame: CRC-16 (or MD5) must catch it
+    blob[-5] ^= 0x10
+    with _pytest.raises(ValueError):
+        decode_flac(bytes(blob))
+    # flip a bit inside the frame header: CRC-8 must catch it
+    blob2 = bytearray(encode_flac(8000, samples, block_size=128))
+    # frame starts right after 4 (marker) + 4 (block hdr) + 34 bytes
+    blob2[42 + 2] ^= 0x01
+    with _pytest.raises(ValueError):
+        decode_flac(bytes(blob2))
+
+
+@given(st.lists(pcm16, min_size=1, max_size=120))
+@SETTINGS
+def test_decode_audio_dispatches_wav_and_flac(samples):
+    from instagram_data_pipeline_spark.extensions.codecs import (
+        decode_audio, encode_wav_pcm16,
+    )
+    from instagram_data_pipeline_spark.extensions.flac import encode_flac
+
+    assert decode_audio(encode_wav_pcm16(8000, samples)) == (8000, samples)
+    assert decode_audio(encode_flac(8000, samples)) == (8000, samples)
