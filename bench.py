@@ -115,13 +115,16 @@ def _skew_bench(spark, registry, extras, runs: int) -> None:
 
 def _wait_for_quiet() -> tuple[float, bool]:
     """Gate the run on machine quiet (VERDICT r7 What's-wrong #2: four
-    rounds of co-tenant-polluted artifacts): if the 1-min load average
-    exceeds SPARK_GRAFT_BENCH_MAX_LOAD (default 2.0), wait up to
-    SPARK_GRAFT_BENCH_MAX_WAIT seconds (default 600) for it to drop,
-    polling every 15s. Returns (loadavg at go-time, exceeded flag) —
-    if the box never quiets, the run proceeds but the artifact carries
-    loadavg_exceeded=true so the number is self-describing."""
-    max_load = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_LOAD", "2.0"))
+    rounds of co-tenant-polluted artifacts; VERDICT r8 Next #3: the r8
+    artifact started at loadavg 1.82, just under the old 2.0 gate, and
+    recorded a polluted regime anyway — the start gate is now 0.75): if
+    the 1-min load average exceeds SPARK_GRAFT_BENCH_MAX_LOAD (default
+    0.75), wait up to SPARK_GRAFT_BENCH_MAX_WAIT seconds (default 600)
+    for it to drop, polling every 15s. Returns (loadavg at go-time,
+    exceeded flag) — if the box never quiets, the run proceeds but the
+    artifact carries loadavg_exceeded=true so the number is
+    self-describing."""
+    max_load = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_LOAD", "0.75"))
     max_wait = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_WAIT", "600"))
     deadline = time.time() + max_wait
     load = os.getloadavg()[0]
@@ -134,6 +137,35 @@ def _wait_for_quiet() -> tuple[float, bool]:
         time.sleep(15)
         load = os.getloadavg()[0]
     return load, load > max_load
+
+
+# Per-query min-of-N spread above this fraction of the min flags the
+# query as contended (VERDICT r8 Next #3): a quiet box repeats a
+# 32-thread local query within a few percent; a co-tenant stealing
+# cores between repeats shows up as spread long before it shows up in
+# the 1-min loadavg (which our OWN executors also inflate mid-run, so
+# an absolute mid-run load gate cannot discriminate).
+SPREAD_FLAG_PCT = float(os.environ.get("SPARK_GRAFT_BENCH_SPREAD_PCT", "20"))
+
+
+def _timed(fn, runs: int) -> tuple[float, float, int]:
+    """(best_seconds, spread_pct, rows) over ``runs`` repeats. The
+    best is min over ALL runs; the spread stamp is computed over runs
+    2..N only — run 1 pays JVM JIT / codegen warm-up on every query,
+    which is a constant of the harness, not contention. spread_pct =
+    (worst_warm - best_warm) / best_warm * 100; with fewer than 3 runs
+    there are not two warmed repeats to compare, so spread is 0."""
+    times = []
+    n = 0
+    for _ in range(runs):
+        t0 = time.time()
+        n = fn()
+        times.append(time.time() - t0)
+    warm = times[1:]
+    spread = (
+        (max(warm) - min(warm)) / min(warm) * 100 if len(warm) >= 2 else 0.0
+    )
+    return min(times), spread, n
 
 
 def main() -> None:
@@ -161,36 +193,43 @@ def main() -> None:
         ).collect()
 
     timings: dict[str, float] = {}
+    noisy: dict[str, float] = {}
+    load_peak = os.getloadavg()[0]
     # min-of-3 by default: BENCHNOTES.md — machine noise between rounds
     # exceeds most real deltas, min-of-N absorbs scheduler jitter
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
-    for name in BENCH_QUERIES:
-        if name not in registry:
-            continue
-        best, n = None, 0
-        for _ in range(runs):
-            t0 = time.time()
-            df = registry[name].spark_fn(spark, SF_DIR)
-            n = len(df.collect())
-            elapsed = time.time() - t0
-            best = elapsed if best is None else min(best, elapsed)
-        timings[name] = round(best, 3)
-        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 
+    def run_set(names: list[str], sink: dict[str, float]) -> None:
+        nonlocal load_peak
+        for name in names:
+            if name not in registry:
+                continue
+            best, spread, n = _timed(
+                lambda: len(
+                    registry[name].spark_fn(spark, SF_DIR).collect()
+                ),
+                runs,
+            )
+            sink[name] = round(best, 3)
+            note = ""
+            if runs > 1 and spread > SPREAD_FLAG_PCT:
+                noisy[name] = round(spread, 1)
+                note = f" [NOISY: spread {spread:.0f}%]"
+            print(
+                f"# {name}: {sink[name]:.3f}s ({n} rows){note}",
+                file=sys.stderr,
+            )
+            # between-query load sample (VERDICT r8 Next #3): our own
+            # executors inflate the 1-min loadavg, so this is recorded
+            # provenance, not a gate — the spread stamp above is the
+            # discriminating contention signal
+            load_peak = max(load_peak, os.getloadavg()[0])
+
+    run_set(BENCH_QUERIES, timings)
     extras: dict[str, float] = {}
-    for name in EXTRA_QUERIES:
-        if name not in registry:
-            continue
-        best, n = None, 0
-        for _ in range(runs):
-            t0 = time.time()
-            df = registry[name].spark_fn(spark, SF_DIR)
-            n = len(df.collect())
-            elapsed = time.time() - t0
-            best = elapsed if best is None else min(best, elapsed)
-        extras[name] = round(best, 3)
-        print(f"# {name}: {extras[name]:.3f}s ({n} rows)", file=sys.stderr)
+    run_set(EXTRA_QUERIES, extras)
     _skew_bench(spark, registry, extras, runs)
+    load_peak = max(load_peak, os.getloadavg()[0])
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     try:
@@ -205,12 +244,18 @@ def main() -> None:
         "extra_queries": extras,
         "sf": sf_val,
         # machine-noise provenance: the committed artifact must be
-        # self-describing about co-tenancy (VERDICT r7 #2)
+        # self-describing about co-tenancy (VERDICT r7 #2, r8 Next #3)
         "loadavg_start": round(load_start, 2),
         "loadavg_end": round(os.getloadavg()[0], 2),
+        "loadavg_peak": round(load_peak, 2),
     }
     if load_exceeded:
         out["loadavg_exceeded"] = True
+    if noisy:
+        # per-query min-of-N spread above SPREAD_FLAG_PCT: the number
+        # was taken under contention — read it with that context
+        out["noisy_queries"] = noisy
+        out["spread_flagged"] = True
     print(json.dumps(out))
 
 
