@@ -29,8 +29,23 @@ class LedgerProgressSink:
         self.table = table
         self.job_id = job_id
         self.now = now or dt.datetime(2024, 1, 1)
-        self.rows_seen = 0
+        self.rows_seen: int | None = None  # seeded from the ledger row
         self.epochs: list[int] = []
+
+    def _seed_progress(self) -> None:
+        """Resume-correct progress: a RESTARTED query constructs a
+        fresh sink, but the checkpoint continues the stream mid-job —
+        progress must continue from the ledger row's processed_items,
+        not from zero (a zero-seeded restart would REGRESS the ledger
+        on its first batch). Lazy: read once, on first use."""
+        if self.rows_seen is None:
+            row = (
+                self.wh.read("scrape_jobs")
+                .filter(F.col("job_id") == self.job_id)
+                .select("processed_items")
+                .collect()
+            )
+            self.rows_seen = int(row[0].processed_items or 0) if row else 0
 
     def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
         # foreachBatch is at-least-once: a failed-then-replayed epoch
@@ -45,6 +60,7 @@ class LedgerProgressSink:
         # epoch id).
         if epoch_id in self.epochs:
             return
+        self._seed_progress()
         n = batch_df.count()
         if n == 0:
             self.epochs.append(epoch_id)
@@ -64,6 +80,7 @@ class LedgerProgressSink:
         self.epochs.append(epoch_id)
 
     def complete(self) -> None:
+        self._seed_progress()
         jobs = update_job_status(
             self.wh.read("scrape_jobs"),
             self.job_id,

@@ -1007,3 +1007,133 @@ def test_outer_join_sentinel_flush(spark, tmp_path):
         .filter(F.col("user_id") >= 0).collect()
     }
     assert rows == {(100, 2): 1, (200, 3): None}
+
+
+def test_processing_time_soak_ledger_exactly_once_across_restart(
+    spark, sf_dir, tmp_path_factory
+):
+    """VERDICT r8 Next #7: a processingTime trigger driven through >=3
+    REAL micro-batches (events -> LedgerProgressSink), then a mid-run
+    restart from the same checkpoint with a FRESH sink instance — rows
+    land exactly once, the ledger's processed_items never regresses,
+    and epoch ids continue (not replay) across the restart. Bounded
+    wall clock: every wait polls with a hard deadline."""
+    import os
+    import shutil
+    import time
+
+    def land(slice_df, spool, tag):
+        """One parquet file atomically visible to the file source."""
+        staging = str(tmp_path_factory.mktemp(f"stage_{tag}"))
+        slice_df.coalesce(1).write.mode("overwrite").parquet(staging)
+        part = next(
+            f for f in os.listdir(staging) if f.endswith(".parquet")
+        )
+        shutil.move(
+            os.path.join(staging, part), os.path.join(spool, f"{tag}.parquet")
+        )
+
+    def wait_until(pred, timeout=90.0, what=""):
+        deadline = time.time() + timeout
+        while time.time() < deadline:
+            if pred():
+                return
+            time.sleep(0.2)
+        raise AssertionError(f"timed out waiting for {what}")
+
+    events = load_testdata(spark, sf_dir, "events").orderBy("event_id")
+    slices = [
+        events.limit(400).filter(F.col("event_id") % 4 == k)
+        for k in range(4)
+    ]
+    n_slice = [s.count() for s in slices]
+
+    wh = Warehouse(spark, str(tmp_path_factory.mktemp("wh")))
+    wh.ensure_tables({**REFERENCE_TABLES, "events_landed": EVENTS})
+    from instagram_data_pipeline_spark.schemas import SCRAPE_JOBS
+
+    wh.overwrite_atomic(
+        "scrape_jobs",
+        spark.createDataFrame(
+            [(1, "ingest", "followers", "pending",
+              None, None, None, None, 0, None)],
+            SCRAPE_JOBS,
+        ),
+    )
+
+    spool = str(tmp_path_factory.mktemp("spool"))
+    ckpt = str(tmp_path_factory.mktemp("ckpt"))
+    land(slices[0], spool, "f0")
+    land(slices[1], spool, "f1")
+
+    def start(sink):
+        return (
+            stream_from_parquet(spark, spool, max_files_per_trigger=1)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="250 milliseconds")
+            .start()
+        )
+
+    sink1 = LedgerProgressSink(wh, "events_landed", job_id=1,
+                               now=dt.datetime(2024, 3, 1))
+    q = start(sink1)
+    try:
+        # two pre-landed files -> two 1-file micro-batches
+        wait_until(
+            lambda: sink1.rows_seen == n_slice[0] + n_slice[1],
+            what="first two micro-batches",
+        )
+        # third file lands WHILE the periodic trigger is running
+        land(slices[2], spool, "f2")
+        wait_until(
+            lambda: sink1.rows_seen == sum(n_slice[:3]),
+            what="third micro-batch",
+        )
+        assert q.isActive
+        assert len([e for e in sink1.epochs]) >= 3
+        # let the LAST epoch's checkpoint commit become durable before
+        # stopping: stop() racing the commit log would legitimately
+        # replay the epoch on restart (at-least-once), which is the
+        # sink's documented cross-process limitation, not this test's
+        # subject
+        last = max(sink1.epochs)
+        wait_until(
+            lambda: os.path.exists(os.path.join(ckpt, "commits", str(last))),
+            what="checkpoint commit of the last pre-restart epoch",
+        )
+    finally:
+        q.stop()
+        q.awaitTermination()
+
+    # ---- mid-run restart: same checkpoint, FRESH sink instance ----
+    land(slices[3], spool, "f3")
+    sink2 = LedgerProgressSink(wh, "events_landed", job_id=1,
+                               now=dt.datetime(2024, 3, 1))
+    q2 = start(sink2)
+    try:
+        # wait on the SINK's post-ledger state (rows_seen advances only
+        # after the append AND the ledger update both committed), so
+        # stop() can't interrupt the foreachBatch mid-flight
+        wait_until(
+            lambda: sink2.rows_seen == sum(n_slice),
+            what="fourth micro-batch after restart",
+        )
+    finally:
+        q2.stop()
+        q2.awaitTermination()
+    sink2.complete()
+
+    # exactly once: every landed row exactly one copy, no replays of
+    # the pre-restart batches despite the fresh sink's empty fence
+    assert wh.read("events_landed").count() == sum(n_slice)
+    assert (
+        wh.read("events_landed").select("event_id").distinct().count()
+        == sum(n_slice)
+    )
+    job = wh.read("scrape_jobs").collect()[0]
+    assert job.status == "completed"
+    assert job.processed_items == sum(n_slice) == job.total_items
+    # the checkpoint CONTINUED the epoch sequence across the restart
+    data_epochs2 = [e for e in sink2.epochs]
+    assert data_epochs2 and min(data_epochs2) > max(sink1.epochs)
