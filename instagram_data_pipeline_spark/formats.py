@@ -519,11 +519,20 @@ class TransactionLogFormat:
         may record: ``fields`` / ``dropped_fields`` / ``next_fid``
         (column-mapping indirection) and ``dv`` (deletion vectors).
         None-valued extras are omitted from the manifest."""
+        import time as _time
+
         d = self._log_dir(wh, table)
         d.mkdir(parents=True, exist_ok=True)
         final = d / f"{version:08d}.json"
         tmp = d / f".{version:08d}.{uuid.uuid4().hex[:8]}.json.tmp"
-        manifest = {"version": version, "files": files}
+        # wall-clock commit stamp: the resolution key for TIMESTAMP AS
+        # OF time travel (Delta's commit-timestamp design; readers fall
+        # back to the manifest file's mtime for pre-stamp versions)
+        manifest = {
+            "version": version,
+            "files": files,
+            "committed_at": _time.time(),
+        }
         if schema_json is not None:
             manifest["schema"] = schema_json
         if rows is not None:
@@ -771,11 +780,44 @@ class TransactionLogFormat:
         the SAME batch id, so the replay must commit nothing twice."""
         from .operators.writes import upsert_keep_newest
 
+        return self._merge_with(
+            wh, table, incoming, keys, num_buckets, txn,
+            lambda existing, inc: upsert_keep_newest(
+                existing, inc, keys, order_col
+            ),
+        )
+
+    def merge_source_wins(self, wh, table, incoming, keys, num_buckets,
+                          txn=None):
+        """SQL ``MERGE INTO ... WHEN MATCHED THEN UPDATE SET * WHEN NOT
+        MATCHED THEN INSERT *`` semantics: the SOURCE row replaces the
+        target row on key match unconditionally (no order column — the
+        statement's contract is source-wins, Delta's simple-merge
+        form). Same CAS/rebase/redo concurrency machinery and ``txn``
+        idempotence as :meth:`merge`; only the per-bucket transform
+        differs (anti-join + union instead of keep-newest window)."""
+
+        def source_wins(existing, inc):
+            dedup = inc.dropDuplicates(list(keys))
+            keep = existing.join(dedup, list(keys), "left_anti")
+            return keep.unionByName(dedup)
+
+        return self._merge_with(
+            wh, table, incoming, keys, num_buckets, txn, source_wins
+        )
+
+    def _merge_with(self, wh, table, incoming, keys, num_buckets, txn,
+                    transform):
+        """Shared optimistic-merge loop: ``transform(existing_scoped,
+        incoming) -> replacement`` supplies the upsert rule; everything
+        else (first-commit race, bucket/key contracts, txn fence,
+        additive evolution, bucket-scoped read, CAS publish with
+        disjoint-winner rebase / overlap redo) is common."""
         for _ in range(self.MAX_COMMIT_RETRIES):
             snap = self._latest(wh, table)
             if snap is None:
                 empty = wh.spark.createDataFrame([], incoming.schema)
-                first = upsert_keep_newest(empty, incoming, keys, order_col)
+                first = transform(empty, incoming)
                 files, rows, stats = self._write_commit(
                     wh, table, first, keys, num_buckets
                 )
@@ -832,7 +874,7 @@ class TransactionLogFormat:
                 existing = existing.select(*incoming.columns)
             else:
                 existing = wh.spark.createDataFrame([], incoming.schema)
-            merged = upsert_keep_newest(existing, incoming, keys, order_col)
+            merged = transform(existing, incoming)
             fields, dropped, next_fid = self._evolve_fields(
                 snap, incoming.schema
             )

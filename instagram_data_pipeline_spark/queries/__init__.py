@@ -76,6 +76,7 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "txlog_zorder_equidepth",
     "txlog_time_travel_sql",
     "multimodal_flac_stats",
+    "txlog_merge_into_sql",
     "txlog_changes_backfill",
     "txlog_delete_vectors",
     "txlog_bloom_lookup",
@@ -119,8 +120,8 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "sql_api_top_spenders",
     "copurchase_pairs",
     "table_profile",
-    "event_funnel",
     # ------------------- driver window ends at slot 50 --------------------
+    "event_funnel",
     # r2-vintage stragglers that missed the 50-slot budget: first in
     # line for the r10 window (and they slide IN this round if a new
     # query above fails to register - load_all skips unknown names).

@@ -2139,3 +2139,73 @@ def q_txlog_time_travel_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE v1.k IS NULL OR cur.v <> v1.v OR cur.ts <> v1.ts
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# MERGE INTO through the SQL surface (round 9): the Delta simple-merge
+# statement — WHEN MATCHED THEN UPDATE SET * / WHEN NOT MATCHED THEN
+# INSERT * — parsed from SQL text, validated against the table's
+# RECORDED key/bucket contract, and executed through the format's CAS
+# merge machinery with SOURCE-WINS semantics. The fixture makes
+# source-wins observable: the source is the PRE-CUT aggregate (older
+# ts, lower v), merged into a target holding the all-rows aggregate —
+# keep-newest would keep the target row; MERGE INTO must take the
+# source's. The oracle replays source-wins as a full-outer coalesce.
+# ---------------------------------------------------------------------------
+_TXLOG_MI_ORACLE = f"""
+WITH src AS (
+  SELECT o_custkey AS k, MAX(o_totalprice) AS v, MAX(o_orderdate) AS ts
+  FROM orders WHERE o_orderdate < TIMESTAMP '{_TXLOG_CUT}' GROUP BY 1
+), tgt AS (
+  SELECT o_custkey AS k, MAX(o_totalprice) AS v, MAX(o_orderdate) AS ts
+  FROM orders GROUP BY 1
+)
+SELECT COALESCE(s.k, t.k) AS k,
+       COALESCE(s.v, t.v) AS v,
+       COALESCE(s.ts, t.ts) AS ts
+FROM tgt t FULL OUTER JOIN src s ON t.k = s.k
+"""
+
+
+@register(
+    "txlog_merge_into_sql",
+    _TXLOG_MI_ORACLE,
+    doc="MERGE INTO via SQL text (Delta simple-merge form): restricted "
+        "grammar parsed and validated against the table's recorded "
+        "merge-key/bucket contract, executed as the format's "
+        "transactional SOURCE-WINS merge (CAS publish, rebase/redo "
+        "under concurrency) — the source's OLDER rows replace newer "
+        "target rows, which keep-newest would not do; oracle replays "
+        "source-wins as a full-outer coalesce",
+    tags=("sql", "format", "writes", "merge"),
+)
+def q_txlog_merge_into_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..formats import TransactionLogFormat
+    from ..io import Warehouse
+    from ..sources.txlog_catalog import TxlogSqlCatalog
+
+    orders = load_testdata(spark, sf_dir, "orders")
+
+    def agg(df):
+        return df.groupBy(F.col("o_custkey").alias("k")).agg(
+            F.max("o_totalprice").alias("v"),
+            F.max("o_orderdate").alias("ts"),
+        )
+
+    fmt = TransactionLogFormat()
+    wh = Warehouse(spark, _scratch("txlog_mi_sql", sf_dir), fmt=fmt)
+    wh.upsert_partitioned("facts", agg(orders), ["k"], "ts", num_buckets=8)
+
+    cut = F.lit(_TXLOG_CUT).cast("timestamp")
+    agg(orders.filter(F.col("o_orderdate") < cut)).createOrReplaceTempView(
+        "txlog_mi_src"
+    )
+    cat = TxlogSqlCatalog(spark)
+    cat.register("facts", wh.path("facts"))
+    metrics = cat.sql(
+        "MERGE INTO facts USING txlog_mi_src ON facts.k = txlog_mi_src.k "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *"
+    ).first()
+    assert metrics.table_version == 2
+    return cat.sql("SELECT k, v, ts FROM facts")

@@ -48,6 +48,26 @@ _TRAVEL = re.compile(
     rf"\b({_IDENT})\s+(?:FOR\s+)?(?:SYSTEM_)?VERSION\s+AS\s+OF\s+(\d+)",
     re.IGNORECASE,
 )
+# `<name> TIMESTAMP AS OF '<ts>'` / `<name> FOR SYSTEM_TIME AS OF '<ts>'`
+_TRAVEL_TS = re.compile(
+    rf"\b({_IDENT})\s+(?:FOR\s+)?(?:SYSTEM_TIME|TIMESTAMP)\s+AS\s+OF\s+"
+    r"'([^']+)'",
+    re.IGNORECASE,
+)
+# restricted MERGE INTO (the Delta simple-merge / source-wins form):
+#   MERGE INTO <target> USING <source> [AS alias] ON <equi-keys>
+#   WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *
+_MERGE = re.compile(
+    rf"^\s*MERGE\s+INTO\s+({_IDENT})\s+(?:AS\s+)?(?:({_IDENT})\s+)?"
+    rf"USING\s+({_IDENT})\s+(?:AS\s+)?(?:({_IDENT})\s+)?"
+    r"ON\s+(.*?)\s+"
+    r"WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+\*\s+"
+    r"WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_ON_EQ = re.compile(
+    rf"({_IDENT})\s*\.\s*({_IDENT})\s*=\s*({_IDENT})\s*\.\s*({_IDENT})"
+)
 
 
 class TxlogSqlCatalog:
@@ -126,20 +146,95 @@ class TxlogSqlCatalog:
         )
         return view
 
-    def sql(self, query: str) -> DataFrame:
-        """``spark.sql`` with ``VERSION AS OF`` support for registered
-        txlog tables: each ``<name> VERSION AS OF <n>`` occurrence is
-        rewritten to a pinned-version temp view (created on demand);
-        unregistered names and the rest of the text pass through
-        untouched."""
+    def version_as_of(self, name: str, ts: "str | float") -> int:
+        """Newest committed version whose commit stamp is <= ``ts``
+        (Delta TIMESTAMP AS OF semantics). ``ts`` is an ISO string or
+        an epoch-seconds float; manifests predating the commit stamp
+        fall back to the manifest file's mtime."""
+        import datetime as dt
+        import os
 
-        def repl(m: re.Match) -> str:
-            name, version = m.group(1), int(m.group(2))
+        if isinstance(ts, str):
+            at = dt.datetime.fromisoformat(ts).timestamp()
+        else:
+            at = float(ts)
+        root = self._root(name)
+        log = os.path.join(root, "_txlog")
+        best = None
+        for v in self.versions(name):
+            snap = _load_manifest(root, str(v))
+            stamp = snap.get("committed_at")
+            if stamp is None:
+                stamp = os.path.getmtime(
+                    os.path.join(log, f"{v:08d}.json")
+                )
+            if float(stamp) <= at:
+                best = v
+        if best is None:
+            raise ValueError(
+                f"txlog catalog: {name!r} has no version committed at "
+                f"or before {ts!r} (earliest is after it)"
+            )
+        return best
+
+    def merge_into(self, target: str, source_df: DataFrame) -> DataFrame:
+        """Programmatic MERGE INTO (source-wins upsert) against a
+        registered table: keys and bucket modulus come from the
+        table's recorded contract, concurrency from the format's CAS
+        machinery. Returns a 1-row metrics frame (Delta-style)."""
+        from ..formats import TransactionLogFormat
+
+        root = self._root(target)
+        snap = _load_manifest(root, None)
+        keys, num_buckets = snap.get("keys"), snap.get("num_buckets")
+        if not keys or not num_buckets:
+            raise ValueError(
+                f"txlog catalog: {target!r} records no key/bucket "
+                f"contract; MERGE INTO needs both"
+            )
+        fmt = TransactionLogFormat()
+        handle = _TableHandle(self.spark, root)
+        n_source = source_df.count()
+        fmt.merge_source_wins(
+            handle, target, source_df, list(keys), int(num_buckets)
+        )
+        self.register(target, root)  # latest view reflects the merge
+        new_version = _load_manifest(root, None)["version"]
+        return self.spark.createDataFrame(
+            [(n_source, int(new_version))],
+            "num_source_rows long, table_version long",
+        )
+
+    def sql(self, query: str) -> DataFrame:
+        """``spark.sql`` with txlog extensions for registered tables:
+
+        * ``<name> VERSION AS OF <n>`` / ``<name> TIMESTAMP AS OF
+          '<ts>'`` (also the ``FOR SYSTEM_VERSION/SYSTEM_TIME``
+          spellings) rewrite to pinned-version temp views;
+        * ``MERGE INTO <name> USING <view> ON <keys> WHEN MATCHED THEN
+          UPDATE SET * WHEN NOT MATCHED THEN INSERT *`` executes the
+          format's source-wins transactional merge and returns a
+          metrics frame;
+        * everything else passes through to ``spark.sql`` untouched
+          (unregistered names included)."""
+        m = _MERGE.match(query)
+        if m and m.group(1) in self.roots:
+            return self._sql_merge(m)
+
+        def repl(mt: re.Match) -> str:
+            name, version = mt.group(1), int(mt.group(2))
             if name not in self.roots:
-                return m.group(0)  # not ours: leave for Spark to judge
+                return mt.group(0)  # not ours: leave for Spark to judge
             return self._travel_view(name, version)
 
+        def repl_ts(mt: re.Match) -> str:
+            name, ts = mt.group(1), mt.group(2)
+            if name not in self.roots:
+                return mt.group(0)
+            return self._travel_view(name, self.version_as_of(name, ts))
+
         rewritten = _TRAVEL.sub(repl, query)
+        rewritten = _TRAVEL_TS.sub(repl_ts, rewritten)
         # refresh the LATEST view of every referenced table: the
         # DataSource pins its manifest at view creation, so a commit
         # since then would otherwise be invisible (one manifest-JSON
@@ -148,3 +243,56 @@ class TxlogSqlCatalog:
             if re.search(rf"\b{name}\b", rewritten):
                 self.register(name, root)
         return self.spark.sql(rewritten)
+
+    def _sql_merge(self, m: re.Match) -> DataFrame:
+        """Execute a parsed MERGE INTO statement. The ON clause must be
+        a conjunction of equality predicates pairing the SAME column
+        name across the two aliases, and that column set must equal the
+        table's recorded merge keys — anything else is rejected loudly
+        (the restricted grammar IS the contract; a silently-narrowed
+        MERGE would corrupt data)."""
+        target, t_alias, source, s_alias, cond = (
+            m.group(1), m.group(2), m.group(3), m.group(4), m.group(5),
+        )
+        aliases = {target, source}
+        if t_alias:
+            aliases.add(t_alias)
+        if s_alias:
+            aliases.add(s_alias)
+        stripped = _ON_EQ.sub("", cond)
+        if re.sub(r"(?i)\bAND\b|\s", "", stripped):
+            raise ValueError(
+                f"MERGE INTO: unsupported ON clause {cond!r} — only "
+                f"AND-ed equality predicates on the merge keys are "
+                f"supported"
+            )
+        keys = set()
+        for qa, ca, qb, cb in _ON_EQ.findall(cond):
+            if ca != cb or qa not in aliases or qb not in aliases:
+                raise ValueError(
+                    f"MERGE INTO: ON pairs different columns "
+                    f"({qa}.{ca} = {qb}.{cb}); only same-named key "
+                    f"equality is supported"
+                )
+            keys.add(ca)
+        snap = _load_manifest(self._root(target), None)
+        recorded = set(snap.get("keys") or [])
+        if keys != recorded:
+            raise ValueError(
+                f"MERGE INTO: ON keys {sorted(keys)} != the table's "
+                f"recorded merge keys {sorted(recorded)}"
+            )
+        return self.merge_into(target, self.spark.table(source))
+
+
+class _TableHandle:
+    """Minimal Warehouse-shaped adapter for one table root: the format
+    methods only need ``.spark`` and ``.path(table) -> root``, and the
+    catalog addresses tables by root, not by warehouse layout."""
+
+    def __init__(self, spark: SparkSession, root: str) -> None:
+        self.spark = spark
+        self._root = root
+
+    def path(self, table: str) -> str:
+        return self._root

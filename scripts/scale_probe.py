@@ -50,9 +50,15 @@ HEADLINE_PROBE_QUERIES = ["mutual_edges", "sessionize_batch",
 # write + manifest-pruned read (txlog_zorder_scan), merge + refresh +
 # delete + version diff (txlog_change_feed), and the five-version
 # distributed CDF backfill (txlog_changes_backfill) — the format's
-# cost must track the data it rewrites/replays, not the table
+# cost must track the data it rewrites/replays, not the table.
+# Round 9 (VERDICT r8 Next #4) adds the r8 format work: the full-table
+# modulus rewrite (rebucket moves EVERY bucket, so its cost must track
+# the moved data — alpha ~1), the quantile-rank Z-order write + box
+# scan, and merge-on-read deletion vectors + compaction.
 TXLOG_PROBE_QUERIES = ["txlog_zorder_scan", "txlog_change_feed",
-                       "txlog_changes_backfill"]
+                       "txlog_changes_backfill",
+                       "txlog_rebucket_layout", "txlog_zorder_equidepth",
+                       "txlog_delete_vectors"]
 
 # distinct strides, coprime to virtually all word counts
 _STRIDES = [1, 7, 11, 13, 17, 19, 23, 29, 31, 37, 41, 43]
@@ -205,6 +211,10 @@ def main() -> int:
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--factor", type=int, default=8)
     ap.add_argument("--runs", type=int, default=2)
+    ap.add_argument(
+        "--only",
+        help="comma-separated query subset (default: all probe sets)",
+    )
     args = ap.parse_args()
 
     from instagram_data_pipeline_spark.queries import load_all
@@ -228,10 +238,17 @@ def main() -> int:
             build_scaled_embeddings(spark, args.sf, dst, fac)
 
         results = {}
+        names = (PROBE_QUERIES + HEADLINE_PROBE_QUERIES
+                 + TXLOG_PROBE_QUERIES)
+        if args.only:
+            want = {n.strip() for n in args.only.split(",")}
+            unknown = want - set(names)
+            if unknown:
+                raise SystemExit(f"--only: not probe queries: {unknown}")
+            names = [n for n in names if n in want]
         print(f"| query | t_1x (s) | t_{args.factor}x (s) | alpha |")
         print("|---|---|---|---|")
-        for name in (PROBE_QUERIES + HEADLINE_PROBE_QUERIES
-                     + TXLOG_PROBE_QUERIES):
+        for name in names:
             t1 = time_query(registry, spark, name, base, args.runs)
             t8 = time_query(registry, spark, name, big, args.runs)
             alpha = math.log(t8 / t1) / math.log(args.factor)

@@ -19,6 +19,9 @@ PRIORITY = {
     # first driver row for the post-r8-check registrations
     "txlog_widen_evolution", "txlog_stream_merge_sink",
     "txlog_rebucket_layout", "txlog_zorder_equidepth",
+    # new round-9 queries
+    "txlog_time_travel_sql", "multimodal_flac_stats",
+    "txlog_merge_into_sql",
     # implementation changed in round 9 — re-verify in-window
     "txlog_changes_backfill", "txlog_delete_vectors",
     "txlog_bloom_lookup", "txlog_change_feed", "txlog_stream_changes",
