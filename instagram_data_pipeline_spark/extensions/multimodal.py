@@ -190,7 +190,7 @@ AUDIO_SCHEMA = (
     "peak int, sum_sq long"
 )
 
-AUDIO_SIZED_SCHEMA = AUDIO_SCHEMA + ", smaller_than_pcm boolean"
+AUDIO_SIZED_SCHEMA = AUDIO_SCHEMA + ", smaller_than_wav boolean"
 
 
 def audio_stats(media: DataFrame, with_size: bool = False) -> DataFrame:
@@ -204,9 +204,15 @@ def audio_stats(media: DataFrame, with_size: bool = False) -> DataFrame:
     samples) so downstream checks — and the SQL oracle that predicts
     them from the synthesis formula — are exact across engines; RMS is
     ``sqrt(sum_sq / n)`` for whoever wants the float. With
-    ``with_size=True`` an extra ``smaller_than_pcm`` boolean records
-    whether the wire payload beat raw PCM16 bytes — the assertable
-    footprint of a genuinely compressed codec."""
+    ``with_size=True`` an extra ``smaller_than_wav`` boolean records
+    whether the wire payload beat the PCM16 WAV container it replaces
+    (2n data bytes + the 44-byte RIFF header) — the assertable
+    footprint of a genuinely compressed codec. The comparison is
+    container-to-container: a frame holding a step discontinuity can
+    exceed RAW sample bytes under subset FLAC (partition order 0 can't
+    isolate one huge residual from an otherwise-flat frame), while the
+    WAV bound holds for every reachable fixture frame (enumerated
+    exactly in the flac query's construction)."""
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from .codecs import decode_audio
@@ -225,14 +231,14 @@ def audio_stats(media: DataFrame, with_size: bool = False) -> DataFrame:
                     sum(s * s for s in samples),
                 )
                 if with_size:
-                    row += (len(payload) < 2 * n,)
+                    row += (len(payload) < 2 * n + 44,)
                 rows.append(row)
             cols = [
                 "media_id", "n_samples", "sample_rate",
                 "duration_us", "peak", "sum_sq",
             ]
             if with_size:
-                cols.append("smaller_than_pcm")
+                cols.append("smaller_than_wav")
             yield pd.DataFrame(rows, columns=cols)
 
     return media.mapInPandas(

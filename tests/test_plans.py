@@ -82,6 +82,9 @@ _COLLECT_ALLOWLIST: dict[str, tuple[int, str]] = {
                                    "27-row interest taxonomy"),
     "streaming/rollup.py": (1, "touched partition dates per micro-batch "
                                "(1-2 for a steady stream)"),
+    "streaming/ledger.py": (1, "restart progress seed: ONE ledger row's "
+                               "processed_items, read once per sink "
+                               "instance (r9 resume-correct restart)"),
     "formats.py": (6, "touched bucket ids of a merge batch (one site "
                       "per TableFormat backend) + read_for_keys'/"
                       "delete_keys'/delete_keys_dv's wanted-bucket "

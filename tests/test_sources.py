@@ -1104,3 +1104,44 @@ def test_txlog_sql_catalog_merge_into_and_timestamp_travel(
         "WHEN NOT MATCHED THEN INSERT *"
     )
     assert cat.sql("SELECT count(*) AS n FROM facts").first().n == 40
+
+
+def test_txlog_sql_catalog_describe_history(spark, tmp_path):
+    """DESCRIBE HISTORY through the SQL surface: one manifest-derived
+    row per version — live row counts subtract deletion-vector
+    popcounts, commit stamps are monotone, layout changes surface in
+    n_buckets — with no data file opened."""
+    from instagram_data_pipeline_spark.formats import TransactionLogFormat
+    from instagram_data_pipeline_spark.io import Warehouse
+    from instagram_data_pipeline_spark.sources.txlog_catalog import (
+        TxlogSqlCatalog,
+    )
+
+    fmt = TransactionLogFormat()
+    wh = Warehouse(spark, str(tmp_path / "wh"), fmt=fmt)
+    wh.upsert_partitioned(
+        "facts",
+        spark.sql("SELECT id AS k, 'a' AS v, TIMESTAMP '2024-01-01' AS ts "
+                  "FROM range(50)"),
+        ["k"], "ts", num_buckets=4,
+    )
+    fmt.delete_keys_dv(
+        wh, "facts", ["k"], spark.createDataFrame([(1,), (2,)], "k long"), 4
+    )
+    fmt.rebucket(wh, "facts", 8)
+
+    cat = TxlogSqlCatalog(spark)
+    cat.register("facts", wh.path("facts"))
+    hist = {r.version: r for r in
+            cat.sql("DESCRIBE HISTORY facts").collect()}
+    assert sorted(hist) == [1, 2, 3]
+    assert hist[1].n_rows == 50 and hist[1].n_deleted == 0
+    assert hist[2].n_rows == 48 and hist[2].n_deleted == 2
+    # rebucket materialized the DVs away under the new modulus
+    assert hist[3].n_rows == 48 and hist[3].n_deleted == 0
+    assert hist[1].n_buckets == 4 and hist[3].n_buckets == 8
+    stamps = [hist[v].committed_at for v in (1, 2, 3)]
+    assert all(s is not None for s in stamps)
+    assert stamps == sorted(stamps)
+    # DV version carried every data file by reference
+    assert hist[2].n_files == hist[1].n_files
