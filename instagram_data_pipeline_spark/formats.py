@@ -1050,18 +1050,22 @@ class TransactionLogFormat:
         A BULK erasure (millions of keys) must pass False so the
         anti-join shuffles both sides instead of materializing the key
         set on every executor."""
-        key_frame = key_rows.select(*keys).dropDuplicates()
-        if broadcast_keys:
-            key_frame = F.broadcast(key_frame)
+        base_keys = key_rows.select(*keys).dropDuplicates()
         for _ in range(self.MAX_COMMIT_RETRIES):
             snap = self._latest(wh, table)
             if snap is None:
                 raise FileNotFoundError(f"no committed version for {table}")
             self._check_buckets(snap, num_buckets, "delete_keys")
             self._check_keys(snap, keys, "delete_keys")
+            # probe under the TABLE's key types (xxhash64 bucketing is
+            # type-sensitive — see _align_key_types)
+            typed_keys = self._align_key_types(snap, base_keys, keys)
+            key_frame = (
+                F.broadcast(typed_keys) if broadcast_keys else typed_keys
+            )
             touched = {
                 r.b
-                for r in key_rows.select(
+                for r in typed_keys.select(
                     bucket_expr(keys, num_buckets).alias("b")
                 )
                 .dropDuplicates()
@@ -1464,16 +1468,20 @@ class TransactionLogFormat:
         buckets' files OR their DVs forces a recompute (positions are
         only valid against the exact file+DV state they were read
         from)."""
-        key_frame = F.broadcast(key_rows.select(*keys).dropDuplicates())
+        base_keys = key_rows.select(*keys).dropDuplicates()
         for _ in range(self.MAX_COMMIT_RETRIES):
             snap = self._latest(wh, table)
             if snap is None:
                 raise FileNotFoundError(f"no committed version for {table}")
             self._check_buckets(snap, num_buckets, "delete_keys_dv")
             self._check_keys(snap, keys, "delete_keys_dv")
+            # probe under the TABLE's key types (xxhash64 bucketing is
+            # type-sensitive — see _align_key_types)
+            typed_keys = self._align_key_types(snap, base_keys, keys)
+            key_frame = F.broadcast(typed_keys)
             touched = {
                 r.b
-                for r in key_rows.select(
+                for r in typed_keys.select(
                     bucket_expr(keys, num_buckets).alias("b")
                 )
                 .dropDuplicates()
@@ -1633,6 +1641,44 @@ class TransactionLogFormat:
                 f"passed {list(keys)} — a different key list scopes "
                 f"the wrong buckets"
             )
+
+    @staticmethod
+    def _align_key_types(
+        snap: dict, frame: DataFrame, keys: list[str]
+    ) -> DataFrame:
+        """Cast a CALLER-provided key frame's key columns to the
+        table's recorded types before any bucketing or join: the bucket
+        function is ``pmod(xxhash64(keys), n)`` and xxhash64 is
+        TYPE-sensitive (int 159 and long 159 hash differently — 76% of
+        values land in different buckets at n=4), so a long-typed probe
+        frame against an int-keyed table scopes to the WRONG buckets
+        and silently misses rows: lost deletes for delete_keys[_dv],
+        missing rows for read_for_keys. Found in round 9 by the
+        model-based sequence test — multi-key frames usually mask the
+        bug through bucket overlap; single-key frames miss outright.
+        This is the probe-side twin of the recorded-contract refusals
+        (wrong num_buckets, key widening) which already guard the
+        TABLE side of the same hazard. A value that cannot represent
+        in the stored type cannot exist in the table; ``try_cast``
+        maps it to a NULL key, which joins nothing."""
+        if "schema" not in snap:
+            return frame
+        from pyspark.sql.types import StructType
+
+        stored = {
+            f.name: f.dataType
+            for f in StructType.fromJson(json.loads(snap["schema"])).fields
+        }
+        have = {f.name: f.dataType for f in frame.schema.fields}
+        out = frame
+        for k in keys:
+            want = stored.get(k)
+            if want is not None and have.get(k) != want:
+                out = out.withColumn(
+                    k,
+                    F.expr(f"try_cast(`{k}` AS {want.simpleString()})"),
+                )
+        return out
 
     @staticmethod
     def _check_buckets(snap: dict, num_buckets: int, op: str) -> None:
@@ -1838,9 +1884,14 @@ class TransactionLogFormat:
             raise FileNotFoundError(f"no committed version for {table}")
         self._check_buckets(snap, num_buckets, "read_for_keys")
         self._check_keys(snap, keys, "read_for_keys")
+        # probe under the TABLE's key types (xxhash64 bucketing is
+        # type-sensitive — see _align_key_types)
+        typed_keys = self._align_key_types(
+            snap, key_rows.select(*keys).dropDuplicates(), keys
+        )
         wanted = {
             r.b
-            for r in key_rows.select(
+            for r in typed_keys.select(
                 bucket_expr(keys, num_buckets).alias("b")
             )
             .dropDuplicates()
@@ -1857,11 +1908,7 @@ class TransactionLogFormat:
         sub = dict(snap)
         sub["files"] = scoped
         df = self._read_snapshot(wh, root, sub)
-        return df.join(
-            F.broadcast(key_rows.select(*keys).dropDuplicates()),
-            keys,
-            "semi",
-        )
+        return df.join(F.broadcast(typed_keys), keys, "semi")
 
     @classmethod
     def files_for_range(cls, snap: dict, col: str, lo, hi) -> list[str]:

@@ -79,6 +79,25 @@ def test_txlog_random_op_sequences_match_reference_model(
                 "ts": ts,
             }
 
+    def op_merge_source_wins():
+        # MERGE INTO semantics: the source replaces matched rows even
+        # though its ts is deliberately OLDER than anything stored —
+        # keep-newest would reject these rows; source-wins must not
+        lo = rng.randrange(0, 400)
+        ks = sorted(rng.sample(range(lo, lo + 60), rng.randrange(5, 25)))
+        ts = model["t"] - dt.timedelta(days=5)
+        tag = "s"
+        fmt.merge_source_wins(
+            wh, "t", spark_batch(ks, tag, ts), KEYS,
+            num_buckets=model["buckets"],
+        )
+        for k in ks:
+            model["rows"][k] = {
+                model["cols"][1]: f"{tag}{k}",
+                model["cols"][2]: k * 3,
+                "ts": ts,
+            }
+
     def op_delete(dv: bool):
         existing = list(model["rows"])
         if not existing:
@@ -118,6 +137,7 @@ def test_txlog_random_op_sequences_match_reference_model(
     op_merge()
     ops = [
         op_merge, op_merge,  # merges twice as likely
+        op_merge_source_wins,
         lambda: op_delete(True), lambda: op_delete(False),
         op_rename, op_widen, op_compact, op_rebucket,
     ]

@@ -2264,3 +2264,43 @@ def test_txlog_dv_matching_survives_symlinked_root(spark, tmp_path):
     ) == 1
     assert wh_link.read_merged("facts").count() == 37
     assert wh.read_merged("facts").count() == 37
+
+
+def test_txlog_key_probe_type_alignment(spark, tmp_path):
+    """Round-9 model-test find: xxhash64 bucketing is TYPE-sensitive
+    (int 159 and long 159 land in different buckets), so a key-probe
+    frame typed differently from the table's recorded key type used to
+    scope delete_keys/delete_keys_dv/read_for_keys to the WRONG buckets
+    — silent row misses (multi-key frames masked it via bucket overlap;
+    single-key frames missed outright). Probes now cast to the stored
+    key type first; unrepresentable values are harmless no-ops."""
+    import datetime as dt
+
+    from instagram_data_pipeline_spark.formats import TransactionLogFormat
+
+    fmt = TransactionLogFormat()
+    wh = Warehouse(spark, str(tmp_path / "wh"), fmt=fmt)
+    # INT-keyed table (SQL VALUES integer literals are int32)
+    df = spark.sql(
+        "SELECT * FROM VALUES (159, 'a', TIMESTAMP '2024-01-01'), "
+        "(7, 'b', TIMESTAMP '2024-01-01'), "
+        "(300, 'c', TIMESTAMP '2024-01-01') AS t(k, v, ts)"
+    )
+    wh.upsert_partitioned("t", df, ["k"], "ts", num_buckets=4)
+
+    # 159 is a known int-vs-long bucket-divergent value at n=4
+    assert fmt.delete_keys(
+        wh, "t", ["k"], spark.createDataFrame([(159,)], "k long"), 4
+    ) == 1
+    got = fmt.read_for_keys(
+        wh, "t", ["k"], spark.createDataFrame([(7,)], "k long"), 4
+    ).collect()
+    assert [(r.k, r.v) for r in got] == [(7, "b")]
+    assert fmt.delete_keys_dv(
+        wh, "t", ["k"], spark.createDataFrame([(300,)], "k long"), 4
+    ) == 1
+    # a key that cannot represent in the stored type matches nothing
+    assert fmt.delete_keys(
+        wh, "t", ["k"], spark.createDataFrame([(1 << 40,)], "k long"), 4
+    ) == 0
+    assert sorted(r.k for r in wh.read_merged("t").collect()) == [7]
