@@ -121,6 +121,7 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "copurchase_pairs",
     "table_profile",
     # ------------------- driver window ends at slot 50 --------------------
+    "dpp_partition_prune",
     "event_funnel",
     # r2-vintage stragglers that missed the 50-slot budget: first in
     # line for the r10 window (and they slide IN this round if a new

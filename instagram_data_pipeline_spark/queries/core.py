@@ -1275,3 +1275,83 @@ def q_grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("revenue"),
         F.count(F.lit(1)).alias("n_orders"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Dynamic partition pruning: the Catalyst runtime-pruning path that
+# makes star-schema joins viable at 100 TB — the fact table is written
+# DATE-PARTITIONED (the universal warehouse layout), the dim side
+# carries a selective filter, and Spark injects the dim's build-side
+# keys as a runtime partition filter on the fact SCAN (reusing the
+# broadcast), so only the matching partitions' files are ever listed or
+# read. Asserted in-query: the fact scan's plan carries a
+# `dynamicpruning` partition filter. The oracle is the plain
+# filter+aggregate — pruning changes files read, never answers.
+# ---------------------------------------------------------------------------
+_DPP_ORACLE = """
+SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+       COUNT(*) AS n_orders,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(28,10))), 2) AS DOUBLE)
+         AS revenue
+FROM orders
+WHERE year(o_orderdate) IN (1996, 1997)
+GROUP BY 1
+"""
+
+
+@register(
+    "dpp_partition_prune",
+    _DPP_ORACLE,
+    doc="dynamic partition pruning over a date-partitioned fact table: "
+        "orders re-landed partitionBy(o_year), joined to a selectively "
+        "filtered 2-of-7-years dim — Catalyst injects the broadcast "
+        "build-side keys as a runtime partition filter on the fact scan "
+        "(asserted in-query: `dynamicpruning` in the scan's partition "
+        "filters), so 5 of 7 year-partitions are never listed or read; "
+        "oracle is the plain year-filtered rollup",
+    tags=("join", "layout", "pruning", "dpp"),
+)
+def q_dpp_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import io
+    import os
+    import tempfile
+    from contextlib import redirect_stdout
+
+    # per-SF scratch, overwritten per run (the bucketed_join convention)
+    _tag = hashlib.md5(sf_dir.encode()).hexdigest()[:6]
+    root = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_dpp_{_tag}"
+    )
+    orders = load_testdata(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_totalprice",
+        F.year("o_orderdate").cast("int").alias("o_year"),
+    )
+    orders.write.partitionBy("o_year").mode("overwrite").parquet(root)
+    fact = spark.read.parquet(root)
+
+    # the dim carries a SELECTIVE filter (the DPP heuristic requires
+    # one on the build side before pruning is judged beneficial)
+    dim = (
+        spark.range(1992, 1999)
+        .select(F.col("id").cast("int").alias("y"))
+        .filter(F.col("y").isin(1996, 1997))
+    )
+    out = (
+        fact.join(F.broadcast(dim), fact.o_year == dim.y)
+        .groupBy("o_year")
+        .agg(
+            F.count("*").alias("n_orders"),
+            _exact_sum(F.col("o_totalprice"), "revenue"),
+        )
+    )
+    # the runtime partition filter must actually be planned — a DPP
+    # regression would silently re-read all 7 year-partitions
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        out.explain("formatted")
+    assert "dynamicpruning" in buf.getvalue().lower(), (
+        "dynamic partition pruning did not plan on the fact scan"
+    )
+    return out
