@@ -17,11 +17,18 @@ audio round trips:
   order 0) with the 0b1111 escape to raw binary when Rice would
   inflate.
 
-Mono, 16-bit only — the synthesis fixtures' shape; the frame layer is
-format-true, so widening to stereo/other depths is additive. The
-encoder picks the best fixed order per frame by residual magnitude
-(libFLAC's estimation heuristic) and the Rice parameter from the mean
-absolute residual.
+* mono AND stereo, at 8/12/16/20/24-bit depths (round 10 — VERDICT r9
+  Next #7): stereo frames pick the cheapest channel assignment per
+  frame among independent, left/side, right/side, and mid/side
+  (spec 9.1.3; the side channel carries bps+1 bits), estimated with
+  the same order/Rice cost model the subframe encoder uses.
+
+PCM in and out is channel-INTERLEAVED (L0 R0 L1 R1 ...), the layout
+the STREAMINFO MD5 is defined over (samples packed little-endian
+signed at ceil(bps/8) bytes, libFLAC's convention). The encoder picks
+the best fixed order per frame by residual magnitude (libFLAC's
+estimation heuristic) and the Rice parameter from the mean absolute
+residual.
 
 No reference analog (the reference stores no media;
 `instagram_scraper.py:181-190` keeps only a profile-pic URL string) —
@@ -33,7 +40,6 @@ as opaque binary columns, decoded executor-side in Arrow-batched
 from __future__ import annotations
 
 import hashlib
-import struct
 
 _FIXED_COEFS = {
     0: [],
@@ -42,6 +48,27 @@ _FIXED_COEFS = {
     3: [3, -3, 1],
     4: [4, -6, 4, -1],
 }
+
+# frame-header sample-size codes (spec 9.1.4); 0b000 = from STREAMINFO
+_BPS_CODE = {8: 0b001, 12: 0b010, 16: 0b100, 20: 0b101, 24: 0b110}
+_CODE_BPS = {v: k for k, v in _BPS_CODE.items()}
+
+# stereo channel assignments (spec 9.1.3): code -> (bps delta of
+# subframe 0, bps delta of subframe 1); the side channel gets +1 bit
+_CH_INDEPENDENT, _CH_LEFT_SIDE, _CH_RIGHT_SIDE, _CH_MID_SIDE = (
+    0b0001, 0b1000, 0b1001, 0b1010,
+)
+
+
+def _pack_pcm(samples: list[int], bps: int) -> bytes:
+    """Interleaved PCM -> the byte layout the STREAMINFO MD5 is
+    defined over: little-endian signed, ceil(bps/8) bytes per sample
+    (for bps=16 this is exactly ``struct.pack('<h', s)``)."""
+    nbytes = (bps + 7) // 8
+    mask = (1 << (8 * nbytes)) - 1
+    return b"".join(
+        (s & mask).to_bytes(nbytes, "little") for s in samples
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -276,54 +303,126 @@ def _encode_subframe(bw: _BitWriter, samples: list[int], bps: int) -> None:
     _write_residuals(bw, residuals, bps)
 
 
+def _estimate_subframe_bits(samples: list[int], bps: int) -> int:
+    """Bit cost _encode_subframe would spend — the channel-assignment
+    chooser runs this over each candidate signal pair (libFLAC's
+    estimate-then-pick shape, spec 9.1.3)."""
+    if len(set(samples)) == 1:
+        return 8 + bps  # CONSTANT
+    order = _best_fixed_order(samples)
+    coefs = _FIXED_COEFS[order]
+    residuals = [
+        samples[i]
+        - sum(c * samples[i - j - 1] for j, c in enumerate(coefs))
+        for i in range(order, len(samples))
+    ]
+    k = _rice_param(residuals, bps)
+    est = order * bps + sum((_zigzag(r) >> k) + 1 + k for r in residuals)
+    return 8 + min(est, len(samples) * bps)  # VERBATIM fallback
+
+
 def encode_flac(
     sample_rate: int,
     samples: list[int],
     block_size: int = 4096,
     bps: int = 16,
+    channels: int = 1,
 ) -> bytes:
-    """Mono 16-bit PCM -> FLAC subset bitstream (fixed predictors +
-    Rice residuals, one subframe per frame, STREAMINFO MD5 stamped)."""
+    """Interleaved PCM -> FLAC subset bitstream (fixed predictors +
+    Rice residuals, per-frame stereo decorrelation, STREAMINFO MD5
+    stamped). ``samples`` is channel-interleaved for ``channels=2``.
+
+    Field-width contracts are VALIDATED, not truncated (ADVICE r9:
+    an oversized block_size/sample_rate used to truncate silently in
+    the 16/20-bit STREAMINFO fields, producing a well-formed but
+    wrong stream)."""
+    if not 16 <= block_size <= 65535:
+        raise ValueError(
+            f"flac: block_size {block_size} outside [16, 65535] "
+            f"(16-bit STREAMINFO/frame field)"
+        )
+    if not 1 <= sample_rate <= (1 << 20) - 1:
+        raise ValueError(
+            f"flac: sample_rate {sample_rate} outside [1, 2^20-1] "
+            f"(20-bit STREAMINFO field)"
+        )
+    if bps not in _BPS_CODE:
+        raise ValueError(
+            f"flac subset encoder: bps {bps} not in "
+            f"{sorted(_BPS_CODE)}"
+        )
+    if channels not in (1, 2):
+        raise ValueError(
+            f"flac subset encoder: {channels} channels unsupported "
+            f"(mono or stereo)"
+        )
+    if len(samples) % channels:
+        raise ValueError(
+            f"flac: {len(samples)} interleaved samples not a "
+            f"multiple of {channels} channels"
+        )
+    lo, hi = -(1 << (bps - 1)), 1 << (bps - 1)
     for s in samples:
-        if not -(1 << (bps - 1)) <= s < (1 << (bps - 1)):
+        if not lo <= s < hi:
             raise ValueError(f"sample {s} out of {bps}-bit range")
+    n_inter = len(samples) // channels  # inter-channel sample count
+    if n_inter >= 1 << 36:
+        raise ValueError("flac: total samples exceed the 36-bit field")
     out = bytearray(b"fLaC")
-    md5 = hashlib.md5(
-        b"".join(struct.pack("<h", s) for s in samples)
-    ).digest()
+    md5 = hashlib.md5(_pack_pcm(samples, bps)).digest()
     si = _BitWriter()
     si.write(block_size, 16)        # min block size
     si.write(block_size, 16)        # max block size
     si.write(0, 24)                 # min frame size unknown
     si.write(0, 24)                 # max frame size unknown
     si.write(sample_rate, 20)
-    si.write(0, 3)                  # channels - 1 (mono)
+    si.write(channels - 1, 3)
     si.write(bps - 1, 5)
-    si.write(len(samples), 36)
+    si.write(n_inter, 36)
     body = si.bytes() + md5
     out.append(0x80)                # last metadata block, type 0
     out += len(body).to_bytes(3, "big")
     out += body
 
-    for fno, at in enumerate(range(0, len(samples), block_size)):
-        frame = samples[at: at + block_size]
+    chans = [samples[c::channels] for c in range(channels)]
+    for fno, at in enumerate(range(0, n_inter, block_size)):
+        parts = [ch[at: at + block_size] for ch in chans]
+        if channels == 1:
+            ch_code, subs = 0b0000, [(parts[0], bps)]
+        else:
+            left, right = parts
+            side = [a - b for a, b in zip(left, right)]
+            mid = [(a + b) >> 1 for a, b in zip(left, right)]
+            cands: dict[int, list[tuple[list[int], int]]] = {
+                _CH_INDEPENDENT: [(left, bps), (right, bps)],
+                _CH_LEFT_SIDE: [(left, bps), (side, bps + 1)],
+                _CH_RIGHT_SIDE: [(side, bps + 1), (right, bps)],
+                _CH_MID_SIDE: [(mid, bps), (side, bps + 1)],
+            }
+            ch_code, subs = min(
+                cands.items(),
+                key=lambda kv: sum(
+                    _estimate_subframe_bits(sig, b) for sig, b in kv[1]
+                ),
+            )
         bw = _BitWriter()
         bw.write(0b11111111111110, 14)  # sync
         bw.write(0, 1)                  # reserved
         bw.write(0, 1)                  # fixed-blocksize strategy
         bw.write(0b0111, 4)             # blocksize: 16-bit at end
         bw.write(0b0000, 4)             # sample rate: from STREAMINFO
-        bw.write(0b0000, 4)             # channels: 1, independent
-        bw.write(0b100, 3)              # sample size: 16 bits
+        bw.write(ch_code, 4)            # channel assignment
+        bw.write(_BPS_CODE[bps], 3)     # sample size
         bw.write(0, 1)                  # reserved
         for b in _utf8_number(fno):
             bw.write(b, 8)
-        bw.write(len(frame) - 1, 16)
+        bw.write(len(parts[0]) - 1, 16)
         header = bw.bytes()
         header += bytes([_crc8(header)])
 
         bw2 = _BitWriter()
-        _encode_subframe(bw2, frame, bps)
+        for sig, sbps in subs:
+            _encode_subframe(bw2, sig, sbps)
         bw2.align()
         payload = header + bw2.bytes()
         out += payload + _crc16(payload).to_bytes(2, "big")
@@ -335,9 +434,18 @@ def encode_flac(
 # ---------------------------------------------------------------------------
 
 def decode_flac(data: bytes) -> tuple[int, list[int]]:
-    """FLAC subset bitstream -> (sample_rate, samples). Verifies the
-    frame-header CRC-8, the frame CRC-16, and the STREAMINFO MD5 of
-    the decoded PCM — corruption raises, never mis-decodes."""
+    """FLAC subset bitstream -> (sample_rate, interleaved samples) —
+    the historical mono-shaped return; see :func:`decode_flac_full`
+    for channels/bps."""
+    rate, _channels, _bps, samples = decode_flac_full(data)
+    return rate, samples
+
+
+def decode_flac_full(data: bytes) -> tuple[int, int, int, list[int]]:
+    """FLAC subset bitstream -> (sample_rate, channels, bps,
+    interleaved samples). Verifies the frame-header CRC-8, the frame
+    CRC-16, and the STREAMINFO MD5 of the decoded PCM — corruption
+    raises, never mis-decodes."""
     if data[:4] != b"fLaC":
         raise ValueError("flac: missing fLaC marker")
     pos = 4
@@ -365,11 +473,17 @@ def decode_flac(data: bytes) -> tuple[int, list[int]]:
     if info is None:
         raise ValueError("flac: no STREAMINFO block")
     rate, channels, bps, total, md5 = info
-    if channels != 1 or bps != 16:
-        raise ValueError("flac subset decoder: mono 16-bit only")
+    if channels not in (1, 2):
+        raise ValueError("flac subset decoder: mono/stereo only")
+    if bps not in _BPS_CODE:
+        raise ValueError(
+            f"flac subset decoder: {bps}-bit unsupported "
+            f"(have {sorted(_BPS_CODE)})"
+        )
 
-    samples: list[int] = []
-    while len(samples) < total:
+    samples: list[int] = []  # interleaved
+    decoded = 0  # inter-channel sample count
+    while decoded < total:
         frame_start = pos
         br = _BitReader(data, pos)
         if br.read(14) != 0b11111111111110:
@@ -381,8 +495,21 @@ def decode_flac(data: bytes) -> tuple[int, list[int]]:
         ch_code = br.read(4)
         ss_code = br.read(3)
         br.read(1)  # reserved
-        if ch_code != 0:
-            raise ValueError("flac subset decoder: mono only")
+        if ch_code == 0b0000:
+            n_sub, frame_ch = 1, 1
+        elif ch_code in (
+            _CH_INDEPENDENT, _CH_LEFT_SIDE, _CH_RIGHT_SIDE, _CH_MID_SIDE,
+        ):
+            n_sub, frame_ch = 2, 2
+        else:
+            raise ValueError(
+                f"flac subset decoder: channel assignment "
+                f"{ch_code:04b} unsupported"
+            )
+        if frame_ch != channels:
+            raise ValueError(
+                "flac: frame channel count disagrees with STREAMINFO"
+            )
         _read_utf8_number(br)
         if bs_code == 0b0110:
             bsize = br.read(8) + 1
@@ -400,10 +527,18 @@ def decode_flac(data: bytes) -> tuple[int, list[int]]:
             br.read(8)
         elif sr_code in (0b1101, 0b1110):
             br.read(16)
-        if ss_code == 0b100:
-            fbps = 16
+        if ss_code == 0b000:
+            fbps = bps  # from STREAMINFO
+        elif ss_code in _CODE_BPS:
+            fbps = _CODE_BPS[ss_code]
+            if fbps != bps:
+                raise ValueError(
+                    "flac: frame sample size disagrees with STREAMINFO"
+                )
         else:
-            raise ValueError("flac subset decoder: 16-bit only")
+            raise ValueError(
+                f"flac: reserved sample-size code {ss_code:03b}"
+            )
         # header CRC-8 covers everything before the CRC byte
         br.align()
         crc_at = br.byte
@@ -411,21 +546,45 @@ def decode_flac(data: bytes) -> tuple[int, list[int]]:
             raise ValueError("flac: frame header CRC-8 mismatch")
         br.byte += 1
 
-        frame = _decode_subframe(br, bsize, fbps)
+        # side channels (the difference signal) carry one extra bit
+        sub_bps = [fbps] * n_sub
+        if ch_code == _CH_LEFT_SIDE or ch_code == _CH_MID_SIDE:
+            sub_bps[1] += 1
+        elif ch_code == _CH_RIGHT_SIDE:
+            sub_bps[0] += 1
+        subs = [_decode_subframe(br, bsize, b) for b in sub_bps]
         br.align()
         got16 = int.from_bytes(data[br.byte: br.byte + 2], "big")
         if _crc16(data[frame_start: br.byte]) != got16:
             raise ValueError("flac: frame CRC-16 mismatch")
         pos = br.byte + 2
-        samples.extend(frame)
 
-    samples = samples[:total]
-    want = hashlib.md5(
-        b"".join(struct.pack("<h", s) for s in samples)
-    ).digest()
+        if channels == 1:
+            frame = subs[0]
+        else:
+            if ch_code == _CH_INDEPENDENT:
+                left, right = subs
+            elif ch_code == _CH_LEFT_SIDE:
+                left = subs[0]
+                right = [a - s for a, s in zip(left, subs[1])]
+            elif ch_code == _CH_RIGHT_SIDE:
+                right = subs[1]
+                left = [b + s for b, s in zip(right, subs[0])]
+            else:  # mid/side: (mid<<1 | side&1) reconstructs l+r
+                left, right = [], []
+                for mid_v, s in zip(subs[0], subs[1]):
+                    m2 = (mid_v << 1) | (s & 1)
+                    left.append((m2 + s) >> 1)
+                    right.append((m2 - s) >> 1)
+            frame = [v for pair in zip(left, right) for v in pair]
+        samples.extend(frame)
+        decoded += bsize
+
+    samples = samples[: total * channels]
+    want = hashlib.md5(_pack_pcm(samples, bps)).digest()
     if md5 != bytes(16) and md5 != want:
         raise ValueError("flac: decoded-PCM MD5 mismatch")
-    return rate, samples
+    return rate, channels, bps, samples
 
 
 def _decode_subframe(br: _BitReader, bsize: int, bps: int) -> list[int]:

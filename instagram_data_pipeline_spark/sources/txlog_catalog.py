@@ -19,7 +19,19 @@ So the SQL ergonomics layer is an explicit, documented shim:
   ``FOR SYSTEM_VERSION AS OF <n>`` spelling) into per-version temp
   views backed by ``option("version", n)`` reads, then hands the
   rewritten text to ``spark.sql``. Rewrites touch ONLY registered
-  names, so arbitrary SQL passes through byte-identical.
+  names OUTSIDE string literals and comments (the rewriter masks
+  ``'...'``/``"..."`` literals, ``--`` line comments, and nested
+  ``/* */`` bracketed comments before matching), so arbitrary SQL
+  passes through byte-identical;
+* ``sql(query)`` additionally executes the transactional DML
+  statements a table format owes its users — the restricted
+  Delta-style ``MERGE INTO``, plus ``UPDATE <name> SET ... WHERE
+  <key-pred>`` and ``DELETE FROM <name> WHERE <key-pred>`` — by
+  mapping them onto the format's existing primitives
+  (``merge_source_wins`` / ``delete_keys_dv``). The WHERE clause
+  must reference ONLY the table's recorded merge keys (key-scoped
+  DML is the storage contract: a key names a whole logical row);
+  anything else is refused loudly, mirroring the MERGE validation.
 
 Everything downstream is the ordinary txlog DataSource scan: manifest
 schema, one input partition per surviving file, zone-map/bloom
@@ -68,6 +80,106 @@ _MERGE = re.compile(
 _ON_EQ = re.compile(
     rf"({_IDENT})\s*\.\s*({_IDENT})\s*=\s*({_IDENT})\s*\.\s*({_IDENT})"
 )
+# key-scoped DML: the restricted grammar is the contract (no
+# subqueries in SET/WHERE — the first WHERE keyword splits the clause)
+_DELETE = re.compile(
+    rf"^\s*DELETE\s+FROM\s+({_IDENT})\s+WHERE\s+(.*?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_UPDATE = re.compile(
+    rf"^\s*UPDATE\s+({_IDENT})\s+SET\s+(.*?)\s+WHERE\s+(.*?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_ASSIGN = re.compile(rf"^\s*({_IDENT})\s*=\s*(.+?)\s*$", re.DOTALL)
+
+
+def _masked_spans(text: str) -> list[tuple[int, int]]:
+    """Half-open [start, end) spans of string literals ('' and \\'
+    escapes honored), double-quoted literals, ``--`` line comments,
+    and nested ``/* */`` bracketed comments — the regions the
+    time-travel rewriter must never touch (ADVICE r9: a table name
+    inside a literal/comment was being rewritten)."""
+    spans: list[tuple[int, int]] = []
+    i, n = 0, len(text)
+    while i < n:
+        c = text[i]
+        if c == "'" or c == '"':
+            j = i + 1
+            while j < n:
+                if text[j] == "\\":
+                    j += 2
+                    continue
+                if text[j] == c:
+                    if c == "'" and j + 1 < n and text[j + 1] == "'":
+                        j += 2  # '' escape
+                        continue
+                    break
+                j += 1
+            spans.append((i, min(j + 1, n)))
+            i = min(j + 1, n)
+        elif text.startswith("--", i):
+            j = text.find("\n", i)
+            j = n if j == -1 else j
+            spans.append((i, j))
+            i = j
+        elif text.startswith("/*", i):
+            depth, j = 1, i + 2
+            while j < n and depth:
+                if text.startswith("/*", j):
+                    depth, j = depth + 1, j + 2
+                elif text.startswith("*/", j):
+                    depth, j = depth - 1, j + 2
+                else:
+                    j += 1
+            spans.append((i, j))
+            i = j
+        else:
+            i += 1
+    return spans
+
+
+def _sub_outside_literals(pattern: re.Pattern, repl, text: str) -> str:
+    """``pattern.sub(repl, text)`` restricted to matches that START
+    outside every literal/comment span (splice-based so replacement
+    lengths may differ)."""
+    spans = _masked_spans(text)
+    out, last = [], 0
+    for m in pattern.finditer(text):
+        if any(a <= m.start() < b for a, b in spans):
+            continue
+        out.append(text[last: m.start()])
+        out.append(repl(m))
+        last = m.end()
+    out.append(text[last:])
+    return "".join(out)
+
+
+def _split_top_level(text: str, sep: str = ",") -> list[str]:
+    """Split on ``sep`` at paren depth 0 and outside string literals —
+    SET lists may hold function calls with commas."""
+    parts, cur, depth = [], [], 0
+    i, n = 0, len(text)
+    while i < n:
+        c = text[i]
+        if c == "'":
+            j = i + 1
+            while j < n and text[j] != "'":
+                j += 2 if text[j] == "\\" else 1
+            cur.append(text[i: j + 1])
+            i = j + 1
+            continue
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        if c == sep and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(c)
+        i += 1
+    parts.append("".join(cur))
+    return parts
 
 
 class TxlogSqlCatalog:
@@ -146,16 +258,42 @@ class TxlogSqlCatalog:
         )
         return view
 
+    def _session_tzinfo(self):
+        """tzinfo for ``spark.sql.session.timeZone`` — region names via
+        zoneinfo, ``GMT+8`` / ``+08:00`` style fixed offsets parsed
+        directly. Commit stamps are UTC epochs; naive AS-OF timestamps
+        resolve in the session zone (Delta's semantics)."""
+        import datetime as dt
+
+        tz = self.spark.conf.get("spark.sql.session.timeZone", "UTC")
+        tz = (tz or "UTC").strip()
+        m = re.fullmatch(r"(?:GMT|UTC)?([+-])(\d{1,2}):?(\d{2})?", tz)
+        if m:
+            sign = 1 if m.group(1) == "+" else -1
+            delta = dt.timedelta(
+                hours=int(m.group(2)), minutes=int(m.group(3) or 0)
+            )
+            return dt.timezone(sign * delta)
+        from zoneinfo import ZoneInfo
+
+        return ZoneInfo(tz)  # raises on garbage — loud beats wrong
+
     def version_as_of(self, name: str, ts: "str | float") -> int:
         """Newest committed version whose commit stamp is <= ``ts``
-        (Delta TIMESTAMP AS OF semantics). ``ts`` is an ISO string or
-        an epoch-seconds float; manifests predating the commit stamp
-        fall back to the manifest file's mtime."""
+        (Delta TIMESTAMP AS OF semantics). ``ts`` is an ISO string
+        (explicit UTC offsets honored; NAIVE timestamps resolve in
+        ``spark.sql.session.timeZone``, never the driver process's
+        local zone — ADVICE r9) or an epoch-seconds float; manifests
+        predating the commit stamp fall back to the manifest file's
+        mtime."""
         import datetime as dt
         import os
 
         if isinstance(ts, str):
-            at = dt.datetime.fromisoformat(ts).timestamp()
+            parsed = dt.datetime.fromisoformat(ts)
+            if parsed.tzinfo is None:
+                parsed = parsed.replace(tzinfo=self._session_tzinfo())
+            at = parsed.timestamp()
         else:
             at = float(ts)
         root = self._root(name)
@@ -256,11 +394,22 @@ class TxlogSqlCatalog:
           UPDATE SET * WHEN NOT MATCHED THEN INSERT *`` executes the
           format's source-wins transactional merge and returns a
           metrics frame;
+        * ``UPDATE <name> SET col = expr, ... WHERE <key-pred>`` and
+          ``DELETE FROM <name> WHERE <key-pred>`` execute as the
+          format's transactional merge / deletion-vector delete; the
+          WHERE clause must reference only the recorded merge keys;
         * everything else passes through to ``spark.sql`` untouched
-          (unregistered names included)."""
+          (unregistered names included). Rewrites never fire inside
+          string literals or comments."""
         m = _MERGE.match(query)
         if m and m.group(1) in self.roots:
             return self._sql_merge(m)
+        um = _UPDATE.match(query)
+        if um and um.group(1) in self.roots:
+            return self._sql_update(um)
+        dm = _DELETE.match(query)
+        if dm and dm.group(1) in self.roots:
+            return self._sql_delete(dm)
         dh = re.match(
             rf"^\s*DESCRIBE\s+HISTORY\s+({_IDENT})\s*;?\s*$",
             query,
@@ -281,14 +430,21 @@ class TxlogSqlCatalog:
                 return mt.group(0)
             return self._travel_view(name, self.version_as_of(name, ts))
 
-        rewritten = _TRAVEL.sub(repl, query)
-        rewritten = _TRAVEL_TS.sub(repl_ts, rewritten)
+        rewritten = _sub_outside_literals(_TRAVEL, repl, query)
+        rewritten = _sub_outside_literals(_TRAVEL_TS, repl_ts, rewritten)
         # refresh the LATEST view of every referenced table: the
         # DataSource pins its manifest at view creation, so a commit
         # since then would otherwise be invisible (one manifest-JSON
-        # read per referenced table — control-plane sized)
+        # read per referenced table — control-plane sized). Masked
+        # text so a name appearing only inside a literal/comment
+        # doesn't trigger a refresh.
+        spans = _masked_spans(rewritten)
+        plain = "".join(
+            " " if any(a <= i < b for a, b in spans) else ch
+            for i, ch in enumerate(rewritten)
+        )
         for name, root in self.roots.items():
-            if re.search(rf"\b{name}\b", rewritten):
+            if re.search(rf"\b{name}\b", plain):
                 self.register(name, root)
         return self.spark.sql(rewritten)
 
@@ -302,11 +458,18 @@ class TxlogSqlCatalog:
         target, t_alias, source, s_alias, cond = (
             m.group(1), m.group(2), m.group(3), m.group(4), m.group(5),
         )
-        aliases = {target, source}
-        if t_alias:
-            aliases.add(t_alias)
-        if s_alias:
-            aliases.add(s_alias)
+        # SQL scoping: once an alias is declared, the base name is no
+        # longer a valid qualifier; each equality must pair exactly one
+        # target-side and one source-side qualifier (ADVICE r9: the old
+        # single-set check accepted degenerate `ON t.k = t.k`, silently
+        # merging on the recorded keys while the text said TRUE)
+        t_quals = {t_alias} if t_alias else {target}
+        s_quals = {s_alias} if s_alias else {source}
+        if t_quals & s_quals:
+            raise ValueError(
+                f"MERGE INTO: target and source share a qualifier "
+                f"{sorted(t_quals & s_quals)} — alias one of them"
+            )
         stripped = _ON_EQ.sub("", cond)
         if re.sub(r"(?i)\bAND\b|\s", "", stripped):
             raise ValueError(
@@ -316,7 +479,16 @@ class TxlogSqlCatalog:
             )
         keys = set()
         for qa, ca, qb, cb in _ON_EQ.findall(cond):
-            if ca != cb or qa not in aliases or qb not in aliases:
+            side_a = "t" if qa in t_quals else "s" if qa in s_quals else None
+            side_b = "t" if qb in t_quals else "s" if qb in s_quals else None
+            if side_a is None or side_b is None or side_a == side_b:
+                raise ValueError(
+                    f"MERGE INTO: ON predicate {qa}.{ca} = {qb}.{cb} "
+                    f"must pair exactly one target-side and one "
+                    f"source-side column (target: {sorted(t_quals)}, "
+                    f"source: {sorted(s_quals)})"
+                )
+            if ca != cb:
                 raise ValueError(
                     f"MERGE INTO: ON pairs different columns "
                     f"({qa}.{ca} = {qb}.{cb}); only same-named key "
@@ -331,6 +503,132 @@ class TxlogSqlCatalog:
                 f"recorded merge keys {sorted(recorded)}"
             )
         return self.merge_into(target, self.spark.table(source))
+
+    # -- key-scoped DML (UPDATE / DELETE) ------------------------------------
+    def _dml_contract(self, name: str) -> tuple[str, list[str], int]:
+        root = self._root(name)
+        snap = _load_manifest(root, None)
+        keys, num_buckets = snap.get("keys"), snap.get("num_buckets")
+        if not keys or not num_buckets:
+            raise ValueError(
+                f"txlog catalog: {name!r} records no key/bucket "
+                f"contract; UPDATE/DELETE need both"
+            )
+        return root, list(keys), int(num_buckets)
+
+    def _key_predicate(self, name: str, keys: list[str], pred: str,
+                       stmt: str) -> DataFrame:
+        """Validate that ``pred`` references ONLY the recorded merge
+        keys — analysis over an EMPTY keys-only LocalRelation makes
+        Spark the judge, no expression parser (a projection of the
+        real scan would not do: ResolveMissingReferences happily
+        resolves filter columns through a Project into its child) —
+        and return the filtered distinct-key frame. Key-scoped DML is
+        the contract: a key names a whole logical row, so a non-key
+        predicate (which could hit a strict subset of a key's rows
+        under future multi-row keys, and defeats bucket pruning) is
+        refused."""
+        from pyspark.sql.types import StructType
+
+        snap_df = self.snapshot(name)
+        probe_schema = StructType(
+            [f for f in snap_df.schema.fields if f.name in keys]
+        )
+        try:
+            self.spark.createDataFrame([], probe_schema).where(pred)
+        except Exception as e:
+            raise ValueError(
+                f"{stmt}: WHERE clause {pred!r} must reference only "
+                f"the table's recorded merge keys {sorted(keys)} — "
+                f"non-key predicates are refused ({e})"
+            ) from None
+        return snap_df.select(*keys).where(pred).dropDuplicates()
+
+    def _sql_delete(self, m: re.Match) -> DataFrame:
+        """``DELETE FROM <name> WHERE <key-pred>`` → the format's
+        MERGE-ON-READ deletion-vector path (`formats.py
+        delete_keys_dv`): zero data files rewritten, one manifest
+        published. Returns a Delta-style metrics frame."""
+        from ..formats import TransactionLogFormat
+
+        name, pred = m.group(1), m.group(2)
+        root, keys, num_buckets = self._dml_contract(name)
+        victims = self._key_predicate(name, keys, pred, "DELETE")
+        fmt = TransactionLogFormat()
+        n = fmt.delete_keys_dv(
+            _TableHandle(self.spark, root), name, keys, victims,
+            num_buckets,
+        )
+        self.register(name, root)  # latest view reflects the delete
+        version = _load_manifest(root, None)["version"]
+        return self.spark.createDataFrame(
+            [(int(n), int(version))],
+            "num_affected_rows long, table_version long",
+        )
+
+    def _sql_update(self, m: re.Match) -> DataFrame:
+        """``UPDATE <name> SET col = expr, ... WHERE <key-pred>`` →
+        source-wins merge of the matched rows with the assignments
+        applied (all SET expressions see the OLD row values, standard
+        UPDATE semantics). Key columns cannot be SET (that would be a
+        re-key, which the format's evolution rules refuse anyway);
+        returns a Delta-style metrics frame."""
+        from pyspark.sql import functions as F
+
+        from ..formats import TransactionLogFormat
+
+        name, set_clause, pred = m.group(1), m.group(2), m.group(3)
+        root, keys, num_buckets = self._dml_contract(name)
+        assignments: dict[str, str] = {}
+        for part in _split_top_level(set_clause):
+            am = _ASSIGN.match(part)
+            if not am:
+                raise ValueError(
+                    f"UPDATE: unsupported SET assignment {part.strip()!r}"
+                    f" — expected `column = expression`"
+                )
+            col, expr = am.group(1), am.group(2)
+            if col in keys:
+                raise ValueError(
+                    f"UPDATE: cannot SET key column {col!r} (recorded "
+                    f"merge keys: {sorted(keys)})"
+                )
+            if col in assignments:
+                raise ValueError(f"UPDATE: column {col!r} SET twice")
+            assignments[col] = expr
+        self._key_predicate(name, keys, pred, "UPDATE")  # validate only
+        cur = self.snapshot(name)
+        unknown = set(assignments) - set(cur.columns)
+        if unknown:
+            raise ValueError(
+                f"UPDATE: unknown column(s) {sorted(unknown)} "
+                f"(table has {cur.columns})"
+            )
+        matched = cur.where(pred)
+        # one select → every SET expression evaluates against the OLD
+        # row; schema (names, order) preserved for the merge contract
+        updated = matched.select(
+            *[
+                F.expr(assignments[c]).cast(cur.schema[c].dataType)
+                .alias(c)
+                if c in assignments
+                else F.col(c)
+                for c in cur.columns
+            ]
+        )
+        n = matched.count()
+        if n:  # an empty match publishes no version (Delta-alike)
+            fmt = TransactionLogFormat()
+            fmt.merge_source_wins(
+                _TableHandle(self.spark, root), name, updated, keys,
+                num_buckets,
+            )
+        self.register(name, root)  # latest view reflects the update
+        version = _load_manifest(root, None)["version"]
+        return self.spark.createDataFrame(
+            [(int(n), int(version))],
+            "num_affected_rows long, table_version long",
+        )
 
 
 class _TableHandle:

@@ -1145,3 +1145,235 @@ def test_txlog_sql_catalog_describe_history(spark, tmp_path):
     assert stamps == sorted(stamps)
     # DV version carried every data file by reference
     assert hist[2].n_files == hist[1].n_files
+
+
+def test_txlog_sql_catalog_update_delete_dml(spark, tmp_path):
+    """Round-10 SQL DML completion (VERDICT r9 Next #4): UPDATE and
+    DELETE statements on the txlog catalog map onto the format's
+    merge_source_wins / delete_keys_dv primitives; WHERE clauses are
+    key-scoped by contract (non-key predicates refused loudly), SET
+    expressions see the OLD row values, and metrics frames come back
+    Delta-style."""
+    import pytest as _pytest
+
+    from instagram_data_pipeline_spark.formats import TransactionLogFormat
+    from instagram_data_pipeline_spark.io import Warehouse
+    from instagram_data_pipeline_spark.sources.txlog_catalog import (
+        TxlogSqlCatalog,
+    )
+
+    fmt = TransactionLogFormat()
+    wh = Warehouse(spark, str(tmp_path / "wh"), fmt=fmt)
+    wh.upsert_partitioned(
+        "facts",
+        spark.sql(
+            "SELECT id AS k, CAST(id * 10 AS DOUBLE) AS v, "
+            "TIMESTAMP '2024-01-01' AS ts FROM range(100)"
+        ),
+        ["k"], "ts", num_buckets=4,
+    )
+    cat = TxlogSqlCatalog(spark)
+    cat.register("facts", wh.path("facts"))
+
+    # UPDATE: expressions evaluate against the OLD row (v and ts both
+    # read pre-update state in one statement); key-scoped WHERE
+    m = cat.sql(
+        "UPDATE facts SET v = v * 2, ts = ts + INTERVAL 1 DAY "
+        "WHERE k % 7 = 3"
+    ).first()
+    assert m.num_affected_rows == 14 and m.table_version == 2
+    got = {r.k: (r.v, str(r.ts)) for r in
+           cat.sql("SELECT k, v, ts FROM facts").collect()}
+    assert got[3] == (60.0, "2024-01-02 00:00:00")
+    assert got[4] == (40.0, "2024-01-01 00:00:00")
+
+    # DELETE: deletion-vector path, zero data files rewritten
+    m = cat.sql("DELETE FROM facts WHERE k IN (1, 2, 3, 999)").first()
+    assert m.num_affected_rows == 3 and m.table_version == 3
+    assert cat.sql("SELECT count(*) AS n FROM facts").first().n == 97
+    hist = {r.version: r for r in
+            cat.sql("DESCRIBE HISTORY facts").collect()}
+    assert hist[3].n_files == hist[2].n_files  # DV: files by reference
+
+    # zero-match UPDATE publishes no version
+    m = cat.sql("UPDATE facts SET v = 0 WHERE k = 123456").first()
+    assert m.num_affected_rows == 0 and m.table_version == 3
+
+    # contract violations: non-key WHERE (even though the column
+    # exists on the table), SET of a key, unknown SET column, bad
+    # assignment syntax — all loud
+    with _pytest.raises(ValueError, match="recorded merge keys"):
+        cat.sql("UPDATE facts SET v = 1 WHERE v > 5")
+    with _pytest.raises(ValueError, match="recorded merge keys"):
+        cat.sql("DELETE FROM facts WHERE ts < TIMESTAMP '2025-01-01'")
+    with _pytest.raises(ValueError, match="cannot SET key"):
+        cat.sql("UPDATE facts SET k = 0 WHERE k = 5")
+    with _pytest.raises(ValueError, match="unknown column"):
+        cat.sql("UPDATE facts SET bogus = 1 WHERE k = 5")
+    with _pytest.raises(ValueError, match="SET twice"):
+        cat.sql("UPDATE facts SET v = 1, v = 2 WHERE k = 5")
+    # statements on unregistered names pass through to spark.sql
+    with _pytest.raises(Exception) as ei:
+        cat.sql("DELETE FROM not_ours WHERE k = 1")
+    assert not isinstance(ei.value, (ValueError, KeyError))
+
+    # paren/quote-aware SET splitting: function calls with commas
+    m = cat.sql(
+        "UPDATE facts SET v = round(v + 0.4, 1) WHERE k BETWEEN 10 AND 11"
+    ).first()
+    assert m.num_affected_rows == 2
+
+
+def test_txlog_sql_catalog_rewrite_masks_literals_and_comments(
+    spark, tmp_path
+):
+    """ADVICE r9: a registered name followed by VERSION AS OF inside a
+    string literal or SQL comment must NOT be rewritten — the shim's
+    'arbitrary SQL passes through byte-identical' contract."""
+    from instagram_data_pipeline_spark.formats import TransactionLogFormat
+    from instagram_data_pipeline_spark.io import Warehouse
+    from instagram_data_pipeline_spark.sources.txlog_catalog import (
+        TxlogSqlCatalog, _masked_spans,
+    )
+
+    fmt = TransactionLogFormat()
+    wh = Warehouse(spark, str(tmp_path / "wh"), fmt=fmt)
+    wh.upsert_partitioned(
+        "facts",
+        spark.sql("SELECT id AS k, 'a' AS v, TIMESTAMP '2024-01-01' AS ts "
+                  "FROM range(10)"),
+        ["k"], "ts", num_buckets=2,
+    )
+    wh.upsert_partitioned(
+        "facts",
+        spark.sql("SELECT id AS k, 'b' AS v, TIMESTAMP '2024-02-01' AS ts "
+                  "FROM range(10, 15)"),
+        ["k"], "ts", num_buckets=2,
+    )
+    cat = TxlogSqlCatalog(spark)
+    cat.register("facts", wh.path("facts"))
+
+    # literal survives verbatim; comment spans don't rewrite; a REAL
+    # travel clause in the same statement still does
+    row = cat.sql(
+        "SELECT 'facts VERSION AS OF 1' AS lit, "
+        "count(*) AS n_old, "  # the real clause below
+        "  /* facts VERSION AS OF 99 never resolves */ "
+        "max('it''s facts TIMESTAMP AS OF ''2024-01-01''') AS lit2 "
+        "FROM facts VERSION AS OF 1 "
+        "-- facts VERSION AS OF 99\n"
+    ).first()
+    assert row.lit == "facts VERSION AS OF 1"
+    assert row.n_old == 10
+    assert "facts TIMESTAMP AS OF" in row.lit2
+
+    # the span scanner itself: escapes, nesting, line comments
+    text = "a 'x''y' b \"z\" /* c /* d */ e */ f -- g\nh"
+    spans = _masked_spans(text)
+    masked = [text[a:b] for a, b in spans]
+    assert masked == ["'x''y'", '"z"', "/* c /* d */ e */", "-- g"]
+
+
+def test_txlog_sql_catalog_merge_on_clause_sides(spark, tmp_path):
+    """ADVICE r9: degenerate equalities (ON t.k = t.k) and shared
+    qualifiers must be rejected — each ON equality pairs exactly one
+    target-side and one source-side column."""
+    import pytest as _pytest
+
+    from instagram_data_pipeline_spark.formats import TransactionLogFormat
+    from instagram_data_pipeline_spark.io import Warehouse
+    from instagram_data_pipeline_spark.sources.txlog_catalog import (
+        TxlogSqlCatalog,
+    )
+
+    fmt = TransactionLogFormat()
+    wh = Warehouse(spark, str(tmp_path / "wh"), fmt=fmt)
+    wh.upsert_partitioned(
+        "facts",
+        spark.sql("SELECT id AS k, 'a' AS v, TIMESTAMP '2024-01-01' AS ts "
+                  "FROM range(10)"),
+        ["k"], "ts", num_buckets=2,
+    )
+    spark.sql(
+        "SELECT id AS k, 'b' AS v, TIMESTAMP '2024-02-01' AS ts "
+        "FROM range(5)"
+    ).createOrReplaceTempView("merge_src")
+    cat = TxlogSqlCatalog(spark)
+    cat.register("facts", wh.path("facts"))
+
+    tail = (" WHEN MATCHED THEN UPDATE SET * "
+            "WHEN NOT MATCHED THEN INSERT *")
+    # same qualifier on both sides of the equality
+    with _pytest.raises(ValueError, match="exactly one target-side"):
+        cat.sql("MERGE INTO facts USING merge_src "
+                "ON facts.k = facts.k" + tail)
+    with _pytest.raises(ValueError, match="exactly one target-side"):
+        cat.sql("MERGE INTO facts USING merge_src "
+                "ON merge_src.k = merge_src.k" + tail)
+    # target and source sharing one alias is ambiguous
+    with _pytest.raises(ValueError, match="share a qualifier"):
+        cat.sql("MERGE INTO facts AS t USING merge_src AS t "
+                "ON t.k = t.k" + tail)
+    # once aliased, the base name is no longer a valid qualifier
+    with _pytest.raises(ValueError, match="exactly one target-side"):
+        cat.sql("MERGE INTO facts AS t USING merge_src AS s "
+                "ON facts.k = s.k" + tail)
+    # the well-formed statement still merges (either side order)
+    m = cat.sql("MERGE INTO facts AS t USING merge_src AS s "
+                "ON s.k = t.k" + tail).first()
+    assert m.num_source_rows == 5 and m.table_version == 2
+
+
+def test_txlog_sql_catalog_timestamp_as_of_session_timezone(
+    spark, tmp_path
+):
+    """ADVICE r9: naive AS-OF timestamps resolve in
+    spark.sql.session.timeZone (Delta semantics), not the Python
+    process's local zone; explicit ISO offsets are honored; offset
+    spellings of the session zone parse."""
+    import datetime as dt
+
+    import pytest as _pytest
+
+    from instagram_data_pipeline_spark.formats import TransactionLogFormat
+    from instagram_data_pipeline_spark.io import Warehouse
+    from instagram_data_pipeline_spark.sources.txlog_catalog import (
+        TxlogSqlCatalog,
+    )
+    from instagram_data_pipeline_spark.sources.txlog_source import (
+        _load_manifest,
+    )
+
+    fmt = TransactionLogFormat()
+    wh = Warehouse(spark, str(tmp_path / "wh"), fmt=fmt)
+    wh.upsert_partitioned(
+        "facts",
+        spark.sql("SELECT id AS k, 'a' AS v, TIMESTAMP '2024-01-01' AS ts "
+                  "FROM range(10)"),
+        ["k"], "ts", num_buckets=2,
+    )
+    cat = TxlogSqlCatalog(spark)
+    cat.register("facts", wh.path("facts"))
+    stamp = _load_manifest(wh.path("facts"), "1")["committed_at"]
+    # the UTC wall-clock string one second AFTER the commit
+    wall = dt.datetime.fromtimestamp(
+        stamp + 1, dt.timezone.utc
+    ).replace(tzinfo=None).isoformat()
+
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        # session zone AHEAD of UTC: the naive string means 9h EARLIER
+        # in epoch terms -> predates the commit -> no version
+        spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+        with _pytest.raises(ValueError, match="no version"):
+            cat.version_as_of("facts", wall)
+        # explicit offset wins over the session zone
+        assert cat.version_as_of("facts", wall + "+00:00") == 1
+        # offset-style session zones parse too
+        spark.conf.set("spark.sql.session.timeZone", "GMT+9")
+        with _pytest.raises(ValueError, match="no version"):
+            cat.version_as_of("facts", wall)
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        assert cat.version_as_of("facts", wall) == 1
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)
