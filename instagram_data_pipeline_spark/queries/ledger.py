@@ -2209,3 +2209,108 @@ def q_txlog_merge_into_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).first()
     assert metrics.table_version == 2
     return cat.sql("SELECT k, v, ts FROM facts")
+
+
+# ---------------------------------------------------------------------------
+# UPDATE / DELETE through the SQL surface (round 10, VERDICT r9 Next
+# #4): the two DML statements a real user writes right after MERGE
+# INTO. Both are KEY-SCOPED by contract (the WHERE clause may
+# reference only the table's recorded merge keys — refused loudly
+# otherwise, mirroring the MERGE validation) and map onto the format's
+# existing primitives: UPDATE = source-wins merge of the matched rows
+# with the SET expressions applied against the OLD row values;
+# DELETE = the deletion-vector MERGE-ON-READ path (zero data files
+# rewritten). The oracles replay the statements as plain projections.
+# ---------------------------------------------------------------------------
+_TXLOG_UPD_ORACLE = """
+WITH tgt AS (
+  SELECT o_custkey AS k, MAX(o_totalprice) AS v, MAX(o_orderdate) AS ts
+  FROM orders GROUP BY 1
+)
+SELECT k,
+       CASE WHEN k % 7 = 3 THEN v * 2 ELSE v END AS v,
+       CASE WHEN k % 7 = 3 THEN ts + INTERVAL 7 DAY ELSE ts END AS ts
+FROM tgt
+"""
+
+
+@register(
+    "txlog_update_sql",
+    _TXLOG_UPD_ORACLE,
+    doc="UPDATE via SQL text on the transaction log: key-scoped WHERE "
+        "(non-key predicates refused — the storage contract names "
+        "whole logical rows by key), SET expressions evaluated "
+        "against the OLD row values in one pass, executed as the "
+        "format's transactional source-wins merge of only the "
+        "matched rows (touched buckets only at scale); oracle "
+        "replays the statement as a CASE projection",
+    tags=("sql", "format", "writes", "dml"),
+)
+def q_txlog_update_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..formats import TransactionLogFormat
+    from ..io import Warehouse
+    from ..sources.txlog_catalog import TxlogSqlCatalog
+
+    orders = load_testdata(spark, sf_dir, "orders")
+    facts = orders.groupBy(F.col("o_custkey").alias("k")).agg(
+        F.max("o_totalprice").alias("v"),
+        F.max("o_orderdate").alias("ts"),
+    )
+    fmt = TransactionLogFormat()
+    wh = Warehouse(spark, _scratch("txlog_upd_sql", sf_dir), fmt=fmt)
+    wh.upsert_partitioned("facts", facts, ["k"], "ts", num_buckets=8)
+
+    cat = TxlogSqlCatalog(spark)
+    cat.register("facts", wh.path("facts"))
+    metrics = cat.sql(
+        "UPDATE facts SET v = v * 2, ts = ts + INTERVAL 7 DAY "
+        "WHERE k % 7 = 3"
+    ).first()
+    assert metrics.table_version == 2 and metrics.num_affected_rows > 0
+    return cat.sql("SELECT k, v, ts FROM facts")
+
+
+_TXLOG_DEL_ORACLE = """
+WITH tgt AS (
+  SELECT o_custkey AS k, MAX(o_totalprice) AS v, MAX(o_orderdate) AS ts
+  FROM orders GROUP BY 1
+)
+SELECT k, v, ts FROM tgt WHERE k % 5 <> 0
+"""
+
+
+@register(
+    "txlog_delete_sql",
+    _TXLOG_DEL_ORACLE,
+    doc="DELETE via SQL text on the transaction log: key-scoped WHERE "
+        "executed as the format's MERGE-ON-READ deletion-vector path "
+        "— version N+1 carries every data file by reference and "
+        "records victim (file, ordinal) bitmaps, so a targeted "
+        "delete publishes ONE manifest and rewrites ZERO data files "
+        "(the GDPR-erasure shape at 100 TB); oracle replays the "
+        "statement as a filtered projection",
+    tags=("sql", "format", "writes", "dml", "merge-on-read"),
+)
+def q_txlog_delete_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..formats import TransactionLogFormat
+    from ..io import Warehouse
+    from ..sources.txlog_catalog import TxlogSqlCatalog
+
+    orders = load_testdata(spark, sf_dir, "orders")
+    facts = orders.groupBy(F.col("o_custkey").alias("k")).agg(
+        F.max("o_totalprice").alias("v"),
+        F.max("o_orderdate").alias("ts"),
+    )
+    fmt = TransactionLogFormat()
+    wh = Warehouse(spark, _scratch("txlog_del_sql", sf_dir), fmt=fmt)
+    wh.upsert_partitioned("facts", facts, ["k"], "ts", num_buckets=8)
+
+    cat = TxlogSqlCatalog(spark)
+    cat.register("facts", wh.path("facts"))
+    metrics = cat.sql("DELETE FROM facts WHERE k % 5 = 0").first()
+    assert metrics.table_version == 2 and metrics.num_affected_rows > 0
+    # merge-on-read: the delete carried every data file by REFERENCE
+    hist = {r.version: r for r in
+            cat.sql("DESCRIBE HISTORY facts").collect()}
+    assert hist[2].n_files == hist[1].n_files
+    return cat.sql("SELECT k, v, ts FROM facts")

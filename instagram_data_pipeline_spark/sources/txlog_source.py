@@ -192,8 +192,14 @@ class TxlogBatchReader(DataSourceReader):
         dv = self.snap.get("dv", {}).get(partition.value)
         if dv and dv.get("bm"):
             gone = set(_dv_ordinals(dv["bm"]))
+            # typed index array: a plain [] infers as null-typed and
+            # array_take has no (T, null) kernel — a file whose rows
+            # are ALL DV-deleted must yield an empty batch, not crash
             table = table.take(
-                [i for i in range(len(table)) if i not in gone]
+                pa.array(
+                    [i for i in range(len(table)) if i not in gone],
+                    type=pa.int64(),
+                )
             )
         # additive schema evolution: null-fill columns this (older)
         # file doesn't physically carry; column mapping: physical

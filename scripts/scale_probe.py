@@ -60,6 +60,18 @@ TXLOG_PROBE_QUERIES = ["txlog_zorder_scan", "txlog_change_feed",
                        "txlog_rebucket_layout", "txlog_zorder_equidepth",
                        "txlog_delete_vectors"]
 
+# Round 10 (VERDICT r9 Next #3/#6): the r9/r10 additions. The SQL
+# shim adds parse/view plumbing on top of the same scans, so the
+# time-travel/merge/DML probes should track their API twins (~linear
+# in rewritten/read data); FLAC decode is per-payload map work, so
+# ~linear like lang_id; dpp_partition_prune re-lands the fact then
+# reads 2 of 7 partitions — wall tracks the selected partitions'
+# bytes (alpha ~1 against a uniform 8x, with the in-query
+# `dynamicpruning` assert holding at scale).
+R10_PROBE_QUERIES = ["txlog_time_travel_sql", "txlog_merge_into_sql",
+                     "txlog_update_sql", "txlog_delete_sql",
+                     "multimodal_flac_stats", "dpp_partition_prune"]
+
 # distinct strides, coprime to virtually all word counts
 _STRIDES = [1, 7, 11, 13, 17, 19, 23, 29, 31, 37, 41, 43]
 
@@ -239,7 +251,7 @@ def main() -> int:
 
         results = {}
         names = (PROBE_QUERIES + HEADLINE_PROBE_QUERIES
-                 + TXLOG_PROBE_QUERIES)
+                 + TXLOG_PROBE_QUERIES + R10_PROBE_QUERIES)
         if args.only:
             want = {n.strip() for n in args.only.split(",")}
             unknown = want - set(names)

@@ -6,7 +6,13 @@ The unit tests pin each feature in isolation; THIS test pins their
 compositions — merge after rename after DV-delete after widen after
 compact after rebucket — where metadata-carrying bugs live (the r8
 code review found exactly one such: delete_keys dropping the column
-mapping). A fixed seed keeps runs reproducible."""
+mapping; the r9 run of this test found the type-sensitive bucket-probe
+bug). Round 10 (VERDICT r9 Next #5): the op mix now ALSO drives the
+TEXT-LEVEL SQL surface (TxlogSqlCatalog) — random time-travel reads
+checked against recorded historical key sets, MERGE INTO, UPDATE, and
+DELETE statements — interleaved with the API ops against the same
+reference model, so rewriter/validation/DML bugs surface under
+composition too. A fixed seed keeps runs reproducible."""
 
 from __future__ import annotations
 
@@ -29,20 +35,26 @@ def test_txlog_random_op_sequences_match_reference_model(
 
     from instagram_data_pipeline_spark.formats import TransactionLogFormat
     from instagram_data_pipeline_spark.io import Warehouse
+    from instagram_data_pipeline_spark.sources.txlog_catalog import (
+        TxlogSqlCatalog,
+    )
 
     rng = random.Random(seed)
     fmt = TransactionLogFormat()
     wh = Warehouse(spark, str(tmp_path / f"wh{seed}"), fmt=fmt)
     KEYS = ["k"]
     BUCKETS = 4
+    cat = TxlogSqlCatalog(spark)
 
     # reference model: logical column list + {k: row dict} + a clock
+    # + per-committed-version key-set history (for time-travel checks)
     model = {
         "cols": ["k", "v", "cnt", "ts"],
         "rows": {},
         "t": dt.datetime(2024, 1, 1),
         "buckets": BUCKETS,
         "widened": False,
+        "versions": {},
     }
 
     def tick() -> dt.datetime:
@@ -133,16 +145,87 @@ def test_txlog_random_op_sequences_match_reference_model(
         fmt.rebucket(wh, "t", new_b)
         model["buckets"] = new_b
 
+    # ---- text-level SQL surface (round 10: rewriter/DML under the
+    # same random composition; the catalog reads keys/buckets from
+    # the RECORDED contract, so rebucket/rename must stay invisible)
+    def op_sql_time_travel():
+        if not model["versions"]:
+            return
+        v = rng.choice(sorted(model["versions"]))
+        cat.register("t", wh.path("t"))
+        # trailing literal + comment are masking red herrings
+        got = {
+            r.k
+            for r in cat.sql(
+                f"SELECT k, 't VERSION AS OF 999999' AS lit "
+                f"FROM t VERSION AS OF {v} "
+                f"-- t VERSION AS OF 999999\n"
+            ).collect()
+        }
+        assert got == model["versions"][v], f"time travel to v{v}"
+
+    def op_sql_merge():
+        lo = rng.randrange(0, 400)
+        ks = sorted(rng.sample(range(lo, lo + 60), rng.randrange(5, 20)))
+        ts = model["t"] - dt.timedelta(days=3)
+        spark_batch(ks, "q", ts).createOrReplaceTempView("model_sql_src")
+        cat.register("t", wh.path("t"))
+        m = cat.sql(
+            "MERGE INTO t USING model_sql_src "
+            "ON t.k = model_sql_src.k "
+            "WHEN MATCHED THEN UPDATE SET * "
+            "WHEN NOT MATCHED THEN INSERT *"
+        ).first()
+        assert m.num_source_rows == len(ks)
+        for k in ks:
+            model["rows"][k] = {
+                model["cols"][1]: f"q{k}",
+                model["cols"][2]: k * 3,
+                "ts": ts,
+            }
+
+    def op_sql_update():
+        mod, rem = rng.choice([(3, 0), (5, 2), (7, 4)])
+        col = model["cols"][1]
+        cat.register("t", wh.path("t"))
+        m = cat.sql(
+            f"UPDATE t SET {col} = concat({col}, '!') "
+            f"WHERE k % {mod} = {rem}"
+        ).first()
+        hit = [k for k in model["rows"] if k % mod == rem]
+        assert m.num_affected_rows == len(hit)
+        for k in hit:
+            model["rows"][k][col] = model["rows"][k][col] + "!"
+
+    def op_sql_delete():
+        existing = list(model["rows"])
+        if not existing:
+            return
+        ks = rng.sample(existing, min(len(existing), rng.randrange(1, 5)))
+        in_list = ", ".join(str(k) for k in ks + [10**9])
+        cat.register("t", wh.path("t"))
+        m = cat.sql(f"DELETE FROM t WHERE k IN ({in_list})").first()
+        assert m.num_affected_rows == len(ks)
+        for k in ks:
+            model["rows"].pop(k, None)
+
+    def record_version():
+        vs = fmt.versions(wh, "t")
+        model["versions"][vs[-1]] = set(model["rows"])
+
     # seed the table, then a random walk over every op
     op_merge()
+    record_version()
     ops = [
         op_merge, op_merge,  # merges twice as likely
         op_merge_source_wins,
         lambda: op_delete(True), lambda: op_delete(False),
         op_rename, op_widen, op_compact, op_rebucket,
+        op_sql_time_travel, op_sql_merge, op_sql_update, op_sql_delete,
     ]
-    for _ in range(12):
+    for _ in range(14):
         rng.choice(ops)()
+        record_version()
         # invariant: metadata-only count equals the model
         assert fmt.count_rows(wh, "t") == len(model["rows"])
 

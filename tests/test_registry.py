@@ -10,29 +10,27 @@ from instagram_data_pipeline_spark.queries import (
     load_all,
 )
 
-# queries that MUST occupy the round-9 driver window: the four r8
-# registrations that never got a driver row (VERDICT r8 Next #1), the
-# ADVICE-r8-fix re-verifies (CDF joint diff across rebucket, DV path
-# suffix matching, legacy bloom skip, rebase txn stamping), and the
-# head of the oldest-first rotation (VERDICT r8 Next #2)
+# queries that MUST occupy the round-10 driver window: the two new
+# SQL DML queries, dpp_partition_prune's FIRST driver row (registered
+# after the r9 check ran), the changed-implementation re-verifies
+# (literal-masking rewriter + session-tz AS-OF; widened FLAC codec),
+# and the final FIFO tranche — the r2/r3-vintage backlog that pays the
+# rotation debt in full (VERDICT r9 Next #1/#4)
 PRIORITY = {
-    # first driver row for the post-r8-check registrations
-    "txlog_widen_evolution", "txlog_stream_merge_sink",
-    "txlog_rebucket_layout", "txlog_zorder_equidepth",
-    # new round-9 queries
+    # new round-10 queries
+    "txlog_update_sql", "txlog_delete_sql",
+    # first driver row (registered one commit after the r9 check)
+    "dpp_partition_prune",
+    # implementation changed in round 10 — re-verify in-window
     "txlog_time_travel_sql", "multimodal_flac_stats",
-    "txlog_merge_into_sql",
-    # implementation changed in round 9 — re-verify in-window
-    "txlog_changes_backfill", "txlog_delete_vectors",
-    "txlog_bloom_lookup", "txlog_change_feed", "txlog_stream_changes",
-    # oldest-first rotation head: the r2-vintage §2 core
-    "mutual_edges", "pricing_summary", "upsert_keep_newest",
-    "insert_if_absent", "top_k_per_group", "running_total",
-    "key_lookup", "enrichment_join", "pending_anti_join",
-    "dim_hierarchy", "three_way_join", "count_via_join",
-    "fifo_dequeue", "temporal_in_filter", "daily_counts",
-    "conditional_counts", "sessionize_batch", "cosine_topk",
-    "regional_revenue", "hourly_window_counts",
+    # r2-vintage stragglers
+    "event_funnel", "price_quantiles", "pandas_group_summary",
+    "props_json_extract",
+    # r3-vintage tranche heads (full 41 seated; spot-pin one per family)
+    "ledger_assign_ids", "keyword_categorize", "validate_interests",
+    "daily_quota_admission", "asof_attribution", "lang_id",
+    "dedup_exact", "ann_lsh_topk", "multimodal_image_stats",
+    "stratified_sample", "stream_dedup", "cube_revenue",
 }
 
 

@@ -1377,3 +1377,40 @@ def test_txlog_sql_catalog_timestamp_as_of_session_timezone(
         assert cat.version_as_of("facts", wall) == 1
     finally:
         spark.conf.set("spark.sql.session.timeZone", old_tz)
+
+
+def test_txlog_scan_survives_fully_deleted_file(spark, tmp_path):
+    """Regression (found by the round-10 model-test SQL ops): a data
+    file whose rows are ALL deletion-vector'd must scan as an empty
+    batch — the Arrow take() of a plain empty list infers a null-typed
+    index array, which has no (T, null) kernel and crashed the read."""
+    from instagram_data_pipeline_spark.formats import TransactionLogFormat
+    from instagram_data_pipeline_spark.io import Warehouse
+    from instagram_data_pipeline_spark.sources.txlog_catalog import (
+        TxlogSqlCatalog,
+    )
+
+    fmt = TransactionLogFormat()
+    wh = Warehouse(spark, str(tmp_path / "wh"), fmt=fmt)
+    wh.upsert_partitioned(
+        "facts",
+        spark.sql("SELECT id AS k, 'a' AS v, TIMESTAMP '2024-01-01' AS ts "
+                  "FROM range(40)"),
+        ["k"], "ts", num_buckets=2,
+    )
+    # DV-delete EVERY key: every data file ends up fully deleted
+    n = fmt.delete_keys_dv(
+        wh, "facts", ["k"],
+        spark.sql("SELECT id AS k FROM range(40)"), 2,
+    )
+    assert n == 40
+    cat = TxlogSqlCatalog(spark)
+    cat.register("facts", wh.path("facts"))
+    assert cat.sql("SELECT count(*) AS n FROM facts").first().n == 0
+    assert cat.sql(
+        "SELECT count(*) AS n FROM facts VERSION AS OF 2"
+    ).first().n == 0
+    # v1 still reads the pre-delete state
+    assert cat.sql(
+        "SELECT count(*) AS n FROM facts VERSION AS OF 1"
+    ).first().n == 40
