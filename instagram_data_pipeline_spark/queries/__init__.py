@@ -132,12 +132,19 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "mixture_sample",
     "temperature_mixture",
     # ------------------- driver window ends at slot 50 --------------------
+    # First in line for the r11 window: the changed-impl re-verify the
+    # exact 50-slot budget couldn't hold (see (c) above) and the
+    # round-10 late registration (OPTIMIZE/VACUUM maintenance
+    # statements — CI-oracle-green + verify_local-green this round,
+    # needs its first driver row). Both slide IN this round if a name
+    # above fails to register (load_all skips unknown names).
+    "txlog_merge_into_sql",
+    "txlog_maintenance_sql",
     # Demoted in current relative order; everything below is >=1-round
     # driver-green (r4+ vintage after this round) and stays DuckDB-
     # oracle-checked every CI run by tests/test_queries_oracle.py.
     # Rows-only tiers keep their hash-checked-twin adjacency; entries
     # past the window are covered by POST_WINDOW_ROWS_ONLY_OK.
-    "txlog_merge_into_sql",
     "txlog_widen_evolution",
     "txlog_stream_merge_sink",
     "txlog_rebucket_layout",

@@ -2314,3 +2314,73 @@ def q_txlog_delete_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
             cat.sql("DESCRIBE HISTORY facts").collect()}
     assert hist[2].n_files == hist[1].n_files
     return cat.sql("SELECT k, v, ts FROM facts")
+
+
+# ---------------------------------------------------------------------------
+# Maintenance statements through the SQL surface (round 10): OPTIMIZE
+# (small-file compaction — the Delta OPTIMIZE analog; rewrites only
+# multi-file buckets, carries the rest by reference) followed by
+# VACUUM ... KEEP 1 VERSIONS (retention: expire old manifests FIRST,
+# then reclaim the files only they referenced). Both are layout/
+# retention only — the table's ANSWERS never change, which is exactly
+# what the oracle checks: after a merge history + OPTIMIZE + VACUUM,
+# the content still equals the plain all-rows aggregate. Layout and
+# retention effects are asserted in-query (files reduced, versions
+# expired, expired version unreadable).
+# ---------------------------------------------------------------------------
+_TXLOG_MAINT_ORACLE = """
+SELECT o_custkey AS k, MAX(o_totalprice) AS v, MAX(o_orderdate) AS ts
+FROM orders GROUP BY 1
+"""
+
+
+@register(
+    "txlog_maintenance_sql",
+    _TXLOG_MAINT_ORACLE,
+    doc="OPTIMIZE + VACUUM via SQL text: small-file compaction "
+        "(multi-file buckets rewritten, single-file buckets carried "
+        "by reference — cost proportional to the small-file debt, "
+        "not the table) then retention (KEEP 1 VERSIONS expires old "
+        "manifests before reclaiming their files, so a crash never "
+        "strands a live manifest); files-reduced, versions-expired, "
+        "and expired-version-unreadable all asserted in-query; "
+        "oracle = the all-rows aggregate (layout/retention must "
+        "never change answers)",
+    tags=("sql", "format", "maintenance", "compaction", "retention"),
+)
+def q_txlog_maintenance_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..formats import TransactionLogFormat
+    from ..io import Warehouse
+    from ..sources.txlog_catalog import TxlogSqlCatalog
+
+    orders = load_testdata(spark, sf_dir, "orders")
+
+    def agg(df):
+        return df.groupBy(F.col("o_custkey").alias("k")).agg(
+            F.max("o_totalprice").alias("v"),
+            F.max("o_orderdate").alias("ts"),
+        )
+
+    # small target files so the two merges leave multi-file buckets
+    fmt = TransactionLogFormat(max_records_per_file=200)
+    wh = Warehouse(spark, _scratch("txlog_maint_sql", sf_dir), fmt=fmt)
+    cut = F.lit(_TXLOG_CUT).cast("timestamp")
+    wh.upsert_partitioned(
+        "facts", agg(orders.filter(F.col("o_orderdate") < cut)),
+        ["k"], "ts", num_buckets=8,
+    )
+    wh.upsert_partitioned("facts", agg(orders), ["k"], "ts", num_buckets=8)
+
+    cat = TxlogSqlCatalog(spark)
+    cat.register("facts", wh.path("facts"))
+    m = cat.sql("OPTIMIZE facts").first()
+    assert m.files_after < m.files_before and m.table_version == 3
+    m = cat.sql("VACUUM facts RETAIN 0 HOURS KEEP 1 VERSIONS").first()
+    assert m.num_expired_versions == 2 and m.num_deleted_files > 0
+    assert cat.versions("facts") == [3]
+    try:  # retention enforced: the expired version is gone
+        cat.sql("SELECT * FROM facts VERSION AS OF 1")
+        raise AssertionError("expired version still readable")
+    except FileNotFoundError:
+        pass
+    return cat.sql("SELECT k, v, ts FROM facts")

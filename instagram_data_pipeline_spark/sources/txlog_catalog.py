@@ -31,7 +31,12 @@ So the SQL ergonomics layer is an explicit, documented shim:
   (``merge_source_wins`` / ``delete_keys_dv``). The WHERE clause
   must reference ONLY the table's recorded merge keys (key-scoped
   DML is the storage contract: a key names a whole logical row);
-  anything else is refused loudly, mirroring the MERGE validation.
+  anything else is refused loudly, mirroring the MERGE validation;
+* the maintenance statements complete the story: ``OPTIMIZE <name>
+  [ZORDER BY (...)]`` runs the format's small-file compaction /
+  Z-curve re-cluster, and ``VACUUM <name> [RETAIN n HOURS] [KEEP k
+  VERSIONS]`` reclaims orphaned files (plus, with KEEP, expired
+  manifest versions' files) — each returning a metrics frame.
 
 Everything downstream is the ordinary txlog DataSource scan: manifest
 schema, one input partition per surviving file, zone-map/bloom
@@ -91,6 +96,19 @@ _UPDATE = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 _ASSIGN = re.compile(rf"^\s*({_IDENT})\s*=\s*(.+?)\s*$", re.DOTALL)
+# maintenance statements (Delta spellings; KEEP n VERSIONS is this
+# format's explicit retention extension — see sql() docstring)
+_OPTIMIZE = re.compile(
+    rf"^\s*OPTIMIZE\s+({_IDENT})"
+    r"(?:\s+ZORDER\s+BY\s+\(([^)]*)\))?\s*;?\s*$",
+    re.IGNORECASE,
+)
+_VACUUM = re.compile(
+    rf"^\s*VACUUM\s+({_IDENT})"
+    r"(?:\s+RETAIN\s+(\d+(?:\.\d+)?)\s+HOURS)?"
+    r"(?:\s+KEEP\s+(\d+)\s+VERSIONS)?\s*;?\s*$",
+    re.IGNORECASE,
+)
 
 
 def _masked_spans(text: str) -> list[tuple[int, int]]:
@@ -398,6 +416,10 @@ class TxlogSqlCatalog:
           ``DELETE FROM <name> WHERE <key-pred>`` execute as the
           format's transactional merge / deletion-vector delete; the
           WHERE clause must reference only the recorded merge keys;
+        * ``OPTIMIZE <name> [ZORDER BY (c1, ...)]`` compacts small
+          files (ZORDER: full Z-curve re-cluster); ``VACUUM <name>
+          [RETAIN n HOURS] [KEEP k VERSIONS]`` deletes orphaned files
+          (KEEP additionally expires old manifest versions first);
         * everything else passes through to ``spark.sql`` untouched
           (unregistered names included). Rewrites never fire inside
           string literals or comments."""
@@ -410,6 +432,12 @@ class TxlogSqlCatalog:
         dm = _DELETE.match(query)
         if dm and dm.group(1) in self.roots:
             return self._sql_delete(dm)
+        om = _OPTIMIZE.match(query)
+        if om and om.group(1) in self.roots:
+            return self._sql_optimize(om)
+        vm = _VACUUM.match(query)
+        if vm and vm.group(1) in self.roots:
+            return self._sql_vacuum(vm)
         dh = re.match(
             rf"^\s*DESCRIBE\s+HISTORY\s+({_IDENT})\s*;?\s*$",
             query,
@@ -628,6 +656,85 @@ class TxlogSqlCatalog:
         return self.spark.createDataFrame(
             [(int(n), int(version))],
             "num_affected_rows long, table_version long",
+        )
+
+    # -- maintenance statements (OPTIMIZE / VACUUM) ---------------------------
+    def _sql_optimize(self, m: re.Match) -> DataFrame:
+        """``OPTIMIZE <name> [ZORDER BY (c1, c2, ...)]`` → the format's
+        small-file compaction (`formats.py compact`): buckets holding
+        >= 2 files rewrite into one commit, everything else carries by
+        reference — answers never change, only layout. The ZORDER form
+        compacts through a Z-curve-clustering format instance (Delta's
+        ``OPTIMIZE ... ZORDER BY``), re-sorting the rewritten files
+        into Morton boxes so zone maps prune multi-column ranges."""
+        from ..formats import TransactionLogFormat
+
+        name, zcols_text = m.group(1), m.group(2)
+        root, keys, num_buckets = self._dml_contract(name)
+        if zcols_text is not None:
+            zcols = [c.strip() for c in zcols_text.split(",") if c.strip()]
+            if not zcols:
+                raise ValueError("OPTIMIZE: empty ZORDER BY column list")
+            cols = set(self.snapshot(name).columns)
+            unknown = set(zcols) - cols
+            if unknown:
+                raise ValueError(
+                    f"OPTIMIZE: ZORDER BY column(s) {sorted(unknown)} "
+                    f"not in table columns {sorted(cols)}"
+                )
+            fmt = TransactionLogFormat(zorder_cols=tuple(zcols))
+            # a ZORDER rewrite must touch every bucket's files, not
+            # just multi-file buckets — min_files=1 is the re-cluster
+            min_files = 1
+        else:
+            fmt = TransactionLogFormat()
+            min_files = 2
+        before, after = fmt.compact(
+            _TableHandle(self.spark, root), name, keys, num_buckets,
+            min_files=min_files,
+        )
+        self.register(name, root)
+        version = _load_manifest(root, None)["version"]
+        return self.spark.createDataFrame(
+            [(int(before), int(after), int(version))],
+            "files_before long, files_after long, table_version long",
+        )
+
+    def _sql_vacuum(self, m: re.Match) -> DataFrame:
+        """``VACUUM <name> [RETAIN <n> HOURS] [KEEP <k> VERSIONS]`` —
+        the two retention halves, explicit: the plain form deletes
+        ORPHANED data files only (crashed-commit residue; every
+        published version stays readable), with RETAIN as the
+        multi-writer grace window (Delta's retention check; default
+        1 hour here). ``KEEP k VERSIONS`` additionally expires all but
+        the newest k manifests FIRST and reclaims the files only they
+        referenced (`formats.py expire_versions` — manifests drop
+        before files, so a crash never leaves a live manifest pointing
+        at deleted data)."""
+        from ..formats import TransactionLogFormat
+
+        name, retain_hours, keep = m.group(1), m.group(2), m.group(3)
+        root = self._root(name)
+        grace = (
+            float(retain_hours) * 3600.0
+            if retain_hours is not None
+            else 3600.0
+        )
+        fmt = TransactionLogFormat()
+        handle = _TableHandle(self.spark, root)
+        expired: list[int] = []
+        if keep is not None:
+            expired, deleted = fmt.expire_versions(
+                handle, name, keep_last=int(keep), grace_seconds=grace
+            )
+        else:
+            deleted = fmt.vacuum(handle, name, grace_seconds=grace)
+        self.register(name, root)
+        version = _load_manifest(root, None)["version"]
+        return self.spark.createDataFrame(
+            [(len(deleted), len(expired), int(version))],
+            "num_deleted_files long, num_expired_versions long, "
+            "table_version long",
         )
 
 

@@ -209,6 +209,12 @@ def test_txlog_random_op_sequences_match_reference_model(
         for k in ks:
             model["rows"].pop(k, None)
 
+    def op_sql_optimize():
+        # layout-only: rows/values unchanged by contract
+        cat.register("t", wh.path("t"))
+        m = cat.sql("OPTIMIZE t").first()
+        assert m.files_after <= m.files_before
+
     def record_version():
         vs = fmt.versions(wh, "t")
         model["versions"][vs[-1]] = set(model["rows"])
@@ -222,6 +228,7 @@ def test_txlog_random_op_sequences_match_reference_model(
         lambda: op_delete(True), lambda: op_delete(False),
         op_rename, op_widen, op_compact, op_rebucket,
         op_sql_time_travel, op_sql_merge, op_sql_update, op_sql_delete,
+        op_sql_optimize,
     ]
     for _ in range(14):
         rng.choice(ops)()

@@ -1414,3 +1414,68 @@ def test_txlog_scan_survives_fully_deleted_file(spark, tmp_path):
     assert cat.sql(
         "SELECT count(*) AS n FROM facts VERSION AS OF 1"
     ).first().n == 40
+
+
+def test_txlog_sql_catalog_optimize_and_vacuum(spark, tmp_path):
+    """Round-10 maintenance statements: OPTIMIZE compacts small files
+    (ZORDER form re-clusters every bucket), VACUUM reclaims orphans,
+    VACUUM KEEP expires old versions first — all layout/retention
+    only, answers never change; metrics frames come back Delta-style."""
+    import pytest as _pytest
+
+    from instagram_data_pipeline_spark.formats import TransactionLogFormat
+    from instagram_data_pipeline_spark.io import Warehouse
+    from instagram_data_pipeline_spark.sources.txlog_catalog import (
+        TxlogSqlCatalog,
+    )
+
+    fmt = TransactionLogFormat(max_records_per_file=20)
+    wh = Warehouse(spark, str(tmp_path / "wh"), fmt=fmt)
+
+    def batch(lo, n, ts):
+        return spark.sql(
+            f"SELECT id AS k, CAST(id * 2 AS DOUBLE) AS v, "
+            f"TIMESTAMP '{ts}' AS ts FROM range({lo}, {lo + n})"
+        )
+
+    wh.upsert_partitioned("facts", batch(0, 100, "2024-01-01"),
+                          ["k"], "ts", num_buckets=4)
+    wh.upsert_partitioned("facts", batch(50, 100, "2024-02-01"),
+                          ["k"], "ts", num_buckets=4)
+    cat = TxlogSqlCatalog(spark)
+    cat.register("facts", wh.path("facts"))
+    want = sorted(
+        map(tuple, cat.sql("SELECT k, v, ts FROM facts").collect())
+    )
+
+    m = cat.sql("OPTIMIZE facts").first()
+    assert m.files_after < m.files_before and m.table_version == 3
+    assert sorted(
+        map(tuple, cat.sql("SELECT k, v, ts FROM facts").collect())
+    ) == want
+
+    # ZORDER form: re-clusters every bucket (min_files=1), new commit
+    m = cat.sql("OPTIMIZE facts ZORDER BY (k, v)").first()
+    assert m.table_version == 4
+    assert sorted(
+        map(tuple, cat.sql("SELECT k, v, ts FROM facts").collect())
+    ) == want
+    with _pytest.raises(ValueError, match="ZORDER BY column"):
+        cat.sql("OPTIMIZE facts ZORDER BY (bogus)")
+    with _pytest.raises(ValueError, match="empty ZORDER"):
+        cat.sql("OPTIMIZE facts ZORDER BY ( )")
+
+    # plain VACUUM: nothing orphaned, nothing expired
+    m = cat.sql("VACUUM facts").first()
+    assert m.num_deleted_files == 0 and m.num_expired_versions == 0
+
+    # KEEP 1 VERSIONS: manifests 1-3 expire, their files reclaim,
+    # the survivor stays byte-identical and time travel to v1 is gone
+    m = cat.sql("VACUUM facts RETAIN 0 HOURS KEEP 1 VERSIONS").first()
+    assert m.num_expired_versions == 3 and m.num_deleted_files > 0
+    assert cat.versions("facts") == [4]
+    assert sorted(
+        map(tuple, cat.sql("SELECT k, v, ts FROM facts").collect())
+    ) == want
+    with _pytest.raises(FileNotFoundError):
+        cat.sql("SELECT * FROM facts VERSION AS OF 1")
