@@ -2230,6 +2230,120 @@ class TransactionLogFormat:
         # them once aged out)
         return expired, self.vacuum(wh, table, grace_seconds=grace_seconds)
 
+    def create_table(
+        self, wh, table: str, schema, keys: list[str],
+        num_buckets: int,
+    ) -> dict:
+        """Publish version 1 of an EMPTY table: no data files, just the
+        recorded contract — schema, merge keys, bucket modulus — so
+        readers see a valid (empty) snapshot immediately and every
+        later merge validates against the declared contract instead of
+        bootstrapping one from its own arguments (the CREATE TABLE
+        half of the Delta story; CTAS is this followed by an ordinary
+        merge). Fails loudly if the location already holds a committed
+        table, if a key column is missing from the schema, or via the
+        CAS if another writer creates it concurrently."""
+        if self._latest(wh, table) is not None:
+            raise ValueError(
+                f"create_table: {wh.path(table)!r} already holds a "
+                f"committed table (register/merge into it instead)"
+            )
+        names = {f.name for f in schema.fields}
+        missing = set(keys) - names
+        if missing:
+            raise ValueError(
+                f"create_table: key column(s) {sorted(missing)} not in "
+                f"schema {sorted(names)}"
+            )
+        if int(num_buckets) < 1:
+            raise ValueError("create_table: num_buckets must be >= 1")
+        self._publish(
+            wh, table, 1, {}, schema.json(),
+            rows={}, stats={},
+            keys=list(keys), num_buckets=int(num_buckets),
+        )
+        return self._latest(wh, table)
+
+    def restore_version(self, wh, table: str, version: int) -> dict:
+        """RESTORE: re-publish committed ``version``'s data state as a
+        NEW version on top of the current history (the Delta
+        ``RESTORE TABLE`` design — a rollback is a FORWARD commit;
+        history is immutable, so the bad versions stay inspectable and
+        time-travel-able while the table's latest answer reverts).
+
+        Everything data-plane is copied from the target manifest BY
+        REFERENCE: files, per-file row counts / zone maps / blooms,
+        deletion vectors, schema, column-mapping metadata
+        (fields/dropped_fields/next_fid — a restore across a rename or
+        widen reverts the logical schema too, exactly what the target
+        version's readers saw), and the key/bucket contract (a restore
+        across a rebucket reverts the modulus — the referenced files
+        ARE laid out under it). One manifest published, zero data
+        files written: O(manifest) at any table size.
+
+        The idempotent-writer high-water marks (``txns``) are carried
+        from the LATEST version instead, never the target: regressing
+        them would let a streaming sink re-apply a batch it already
+        committed, silently breaking exactly-once.
+
+        Restoring to an expired version fails loudly (its manifest is
+        gone); an unexpired target's files are guaranteed present
+        because :meth:`vacuum` never deletes files a live manifest
+        references. Restoring to the CURRENT version is a no-op (no
+        manifest published — the Delta behavior). Returns the
+        published (or current) manifest dict."""
+        log = self._log_dir(wh, table)
+        path = log / f"{int(version):08d}.json"
+        if not path.exists():
+            raise FileNotFoundError(
+                f"{table}: cannot restore to version {version} — it "
+                f"was never committed or has been expired (committed: "
+                f"{self.versions(wh, table)})"
+            )
+        with open(path) as f:
+            target = json.load(f)
+        for _ in range(self.MAX_COMMIT_RETRIES):
+            latest = self._latest(wh, table)
+            if latest is None:
+                raise FileNotFoundError(
+                    f"no committed version for {table}"
+                )
+            if latest["version"] == int(version):
+                return latest  # already there: no-op, Delta-alike
+            published = {
+                k: target[k]
+                for k in (
+                    "files", "schema", "rows", "stats", "dv", "fields",
+                    "dropped_fields", "next_fid", "keys", "num_buckets",
+                )
+                if k in target
+            }
+            published["version"] = latest["version"] + 1
+            txns = latest.get("txns")
+            if txns:
+                published["txns"] = dict(txns)
+            try:
+                self._publish(
+                    wh, table, published["version"],
+                    published["files"], published.get("schema"),
+                    rows=published.get("rows"),
+                    stats=published.get("stats"),
+                    dv=published.get("dv"),
+                    fields=published.get("fields"),
+                    dropped_fields=published.get("dropped_fields"),
+                    next_fid=published.get("next_fid"),
+                    keys=published.get("keys"),
+                    num_buckets=published.get("num_buckets"),
+                    txns=published.get("txns"),
+                )
+                return published
+            except CommitConflict:
+                continue  # a writer slipped in: re-read latest, re-CAS
+        raise CommitConflict(
+            f"restore on {table!r}: gave up after "
+            f"{self.MAX_COMMIT_RETRIES} commit conflicts"
+        )
+
     def count_rows(
         self, wh, table: str, version: int | None = None
     ) -> int:

@@ -134,12 +134,16 @@ REGISTRY_ORDER: tuple[str, ...] = (
     # ------------------- driver window ends at slot 50 --------------------
     # First in line for the r11 window: the changed-impl re-verify the
     # exact 50-slot budget couldn't hold (see (c) above) and the
-    # round-10 late registration (OPTIMIZE/VACUUM maintenance
-    # statements — CI-oracle-green + verify_local-green this round,
-    # needs its first driver row). Both slide IN this round if a name
-    # above fails to register (load_all skips unknown names).
+    # round-10 late registrations (OPTIMIZE/VACUUM maintenance
+    # statements, INSERT INTO, RESTORE — each CI-oracle-green +
+    # verify_local-green this round, needs its first driver row). All
+    # slide IN this round if a name above fails to register (load_all
+    # skips unknown names).
     "txlog_merge_into_sql",
     "txlog_maintenance_sql",
+    "txlog_insert_into_sql",
+    "txlog_restore_sql",
+    "txlog_ctas_sql",
     # Demoted in current relative order; everything below is >=1-round
     # driver-green (r4+ vintage after this round) and stays DuckDB-
     # oracle-checked every CI run by tests/test_queries_oracle.py.

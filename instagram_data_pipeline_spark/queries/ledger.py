@@ -2384,3 +2384,200 @@ def q_txlog_maintenance_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     except FileNotFoundError:
         pass
     return cat.sql("SELECT k, v, ts FROM facts")
+
+
+# ---------------------------------------------------------------------------
+# INSERT INTO + RESTORE through the SQL surface (round 10): the two
+# statements that finish the DML/maintenance square. INSERT appends
+# through the format's transactional merge with the KEY-UNIQUE
+# contract enforced up front (a colliding key is refused loudly —
+# checked in-query — via the bucket-scoped read_for_keys probe, never
+# a full-table anti-join). RESTORE is the control-plane rollback: the
+# new version copies the target manifest by reference, so it publishes
+# one manifest and writes zero data files (asserted by on-disk parquet
+# census), while the rolled-back version stays time-travel-able.
+# ---------------------------------------------------------------------------
+_TXLOG_INS_ORACLE = f"""
+WITH pre AS (
+  SELECT o_custkey AS k, MAX(o_totalprice) AS v, MAX(o_orderdate) AS ts
+  FROM orders WHERE o_orderdate < TIMESTAMP '{_TXLOG_CUT}' GROUP BY 1
+), allrows AS (
+  SELECT o_custkey AS k, MAX(o_totalprice) AS v, MAX(o_orderdate) AS ts
+  FROM orders GROUP BY 1
+)
+SELECT k, v, ts FROM pre
+UNION ALL
+SELECT a.k, a.v, a.ts FROM allrows a
+WHERE a.k NOT IN (SELECT k FROM pre)
+UNION ALL
+SELECT -1 AS k, 0.5 AS v, TIMESTAMP '2099-01-01' AS ts
+"""
+
+
+@register(
+    "txlog_insert_into_sql",
+    _TXLOG_INS_ORACLE,
+    doc="INSERT INTO via SQL text on the transaction log: VALUES and "
+        "SELECT sources (the SELECT tail may itself time travel), "
+        "column-list/positional mapping with type casts, and the "
+        "key-unique contract enforced BEFORE the merge — the "
+        "existence probe reads only the buckets the new keys hash to "
+        "(manifest-indexed, bloom-pruned), so a colliding INSERT is "
+        "refused loudly at any table size without a full-table "
+        "anti-join (asserted in-query); oracle replays the two "
+        "inserts as UNION ALL over the base projection",
+    tags=("sql", "format", "writes", "dml"),
+)
+def q_txlog_insert_into_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..formats import TransactionLogFormat
+    from ..io import Warehouse
+    from ..sources.txlog_catalog import TxlogSqlCatalog
+
+    orders = load_testdata(spark, sf_dir, "orders")
+
+    def agg(df):
+        return df.groupBy(F.col("o_custkey").alias("k")).agg(
+            F.max("o_totalprice").alias("v"),
+            F.max("o_orderdate").alias("ts"),
+        )
+
+    fmt = TransactionLogFormat()
+    wh = Warehouse(spark, _scratch("txlog_ins_sql", sf_dir), fmt=fmt)
+    cut = F.lit(_TXLOG_CUT).cast("timestamp")
+    pre = agg(orders.filter(F.col("o_orderdate") < cut))
+    wh.upsert_partitioned("facts", pre, ["k"], "ts", num_buckets=8)
+
+    # keys with NO pre-cut orders: the only custkeys absent from v1
+    agg(orders).join(pre.select("k"), "k", "left_anti").createOrReplaceTempView(
+        "txlog_ins_src"
+    )
+    cat = TxlogSqlCatalog(spark)
+    cat.register("facts", wh.path("facts"))
+    m = cat.sql(
+        "INSERT INTO facts SELECT k, v, ts FROM txlog_ins_src"
+    ).first()
+    assert m.num_inserted_rows > 0 and m.table_version == 2
+    m = cat.sql(
+        "INSERT INTO facts VALUES "
+        "(-1, 0.5, TIMESTAMP '2099-01-01')"
+    ).first()
+    assert m.num_inserted_rows == 1 and m.table_version == 3
+    try:  # key-unique contract: re-inserting an existing key refuses
+        cat.sql("INSERT INTO facts VALUES (-1, 9.9, TIMESTAMP '2099-01-02')")
+        raise AssertionError("duplicate-key INSERT not refused")
+    except ValueError:
+        pass
+    return cat.sql("SELECT k, v, ts FROM facts")
+
+
+_TXLOG_RESTORE_ORACLE = """
+SELECT o_custkey AS k, MAX(o_totalprice) AS v, MAX(o_orderdate) AS ts
+FROM orders GROUP BY 1
+"""
+
+
+@register(
+    "txlog_restore_sql",
+    _TXLOG_RESTORE_ORACLE,
+    doc="RESTORE TABLE via SQL text: rollback as a FORWARD commit "
+        "(Delta RESTORE design) — the new version copies the target "
+        "manifest by reference, publishing one manifest and writing "
+        "ZERO data files (asserted by on-disk parquet census), while "
+        "the rolled-back delete stays time-travel-able as history; "
+        "after DELETE then RESTORE, the table's latest answer equals "
+        "the pre-delete state = the plain all-rows aggregate (the "
+        "oracle)",
+    tags=("sql", "format", "time-travel", "maintenance"),
+)
+def q_txlog_restore_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pathlib import Path
+
+    from ..formats import TransactionLogFormat
+    from ..io import Warehouse
+    from ..sources.txlog_catalog import TxlogSqlCatalog
+
+    orders = load_testdata(spark, sf_dir, "orders")
+
+    def agg(df):
+        return df.groupBy(F.col("o_custkey").alias("k")).agg(
+            F.max("o_totalprice").alias("v"),
+            F.max("o_orderdate").alias("ts"),
+        )
+
+    fmt = TransactionLogFormat()
+    wh = Warehouse(spark, _scratch("txlog_restore_sql", sf_dir), fmt=fmt)
+    cut = F.lit(_TXLOG_CUT).cast("timestamp")
+    wh.upsert_partitioned(
+        "facts", agg(orders.filter(F.col("o_orderdate") < cut)),
+        ["k"], "ts", num_buckets=8,
+    )
+    wh.upsert_partitioned("facts", agg(orders), ["k"], "ts", num_buckets=8)
+
+    cat = TxlogSqlCatalog(spark)
+    cat.register("facts", wh.path("facts"))
+    m = cat.sql("DELETE FROM facts WHERE k % 5 = 0").first()
+    assert m.table_version == 3 and m.num_affected_rows > 0
+
+    census = len(list(Path(wh.path("facts")).rglob("*.parquet")))
+    m = cat.sql("RESTORE TABLE facts TO VERSION AS OF 2").first()
+    assert m.restored_source_version == 2 and m.table_version == 4
+    # control-plane only: not one data file written by the restore
+    assert len(list(Path(wh.path("facts")).rglob("*.parquet"))) == census
+    # the rolled-back version is history, not erased
+    n3 = cat.sql("SELECT count(*) AS n FROM facts VERSION AS OF 3").first().n
+    n4 = cat.sql("SELECT count(*) AS n FROM facts").first().n
+    assert n3 < n4
+    return cat.sql("SELECT k, v, ts FROM facts")
+
+
+_TXLOG_CTAS_ORACLE = """
+SELECT o_custkey AS k, MAX(o_totalprice) AS v, MAX(o_orderdate) AS ts
+FROM orders GROUP BY 1
+UNION ALL
+SELECT -1 AS k, 0.5 AS v, TIMESTAMP '2099-01-01' AS ts
+"""
+
+
+@register(
+    "txlog_ctas_sql",
+    _TXLOG_CTAS_ORACLE,
+    doc="CREATE TABLE AS SELECT via SQL text: the CLUSTERED BY clause "
+        "(Spark's own bucketing spelling) declares the merge-key/"
+        "bucket contract version 1 records, the AS query supplies "
+        "schema AND data through the format's transactional merge "
+        "with the same key-unique enforcement as INSERT; the created "
+        "table immediately serves DML (one INSERT here) and "
+        "introspection (DESCRIBE DETAIL's manifest-only live-row "
+        "count asserted against the content in-query); oracle = the "
+        "aggregate UNION ALL the inserted row",
+    tags=("sql", "format", "ddl", "writes"),
+)
+def q_txlog_ctas_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from ..sources.txlog_catalog import TxlogSqlCatalog
+
+    orders = load_testdata(spark, sf_dir, "orders")
+    orders.groupBy(F.col("o_custkey").alias("k")).agg(
+        F.max("o_totalprice").alias("v"),
+        F.max("o_orderdate").alias("ts"),
+    ).createOrReplaceTempView("txlog_ctas_src")
+
+    loc = os.path.join(_scratch("txlog_ctas_sql", sf_dir), "facts")
+    cat = TxlogSqlCatalog(spark)
+    m = cat.sql(
+        f"CREATE TABLE facts_ctas USING txlog CLUSTERED BY (k) "
+        f"INTO 8 BUCKETS LOCATION '{loc}' "
+        f"AS SELECT k, v, ts FROM txlog_ctas_src"
+    ).first()
+    assert m.created and m.num_rows > 0 and m.table_version == 2
+    m = cat.sql(
+        "INSERT INTO facts_ctas VALUES (-1, 0.5, TIMESTAMP '2099-01-01')"
+    ).first()
+    assert m.num_inserted_rows == 1 and m.table_version == 3
+    # control-plane live-row count == actual content (manifest-only)
+    d = cat.sql("DESCRIBE DETAIL facts_ctas").first()
+    assert d.keys == ["k"] and d.num_buckets == 8
+    n = cat.sql("SELECT count(*) AS n FROM facts_ctas").first().n
+    assert d.num_rows == n
+    return cat.sql("SELECT k, v, ts FROM facts_ctas")

@@ -31,7 +31,13 @@ So the SQL ergonomics layer is an explicit, documented shim:
   (``merge_source_wins`` / ``delete_keys_dv``). The WHERE clause
   must reference ONLY the table's recorded merge keys (key-scoped
   DML is the storage contract: a key names a whole logical row);
-  anything else is refused loudly, mirroring the MERGE validation;
+  anything else is refused loudly, mirroring the MERGE validation.
+  ``INSERT INTO`` completes the DML square — append through the same
+  merge machinery with the key-unique contract enforced up front
+  (bucket-scoped existence probe, never a full-table anti-join) —
+  and ``RESTORE TABLE ... TO VERSION/TIMESTAMP AS OF`` rolls back as
+  a forward commit (``restore_version``: one manifest, zero data
+  files, history intact);
 * the maintenance statements complete the story: ``OPTIMIZE <name>
   [ZORDER BY (...)]`` runs the format's small-file compaction /
   Z-curve re-cluster, and ``VACUUM <name> [RETAIN n HOURS] [KEEP k
@@ -96,6 +102,48 @@ _UPDATE = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 _ASSIGN = re.compile(rf"^\s*({_IDENT})\s*=\s*(.+?)\s*$", re.DOTALL)
+# INSERT INTO with an optional column list; the tail is any query
+# body Spark can run (VALUES / SELECT / WITH / TABLE), time-travel
+# rewrites included
+_INSERT = re.compile(
+    rf"^\s*INSERT\s+INTO\s+({_IDENT})\s*"
+    rf"(?:\(\s*({_IDENT}(?:\s*,\s*{_IDENT})*)\s*\))?\s*"
+    r"((?:VALUES|SELECT|WITH|TABLE|FROM)\b.*?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+# RESTORE TABLE <t> TO VERSION AS OF <n> | TO TIMESTAMP AS OF '<ts>'
+_RESTORE = re.compile(
+    rf"^\s*RESTORE\s+(?:TABLE\s+)?({_IDENT})\s+TO\s+"
+    r"(?:VERSION\s+AS\s+OF\s+(\d+)|TIMESTAMP\s+AS\s+OF\s+'([^']+)')"
+    r"\s*;?\s*$",
+    re.IGNORECASE,
+)
+# DDL: CREATE TABLE with the Hive/Spark CLUSTERED BY bucketing clause
+# (this format's bucket contract IS a clustered-by spec), explicit
+# LOCATION (the catalog addresses tables by root), column list XOR
+# AS <query>
+_CREATE = re.compile(
+    rf"^\s*CREATE\s+(?:(OR\s+REPLACE)\s+)?TABLE\s+"
+    rf"(?:(IF\s+NOT\s+EXISTS)\s+)?({_IDENT})\s*"
+    r"(?:\(([^)]*)\)\s*)?"
+    r"USING\s+TXLOG\s+"
+    r"CLUSTERED\s+BY\s*\(([^)]*)\)\s+INTO\s+(\d+)\s+BUCKETS\s+"
+    r"LOCATION\s+'([^']+)'"
+    r"(?:\s+AS\s+(.+?))?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DROP = re.compile(
+    rf"^\s*DROP\s+TABLE\s+(?:(IF\s+EXISTS)\s+)?({_IDENT})"
+    r"(?:\s+(PURGE))?\s*;?\s*$",
+    re.IGNORECASE,
+)
+# SHOW TXLOG TABLES (distinct spelling: Spark's own SHOW TABLES lists
+# every temp view and must keep doing so — this one reports the
+# catalog's registry with roots and versions)
+_SHOW = re.compile(r"^\s*SHOW\s+TXLOG\s+TABLES\s*;?\s*$", re.IGNORECASE)
+_DETAIL = re.compile(
+    rf"^\s*DESCRIBE\s+DETAIL\s+({_IDENT})\s*;?\s*$", re.IGNORECASE
+)
 # maintenance statements (Delta spellings; KEEP n VERSIONS is this
 # format's explicit retention extension — see sql() docstring)
 _OPTIMIZE = re.compile(
@@ -361,7 +409,16 @@ class TxlogSqlCatalog:
             out.append(
                 (
                     v,
-                    dt.datetime.fromtimestamp(stamp) if stamp else None,
+                    # tz-AWARE: a naive fromtimestamp() is the driver
+                    # process's local wall clock, which PySpark would
+                    # re-interpret under a different zone — the same
+                    # hazard class version_as_of fixed (ADVICE r9);
+                    # aware datetimes store the exact epoch, rendered
+                    # in spark.sql.session.timeZone like every
+                    # TimestampType
+                    dt.datetime.fromtimestamp(stamp, dt.timezone.utc)
+                    if stamp
+                    else None,
                     len(snap["files"]),
                     n_rows,
                     n_deleted,
@@ -416,13 +473,39 @@ class TxlogSqlCatalog:
           ``DELETE FROM <name> WHERE <key-pred>`` execute as the
           format's transactional merge / deletion-vector delete; the
           WHERE clause must reference only the recorded merge keys;
+        * ``INSERT INTO <name> [(cols)] VALUES ... | SELECT ...``
+          appends through the same transactional merge with the
+          key-unique contract enforced (colliding keys refused loudly
+          — batch-internal, NULL, or already present); the source
+          tail may itself time travel;
+        * ``RESTORE TABLE <name> TO VERSION AS OF <n>`` (or ``TO
+          TIMESTAMP AS OF '<ts>'``) rolls the table back as a forward
+          commit: one manifest published, zero data files written,
+          history preserved;
         * ``OPTIMIZE <name> [ZORDER BY (c1, ...)]`` compacts small
           files (ZORDER: full Z-curve re-cluster); ``VACUUM <name>
           [RETAIN n HOURS] [KEEP k VERSIONS]`` deletes orphaned files
           (KEEP additionally expires old manifest versions first);
+        * DDL/introspection: ``CREATE [OR REPLACE] TABLE [IF NOT
+          EXISTS] <name> [(cols)] USING txlog CLUSTERED BY (keys)
+          INTO <n> BUCKETS LOCATION '<root>' [AS <query>]``,
+          ``DROP TABLE <name> [PURGE]`` (registered names; data stays
+          without PURGE), ``SHOW TXLOG TABLES``, ``DESCRIBE DETAIL
+          <name>``, ``DESCRIBE HISTORY <name>``;
         * everything else passes through to ``spark.sql`` untouched
           (unregistered names included). Rewrites never fire inside
           string literals or comments."""
+        cm = _CREATE.match(query)
+        if cm:  # USING TXLOG makes it ours, registered or not
+            return self._sql_create(cm)
+        drm = _DROP.match(query)
+        if drm and drm.group(2) in self.roots:
+            return self._sql_drop(drm)
+        if _SHOW.match(query):
+            return self._show_tables()
+        dd = _DETAIL.match(query)
+        if dd and dd.group(1) in self.roots:
+            return self.detail(dd.group(1))
         m = _MERGE.match(query)
         if m and m.group(1) in self.roots:
             return self._sql_merge(m)
@@ -432,6 +515,12 @@ class TxlogSqlCatalog:
         dm = _DELETE.match(query)
         if dm and dm.group(1) in self.roots:
             return self._sql_delete(dm)
+        im = _INSERT.match(query)
+        if im and im.group(1) in self.roots:
+            return self._sql_insert(im)
+        rm = _RESTORE.match(query)
+        if rm and rm.group(1) in self.roots:
+            return self._sql_restore(rm)
         om = _OPTIMIZE.match(query)
         if om and om.group(1) in self.roots:
             return self._sql_optimize(om)
@@ -445,6 +534,12 @@ class TxlogSqlCatalog:
         )
         if dh and dh.group(1) in self.roots:
             return self.history(dh.group(1))
+        return self._run_select(query)
+
+    def _run_select(self, query: str) -> DataFrame:
+        """The read path shared by ``sql()`` and INSERT INTO's source
+        tail: time-travel rewrites (outside literals/comments), latest-
+        view refresh for referenced tables, then ``spark.sql``."""
 
         def repl(mt: re.Match) -> str:
             name, version = mt.group(1), int(mt.group(2))
@@ -656,6 +751,309 @@ class TxlogSqlCatalog:
         return self.spark.createDataFrame(
             [(int(n), int(version))],
             "num_affected_rows long, table_version long",
+        )
+
+    def _sql_insert(self, m: re.Match) -> DataFrame:
+        """``INSERT INTO <name> [(cols)] VALUES ... | SELECT ...`` →
+        the format's transactional merge, with the KEY-UNIQUE contract
+        enforced loudly first: the table records merge keys (a key
+        names exactly one logical row), so an INSERT whose keys
+        collide — within the batch or with existing rows — is refused
+        with a pointer at MERGE INTO / UPDATE, never silently
+        upserted. The existence probe reads ONLY the buckets the new
+        keys hash to (`read_for_keys` — manifest-indexed, bloom-pruned
+        — the 100 TB point-lookup path, not a full-table anti-join).
+
+        Column rules (Delta/ANSI): no column list → positional, full
+        arity; with a list → listed columns map positionally to the
+        source, every merge key must be listed, unlisted table columns
+        null-fill; every column casts to the table's recorded type.
+        The source tail is any query body ``sql()`` can read —
+        time-travel rewrites included, so
+        ``INSERT INTO t SELECT ... FROM u VERSION AS OF 3`` works."""
+        from pyspark.sql import functions as F
+
+        from ..formats import TransactionLogFormat
+
+        name, cols_text, body = m.group(1), m.group(2), m.group(3)
+        root, keys, num_buckets = self._dml_contract(name)
+        src = self._run_select(body)
+        cur = self.snapshot(name)
+        table_cols = cur.columns
+        if cols_text is not None:
+            listed = [c.strip() for c in cols_text.split(",")]
+            unknown = set(listed) - set(table_cols)
+            if unknown:
+                raise ValueError(
+                    f"INSERT: unknown column(s) {sorted(unknown)} "
+                    f"(table has {table_cols})"
+                )
+            if len(listed) != len(set(listed)):
+                raise ValueError(
+                    f"INSERT: duplicate column in list {listed}"
+                )
+            missing_keys = set(keys) - set(listed)
+            if missing_keys:
+                raise ValueError(
+                    f"INSERT: column list must include every merge "
+                    f"key (missing: {sorted(missing_keys)})"
+                )
+        else:
+            listed = list(table_cols)
+        if len(src.columns) != len(listed):
+            raise ValueError(
+                f"INSERT: source has {len(src.columns)} column(s), "
+                f"target list has {len(listed)} ({listed})"
+            )
+        # positional mapping, then cast to the table's types and
+        # null-fill unlisted columns — one projection, schema order
+        # preserved for the merge contract
+        named = src.toDF(*listed)
+        aligned = named.select(
+            *[
+                (
+                    F.col(c) if c in listed else F.lit(None)
+                ).cast(cur.schema[c].dataType).alias(c)
+                for c in table_cols
+            ]
+        )
+        self._check_key_unique(aligned, keys, "INSERT")
+        fmt = TransactionLogFormat()
+        handle = _TableHandle(self.spark, root)
+        clash = fmt.read_for_keys(
+            handle, name, keys, aligned.select(*keys), num_buckets
+        ).count()
+        if clash:
+            raise ValueError(
+                f"INSERT: {clash} key(s) already present in {name!r} "
+                f"— the table records a key-unique contract; use "
+                f"MERGE INTO to upsert or UPDATE to change rows"
+            )
+        n = aligned.count()
+        if n:
+            fmt.merge_source_wins(
+                handle, name, aligned, keys, num_buckets
+            )
+        self.register(name, root)
+        version = _load_manifest(root, None)["version"]
+        return self.spark.createDataFrame(
+            [(int(n), int(version))],
+            "num_inserted_rows long, table_version long",
+        )
+
+    def _check_key_unique(self, df: DataFrame, keys: list[str],
+                          stmt: str) -> None:
+        """The key-unique half of the storage contract, enforced at
+        the statement boundary: NULL keys and batch-internal duplicate
+        keys are refused loudly (a merge would silently collapse them;
+        the statement said INSERT/CREATE, not upsert)."""
+        null_keys = df.where(
+            " OR ".join(f"{k} IS NULL" for k in keys)
+        ).count()
+        if null_keys:
+            raise ValueError(
+                f"{stmt}: {null_keys} row(s) with NULL merge key(s) "
+                f"{keys} — keys name logical rows and must be non-NULL"
+            )
+        dup_in_batch = (
+            df.groupBy(*keys).count().where("count > 1").count()
+        )
+        if dup_in_batch:
+            raise ValueError(
+                f"{stmt}: {dup_in_batch} key(s) repeated within the "
+                f"batch — the table records a key-unique contract"
+            )
+
+    # -- DDL (CREATE / DROP) + catalog introspection --------------------------
+    def _sql_create(self, m: re.Match) -> DataFrame:
+        """``CREATE [OR REPLACE] TABLE [IF NOT EXISTS] <name>
+        [(col type, ...)] USING txlog CLUSTERED BY (keys) INTO <n>
+        BUCKETS LOCATION '<root>' [AS <query>]`` — the CLUSTERED BY
+        clause (Spark's own bucketing spelling) declares the merge-key
+        / bucket contract the format records in version 1; the column
+        list XOR the AS query supplies the schema. Plain CREATE
+        publishes an EMPTY v1 (readers see a valid empty snapshot;
+        later merges validate against the declared contract); CTAS
+        follows it with an ordinary transactional merge (v2), with the
+        same key-unique enforcement as INSERT. ``OR REPLACE`` drops
+        any committed table at the location first; ``IF NOT EXISTS``
+        no-ops when one is already there."""
+        import os
+        import shutil
+
+        from pyspark.sql.types import StructType
+
+        from ..formats import TransactionLogFormat
+
+        (or_replace, if_not_exists, name, colspec, ccols, nbuckets,
+         loc, select) = m.groups()
+        if or_replace and if_not_exists:
+            raise ValueError(
+                "CREATE TABLE: OR REPLACE and IF NOT EXISTS are "
+                "mutually exclusive"
+            )
+        if (colspec is None) == (select is None):
+            raise ValueError(
+                "CREATE TABLE: exactly one of a column list or "
+                "AS <query> must supply the schema"
+            )
+        keys = [c.strip() for c in ccols.split(",") if c.strip()]
+        if not keys:
+            raise ValueError("CREATE TABLE: empty CLUSTERED BY list")
+        exists = os.path.isdir(os.path.join(loc, "_txlog"))
+        if exists and if_not_exists:
+            self.register(name, loc)
+            version = _load_manifest(loc, None)["version"]
+            return self.spark.createDataFrame(
+                [(False, 0, int(version))],
+                "created boolean, num_rows long, table_version long",
+            )
+        if exists and not or_replace:
+            raise ValueError(
+                f"CREATE TABLE: {loc!r} already holds a committed "
+                f"table — use OR REPLACE, IF NOT EXISTS, or "
+                f"register() to attach it"
+            )
+        if exists:  # OR REPLACE: the old state goes away entirely
+            shutil.rmtree(loc, ignore_errors=True)
+        fmt = TransactionLogFormat()
+        handle = _TableHandle(self.spark, loc)
+        src = None
+        if select is not None:
+            src = self._run_select(select)
+            schema = src.schema
+        else:
+            schema = StructType.fromDDL(colspec)
+        fmt.create_table(handle, name, schema, keys, int(nbuckets))
+        n = 0
+        if src is not None:
+            self._check_key_unique(src, keys, "CREATE TABLE AS")
+            n = src.count()
+            if n:
+                fmt.merge_source_wins(
+                    handle, name, src, keys, int(nbuckets)
+                )
+        self.register(name, loc)
+        version = _load_manifest(loc, None)["version"]
+        return self.spark.createDataFrame(
+            [(True, int(n), int(version))],
+            "created boolean, num_rows long, table_version long",
+        )
+
+    def _sql_drop(self, m: re.Match) -> DataFrame:
+        """``DROP TABLE <name> [PURGE]`` for REGISTERED names:
+        unregisters the table and drops its temp views (latest +
+        pinned-version). Without PURGE the data stays on disk —
+        external-table semantics, re-attachable via ``register()``;
+        PURGE deletes the table root. Unregistered names pass through
+        to ``spark.sql`` (this method is only dispatched for
+        registered ones)."""
+        import shutil
+
+        _if_exists, name, purge = m.groups()
+        root = self.roots.pop(name)
+        for view in [name] + [
+            t.name
+            for t in self.spark.catalog.listTables()
+            if t.isTemporary and t.name.startswith(f"{name}__v")
+        ]:
+            self.spark.catalog.dropTempView(view)
+        if purge:
+            shutil.rmtree(root, ignore_errors=True)
+        return self.spark.createDataFrame(
+            [(name, root, bool(purge))],
+            "table string, location string, purged boolean",
+        )
+
+    def _show_tables(self) -> DataFrame:
+        """``SHOW TXLOG TABLES``: the catalog's registry — one row per
+        registered table with its root and latest committed version
+        (manifest reads only). A distinct spelling from Spark's SHOW
+        TABLES, which keeps listing every temp view untouched."""
+        out = [
+            (name, root, int(_load_manifest(root, None)["version"]))
+            for name, root in sorted(self.roots.items())
+        ]
+        return self.spark.createDataFrame(
+            out, "table string, location string, version int"
+        )
+
+    def detail(self, name: str) -> DataFrame:
+        """``DESCRIBE DETAIL`` analog (Delta's): one row of
+        control-plane facts about the LATEST snapshot — version,
+        files, live rows, DV'd rows, bucket modulus, merge keys, and
+        on-disk bytes of the referenced files. Everything comes from
+        the manifest plus one stat() per referenced file — no data
+        file is opened."""
+        import os
+
+        root = self._root(name)
+        snap = _load_manifest(root, None)
+        rows = snap.get("rows") or {}
+        dv = snap.get("dv") or {}
+        from ..formats import _dv_count
+
+        n_deleted = sum(_dv_count(dv.get(f)) for f in snap["files"])
+        n_rows = (
+            sum(int(rows[f]) for f in snap["files"] if f in rows)
+            - n_deleted
+        )
+        size = 0
+        for f in snap["files"]:
+            p = os.path.join(root, f)
+            if os.path.exists(p):
+                size += os.path.getsize(p)
+        return self.spark.createDataFrame(
+            [(
+                name, root, "txlog", int(snap["version"]),
+                len(snap["files"]), int(n_rows), int(n_deleted),
+                int(snap.get("num_buckets") or 0),
+                list(snap.get("keys") or []),
+                int(size),
+            )],
+            "table string, location string, format string, "
+            "version int, num_files int, num_rows long, "
+            "num_deleted long, num_buckets int, "
+            "keys array<string>, size_bytes long",
+        )
+
+    def _sql_restore(self, m: re.Match) -> DataFrame:
+        """``RESTORE TABLE <name> TO VERSION AS OF <n>`` (or ``TO
+        TIMESTAMP AS OF '<ts>'``) → the format's control-plane
+        rollback (`formats.py restore_version`): a NEW version whose
+        data state copies the target manifest by reference — one
+        manifest published, zero data files written, history intact
+        (the bad versions stay time-travel-able). Returns a
+        Delta-style metrics frame."""
+        from ..formats import TransactionLogFormat
+
+        name, ver_text, ts_text = m.group(1), m.group(2), m.group(3)
+        root = self._root(name)
+        version = (
+            int(ver_text)
+            if ver_text is not None
+            else self.version_as_of(name, ts_text)
+        )
+        fmt = TransactionLogFormat()
+        published = fmt.restore_version(
+            _TableHandle(self.spark, root), name, version
+        )
+        self.register(name, root)
+        rows = published.get("rows") or {}
+        dv = published.get("dv") or {}
+        from ..formats import _dv_count
+
+        n_rows = sum(int(rows[f]) for f in published["files"] if f in rows)
+        n_rows -= sum(_dv_count(dv.get(f)) for f in published["files"])
+        return self.spark.createDataFrame(
+            [(
+                int(version),
+                int(published["version"]),
+                len(published["files"]),
+                int(n_rows),
+            )],
+            "restored_source_version long, table_version long, "
+            "num_files long, num_rows long",
         )
 
     # -- maintenance statements (OPTIMIZE / VACUUM) ---------------------------

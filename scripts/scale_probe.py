@@ -70,7 +70,14 @@ TXLOG_PROBE_QUERIES = ["txlog_zorder_scan", "txlog_change_feed",
 # `dynamicpruning` assert holding at scale).
 R10_PROBE_QUERIES = ["txlog_time_travel_sql", "txlog_merge_into_sql",
                      "txlog_update_sql", "txlog_delete_sql",
-                     "multimodal_flac_stats", "dpp_partition_prune"]
+                     "multimodal_flac_stats", "dpp_partition_prune",
+                     # late r10 additions: INSERT pays the bucket-scoped
+                     # existence probe + merge of the inserted rows
+                     # (sublinear — the probe reads touched buckets, not
+                     # the table); RESTORE is control-plane only (one
+                     # manifest read + one publish), so its alpha should
+                     # be ~0 net of the fixture build it sits behind
+                     "txlog_insert_into_sql", "txlog_restore_sql"]
 
 # distinct strides, coprime to virtually all word counts
 _STRIDES = [1, 7, 11, 13, 17, 19, 23, 29, 31, 37, 41, 43]

@@ -2304,3 +2304,82 @@ def test_txlog_key_probe_type_alignment(spark, tmp_path):
         wh, "t", ["k"], spark.createDataFrame([(1 << 40,)], "k long"), 4
     ) == 0
     assert sorted(r.k for r in wh.read_merged("t").collect()) == [7]
+
+
+def test_txlog_restore_version_schema_contract_and_txn_fence(
+    spark, tmp_path
+):
+    """restore_version (round 10) is a control-plane rollback with
+    three properties the SQL test can't see: (1) restoring across a
+    rename/widen reverts the LOGICAL SCHEMA (the target manifest's
+    column-mapping metadata is what its readers saw); (2) restoring
+    across a rebucket reverts the BUCKET CONTRACT (the referenced
+    files are laid out under the old modulus, and later merges must
+    use it); (3) the idempotent-writer high-water marks carry from
+    the LATEST version, never the target — a replayed streaming batch
+    stays a no-op after the rollback (exactly-once survives
+    RESTORE)."""
+    import pytest
+
+    from instagram_data_pipeline_spark.formats import (
+        TransactionLogFormat,
+    )
+    from instagram_data_pipeline_spark.io import Warehouse
+
+    fmt = TransactionLogFormat()
+    wh = Warehouse(spark, str(tmp_path / "wh"), fmt=fmt)
+
+    def batch(lo, n, tag, ts):
+        return spark.sql(
+            f"SELECT id AS k, concat('{tag}', id) AS v, "
+            f"CAST(id AS INT) AS cnt, TIMESTAMP '{ts}' AS ts "
+            f"FROM range({lo}, {lo + n})"
+        )
+
+    # v1 under (4 buckets, int cnt, column 'v'), stamped by app "s"
+    fmt.merge(wh, "t", batch(0, 30, "a", "2024-01-01"), ["k"], "ts",
+              num_buckets=4, txn=("s", 7))
+    # v2..v4: rename v->vx, widen cnt->long, rebucket 4->8
+    fmt.rename_column(wh, "t", "v", "vx")
+    fmt.widen_column(wh, "t", "cnt", "long")
+    fmt.rebucket(wh, "t", 8)
+    # v5: merge under the NEW shape, advancing the app stamp
+    fmt.merge(
+        wh, "t",
+        spark.sql(
+            "SELECT id AS k, concat('b', id) AS vx, "
+            "CAST(id AS LONG) AS cnt, TIMESTAMP '2024-02-01' AS ts "
+            "FROM range(25, 40)"
+        ),
+        ["k"], "ts", num_buckets=8, txn=("s", 9),
+    )
+    assert fmt.count_rows(wh, "t") == 40
+
+    published = fmt.restore_version(wh, "t", 1)
+    assert published["version"] == 6
+
+    # (1) logical schema reverted: column is 'v' again, cnt back to int
+    cur = fmt.read_merged(wh, "t")
+    assert "v" in cur.columns and "vx" not in cur.columns
+    assert dict(cur.dtypes)["cnt"] == "int"
+    got = {r.k: r.v for r in cur.collect()}
+    assert len(got) == 30 and got[5] == "a5"
+
+    # (2) bucket contract reverted: merges must present the OLD modulus
+    with pytest.raises(ValueError, match="bucket"):
+        fmt.merge(wh, "t", batch(100, 5, "c", "2024-03-01"),
+                  ["k"], "ts", num_buckets=8)
+
+    # (3) txn fence carried from LATEST (9), not the target (7): the
+    # replay of an already-applied batch stays a silent no-op...
+    fmt.merge(wh, "t", batch(200, 5, "d", "2024-03-01"), ["k"], "ts",
+              num_buckets=4, txn=("s", 9))
+    assert fmt.count_rows(wh, "t") == 30
+    # ...while the NEXT batch applies
+    fmt.merge(wh, "t", batch(200, 5, "d", "2024-03-01"), ["k"], "ts",
+              num_buckets=4, txn=("s", 10))
+    assert fmt.count_rows(wh, "t") == 35
+
+    # the rolled-back shape is still fully readable as history
+    v5 = fmt.read_version(wh, "t", 5)
+    assert "vx" in v5.columns and v5.count() == 40

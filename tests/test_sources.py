@@ -1479,3 +1479,260 @@ def test_txlog_sql_catalog_optimize_and_vacuum(spark, tmp_path):
     ) == want
     with _pytest.raises(FileNotFoundError):
         cat.sql("SELECT * FROM facts VERSION AS OF 1")
+
+
+def test_txlog_sql_catalog_insert_into(spark, tmp_path):
+    """INSERT INTO completes the DML square (round 10): append through
+    the format's transactional merge with the KEY-UNIQUE contract
+    enforced up front — batch-internal duplicates, NULL keys, and
+    keys already present are all refused loudly (the existence probe
+    is the bucket-scoped read_for_keys path, not a full-table
+    anti-join). Column list is positional with null-fill; the source
+    tail may itself time travel."""
+    import pytest as _pytest
+
+    from instagram_data_pipeline_spark.formats import TransactionLogFormat
+    from instagram_data_pipeline_spark.io import Warehouse
+    from instagram_data_pipeline_spark.sources.txlog_catalog import (
+        TxlogSqlCatalog,
+    )
+
+    fmt = TransactionLogFormat()
+    wh = Warehouse(spark, str(tmp_path / "wh"), fmt=fmt)
+    wh.upsert_partitioned(
+        "facts",
+        spark.sql(
+            "SELECT id AS k, CAST(id * 10 AS DOUBLE) AS v, "
+            "TIMESTAMP '2024-01-01' AS ts FROM range(10)"
+        ),
+        ["k"], "ts", num_buckets=4,
+    )
+    cat = TxlogSqlCatalog(spark)
+    cat.register("facts", wh.path("facts"))
+
+    # full-arity positional VALUES
+    m = cat.sql(
+        "INSERT INTO facts VALUES "
+        "(100, 1.5, TIMESTAMP '2024-02-01'), "
+        "(101, 2.5, TIMESTAMP '2024-02-02')"
+    ).first()
+    assert m.num_inserted_rows == 2 and m.table_version == 2
+    got = {r.k: r.v for r in
+           cat.sql("SELECT k, v FROM facts").collect()}
+    assert len(got) == 12 and got[100] == 1.5 and got[3] == 30.0
+
+    # column list: positional mapping, unlisted columns null-fill,
+    # values cast to the table's types (int literal -> double column)
+    m = cat.sql("INSERT INTO facts (k, v) VALUES (102, 7)").first()
+    assert m.num_inserted_rows == 1 and m.table_version == 3
+    row = cat.sql("SELECT * FROM facts WHERE k = 102").first()
+    assert row.v == 7.0 and row.ts is None
+
+    # SELECT source, including a time-traveling tail
+    m = cat.sql(
+        "INSERT INTO facts "
+        "SELECT k + 200 AS k, v, ts FROM facts VERSION AS OF 1 "
+        "WHERE k < 3"
+    ).first()
+    assert m.num_inserted_rows == 3
+    assert cat.sql(
+        "SELECT count(*) AS n FROM facts WHERE k >= 200"
+    ).first().n == 3
+
+    # empty source publishes no version (Delta-alike)
+    before = cat.versions("facts")[-1]
+    m = cat.sql(
+        "INSERT INTO facts SELECT k, v, ts FROM facts WHERE k < 0"
+    ).first()
+    assert m.num_inserted_rows == 0 and m.table_version == before
+
+    # contract violations, all loud
+    with _pytest.raises(ValueError, match="already present"):
+        cat.sql("INSERT INTO facts VALUES (3, 0.0, TIMESTAMP '2024-01-01')")
+    with _pytest.raises(ValueError, match="repeated within"):
+        cat.sql(
+            "INSERT INTO facts VALUES "
+            "(300, 0.0, TIMESTAMP '2024-01-01'), "
+            "(300, 1.0, TIMESTAMP '2024-01-02')"
+        )
+    with _pytest.raises(ValueError, match="NULL merge key"):
+        cat.sql("INSERT INTO facts VALUES (NULL, 0.0, TIMESTAMP '2024-01-01')")
+    with _pytest.raises(ValueError, match="every merge key"):
+        cat.sql("INSERT INTO facts (v, ts) VALUES (0.0, TIMESTAMP '2024-01-01')")
+    with _pytest.raises(ValueError, match="unknown column"):
+        cat.sql("INSERT INTO facts (k, bogus) VALUES (300, 1)")
+    with _pytest.raises(ValueError, match="duplicate column"):
+        cat.sql("INSERT INTO facts (k, v, v) VALUES (300, 1, 2)")
+    with _pytest.raises(ValueError, match="column"):
+        cat.sql("INSERT INTO facts (k) VALUES (300, 1)")
+    # unregistered names pass through to spark.sql untouched
+    with _pytest.raises(Exception) as ei:
+        cat.sql("INSERT INTO not_ours VALUES (1)")
+    assert not isinstance(ei.value, (ValueError, KeyError))
+
+
+def test_txlog_sql_catalog_restore(spark, tmp_path):
+    """RESTORE TABLE rolls back as a FORWARD commit: the new version
+    copies the target manifest by reference (zero data files written
+    — asserted by on-disk parquet census), history stays intact (the
+    rolled-back version remains time-travel-able), TO TIMESTAMP AS OF
+    resolves through the same session-tz rules as SELECT travel, and
+    restoring to the current version is a no-op."""
+    import pytest as _pytest
+
+    from instagram_data_pipeline_spark.formats import TransactionLogFormat
+    from instagram_data_pipeline_spark.io import Warehouse
+    from instagram_data_pipeline_spark.sources.txlog_catalog import (
+        TxlogSqlCatalog,
+    )
+
+    fmt = TransactionLogFormat()
+    wh = Warehouse(spark, str(tmp_path / "wh"), fmt=fmt)
+
+    def batch(lo, n, ts):
+        return spark.sql(
+            f"SELECT id AS k, CAST(id * 2 AS DOUBLE) AS v, "
+            f"TIMESTAMP '{ts}' AS ts FROM range({lo}, {lo + n})"
+        )
+
+    wh.upsert_partitioned("facts", batch(0, 50, "2024-01-01"),
+                          ["k"], "ts", num_buckets=4)
+    wh.upsert_partitioned("facts", batch(40, 20, "2024-02-01"),
+                          ["k"], "ts", num_buckets=4)  # v2: 60 keys
+    cat = TxlogSqlCatalog(spark)
+    cat.register("facts", wh.path("facts"))
+    want_v2 = sorted(
+        map(tuple, cat.sql("SELECT k, v, ts FROM facts").collect())
+    )
+    cat.sql("DELETE FROM facts WHERE k IN (1, 2, 3)")  # v3
+
+    n_parquet = len(list((tmp_path / "wh").rglob("*.parquet")))
+    m = cat.sql("RESTORE TABLE facts TO VERSION AS OF 2").first()
+    assert m.restored_source_version == 2 and m.table_version == 4
+    assert m.num_rows == 60
+    # control-plane only: not one data file written
+    assert len(list((tmp_path / "wh").rglob("*.parquet"))) == n_parquet
+    assert sorted(
+        map(tuple, cat.sql("SELECT k, v, ts FROM facts").collect())
+    ) == want_v2
+    # the rolled-back version is still history, not erased
+    assert cat.sql(
+        "SELECT count(*) AS n FROM facts VERSION AS OF 3"
+    ).first().n == 57
+
+    # TO TIMESTAMP AS OF: a stamp strictly between v1 and v2 resolves
+    # to v1 (same rules as SELECT time travel)
+    hist = {r.version: r.committed_at for r in
+            cat.sql("DESCRIBE HISTORY facts").collect()}
+    mid = hist[1] + (hist[2] - hist[1]) / 2
+    m = cat.sql(
+        f"RESTORE facts TO TIMESTAMP AS OF '{mid.isoformat()}'"
+    ).first()
+    assert m.restored_source_version == 1 and m.table_version == 5
+    assert cat.sql("SELECT count(*) AS n FROM facts").first().n == 50
+
+    # no-op restore to the current version publishes nothing
+    m = cat.sql("RESTORE TABLE facts TO VERSION AS OF 5").first()
+    assert m.table_version == 5 and cat.versions("facts")[-1] == 5
+
+    # restoring to a never-committed / expired version fails loudly
+    with _pytest.raises(FileNotFoundError, match="never committed"):
+        cat.sql("RESTORE TABLE facts TO VERSION AS OF 99")
+    # unregistered names pass through to spark.sql (parse error there)
+    with _pytest.raises(Exception) as ei:
+        cat.sql("RESTORE TABLE not_ours TO VERSION AS OF 1")
+    assert not isinstance(ei.value, (ValueError, KeyError))
+
+
+def test_txlog_sql_catalog_create_drop_show_detail(spark, tmp_path):
+    """DDL + introspection complete the SQL catalog (round 10):
+    CREATE TABLE publishes an EMPTY v1 recording the declared
+    schema/key/bucket contract (readable immediately; later DML
+    validates against it), CTAS follows with an ordinary transactional
+    merge under the same key-unique enforcement as INSERT, DROP
+    unregisters (data stays without PURGE — external-table semantics,
+    re-attachable), SHOW TXLOG TABLES / DESCRIBE DETAIL serve the
+    registry and per-table control-plane facts from manifests alone."""
+    import os
+
+    import pytest as _pytest
+
+    from instagram_data_pipeline_spark.sources.txlog_catalog import (
+        TxlogSqlCatalog,
+    )
+
+    cat = TxlogSqlCatalog(spark)
+    loc = str(tmp_path / "t1")
+
+    # plain CREATE: empty v1, valid contract, readable immediately
+    m = cat.sql(
+        f"CREATE TABLE t1 (k BIGINT, v DOUBLE, ts TIMESTAMP) "
+        f"USING txlog CLUSTERED BY (k) INTO 4 BUCKETS LOCATION '{loc}'"
+    ).first()
+    assert m.created and m.table_version == 1 and m.num_rows == 0
+    assert cat.sql("SELECT count(*) AS n FROM t1").first().n == 0
+    # DML against the DECLARED contract (no bootstrap merge needed)
+    m = cat.sql(
+        "INSERT INTO t1 VALUES (1, 1.5, TIMESTAMP '2024-01-01'), "
+        "(2, 2.5, TIMESTAMP '2024-01-02')"
+    ).first()
+    assert m.num_inserted_rows == 2 and m.table_version == 2
+
+    # CTAS: schema from the query, data merged as v2
+    loc2 = str(tmp_path / "t2")
+    m = cat.sql(
+        f"CREATE TABLE t2 USING txlog CLUSTERED BY (k) INTO 4 BUCKETS "
+        f"LOCATION '{loc2}' AS SELECT k, v * 10 AS v10 FROM t1"
+    ).first()
+    assert m.created and m.num_rows == 2 and m.table_version == 2
+    got = {r.k: r.v10 for r in cat.sql("SELECT * FROM t2").collect()}
+    assert got == {1: 15.0, 2: 25.0}
+
+    # introspection: registry listing + control-plane detail
+    shown = {r.table: (r.location, r.version)
+             for r in cat.sql("SHOW TXLOG TABLES").collect()}
+    assert shown == {"t1": (loc, 2), "t2": (loc2, 2)}
+    d = cat.sql("DESCRIBE DETAIL t2").first()
+    assert (d.format, d.version, d.num_rows, d.num_deleted) == \
+        ("txlog", 2, 2, 0)
+    assert d.keys == ["k"] and d.num_buckets == 4 and d.size_bytes > 0
+
+    # refusals
+    with _pytest.raises(ValueError, match="already holds"):
+        cat.sql(f"CREATE TABLE t9 (k BIGINT) USING txlog "
+                f"CLUSTERED BY (k) INTO 4 BUCKETS LOCATION '{loc}'")
+    with _pytest.raises(ValueError, match="exactly one"):
+        cat.sql(f"CREATE TABLE t9 USING txlog CLUSTERED BY (k) "
+                f"INTO 4 BUCKETS LOCATION '{tmp_path / 't9'}'")
+    with _pytest.raises(ValueError, match="key column"):
+        cat.sql(f"CREATE TABLE t9 (k BIGINT) USING txlog "
+                f"CLUSTERED BY (nope) INTO 4 BUCKETS "
+                f"LOCATION '{tmp_path / 't9'}'")
+    with _pytest.raises(ValueError, match="mutually exclusive"):
+        cat.sql(f"CREATE OR REPLACE TABLE IF NOT EXISTS t9 (k BIGINT) "
+                f"USING txlog CLUSTERED BY (k) INTO 4 BUCKETS "
+                f"LOCATION '{tmp_path / 't9'}'")
+    with _pytest.raises(ValueError, match="repeated within"):
+        cat.sql(f"CREATE TABLE t9 USING txlog CLUSTERED BY (k) "
+                f"INTO 4 BUCKETS LOCATION '{tmp_path / 't9'}' "
+                f"AS SELECT 1 AS k UNION ALL SELECT 1 AS k")
+
+    # IF NOT EXISTS no-ops on an existing table; OR REPLACE replaces
+    m = cat.sql(f"CREATE TABLE IF NOT EXISTS t1 (k BIGINT) USING txlog "
+                f"CLUSTERED BY (k) INTO 4 BUCKETS LOCATION '{loc}'").first()
+    assert not m.created and m.table_version == 2
+    m = cat.sql(f"CREATE OR REPLACE TABLE t2 USING txlog CLUSTERED BY (k) "
+                f"INTO 2 BUCKETS LOCATION '{loc2}' AS SELECT 9 AS k").first()
+    assert m.created and m.num_rows == 1 and m.table_version == 2
+    assert cat.sql("SELECT count(*) AS n FROM t2").first().n == 1
+
+    # DROP keeps data (re-attachable); DROP PURGE deletes the root
+    m = cat.sql("DROP TABLE t2").first()
+    assert not m.purged and os.path.isdir(os.path.join(loc2, "_txlog"))
+    assert [r.table for r in cat.sql("SHOW TXLOG TABLES").collect()] == ["t1"]
+    cat.register("t2b", loc2)
+    assert cat.sql("SELECT count(*) AS n FROM t2b").first().n == 1
+    m = cat.sql("DROP TABLE t2b PURGE").first()
+    assert m.purged and not os.path.exists(loc2)
+    # unregistered DROP passes through to spark.sql (IF EXISTS no-op)
+    cat.sql("DROP TABLE IF EXISTS never_registered")
