@@ -1262,6 +1262,69 @@ class TransactionLogFormat:
             f"{self.MAX_COMMIT_RETRIES} commit conflicts"
         )
 
+    def add_column(self, wh, table: str, name: str, dtype) -> int:
+        """Metadata-only column ADD: publish version N+1 whose schema
+        appends a NULLABLE ``name`` — every data file is carried by
+        reference and reads back NULL for the new column (the
+        additive-evolution read rule merges already rely on; this is
+        the explicit-DDL spelling of the same evolution). On a
+        column-mapped table the new field gets a fresh id and a
+        physical name no live OR TOMBSTONED field has ever used, so a
+        re-add of a previously dropped logical name can never
+        resurrect the old bytes (the drop_column reservation rule).
+        One manifest publish at any table size; returns the published
+        version."""
+        from pyspark.sql.types import StructField, StructType
+
+        if isinstance(dtype, str):
+            dtype = StructType.fromDDL(f"__x {dtype}").fields[0].dataType
+        for _ in range(self.MAX_COMMIT_RETRIES):
+            snap = self._latest(wh, table)
+            if snap is None:
+                raise FileNotFoundError(f"no committed version for {table}")
+            if "schema" not in snap:
+                raise ValueError(
+                    f"add_column: {table!r} has a pre-schema manifest"
+                )
+            schema = StructType.fromJson(json.loads(snap["schema"]))
+            if name in [f.name for f in schema.fields]:
+                raise ValueError(f"add_column: {name!r} already exists")
+            if "fields" in snap:
+                fields, dropped, next_fid = self._bootstrap_fields(
+                    snap, schema
+                )
+                used_phys = {f["phys"] for f in fields + dropped}
+                phys = (
+                    name if name not in used_phys else f"{name}_f{next_fid}"
+                )
+                fields.append(
+                    {"id": next_fid, "name": name, "phys": phys}
+                )
+                next_fid += 1
+            else:  # unmapped table stays unmapped (identity naming)
+                fields, dropped, next_fid = None, None, None
+            new_schema = StructType(
+                list(schema.fields) + [StructField(name, dtype, True)]
+            )
+            try:
+                self._publish(
+                    wh, table, snap["version"] + 1, snap["files"],
+                    new_schema.json(),
+                    rows=snap.get("rows"), stats=snap.get("stats"),
+                    dv=snap.get("dv"), fields=fields,
+                    dropped_fields=dropped or None, next_fid=next_fid,
+                    keys=self._keys_of(snap),
+                    num_buckets=snap.get("num_buckets"),
+                    txns=snap.get("txns"),
+                )
+                return snap["version"] + 1
+            except CommitConflict:
+                continue
+        raise CommitConflict(
+            f"add_column on {table!r}: gave up after "
+            f"{self.MAX_COMMIT_RETRIES} commit conflicts"
+        )
+
     def widen_column(self, wh, table: str, col: str, new_type) -> int:
         """Metadata-only TYPE WIDENING (the Delta type-widening
         feature): publish version N+1 whose schema records ``col`` at

@@ -2581,3 +2581,63 @@ def q_txlog_ctas_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = cat.sql("SELECT count(*) AS n FROM facts_ctas").first().n
     assert d.num_rows == n
     return cat.sql("SELECT k, v, ts FROM facts_ctas")
+
+
+_TXLOG_ALTER_ORACLE = """
+SELECT o_custkey AS k,
+       MAX(o_totalprice) AS price,
+       CAST(COUNT(*) AS BIGINT) AS cnt,
+       CASE WHEN o_custkey % 2 = 0
+            THEN CASE WHEN MAX(o_totalprice) > 300000
+                      THEN 'high' ELSE 'low' END
+            ELSE NULL END AS tier
+FROM orders GROUP BY 1
+"""
+
+
+@register(
+    "txlog_alter_sql",
+    _TXLOG_ALTER_ORACLE,
+    doc="ALTER TABLE via SQL text — the full metadata-only evolution "
+        "lifecycle on one table: RENAME COLUMN (column-mapping "
+        "indirection; old files carried by reference), ADD COLUMN "
+        "(old rows read back NULL; the next DML carries the evolved "
+        "shape), ALTER COLUMN TYPE (safe-lattice int->bigint "
+        "widening), then a key-scoped UPDATE filling the added "
+        "column — each schema change ONE manifest publish at any "
+        "table size; oracle replays the lifecycle as a single "
+        "projection with a CASE for the partially-filled column",
+    tags=("sql", "format", "ddl", "evolution"),
+)
+def q_txlog_alter_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..formats import TransactionLogFormat
+    from ..io import Warehouse
+    from ..sources.txlog_catalog import TxlogSqlCatalog
+
+    orders = load_testdata(spark, sf_dir, "orders")
+    facts = orders.groupBy(F.col("o_custkey").alias("k")).agg(
+        F.max("o_totalprice").alias("v"),
+        F.count(F.lit(1)).cast("int").alias("cnt"),
+    )
+    fmt = TransactionLogFormat()
+    wh = Warehouse(spark, _scratch("txlog_alter_sql", sf_dir), fmt=fmt)
+    wh.upsert_partitioned("facts", facts, ["k"], "v", num_buckets=8)
+
+    cat = TxlogSqlCatalog(spark)
+    cat.register("facts", wh.path("facts"))
+    m = cat.sql("ALTER TABLE facts RENAME COLUMN v TO price").first()
+    assert m.table_version == 2
+    m = cat.sql("ALTER TABLE facts ADD COLUMN tier STRING").first()
+    assert m.table_version == 3
+    m = cat.sql("ALTER TABLE facts ALTER COLUMN cnt TYPE BIGINT").first()
+    assert m.table_version == 4
+    # key-scoped DML fills the added column under the evolved schema
+    m = cat.sql(
+        "UPDATE facts SET tier = CASE WHEN price > 300000 "
+        "THEN 'high' ELSE 'low' END WHERE k % 2 = 0"
+    ).first()
+    assert m.num_affected_rows > 0 and m.table_version == 5
+    # history: version 1 still answers under its own (pre-rename) shape
+    v1_cols = cat.sql("SELECT * FROM facts VERSION AS OF 1").columns
+    assert "v" in v1_cols and "price" not in v1_cols
+    return cat.sql("SELECT k, price, cnt, tier FROM facts")

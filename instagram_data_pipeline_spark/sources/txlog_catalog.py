@@ -137,6 +137,26 @@ _DROP = re.compile(
     r"(?:\s+(PURGE))?\s*;?\s*$",
     re.IGNORECASE,
 )
+# ALTER TABLE — the four metadata-only schema-evolution spellings
+# (Spark's own syntax); each maps to one manifest publish
+_ALTER = re.compile(
+    rf"^\s*ALTER\s+TABLE\s+({_IDENT})\s+(.+?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_ALTER_RENAME = re.compile(
+    rf"^RENAME\s+COLUMN\s+({_IDENT})\s+TO\s+({_IDENT})$", re.IGNORECASE
+)
+_ALTER_DROPCOL = re.compile(
+    rf"^DROP\s+COLUMN\s+({_IDENT})$", re.IGNORECASE
+)
+_ALTER_ADD = re.compile(
+    rf"^ADD\s+COLUMNS?\s+\(?\s*({_IDENT})\s+([A-Za-z0-9_<>(),. ]+?)\s*\)?$",
+    re.IGNORECASE,
+)
+_ALTER_TYPE = re.compile(
+    rf"^ALTER\s+COLUMN\s+({_IDENT})\s+TYPE\s+([A-Za-z0-9_]+)$",
+    re.IGNORECASE,
+)
 # SHOW TXLOG TABLES (distinct spelling: Spark's own SHOW TABLES lists
 # every temp view and must keep doing so — this one reports the
 # catalog's registry with roots and versions)
@@ -490,8 +510,11 @@ class TxlogSqlCatalog:
           EXISTS] <name> [(cols)] USING txlog CLUSTERED BY (keys)
           INTO <n> BUCKETS LOCATION '<root>' [AS <query>]``,
           ``DROP TABLE <name> [PURGE]`` (registered names; data stays
-          without PURGE), ``SHOW TXLOG TABLES``, ``DESCRIBE DETAIL
-          <name>``, ``DESCRIBE HISTORY <name>``;
+          without PURGE), ``ALTER TABLE <name> RENAME COLUMN / DROP
+          COLUMN / ADD COLUMN / ALTER COLUMN ... TYPE`` (metadata-only
+          schema evolution, one manifest publish each), ``SHOW TXLOG
+          TABLES``, ``DESCRIBE DETAIL <name>``, ``DESCRIBE HISTORY
+          <name>``;
         * everything else passes through to ``spark.sql`` untouched
           (unregistered names included). Rewrites never fire inside
           string literals or comments."""
@@ -501,6 +524,9 @@ class TxlogSqlCatalog:
         drm = _DROP.match(query)
         if drm and drm.group(2) in self.roots:
             return self._sql_drop(drm)
+        am = _ALTER.match(query)
+        if am and am.group(1) in self.roots:
+            return self._sql_alter(am)
         if _SHOW.match(query):
             return self._show_tables()
         dd = _DETAIL.match(query)
@@ -963,6 +989,54 @@ class TxlogSqlCatalog:
         return self.spark.createDataFrame(
             [(name, root, bool(purge))],
             "table string, location string, purged boolean",
+        )
+
+    def _sql_alter(self, m: re.Match) -> DataFrame:
+        """``ALTER TABLE <name> RENAME COLUMN a TO b | DROP COLUMN c |
+        ADD COLUMN c <type> | ALTER COLUMN c TYPE <wider>`` — the four
+        metadata-only schema-evolution statements, each ONE manifest
+        publish at any table size (column-mapping indirection for
+        rename/drop, appended nullable field for add, safe-lattice
+        widening for type — a merge-key rename tracks the key list,
+        a merge-key drop/widen is refused by the format). Returns an
+        (operation, table_version) metrics frame."""
+        from ..formats import TransactionLogFormat
+
+        name, action = m.group(1), " ".join(m.group(2).split())
+        root = self._root(name)
+        fmt = TransactionLogFormat()
+        handle = _TableHandle(self.spark, root)
+        rm = _ALTER_RENAME.match(action)
+        dm = _ALTER_DROPCOL.match(action)
+        ad = _ALTER_ADD.match(action)
+        ty = _ALTER_TYPE.match(action)
+        if rm:
+            version = fmt.rename_column(
+                handle, name, rm.group(1), rm.group(2)
+            )
+            op = f"rename {rm.group(1)} -> {rm.group(2)}"
+        elif dm:
+            version = fmt.drop_column(handle, name, dm.group(1))
+            op = f"drop {dm.group(1)}"
+        elif ad:
+            version = fmt.add_column(
+                handle, name, ad.group(1), ad.group(2).lower()
+            )
+            op = f"add {ad.group(1)}"
+        elif ty:
+            version = fmt.widen_column(
+                handle, name, ty.group(1), ty.group(2).lower()
+            )
+            op = f"widen {ty.group(1)}"
+        else:
+            raise ValueError(
+                f"ALTER TABLE: unsupported action {action!r} — one of "
+                f"RENAME COLUMN a TO b, DROP COLUMN c, ADD COLUMN "
+                f"c <type>, ALTER COLUMN c TYPE <wider>"
+            )
+        self.register(name, root)
+        return self.spark.createDataFrame(
+            [(op, int(version))], "operation string, table_version long"
         )
 
     def _show_tables(self) -> DataFrame:

@@ -1736,3 +1736,61 @@ def test_txlog_sql_catalog_create_drop_show_detail(spark, tmp_path):
     assert m.purged and not os.path.exists(loc2)
     # unregistered DROP passes through to spark.sql (IF EXISTS no-op)
     cat.sql("DROP TABLE IF EXISTS never_registered")
+
+
+def test_txlog_sql_catalog_alter_table(spark, tmp_path):
+    """ALTER TABLE (round 10): the four metadata-only schema-evolution
+    statements — RENAME COLUMN (column-mapping indirection), ADD
+    COLUMN (nullable append; old files read back NULL; the next
+    INSERT carries the evolved shape), ALTER COLUMN TYPE (safe-lattice
+    widening), DROP COLUMN (tombstoned physical name) — each ONE
+    manifest publish, with history serving every version under its
+    own schema, and the format's key-protection refusals surfacing
+    through the SQL shim."""
+    import pytest as _pytest
+
+    from instagram_data_pipeline_spark.sources.txlog_catalog import (
+        TxlogSqlCatalog,
+    )
+
+    cat = TxlogSqlCatalog(spark)
+    loc = str(tmp_path / "t")
+    cat.sql(f"CREATE TABLE t (k BIGINT, v STRING, cnt INT) USING txlog "
+            f"CLUSTERED BY (k) INTO 4 BUCKETS LOCATION '{loc}'")
+    cat.sql("INSERT INTO t VALUES (1, 'a', 10), (2, 'b', 20)")
+
+    m = cat.sql("ALTER TABLE t RENAME COLUMN v TO label").first()
+    assert m.table_version == 3
+    assert {r.label for r in cat.sql("SELECT label FROM t").collect()} \
+        == {"a", "b"}
+
+    m = cat.sql("ALTER TABLE t ADD COLUMN score DOUBLE").first()
+    assert m.table_version == 4
+    assert all(r.score is None
+               for r in cat.sql("SELECT score FROM t").collect())
+    cat.sql("INSERT INTO t VALUES (3, 'c', 30, 0.5)")
+    got = {r.k: r.score for r in cat.sql("SELECT k, score FROM t").collect()}
+    assert got == {1: None, 2: None, 3: 0.5}
+
+    m = cat.sql("ALTER TABLE t ALTER COLUMN cnt TYPE BIGINT").first()
+    assert m.table_version == 6
+    assert dict(cat.snapshot("t").dtypes)["cnt"] == "bigint"
+
+    m = cat.sql("ALTER TABLE t DROP COLUMN label").first()
+    assert m.table_version == 7
+    assert "label" not in cat.snapshot("t").columns
+    # time travel serves the pre-drop shape
+    assert "label" in cat.sql("SELECT * FROM t VERSION AS OF 5").columns
+
+    with _pytest.raises(ValueError, match="merge key"):
+        cat.sql("ALTER TABLE t DROP COLUMN k")
+    with _pytest.raises(ValueError, match="merge key"):
+        cat.sql("ALTER TABLE t ALTER COLUMN k TYPE BIGINT")
+    with _pytest.raises(ValueError, match="already exists"):
+        cat.sql("ALTER TABLE t ADD COLUMN cnt INT")
+    with _pytest.raises(ValueError, match="unsupported action"):
+        cat.sql("ALTER TABLE t SET TBLPROPERTIES ('a'='b')")
+    # unregistered names pass through to spark.sql
+    with _pytest.raises(Exception) as ei:
+        cat.sql("ALTER TABLE not_ours DROP COLUMN x")
+    assert not isinstance(ei.value, (ValueError, KeyError))
