@@ -76,8 +76,13 @@ R10_PROBE_QUERIES = ["txlog_time_travel_sql", "txlog_merge_into_sql",
                      # (sublinear — the probe reads touched buckets, not
                      # the table); RESTORE is control-plane only (one
                      # manifest read + one publish), so its alpha should
-                     # be ~0 net of the fixture build it sits behind
-                     "txlog_insert_into_sql", "txlog_restore_sql"]
+                     # be ~0 net of the fixture build it sits behind;
+                     # CTAS is dominated by the initial data merge
+                     # (~linear in created data); ALTER's four schema
+                     # statements are each one manifest publish, so like
+                     # restore its cost is the fixture + the one UPDATE
+                     "txlog_insert_into_sql", "txlog_restore_sql",
+                     "txlog_ctas_sql", "txlog_alter_sql"]
 
 # distinct strides, coprime to virtually all word counts
 _STRIDES = [1, 7, 11, 13, 17, 19, 23, 29, 31, 37, 41, 43]

@@ -131,7 +131,13 @@ def test_txlog_random_op_sequences_match_reference_model(
     def op_rename():
         old = model["cols"][1]
         new = f"{old}x"
-        fmt.rename_column(wh, "t", old, new)
+        # half the time through the SQL shim (ALTER TABLE), half the
+        # API — same primitive, two entry points under composition
+        if rng.random() < 0.5:
+            cat.register("t", wh.path("t"))
+            cat.sql(f"ALTER TABLE t RENAME COLUMN {old} TO {new}")
+        else:
+            fmt.rename_column(wh, "t", old, new)
         for r in model["rows"].values():
             r[new] = r.pop(old)
         model["cols"][1] = new
@@ -139,7 +145,14 @@ def test_txlog_random_op_sequences_match_reference_model(
     def op_widen():
         if model["widened"]:
             return
-        fmt.widen_column(wh, "t", model["cols"][2], "long")
+        if rng.random() < 0.5:
+            cat.register("t", wh.path("t"))
+            cat.sql(
+                f"ALTER TABLE t ALTER COLUMN {model['cols'][2]} "
+                f"TYPE BIGINT"
+            )
+        else:
+            fmt.widen_column(wh, "t", model["cols"][2], "long")
         model["widened"] = True
 
     def op_compact():
