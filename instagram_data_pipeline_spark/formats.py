@@ -263,7 +263,16 @@ def _footer_minmax(meta) -> dict:
                 bad.add(name)
                 out.pop(name, None)
                 continue
-            lo, hi = _stat_key(st.min), _stat_key(st.max)
+            try:
+                # pyarrow raises (not returns None) for stat types it
+                # cannot extract — DECIMAL logical types notably; a
+                # column the writer can't zone-map is unprunable, not
+                # unwritable
+                lo, hi = _stat_key(st.min), _stat_key(st.max)
+            except Exception:
+                bad.add(name)
+                out.pop(name, None)
+                continue
             if lo is None or hi is None:
                 bad.add(name)
                 out.pop(name, None)

@@ -2361,8 +2361,14 @@ def q_txlog_maintenance_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("o_orderdate").alias("ts"),
         )
 
-    # small target files so the two merges leave multi-file buckets
-    fmt = TransactionLogFormat(max_records_per_file=200)
+    # split files so the merges leave ~2 files per bucket at ANY SF
+    # (a fixed threshold leaves 1 file/bucket at sf0.001, where the
+    # last merge's rewrite fits each bucket in one file and OPTIMIZE
+    # would correctly find nothing to do)
+    n_keys = orders.select("o_custkey").dropDuplicates().count()
+    fmt = TransactionLogFormat(
+        max_records_per_file=max(1, n_keys // 16)
+    )
     wh = Warehouse(spark, _scratch("txlog_maint_sql", sf_dir), fmt=fmt)
     cut = F.lit(_TXLOG_CUT).cast("timestamp")
     wh.upsert_partitioned(

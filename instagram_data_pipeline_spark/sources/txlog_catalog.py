@@ -125,7 +125,9 @@ _RESTORE = re.compile(
 _CREATE = re.compile(
     rf"^\s*CREATE\s+(?:(OR\s+REPLACE)\s+)?TABLE\s+"
     rf"(?:(IF\s+NOT\s+EXISTS)\s+)?({_IDENT})\s*"
-    r"(?:\(([^)]*)\)\s*)?"
+    # lazy up to the ') USING' that ends the list, so parenthesized
+    # types (DECIMAL(10,2), VARCHAR(8)) survive inside the column spec
+    r"(?:\((.*?)\)\s*)?"
     r"USING\s+TXLOG\s+"
     r"CLUSTERED\s+BY\s*\(([^)]*)\)\s+INTO\s+(\d+)\s+BUCKETS\s+"
     r"LOCATION\s+'([^']+)'"
@@ -796,7 +798,13 @@ class TxlogSqlCatalog:
         null-fill; every column casts to the table's recorded type.
         The source tail is any query body ``sql()`` can read —
         time-travel rewrites included, so
-        ``INSERT INTO t SELECT ... FROM u VERSION AS OF 3`` works."""
+        ``INSERT INTO t SELECT ... FROM u VERSION AS OF 3`` works.
+
+        Enforcement is per-statement: two CONCURRENT INSERTs of the
+        same new key can each pass the probe and then serialize
+        through the merge CAS, resolving source-wins instead of
+        erroring (the same outcome Delta gives, which checks nothing);
+        within one statement the contract is airtight."""
         from pyspark.sql import functions as F
 
         from ..formats import TransactionLogFormat

@@ -2383,3 +2383,36 @@ def test_txlog_restore_version_schema_contract_and_txn_fence(
     # the rolled-back shape is still fully readable as history
     v5 = fmt.read_version(wh, "t", 5)
     assert "vx" in v5.columns and v5.count() == 40
+
+
+def test_txlog_decimal_columns_write_without_zone_maps(spark, tmp_path):
+    """Columns whose parquet footer stats pyarrow cannot extract
+    (DECIMAL logical types raise ArrowNotImplementedError from
+    Statistics.min, they don't return None) must be UNPRUNABLE, not
+    unwritable: the write skips their zone-map entry and everything
+    else — merge, read, metadata COUNT, key-scoped delete — works."""
+    from pyspark.sql import functions as F
+
+    from instagram_data_pipeline_spark.formats import TransactionLogFormat
+    from instagram_data_pipeline_spark.io import Warehouse
+
+    fmt = TransactionLogFormat()
+    wh = Warehouse(spark, str(tmp_path / "wh"), fmt=fmt)
+    df = spark.sql(
+        "SELECT id AS k, CAST(id * 1.01 AS DECIMAL(10,2)) AS amount, "
+        "TIMESTAMP '2024-01-01' AS ts FROM range(50)"
+    )
+    fmt.merge(wh, "t", df, ["k"], "ts", num_buckets=4)
+    got = fmt.read_merged(wh, "t")
+    assert dict(got.dtypes)["amount"] == "decimal(10,2)"
+    assert got.count() == 50 and fmt.count_rows(wh, "t") == 50
+    # the decimal column has no zone map (absent == unprunable);
+    # the long key column keeps its stats
+    snap = fmt._latest(wh, "t")
+    for f, st in snap["stats"].items():
+        assert "amount" not in st, f
+        assert "k" in st, f
+    # point ops through the bucketed key still work
+    victims = spark.createDataFrame([(3,), (4,)], "k long")
+    assert fmt.delete_keys_dv(wh, "t", ["k"], victims, num_buckets=4) == 2
+    assert fmt.count_rows(wh, "t") == 48

@@ -108,6 +108,11 @@ _COLLECT_ALLOWLIST: dict[str, tuple[int, str]] = {
                                     "parameters"),
     "sources/warc.py": (1, "write manifest: one summary row per "
                            "archive file, <= files"),
+    "queries/ledger.py": (1, "txlog_restore_sql's DESCRIBE HISTORY "
+                             "read: one control-plane row per "
+                             "committed version (<= 4 in the "
+                             "fixture), used to compute the "
+                             "TIMESTAMP AS OF midpoint"),
     "streaming/monitor.py": (1, "per-batch histogram read-back, "
                                 "<= n_bins rows — the drift monitor's "
                                 "control-plane summary"),
