@@ -2647,3 +2647,76 @@ def q_txlog_alter_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     v1_cols = cat.sql("SELECT * FROM facts VERSION AS OF 1").columns
     assert "v" in v1_cols and "price" not in v1_cols
     return cat.sql("SELECT k, price, cnt, tier FROM facts")
+
+
+_TXLOG_CONSTRAINTS_ORACLE = """
+SELECT o_custkey AS k, MAX(o_totalprice) AS v, MAX(o_orderdate) AS ts
+FROM orders GROUP BY 1
+UNION ALL
+SELECT -1 AS k, 0.5 AS v, TIMESTAMP '2099-01-01' AS ts
+UNION ALL
+SELECT -2 AS k, -0.5 AS v, TIMESTAMP '2099-01-02' AS ts
+"""
+
+
+@register(
+    "txlog_constraints_sql",
+    _TXLOG_CONSTRAINTS_ORACLE,
+    doc="CHECK constraints via SQL text: ADD CONSTRAINT validates the "
+        "expression against the schema AND every existing row (one "
+        "validation scan — the Delta ADD CONSTRAINT cost), then every "
+        "catalog write statement (INSERT / UPDATE / MERGE INTO) "
+        "validates ITS rows against the recorded set — violating "
+        "statements refused loudly (asserted in-query), per-statement "
+        "cost one filter-count over the batch, never the table; "
+        "DROP CONSTRAINT releases the policy; oracle = the aggregate "
+        "UNION the row admitted under the constraint UNION the row "
+        "admitted after the drop",
+    tags=("sql", "format", "ddl", "constraints"),
+)
+def q_txlog_constraints_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from ..sources.txlog_catalog import TxlogSqlCatalog
+
+    orders = load_testdata(spark, sf_dir, "orders")
+    orders.groupBy(F.col("o_custkey").alias("k")).agg(
+        F.max("o_totalprice").alias("v"),
+        F.max("o_orderdate").alias("ts"),
+    ).createOrReplaceTempView("txlog_cons_src")
+
+    loc = os.path.join(_scratch("txlog_cons_sql", sf_dir), "facts")
+    cat = TxlogSqlCatalog(spark)
+    cat.sql(
+        f"CREATE TABLE facts_cons USING txlog CLUSTERED BY (k) "
+        f"INTO 8 BUCKETS LOCATION '{loc}' "
+        f"AS SELECT k, v, ts FROM txlog_cons_src"
+    )
+    m = cat.sql(
+        "ALTER TABLE facts_cons ADD CONSTRAINT v_pos CHECK (v > 0)"
+    ).first()
+    assert m.num_constraints == 1
+    # admitted under the constraint
+    m = cat.sql(
+        "INSERT INTO facts_cons VALUES (-1, 0.5, TIMESTAMP '2099-01-01')"
+    ).first()
+    assert m.num_inserted_rows == 1
+    # violating INSERT and UPDATE are refused (nothing committed)
+    try:
+        cat.sql("INSERT INTO facts_cons VALUES "
+                "(-2, -0.5, TIMESTAMP '2099-01-02')")
+        raise AssertionError("constraint-violating INSERT not refused")
+    except ValueError:
+        pass
+    try:
+        cat.sql("UPDATE facts_cons SET v = -1 WHERE k = -1")
+        raise AssertionError("constraint-violating UPDATE not refused")
+    except ValueError:
+        pass
+    # DROP releases the policy; the same row is now admissible
+    cat.sql("ALTER TABLE facts_cons DROP CONSTRAINT v_pos")
+    m = cat.sql(
+        "INSERT INTO facts_cons VALUES (-2, -0.5, TIMESTAMP '2099-01-02')"
+    ).first()
+    assert m.num_inserted_rows == 1
+    return cat.sql("SELECT k, v, ts FROM facts_cons")

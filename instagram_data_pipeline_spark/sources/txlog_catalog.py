@@ -159,6 +159,14 @@ _ALTER_TYPE = re.compile(
     rf"^ALTER\s+COLUMN\s+({_IDENT})\s+TYPE\s+([A-Za-z0-9_]+)$",
     re.IGNORECASE,
 )
+_ALTER_ADDCON = re.compile(
+    rf"^ADD\s+CONSTRAINT\s+({_IDENT})\s+CHECK\s*\((.+)\)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_ALTER_DROPCON = re.compile(
+    rf"^DROP\s+CONSTRAINT\s+(?:(IF\s+EXISTS)\s+)?({_IDENT})$",
+    re.IGNORECASE,
+)
 # SHOW TXLOG TABLES (distinct spelling: Spark's own SHOW TABLES lists
 # every temp view and must keep doing so — this one reports the
 # catalog's registry with roots and versions)
@@ -470,6 +478,7 @@ class TxlogSqlCatalog:
             )
         fmt = TransactionLogFormat()
         handle = _TableHandle(self.spark, root)
+        self._enforce_constraints(target, source_df, "MERGE INTO")
         n_source = source_df.count()
         fmt.merge_source_wins(
             handle, target, source_df, list(keys), int(num_buckets)
@@ -514,9 +523,12 @@ class TxlogSqlCatalog:
           ``DROP TABLE <name> [PURGE]`` (registered names; data stays
           without PURGE), ``ALTER TABLE <name> RENAME COLUMN / DROP
           COLUMN / ADD COLUMN / ALTER COLUMN ... TYPE`` (metadata-only
-          schema evolution, one manifest publish each), ``SHOW TXLOG
-          TABLES``, ``DESCRIBE DETAIL <name>``, ``DESCRIBE HISTORY
-          <name>``;
+          schema evolution, one manifest publish each), ``ALTER TABLE
+          <name> ADD CONSTRAINT n CHECK (expr) / DROP CONSTRAINT n``
+          (sidecar-recorded; every INSERT/UPDATE/MERGE INTO through
+          this catalog validates its rows against the recorded
+          checks), ``SHOW TXLOG TABLES``, ``DESCRIBE DETAIL <name>``,
+          ``DESCRIBE HISTORY <name>``;
         * everything else passes through to ``spark.sql`` untouched
           (unregistered names included). Rewrites never fire inside
           string literals or comments."""
@@ -769,6 +781,7 @@ class TxlogSqlCatalog:
         )
         n = matched.count()
         if n:  # an empty match publishes no version (Delta-alike)
+            self._enforce_constraints(name, updated, "UPDATE")
             fmt = TransactionLogFormat()
             fmt.merge_source_wins(
                 _TableHandle(self.spark, root), name, updated, keys,
@@ -852,6 +865,7 @@ class TxlogSqlCatalog:
             ]
         )
         self._check_key_unique(aligned, keys, "INSERT")
+        self._enforce_constraints(name, aligned, "INSERT")
         fmt = TransactionLogFormat()
         handle = _TableHandle(self.spark, root)
         clash = fmt.read_for_keys(
@@ -1014,6 +1028,14 @@ class TxlogSqlCatalog:
         root = self._root(name)
         fmt = TransactionLogFormat()
         handle = _TableHandle(self.spark, root)
+        ac = _ALTER_ADDCON.match(action)
+        dc = _ALTER_DROPCON.match(action)
+        if ac:
+            return self._add_constraint(name, ac.group(1), ac.group(2))
+        if dc:
+            return self._drop_constraint(
+                name, dc.group(2), bool(dc.group(1))
+            )
         rm = _ALTER_RENAME.match(action)
         dm = _ALTER_DROPCOL.match(action)
         ad = _ALTER_ADD.match(action)
@@ -1040,12 +1062,118 @@ class TxlogSqlCatalog:
             raise ValueError(
                 f"ALTER TABLE: unsupported action {action!r} — one of "
                 f"RENAME COLUMN a TO b, DROP COLUMN c, ADD COLUMN "
-                f"c <type>, ALTER COLUMN c TYPE <wider>"
+                f"c <type>, ALTER COLUMN c TYPE <wider>, ADD "
+                f"CONSTRAINT n CHECK (expr), DROP CONSTRAINT n"
             )
         self.register(name, root)
         return self.spark.createDataFrame(
             [(op, int(version))], "operation string, table_version long"
         )
+
+    # -- CHECK constraints (sidecar-recorded, statement-enforced) -------------
+    def constraints(self, name: str) -> dict:
+        """Recorded CHECK constraints of a registered table:
+        {name: expr}. Stored in a ``_constraints.json`` sidecar at the
+        TABLE ROOT (next to ``_txlog/``, never inside it — the commit
+        log's ``*.json`` namespace is the version sequence), so the
+        commit protocol is untouched: constraints govern WRITES
+        (current-state table policy, the Delta CHECK-constraint role),
+        while time travel reads data under the manifests alone.
+        Enforcement happens at this catalog's statement boundary
+        (INSERT / UPDATE / MERGE INTO); format-API writers bypass it,
+        exactly as engines that don't speak a table format's protocol
+        bypass its constraints."""
+        import json as _json
+        import os
+
+        p = os.path.join(self._root(name), "_constraints.json")
+        if not os.path.exists(p):
+            return {}
+        with open(p) as f:
+            return _json.load(f)
+
+    def _write_constraints(self, root: str, cons: dict) -> None:
+        import json as _json
+        import os
+        import uuid as _uuid
+
+        os.makedirs(root, exist_ok=True)
+        tmp = os.path.join(
+            root, f"._constraints.{_uuid.uuid4().hex[:8]}.tmp"
+        )
+        with open(tmp, "w") as f:
+            _json.dump(cons, f)
+        os.replace(tmp, os.path.join(root, "_constraints.json"))
+
+    def _add_constraint(self, name: str, cname: str,
+                        expr: str) -> DataFrame:
+        """``ALTER TABLE t ADD CONSTRAINT n CHECK (expr)``: the
+        expression must analyze against the table's schema, and every
+        EXISTING row must satisfy it (one full validation scan — the
+        documented Delta ADD CONSTRAINT cost; at 100 TB that is the
+        price of making the invariant true, paid once). NULL results
+        satisfy CHECK (ANSI three-valued logic)."""
+        root = self._root(name)
+        cons = self.constraints(name)
+        if cname in cons:
+            raise ValueError(
+                f"ADD CONSTRAINT: {cname!r} already exists on {name!r} "
+                f"(CHECK ({cons[cname]}))"
+            )
+        cur = self.snapshot(name)
+        try:
+            self.spark.createDataFrame([], cur.schema).where(expr)
+        except Exception as e:
+            raise ValueError(
+                f"ADD CONSTRAINT: CHECK expression {expr!r} does not "
+                f"analyze against {name!r}'s schema ({e})"
+            ) from None
+        bad = cur.where(f"NOT ({expr})").count()
+        if bad:
+            raise ValueError(
+                f"ADD CONSTRAINT: {bad} existing row(s) of {name!r} "
+                f"violate CHECK ({expr}) — fix the data first"
+            )
+        cons[cname] = expr
+        self._write_constraints(root, cons)
+        return self.spark.createDataFrame(
+            [(f"add constraint {cname}", len(cons))],
+            "operation string, num_constraints int",
+        )
+
+    def _drop_constraint(self, name: str, cname: str,
+                         if_exists: bool) -> DataFrame:
+        root = self._root(name)
+        cons = self.constraints(name)
+        if cname not in cons:
+            if if_exists:
+                return self.spark.createDataFrame(
+                    [(f"drop constraint {cname} (absent)", len(cons))],
+                    "operation string, num_constraints int",
+                )
+            raise ValueError(
+                f"DROP CONSTRAINT: no constraint {cname!r} on {name!r} "
+                f"(recorded: {sorted(cons)})"
+            )
+        cons.pop(cname)
+        self._write_constraints(root, cons)
+        return self.spark.createDataFrame(
+            [(f"drop constraint {cname}", len(cons))],
+            "operation string, num_constraints int",
+        )
+
+    def _enforce_constraints(self, name: str, df: DataFrame,
+                             stmt: str) -> None:
+        """Refuse the statement if any incoming/updated row violates a
+        recorded CHECK constraint — one filter-count per constraint
+        over the STATEMENT's rows only (never the table)."""
+        for cname, expr in self.constraints(name).items():
+            bad = df.where(f"NOT ({expr})").count()
+            if bad:
+                raise ValueError(
+                    f"{stmt}: {bad} row(s) violate constraint "
+                    f"{cname!r} CHECK ({expr}) on {name!r}"
+                )
 
     def _show_tables(self) -> DataFrame:
         """``SHOW TXLOG TABLES``: the catalog's registry — one row per
@@ -1085,6 +1213,10 @@ class TxlogSqlCatalog:
             p = os.path.join(root, f)
             if os.path.exists(p):
                 size += os.path.getsize(p)
+        cons = [
+            f"{n} CHECK ({e})"
+            for n, e in sorted(self.constraints(name).items())
+        ]
         return self.spark.createDataFrame(
             [(
                 name, root, "txlog", int(snap["version"]),
@@ -1092,11 +1224,13 @@ class TxlogSqlCatalog:
                 int(snap.get("num_buckets") or 0),
                 list(snap.get("keys") or []),
                 int(size),
+                cons,
             )],
             "table string, location string, format string, "
             "version int, num_files int, num_rows long, "
             "num_deleted long, num_buckets int, "
-            "keys array<string>, size_bytes long",
+            "keys array<string>, size_bytes long, "
+            "constraints array<string>",
         )
 
     def _sql_restore(self, m: re.Match) -> DataFrame:

@@ -1794,3 +1794,81 @@ def test_txlog_sql_catalog_alter_table(spark, tmp_path):
     with _pytest.raises(Exception) as ei:
         cat.sql("ALTER TABLE not_ours DROP COLUMN x")
     assert not isinstance(ei.value, (ValueError, KeyError))
+
+
+def test_txlog_sql_catalog_check_constraints(spark, tmp_path):
+    """CHECK constraints (round 10): recorded in a table-root sidecar
+    (never inside _txlog — the commit log's *.json namespace is the
+    version sequence), enforced at every catalog write statement
+    (INSERT / UPDATE / MERGE INTO) against the STATEMENT's rows only;
+    ADD CONSTRAINT validates the expression analyzes and that every
+    existing row satisfies it; NULL satisfies CHECK (ANSI three-valued
+    logic); DESCRIBE DETAIL lists the recorded set."""
+    import pytest as _pytest
+
+    from instagram_data_pipeline_spark.sources.txlog_catalog import (
+        TxlogSqlCatalog,
+    )
+
+    cat = TxlogSqlCatalog(spark)
+    loc = str(tmp_path / "t")
+    cat.sql(f"CREATE TABLE t (k BIGINT, v DOUBLE, tag STRING) USING txlog "
+            f"CLUSTERED BY (k) INTO 4 BUCKETS LOCATION '{loc}'")
+    cat.sql("INSERT INTO t VALUES (1, 1.0, 'a'), (2, 2.0, 'b')")
+
+    m = cat.sql("ALTER TABLE t ADD CONSTRAINT v_pos CHECK (v > 0)").first()
+    assert m.num_constraints == 1
+    m = cat.sql(
+        "ALTER TABLE t ADD CONSTRAINT tag_ok "
+        "CHECK (tag IN ('a','b','c'))"
+    ).first()
+    assert m.num_constraints == 2
+
+    # every write statement validates its rows
+    with _pytest.raises(ValueError, match="v_pos"):
+        cat.sql("INSERT INTO t VALUES (3, -1.0, 'a')")
+    with _pytest.raises(ValueError, match="tag_ok"):
+        cat.sql("INSERT INTO t VALUES (3, 1.0, 'z')")
+    with _pytest.raises(ValueError, match="v_pos"):
+        cat.sql("UPDATE t SET v = v - 5 WHERE k = 1")
+    spark.sql(
+        "SELECT 3 AS k, CAST(-1 AS DOUBLE) AS v, 'a' AS tag"
+    ).createOrReplaceTempView("constraint_bad_src")
+    with _pytest.raises(ValueError, match="v_pos"):
+        cat.sql("MERGE INTO t USING constraint_bad_src "
+                "ON t.k = constraint_bad_src.k "
+                "WHEN MATCHED THEN UPDATE SET * "
+                "WHEN NOT MATCHED THEN INSERT *")
+
+    # NULL satisfies CHECK; valid rows pass
+    assert cat.sql(
+        "INSERT INTO t (k, tag) VALUES (4, 'c')"
+    ).first().num_inserted_rows == 1
+    assert cat.sql(
+        "INSERT INTO t VALUES (5, 9.0, 'a')"
+    ).first().num_inserted_rows == 1
+
+    # ADD validates existing rows and expression analysis
+    with _pytest.raises(ValueError, match="existing row"):
+        cat.sql("ALTER TABLE t ADD CONSTRAINT big CHECK (v > 100)")
+    with _pytest.raises(ValueError, match="does not analyze"):
+        cat.sql("ALTER TABLE t ADD CONSTRAINT bogus CHECK (nope > 1)")
+    with _pytest.raises(ValueError, match="already exists"):
+        cat.sql("ALTER TABLE t ADD CONSTRAINT v_pos CHECK (v > 1)")
+
+    d = cat.sql("DESCRIBE DETAIL t").first()
+    assert d.constraints == [
+        "tag_ok CHECK (tag IN ('a','b','c'))", "v_pos CHECK (v > 0)"
+    ]
+
+    # DROP releases the policy; IF EXISTS no-ops; unknown drop is loud
+    assert cat.sql(
+        "ALTER TABLE t DROP CONSTRAINT v_pos"
+    ).first().num_constraints == 1
+    cat.sql("INSERT INTO t VALUES (6, -2.0, 'a')")  # now admissible
+    assert cat.sql(
+        "ALTER TABLE t DROP CONSTRAINT IF EXISTS gone"
+    ).first().num_constraints == 1
+    with _pytest.raises(ValueError, match="no constraint"):
+        cat.sql("ALTER TABLE t DROP CONSTRAINT gone")
+    assert cat.sql("SELECT count(*) AS n FROM t").first().n == 5
