@@ -2336,6 +2336,76 @@ class TransactionLogFormat:
         )
         return self._latest(wh, table)
 
+    def convert_to_txlog(self, wh, table: str, keys: list[str]) -> dict:
+        """Adopt a FLAT directory of existing parquet files as version
+        1 of a transaction-log table WITHOUT rewriting a byte (the
+        Delta ``CONVERT TO DELTA`` shape): the manifest references the
+        files in place, per-file row counts and zone maps come from
+        one local footer read each (the same metadata ``_write_commit``
+        harvests), and the schema is the files' own. Reads, time
+        travel, metadata COUNT/MIN-MAX, and zone-map pruning work
+        immediately.
+
+        The recorded contract is ``num_buckets=1`` with every adopted
+        file in bucket 0 — the one honest choice: foreign files are
+        not bucketed by key-hash, and any finer claimed modulus would
+        let a later merge scope AWAY from files that still hold its
+        keys (duplicate-key corruption). Under the 1-bucket contract
+        the FIRST merge necessarily reads and rewrites the adopted
+        set — the bounded one-time migration cost, amortized into the
+        first write — after which the table is an ordinary txlog
+        table that :meth:`rebucket` can spread to any modulus. The
+        key-unique contract is validated up front (one distinct-count
+        scan); duplicate keys are refused loudly rather than silently
+        collapsed by the first merge's keep-newest window."""
+        import pyarrow.parquet as pq
+
+        root = Path(wh.path(table))
+        log = root / "_txlog"
+        if log.exists() and any(log.glob("*.json")):
+            raise ValueError(
+                f"convert_to_txlog: {root} already holds a committed "
+                f"txlog table"
+            )
+        paths = sorted(root.glob("*.parquet"))
+        if not paths:
+            raise ValueError(
+                f"convert_to_txlog: no *.parquet files at {root} "
+                f"(adoption is defined for a FLAT parquet directory)"
+            )
+        df = wh.spark.read.parquet(str(root))
+        names = set(df.columns)
+        missing = set(keys) - names
+        if missing:
+            raise ValueError(
+                f"convert_to_txlog: key column(s) {sorted(missing)} "
+                f"not in the files' schema {sorted(names)}"
+            )
+        n = df.count()
+        nd = df.select(*keys).dropDuplicates().count()
+        if n != nd:
+            raise ValueError(
+                f"convert_to_txlog: {n - nd} duplicate key group(s) "
+                f"under {keys} — the format's key-unique contract "
+                f"would silently collapse them on the first merge; "
+                f"dedup first"
+            )
+        files: dict[str, int] = {}
+        rows: dict[str, int] = {}
+        stats: dict[str, dict] = {}
+        for p in paths:
+            rel = str(p.relative_to(root))
+            meta = pq.ParquetFile(str(p)).metadata
+            files[rel] = 0
+            rows[rel] = meta.num_rows
+            stats[rel] = _footer_minmax(meta)
+        self._publish(
+            wh, table, 1, files, df.schema.json(),
+            rows=rows, stats=stats,
+            keys=list(keys), num_buckets=1,
+        )
+        return self._latest(wh, table)
+
     def restore_version(self, wh, table: str, version: int) -> dict:
         """RESTORE: re-publish committed ``version``'s data state as a
         NEW version on top of the current history (the Delta

@@ -146,6 +146,7 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "txlog_ctas_sql",
     "txlog_alter_sql",
     "txlog_constraints_sql",
+    "txlog_convert_sql",
     # Demoted in current relative order; everything below is >=1-round
     # driver-green (r4+ vintage after this round) and stays DuckDB-
     # oracle-checked every CI run by tests/test_queries_oracle.py.

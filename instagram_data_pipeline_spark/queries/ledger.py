@@ -2720,3 +2720,61 @@ def q_txlog_constraints_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).first()
     assert m.num_inserted_rows == 1
     return cat.sql("SELECT k, v, ts FROM facts_cons")
+
+
+_TXLOG_CONVERT_ORACLE = """
+SELECT o_custkey AS k, MAX(o_totalprice) AS v, MAX(o_orderdate) AS ts
+FROM orders GROUP BY 1
+UNION ALL
+SELECT -1 AS k, 0.5 AS v, TIMESTAMP '2099-01-01' AS ts
+"""
+
+
+@register(
+    "txlog_convert_sql",
+    _TXLOG_CONVERT_ORACLE,
+    doc="CONVERT TO TXLOG via SQL text (the Delta CONVERT TO DELTA "
+        "shape): adopt a flat parquet directory IN PLACE — zero bytes "
+        "rewritten (on-disk census asserted), per-file row counts and "
+        "zone maps harvested from one footer read each, key-unique "
+        "contract validated up front, 1-bucket contract recorded so "
+        "the first merge migrates the layout through the ordinary "
+        "machinery (an INSERT here proves the write path end-to-end); "
+        "time travel to v1 keeps reading the original files; oracle = "
+        "the adopted aggregate UNION the inserted row",
+    tags=("sql", "format", "ddl", "migration"),
+)
+def q_txlog_convert_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+    import os
+
+    from ..sources.txlog_catalog import TxlogSqlCatalog
+
+    orders = load_testdata(spark, sf_dir, "orders")
+    loc = os.path.join(_scratch("txlog_convert_sql", sf_dir), "plain")
+    # a FOREIGN flat parquet landing (not format-written)
+    orders.groupBy(F.col("o_custkey").alias("k")).agg(
+        F.max("o_totalprice").alias("v"),
+        F.max("o_orderdate").alias("ts"),
+    ).repartition(4).write.parquet(loc)
+    census = len(glob.glob(os.path.join(loc, "*.parquet")))
+
+    cat = TxlogSqlCatalog(spark)
+    m = cat.sql(
+        f"CONVERT TO TXLOG facts_conv LOCATION '{loc}' CLUSTERED BY (k)"
+    ).first()
+    assert m.table_version == 1 and m.num_files == census
+    # adoption rewrote nothing
+    assert len(glob.glob(os.path.join(loc, "*.parquet"))) == census
+    # the write surface works immediately (first merge migrates)
+    m = cat.sql(
+        "INSERT INTO facts_conv VALUES (-1, 0.5, TIMESTAMP '2099-01-01')"
+    ).first()
+    assert m.num_inserted_rows == 1 and m.table_version == 2
+    # v1 still reads the adopted files
+    n1 = cat.sql(
+        "SELECT count(*) AS n FROM facts_conv VERSION AS OF 1"
+    ).first().n
+    n2 = cat.sql("SELECT count(*) AS n FROM facts_conv").first().n
+    assert n2 == n1 + 1
+    return cat.sql("SELECT k, v, ts FROM facts_conv")

@@ -167,6 +167,14 @@ _ALTER_DROPCON = re.compile(
     rf"^DROP\s+CONSTRAINT\s+(?:(IF\s+EXISTS)\s+)?({_IDENT})$",
     re.IGNORECASE,
 )
+# CONVERT TO TXLOG: adopt a flat parquet directory in place (the
+# Delta CONVERT TO DELTA shape) under a declared key contract
+_CONVERT = re.compile(
+    rf"^\s*CONVERT\s+TO\s+TXLOG\s+({_IDENT})\s+"
+    r"LOCATION\s+'([^']+)'\s+"
+    r"CLUSTERED\s+BY\s*\(([^)]*)\)\s*;?\s*$",
+    re.IGNORECASE,
+)
 # SHOW TXLOG TABLES (distinct spelling: Spark's own SHOW TABLES lists
 # every temp view and must keep doing so — this one reports the
 # catalog's registry with roots and versions)
@@ -535,6 +543,9 @@ class TxlogSqlCatalog:
         cm = _CREATE.match(query)
         if cm:  # USING TXLOG makes it ours, registered or not
             return self._sql_create(cm)
+        cv = _CONVERT.match(query)
+        if cv:  # CONVERT TO TXLOG is ours by spelling
+            return self._sql_convert(cv)
         drm = _DROP.match(query)
         if drm and drm.group(2) in self.roots:
             return self._sql_drop(drm)
@@ -986,6 +997,33 @@ class TxlogSqlCatalog:
         return self.spark.createDataFrame(
             [(True, int(n), int(version))],
             "created boolean, num_rows long, table_version long",
+        )
+
+    def _sql_convert(self, m: re.Match) -> DataFrame:
+        """``CONVERT TO TXLOG <name> LOCATION '<path>' CLUSTERED BY
+        (keys)`` — adopt a flat parquet directory in place as version 1
+        (`formats.py convert_to_txlog`): no byte rewritten, footer
+        metadata harvested into the manifest, key-uniqueness validated
+        up front, contract recorded as 1 bucket (the first merge
+        migrates the layout; `rebucket` spreads it afterwards). The
+        table registers under ``<name>`` and immediately serves every
+        read AND write statement."""
+        from ..formats import TransactionLogFormat
+
+        name, loc, ccols = m.groups()
+        keys = [c.strip() for c in ccols.split(",") if c.strip()]
+        if not keys:
+            raise ValueError("CONVERT TO TXLOG: empty CLUSTERED BY list")
+        fmt = TransactionLogFormat()
+        snap = fmt.convert_to_txlog(
+            _TableHandle(self.spark, loc), name, keys
+        )
+        self.register(name, loc)
+        rows = snap.get("rows") or {}
+        n_rows = sum(int(v) for v in rows.values())
+        return self.spark.createDataFrame(
+            [(len(snap["files"]), int(n_rows), int(snap["version"]))],
+            "num_files long, num_rows long, table_version long",
         )
 
     def _sql_drop(self, m: re.Match) -> DataFrame:

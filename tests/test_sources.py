@@ -1872,3 +1872,69 @@ def test_txlog_sql_catalog_check_constraints(spark, tmp_path):
     with _pytest.raises(ValueError, match="no constraint"):
         cat.sql("ALTER TABLE t DROP CONSTRAINT gone")
     assert cat.sql("SELECT count(*) AS n FROM t").first().n == 5
+
+
+def test_txlog_sql_catalog_convert_to_txlog(spark, tmp_path):
+    """CONVERT TO TXLOG (round 10): adopt a flat parquet directory in
+    place — zero bytes rewritten (on-disk census pinned), footer
+    metadata harvested into the v1 manifest (metadata COUNT serves
+    immediately), key-uniqueness validated up front, contract
+    recorded as 1 bucket so the FIRST merge migrates the layout
+    through the ordinary machinery; time travel to v1 keeps reading
+    the original files."""
+    import glob
+    import os
+
+    import pytest as _pytest
+
+    from instagram_data_pipeline_spark.formats import TransactionLogFormat
+    from instagram_data_pipeline_spark.sources.txlog_catalog import (
+        TxlogSqlCatalog,
+        _TableHandle,
+    )
+
+    loc = str(tmp_path / "plain")
+    spark.sql(
+        "SELECT id AS k, CAST(id * 2 AS DOUBLE) AS v, "
+        "concat('u', id) AS name FROM range(100)"
+    ).repartition(4).write.parquet(loc)
+    n_before = len(glob.glob(os.path.join(loc, "*.parquet")))
+
+    cat = TxlogSqlCatalog(spark)
+    m = cat.sql(
+        f"CONVERT TO TXLOG adopted LOCATION '{loc}' CLUSTERED BY (k)"
+    ).first()
+    assert (m.table_version, m.num_rows, m.num_files) == (1, 100, n_before)
+    assert len(glob.glob(os.path.join(loc, "*.parquet"))) == n_before
+    assert cat.sql("SELECT count(*) AS n FROM adopted").first().n == 100
+    # metadata-only count served from the harvested footer numbers
+    fmt = TransactionLogFormat()
+    assert fmt.count_rows(_TableHandle(spark, loc), "adopted") == 100
+    d = cat.sql("DESCRIBE DETAIL adopted").first()
+    assert d.num_buckets == 1 and d.keys == ["k"]
+
+    # the full write surface works through the 1-bucket contract
+    assert cat.sql(
+        "INSERT INTO adopted VALUES (500, 1.5, 'new')"
+    ).first().num_inserted_rows == 1
+    cat.sql("UPDATE adopted SET v = 0 WHERE k = 500")
+    cat.sql("DELETE FROM adopted WHERE k IN (1, 2)")
+    assert cat.sql("SELECT count(*) AS n FROM adopted").first().n == 99
+    got = cat.sql("SELECT v, name FROM adopted WHERE k = 7").first()
+    assert (got.v, got.name) == (14.0, "u7")
+    # v1 still reads the adopted files
+    assert cat.sql(
+        "SELECT count(*) AS n FROM adopted VERSION AS OF 1"
+    ).first().n == 100
+
+    # refusals: double-convert, duplicate keys, unknown key column
+    with _pytest.raises(ValueError, match="already holds"):
+        cat.sql(f"CONVERT TO TXLOG a2 LOCATION '{loc}' CLUSTERED BY (k)")
+    loc2 = str(tmp_path / "dups")
+    spark.sql(
+        "SELECT 1 AS k, 1.0 AS x UNION ALL SELECT 1, 2.0"
+    ).write.parquet(loc2)
+    with _pytest.raises(ValueError, match="duplicate key"):
+        cat.sql(f"CONVERT TO TXLOG d LOCATION '{loc2}' CLUSTERED BY (k)")
+    with _pytest.raises(ValueError, match="key column"):
+        cat.sql(f"CONVERT TO TXLOG d LOCATION '{loc2}' CLUSTERED BY (nope)")
