@@ -82,7 +82,14 @@ R10_PROBE_QUERIES = ["txlog_time_travel_sql", "txlog_merge_into_sql",
                      # statements are each one manifest publish, so like
                      # restore its cost is the fixture + the one UPDATE
                      "txlog_insert_into_sql", "txlog_restore_sql",
-                     "txlog_ctas_sql", "txlog_alter_sql"]
+                     "txlog_ctas_sql", "txlog_alter_sql",
+                     # constraint enforcement costs one filter-count per
+                     # statement over the BATCH (never the table) plus
+                     # ADD's one-time validation scan (~linear in table);
+                     # convert harvests one footer per adopted file then
+                     # pays the first-merge migration (~linear in adopted
+                     # data — the documented one-time cost)
+                     "txlog_constraints_sql", "txlog_convert_sql"]
 
 # distinct strides, coprime to virtually all word counts
 _STRIDES = [1, 7, 11, 13, 17, 19, 23, 29, 31, 37, 41, 43]
