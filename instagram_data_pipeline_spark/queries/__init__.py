@@ -134,9 +134,11 @@ REGISTRY_ORDER: tuple[str, ...] = (
     # ------------------- driver window ends at slot 50 --------------------
     # First in line for the r11 window: the changed-impl re-verify the
     # exact 50-slot budget couldn't hold (see (c) above) and the
-    # round-10 late registrations (OPTIMIZE/VACUUM maintenance
-    # statements, INSERT INTO, RESTORE — each CI-oracle-green +
-    # verify_local-green this round, needs its first driver row). All
+    # round-10 late registrations — the SQL-surface completion set
+    # (OPTIMIZE/VACUUM maintenance, INSERT INTO, RESTORE, CTAS/DDL,
+    # ALTER TABLE evolution, CHECK constraints, CONVERT TO TXLOG
+    # adoption), each CI-oracle-green + verify_local-green at sf0.001
+    # AND sf0.01 this round, each needing its first driver row. All
     # slide IN this round if a name above fails to register (load_all
     # skips unknown names).
     "txlog_merge_into_sql",
