@@ -54,33 +54,85 @@ def register(
 # — all of them stay oracle-checked every CI run by
 # tests/test_queries_oracle.py regardless.
 REGISTRY_ORDER: tuple[str, ...] = (
-    # ================= round-10 driver window (50 slots) =================
-    # Standing policy unchanged (see above). This round (VERDICT r9
-    # "Next round" #1/#4, ADVICE r9) the rotation DEBT IS PAID IN FULL:
-    # after this window, no registered query's newest driver row
-    # predates r4.
-    # (a) slots 1-2: the NEW round-10 queries (SQL UPDATE/DELETE on
-    #     the txlog catalog — key-scoped DML over merge_source_wins /
-    #     delete_keys_dv).
-    # (b) slot 3: dpp_partition_prune — registered one commit AFTER
-    #     the r9 driver check ran; first driver row (VERDICT r9
-    #     Missing #1).
-    # (c) slots 4-5: changed-implementation re-verifies —
-    #     txlog_time_travel_sql rides the REWRITTEN literal/comment-
-    #     masking rewriter + session-tz AS-OF resolution (ADVICE r9
-    #     fixes), multimodal_flac_stats rides the widened codec
-    #     (stereo/bit-depth internals + field-width validation).
-    #     txlog_merge_into_sql also changed (ON-side validation) but
-    #     the 50-slot budget is exact: it sits at slot 51 (slides in
-    #     if any name above fails to register), its r9 driver row is
-    #     the freshest in the registry, and the tightened validation
-    #     is pinned by dedicated unit tests + the model test's random
-    #     SQL ops this round.
-    # (d) slots 6-9: the r2-vintage stragglers (VERDICT r9 Next #1).
-    # (e) slots 10-50: the ENTIRE remaining r3-vintage backlog — the
-    #     final FIFO tranche (41 queries: ledger/write family,
-    #     analysis, temporal, text, dedup, similarity/ANN,
-    #     multimodal, sampling, streaming).
+    # ================= round-11 driver window (50 slots) =================
+    # Standing policy unchanged (see above). Window composition
+    # (VERDICT r10 "Next round" #1):
+    # (a) slots 1-8: the SQL-statement-surface completion set.
+    #     txlog_merge_into_sql is the changed-impl re-verify the exact
+    #     r10 budget could not hold (ON-side validation tightened r10);
+    #     the other 7 registered after the r10 driver check ran and
+    #     need their FIRST driver rows (each already CI-oracle-green +
+    #     judge-verified PASS at sf0.01 in r10). txlog_alter_sql and
+    #     txlog_ctas_sql additionally re-verify CHANGED impls this
+    #     round (ADVICE r10: multi-column ADD, parenthesized types,
+    #     IF-NOT-EXISTS spec validation, REPLACE as forward commit).
+    # (b) slots 9-33: the entire r4-vintage cohort (25 queries) — the
+    #     oldest driver evidence in the registry, FIFO per the rotation
+    #     policy (COVERAGE.md "Driver-window rotation policy").
+    # (c) slots 34-50: the r5-vintage FIFO head (17 slots). Twin pairs
+    #     travel whole: classifier_score_fixed (r6 vintage) is pulled
+    #     one round early to sit beside its rows-only twin
+    #     classifier_weights, and each sketch family's hash-checked
+    #     _portable twin is adjacent to its rows-only tier, so every
+    #     probabilistic family seated this round ships a hard row.
+    #     r5 remainder (stream_neardup_dedup, multimodal_jpeg_stats,
+    #     dedup_keep_best, multimodal_mjpeg_stats, c4_line_filter,
+    #     dup_span_removal) heads the r12 queue below.
+    "txlog_merge_into_sql",
+    "txlog_maintenance_sql",
+    "txlog_insert_into_sql",
+    "txlog_restore_sql",
+    "txlog_ctas_sql",
+    "txlog_alter_sql",
+    "txlog_constraints_sql",
+    "txlog_convert_sql",
+    "pagerank",
+    "kcore_members",
+    "bm25_topk",
+    "lm_perplexity",
+    "dsir_weights",
+    "semantic_dedup",
+    "leakage_safe_split",
+    "quantile_sketch",
+    "grouped_median_sketch",
+    "distribution_drift",
+    "snapshot_diff",
+    "scd2_history",
+    "multitouch_attribution",
+    "stream_static_enrich",
+    "context_chunks",
+    "multimodal_audio_stats",
+    "weighted_sample",
+    "hashed_tf_features",
+    "equidepth_buckets",
+    "connected_components",
+    "dedup_clusters",
+    "multimodal_png_stats",
+    "multimodal_ulaw_stats",
+    "url_frequency_cap",
+    "constraint_report",
+    "classifier_score_fixed",
+    "classifier_weights",
+    "skew_report",
+    "unigram_encode_tokens",
+    "unigram_vocab",
+    "bpe_encode_tokens",
+    "bpe_merges",
+    "minhash_near_dups_portable",
+    "minhash_near_dups",
+    "simhash_near_dups_portable",
+    "simhash_near_dups",
+    "cms_heavy_users_portable",
+    "cms_heavy_users",
+    "approx_distinct_users_portable",
+    "approx_distinct_users",
+    "ivf_incremental_topk",
+    "incremental_minhash_dedup",
+    # ------------------- driver window ends at slot 50 --------------------
+    # r12 queue head: the r5-vintage remainder, then r6-vintage FIFO.
+    # Everything below stays DuckDB-oracle-checked every CI run by
+    # tests/test_queries_oracle.py; rows-only tiers past the window are
+    # covered by POST_WINDOW_ROWS_ONLY_OK.
     "txlog_update_sql",
     "txlog_delete_sql",
     "dpp_partition_prune",
@@ -131,29 +183,6 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "stratified_sample",
     "mixture_sample",
     "temperature_mixture",
-    # ------------------- driver window ends at slot 50 --------------------
-    # First in line for the r11 window: the changed-impl re-verify the
-    # exact 50-slot budget couldn't hold (see (c) above) and the
-    # round-10 late registrations — the SQL-surface completion set
-    # (OPTIMIZE/VACUUM maintenance, INSERT INTO, RESTORE, CTAS/DDL,
-    # ALTER TABLE evolution, CHECK constraints, CONVERT TO TXLOG
-    # adoption), each CI-oracle-green + verify_local-green at sf0.001
-    # AND sf0.01 this round, each needing its first driver row. All
-    # slide IN this round if a name above fails to register (load_all
-    # skips unknown names).
-    "txlog_merge_into_sql",
-    "txlog_maintenance_sql",
-    "txlog_insert_into_sql",
-    "txlog_restore_sql",
-    "txlog_ctas_sql",
-    "txlog_alter_sql",
-    "txlog_constraints_sql",
-    "txlog_convert_sql",
-    # Demoted in current relative order; everything below is >=1-round
-    # driver-green (r4+ vintage after this round) and stays DuckDB-
-    # oracle-checked every CI run by tests/test_queries_oracle.py.
-    # Rows-only tiers keep their hash-checked-twin adjacency; entries
-    # past the window are covered by POST_WINDOW_ROWS_ONLY_OK.
     "txlog_widen_evolution",
     "txlog_stream_merge_sink",
     "txlog_rebucket_layout",
@@ -281,58 +310,16 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "rate_limit_admission",
     "label_propagation",
     "incremental_components",
-    "classifier_score_fixed",
     "contrastive_triplets",
     "wordpiece_encode_tokens",
     "dup_spans",
     "pca_project_fixed",
-    "classifier_weights",
-    "skew_report",
-    "unigram_encode_tokens",
-    "unigram_vocab",
-    "bpe_encode_tokens",
-    "bpe_merges",
-    "minhash_near_dups_portable",
-    "minhash_near_dups",
-    "simhash_near_dups_portable",
-    "simhash_near_dups",
-    "cms_heavy_users_portable",
-    "cms_heavy_users",
-    "approx_distinct_users_portable",
-    "approx_distinct_users",
-    "ivf_incremental_topk",
-    "incremental_minhash_dedup",
     "stream_neardup_dedup",
     "multimodal_jpeg_stats",
     "dedup_keep_best",
     "multimodal_mjpeg_stats",
     "c4_line_filter",
     "dup_span_removal",
-    "pagerank",
-    "kcore_members",
-    "bm25_topk",
-    "lm_perplexity",
-    "dsir_weights",
-    "semantic_dedup",
-    "leakage_safe_split",
-    "quantile_sketch",
-    "grouped_median_sketch",
-    "distribution_drift",
-    "snapshot_diff",
-    "scd2_history",
-    "multitouch_attribution",
-    "stream_static_enrich",
-    "context_chunks",
-    "multimodal_audio_stats",
-    "weighted_sample",
-    "hashed_tf_features",
-    "equidepth_buckets",
-    "connected_components",
-    "dedup_clusters",
-    "multimodal_png_stats",
-    "multimodal_ulaw_stats",
-    "url_frequency_cap",
-    "constraint_report",
 )
 DRIVER_WINDOW = 50
 

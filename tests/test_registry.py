@@ -10,27 +10,30 @@ from instagram_data_pipeline_spark.queries import (
     load_all,
 )
 
-# queries that MUST occupy the round-10 driver window: the two new
-# SQL DML queries, dpp_partition_prune's FIRST driver row (registered
-# after the r9 check ran), the changed-implementation re-verifies
-# (literal-masking rewriter + session-tz AS-OF; widened FLAC codec),
-# and the final FIFO tranche — the r2/r3-vintage backlog that pays the
-# rotation debt in full (VERDICT r9 Next #1/#4)
+# queries that MUST occupy the round-11 driver window: the SQL-surface
+# completion set needing first driver rows (plus the merge re-verify
+# the exact r10 budget couldn't hold, and the alter/ctas changed-impl
+# re-verifies from the ADVICE r10 fixes), then the r4-vintage cohort —
+# the oldest driver evidence in the registry — and the r5 FIFO head
+# with twin pairs whole (VERDICT r10 Next #1)
 PRIORITY = {
-    # new round-10 queries
-    "txlog_update_sql", "txlog_delete_sql",
-    # first driver row (registered one commit after the r9 check)
-    "dpp_partition_prune",
-    # implementation changed in round 10 — re-verify in-window
-    "txlog_time_travel_sql", "multimodal_flac_stats",
-    # r2-vintage stragglers
-    "event_funnel", "price_quantiles", "pandas_group_summary",
-    "props_json_extract",
-    # r3-vintage tranche heads (full 41 seated; spot-pin one per family)
-    "ledger_assign_ids", "keyword_categorize", "validate_interests",
-    "daily_quota_admission", "asof_attribution", "lang_id",
-    "dedup_exact", "ann_lsh_topk", "multimodal_image_stats",
-    "stratified_sample", "stream_dedup", "cube_revenue",
+    # SQL-surface set: merge re-verify + 7 first-driver-row queries
+    "txlog_merge_into_sql", "txlog_maintenance_sql",
+    "txlog_insert_into_sql", "txlog_restore_sql", "txlog_ctas_sql",
+    "txlog_alter_sql", "txlog_constraints_sql", "txlog_convert_sql",
+    # r4-vintage cohort heads (full 25 seated; spot-pin one per family)
+    "pagerank", "bm25_topk", "semantic_dedup", "leakage_safe_split",
+    "quantile_sketch", "snapshot_diff", "scd2_history",
+    "multitouch_attribution", "multimodal_audio_stats",
+    "connected_components", "url_frequency_cap", "constraint_report",
+    # r5 FIFO head: rows-only tiers seated WITH their hash-checked twins
+    "classifier_score_fixed", "classifier_weights",
+    "unigram_encode_tokens", "unigram_vocab",
+    "bpe_encode_tokens", "bpe_merges",
+    "minhash_near_dups_portable", "minhash_near_dups",
+    "simhash_near_dups_portable", "simhash_near_dups",
+    "cms_heavy_users_portable", "cms_heavy_users",
+    "approx_distinct_users_portable", "approx_distinct_users",
 }
 
 
