@@ -1272,21 +1272,40 @@ class TransactionLogFormat:
         )
 
     def add_column(self, wh, table: str, name: str, dtype) -> int:
+        """Metadata-only column ADD — single-column spelling of
+        :meth:`add_columns` (same manifest shape, same rules)."""
+        return self.add_columns(wh, table, [(name, dtype)])
+
+    def add_columns(self, wh, table: str, cols) -> int:
         """Metadata-only column ADD: publish version N+1 whose schema
-        appends a NULLABLE ``name`` — every data file is carried by
-        reference and reads back NULL for the new column (the
-        additive-evolution read rule merges already rely on; this is
-        the explicit-DDL spelling of the same evolution). On a
-        column-mapped table the new field gets a fresh id and a
-        physical name no live OR TOMBSTONED field has ever used, so a
-        re-add of a previously dropped logical name can never
-        resurrect the old bytes (the drop_column reservation rule).
-        One manifest publish at any table size; returns the published
-        version."""
+        appends every ``(name, dtype)`` in ``cols`` as NULLABLE — one
+        manifest commit for the whole list (``ALTER TABLE ... ADD
+        COLUMNS (a INT, b STRING)`` is one statement, so one version).
+        Every data file is carried by reference and reads back NULL
+        for the new columns (the additive-evolution read rule merges
+        already rely on; this is the explicit-DDL spelling of the same
+        evolution). On a column-mapped table each new field gets a
+        fresh id and a physical name no live OR TOMBSTONED field has
+        ever used, so a re-add of a previously dropped logical name
+        can never resurrect the old bytes (the drop_column reservation
+        rule). One manifest publish at any table size; returns the
+        published version."""
         from pyspark.sql.types import StructField, StructType
 
-        if isinstance(dtype, str):
-            dtype = StructType.fromDDL(f"__x {dtype}").fields[0].dataType
+        if not cols:
+            raise ValueError("add_columns: empty column list")
+        parsed: list[tuple[str, object]] = []
+        for name, dtype in cols:
+            if isinstance(dtype, str):
+                dtype = StructType.fromDDL(f"__x {dtype}").fields[0].dataType
+            parsed.append((name, dtype))
+        seen: set[str] = set()
+        for name, _ in parsed:
+            if name in seen:
+                raise ValueError(
+                    f"add_columns: {name!r} listed twice in one statement"
+                )
+            seen.add(name)
         for _ in range(self.MAX_COMMIT_RETRIES):
             snap = self._latest(wh, table)
             if snap is None:
@@ -1296,24 +1315,31 @@ class TransactionLogFormat:
                     f"add_column: {table!r} has a pre-schema manifest"
                 )
             schema = StructType.fromJson(json.loads(snap["schema"]))
-            if name in [f.name for f in schema.fields]:
-                raise ValueError(f"add_column: {name!r} already exists")
+            existing = {f.name for f in schema.fields}
+            for name, _ in parsed:
+                if name in existing:
+                    raise ValueError(f"add_column: {name!r} already exists")
             if "fields" in snap:
                 fields, dropped, next_fid = self._bootstrap_fields(
                     snap, schema
                 )
                 used_phys = {f["phys"] for f in fields + dropped}
-                phys = (
-                    name if name not in used_phys else f"{name}_f{next_fid}"
-                )
-                fields.append(
-                    {"id": next_fid, "name": name, "phys": phys}
-                )
-                next_fid += 1
+                for name, _ in parsed:
+                    phys = (
+                        name
+                        if name not in used_phys
+                        else f"{name}_f{next_fid}"
+                    )
+                    fields.append(
+                        {"id": next_fid, "name": name, "phys": phys}
+                    )
+                    used_phys.add(phys)
+                    next_fid += 1
             else:  # unmapped table stays unmapped (identity naming)
                 fields, dropped, next_fid = None, None, None
             new_schema = StructType(
-                list(schema.fields) + [StructField(name, dtype, True)]
+                list(schema.fields)
+                + [StructField(n, t, True) for n, t in parsed]
             )
             try:
                 self._publish(
@@ -2336,6 +2362,53 @@ class TransactionLogFormat:
         )
         return self._latest(wh, table)
 
+    def replace_table(
+        self, wh, table: str, schema, keys: list[str],
+        num_buckets: int,
+    ) -> dict:
+        """``CREATE OR REPLACE`` as a FORWARD commit (Delta parity;
+        ADVICE r10 — the old implementation rmtree'd the table root,
+        erasing all history): publish version N+1 with an EMPTY file
+        set under the NEW schema / merge-key / bucket contract,
+        leaving every prior manifest — and the data files they
+        reference — untouched, so time travel to pre-replace versions
+        keeps working until VACUUM expires them. Nothing is deleted
+        here. The new version carries no column-mapping section (the
+        file set is empty, so identity naming restarts cleanly — no
+        old bytes are referenced that a fresh physical name could
+        collide with) and no ``txns`` markers (streaming idempotence
+        restarts with the new table identity). One manifest publish at
+        any table size; returns the published snapshot."""
+        names = {f.name for f in schema.fields}
+        missing = set(keys) - names
+        if missing:
+            raise ValueError(
+                f"replace_table: key column(s) {sorted(missing)} not "
+                f"in schema {sorted(names)}"
+            )
+        if int(num_buckets) < 1:
+            raise ValueError("replace_table: num_buckets must be >= 1")
+        for _ in range(self.MAX_COMMIT_RETRIES):
+            snap = self._latest(wh, table)
+            if snap is None:
+                raise ValueError(
+                    f"replace_table: no committed table at "
+                    f"{wh.path(table)!r} — use create_table"
+                )
+            try:
+                self._publish(
+                    wh, table, snap["version"] + 1, {}, schema.json(),
+                    rows={}, stats={},
+                    keys=list(keys), num_buckets=int(num_buckets),
+                )
+                return self._latest(wh, table)
+            except CommitConflict:
+                continue
+        raise CommitConflict(
+            f"replace_table on {table!r}: gave up after "
+            f"{self.MAX_COMMIT_RETRIES} commit conflicts"
+        )
+
     def convert_to_txlog(self, wh, table: str, keys: list[str]) -> dict:
         """Adopt a FLAT directory of existing parquet files as version
         1 of a transaction-log table WITHOUT rewriting a byte (the
@@ -2651,13 +2724,23 @@ class TransactionLogFormat:
     def read_version(self, wh, table: str, version: int) -> DataFrame:
         """Time travel: read the table exactly as of ``version``, under
         that version's own recorded schema (a later evolution does not
-        retroactively widen history)."""
-        with open(self._log_dir(wh, table) / f"{version:08d}.json") as f:
-            snap = json.load(f)
+        retroactively widen history). An expired version (VACUUM KEEP k
+        VERSIONS dropped its manifest) is refused with an error naming
+        it — never silently served from a neighbor."""
+        snap = self._snap_at(wh, table, version)
         return self._read_snapshot(wh, Path(wh.path(table)), snap)
 
     def _snap_at(self, wh, table: str, version: int) -> dict:
-        with open(self._log_dir(wh, table) / f"{version:08d}.json") as f:
+        path = self._log_dir(wh, table) / f"{version:08d}.json"
+        if not path.exists():
+            live = self.versions(wh, table)
+            span = f"{live[0]}..{live[-1]}" if live else "none"
+            raise FileNotFoundError(
+                f"{table}: version {version} is not in the log "
+                f"(surviving versions: {span}) — it was never committed "
+                f"or has been expired by VACUUM KEEP k VERSIONS"
+            )
+        with open(path) as f:
             return json.load(f)
 
     def changes_between(

@@ -151,9 +151,13 @@ _ALTER_RENAME = re.compile(
 _ALTER_DROPCOL = re.compile(
     rf"^DROP\s+COLUMN\s+({_IDENT})$", re.IGNORECASE
 )
+# Capture the whole column spec and hand it to Spark's own DDL parser
+# (StructType.fromDDL) — a field-by-field regex mangled both the
+# plural 'ADD COLUMNS (a INT, b STRING)' spelling (silently dropping
+# every column after the first) and parenthesized types like
+# DECIMAL(10,2) (ADVICE r10)
 _ALTER_ADD = re.compile(
-    rf"^ADD\s+COLUMNS?\s+\(?\s*({_IDENT})\s+([A-Za-z0-9_<>(),. ]+?)\s*\)?$",
-    re.IGNORECASE,
+    r"^ADD\s+COLUMNS?\s+(.+)$", re.IGNORECASE | re.DOTALL
 )
 _ALTER_TYPE = re.compile(
     rf"^ALTER\s+COLUMN\s+({_IDENT})\s+TYPE\s+([A-Za-z0-9_]+)$",
@@ -195,6 +199,47 @@ _VACUUM = re.compile(
     r"(?:\s+KEEP\s+(\d+)\s+VERSIONS)?\s*;?\s*$",
     re.IGNORECASE,
 )
+
+
+def _strip_wrapping_parens(s: str) -> str:
+    """Remove parens only when they wrap the WHOLE string as one
+    balanced pair — ``(a INT, b STRING)`` loses them, but the closing
+    paren of ``a DECIMAL(10,2)`` is part of the type and survives."""
+    s = s.strip()
+    while s.startswith("(") and s.endswith(")"):
+        depth = 0
+        for i, c in enumerate(s):
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+                if depth == 0 and i != len(s) - 1:
+                    return s  # first paren closes mid-string: not a wrapper
+        s = s[1:-1].strip()
+    return s
+
+
+def _parse_add_columns_spec(spec: str) -> list:
+    """Parse the column spec of ``ADD COLUMN[S]`` with Spark's own DDL
+    parser so every accepted spelling is handled in full: multi-column
+    lists become one field each (never silently truncated to the
+    first) and parenthesized types — DECIMAL(10,2), VARCHAR(8) —
+    parse instead of failing (ADVICE r10). Returns [(name, DataType)]."""
+    from pyspark.sql.types import StructType
+
+    ddl = _strip_wrapping_parens(spec)
+    try:
+        struct = StructType.fromDDL(ddl)
+    except Exception as exc:
+        raise ValueError(
+            f"ALTER TABLE ADD COLUMN(S): cannot parse column spec "
+            f"{spec!r}: {exc}"
+        ) from None
+    if not struct.fields:
+        raise ValueError(
+            f"ALTER TABLE ADD COLUMN(S): empty column spec {spec!r}"
+        )
+    return [(f.name, f.dataType) for f in struct.fields]
 
 
 def _masked_spans(text: str) -> list[tuple[int, int]]:
@@ -934,11 +979,20 @@ class TxlogSqlCatalog:
         publishes an EMPTY v1 (readers see a valid empty snapshot;
         later merges validate against the declared contract); CTAS
         follows it with an ordinary transactional merge (v2), with the
-        same key-unique enforcement as INSERT. ``OR REPLACE`` drops
-        any committed table at the location first; ``IF NOT EXISTS``
-        no-ops when one is already there."""
+        same key-unique enforcement as INSERT. ``OR REPLACE`` is a
+        FORWARD commit over the existing log (Delta parity, ADVICE
+        r10): the new schema/contract lands as version N+1 with an
+        empty file set, prior versions stay time-travel-able until
+        vacuumed, and the CHECK-constraint sidecar is cleared (it
+        governed the replaced table's columns). ``IF NOT EXISTS``
+        no-ops when a table is already there — but only after
+        validating that the statement's CLUSTERED BY keys, bucket
+        count, and (when a column list is given) schema match the
+        committed table's recorded contract; a silent success under a
+        different contract than the caller declared is refused
+        (ADVICE r10)."""
+        import json as _json
         import os
-        import shutil
 
         from pyspark.sql.types import StructType
 
@@ -961,10 +1015,42 @@ class TxlogSqlCatalog:
             raise ValueError("CREATE TABLE: empty CLUSTERED BY list")
         exists = os.path.isdir(os.path.join(loc, "_txlog"))
         if exists and if_not_exists:
+            man = _load_manifest(loc, None)
+            rec_keys = man.get("keys")
+            if rec_keys is not None and list(rec_keys) != keys:
+                raise ValueError(
+                    f"CREATE TABLE IF NOT EXISTS: {loc!r} holds a "
+                    f"table CLUSTERED BY {list(rec_keys)}, statement "
+                    f"declares {keys} — refusing to register under a "
+                    f"different contract"
+                )
+            rec_nb = man.get("num_buckets")
+            if rec_nb is not None and int(rec_nb) != int(nbuckets):
+                raise ValueError(
+                    f"CREATE TABLE IF NOT EXISTS: {loc!r} holds a "
+                    f"table with {int(rec_nb)} buckets, statement "
+                    f"declares {int(nbuckets)} — refusing to register "
+                    f"under a different contract"
+                )
+            if colspec is not None and "schema" in man:
+                declared = StructType.fromDDL(colspec)
+                recorded = StructType.fromJson(
+                    _json.loads(man["schema"])
+                )
+                if [(f.name, f.dataType) for f in declared.fields] != [
+                    (f.name, f.dataType) for f in recorded.fields
+                ]:
+                    raise ValueError(
+                        f"CREATE TABLE IF NOT EXISTS: {loc!r} holds a "
+                        f"table with schema "
+                        f"{recorded.simpleString()}, statement "
+                        f"declares {declared.simpleString()} — "
+                        f"refusing to register under a different "
+                        f"contract"
+                    )
             self.register(name, loc)
-            version = _load_manifest(loc, None)["version"]
             return self.spark.createDataFrame(
-                [(False, 0, int(version))],
+                [(False, 0, int(man["version"]))],
                 "created boolean, num_rows long, table_version long",
             )
         if exists and not or_replace:
@@ -973,8 +1059,6 @@ class TxlogSqlCatalog:
                 f"table — use OR REPLACE, IF NOT EXISTS, or "
                 f"register() to attach it"
             )
-        if exists:  # OR REPLACE: the old state goes away entirely
-            shutil.rmtree(loc, ignore_errors=True)
         fmt = TransactionLogFormat()
         handle = _TableHandle(self.spark, loc)
         src = None
@@ -983,7 +1067,13 @@ class TxlogSqlCatalog:
             schema = src.schema
         else:
             schema = StructType.fromDDL(colspec)
-        fmt.create_table(handle, name, schema, keys, int(nbuckets))
+        if exists:  # OR REPLACE: forward commit, history preserved
+            fmt.replace_table(handle, name, schema, keys, int(nbuckets))
+            cpath = os.path.join(loc, "_constraints.json")
+            if os.path.exists(cpath):
+                os.remove(cpath)
+        else:
+            fmt.create_table(handle, name, schema, keys, int(nbuckets))
         n = 0
         if src is not None:
             self._check_key_unique(src, keys, "CREATE TABLE AS")
@@ -1053,9 +1143,12 @@ class TxlogSqlCatalog:
 
     def _sql_alter(self, m: re.Match) -> DataFrame:
         """``ALTER TABLE <name> RENAME COLUMN a TO b | DROP COLUMN c |
-        ADD COLUMN c <type> | ALTER COLUMN c TYPE <wider>`` — the four
+        ADD COLUMN[S] <spec> | ALTER COLUMN c TYPE <wider>`` — the four
         metadata-only schema-evolution statements, each ONE manifest
-        publish at any table size (column-mapping indirection for
+        publish at any table size (a multi-column ``ADD COLUMNS
+        (a INT, b STRING)`` list is still one manifest; the spec goes
+        through Spark's DDL parser so parenthesized types like
+        DECIMAL(10,2) work) (column-mapping indirection for
         rename/drop, appended nullable field for add, safe-lattice
         widening for type — a merge-key rename tracks the key list,
         a merge-key drop/widen is refused by the format). Returns an
@@ -1087,10 +1180,9 @@ class TxlogSqlCatalog:
             version = fmt.drop_column(handle, name, dm.group(1))
             op = f"drop {dm.group(1)}"
         elif ad:
-            version = fmt.add_column(
-                handle, name, ad.group(1), ad.group(2).lower()
-            )
-            op = f"add {ad.group(1)}"
+            cols = _parse_add_columns_spec(ad.group(1))
+            version = fmt.add_columns(handle, name, cols)
+            op = "add " + ", ".join(n for n, _ in cols)
         elif ty:
             version = fmt.widen_column(
                 handle, name, ty.group(1), ty.group(2).lower()
@@ -1100,7 +1192,8 @@ class TxlogSqlCatalog:
             raise ValueError(
                 f"ALTER TABLE: unsupported action {action!r} — one of "
                 f"RENAME COLUMN a TO b, DROP COLUMN c, ADD COLUMN "
-                f"c <type>, ALTER COLUMN c TYPE <wider>, ADD "
+                f"c <type>, ADD COLUMNS (a <type>, b <type>, ...), "
+                f"ALTER COLUMN c TYPE <wider>, ADD "
                 f"CONSTRAINT n CHECK (expr), DROP CONSTRAINT n"
             )
         self.register(name, root)
@@ -1362,7 +1455,18 @@ class TxlogSqlCatalog:
         the newest k manifests FIRST and reclaims the files only they
         referenced (`formats.py expire_versions` — manifests drop
         before files, so a crash never leaves a live manifest pointing
-        at deleted data)."""
+        at deleted data).
+
+        Contract with time travel AND the streaming change feed: an
+        expired version is gone. A later ``VERSION AS OF <expired>``,
+        ``RESTORE ... TO VERSION AS OF <expired>``, or a
+        ``txlog_changes`` readStream whose CHECKPOINTED offset
+        predates the oldest surviving manifest fails CLEANLY with an
+        error naming the expired version and the surviving span
+        (Delta parity: vacuuming commits a stream still needs breaks
+        the stream; it never silently skips to the next surviving
+        version, which would drop changes without a trace). Size
+        ``KEEP k`` to cover the slowest consumer's lag."""
         from ..formats import TransactionLogFormat
 
         name, retain_hours, keep = m.group(1), m.group(2), m.group(3)

@@ -69,6 +69,21 @@ def _load_manifest(root: str, version: str | None) -> dict:
     log = os.path.join(root, "_txlog")
     if version is not None:
         path = os.path.join(log, f"{int(version):08d}.json")
+        if not os.path.exists(path):
+            live = sorted(
+                int(n.split(".")[0])
+                for n in os.listdir(log)
+                if n.endswith(".json") and not n.startswith(".")
+            )
+            span = f"{live[0]}..{live[-1]}" if live else "none"
+            raise FileNotFoundError(
+                f"txlog: version {int(version)} of {root!r} is not in "
+                f"the log (surviving versions: {span}) — it was never "
+                f"committed or has been expired by VACUUM KEEP k "
+                f"VERSIONS; time travel and change-feed offsets can "
+                f"only replay surviving manifests, so restart the "
+                f"read/stream from a surviving version"
+            )
     else:
         names = sorted(
             n for n in os.listdir(log)

@@ -550,6 +550,87 @@ def test_txlog_changes_stream_matches_batch_cdf(spark, tmp_path):
     assert feed_rows() == before
 
 
+def test_txlog_changes_stream_refuses_vacuumed_offset(spark, tmp_path):
+    """VACUUM KEEP k VERSIONS vs the streaming change feed (VERDICT
+    r10 Next #6): a checkpointed-but-unread offset whose manifest the
+    vacuum expired must fail CLEANLY — an error naming the expired
+    version and the surviving span (Delta parity) — never silently
+    skip ahead to a surviving version, which would drop the
+    intermediate changes without a trace. Same refusal for time travel
+    and RESTORE to the expired version."""
+    import pytest as _pytest
+
+    from instagram_data_pipeline_spark.formats import TransactionLogFormat
+    from instagram_data_pipeline_spark.io import Warehouse
+    from instagram_data_pipeline_spark.sources.txlog_catalog import (
+        TxlogSqlCatalog,
+    )
+    from instagram_data_pipeline_spark.sources.txlog_source import (
+        TxlogChangesDataSource,
+    )
+
+    spark.dataSource.register(TxlogChangesDataSource)
+    fmt = TransactionLogFormat()
+    wh = Warehouse(spark, str(tmp_path / "wh"), fmt=fmt)
+    root = wh.path("facts")
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def commit(lo, hi, ts):
+        wh.upsert_partitioned(
+            "facts",
+            spark.sql(
+                f"SELECT id AS k, CAST(id AS DOUBLE) AS v, "
+                f"TIMESTAMP '{ts}' AS ts FROM range({lo}, {hi})"
+            ),
+            ["k"], "ts", num_buckets=2,
+        )
+
+    def drain():
+        q = (
+            spark.readStream.format("txlog_changes")
+            .option("keys", "k").load(root)
+            .writeStream.format("parquet").option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+
+    commit(0, 20, "2024-01-01")
+    drain()  # checkpoint now holds offset version=1
+    n_before = spark.read.parquet(out).count()
+    assert n_before == 20
+
+    # three more versions land while the consumer lags...
+    commit(0, 10, "2024-02-01")
+    commit(20, 30, "2024-02-02")
+    commit(5, 15, "2024-02-03")
+    # ...then retention expires everything but the newest manifest —
+    # including v1, the offset the checkpoint still points at
+    cat = TxlogSqlCatalog(spark)
+    cat.register("facts", root)
+    m = cat.sql("VACUUM facts KEEP 1 VERSIONS").first()
+    assert m.num_expired_versions == 3
+    assert fmt.versions(wh, "facts") == [4]
+
+    # the stream fails loudly, naming the expired version and the
+    # surviving span — and appends nothing
+    with _pytest.raises(Exception, match=r"version 1 .*surviving.*4"):
+        drain()
+    assert spark.read.parquet(out).count() == n_before
+
+    # same clean refusal on the batch faces of the same offset space
+    with _pytest.raises(FileNotFoundError, match="version 2 is not"):
+        fmt.read_version(wh, "facts", 2)
+    with _pytest.raises(FileNotFoundError, match="expired"):
+        fmt.changes_between(wh, "facts", ["k"], 1, 4)
+    with _pytest.raises(Exception, match="not in"):
+        cat.sql("SELECT * FROM facts VERSION AS OF 2").collect()
+    with _pytest.raises(Exception, match="expired"):
+        cat.sql("RESTORE TABLE facts TO VERSION AS OF 2")
+    # the surviving version still serves everything
+    assert cat.sql("SELECT count(*) AS n FROM facts").first().n == 30
+
+
 def test_txlog_changes_batch_backfill_distributed(spark, tmp_path):
     """format('txlog_changes') BATCH reader (VERDICT r7 Next #6): a
     many-version backfill replays partition-per-changed-bucket — the
@@ -1717,14 +1798,43 @@ def test_txlog_sql_catalog_create_drop_show_detail(spark, tmp_path):
                 f"INTO 4 BUCKETS LOCATION '{tmp_path / 't9'}' "
                 f"AS SELECT 1 AS k UNION ALL SELECT 1 AS k")
 
-    # IF NOT EXISTS no-ops on an existing table; OR REPLACE replaces
-    m = cat.sql(f"CREATE TABLE IF NOT EXISTS t1 (k BIGINT) USING txlog "
+    # IF NOT EXISTS no-ops on an existing table — but ONLY when the
+    # statement's declared contract matches the committed one; a
+    # different key list / bucket count / schema is refused instead of
+    # silently succeeding under a contract the caller didn't declare
+    # (ADVICE r10)
+    m = cat.sql(f"CREATE TABLE IF NOT EXISTS t1 "
+                f"(k BIGINT, v DOUBLE, ts TIMESTAMP) USING txlog "
                 f"CLUSTERED BY (k) INTO 4 BUCKETS LOCATION '{loc}'").first()
     assert not m.created and m.table_version == 2
+    with _pytest.raises(ValueError, match="different contract"):
+        cat.sql(f"CREATE TABLE IF NOT EXISTS t1 (k BIGINT) USING txlog "
+                f"CLUSTERED BY (k) INTO 4 BUCKETS LOCATION '{loc}'")
+    with _pytest.raises(ValueError, match="different contract"):
+        cat.sql(f"CREATE TABLE IF NOT EXISTS t1 "
+                f"(k BIGINT, v DOUBLE, ts TIMESTAMP) USING txlog "
+                f"CLUSTERED BY (v) INTO 4 BUCKETS LOCATION '{loc}'")
+    with _pytest.raises(ValueError, match="different contract"):
+        cat.sql(f"CREATE TABLE IF NOT EXISTS t1 "
+                f"(k BIGINT, v DOUBLE, ts TIMESTAMP) USING txlog "
+                f"CLUSTERED BY (k) INTO 8 BUCKETS LOCATION '{loc}'")
+
+    # OR REPLACE is a FORWARD commit (ADVICE r10): the new contract
+    # lands as vN+1 with an empty file set, the CTAS merge follows,
+    # and every pre-replace version stays time-travel-able
     m = cat.sql(f"CREATE OR REPLACE TABLE t2 USING txlog CLUSTERED BY (k) "
                 f"INTO 2 BUCKETS LOCATION '{loc2}' AS SELECT 9 AS k").first()
-    assert m.created and m.num_rows == 1 and m.table_version == 2
+    assert m.created and m.num_rows == 1 and m.table_version == 4
     assert cat.sql("SELECT count(*) AS n FROM t2").first().n == 1
+    d = cat.sql("DESCRIBE DETAIL t2").first()
+    assert d.num_buckets == 2 and d.keys == ["k"]
+    # pre-replace history intact: v2 still serves the OLD schema+data
+    old = cat.sql("SELECT * FROM t2 VERSION AS OF 2")
+    assert set(old.columns) == {"k", "v10"}
+    assert {r.k: r.v10 for r in old.collect()} == {1: 15.0, 2: 25.0}
+    # the replace boundary itself is the empty v3 under the new schema
+    v3 = cat.sql("SELECT * FROM t2 VERSION AS OF 3")
+    assert v3.columns == ["k"] and v3.count() == 0
 
     # DROP keeps data (re-attachable); DROP PURGE deletes the root
     m = cat.sql("DROP TABLE t2").first()
@@ -1794,6 +1904,58 @@ def test_txlog_sql_catalog_alter_table(spark, tmp_path):
     with _pytest.raises(Exception) as ei:
         cat.sql("ALTER TABLE not_ours DROP COLUMN x")
     assert not isinstance(ei.value, (ValueError, KeyError))
+
+
+def test_txlog_sql_catalog_alter_add_columns_spellings(spark, tmp_path):
+    """ADD COLUMN(S) spec parsing (ADVICE r10): the plural
+    'ADD COLUMNS (a INT, b STRING)' list adds EVERY column (the old
+    field regex silently dropped all but the first) in ONE manifest
+    commit, and parenthesized types — DECIMAL(10,2) — parse via
+    Spark's own DDL parser instead of failing. Garbage specs are
+    refused loudly with no version published."""
+    import pytest as _pytest
+
+    from instagram_data_pipeline_spark.sources.txlog_catalog import (
+        TxlogSqlCatalog,
+    )
+
+    cat = TxlogSqlCatalog(spark)
+    loc = str(tmp_path / "t")
+    cat.sql(f"CREATE TABLE t (k BIGINT, v STRING) USING txlog "
+            f"CLUSTERED BY (k) INTO 2 BUCKETS LOCATION '{loc}'")
+    cat.sql("INSERT INTO t VALUES (1, 'a')")
+
+    # multi-column list: one statement, one manifest, ALL columns added
+    m = cat.sql("ALTER TABLE t ADD COLUMNS (score INT, tag STRING)").first()
+    assert m.operation == "add score, tag" and m.table_version == 3
+    snap = cat.snapshot("t")
+    assert snap.columns == ["k", "v", "score", "tag"]
+    r = cat.sql("SELECT * FROM t").first()
+    assert (r.score, r.tag) == (None, None)
+    # both columns are writable in the evolved shape
+    cat.sql("INSERT INTO t VALUES (2, 'b', 7, 'x')")
+    got = {r.k: (r.score, r.tag) for r in cat.sql("SELECT * FROM t").collect()}
+    assert got == {1: (None, None), 2: (7, "x")}
+
+    # parenthesized type: the trailing ')' belongs to the type
+    m = cat.sql("ALTER TABLE t ADD COLUMN price DECIMAL(10,2)").first()
+    assert m.table_version == 5
+    assert dict(cat.snapshot("t").dtypes)["price"] == "decimal(10,2)"
+    # wrapped single-column spelling with a parenthesized type too
+    m = cat.sql("ALTER TABLE t ADD COLUMNS (label VARCHAR(8))").first()
+    assert m.table_version == 6
+    assert "label" in cat.snapshot("t").columns
+
+    # refusals: a duplicate inside the list, an existing name in the
+    # list (whole statement refused — no partial add), garbage spec
+    with _pytest.raises(ValueError, match="listed twice"):
+        cat.sql("ALTER TABLE t ADD COLUMNS (x INT, x STRING)")
+    with _pytest.raises(ValueError, match="already exists"):
+        cat.sql("ALTER TABLE t ADD COLUMNS (brand STRING, score INT)")
+    assert "brand" not in cat.snapshot("t").columns  # nothing partial
+    with _pytest.raises(ValueError, match="cannot parse"):
+        cat.sql("ALTER TABLE t ADD COLUMN broken NOT_A_TYPE(")
+    assert cat.sql("DESCRIBE DETAIL t").first().version == 6
 
 
 def test_txlog_sql_catalog_check_constraints(spark, tmp_path):
