@@ -14,7 +14,18 @@ DELETE, INSERT INTO (with duplicate-key refusal re-checked in-op),
 and RESTORE (which rewinds the whole model state: rows, schema shape,
 bucket contract) — interleaved with the API ops against the same
 reference model, so rewriter/validation/DML bugs surface under
-composition too. A fixed seed keeps runs reproducible."""
+composition too. A fixed seed keeps runs reproducible.
+
+Round 11 (VERDICT r10 Next #4) points the walk at the r10 statement
+set: CHECK constraints (ADD with its validation scan, violating
+INSERT/UPDATE refused mid-walk, DROP re-opening the policy — sidecar
+state deliberately NOT rewound by RESTORE), CTAS + CREATE OR REPLACE
+(forward commit over the side table's log), CONVERT TO TXLOG (adopt a
+directory mid-walk, then DELETE/MERGE against it), and VACUUM KEEP k
+VERSIONS composed with time travel (the model forgets expired versions
+and asserts reads of them refuse cleanly). Each fires at random walk
+positions AND once per seed in a scripted coda, so every seed covers
+the full op set under composition."""
 
 from __future__ import annotations
 
@@ -63,6 +74,12 @@ def test_txlog_random_op_sequences_match_reference_model(
         "buckets": BUCKETS,
         "widened": False,
         "versions": {},
+        # round-11 statement-surface state: CHECK-constraint active
+        # flag (sidecar policy — deliberately NOT rewound by RESTORE),
+        # and per-walk counters for CTAS / CONVERT side tables
+        "constraint": False,
+        "ctas_n": 0,
+        "conv_n": 0,
     }
 
     def tick() -> dt.datetime:
@@ -293,6 +310,129 @@ def test_txlog_random_op_sequences_match_reference_model(
         model["widened"] = rec["widened"]
         model["buckets"] = rec["buckets"]
 
+    # ---- round-11 statement surface (VERDICT r10 Next #4): point the
+    # random walk at the newest least-hardened ops — CHECK constraints,
+    # CTAS/OR-REPLACE, CONVERT TO TXLOG, VACUUM KEEP k VERSIONS
+    def op_sql_constraints():
+        cnt = model["cols"][2]
+        cnt_t = "BIGINT" if model["widened"] else "INT"
+        cat.register("t", wh.path("t"))
+        if not model["constraint"]:
+            # ADD runs its one-time full validation scan (cnt = k*3 is
+            # always >= 0, so the current table must pass it)
+            cat.sql(
+                f"ALTER TABLE t ADD CONSTRAINT cnt_nonneg "
+                f"CHECK ({cnt} >= 0)"
+            )
+            model["constraint"] = True
+            # a violating INSERT is refused atomically mid-walk
+            cols = model["cols"]
+            try:
+                cat.sql(
+                    f"INSERT INTO t (k, {cols[1]}, {cnt}, ts) VALUES "
+                    f"(888888888, 'bad', CAST(-1 AS {cnt_t}), "
+                    f"TIMESTAMP '2030-01-01')"
+                )
+                raise AssertionError(
+                    "constraint-violating INSERT not refused"
+                )
+            except ValueError as e:
+                assert "violate constraint" in str(e)
+        else:
+            # a violating UPDATE is refused (when it would hit rows);
+            # then DROP re-opens the policy
+            if any(k % 2 == 0 for k in model["rows"]):
+                try:
+                    cat.sql(
+                        f"UPDATE t SET {cnt} = CAST(-5 AS {cnt_t}) "
+                        f"WHERE k % 2 = 0"
+                    )
+                    raise AssertionError(
+                        "constraint-violating UPDATE not refused"
+                    )
+                except ValueError as e:
+                    assert "violate constraint" in str(e)
+            cat.sql("ALTER TABLE t DROP CONSTRAINT cnt_nonneg")
+            model["constraint"] = False
+
+    def op_sql_ctas():
+        # CTAS from the live table; later firings exercise OR REPLACE
+        # (a FORWARD commit over the side table's existing log)
+        model["ctas_n"] += 1
+        loc = str(tmp_path / f"side{seed}")
+        cat.register("t", wh.path("t"))
+        stmt = (
+            "CREATE OR REPLACE TABLE"
+            if model["ctas_n"] > 1
+            else "CREATE TABLE"
+        )
+        m = cat.sql(
+            f"{stmt} side USING txlog CLUSTERED BY (k) INTO 2 BUCKETS "
+            f"LOCATION '{loc}' AS SELECT * FROM t"
+        ).first()
+        assert m.num_rows == len(model["rows"])
+        assert (
+            cat.sql("SELECT count(*) AS n FROM side").first().n
+            == len(model["rows"])
+        )
+
+    def op_sql_convert():
+        # adopt a fresh flat parquet directory mid-walk, then run DML
+        # against the adopted table immediately
+        model["conv_n"] += 1
+        name = f"conv{model['conv_n']}"
+        loc = str(tmp_path / f"{name}_{seed}")
+        spark.sql(
+            "SELECT id AS k, CAST(id AS DOUBLE) AS val FROM range(30)"
+        ).coalesce(2).write.parquet(loc)
+        m = cat.sql(
+            f"CONVERT TO TXLOG {name} LOCATION '{loc}' "
+            f"CLUSTERED BY (k)"
+        ).first()
+        assert m.num_rows == 30 and m.table_version == 1
+        md = cat.sql(
+            f"DELETE FROM {name} WHERE k IN (0, 1, 2, 999)"
+        ).first()
+        assert md.num_affected_rows == 3
+        spark.sql(
+            "SELECT id AS k, CAST(id * 10 AS DOUBLE) AS val "
+            "FROM range(25, 40)"
+        ).createOrReplaceTempView("conv_src")
+        cat.sql(
+            f"MERGE INTO {name} USING conv_src ON {name}.k = conv_src.k "
+            f"WHEN MATCHED THEN UPDATE SET * "
+            f"WHEN NOT MATCHED THEN INSERT *"
+        )
+        got = {
+            r.k: r.val
+            for r in cat.sql(f"SELECT * FROM {name}").collect()
+        }
+        assert len(got) == 30 - 3 + 10
+        assert got[3] == 3.0 and got[25] == 250.0 and got[39] == 390.0
+
+    def op_sql_vacuum_keep():
+        vs = fmt.versions(wh, "t")
+        if len(vs) < 3:
+            return
+        keep = rng.randrange(2, min(len(vs), 6))
+        cat.register("t", wh.path("t"))
+        m = cat.sql(f"VACUUM t KEEP {keep} VERSIONS").first()
+        assert fmt.versions(wh, "t") == vs[-keep:]
+        assert m.num_expired_versions == len(vs) - keep
+        expired = vs[:-keep]
+        # the model forgets expired versions — and time travel to one
+        # must now refuse cleanly, naming it (manifests-before-files
+        # ordering made this model-checkable)
+        try:
+            cat.sql(
+                f"SELECT k FROM t VERSION AS OF {expired[-1]}"
+            ).collect()
+            raise AssertionError("expired-version read not refused")
+        except Exception as e:
+            assert "expired" in str(e)
+        for v in expired:
+            model["versions"].pop(v, None)
+
     def record_version():
         vs = fmt.versions(wh, "t")
         model["versions"][vs[-1]] = {
@@ -312,11 +452,23 @@ def test_txlog_random_op_sequences_match_reference_model(
         op_rename, op_widen, op_compact, op_rebucket,
         op_sql_time_travel, op_sql_merge, op_sql_update, op_sql_delete,
         op_sql_optimize, op_sql_insert, op_sql_restore,
+        op_sql_constraints, op_sql_ctas, op_sql_convert,
+        op_sql_vacuum_keep,
     ]
     for _ in range(14):
         rng.choice(ops)()
         record_version()
         # invariant: metadata-only count equals the model
+        assert fmt.count_rows(wh, "t") == len(model["rows"])
+    # scripted coda: every round-11 op fires at least once PER SEED,
+    # composed with whatever state the random walk left behind (the
+    # walk above additionally interleaves them at random positions)
+    for op in (
+        op_sql_constraints, op_sql_ctas, op_sql_convert,
+        op_sql_vacuum_keep,
+    ):
+        op()
+        record_version()
         assert fmt.count_rows(wh, "t") == len(model["rows"])
 
     # final state: every column of every row matches the model
