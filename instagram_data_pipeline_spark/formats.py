@@ -2364,21 +2364,31 @@ class TransactionLogFormat:
 
     def replace_table(
         self, wh, table: str, schema, keys: list[str],
-        num_buckets: int,
+        num_buckets: int, df: DataFrame | None = None,
     ) -> dict:
         """``CREATE OR REPLACE`` as a FORWARD commit (Delta parity;
         ADVICE r10 — the old implementation rmtree'd the table root,
-        erasing all history): publish version N+1 with an EMPTY file
-        set under the NEW schema / merge-key / bucket contract,
-        leaving every prior manifest — and the data files they
-        reference — untouched, so time travel to pre-replace versions
-        keeps working until VACUUM expires them. Nothing is deleted
-        here. The new version carries no column-mapping section (the
-        file set is empty, so identity naming restarts cleanly — no
-        old bytes are referenced that a fresh physical name could
-        collide with) and no ``txns`` markers (streaming idempotence
-        restarts with the new table identity). One manifest publish at
-        any table size; returns the published snapshot."""
+        erasing all history): publish version N+1 under the NEW schema
+        / merge-key / bucket contract, leaving every prior manifest —
+        and the data files they reference — untouched, so time travel
+        to pre-replace versions keeps working until VACUUM expires
+        them. Nothing is deleted here.
+
+        With ``df`` (the REPLACE ... AS SELECT data), the new files
+        are WRITTEN FIRST and the replacement lands as ONE commit
+        carrying them — never an empty intermediate version followed
+        by a merge. Ordering is load-bearing, not cosmetic: the AS
+        query may read the table being replaced (the temp-view scan
+        resolves the latest manifest at EXECUTION time, not view
+        creation), so computing the data after an empty-replace
+        publish would silently replace the table with nothing.
+        Without ``df`` the file set is empty.
+
+        The new version carries no column-mapping section (its files
+        are fresh — no old bytes a physical name could collide with)
+        and no ``txns`` markers (streaming idempotence restarts with
+        the new table identity). One manifest publish at any table
+        size; returns the published snapshot."""
         names = {f.name for f in schema.fields}
         missing = set(keys) - names
         if missing:
@@ -2395,10 +2405,19 @@ class TransactionLogFormat:
                     f"replace_table: no committed table at "
                     f"{wh.path(table)!r} — use create_table"
                 )
+            if df is not None:
+                # data files first (against the still-latest old
+                # manifest), manifest second — a crash in between
+                # leaves only invisible, vacuumable orphans
+                files, rows, stats = self._write_commit(
+                    wh, table, df, keys, int(num_buckets)
+                )
+            else:
+                files, rows, stats = {}, {}, {}
             try:
                 self._publish(
-                    wh, table, snap["version"] + 1, {}, schema.json(),
-                    rows={}, stats={},
+                    wh, table, snap["version"] + 1, files, schema.json(),
+                    rows=rows, stats=stats,
                     keys=list(keys), num_buckets=int(num_buckets),
                 )
                 return self._latest(wh, table)

@@ -129,10 +129,13 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "ivf_incremental_topk",
     "incremental_minhash_dedup",
     # ------------------- driver window ends at slot 50 --------------------
-    # r12 queue head: the r5-vintage remainder, then r6-vintage FIFO.
-    # Everything below stays DuckDB-oracle-checked every CI run by
-    # tests/test_queries_oracle.py; rows-only tiers past the window are
-    # covered by POST_WINDOW_ROWS_ONLY_OK.
+    # r12 queue head: txlog_overwrite_sql (INSERT OVERWRITE + TRUNCATE,
+    # registered mid-r11 AFTER this round's window was seated — needs
+    # its first driver row), then the r5-vintage remainder, then
+    # r6-vintage FIFO. Everything below stays DuckDB-oracle-checked
+    # every CI run by tests/test_queries_oracle.py; rows-only tiers
+    # past the window are covered by POST_WINDOW_ROWS_ONLY_OK.
+    "txlog_overwrite_sql",
     "txlog_update_sql",
     "txlog_delete_sql",
     "dpp_partition_prune",

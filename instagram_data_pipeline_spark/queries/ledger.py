@@ -2554,8 +2554,12 @@ SELECT -1 AS k, 0.5 AS v, TIMESTAMP '2099-01-01' AS ts
         "with the same key-unique enforcement as INSERT; the created "
         "table immediately serves DML (one INSERT here) and "
         "introspection (DESCRIBE DETAIL's manifest-only live-row "
-        "count asserted against the content in-query); oracle = the "
-        "aggregate UNION ALL the inserted row",
+        "count asserted against the content in-query); r11 adds the "
+        "CREATE OR REPLACE leg — a FORWARD commit over the same log "
+        "whose AS query reads the pre-replace snapshot and whose "
+        "pre-replace versions stay time-travel-able (asserted "
+        "in-query) — then restores the filtered row so the oracle is "
+        "unchanged; oracle = the aggregate UNION ALL the inserted row",
     tags=("sql", "format", "ddl", "writes"),
 )
 def q_txlog_ctas_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2586,6 +2590,31 @@ def q_txlog_ctas_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     assert d.keys == ["k"] and d.num_buckets == 8
     n = cat.sql("SELECT count(*) AS n FROM facts_ctas").first().n
     assert d.num_rows == n
+    # CREATE OR REPLACE is a FORWARD commit (r11, ADVICE r10): the new
+    # contract AND data land as ONE v4 over the SAME log — the AS
+    # query reads the PRE-replace snapshot (files are written before
+    # the replacement publishes), and pre-replace history stays
+    # time-travel-able across the boundary
+    m = cat.sql(
+        f"CREATE OR REPLACE TABLE facts_ctas USING txlog "
+        f"CLUSTERED BY (k) INTO 4 BUCKETS LOCATION '{loc}' "
+        f"AS SELECT k, v, ts FROM facts_ctas WHERE k >= 0"
+    ).first()
+    assert m.created and m.table_version == 4 and m.num_rows == n - 1
+    assert (
+        cat.sql(
+            "SELECT count(*) AS n FROM facts_ctas VERSION AS OF 3"
+        ).first().n
+        == n
+    )
+    d = cat.sql("DESCRIBE DETAIL facts_ctas").first()
+    assert d.num_buckets == 4 and d.num_rows == n - 1
+    # re-insert the row the replacement filtered out: the final
+    # content equals the pre-replace table, so the oracle is unchanged
+    m = cat.sql(
+        "INSERT INTO facts_ctas VALUES (-1, 0.5, TIMESTAMP '2099-01-01')"
+    ).first()
+    assert m.num_inserted_rows == 1 and m.table_version == 5
     return cat.sql("SELECT k, v, ts FROM facts_ctas")
 
 
@@ -2720,6 +2749,82 @@ def q_txlog_constraints_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).first()
     assert m.num_inserted_rows == 1
     return cat.sql("SELECT k, v, ts FROM facts_cons")
+
+
+_TXLOG_OVERWRITE_ORACLE = """
+SELECT o_custkey AS k, MAX(o_totalprice) AS v
+FROM orders GROUP BY 1
+"""
+
+
+@register(
+    "txlog_overwrite_sql",
+    _TXLOG_OVERWRITE_ORACLE,
+    doc="INSERT OVERWRITE + TRUNCATE TABLE via SQL text (round 11): "
+        "both land as ONE forward commit under the UNCHANGED recorded "
+        "contract. The overwrite writes its files BEFORE publishing, "
+        "so a SELF-REFERENCING source (the thirds-slice rewrite here) "
+        "reads the pre-overwrite table instead of silently emptying "
+        "it; TRUNCATE publishes an empty file set touching zero data "
+        "files; every prior version stays time-travel-able (counts "
+        "asserted in-query at three versions). The final overwrite "
+        "restores the full aggregate, so oracle = the plain aggregate "
+        "— MAX over doubles is exact across engines",
+    tags=("sql", "format", "writes"),
+)
+def q_txlog_overwrite_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from ..sources.txlog_catalog import TxlogSqlCatalog
+
+    orders = load_testdata(spark, sf_dir, "orders")
+    orders.groupBy(F.col("o_custkey").alias("k")).agg(
+        F.max("o_totalprice").alias("v"),
+    ).createOrReplaceTempView("txlog_ow_src")
+
+    loc = os.path.join(_scratch("txlog_overwrite_sql", sf_dir), "facts")
+    cat = TxlogSqlCatalog(spark)
+    m = cat.sql(
+        f"CREATE TABLE facts_ow USING txlog CLUSTERED BY (k) "
+        f"INTO 8 BUCKETS LOCATION '{loc}' "
+        f"AS SELECT k, v FROM txlog_ow_src"
+    ).first()
+    n_all = m.num_rows
+    assert m.created and n_all > 0 and m.table_version == 2
+    # self-referencing overwrite: keep every third customer, double v
+    m = cat.sql(
+        "INSERT OVERWRITE facts_ow "
+        "SELECT k, v * 2 AS v FROM facts_ow WHERE k % 3 = 0"
+    ).first()
+    n_third = m.num_overwritten_rows
+    assert 0 < n_third < n_all and m.table_version == 3
+    assert (
+        cat.sql("SELECT count(*) AS n FROM facts_ow").first().n
+        == n_third
+    )
+    # TRUNCATE: empty forward commit, zero files touched
+    m = cat.sql("TRUNCATE TABLE facts_ow").first()
+    assert m.num_removed_rows == n_third and m.table_version == 4
+    assert cat.sql("SELECT count(*) AS n FROM facts_ow").first().n == 0
+    # every prior version still serves across both boundaries
+    assert (
+        cat.sql(
+            "SELECT count(*) AS n FROM facts_ow VERSION AS OF 2"
+        ).first().n
+        == n_all
+    )
+    assert (
+        cat.sql(
+            "SELECT count(*) AS n FROM facts_ow VERSION AS OF 3"
+        ).first().n
+        == n_third
+    )
+    # final overwrite restores the full aggregate (oracle shape)
+    m = cat.sql(
+        "INSERT OVERWRITE facts_ow SELECT k, v FROM txlog_ow_src"
+    ).first()
+    assert m.num_overwritten_rows == n_all and m.table_version == 5
+    return cat.sql("SELECT k, v FROM facts_ow")
 
 
 _TXLOG_CONVERT_ORACLE = """

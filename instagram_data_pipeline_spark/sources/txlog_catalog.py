@@ -111,6 +111,17 @@ _INSERT = re.compile(
     r"((?:VALUES|SELECT|WITH|TABLE|FROM)\b.*?)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+# INSERT OVERWRITE [TABLE] <name> [(cols)] <query>: replace the DATA
+# under the recorded contract — one forward commit, history preserved
+_INSERT_OVERWRITE = re.compile(
+    rf"^\s*INSERT\s+OVERWRITE\s+(?:TABLE\s+)?({_IDENT})\s*"
+    rf"(?:\(\s*({_IDENT}(?:\s*,\s*{_IDENT})*)\s*\))?\s*"
+    r"((?:VALUES|SELECT|WITH|TABLE|FROM)\b.*?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_TRUNCATE = re.compile(
+    rf"^\s*TRUNCATE\s+TABLE\s+({_IDENT})\s*;?\s*$", re.IGNORECASE
+)
 # RESTORE TABLE <t> TO VERSION AS OF <n> | TO TIMESTAMP AS OF '<ts>'
 _RESTORE = re.compile(
     rf"^\s*RESTORE\s+(?:TABLE\s+)?({_IDENT})\s+TO\s+"
@@ -562,6 +573,13 @@ class TxlogSqlCatalog:
           key-unique contract enforced (colliding keys refused loudly
           — batch-internal, NULL, or already present); the source
           tail may itself time travel;
+        * ``INSERT OVERWRITE [TABLE] <name> [(cols)] <query>``
+          replaces the DATA under the recorded contract as ONE
+          forward commit (files written first, so a self-referencing
+          source reads the pre-overwrite table; history preserved);
+          ``TRUNCATE TABLE <name>`` is the empty-file-set spelling of
+          the same commit (constraints kept — they govern future
+          writes);
         * ``RESTORE TABLE <name> TO VERSION AS OF <n>`` (or ``TO
           TIMESTAMP AS OF '<ts>'``) rolls the table back as a forward
           commit: one manifest published, zero data files written,
@@ -611,6 +629,12 @@ class TxlogSqlCatalog:
         dm = _DELETE.match(query)
         if dm and dm.group(1) in self.roots:
             return self._sql_delete(dm)
+        iom = _INSERT_OVERWRITE.match(query)
+        if iom and iom.group(1) in self.roots:
+            return self._sql_insert_overwrite(iom)
+        tm = _TRUNCATE.match(query)
+        if tm and tm.group(1) in self.roots:
+            return self._sql_truncate(tm)
         im = _INSERT.match(query)
         if im and im.group(1) in self.roots:
             return self._sql_insert(im)
@@ -874,51 +898,12 @@ class TxlogSqlCatalog:
         through the merge CAS, resolving source-wins instead of
         erroring (the same outcome Delta gives, which checks nothing);
         within one statement the contract is airtight."""
-        from pyspark.sql import functions as F
-
         from ..formats import TransactionLogFormat
 
         name, cols_text, body = m.group(1), m.group(2), m.group(3)
         root, keys, num_buckets = self._dml_contract(name)
-        src = self._run_select(body)
-        cur = self.snapshot(name)
-        table_cols = cur.columns
-        if cols_text is not None:
-            listed = [c.strip() for c in cols_text.split(",")]
-            unknown = set(listed) - set(table_cols)
-            if unknown:
-                raise ValueError(
-                    f"INSERT: unknown column(s) {sorted(unknown)} "
-                    f"(table has {table_cols})"
-                )
-            if len(listed) != len(set(listed)):
-                raise ValueError(
-                    f"INSERT: duplicate column in list {listed}"
-                )
-            missing_keys = set(keys) - set(listed)
-            if missing_keys:
-                raise ValueError(
-                    f"INSERT: column list must include every merge "
-                    f"key (missing: {sorted(missing_keys)})"
-                )
-        else:
-            listed = list(table_cols)
-        if len(src.columns) != len(listed):
-            raise ValueError(
-                f"INSERT: source has {len(src.columns)} column(s), "
-                f"target list has {len(listed)} ({listed})"
-            )
-        # positional mapping, then cast to the table's types and
-        # null-fill unlisted columns — one projection, schema order
-        # preserved for the merge contract
-        named = src.toDF(*listed)
-        aligned = named.select(
-            *[
-                (
-                    F.col(c) if c in listed else F.lit(None)
-                ).cast(cur.schema[c].dataType).alias(c)
-                for c in table_cols
-            ]
+        aligned = self._aligned_insert_source(
+            name, cols_text, body, keys, "INSERT"
         )
         self._check_key_unique(aligned, keys, "INSERT")
         self._enforce_constraints(name, aligned, "INSERT")
@@ -943,6 +928,130 @@ class TxlogSqlCatalog:
         return self.spark.createDataFrame(
             [(int(n), int(version))],
             "num_inserted_rows long, table_version long",
+        )
+
+    def _aligned_insert_source(self, name: str, cols_text,
+                               body: str, keys: list[str],
+                               stmt: str) -> DataFrame:
+        """Shared INSERT INTO / INSERT OVERWRITE source shaping.
+        Column rules (Delta/ANSI): no column list → positional, full
+        arity; with a list → listed columns map positionally to the
+        source, every merge key must be listed, unlisted table columns
+        null-fill; every column casts to the table's recorded type.
+        The source tail is any query body ``sql()`` can read —
+        time-travel rewrites included."""
+        from pyspark.sql import functions as F
+
+        src = self._run_select(body)
+        cur = self.snapshot(name)
+        table_cols = cur.columns
+        if cols_text is not None:
+            listed = [c.strip() for c in cols_text.split(",")]
+            unknown = set(listed) - set(table_cols)
+            if unknown:
+                raise ValueError(
+                    f"{stmt}: unknown column(s) {sorted(unknown)} "
+                    f"(table has {table_cols})"
+                )
+            if len(listed) != len(set(listed)):
+                raise ValueError(
+                    f"{stmt}: duplicate column in list {listed}"
+                )
+            missing_keys = set(keys) - set(listed)
+            if missing_keys:
+                raise ValueError(
+                    f"{stmt}: column list must include every merge "
+                    f"key (missing: {sorted(missing_keys)})"
+                )
+        else:
+            listed = list(table_cols)
+        if len(src.columns) != len(listed):
+            raise ValueError(
+                f"{stmt}: source has {len(src.columns)} column(s), "
+                f"target list has {len(listed)} ({listed})"
+            )
+        # positional mapping, then cast to the table's types and
+        # null-fill unlisted columns — one projection, schema order
+        # preserved for the merge contract
+        named = src.toDF(*listed)
+        return named.select(
+            *[
+                (
+                    F.col(c) if c in listed else F.lit(None)
+                ).cast(cur.schema[c].dataType).alias(c)
+                for c in table_cols
+            ]
+        )
+
+    def _sql_insert_overwrite(self, m: re.Match) -> DataFrame:
+        """``INSERT OVERWRITE [TABLE] <name> [(cols)] VALUES ... |
+        SELECT ...`` — replace the table's DATA under its RECORDED
+        contract (schema, merge keys, bucket modulus unchanged): the
+        Spark/Delta statement for idempotent full rewrites. The new
+        files are written FIRST, then ONE forward commit publishes
+        them (`formats.replace_table`), so the source may read the
+        very table it overwrites (self-referencing backfills work)
+        and pre-overwrite versions stay time-travel-able until
+        vacuumed. Column rules are INSERT's; the batch pays the same
+        key-unique and CHECK-constraint enforcement — but no
+        existence probe, since the old rows are going away. Returns
+        (num_overwritten_rows, table_version)."""
+        import json as _json
+
+        from pyspark.sql.types import StructType
+
+        from ..formats import TransactionLogFormat
+
+        name, cols_text, body = m.group(1), m.group(2), m.group(3)
+        root, keys, num_buckets = self._dml_contract(name)
+        aligned = self._aligned_insert_source(
+            name, cols_text, body, keys, "INSERT OVERWRITE"
+        )
+        self._check_key_unique(aligned, keys, "INSERT OVERWRITE")
+        self._enforce_constraints(name, aligned, "INSERT OVERWRITE")
+        man = _load_manifest(root, None)
+        schema = StructType.fromJson(_json.loads(man["schema"]))
+        fmt = TransactionLogFormat()
+        handle = _TableHandle(self.spark, root)
+        n = aligned.count()
+        fmt.replace_table(
+            handle, name, schema, keys, num_buckets,
+            df=aligned if n else None,
+        )
+        self.register(name, root)
+        version = _load_manifest(root, None)["version"]
+        return self.spark.createDataFrame(
+            [(int(n), int(version))],
+            "num_overwritten_rows long, table_version long",
+        )
+
+    def _sql_truncate(self, m: re.Match) -> DataFrame:
+        """``TRUNCATE TABLE <name>`` — remove every row as ONE forward
+        commit with an empty file set under the UNCHANGED recorded
+        contract (Delta parity): zero data files touched — the old
+        ones are simply no longer referenced — and every pre-truncate
+        version stays time-travel-able until vacuumed. CHECK
+        constraints are KEPT: they are policy over future writes, not
+        over data. Returns (num_removed_rows, table_version)."""
+        import json as _json
+
+        from pyspark.sql.types import StructType
+
+        from ..formats import TransactionLogFormat
+
+        name = m.group(1)
+        root, keys, num_buckets = self._dml_contract(name)
+        fmt = TransactionLogFormat()
+        handle = _TableHandle(self.spark, root)
+        n = fmt.count_rows(handle, name)
+        man = _load_manifest(root, None)
+        schema = StructType.fromJson(_json.loads(man["schema"]))
+        fmt.replace_table(handle, name, schema, keys, num_buckets)
+        self.register(name, root)
+        version = _load_manifest(root, None)["version"]
+        return self.spark.createDataFrame(
+            [(int(n), int(version))],
+            "num_removed_rows long, table_version long",
         )
 
     def _check_key_unique(self, df: DataFrame, keys: list[str],
@@ -981,10 +1090,12 @@ class TxlogSqlCatalog:
         follows it with an ordinary transactional merge (v2), with the
         same key-unique enforcement as INSERT. ``OR REPLACE`` is a
         FORWARD commit over the existing log (Delta parity, ADVICE
-        r10): the new schema/contract lands as version N+1 with an
-        empty file set, prior versions stay time-travel-able until
-        vacuumed, and the CHECK-constraint sidecar is cleared (it
-        governed the replaced table's columns). ``IF NOT EXISTS``
+        r10): the new schema/contract — and, for REPLACE ... AS
+        SELECT, the new data, written FIRST so a self-referencing AS
+        query reads the pre-replace table — lands as ONE version N+1;
+        prior versions stay time-travel-able until vacuumed, and the
+        CHECK-constraint sidecar is cleared (it governed the replaced
+        table's columns). ``IF NOT EXISTS``
         no-ops when a table is already there — but only after
         validating that the statement's CLUSTERED BY keys, bucket
         count, and (when a column list is given) schema match the
@@ -1061,23 +1172,31 @@ class TxlogSqlCatalog:
             )
         fmt = TransactionLogFormat()
         handle = _TableHandle(self.spark, loc)
-        src = None
+        src, n = None, 0
         if select is not None:
             src = self._run_select(select)
             schema = src.schema
+            self._check_key_unique(src, keys, "CREATE TABLE AS")
+            n = src.count()
         else:
             schema = StructType.fromDDL(colspec)
-        if exists:  # OR REPLACE: forward commit, history preserved
-            fmt.replace_table(handle, name, schema, keys, int(nbuckets))
+        if exists:
+            # OR REPLACE: ONE forward commit carrying the new
+            # contract AND data — the AS query's scan resolves the
+            # latest manifest at execution time, so the data must be
+            # written before the replacement publishes (replace_table
+            # orders it that way); history stays time-travel-able
+            fmt.replace_table(
+                handle, name, schema, keys, int(nbuckets),
+                df=src if n else None,
+            )
+            # constraints governed the replaced table's columns; the
+            # new table starts with a clean policy
             cpath = os.path.join(loc, "_constraints.json")
             if os.path.exists(cpath):
                 os.remove(cpath)
         else:
             fmt.create_table(handle, name, schema, keys, int(nbuckets))
-        n = 0
-        if src is not None:
-            self._check_key_unique(src, keys, "CREATE TABLE AS")
-            n = src.count()
             if n:
                 fmt.merge_source_wins(
                     handle, name, src, keys, int(nbuckets)

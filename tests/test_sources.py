@@ -1820,11 +1820,12 @@ def test_txlog_sql_catalog_create_drop_show_detail(spark, tmp_path):
                 f"CLUSTERED BY (k) INTO 8 BUCKETS LOCATION '{loc}'")
 
     # OR REPLACE is a FORWARD commit (ADVICE r10): the new contract
-    # lands as vN+1 with an empty file set, the CTAS merge follows,
-    # and every pre-replace version stays time-travel-able
+    # AND data land as ONE version N+1 (files written first — a
+    # self-referencing AS query must read the pre-replace table), and
+    # every pre-replace version stays time-travel-able
     m = cat.sql(f"CREATE OR REPLACE TABLE t2 USING txlog CLUSTERED BY (k) "
                 f"INTO 2 BUCKETS LOCATION '{loc2}' AS SELECT 9 AS k").first()
-    assert m.created and m.num_rows == 1 and m.table_version == 4
+    assert m.created and m.num_rows == 1 and m.table_version == 3
     assert cat.sql("SELECT count(*) AS n FROM t2").first().n == 1
     d = cat.sql("DESCRIBE DETAIL t2").first()
     assert d.num_buckets == 2 and d.keys == ["k"]
@@ -1832,9 +1833,14 @@ def test_txlog_sql_catalog_create_drop_show_detail(spark, tmp_path):
     old = cat.sql("SELECT * FROM t2 VERSION AS OF 2")
     assert set(old.columns) == {"k", "v10"}
     assert {r.k: r.v10 for r in old.collect()} == {1: 15.0, 2: 25.0}
-    # the replace boundary itself is the empty v3 under the new schema
-    v3 = cat.sql("SELECT * FROM t2 VERSION AS OF 3")
-    assert v3.columns == ["k"] and v3.count() == 0
+    # REPLACE ... AS SELECT from the table being replaced reads the
+    # PRE-replace snapshot (the silent-empty-table hazard this
+    # ordering exists to prevent)
+    m = cat.sql(f"CREATE OR REPLACE TABLE t2 USING txlog CLUSTERED BY (k) "
+                f"INTO 2 BUCKETS LOCATION '{loc2}' "
+                f"AS SELECT k + 1 AS k FROM t2").first()
+    assert m.created and m.num_rows == 1 and m.table_version == 4
+    assert [r.k for r in cat.sql("SELECT k FROM t2").collect()] == [10]
 
     # DROP keeps data (re-attachable); DROP PURGE deletes the root
     m = cat.sql("DROP TABLE t2").first()
@@ -1956,6 +1962,73 @@ def test_txlog_sql_catalog_alter_add_columns_spellings(spark, tmp_path):
     with _pytest.raises(ValueError, match="cannot parse"):
         cat.sql("ALTER TABLE t ADD COLUMN broken NOT_A_TYPE(")
     assert cat.sql("DESCRIBE DETAIL t").first().version == 6
+
+
+def test_txlog_sql_catalog_insert_overwrite_and_truncate(spark, tmp_path):
+    """INSERT OVERWRITE + TRUNCATE TABLE (round 11): both land as ONE
+    forward commit under the UNCHANGED recorded contract — overwrite
+    writes the new files BEFORE publishing (so a self-referencing
+    source reads the pre-overwrite table), truncate publishes an empty
+    file set touching zero data files — and every prior version stays
+    time-travel-able. Key-unique and CHECK-constraint enforcement
+    apply to the overwrite batch; constraints survive TRUNCATE."""
+    import pytest as _pytest
+
+    from instagram_data_pipeline_spark.sources.txlog_catalog import (
+        TxlogSqlCatalog,
+    )
+
+    cat = TxlogSqlCatalog(spark)
+    loc = str(tmp_path / "t")
+    cat.sql(f"CREATE TABLE t (k BIGINT, v DOUBLE) USING txlog "
+            f"CLUSTERED BY (k) INTO 4 BUCKETS LOCATION '{loc}'")
+    cat.sql("INSERT INTO t SELECT id AS k, CAST(id AS DOUBLE) AS v "
+            "FROM range(10)")
+
+    # overwrite with a SELF-REFERENCING source: reads pre-overwrite rows
+    m = cat.sql("INSERT OVERWRITE t SELECT k, v * 10 AS v FROM t "
+                "WHERE k < 4").first()
+    assert m.num_overwritten_rows == 4 and m.table_version == 3
+    got = {r.k: r.v for r in cat.sql("SELECT * FROM t").collect()}
+    assert got == {0: 0.0, 1: 10.0, 2: 20.0, 3: 30.0}
+    # pre-overwrite version intact
+    assert cat.sql("SELECT count(*) AS n FROM t VERSION AS OF 2") \
+        .first().n == 10
+    d = cat.sql("DESCRIBE DETAIL t").first()
+    assert d.num_buckets == 4 and d.keys == ["k"] and d.num_rows == 4
+
+    # column list + null-fill, key-unique + constraint enforcement
+    m = cat.sql("INSERT OVERWRITE t (k) SELECT id FROM range(3)").first()
+    assert m.num_overwritten_rows == 3 and m.table_version == 4
+    assert all(r.v is None for r in cat.sql("SELECT v FROM t").collect())
+    with _pytest.raises(ValueError, match="repeated within"):
+        cat.sql("INSERT OVERWRITE t SELECT 1 AS k, 0.0 AS v "
+                "UNION ALL SELECT 1 AS k, 1.0 AS v")
+    cat.sql("ALTER TABLE t ADD CONSTRAINT v_pos CHECK (v >= 0)")
+    with _pytest.raises(ValueError, match="violate constraint"):
+        cat.sql("INSERT OVERWRITE t VALUES (1, -2.0)")
+    # ADD CONSTRAINT is sidecar-only — no version published, and the
+    # refused overwrite left no version either
+    assert cat.sql("DESCRIBE DETAIL t").first().version == 4
+
+    # TRUNCATE: one empty forward commit; history + constraints survive
+    m = cat.sql("TRUNCATE TABLE t").first()
+    assert m.num_removed_rows == 3 and m.table_version == 5
+    assert cat.sql("SELECT count(*) AS n FROM t").first().n == 0
+    assert cat.sql("SELECT count(*) AS n FROM t VERSION AS OF 4") \
+        .first().n == 3
+    with _pytest.raises(ValueError, match="violate constraint"):
+        cat.sql("INSERT INTO t VALUES (9, -1.0)")
+    m = cat.sql("INSERT INTO t VALUES (9, 1.5)").first()
+    assert m.table_version == 6
+    assert cat.sql("SELECT count(*) AS n FROM t").first().n == 1
+
+    # overwriting an EMPTY result set is a valid (empty) commit
+    cat.sql("TRUNCATE TABLE t")
+    m = cat.sql("INSERT OVERWRITE t SELECT k, v FROM t WHERE k < 0") \
+        .first()
+    assert m.num_overwritten_rows == 0
+    assert cat.sql("SELECT count(*) AS n FROM t").first().n == 0
 
 
 def test_txlog_sql_catalog_check_constraints(spark, tmp_path):
