@@ -91,6 +91,12 @@ R10_PROBE_QUERIES = ["txlog_time_travel_sql", "txlog_merge_into_sql",
                      # data — the documented one-time cost)
                      "txlog_constraints_sql", "txlog_convert_sql"]
 
+# Round 11: the overwrite family — INSERT OVERWRITE rewrites the
+# whole (aggregated) table as one commit, so its cost tracks the
+# written data (~linear); TRUNCATE inside the same query is a
+# manifest-only publish
+R11_PROBE_QUERIES = ["txlog_overwrite_sql"]
+
 # distinct strides, coprime to virtually all word counts
 _STRIDES = [1, 7, 11, 13, 17, 19, 23, 29, 31, 37, 41, 43]
 
@@ -236,6 +242,153 @@ def time_query(registry, spark, name: str, sf_dir: str, runs: int) -> float:
     return best
 
 
+def probe_constraints_convert(spark, sf_dir: str, factor: int,
+                              runs: int) -> dict:
+    """VERDICT r10 Next #7 — the two costs the registry fixtures
+    structurally hide (txlog_convert_sql adopts a constant 4 files;
+    txlog_constraints_sql amortizes ADD across many statements):
+
+    * convert_files:        CONVERT at 12 vs 12*factor FILES (fixed
+                            rows/file) — footer harvest is per-file,
+                            so alpha ~1 in FILE COUNT is the claim.
+    * convert_rows_per_file: CONVERT at 12 files, 5k vs 5k*factor
+                            ROWS per file — zero bytes rewritten, so
+                            alpha ~0 in DATA SIZE is the claim (the
+                            harvest reads footers, not rows).
+    * add_constraint_scan:  one ADD CONSTRAINT over the 1x vs
+                            factor-x table — the documented one-time
+                            full validation scan, alpha ~1 in table.
+    * insert_with_constraint: a fixed 200-row INSERT under the
+                            recorded constraint at both table sizes —
+                            statement-boundary enforcement costs the
+                            BATCH, so alpha ~0 in table.
+    """
+    import pyspark.sql.functions as F  # noqa: F401
+
+    from instagram_data_pipeline_spark.sources.txlog_catalog import (
+        TxlogSqlCatalog,
+    )
+
+    results = {}
+
+    def timed(fn) -> float:
+        best = None
+        for _ in range(runs):
+            t0 = time.time()
+            fn()
+            el = time.time() - t0
+            best = el if best is None else min(best, el)
+        return best
+
+    def convert_time(n_files: int, rows_per_file: int, tag: str) -> float:
+        # runs>1 must re-adopt a FRESH directory each time (convert
+        # refuses an existing log), so the fixture build is inside
+        # the loop but the clock only covers the CONVERT statement
+        best = None
+        for r in range(runs):
+            loc = tempfile.mkdtemp(prefix=f"probe_conv_{tag}_{r}_")
+            shutil.rmtree(loc)
+            spark.range(n_files * rows_per_file).selectExpr(
+                "id AS k", "CAST(id AS DOUBLE) AS v",
+                "repeat('x', 32) AS pad",
+            ).repartition(n_files).write.parquet(loc)
+            cat = TxlogSqlCatalog(spark)
+            t0 = time.time()
+            m = cat.sql(
+                f"CONVERT TO TXLOG conv_{tag}_{r} LOCATION '{loc}' "
+                f"CLUSTERED BY (k)"
+            ).first()
+            el = time.time() - t0
+            assert m.num_files == n_files
+            shutil.rmtree(loc, ignore_errors=True)
+            best = el if best is None else min(best, el)
+        return best
+
+    # (a) file-count scaling at fixed rows/file: O(files) claim
+    t1 = convert_time(12, 5000, "f1")
+    t8 = convert_time(12 * factor, 5000, "f8")
+    results["convert_files"] = {
+        "t_1x": round(t1, 3), f"t_{factor}x": round(t8, 3),
+        "alpha": round(math.log(t8 / t1) / math.log(factor), 3),
+    }
+    # (b) rows-per-file scaling at fixed file count: zero-rewrite claim
+    t1 = convert_time(12, 5000, "r1")
+    t8 = convert_time(12, 5000 * factor, "r8")
+    results["convert_rows_per_file"] = {
+        "t_1x": round(t1, 3), f"t_{factor}x": round(t8, 3),
+        "alpha": round(math.log(t8 / t1) / math.log(factor), 3),
+    }
+
+    # (c)+(d) ADD CONSTRAINT scan and under-constraint INSERT vs
+    # table size: orders-derived txlog tables at 1x and factor-x
+    ins_cols = (
+        "id + 900000000 AS o_orderkey, id AS o_custkey, "
+        "'O' AS o_orderstatus, CAST(id AS DOUBLE) AS o_totalprice, "
+        "TIMESTAMP '1995-06-01' AS o_orderdate, "
+        "'3-MEDIUM' AS o_orderpriority"
+    )
+    for fac, tag in ((1, "1x"), (factor, f"{factor}x")):
+        src_dir = tempfile.mkdtemp(prefix=f"probe_con_{tag}_")
+        build_scaled_orders(spark, sf_dir, src_dir, fac)
+        spark.read.parquet(
+            os.path.join(src_dir, "orders.parquet")
+        ).createOrReplaceTempView("probe_ord_src")
+        loc = os.path.join(src_dir, "ord_txlog")
+        cat = TxlogSqlCatalog(spark)
+        cat.sql(
+            f"CREATE TABLE ord_{tag} USING txlog CLUSTERED BY "
+            f"(o_orderkey) INTO 16 BUCKETS LOCATION '{loc}' "
+            f"AS SELECT * FROM probe_ord_src"
+        )
+        # ADD pays the one-time validation scan; runs>1 re-times it
+        # after a DROP (sidecar-only, so the re-ADD rescans honestly)
+        def add_drop(tag=tag, cat=cat):
+            cat.sql(
+                f"ALTER TABLE ord_{tag} ADD CONSTRAINT price_pos "
+                f"CHECK (o_totalprice >= 0)"
+            )
+            cat.sql(f"ALTER TABLE ord_{tag} DROP CONSTRAINT price_pos")
+
+        t_add = timed(add_drop)
+        cat.sql(
+            f"ALTER TABLE ord_{tag} ADD CONSTRAINT price_pos "
+            f"CHECK (o_totalprice >= 0)"
+        )
+        # fixed-size INSERT under the constraint; distinct key range
+        # per run so the key-unique contract holds
+        run_i = [0]
+
+        def ins(tag=tag, cat=cat):
+            off = run_i[0] * 1000
+            run_i[0] += 1
+            cat.sql(
+                f"INSERT INTO ord_{tag} SELECT {ins_cols.replace('900000000', str(900000000 + off))} "
+                f"FROM range(200)"
+            )
+
+        t_ins = timed(ins)
+        results.setdefault("add_constraint_scan", {})[f"t_{tag}"] = \
+            round(t_add, 3)
+        results.setdefault("insert_with_constraint", {})[f"t_{tag}"] = \
+            round(t_ins, 3)
+        shutil.rmtree(src_dir, ignore_errors=True)
+    for key in ("add_constraint_scan", "insert_with_constraint"):
+        r = results[key]
+        r["alpha"] = round(
+            math.log(r[f"t_{factor}x"] / r["t_1x"]) / math.log(factor), 3
+        )
+
+    print(f"| probe | t_1x (s) | t_{factor}x (s) | alpha |")
+    print("|---|---|---|---|")
+    for name, r in results.items():
+        print(f"| {name} | {r['t_1x']:.2f} | {r[f't_{factor}x']:.2f} "
+              f"| {r['alpha']:.3f} |")
+    print(json.dumps({"special": "constraints-convert",
+                      "factor": factor, "sf": sf_dir,
+                      "results": results}))
+    return results
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default=os.environ.get(
@@ -246,12 +399,24 @@ def main() -> int:
         "--only",
         help="comma-separated query subset (default: all probe sets)",
     )
+    ap.add_argument(
+        "--special",
+        choices=["constraints-convert"],
+        help="run a targeted probe instead of the registry sets "
+             "(constraints-convert: VERDICT r10 Next #7 — CONVERT at "
+             "O(100) files / fixed files with fatter rows, ADD "
+             "CONSTRAINT scan and under-constraint INSERT vs table "
+             "size)",
+    )
     args = ap.parse_args()
 
     from instagram_data_pipeline_spark.queries import load_all
     from instagram_data_pipeline_spark.session import build_session
 
     spark = build_session(app_name="scale_probe")
+    if args.special == "constraints-convert":
+        probe_constraints_convert(spark, args.sf, args.factor, args.runs)
+        return 0
     registry = load_all()
 
     base = tempfile.mkdtemp(prefix="scale_probe_1x_")
@@ -270,7 +435,8 @@ def main() -> int:
 
         results = {}
         names = (PROBE_QUERIES + HEADLINE_PROBE_QUERIES
-                 + TXLOG_PROBE_QUERIES + R10_PROBE_QUERIES)
+                 + TXLOG_PROBE_QUERIES + R10_PROBE_QUERIES
+                 + R11_PROBE_QUERIES)
         if args.only:
             want = {n.strip() for n in args.only.split(",")}
             unknown = want - set(names)

@@ -21,11 +21,14 @@ set: CHECK constraints (ADD with its validation scan, violating
 INSERT/UPDATE refused mid-walk, DROP re-opening the policy — sidecar
 state deliberately NOT rewound by RESTORE), CTAS + CREATE OR REPLACE
 (forward commit over the side table's log), CONVERT TO TXLOG (adopt a
-directory mid-walk, then DELETE/MERGE against it), and VACUUM KEEP k
+directory mid-walk, then DELETE/MERGE against it), VACUUM KEEP k
 VERSIONS composed with time travel (the model forgets expired versions
-and asserts reads of them refuse cleanly). Each fires at random walk
-positions AND once per seed in a scripted coda, so every seed covers
-the full op set under composition."""
+and asserts reads of them refuse cleanly), plus the r11 overwrite
+family — self-referencing INSERT OVERWRITE (the source must read the
+pre-overwrite table) and TRUNCATE (both one forward commit under the
+recorded contract, composed with rename/widen/DV/rebucket state). Each
+fires at random walk positions AND once per seed in a scripted coda,
+so every seed covers the full op set under composition."""
 
 from __future__ import annotations
 
@@ -410,6 +413,25 @@ def test_txlog_random_op_sequences_match_reference_model(
         assert len(got) == 30 - 3 + 10
         assert got[3] == 3.0 and got[25] == 250.0 and got[39] == 390.0
 
+    def op_sql_overwrite():
+        # self-referencing INSERT OVERWRITE: keeps the odd keys — the
+        # source must read the PRE-overwrite table (files-first
+        # ordering), composed with whatever mapping/widening/DV state
+        # the walk built up
+        cat.register("t", wh.path("t"))
+        m = cat.sql(
+            "INSERT OVERWRITE t SELECT * FROM t WHERE k % 2 = 1"
+        ).first()
+        want = {k: r for k, r in model["rows"].items() if k % 2 == 1}
+        assert m.num_overwritten_rows == len(want)
+        model["rows"] = want
+
+    def op_sql_truncate():
+        cat.register("t", wh.path("t"))
+        m = cat.sql("TRUNCATE TABLE t").first()
+        assert m.num_removed_rows == len(model["rows"])
+        model["rows"] = {}
+
     def op_sql_vacuum_keep():
         vs = fmt.versions(wh, "t")
         if len(vs) < 3:
@@ -453,7 +475,7 @@ def test_txlog_random_op_sequences_match_reference_model(
         op_sql_time_travel, op_sql_merge, op_sql_update, op_sql_delete,
         op_sql_optimize, op_sql_insert, op_sql_restore,
         op_sql_constraints, op_sql_ctas, op_sql_convert,
-        op_sql_vacuum_keep,
+        op_sql_vacuum_keep, op_sql_overwrite, op_sql_truncate,
     ]
     for _ in range(14):
         rng.choice(ops)()
@@ -462,9 +484,12 @@ def test_txlog_random_op_sequences_match_reference_model(
         assert fmt.count_rows(wh, "t") == len(model["rows"])
     # scripted coda: every round-11 op fires at least once PER SEED,
     # composed with whatever state the random walk left behind (the
-    # walk above additionally interleaves them at random positions)
+    # walk above additionally interleaves them at random positions).
+    # TRUNCATE fires mid-coda with a repopulating merge after it, so
+    # the end-of-walk full-state check still compares real data.
     for op in (
-        op_sql_constraints, op_sql_ctas, op_sql_convert,
+        op_sql_constraints, op_sql_truncate, op_merge,
+        op_sql_overwrite, op_sql_ctas, op_sql_convert,
         op_sql_vacuum_keep,
     ):
         op()
