@@ -425,8 +425,15 @@ class TransactionLogFormat:
     attempts are invisible and vacuumable — the optimistic-concurrency
     protocol Delta/Iceberg run."""
 
-    #: publish attempts before a merge gives up under contention
-    MAX_COMMIT_RETRIES = 5
+    #: publish attempts before a write gives up under contention.
+    #: Sized for REAL multi-driver contention, not just in-process
+    #: races: a loser that must REDO its merge can lose several
+    #: rounds in a row to faster writers (the r11 cross-process test
+    #: starved a 3-writer race at the old value of 5), and optimistic
+    #: table formats keep retrying far longer (Delta's commit-attempt
+    #: budget is effectively unbounded). Still finite so a livelocked
+    #: writer fails loudly instead of spinning forever.
+    MAX_COMMIT_RETRIES = 20
 
     # class-level defaults so subclasses that replace __init__ (test
     # fault-injection shims) still get plain unclustered layout
