@@ -54,90 +54,86 @@ def register(
 # — all of them stay oracle-checked every CI run by
 # tests/test_queries_oracle.py regardless.
 REGISTRY_ORDER: tuple[str, ...] = (
-    # ================= round-11 driver window (50 slots) =================
+    # ================= round-12 driver window (50 slots) =================
     # Standing policy unchanged (see above). Window composition
-    # (VERDICT r10 "Next round" #1):
-    # (a) slots 1-8: the SQL-statement-surface completion set.
-    #     txlog_merge_into_sql is the changed-impl re-verify the exact
-    #     r10 budget could not hold (ON-side validation tightened r10);
-    #     the other 7 registered after the r10 driver check ran and
-    #     need their FIRST driver rows (each already CI-oracle-green +
-    #     judge-verified PASS at sf0.01 in r10). txlog_alter_sql and
-    #     txlog_ctas_sql additionally re-verify CHANGED impls this
-    #     round (ADVICE r10: multi-column ADD, parenthesized types,
-    #     IF-NOT-EXISTS spec validation, REPLACE as forward commit).
-    # (b) slots 9-33: the entire r4-vintage cohort (25 queries) — the
-    #     oldest driver evidence in the registry, FIFO per the rotation
-    #     policy (COVERAGE.md "Driver-window rotation policy").
-    # (c) slots 34-50: the r5-vintage FIFO head (17 slots). Twin pairs
-    #     travel whole: classifier_score_fixed (r6 vintage) is pulled
-    #     one round early to sit beside its rows-only twin
-    #     classifier_weights, and each sketch family's hash-checked
-    #     _portable twin is adjacent to its rows-only tier, so every
-    #     probabilistic family seated this round ships a hard row.
-    #     r5 remainder (stream_neardup_dedup, multimodal_jpeg_stats,
-    #     dedup_keep_best, multimodal_mjpeg_stats, c4_line_filter,
-    #     dup_span_removal) heads the r12 queue below.
-    "txlog_merge_into_sql",
-    "txlog_maintenance_sql",
-    "txlog_insert_into_sql",
-    "txlog_restore_sql",
+    # (VERDICT r11 "Next round" #1):
+    # (a) slot 1: txlog_overwrite_sql — registered mid-r11 AFTER that
+    #     round's window was seated; needs its FIRST driver row (already
+    #     CI-oracle-green + judge-verified PASS at the driver's sf0.01).
+    # (b) slots 2-11: the txlog SQL-statement set (incl. UPDATE/DELETE) re-verifies CHANGED
+    #     impls — this round moves CHECK constraints from the sidecar
+    #     into the versioned manifest (VERDICT r11 #2), fixes
+    #     replace_table's write-inside-CAS-retry (ADVICE r11), and
+    #     rejects NOT NULL ADD COLUMN (ADVICE r11); every statement
+    #     query touches the changed commit/validation path.
+    # (c) slots 12-14: the CDF read faces re-verify the schema-evolution
+    #     contract pinned this round (VERDICT r11 #7).
+    # (d) slots 15-20: the r5-vintage remainder — the oldest driver
+    #     evidence in the registry (FIFO per COVERAGE.md rotation policy).
+    # (e) slots 21-32: the entire r6-vintage cohort (12), twin pair
+    #     pq_adc_fixed/pq_topk whole.
+    # (f) slots 33-50: the r7-vintage FIFO head (18 of 27), twin pair
+    #     pca_eig2_fixed/pca_components whole.
+    "txlog_overwrite_sql",
+    "txlog_constraints_sql",
     "txlog_ctas_sql",
     "txlog_alter_sql",
-    "txlog_constraints_sql",
+    "txlog_insert_into_sql",
+    "txlog_merge_into_sql",
+    "txlog_maintenance_sql",
+    "txlog_restore_sql",
     "txlog_convert_sql",
-    "pagerank",
-    "kcore_members",
-    "bm25_topk",
-    "lm_perplexity",
-    "dsir_weights",
-    "semantic_dedup",
-    "leakage_safe_split",
-    "quantile_sketch",
-    "grouped_median_sketch",
-    "distribution_drift",
-    "snapshot_diff",
-    "scd2_history",
-    "multitouch_attribution",
-    "stream_static_enrich",
-    "context_chunks",
-    "multimodal_audio_stats",
-    "weighted_sample",
-    "hashed_tf_features",
-    "equidepth_buckets",
-    "connected_components",
-    "dedup_clusters",
-    "multimodal_png_stats",
-    "multimodal_ulaw_stats",
-    "url_frequency_cap",
-    "constraint_report",
-    "classifier_score_fixed",
-    "classifier_weights",
-    "skew_report",
-    "unigram_encode_tokens",
-    "unigram_vocab",
-    "bpe_encode_tokens",
-    "bpe_merges",
-    "minhash_near_dups_portable",
-    "minhash_near_dups",
-    "simhash_near_dups_portable",
-    "simhash_near_dups",
-    "cms_heavy_users_portable",
-    "cms_heavy_users",
-    "approx_distinct_users_portable",
-    "approx_distinct_users",
-    "ivf_incremental_topk",
-    "incremental_minhash_dedup",
-    # ------------------- driver window ends at slot 50 --------------------
-    # r12 queue head: txlog_overwrite_sql (INSERT OVERWRITE + TRUNCATE,
-    # registered mid-r11 AFTER this round's window was seated — needs
-    # its first driver row), then the r5-vintage remainder, then
-    # r6-vintage FIFO. Everything below stays DuckDB-oracle-checked
-    # every CI run by tests/test_queries_oracle.py; rows-only tiers
-    # past the window are covered by POST_WINDOW_ROWS_ONLY_OK.
-    "txlog_overwrite_sql",
     "txlog_update_sql",
     "txlog_delete_sql",
+    "txlog_change_feed",
+    "txlog_stream_changes",
+    "txlog_changes_backfill",
+    "stream_neardup_dedup",
+    "multimodal_jpeg_stats",
+    "dedup_keep_best",
+    "multimodal_mjpeg_stats",
+    "c4_line_filter",
+    "dup_span_removal",
+    "contrastive_triplets",
+    "dup_spans",
+    "html_extract",
+    "incremental_components",
+    "label_propagation",
+    "pca_project_fixed",
+    "pq_adc_fixed",
+    "pq_topk",
+    "rate_limit_admission",
+    "warc_roundtrip",
+    "web_pipeline",
+    "wordpiece_encode_tokens",
+    "join_size_preflight",
+    "score_calibration",
+    "monitor_drift_report",
+    "bucketed_join",
+    "lm_perplexity_kneser_ney",
+    "containment_pairs",
+    "mv_incremental_refresh",
+    "mojibake_repair",
+    "mixture_epochs",
+    "jsonl_quarantine",
+    "csv_quarantine",
+    "intradoc_line_dedup",
+    "matryoshka_recall",
+    "pca_eig2_fixed",
+    "pca_components",
+    "bin_packing",
+    "training_shards",
+    "robots_exclusion",
+    # ------------------- driver window ends at slot 50 --------------------
+    # r13 queue: the r7-vintage remainder (9, incl. the two displaced by
+    # the UPDATE/DELETE changed-impl re-verifies), then r8-vintage FIFO,
+    # then the demoted r11 window at the back. New queries registered
+    # mid-r12 go right here with a rationale comment. Everything below
+    # stays DuckDB-oracle-checked every CI run by
+    # tests/test_queries_oracle.py; rows-only tiers past the window are
+    # covered by POST_WINDOW_ROWS_ONLY_OK.
+    "link_graph",
+    "domain_quality_rollup",
     "dpp_partition_prune",
     "txlog_time_travel_sql",
     "multimodal_flac_stats",
@@ -190,11 +186,8 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "txlog_stream_merge_sink",
     "txlog_rebucket_layout",
     "txlog_zorder_equidepth",
-    "txlog_changes_backfill",
     "txlog_delete_vectors",
     "txlog_bloom_lookup",
-    "txlog_change_feed",
-    "txlog_stream_changes",
     "mutual_edges",
     "dataset_split",
     "embedding_quantize",
@@ -278,26 +271,6 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "event_transitions",
     "dedup_funnel_report",
     "triangle_stats",
-    "join_size_preflight",
-    "score_calibration",
-    "monitor_drift_report",
-    "bucketed_join",
-    "lm_perplexity_kneser_ney",
-    "containment_pairs",
-    "mv_incremental_refresh",
-    "mojibake_repair",
-    "mixture_epochs",
-    "jsonl_quarantine",
-    "csv_quarantine",
-    "intradoc_line_dedup",
-    "matryoshka_recall",
-    "pca_eig2_fixed",
-    "pca_components",
-    "bin_packing",
-    "training_shards",
-    "robots_exclusion",
-    "link_graph",
-    "domain_quality_rollup",
     "perplexity_mixture",
     "ngram_novelty",
     "readability_stats",
@@ -305,24 +278,48 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "chunk_dedup",
     "lsh_quality_report",
     "ann_recall_report",
-    "pq_adc_fixed",
-    "pq_topk",
-    "warc_roundtrip",
-    "html_extract",
-    "web_pipeline",
-    "rate_limit_admission",
-    "label_propagation",
-    "incremental_components",
-    "contrastive_triplets",
-    "wordpiece_encode_tokens",
-    "dup_spans",
-    "pca_project_fixed",
-    "stream_neardup_dedup",
-    "multimodal_jpeg_stats",
-    "dedup_keep_best",
-    "multimodal_mjpeg_stats",
-    "c4_line_filter",
-    "dup_span_removal",
+    "pagerank",
+    "kcore_members",
+    "bm25_topk",
+    "lm_perplexity",
+    "dsir_weights",
+    "semantic_dedup",
+    "leakage_safe_split",
+    "quantile_sketch",
+    "grouped_median_sketch",
+    "distribution_drift",
+    "snapshot_diff",
+    "scd2_history",
+    "multitouch_attribution",
+    "stream_static_enrich",
+    "context_chunks",
+    "multimodal_audio_stats",
+    "weighted_sample",
+    "hashed_tf_features",
+    "equidepth_buckets",
+    "connected_components",
+    "dedup_clusters",
+    "multimodal_png_stats",
+    "multimodal_ulaw_stats",
+    "url_frequency_cap",
+    "constraint_report",
+    "classifier_score_fixed",
+    "classifier_weights",
+    "skew_report",
+    "unigram_encode_tokens",
+    "unigram_vocab",
+    "bpe_encode_tokens",
+    "bpe_merges",
+    "minhash_near_dups_portable",
+    "minhash_near_dups",
+    "simhash_near_dups_portable",
+    "simhash_near_dups",
+    "cms_heavy_users_portable",
+    "cms_heavy_users",
+    "approx_distinct_users_portable",
+    "approx_distinct_users",
+    "ivf_incremental_topk",
+    "incremental_minhash_dedup",
 )
 DRIVER_WINDOW = 50
 

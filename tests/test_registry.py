@@ -10,30 +10,33 @@ from instagram_data_pipeline_spark.queries import (
     load_all,
 )
 
-# queries that MUST occupy the round-11 driver window: the SQL-surface
-# completion set needing first driver rows (plus the merge re-verify
-# the exact r10 budget couldn't hold, and the alter/ctas changed-impl
-# re-verifies from the ADVICE r10 fixes), then the r4-vintage cohort —
-# the oldest driver evidence in the registry — and the r5 FIFO head
-# with twin pairs whole (VERDICT r10 Next #1)
+# queries that MUST occupy the round-12 driver window: the first driver
+# row for txlog_overwrite_sql (registered mid-r11 after that window was
+# seated), the txlog SQL-statement set re-verifying the changed
+# commit/validation path (constraints-in-manifest, replace_table fix,
+# NOT NULL ADD rejection — VERDICT r11 #2 + ADVICE r11), the CDF read
+# faces re-verifying the schema-evolution contract (VERDICT r11 #7),
+# then the r5/r6-vintage cohorts — the oldest driver evidence in the
+# registry — with twin pairs whole (VERDICT r11 Next #1)
 PRIORITY = {
-    # SQL-surface set: merge re-verify + 7 first-driver-row queries
+    # first driver row + changed-impl SQL-statement set
+    "txlog_overwrite_sql",
     "txlog_merge_into_sql", "txlog_maintenance_sql",
     "txlog_insert_into_sql", "txlog_restore_sql", "txlog_ctas_sql",
     "txlog_alter_sql", "txlog_constraints_sql", "txlog_convert_sql",
-    # r4-vintage cohort heads (full 25 seated; spot-pin one per family)
-    "pagerank", "bm25_topk", "semantic_dedup", "leakage_safe_split",
-    "quantile_sketch", "snapshot_diff", "scd2_history",
-    "multitouch_attribution", "multimodal_audio_stats",
-    "connected_components", "url_frequency_cap", "constraint_report",
-    # r5 FIFO head: rows-only tiers seated WITH their hash-checked twins
-    "classifier_score_fixed", "classifier_weights",
-    "unigram_encode_tokens", "unigram_vocab",
-    "bpe_encode_tokens", "bpe_merges",
-    "minhash_near_dups_portable", "minhash_near_dups",
-    "simhash_near_dups_portable", "simhash_near_dups",
-    "cms_heavy_users_portable", "cms_heavy_users",
-    "approx_distinct_users_portable", "approx_distinct_users",
+    "txlog_update_sql", "txlog_delete_sql",
+    # CDF faces: schema-evolution contract pinned this round
+    "txlog_change_feed", "txlog_stream_changes", "txlog_changes_backfill",
+    # r5-vintage remainder (oldest driver evidence)
+    "stream_neardup_dedup", "multimodal_jpeg_stats", "dedup_keep_best",
+    "multimodal_mjpeg_stats", "c4_line_filter", "dup_span_removal",
+    # r6-vintage cohort, PQ twin pair whole
+    "contrastive_triplets", "dup_spans", "html_extract",
+    "incremental_components", "label_propagation", "pca_project_fixed",
+    "pq_adc_fixed", "pq_topk", "rate_limit_admission", "warc_roundtrip",
+    "web_pipeline", "wordpiece_encode_tokens",
+    # r7 FIFO head: PCA rows-only tier seated WITH its hash-checked twin
+    "pca_eig2_fixed", "pca_components",
 }
 
 
