@@ -786,6 +786,203 @@ class TransactionLogFormat:
                     f"{new_fields[f.name].simpleString()}"
                 )
 
+    # -- CHECK constraints (manifest-recorded, protocol-enforced) ----------
+    #
+    # The constraint set {name: check_expr} lives IN the versioned
+    # manifest (the Delta design: constraints are table metadata, so
+    # ADD/DROP CONSTRAINT is one CAS commit and every writer validates
+    # against the exact snapshot it publishes onto). Round 11 kept it
+    # in a ``_constraints.json`` sidecar OUTSIDE the commit protocol,
+    # which the cross-process serializability standard outgrew: a
+    # writer could validate against a stale sidecar while a concurrent
+    # ADD CONSTRAINT landed, then publish violating rows (TOCTOU), and
+    # two concurrent ADDs were last-writer-wins. Legacy sidecars stay
+    # readable (fallback below) until the first ADD/DROP migrates them
+    # into the manifest.
+
+    @staticmethod
+    def _constraints_of(snap: dict | None, root) -> dict:
+        """Effective CHECK-constraint set of a snapshot: the manifest's
+        ``constraints`` section when present (authoritative — an
+        explicit ``{}`` masks any stale legacy sidecar, which makes
+        CREATE OR REPLACE's constraint reset atomic with its commit),
+        else the legacy ``_constraints.json`` sidecar, else none."""
+        if snap is not None and "constraints" in snap:
+            return dict(snap["constraints"])
+        p = Path(root) / "_constraints.json"
+        if p.exists():
+            with open(p) as f:
+                return json.load(f)
+        return {}
+
+    @staticmethod
+    def _validate_constraints(
+        df: DataFrame, cons: dict, op: str, table: str
+    ) -> None:
+        """Refuse ``op`` if any row of ``df`` violates a recorded CHECK
+        constraint. ONE aggregate pass counts every constraint's
+        violations together (not one filter-count job per constraint);
+        NULL results satisfy CHECK (ANSI three-valued logic, matched by
+        ``when(NOT expr, 1).otherwise(0)`` mapping NULL to 0)."""
+        if not cons:
+            return
+        names = sorted(cons)
+        counts = df.agg(
+            *[
+                F.sum(
+                    F.when(F.expr(f"NOT ({cons[n]})"), F.lit(1)).otherwise(
+                        F.lit(0)
+                    )
+                ).alias(f"_c{i}")
+                for i, n in enumerate(names)
+            ]
+        ).collect()[0]
+        for i, n in enumerate(names):
+            if counts[i]:
+                raise ValueError(
+                    f"{op} on {table!r}: {counts[i]} row(s) violate "
+                    f"constraint {n!r} CHECK ({cons[n]})"
+                )
+
+    @staticmethod
+    def _constraint_references(expr: str, col: str) -> bool:
+        """Whether a CHECK expression's text references ``col`` as a
+        word (conservative: string literals in the expr can false-
+        positive, which only makes rename/drop refuse more loudly —
+        never corrupts)."""
+        import re as _re
+
+        return _re.search(rf"\b{_re.escape(col)}\b", expr) is not None
+
+    def constraints(self, wh, table: str) -> dict:
+        """Recorded CHECK constraints of the LATEST snapshot."""
+        return self._constraints_of(
+            self._latest(wh, table), wh.path(table)
+        )
+
+    def add_constraint(
+        self, wh, table: str, cname: str, expr: str
+    ) -> tuple[int, int]:
+        """``ALTER TABLE t ADD CONSTRAINT n CHECK (expr)`` as ONE CAS
+        manifest commit: the expression must analyze against the
+        snapshot's schema, every EXISTING row must satisfy it (one full
+        validation scan — the documented Delta ADD CONSTRAINT cost,
+        paid once), and the constraint set publishes as version N+1
+        metadata carrying every data section by reference. Losing the
+        CAS re-validates against the WINNING snapshot (its rows may be
+        new), so the published invariant is always true of the version
+        it lands on — closing the TOCTOU the sidecar design had.
+        Migrates any legacy sidecar set into the manifest (and removes
+        the sidecar — the manifest key is authoritative from then on).
+        Returns (published_version, num_constraints)."""
+        from pyspark.sql.types import StructType
+
+        for _ in range(self.MAX_COMMIT_RETRIES):
+            snap = self._latest(wh, table)
+            if snap is None:
+                raise FileNotFoundError(f"no committed version for {table}")
+            cons = self._constraints_of(snap, wh.path(table))
+            if cname in cons:
+                raise ValueError(
+                    f"ADD CONSTRAINT: {cname!r} already exists on "
+                    f"{table!r} (CHECK ({cons[cname]}))"
+                )
+            schema = StructType.fromJson(json.loads(snap["schema"]))
+            try:
+                wh.spark.createDataFrame([], schema).where(expr)
+            except Exception as e:
+                raise ValueError(
+                    f"ADD CONSTRAINT: CHECK expression {expr!r} does "
+                    f"not analyze against {table!r}'s schema ({e})"
+                ) from None
+            cur = self._read_snapshot(wh, Path(wh.path(table)), snap)
+            bad = cur.where(f"NOT ({expr})").count()
+            if bad:
+                raise ValueError(
+                    f"ADD CONSTRAINT: {bad} existing row(s) of "
+                    f"{table!r} violate CHECK ({expr}) — fix the "
+                    f"data first"
+                )
+            new_cons = {**cons, cname: expr}
+            try:
+                self._publish_metadata_only(
+                    wh, table, snap, constraints=new_cons
+                )
+            except CommitConflict:
+                continue  # re-validate against the winning snapshot
+            self._remove_constraint_sidecar(wh, table)
+            return snap["version"] + 1, len(new_cons)
+        raise CommitConflict(
+            f"add_constraint on {table!r}: gave up after "
+            f"{self.MAX_COMMIT_RETRIES} commit conflicts"
+        )
+
+    def drop_constraint(
+        self, wh, table: str, cname: str, if_exists: bool = False
+    ) -> tuple[int | None, int]:
+        """``ALTER TABLE t DROP CONSTRAINT [IF EXISTS] n`` as one CAS
+        manifest commit (no scan — releasing a policy validates
+        nothing). Returns (published_version | None when absent under
+        IF EXISTS, num_constraints)."""
+        for _ in range(self.MAX_COMMIT_RETRIES):
+            snap = self._latest(wh, table)
+            if snap is None:
+                raise FileNotFoundError(f"no committed version for {table}")
+            cons = self._constraints_of(snap, wh.path(table))
+            if cname not in cons:
+                if if_exists:
+                    return None, len(cons)
+                raise ValueError(
+                    f"DROP CONSTRAINT: no constraint {cname!r} on "
+                    f"{table!r} (recorded: {sorted(cons)})"
+                )
+            new_cons = {k: v for k, v in cons.items() if k != cname}
+            try:
+                self._publish_metadata_only(
+                    wh, table, snap, constraints=new_cons
+                )
+            except CommitConflict:
+                continue
+            self._remove_constraint_sidecar(wh, table)
+            return snap["version"] + 1, len(new_cons)
+        raise CommitConflict(
+            f"drop_constraint on {table!r}: gave up after "
+            f"{self.MAX_COMMIT_RETRIES} commit conflicts"
+        )
+
+    def _publish_metadata_only(
+        self, wh, table: str, snap: dict, **overrides
+    ) -> None:
+        """Publish version N+1 carrying every section of ``snap`` by
+        reference with ``overrides`` replacing named sections — the
+        shared shape of constraint commits (and any future metadata-
+        only op). One manifest write, zero data files."""
+        sections = dict(
+            rows=snap.get("rows"), stats=snap.get("stats"),
+            dv=snap.get("dv"), fields=snap.get("fields"),
+            dropped_fields=snap.get("dropped_fields"),
+            next_fid=snap.get("next_fid"), keys=snap.get("keys"),
+            num_buckets=snap.get("num_buckets"), txns=snap.get("txns"),
+            constraints=snap.get("constraints"),
+        )
+        sections.update(overrides)
+        self._publish(
+            wh, table, snap["version"] + 1, snap["files"],
+            snap.get("schema"), **sections
+        )
+
+    @staticmethod
+    def _remove_constraint_sidecar(wh, table: str) -> None:
+        """Best-effort removal of a migrated legacy sidecar (the
+        manifest's ``constraints`` key is already authoritative, so a
+        survivor is dead weight, not a hazard)."""
+        p = Path(wh.path(table)) / "_constraints.json"
+        try:
+            if p.exists():
+                p.unlink()
+        except OSError:
+            pass
+
     def merge(self, wh, table, incoming, keys, order_col, num_buckets,
               txn=None):
         """``txn=(app_id, version)`` — idempotent transactional merge
@@ -828,7 +1025,16 @@ class TransactionLogFormat:
         incoming) -> replacement`` supplies the upsert rule; everything
         else (first-commit race, bucket/key contracts, txn fence,
         additive evolution, bucket-scoped read, CAS publish with
-        disjoint-winner rebase / overlap redo) is common."""
+        disjoint-winner rebase / overlap redo) is common.
+
+        CHECK constraints are enforced HERE, inside the optimistic
+        loop, against the exact snapshot the commit publishes onto: a
+        concurrent ADD CONSTRAINT changes the manifest's constraint
+        section, which the conflict classifier treats as an overlap
+        (redo), so the retry re-reads and re-validates under the
+        winner's policy — no stale-policy TOCTOU. The batch is only
+        re-validated when the effective set actually changed."""
+        validated_cons: dict | None = None
         for _ in range(self.MAX_COMMIT_RETRIES):
             snap = self._latest(wh, table)
             if snap is None:
@@ -860,6 +1066,10 @@ class TransactionLogFormat:
 
                 old_schema = StructType.fromJson(json.loads(snap["schema"]))
                 self._check_evolution(old_schema, incoming.schema)
+            cons = self._constraints_of(snap, wh.path(table))
+            if cons != validated_cons:
+                self._validate_constraints(incoming, cons, "write", table)
+                validated_cons = cons
             touched = {
                 r.b
                 for r in incoming.select(
@@ -995,6 +1205,10 @@ class TransactionLogFormat:
                     )
                 if txns:
                     published["txns"] = txns
+                # the constraint set rides the manifest like every
+                # metadata section; the caller validated against it
+                if "constraints" in base:
+                    published["constraints"] = base["constraints"]
                 self._publish(
                     wh, table, published["version"],
                     published["files"], schema_json,
@@ -1007,6 +1221,7 @@ class TransactionLogFormat:
                     keys=published["keys"],
                     num_buckets=published["num_buckets"],
                     txns=published.get("txns"),
+                    constraints=published.get("constraints"),
                 )
                 return published
             except CommitConflict:
@@ -1028,11 +1243,14 @@ class TransactionLogFormat:
                     base_t != cur_t
                     or base_dvt != cur_dvt
                     or base.get("schema") != cur.get("schema")
+                    or base.get("constraints") != cur.get("constraints")
                 ):
                     # the winner rewrote one of OUR buckets (our
-                    # transform read stale inputs) or evolved the
-                    # schema — abandon these files (vacuumable)
-                    # and redo from the winning snapshot
+                    # transform read stale inputs), evolved the
+                    # schema, or changed the CHECK-constraint policy
+                    # (our batch was validated under the OLD set) —
+                    # abandon these files (vacuumable) and redo from
+                    # the winning snapshot, re-validating there
                     return None
                 base = cur  # disjoint winner: reuse our data files
         return None
@@ -1194,6 +1412,20 @@ class TransactionLogFormat:
             rec_keys = self._keys_of(snap)
             if rec_keys is not None:
                 rec_keys = [new if k == old else k for k in rec_keys]
+            cons = self._constraints_of(snap, wh.path(table))
+            referencing = [
+                n for n, e in sorted(cons.items())
+                if self._constraint_references(e, old)
+            ]
+            if referencing:
+                # a CHECK expression is SQL text over logical names —
+                # renaming a referenced column would break it at the
+                # next validation (Delta refuses exactly this)
+                raise ValueError(
+                    f"rename_column: {old!r} is referenced by CHECK "
+                    f"constraint(s) {referencing} on {table!r} — drop "
+                    f"them first"
+                )
             try:
                 self._publish(
                     wh, table, snap["version"] + 1, snap["files"],
@@ -1203,6 +1435,7 @@ class TransactionLogFormat:
                     dropped_fields=dropped or None, next_fid=next_fid,
                     keys=rec_keys, num_buckets=snap.get("num_buckets"),
                     txns=snap.get("txns"),
+                    constraints=snap.get("constraints"),
                 )
                 return snap["version"] + 1
             except CommitConflict:
@@ -1247,6 +1480,20 @@ class TransactionLogFormat:
                     f"(recorded keys {rec_keys}) — later merges could "
                     f"not resolve the bucket function"
                 )
+            cons = self._constraints_of(snap, wh.path(table))
+            referencing = [
+                n for n, e in sorted(cons.items())
+                if self._constraint_references(e, name)
+            ]
+            if referencing:
+                # dropping a referenced column would leave a CHECK
+                # expression that no longer analyzes, failing every
+                # future write with a confusing error (Delta refuses)
+                raise ValueError(
+                    f"drop_column: {name!r} is referenced by CHECK "
+                    f"constraint(s) {referencing} on {table!r} — drop "
+                    f"them first"
+                )
             fields, dropped, next_fid = self._bootstrap_fields(
                 snap, schema
             )
@@ -1269,6 +1516,7 @@ class TransactionLogFormat:
                     dropped_fields=dropped, next_fid=next_fid,
                     keys=rec_keys, num_buckets=snap.get("num_buckets"),
                     txns=snap.get("txns"),
+                    constraints=snap.get("constraints"),
                 )
                 return snap["version"] + 1
             except CommitConflict:
@@ -1358,6 +1606,7 @@ class TransactionLogFormat:
                     keys=self._keys_of(snap),
                     num_buckets=snap.get("num_buckets"),
                     txns=snap.get("txns"),
+                    constraints=snap.get("constraints"),
                 )
                 return snap["version"] + 1
             except CommitConflict:
@@ -1479,6 +1728,7 @@ class TransactionLogFormat:
                     next_fid=snap.get("next_fid"), keys=rec_keys,
                     num_buckets=snap.get("num_buckets"),
                     txns=snap.get("txns"),
+                    constraints=snap.get("constraints"),
                 )
                 return snap["version"] + 1
             except CommitConflict:
@@ -1531,6 +1781,7 @@ class TransactionLogFormat:
                     next_fid=snap.get("next_fid"),
                     keys=keys, num_buckets=int(new_num_buckets),
                     txns=snap.get("txns"),
+                    constraints=snap.get("constraints"),
                 )
                 return snap["version"] + 1
             except CommitConflict:
@@ -1688,6 +1939,7 @@ class TransactionLogFormat:
                         snap.get("num_buckets", num_buckets)
                     ),
                     txns=snap.get("txns"),
+                    constraints=snap.get("constraints"),
                 )
                 return len(victims)
             except CommitConflict:
@@ -2250,6 +2502,7 @@ class TransactionLogFormat:
                         snap.get("num_buckets", num_buckets)
                     ),
                     txns=snap.get("txns"),
+                    constraints=snap.get("constraints"),
                 )
                 return before, len(new_files)
             except CommitConflict:
@@ -2372,24 +2625,50 @@ class TransactionLogFormat:
     def replace_table(
         self, wh, table: str, schema, keys: list[str],
         num_buckets: int, df: DataFrame | None = None,
+        keep_constraints: bool = False, op: str = "replace_table",
     ) -> dict:
-        """``CREATE OR REPLACE`` as a FORWARD commit (Delta parity;
-        ADVICE r10 — the old implementation rmtree'd the table root,
-        erasing all history): publish version N+1 under the NEW schema
-        / merge-key / bucket contract, leaving every prior manifest —
-        and the data files they reference — untouched, so time travel
-        to pre-replace versions keeps working until VACUUM expires
-        them. Nothing is deleted here.
+        """``CREATE OR REPLACE`` / ``INSERT OVERWRITE`` / ``TRUNCATE``
+        as a FORWARD commit (Delta parity; ADVICE r10 — the original
+        implementation rmtree'd the table root, erasing all history):
+        publish version N+1 under the given schema / merge-key /
+        bucket contract, leaving every prior manifest — and the data
+        files they reference — untouched, so time travel to
+        pre-replace versions keeps working until VACUUM expires them.
+        Nothing is deleted here.
 
-        With ``df`` (the REPLACE ... AS SELECT data), the new files
-        are WRITTEN FIRST and the replacement lands as ONE commit
-        carrying them — never an empty intermediate version followed
-        by a merge. Ordering is load-bearing, not cosmetic: the AS
-        query may read the table being replaced (the temp-view scan
-        resolves the latest manifest at EXECUTION time, not view
-        creation), so computing the data after an empty-replace
-        publish would silently replace the table with nothing.
-        Without ``df`` the file set is empty.
+        With ``df`` (the AS-SELECT / OVERWRITE data), the new files
+        are written ONCE, BEFORE the publish loop, and the replacement
+        lands as ONE commit carrying them — never an empty
+        intermediate version followed by a merge. The write-first
+        ordering is load-bearing for two reasons: (a) crash-atomicity —
+        a crash between write and publish leaves only invisible,
+        vacuumable orphans, never a committed empty table; (b) a
+        self-referencing source (``INSERT OVERWRITE t ... FROM t``)
+        reads through a temp view whose DataSource PINNED its manifest
+        at view creation (see ``txlog_catalog.register``), so the scan
+        serves the pre-replace snapshot however late it executes — the
+        data does NOT re-resolve at execution time, which is also why
+        the files are version-independent and writing them inside the
+        CAS retry loop would be pure waste (ADVICE r11: up to
+        MAX_COMMIT_RETRIES full rewrites under contention).
+
+        Conflict policy: an overwrite is a BLIND replacement, so a
+        concurrent commit that changed the table's DATA state (files /
+        deletion vectors / schema) is a real write-write race — the
+        loser fails LOUDLY (the Delta WriteSerializable answer; a
+        silent last-writer-wins would discard the winner's rows
+        without anyone having seen them). A metadata-only winner (a
+        constraint ADD/DROP) is safe to re-CAS over, re-validating
+        ``df`` when the policy changed.
+
+        ``keep_constraints=True`` (INSERT OVERWRITE / TRUNCATE — the
+        statement replaces data, not policy) carries the effective
+        CHECK-constraint set into the new version and validates ``df``
+        against it; False (CREATE OR REPLACE — a new table identity)
+        publishes an EXPLICIT empty set, atomically retiring the old
+        policy with the same commit (a legacy sidecar is masked by the
+        manifest key, closing the crash window where stale constraints
+        outlived the replace).
 
         The new version carries no column-mapping section (its files
         are fresh — no old bytes a physical name could collide with)
@@ -2400,38 +2679,202 @@ class TransactionLogFormat:
         missing = set(keys) - names
         if missing:
             raise ValueError(
-                f"replace_table: key column(s) {sorted(missing)} not "
+                f"{op}: key column(s) {sorted(missing)} not "
                 f"in schema {sorted(names)}"
             )
         if int(num_buckets) < 1:
-            raise ValueError("replace_table: num_buckets must be >= 1")
+            raise ValueError(f"{op}: num_buckets must be >= 1")
+        snap0 = self._latest(wh, table)
+        if snap0 is None:
+            raise ValueError(
+                f"{op}: no committed table at "
+                f"{wh.path(table)!r} — use create_table"
+            )
+        validated: dict | None = None
+        if keep_constraints and df is not None:
+            # validate BEFORE writing: a violating batch costs one
+            # aggregate job, not a full file write plus orphans
+            validated = self._constraints_of(snap0, wh.path(table))
+            self._validate_constraints(df, validated, op, table)
+        if df is not None:
+            files, rows, stats = self._write_commit(
+                wh, table, df, keys, int(num_buckets)
+            )
+        else:
+            files, rows, stats = {}, {}, {}
+        snap = snap0
         for _ in range(self.MAX_COMMIT_RETRIES):
-            snap = self._latest(wh, table)
-            if snap is None:
-                raise ValueError(
-                    f"replace_table: no committed table at "
-                    f"{wh.path(table)!r} — use create_table"
-                )
-            if df is not None:
-                # data files first (against the still-latest old
-                # manifest), manifest second — a crash in between
-                # leaves only invisible, vacuumable orphans
-                files, rows, stats = self._write_commit(
-                    wh, table, df, keys, int(num_buckets)
-                )
-            else:
-                files, rows, stats = {}, {}, {}
+            cons = (
+                self._constraints_of(snap, wh.path(table))
+                if keep_constraints
+                else {}
+            )
+            if keep_constraints and df is not None and cons != validated:
+                self._validate_constraints(df, cons, op, table)
+                validated = cons
             try:
                 self._publish(
                     wh, table, snap["version"] + 1, files, schema.json(),
                     rows=rows, stats=stats,
                     keys=list(keys), num_buckets=int(num_buckets),
+                    constraints=cons,
                 )
+                if not keep_constraints:
+                    # the manifest's explicit {} is already
+                    # authoritative; the sidecar is dead weight
+                    self._remove_constraint_sidecar(wh, table)
                 return self._latest(wh, table)
             except CommitConflict:
-                continue
+                cur = self._latest(wh, table)
+                if (
+                    cur.get("files") != snap.get("files")
+                    or cur.get("dv") != snap.get("dv")
+                    or cur.get("schema") != snap.get("schema")
+                ):
+                    raise CommitConflict(
+                        f"{op} on {table!r}: a concurrent commit "
+                        f"changed the table's data while this "
+                        f"overwrite was in flight (v{snap['version']} "
+                        f"-> v{cur['version']}) — a blind replacement "
+                        f"would silently discard it; re-run the "
+                        f"statement against the current state"
+                    ) from None
+                snap = cur  # metadata-only winner: re-CAS on top
         raise CommitConflict(
-            f"replace_table on {table!r}: gave up after "
+            f"{op} on {table!r}: gave up after "
+            f"{self.MAX_COMMIT_RETRIES} commit conflicts"
+        )
+
+    def replace_where(
+        self, wh, table: str, pred: str, df: DataFrame,
+        keys: list[str], num_buckets: int,
+        op: str = "INSERT OVERWRITE ... WHERE",
+    ) -> tuple[int, int]:
+        """Predicate-scoped overwrite (Delta ``replaceWhere`` parity):
+        atomically replace exactly the rows matching ``pred`` with
+        ``df``, as ONE commit. Semantics (Delta's):
+
+        * every incoming row must itself satisfy ``pred`` (a row the
+          statement claims to scope to ``pred`` but that falls outside
+          it would silently survive the next replace — refused);
+        * rows NOT matching ``pred`` are untouched;
+        * this table's key-unique contract adds one rule Delta doesn't
+          have: an incoming key that already exists on a row NOT
+          matching ``pred`` is refused (keeping both would duplicate
+          the key; silently replacing a row the predicate excludes
+          would break the statement's own contract).
+
+        Scale shape: ONE pushdown-filtered scan finds the buckets that
+        hold matching rows (parquet row-group pruning applies — the
+        scan reads O(matching buckets), not O(table)); only the
+        TOUCHED buckets (matching ∪ incoming-key buckets) are
+        rewritten as ``(kept rows) ∪ df`` through the ordinary
+        CAS/rebase/redo machinery — every other file is carried by
+        reference, the same touched-fraction story as a MoR delete.
+        CHECK constraints are kept and enforced on ``df`` inside the
+        protocol. Returns (n_replaced, n_inserted)."""
+        validated: dict | None = None
+        for _ in range(self.MAX_COMMIT_RETRIES):
+            snap = self._latest(wh, table)
+            if snap is None:
+                raise ValueError(
+                    f"{op}: no committed table at {wh.path(table)!r}"
+                )
+            self._check_buckets(snap, num_buckets, op)
+            self._check_keys(snap, keys, op)
+            cons = self._constraints_of(snap, wh.path(table))
+            if cons != validated:
+                self._validate_constraints(df, cons, op, table)
+                validated = cons
+            # every incoming row must satisfy the predicate (NULL
+            # fails here: the row would NOT be replaced by a re-run)
+            outside = df.where(
+                F.coalesce(F.expr(pred), F.lit(False)) == F.lit(False)
+            ).count()
+            if outside:
+                raise ValueError(
+                    f"{op}: {outside} incoming row(s) do not satisfy "
+                    f"the predicate ({pred}) — a scoped overwrite may "
+                    f"only write rows inside its own scope"
+                )
+            root = Path(wh.path(table))
+            existing = self._read_snapshot(wh, root, snap)
+            # one pushdown-filtered scan: the buckets holding matching
+            # rows (row-group pruning keeps this O(matching data))
+            match_buckets = {
+                r.b
+                for r in existing.where(pred)
+                .select(bucket_expr(keys, num_buckets).alias("b"))
+                .dropDuplicates()
+                .collect()
+            }
+            incoming_buckets = {
+                r.b
+                for r in df.select(
+                    bucket_expr(keys, num_buckets).alias("b")
+                )
+                .dropDuplicates()
+                .collect()
+            }
+            touched = match_buckets | incoming_buckets
+            # key-unique guard: an incoming key living on a row OUTSIDE
+            # the predicate cannot be replaced by this statement
+            clash = (
+                existing.join(
+                    df.select(*keys).dropDuplicates(), list(keys), "semi"
+                )
+                .where(
+                    F.coalesce(F.expr(pred), F.lit(False))
+                    == F.lit(False)
+                )
+                .count()
+            )
+            if clash:
+                raise ValueError(
+                    f"{op}: {clash} incoming key(s) already exist on "
+                    f"row(s) NOT matching the predicate ({pred}) — "
+                    f"the table's key-unique contract refuses the "
+                    f"ambiguity (use MERGE INTO or widen the predicate)"
+                )
+            n_inserted = df.count()
+            if not touched and n_inserted == 0:
+                return 0, 0  # nothing matched, nothing incoming: no-op
+            if touched:
+                sub = dict(snap)
+                sub["files"] = {
+                    f: b
+                    for f, b in snap["files"].items()
+                    if b in touched
+                }
+                scoped = self._read_snapshot(wh, root, sub)
+                kept = scoped.where(
+                    F.coalesce(F.expr(pred), F.lit(False))
+                    == F.lit(False)
+                )
+                n_replaced = (
+                    scoped.count() - kept.count()
+                )
+                for fld in df.schema.fields:
+                    if fld.name not in kept.columns:
+                        kept = kept.withColumn(
+                            fld.name, F.lit(None).cast(fld.dataType)
+                        )
+                replacement = kept.select(*df.columns).unionByName(df)
+            else:
+                n_replaced = 0
+                replacement = df
+            fields, dropped, next_fid = self._evolve_fields(
+                snap, df.schema
+            )
+            if self._rewrite_and_publish(
+                wh, table, snap, touched, replacement,
+                df.schema.json(), keys, num_buckets,
+                fields=fields, dropped_fields=dropped,
+                next_fid=next_fid,
+            ):
+                return int(n_replaced), int(n_inserted)
+        raise CommitConflict(
+            f"{op} on {table!r}: gave up after "
             f"{self.MAX_COMMIT_RETRIES} commit conflicts"
         )
 
@@ -2551,11 +2994,18 @@ class TransactionLogFormat:
                 )
             if latest["version"] == int(version):
                 return latest  # already there: no-op, Delta-alike
+            # CHECK constraints revert WITH the rest of the metadata
+            # (Delta-alike: constraints live in table metadata, and
+            # every manifest's data satisfies its OWN constraint set —
+            # ADD validated existing rows, writers validated new ones —
+            # so target data + target constraints is consistent by
+            # construction)
             published = {
                 k: target[k]
                 for k in (
                     "files", "schema", "rows", "stats", "dv", "fields",
                     "dropped_fields", "next_fid", "keys", "num_buckets",
+                    "constraints",
                 )
                 if k in target
             }
@@ -2576,6 +3026,7 @@ class TransactionLogFormat:
                     keys=published.get("keys"),
                     num_buckets=published.get("num_buckets"),
                     txns=published.get("txns"),
+                    constraints=published.get("constraints"),
                 )
                 return published
             except CommitConflict:

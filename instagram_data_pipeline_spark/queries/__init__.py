@@ -132,6 +132,11 @@ REGISTRY_ORDER: tuple[str, ...] = (
     # stays DuckDB-oracle-checked every CI run by
     # tests/test_queries_oracle.py; rows-only tiers past the window are
     # covered by POST_WINDOW_ROWS_ONLY_OK.
+    # txlog_replace_where_sql: INSERT OVERWRITE ... WHERE (Delta
+    # replaceWhere parity, VERDICT r11 Next #6), registered mid-r12
+    # AFTER this round's window was seated — r13 queue head for its
+    # first driver row; CI-oracle-green via tests/test_queries_oracle.
+    "txlog_replace_where_sql",
     "link_graph",
     "domain_quality_rollup",
     "dpp_partition_prune",

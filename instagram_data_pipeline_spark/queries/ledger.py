@@ -2827,6 +2827,109 @@ def q_txlog_overwrite_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cat.sql("SELECT k, v FROM facts_ow")
 
 
+_TXLOG_REPLACE_WHERE_ORACLE = """
+WITH agg AS (
+    SELECT o_custkey AS k, MAX(o_totalprice) AS v
+    FROM orders GROUP BY o_custkey
+),
+thr AS (
+    SELECT MAX(k) AS t FROM (SELECT k FROM agg ORDER BY k LIMIT 3)
+)
+SELECT
+    k,
+    v * (CASE WHEN k <= (SELECT t FROM thr) THEN 2 ELSE 1 END) AS v
+FROM agg
+"""
+
+
+@register(
+    "txlog_replace_where_sql",
+    _TXLOG_REPLACE_WHERE_ORACLE,
+    doc="Predicate-scoped INSERT OVERWRITE ... WHERE via SQL text "
+        "(round 12, Delta replaceWhere parity): exactly the rows "
+        "matching the predicate are replaced by the (self-referencing, "
+        "pinned-snapshot) source as ONE commit; every incoming row "
+        "must satisfy the predicate and an incoming key on a "
+        "NON-matching row is refused (both asserted in-query); "
+        "non-matching BUCKETS' files are carried by reference "
+        "(file-overlap asserted — the touched-fraction scale story: "
+        "the predicate selects the 3 smallest keys, so at most 3 of 8 "
+        "buckets rewrite); history time-travels across the rewrite. "
+        "The tiny slice's v doubles (exact over doubles), so oracle = "
+        "the aggregate with a threshold-conditional factor",
+    tags=("sql", "format", "writes"),
+)
+def q_txlog_replace_where_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json as _json
+    import os
+
+    from ..sources.txlog_catalog import TxlogSqlCatalog
+
+    orders = load_testdata(spark, sf_dir, "orders")
+    orders.groupBy(F.col("o_custkey").alias("k")).agg(
+        F.max("o_totalprice").alias("v"),
+    ).createOrReplaceTempView("txlog_rw_src")
+
+    loc = os.path.join(_scratch("txlog_replace_where_sql", sf_dir), "facts")
+    cat = TxlogSqlCatalog(spark)
+    m = cat.sql(
+        f"CREATE TABLE facts_rw USING txlog CLUSTERED BY (k) "
+        f"INTO 8 BUCKETS LOCATION '{loc}' "
+        f"AS SELECT k, v FROM txlog_rw_src"
+    ).first()
+    n_all = m.num_rows
+    assert m.created and n_all > 0 and m.table_version == 2
+
+    def files_of(v: int) -> set:
+        with open(
+            os.path.join(loc, "_txlog", f"{v:08d}.json")
+        ) as f:
+            return set(_json.load(f)["files"])
+
+    # scoped, self-referencing rewrite: double v on the 3 smallest
+    # keys only — a handful of keys hash to a handful of buckets, so
+    # the rewrite is genuinely scoped (carried files asserted below)
+    thr = (
+        cat.sql("SELECT k FROM facts_rw ORDER BY k LIMIT 3")
+        .collect()[-1].k
+    )
+    m = cat.sql(
+        f"INSERT OVERWRITE facts_rw WHERE k <= {thr} "
+        f"SELECT k, v * 2 AS v FROM facts_rw WHERE k <= {thr}"
+    ).first()
+    assert m.num_replaced_rows == m.num_inserted_rows == 3
+    assert m.table_version == 3
+    # refusals: a row outside the predicate; a key on a non-matching row
+    try:
+        cat.sql(f"INSERT OVERWRITE facts_rw WHERE k <= {thr} "
+                f"VALUES (CAST(999999999 AS BIGINT), CAST(1 AS DOUBLE))")
+        raise AssertionError("outside-predicate row not refused")
+    except ValueError:
+        pass
+    # an incoming key whose EXISTING row does not match the predicate
+    # (possible only with a non-key predicate: v is positive on every
+    # stored row, the incoming twin claims v < 0) is refused under the
+    # key-unique contract
+    k0 = cat.sql("SELECT k FROM facts_rw ORDER BY k LIMIT 1").first().k
+    try:
+        cat.sql(f"INSERT OVERWRITE facts_rw WHERE v < 0 "
+                f"VALUES (CAST({k0} AS BIGINT), CAST(-1 AS DOUBLE))")
+        raise AssertionError("key clash on non-matching row not refused")
+    except ValueError:
+        pass
+    # the even slice's files are CARRIED by reference across the
+    # rewrite — the scoped overwrite reads/writes O(matching buckets)
+    assert files_of(2) & files_of(3), "no carried files: full rewrite"
+    # pre-rewrite version intact
+    assert (
+        cat.sql(
+            "SELECT count(*) AS n FROM facts_rw VERSION AS OF 2"
+        ).first().n
+        == n_all
+    )
+    return cat.sql("SELECT k, v FROM facts_rw")
+
+
 _TXLOG_CONVERT_ORACLE = """
 SELECT o_custkey AS k, MAX(o_totalprice) AS v, MAX(o_orderdate) AS ts
 FROM orders GROUP BY 1

@@ -111,11 +111,18 @@ _INSERT = re.compile(
     r"((?:VALUES|SELECT|WITH|TABLE|FROM)\b.*?)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
-# INSERT OVERWRITE [TABLE] <name> [(cols)] <query>: replace the DATA
-# under the recorded contract — one forward commit, history preserved
+# INSERT OVERWRITE [TABLE] <name> [(cols)] [WHERE <pred>] <query>:
+# replace the DATA under the recorded contract — one forward commit,
+# history preserved. With WHERE, a PREDICATE-SCOPED rewrite (Delta
+# replaceWhere): only matching rows are replaced, the rest carry by
+# reference. The predicate is plain column expressions over the TARGET
+# table (no subqueries — the first VALUES/SELECT/WITH/TABLE/FROM
+# keyword ends it, the same restricted-grammar contract as key-scoped
+# DML).
 _INSERT_OVERWRITE = re.compile(
     rf"^\s*INSERT\s+OVERWRITE\s+(?:TABLE\s+)?({_IDENT})\s*"
     rf"(?:\(\s*({_IDENT}(?:\s*,\s*{_IDENT})*)\s*\))?\s*"
+    r"(?:WHERE\s+(.+?)\s+)?"
     r"((?:VALUES|SELECT|WITH|TABLE|FROM)\b.*?)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
@@ -249,6 +256,19 @@ def _parse_add_columns_spec(spec: str) -> list:
     if not struct.fields:
         raise ValueError(
             f"ALTER TABLE ADD COLUMN(S): empty column spec {spec!r}"
+        )
+    banned = [f.name for f in struct.fields if not f.nullable]
+    if banned:
+        # a metadata-only ADD cannot honor NOT NULL: every existing
+        # file reads the new column back as NULL. Silently recording
+        # it nullable would invert the declared contract (ADVICE r11);
+        # Delta refuses NOT NULL adds on existing tables for the same
+        # reason.
+        raise ValueError(
+            f"ALTER TABLE ADD COLUMN(S): column(s) {banned} declare "
+            f"NOT NULL, but a metadata-only add reads existing rows "
+            f"back as NULL — add the column nullable, backfill, then "
+            f"enforce via ADD CONSTRAINT"
         )
     return [(f.name, f.dataType) for f in struct.fields]
 
@@ -984,39 +1004,83 @@ class TxlogSqlCatalog:
         )
 
     def _sql_insert_overwrite(self, m: re.Match) -> DataFrame:
-        """``INSERT OVERWRITE [TABLE] <name> [(cols)] VALUES ... |
-        SELECT ...`` — replace the table's DATA under its RECORDED
+        """``INSERT OVERWRITE [TABLE] <name> [(cols)] [WHERE <pred>]
+        VALUES ... | SELECT ...`` — replace the table's DATA under its
+        RECORDED contract. With ``WHERE``, a PREDICATE-SCOPED rewrite
+        (Delta ``replaceWhere``, `formats.replace_where`): exactly the
+        matching rows are replaced by the source as ONE commit — every
+        incoming row must itself satisfy the predicate, non-matching
+        rows are untouched (carried by reference outside the touched
+        buckets), and an incoming key already living on a
+        NON-matching row is refused under the key-unique contract.
+        Without ``WHERE``, the full-table replacement below.
+
+        Full-table form: replace the table's DATA under its RECORDED
         contract (schema, merge keys, bucket modulus unchanged): the
         Spark/Delta statement for idempotent full rewrites. The new
-        files are written FIRST, then ONE forward commit publishes
-        them (`formats.replace_table`), so the source may read the
-        very table it overwrites (self-referencing backfills work)
-        and pre-overwrite versions stay time-travel-able until
-        vacuumed. Column rules are INSERT's; the batch pays the same
-        key-unique and CHECK-constraint enforcement — but no
-        existence probe, since the old rows are going away. Returns
-        (num_overwritten_rows, table_version)."""
+        files are written ONCE, before the publish loop, then ONE
+        forward commit publishes them (`formats.replace_table`); a
+        self-referencing source (``... FROM <name>`` itself) works
+        because the source's temp view PINNED its manifest when
+        ``_run_select`` registered it — the scan serves the
+        pre-overwrite snapshot however late it executes. Pre-overwrite
+        versions stay time-travel-able until vacuumed. Column rules
+        are INSERT's; the batch pays the same key-unique and
+        CHECK-constraint enforcement (constraints are KEPT — the
+        statement replaces data, not policy) — but no existence
+        probe, since the old rows are going away. A concurrent DATA
+        commit fails the overwrite loudly (blind replacement would
+        silently discard it — the Delta WriteSerializable answer).
+        Returns (num_overwritten_rows, table_version)."""
         import json as _json
 
         from pyspark.sql.types import StructType
 
         from ..formats import TransactionLogFormat
 
-        name, cols_text, body = m.group(1), m.group(2), m.group(3)
-        root, keys, num_buckets = self._dml_contract(name)
-        aligned = self._aligned_insert_source(
-            name, cols_text, body, keys, "INSERT OVERWRITE"
+        name, cols_text, pred, body = (
+            m.group(1), m.group(2), m.group(3), m.group(4),
         )
-        self._check_key_unique(aligned, keys, "INSERT OVERWRITE")
-        self._enforce_constraints(name, aligned, "INSERT OVERWRITE")
+        root, keys, num_buckets = self._dml_contract(name)
+        stmt = (
+            "INSERT OVERWRITE ... WHERE" if pred else "INSERT OVERWRITE"
+        )
+        aligned = self._aligned_insert_source(
+            name, cols_text, body, keys, stmt
+        )
+        self._check_key_unique(aligned, keys, stmt)
+        self._enforce_constraints(name, aligned, stmt)
         man = _load_manifest(root, None)
         schema = StructType.fromJson(_json.loads(man["schema"]))
         fmt = TransactionLogFormat()
         handle = _TableHandle(self.spark, root)
+        if pred is not None:
+            # predicate-scoped rewrite (Delta replaceWhere): the
+            # predicate must analyze against the TABLE's schema alone —
+            # unknown or source-side columns are refused here
+            try:
+                self.spark.createDataFrame([], schema).where(pred)
+            except Exception as e:
+                raise ValueError(
+                    f"{stmt}: predicate ({pred}) does not analyze "
+                    f"against {name!r}'s schema ({e})"
+                ) from None
+            n_replaced, n_inserted = fmt.replace_where(
+                handle, name, pred, aligned, keys, num_buckets,
+                op=stmt,
+            )
+            self.register(name, root)
+            version = _load_manifest(root, None)["version"]
+            return self.spark.createDataFrame(
+                [(int(n_replaced), int(n_inserted), int(version))],
+                "num_replaced_rows long, num_inserted_rows long, "
+                "table_version long",
+            )
         n = aligned.count()
         fmt.replace_table(
             handle, name, schema, keys, num_buckets,
             df=aligned if n else None,
+            keep_constraints=True, op="INSERT OVERWRITE",
         )
         self.register(name, root)
         version = _load_manifest(root, None)["version"]
@@ -1046,7 +1110,10 @@ class TxlogSqlCatalog:
         n = fmt.count_rows(handle, name)
         man = _load_manifest(root, None)
         schema = StructType.fromJson(_json.loads(man["schema"]))
-        fmt.replace_table(handle, name, schema, keys, num_buckets)
+        fmt.replace_table(
+            handle, name, schema, keys, num_buckets,
+            keep_constraints=True, op="TRUNCATE TABLE",
+        )
         self.register(name, root)
         version = _load_manifest(root, None)["version"]
         return self.spark.createDataFrame(
@@ -1182,19 +1249,17 @@ class TxlogSqlCatalog:
             schema = StructType.fromDDL(colspec)
         if exists:
             # OR REPLACE: ONE forward commit carrying the new
-            # contract AND data — the AS query's scan resolves the
-            # latest manifest at execution time, so the data must be
-            # written before the replacement publishes (replace_table
-            # orders it that way); history stays time-travel-able
+            # contract AND data — files are written first (a crash in
+            # between leaves only vacuumable orphans; an AS query
+            # reading the table it replaces serves the pre-replace
+            # snapshot its view pinned at creation), and the commit's
+            # EXPLICIT empty constraint set atomically retires the
+            # replaced table's policy (the new identity starts clean)
             fmt.replace_table(
                 handle, name, schema, keys, int(nbuckets),
                 df=src if n else None,
+                op="CREATE OR REPLACE TABLE",
             )
-            # constraints governed the replaced table's columns; the
-            # new table starts with a clean policy
-            cpath = os.path.join(loc, "_constraints.json")
-            if os.path.exists(cpath):
-                os.remove(cpath)
         else:
             fmt.create_table(handle, name, schema, keys, int(nbuckets))
             if n:
@@ -1320,110 +1385,81 @@ class TxlogSqlCatalog:
             [(op, int(version))], "operation string, table_version long"
         )
 
-    # -- CHECK constraints (sidecar-recorded, statement-enforced) -------------
+    # -- CHECK constraints (manifest-recorded, protocol-enforced) -------------
     def constraints(self, name: str) -> dict:
         """Recorded CHECK constraints of a registered table:
-        {name: expr}. Stored in a ``_constraints.json`` sidecar at the
-        TABLE ROOT (next to ``_txlog/``, never inside it — the commit
-        log's ``*.json`` namespace is the version sequence), so the
-        commit protocol is untouched: constraints govern WRITES
-        (current-state table policy, the Delta CHECK-constraint role),
-        while time travel reads data under the manifests alone.
-        Enforcement happens at this catalog's statement boundary
-        (INSERT / UPDATE / MERGE INTO); format-API writers bypass it,
-        exactly as engines that don't speak a table format's protocol
-        bypass its constraints."""
-        import json as _json
-        import os
+        {name: expr}. Since round 12 the set lives IN the versioned
+        manifest (``formats.py`` "CHECK constraints" section — the
+        Delta design: constraints are table metadata, so ADD/DROP is
+        one CAS commit and every writer validates against the exact
+        snapshot it publishes onto; the round-11 sidecar was a TOCTOU
+        against concurrent writers). Legacy ``_constraints.json``
+        sidecars are still honored until the first ADD/DROP migrates
+        them."""
+        from ..formats import TransactionLogFormat
 
-        p = os.path.join(self._root(name), "_constraints.json")
-        if not os.path.exists(p):
-            return {}
-        with open(p) as f:
-            return _json.load(f)
-
-    def _write_constraints(self, root: str, cons: dict) -> None:
-        import json as _json
-        import os
-        import uuid as _uuid
-
-        os.makedirs(root, exist_ok=True)
-        tmp = os.path.join(
-            root, f"._constraints.{_uuid.uuid4().hex[:8]}.tmp"
+        root = self._root(name)
+        return TransactionLogFormat._constraints_of(
+            _load_manifest(root, None), root
         )
-        with open(tmp, "w") as f:
-            _json.dump(cons, f)
-        os.replace(tmp, os.path.join(root, "_constraints.json"))
 
     def _add_constraint(self, name: str, cname: str,
                         expr: str) -> DataFrame:
-        """``ALTER TABLE t ADD CONSTRAINT n CHECK (expr)``: the
-        expression must analyze against the table's schema, and every
-        EXISTING row must satisfy it (one full validation scan — the
-        documented Delta ADD CONSTRAINT cost; at 100 TB that is the
-        price of making the invariant true, paid once). NULL results
-        satisfy CHECK (ANSI three-valued logic)."""
+        """``ALTER TABLE t ADD CONSTRAINT n CHECK (expr)`` — one CAS
+        manifest commit; the expression must analyze against the
+        table's schema and every EXISTING row must satisfy it (one
+        full validation scan — the documented Delta ADD CONSTRAINT
+        cost; at 100 TB that is the price of making the invariant
+        true, paid once; losing the publish race re-validates against
+        the winner's rows). NULL results satisfy CHECK (ANSI
+        three-valued logic)."""
+        from ..formats import TransactionLogFormat
+
         root = self._root(name)
-        cons = self.constraints(name)
-        if cname in cons:
-            raise ValueError(
-                f"ADD CONSTRAINT: {cname!r} already exists on {name!r} "
-                f"(CHECK ({cons[cname]}))"
-            )
-        cur = self.snapshot(name)
-        try:
-            self.spark.createDataFrame([], cur.schema).where(expr)
-        except Exception as e:
-            raise ValueError(
-                f"ADD CONSTRAINT: CHECK expression {expr!r} does not "
-                f"analyze against {name!r}'s schema ({e})"
-            ) from None
-        bad = cur.where(f"NOT ({expr})").count()
-        if bad:
-            raise ValueError(
-                f"ADD CONSTRAINT: {bad} existing row(s) of {name!r} "
-                f"violate CHECK ({expr}) — fix the data first"
-            )
-        cons[cname] = expr
-        self._write_constraints(root, cons)
+        fmt = TransactionLogFormat()
+        _version, n_cons = fmt.add_constraint(
+            _TableHandle(self.spark, root), name, cname, expr
+        )
         return self.spark.createDataFrame(
-            [(f"add constraint {cname}", len(cons))],
+            [(f"add constraint {cname}", n_cons)],
             "operation string, num_constraints int",
         )
 
     def _drop_constraint(self, name: str, cname: str,
                          if_exists: bool) -> DataFrame:
+        """``ALTER TABLE t DROP CONSTRAINT [IF EXISTS] n`` — one CAS
+        manifest commit (no scan)."""
+        from ..formats import TransactionLogFormat
+
         root = self._root(name)
-        cons = self.constraints(name)
-        if cname not in cons:
-            if if_exists:
-                return self.spark.createDataFrame(
-                    [(f"drop constraint {cname} (absent)", len(cons))],
-                    "operation string, num_constraints int",
-                )
-            raise ValueError(
-                f"DROP CONSTRAINT: no constraint {cname!r} on {name!r} "
-                f"(recorded: {sorted(cons)})"
-            )
-        cons.pop(cname)
-        self._write_constraints(root, cons)
+        fmt = TransactionLogFormat()
+        version, n_cons = fmt.drop_constraint(
+            _TableHandle(self.spark, root), name, cname,
+            if_exists=if_exists,
+        )
+        suffix = " (absent)" if version is None else ""
         return self.spark.createDataFrame(
-            [(f"drop constraint {cname}", len(cons))],
+            [(f"drop constraint {cname}{suffix}", n_cons)],
             "operation string, num_constraints int",
         )
 
     def _enforce_constraints(self, name: str, df: DataFrame,
                              stmt: str) -> None:
-        """Refuse the statement if any incoming/updated row violates a
-        recorded CHECK constraint — one filter-count per constraint
-        over the STATEMENT's rows only (never the table)."""
-        for cname, expr in self.constraints(name).items():
-            bad = df.where(f"NOT ({expr})").count()
-            if bad:
-                raise ValueError(
-                    f"{stmt}: {bad} row(s) violate constraint "
-                    f"{cname!r} CHECK ({expr}) on {name!r}"
-                )
+        """Statement-boundary pre-check: refuse with a STATEMENT-named
+        error if any incoming/updated row violates a recorded CHECK
+        constraint — one aggregate pass over the statement's rows only
+        (never the table). The authoritative, race-proof enforcement
+        lives INSIDE the commit protocol (``formats._merge_with`` /
+        ``replace_table`` re-validate against the snapshot actually
+        published onto); this pre-check exists for error UX and costs
+        one batch-sized job only when constraints are recorded."""
+        from ..formats import TransactionLogFormat
+
+        cons = self.constraints(name)
+        if cons:
+            TransactionLogFormat._validate_constraints(
+                df, cons, stmt, name
+            )
 
     def _show_tables(self) -> DataFrame:
         """``SHOW TXLOG TABLES``: the catalog's registry — one row per

@@ -77,9 +77,11 @@ def test_txlog_random_op_sequences_match_reference_model(
         "buckets": BUCKETS,
         "widened": False,
         "versions": {},
-        # round-11 statement-surface state: CHECK-constraint active
-        # flag (sidecar policy — deliberately NOT rewound by RESTORE),
-        # and per-walk counters for CTAS / CONVERT side tables
+        # round-12 statement-surface state: CHECK-constraint active
+        # flag — since the set moved INTO the versioned manifest, it
+        # rewinds with RESTORE like every other metadata section (the
+        # round-11 sidecar deliberately did not) — and per-walk
+        # counters for CTAS / CONVERT side tables
         "constraint": False,
         "ctas_n": 0,
         "conv_n": 0,
@@ -312,6 +314,9 @@ def test_txlog_random_op_sequences_match_reference_model(
         model["cols"] = list(rec["cols"])
         model["widened"] = rec["widened"]
         model["buckets"] = rec["buckets"]
+        # constraints are manifest metadata since round 12: the
+        # restored version's CHECK set is live policy again
+        model["constraint"] = rec["constraint"]
 
     # ---- round-11 statement surface (VERDICT r10 Next #4): point the
     # random walk at the newest least-hardened ops — CHECK constraints,
@@ -426,6 +431,42 @@ def test_txlog_random_op_sequences_match_reference_model(
         assert m.num_overwritten_rows == len(want)
         model["rows"] = want
 
+    def op_sql_replace_where():
+        # predicate-scoped overwrite (round 12, Delta replaceWhere):
+        # replace exactly the k%3==0 slice with fresh rows — incoming
+        # keys are multiples of 3 so they satisfy the predicate AND
+        # can never clash with a non-matching row's key
+        cat.register("t", wh.path("t"))
+        cols = model["cols"]
+        cnt_t = "BIGINT" if model["widened"] else "INT"
+        ks = sorted(
+            {3 * x for x in rng.sample(range(0, 130), rng.randrange(3, 8))}
+        )
+        ts = tick()
+        tag = f"rw{ts.day}{ts.month}"
+        vals = ", ".join(
+            f"({k}, '{tag}{k}', CAST({k * 3} AS {cnt_t}), "
+            f"TIMESTAMP '{ts.isoformat()}')"
+            for k in ks
+        )
+        m = cat.sql(
+            f"INSERT OVERWRITE t WHERE k % 3 = 0 "
+            f"SELECT * FROM VALUES {vals} AS "
+            f"s(k, {cols[1]}, {cols[2]}, ts)"
+        ).first()
+        matching = [k for k in model["rows"] if k % 3 == 0]
+        assert m.num_replaced_rows == len(matching)
+        assert m.num_inserted_rows == len(ks)
+        model["rows"] = {
+            k: r for k, r in model["rows"].items() if k % 3 != 0
+        }
+        for k in ks:
+            model["rows"][k] = {
+                cols[1]: f"{tag}{k}",
+                cols[2]: k * 3,
+                "ts": ts,
+            }
+
     def op_sql_truncate():
         cat.register("t", wh.path("t"))
         m = cat.sql("TRUNCATE TABLE t").first()
@@ -462,6 +503,7 @@ def test_txlog_random_op_sequences_match_reference_model(
             "cols": list(model["cols"]),
             "widened": model["widened"],
             "buckets": model["buckets"],
+            "constraint": model["constraint"],
         }
 
     # seed the table, then a random walk over every op
@@ -476,6 +518,7 @@ def test_txlog_random_op_sequences_match_reference_model(
         op_sql_optimize, op_sql_insert, op_sql_restore,
         op_sql_constraints, op_sql_ctas, op_sql_convert,
         op_sql_vacuum_keep, op_sql_overwrite, op_sql_truncate,
+        op_sql_replace_where,
     ]
     for _ in range(14):
         rng.choice(ops)()
@@ -489,8 +532,8 @@ def test_txlog_random_op_sequences_match_reference_model(
     # the end-of-walk full-state check still compares real data.
     for op in (
         op_sql_constraints, op_sql_truncate, op_merge,
-        op_sql_overwrite, op_sql_ctas, op_sql_convert,
-        op_sql_vacuum_keep,
+        op_sql_overwrite, op_sql_replace_where, op_sql_ctas,
+        op_sql_convert, op_sql_vacuum_keep,
     ):
         op()
         record_version()

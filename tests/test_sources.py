@@ -2007,20 +2007,21 @@ def test_txlog_sql_catalog_insert_overwrite_and_truncate(spark, tmp_path):
     cat.sql("ALTER TABLE t ADD CONSTRAINT v_pos CHECK (v >= 0)")
     with _pytest.raises(ValueError, match="violate constraint"):
         cat.sql("INSERT OVERWRITE t VALUES (1, -2.0)")
-    # ADD CONSTRAINT is sidecar-only — no version published, and the
-    # refused overwrite left no version either
-    assert cat.sql("DESCRIBE DETAIL t").first().version == 4
+    # ADD CONSTRAINT is ONE manifest commit (round 12: the set lives in
+    # the versioned manifest, not a sidecar) — version 5; the refused
+    # overwrite left no version
+    assert cat.sql("DESCRIBE DETAIL t").first().version == 5
 
     # TRUNCATE: one empty forward commit; history + constraints survive
     m = cat.sql("TRUNCATE TABLE t").first()
-    assert m.num_removed_rows == 3 and m.table_version == 5
+    assert m.num_removed_rows == 3 and m.table_version == 6
     assert cat.sql("SELECT count(*) AS n FROM t").first().n == 0
     assert cat.sql("SELECT count(*) AS n FROM t VERSION AS OF 4") \
         .first().n == 3
     with _pytest.raises(ValueError, match="violate constraint"):
         cat.sql("INSERT INTO t VALUES (9, -1.0)")
     m = cat.sql("INSERT INTO t VALUES (9, 1.5)").first()
-    assert m.table_version == 6
+    assert m.table_version == 7
     assert cat.sql("SELECT count(*) AS n FROM t").first().n == 1
 
     # overwriting an EMPTY result set is a valid (empty) commit
@@ -2031,10 +2032,79 @@ def test_txlog_sql_catalog_insert_overwrite_and_truncate(spark, tmp_path):
     assert cat.sql("SELECT count(*) AS n FROM t").first().n == 0
 
 
+def test_txlog_sql_catalog_insert_overwrite_where(spark, tmp_path):
+    """Predicate-scoped INSERT OVERWRITE (round 12, Delta replaceWhere
+    parity): exactly the matching rows are replaced as ONE commit;
+    every incoming row must satisfy the predicate; an incoming key on
+    a NON-matching row is refused (key-unique contract); non-matching
+    BUCKETS' files are carried by reference (the touched-fraction
+    scale story); history stays time-travel-able."""
+    import json as _json
+    import os
+
+    import pytest as _pytest
+
+    from instagram_data_pipeline_spark.sources.txlog_catalog import (
+        TxlogSqlCatalog,
+    )
+
+    cat = TxlogSqlCatalog(spark)
+    loc = str(tmp_path / "t")
+    cat.sql(f"CREATE TABLE t (k BIGINT, grp STRING, v DOUBLE) USING "
+            f"txlog CLUSTERED BY (k) INTO 8 BUCKETS LOCATION '{loc}'")
+    cat.sql("INSERT INTO t SELECT id AS k, "
+            "CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END AS grp, "
+            "CAST(id AS DOUBLE) AS v FROM range(40)")
+
+    def files_of(v):
+        with open(os.path.join(loc, "_txlog", f"{v:08d}.json")) as f:
+            return set(_json.load(f)["files"])
+
+    # replace the 'a' slice with a smaller recomputed slice (self-
+    # referencing source reads the pre-overwrite pinned snapshot)
+    m = cat.sql(
+        "INSERT OVERWRITE t WHERE grp = 'a' "
+        "SELECT k, grp, v * 100 AS v FROM t WHERE grp = 'a' AND k < 10"
+    ).first()
+    assert m.num_replaced_rows == 20 and m.num_inserted_rows == 5
+    assert m.table_version == 3
+    rows = {r.k: (r.grp, r.v) for r in cat.sql("SELECT * FROM t").collect()}
+    assert sum(1 for g, _ in rows.values() if g == "a") == 5
+    assert all(v == k * 100.0 for k, (g, v) in rows.items() if g == "a")
+    assert sum(1 for g, _ in rows.values() if g == "b") == 20
+    assert all(v == float(k) for k, (g, v) in rows.items() if g == "b")
+    # pre-replace version intact; some v2 files carried by reference
+    assert cat.sql("SELECT count(*) AS n FROM t VERSION AS OF 2") \
+        .first().n == 40
+    assert files_of(2) & files_of(3), "no carried files — full rewrite"
+
+    # incoming row outside the predicate is refused
+    with _pytest.raises(ValueError, match="do not satisfy"):
+        cat.sql("INSERT OVERWRITE t WHERE grp = 'a' VALUES (100, 'b', 1.0)")
+    # incoming key living on a NON-matching row is refused
+    with _pytest.raises(ValueError, match="key-unique"):
+        cat.sql("INSERT OVERWRITE t WHERE grp = 'a' VALUES (1, 'a', 1.0)")
+    # predicate over an unknown column is refused at analysis
+    with _pytest.raises(ValueError, match="does not analyze"):
+        cat.sql("INSERT OVERWRITE t WHERE nope = 1 VALUES (2, 'a', 1.0)")
+    # the refusals committed nothing
+    assert cat.sql("DESCRIBE DETAIL t").first().version == 3
+
+    # empty source = scoped DELETE of the matching slice, one commit
+    m = cat.sql("INSERT OVERWRITE t WHERE grp = 'a' "
+                "SELECT k, grp, v FROM t WHERE false").first()
+    assert m.num_replaced_rows == 5 and m.num_inserted_rows == 0
+    assert cat.sql("SELECT count(*) AS n FROM t").first().n == 20
+    # constraints are kept and enforced on the scoped batch
+    cat.sql("ALTER TABLE t ADD CONSTRAINT v_pos CHECK (v >= 0)")
+    with _pytest.raises(ValueError, match="violate constraint"):
+        cat.sql("INSERT OVERWRITE t WHERE grp = 'b' VALUES (1, 'b', -5.0)")
+
+
 def test_txlog_sql_catalog_check_constraints(spark, tmp_path):
-    """CHECK constraints (round 10): recorded in a table-root sidecar
-    (never inside _txlog — the commit log's *.json namespace is the
-    version sequence), enforced at every catalog write statement
+    """CHECK constraints (round 10; manifest-recorded since round 12 —
+    ADD/DROP is one CAS commit, so the policy is transactional with
+    every concurrent writer), enforced at every catalog write statement
     (INSERT / UPDATE / MERGE INTO) against the STATEMENT's rows only;
     ADD CONSTRAINT validates the expression analyzes and that every
     existing row satisfies it; NULL satisfies CHECK (ANSI three-valued
