@@ -857,6 +857,139 @@ def test_txlog_changes_stream_across_rename_and_dv(spark, tmp_path):
     assert by_type["update_postimage"] == {(2, 200.0), (3, 300.0)}
 
 
+def test_txlog_changes_across_widen_and_add(spark, tmp_path):
+    """CDF schema-evolution contract (round 12, VERDICT r11 #7),
+    pinned in txlog_source.py: the BATCH backfill serves the UNIFIED
+    v_to schema — pre-ALTER rows upcast into widened types and
+    null-fill added columns; the STREAM's schema is frozen at start,
+    so an ADD COLUMN stays invisible until restart and a mid-stream
+    TYPE change of a tracked column FAILS the stream by name instead
+    of dying later as an opaque conversion error."""
+    import pytest as _pytest
+
+    from instagram_data_pipeline_spark.formats import TransactionLogFormat
+    from instagram_data_pipeline_spark.io import Warehouse
+    from instagram_data_pipeline_spark.sources.txlog_source import (
+        TxlogChangesDataSource,
+        TxlogChangesStreamReader,
+    )
+
+    spark.dataSource.register(TxlogChangesDataSource)
+    fmt = TransactionLogFormat()
+    wh = Warehouse(spark, str(tmp_path / "wh"), fmt=fmt)
+    root = wh.path("facts")
+
+    wh.upsert_partitioned(
+        "facts",
+        spark.sql("SELECT id AS k, CAST(id AS INT) AS cnt, "
+                  "TIMESTAMP '2024-01-01' AS ts FROM range(10)"),
+        ["k"], "ts", num_buckets=4,
+    )  # v1: cnt is INT
+    fmt.widen_column(wh, "facts", "cnt", "bigint")  # v2 (metadata)
+    fmt.add_column(wh, "facts", "extra", "double")  # v3 (metadata)
+    # v4: post-evolution data — a BIGINT-sized cnt and a live extra
+    wh.upsert_partitioned(
+        "facts",
+        spark.sql("SELECT id AS k, CAST(id + 5000000000 AS BIGINT) AS "
+                  "cnt, TIMESTAMP '2024-06-01' AS ts, "
+                  "CAST(id AS DOUBLE) AS extra FROM range(2, 4)"),
+        ["k"], "ts", num_buckets=4,
+    )
+    vs = fmt.versions(wh, "facts")
+    assert len(vs) == 4
+
+    # -- batch backfill v1 -> v4: UNIFIED v_to schema ----------------------
+    feed = (
+        spark.read.format("txlog_changes")
+        .option("keys", "k")
+        .option("v_from", str(vs[0])).option("v_to", str(vs[-1]))
+        .load(root)
+    )
+    # v_to's schema: widened cnt, added extra
+    assert dict(feed.dtypes)["cnt"] == "bigint"
+    assert "extra" in feed.columns
+    got = {
+        (r._change_type, r.k, r.cnt, r.extra) for r in feed.collect()
+    }
+    assert ("update_preimage", 2, 2, None) in got
+    assert ("update_postimage", 2, 5000000002, 2.0) in got
+    assert ("update_postimage", 3, 5000000003, 3.0) in got
+    assert len(got) == 4  # two updates, pre+post each
+    # metadata-only window (widen+add, no data): empty feed
+    assert (
+        spark.read.format("txlog_changes")
+        .option("keys", "k")
+        .option("v_from", str(vs[0])).option("v_to", str(vs[2]))
+        .load(root).count()
+        == 0
+    )
+
+    # -- stream frozen at v1's schema: ADD invisible, widen refused --------
+    from pyspark.sql.types import (
+        IntegerType, LongType, StringType, StructField, StructType,
+        TimestampType,
+    )
+
+    frozen = StructType([
+        StructField("_change_type", StringType()),
+        StructField("k", LongType()),
+        StructField("cnt", IntegerType()),   # pre-widen type
+        StructField("ts", TimestampType()),
+    ])
+    reader = TxlogChangesStreamReader(frozen, {"path": root, "keys": "k"})
+    reader.schema_snap = fmt._snap_at(wh, "facts", vs[0])
+    with _pytest.raises(ValueError, match="widened from integer to long"):
+        reader.read({"version": vs[0]})
+
+    # a stream frozen AFTER the widen (at v3) serves the post-ALTER
+    # delta with the added column simply absent from its frozen schema
+    frozen_v3 = StructType([
+        StructField("_change_type", StringType()),
+        StructField("k", LongType()),
+        StructField("cnt", LongType()),
+        StructField("ts", TimestampType()),
+    ])
+    reader3 = TxlogChangesStreamReader(
+        frozen_v3, {"path": root, "keys": "k"},
+    )
+    reader3.schema_snap = fmt._snap_at(wh, "facts", vs[2])
+    rows, off = reader3.read({"version": vs[2]})
+    tuples = list(rows)
+    assert off == {"version": vs[-1]}
+    by_type = {}
+    for t in tuples:
+        by_type.setdefault(t[0], set()).add((t[1], t[2]))
+    assert by_type["update_postimage"] == {
+        (2, 5000000002), (3, 5000000003)
+    }
+    # updates confined to a column OUTSIDE the frozen schema would be
+    # invisible — pinned as documented behavior: change ONLY `extra`
+    # (source-wins merge so the otherwise-identical row replaces)
+    fmt.merge_source_wins(
+        wh, "facts",
+        spark.sql("SELECT CAST(2 AS BIGINT) AS k, "
+                  "CAST(5000000002 AS BIGINT) AS cnt, "
+                  "TIMESTAMP '2024-06-01' AS ts, "
+                  "CAST(99 AS DOUBLE) AS extra"),
+        ["k"], num_buckets=4,
+    )
+    rows, _ = reader3.read({"version": vs[-1]})
+    assert list(rows) == []  # invisible to the frozen stream
+    # ...but fully visible to a batch backfill under the unified schema
+    tail = (
+        spark.read.format("txlog_changes")
+        .option("keys", "k")
+        .option("v_from", str(vs[-1]))
+        .load(root)
+    )
+    assert {
+        (r._change_type, r.k, r.extra) for r in tail.collect()
+    } == {
+        ("update_preimage", 2, 2.0),
+        ("update_postimage", 2, 99.0),
+    }
+
+
 def test_txlog_changes_backfill_across_rebucket(spark, tmp_path):
     """ADVICE r8 #1: a backfill window spanning a rebucket() must not
     emit spurious delete+insert pairs for carried rows — bucket ids are
