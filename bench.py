@@ -168,6 +168,49 @@ def _timed(fn, runs: int) -> tuple[float, float, int]:
     return min(times), spread, n
 
 
+def envelope(paths: list[str]) -> None:
+    """``bench.py --envelope run1.json run2.json ...`` — the per-query
+    MIN across N round-close runs (VERDICT r11 Next #4: five protocol
+    runs, zero unflagged — the quiet-trend table was blind for two
+    rounds). A co-tenant inflates each run's TOTAL, but per-query
+    minima across runs are a defensible quiet proxy: a query's best
+    repeat across 5 runs had the fewest stolen cores, and plans are
+    CI-pinned byte-stable between runs. Prints ONE JSON line mirroring
+    the run shape, with per-run provenance stamps in-band; the
+    BENCHNOTES trend table reads this envelope, the committed
+    BENCH_r{N}.json stays the best single protocol run."""
+    runs = [json.load(open(p)) for p in paths]
+    if len(runs) < 2:
+        raise SystemExit("--envelope needs >= 2 run files")
+    q_min: dict[str, float] = {}
+    x_min: dict[str, float] = {}
+    for r in runs:
+        for k, v in r.get("queries", {}).items():
+            q_min[k] = min(v, q_min.get(k, v))
+        for k, v in r.get("extra_queries", {}).items():
+            x_min[k] = min(v, x_min.get(k, v))
+    out = {
+        "metric": "headline_suite_seconds_min_composite",
+        "value": round(sum(q_min.values()), 3),
+        "unit": "sec",
+        "queries": q_min,
+        "extra_queries": x_min,
+        "sf": runs[0].get("sf"),
+        "n_runs": len(runs),
+        "runs": [
+            {
+                "value": r.get("value"),
+                "loadavg_start": r.get("loadavg_start"),
+                "loadavg_peak": r.get("loadavg_peak"),
+                "spread_flagged": bool(r.get("spread_flagged")),
+                "n_noisy": len(r.get("noisy_queries", {})),
+            }
+            for r in runs
+        ],
+    }
+    print(json.dumps(out))
+
+
 def main() -> None:
     from instagram_data_pipeline_spark.queries import load_all
     from instagram_data_pipeline_spark.session import build_session
@@ -260,4 +303,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "--envelope":
+        envelope(sys.argv[2:])
+    else:
+        main()
