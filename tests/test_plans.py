@@ -85,7 +85,7 @@ _COLLECT_ALLOWLIST: dict[str, tuple[int, str]] = {
     "streaming/ledger.py": (1, "restart progress seed: ONE ledger row's "
                                "processed_items, read once per sink "
                                "instance (r9 resume-correct restart)"),
-    "formats.py": (6, "touched bucket ids of a merge batch (one site "
+    "formats.py": (9, "touched bucket ids of a merge batch (one site "
                       "per TableFormat backend) + read_for_keys'/"
                       "delete_keys'/delete_keys_dv's wanted-bucket "
                       "sets (each <= num_buckets ints) + "
@@ -93,7 +93,11 @@ _COLLECT_ALLOWLIST: dict[str, tuple[int, str]] = {
                       "ordinal) pair per newly deleted row, the same "
                       "control-plane budget the manifest pays to "
                       "store the DV; bulk erasure is documented onto "
-                      "the copy-on-write delete_keys"),
+                      "the copy-on-write delete_keys + "
+                      "_validate_constraints' ONE aggregate row (all "
+                      "constraints' violation counts in one pass) + "
+                      "replace_where's matching/incoming bucket-id "
+                      "sets (each <= num_buckets ints)"),
     "extensions/export.py": (1, "shard manifest: one summary row per "
                                 "shard, <= n_shards"),
     "extensions/unigram.py": (2, "vocab table <= seed_size/vocab_size "
@@ -108,11 +112,13 @@ _COLLECT_ALLOWLIST: dict[str, tuple[int, str]] = {
                                     "parameters"),
     "sources/warc.py": (1, "write manifest: one summary row per "
                            "archive file, <= files"),
-    "queries/ledger.py": (1, "txlog_restore_sql's DESCRIBE HISTORY "
+    "queries/ledger.py": (2, "txlog_restore_sql's DESCRIBE HISTORY "
                              "read: one control-plane row per "
                              "committed version (<= 4 in the "
                              "fixture), used to compute the "
-                             "TIMESTAMP AS OF midpoint"),
+                             "TIMESTAMP AS OF midpoint + "
+                             "txlog_replace_where_sql's 3-row "
+                             "threshold probe (ORDER BY k LIMIT 3)"),
     "streaming/monitor.py": (1, "per-batch histogram read-back, "
                                 "<= n_bins rows — the drift monitor's "
                                 "control-plane summary"),
