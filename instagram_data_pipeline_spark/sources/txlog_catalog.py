@@ -497,12 +497,16 @@ class TxlogSqlCatalog:
 
     def history(self, name: str) -> DataFrame:
         """``DESCRIBE HISTORY`` analog: one row per committed version —
-        (version, committed_at, n_files, n_rows, n_deleted, n_buckets)
-        — computed from the manifests alone (control-plane sized, no
-        data file opened). ``committed_at`` is NULL for manifests
-        predating the commit stamp; ``n_rows`` is the LIVE row count
-        (recorded footer counts minus deletion-vector popcounts),
-        NULL for pre-rows manifests."""
+        (version, committed_at, n_files, n_rows, n_deleted, n_buckets,
+        n_constraints) — computed from the manifests alone
+        (control-plane sized, no data file opened). ``committed_at``
+        is NULL for manifests predating the commit stamp; ``n_rows``
+        is the LIVE row count (recorded footer counts minus
+        deletion-vector popcounts), NULL for pre-rows manifests;
+        ``n_constraints`` makes constraint commits (r12: one CAS
+        manifest publish each) visible in history instead of reading
+        as anonymous version bumps — NULL for manifests predating
+        constraint recording."""
         import datetime as dt
 
         root = self._root(name)
@@ -537,12 +541,18 @@ class TxlogSqlCatalog:
                     n_rows,
                     n_deleted,
                     snap.get("num_buckets"),
+                    (
+                        len(snap["constraints"])
+                        if "constraints" in snap
+                        else None
+                    ),
                 )
             )
         return self.spark.createDataFrame(
             out,
             "version int, committed_at timestamp, n_files int, "
-            "n_rows long, n_deleted long, n_buckets int",
+            "n_rows long, n_deleted long, n_buckets int, "
+            "n_constraints int",
         )
 
     def merge_into(self, target: str, source_df: DataFrame) -> DataFrame:

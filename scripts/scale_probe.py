@@ -97,6 +97,15 @@ R10_PROBE_QUERIES = ["txlog_time_travel_sql", "txlog_merge_into_sql",
 # manifest-only publish
 R11_PROBE_QUERIES = ["txlog_overwrite_sql"]
 
+# Round 12: predicate-scoped overwrite (replaceWhere). The CTAS
+# fixture dominates (~linear in created data); the scoped rewrite
+# itself replaces the 3 smallest keys and so touches <= 3 key-buckets
+# at ANY table size (carried-file overlap asserted in-query) — the
+# probe's alpha reads the fixture + the one pushdown-filtered
+# matching-bucket scan, the in-query assert reads the touched-fraction
+# story
+R12_PROBE_QUERIES = ["txlog_replace_where_sql"]
+
 # distinct strides, coprime to virtually all word counts
 _STRIDES = [1, 7, 11, 13, 17, 19, 23, 29, 31, 37, 41, 43]
 
@@ -436,7 +445,7 @@ def main() -> int:
         results = {}
         names = (PROBE_QUERIES + HEADLINE_PROBE_QUERIES
                  + TXLOG_PROBE_QUERIES + R10_PROBE_QUERIES
-                 + R11_PROBE_QUERIES)
+                 + R11_PROBE_QUERIES + R12_PROBE_QUERIES)
         if args.only:
             want = {n.strip() for n in args.only.split(",")}
             unknown = want - set(names)
