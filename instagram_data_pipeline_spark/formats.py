@@ -435,6 +435,23 @@ class TransactionLogFormat:
     #: writer fails loudly instead of spinning forever.
     MAX_COMMIT_RETRIES = 20
 
+    @staticmethod
+    def _conflict_backoff(attempt: int) -> None:
+        """Jittered backoff before retrying a lost CAS. The r12
+        contention probe measured the failure mode this breaks: N
+        fully-overlapping writers whose merges take ~the same time
+        retry in LOCKSTEP — each redo round re-collides, and at 4
+        writers the unluckiest merge burned 18 of the 20-conflict
+        budget. A random sleep growing with the attempt count breaks
+        the symmetry (the standard optimistic-concurrency answer;
+        Delta backs off the same way). Capped small: the redo's own
+        recompute is the dominant spacing, jitter only de-phases it."""
+        import random as _random
+        import time as _time
+
+        if attempt > 0:
+            _time.sleep(_random.uniform(0, min(2.0, 0.1 * attempt)))
+
     # class-level defaults so subclasses that replace __init__ (test
     # fault-injection shims) still get plain unclustered layout
     cluster_col: str | None = None
@@ -877,7 +894,8 @@ class TransactionLogFormat:
         Returns (published_version, num_constraints)."""
         from pyspark.sql.types import StructType
 
-        for _ in range(self.MAX_COMMIT_RETRIES):
+        for _attempt in range(self.MAX_COMMIT_RETRIES):
+            self._conflict_backoff(_attempt)
             snap = self._latest(wh, table)
             if snap is None:
                 raise FileNotFoundError(f"no committed version for {table}")
@@ -924,7 +942,8 @@ class TransactionLogFormat:
         manifest commit (no scan — releasing a policy validates
         nothing). Returns (published_version | None when absent under
         IF EXISTS, num_constraints)."""
-        for _ in range(self.MAX_COMMIT_RETRIES):
+        for _attempt in range(self.MAX_COMMIT_RETRIES):
+            self._conflict_backoff(_attempt)
             snap = self._latest(wh, table)
             if snap is None:
                 raise FileNotFoundError(f"no committed version for {table}")
@@ -1035,7 +1054,8 @@ class TransactionLogFormat:
         winner's policy — no stale-policy TOCTOU. The batch is only
         re-validated when the effective set actually changed."""
         validated_cons: dict | None = None
-        for _ in range(self.MAX_COMMIT_RETRIES):
+        for attempt in range(self.MAX_COMMIT_RETRIES):
+            self._conflict_backoff(attempt)
             snap = self._latest(wh, table)
             if snap is None:
                 empty = wh.spark.createDataFrame([], incoming.schema)
@@ -1151,7 +1171,8 @@ class TransactionLogFormat:
             wh, table, replacement, keys, num_buckets, mapping=mapping
         )
         base = snap
-        for _ in range(self.MAX_COMMIT_RETRIES):
+        for attempt in range(self.MAX_COMMIT_RETRIES):
+            self._conflict_backoff(attempt)
             carried = {
                 f: b
                 for f, b in base["files"].items()
@@ -1285,7 +1306,8 @@ class TransactionLogFormat:
         anti-join shuffles both sides instead of materializing the key
         set on every executor."""
         base_keys = key_rows.select(*keys).dropDuplicates()
-        for _ in range(self.MAX_COMMIT_RETRIES):
+        for _attempt in range(self.MAX_COMMIT_RETRIES):
+            self._conflict_backoff(_attempt)
             snap = self._latest(wh, table)
             if snap is None:
                 raise FileNotFoundError(f"no committed version for {table}")
@@ -1377,7 +1399,8 @@ class TransactionLogFormat:
 
         if old == new:
             raise ValueError("rename_column: old == new")
-        for _ in range(self.MAX_COMMIT_RETRIES):
+        for _attempt in range(self.MAX_COMMIT_RETRIES):
+            self._conflict_backoff(_attempt)
             snap = self._latest(wh, table)
             if snap is None:
                 raise FileNotFoundError(f"no committed version for {table}")
@@ -1459,7 +1482,8 @@ class TransactionLogFormat:
         would fail to resolve it). Returns the published version."""
         from pyspark.sql.types import StructField, StructType
 
-        for _ in range(self.MAX_COMMIT_RETRIES):
+        for _attempt in range(self.MAX_COMMIT_RETRIES):
+            self._conflict_backoff(_attempt)
             snap = self._latest(wh, table)
             if snap is None:
                 raise FileNotFoundError(f"no committed version for {table}")
@@ -1561,7 +1585,8 @@ class TransactionLogFormat:
                     f"add_columns: {name!r} listed twice in one statement"
                 )
             seen.add(name)
-        for _ in range(self.MAX_COMMIT_RETRIES):
+        for _attempt in range(self.MAX_COMMIT_RETRIES):
+            self._conflict_backoff(_attempt)
             snap = self._latest(wh, table)
             if snap is None:
                 raise FileNotFoundError(f"no committed version for {table}")
@@ -1661,7 +1686,8 @@ class TransactionLogFormat:
             new_dt = named[new_type]
         else:
             new_dt = new_type
-        for _ in range(self.MAX_COMMIT_RETRIES):
+        for _attempt in range(self.MAX_COMMIT_RETRIES):
+            self._conflict_backoff(_attempt)
             snap = self._latest(wh, table)
             if snap is None:
                 raise FileNotFoundError(f"no committed version for {table}")
@@ -1755,7 +1781,8 @@ class TransactionLogFormat:
         version."""
         if new_num_buckets < 1:
             raise ValueError("rebucket: new_num_buckets must be >= 1")
-        for _ in range(self.MAX_COMMIT_RETRIES):
+        for _attempt in range(self.MAX_COMMIT_RETRIES):
+            self._conflict_backoff(_attempt)
             snap = self._latest(wh, table)
             if snap is None:
                 raise FileNotFoundError(f"no committed version for {table}")
@@ -1825,7 +1852,8 @@ class TransactionLogFormat:
         only valid against the exact file+DV state they were read
         from)."""
         base_keys = key_rows.select(*keys).dropDuplicates()
-        for _ in range(self.MAX_COMMIT_RETRIES):
+        for _attempt in range(self.MAX_COMMIT_RETRIES):
+            self._conflict_backoff(_attempt)
             snap = self._latest(wh, table)
             if snap is None:
                 raise FileNotFoundError(f"no committed version for {table}")
@@ -2436,7 +2464,8 @@ class TransactionLogFormat:
         merge; on conflict the compaction simply retries from the
         winning snapshot (its rewrite is layout-only, so redoing is
         always safe)."""
-        for _ in range(self.MAX_COMMIT_RETRIES):
+        for _attempt in range(self.MAX_COMMIT_RETRIES):
+            self._conflict_backoff(_attempt)
             snap = self._latest(wh, table)
             if snap is None:
                 raise FileNotFoundError(f"no committed version for {table}")
@@ -2703,7 +2732,8 @@ class TransactionLogFormat:
         else:
             files, rows, stats = {}, {}, {}
         snap = snap0
-        for _ in range(self.MAX_COMMIT_RETRIES):
+        for _attempt in range(self.MAX_COMMIT_RETRIES):
+            self._conflict_backoff(_attempt)
             cons = (
                 self._constraints_of(snap, wh.path(table))
                 if keep_constraints
@@ -2774,7 +2804,8 @@ class TransactionLogFormat:
         CHECK constraints are kept and enforced on ``df`` inside the
         protocol. Returns (n_replaced, n_inserted)."""
         validated: dict | None = None
-        for _ in range(self.MAX_COMMIT_RETRIES):
+        for _attempt in range(self.MAX_COMMIT_RETRIES):
+            self._conflict_backoff(_attempt)
             snap = self._latest(wh, table)
             if snap is None:
                 raise ValueError(
@@ -2986,7 +3017,8 @@ class TransactionLogFormat:
             )
         with open(path) as f:
             target = json.load(f)
-        for _ in range(self.MAX_COMMIT_RETRIES):
+        for _attempt in range(self.MAX_COMMIT_RETRIES):
+            self._conflict_backoff(_attempt)
             latest = self._latest(wh, table)
             if latest is None:
                 raise FileNotFoundError(
