@@ -54,91 +54,139 @@ def register(
 # — all of them stay oracle-checked every CI run by
 # tests/test_queries_oracle.py regardless.
 REGISTRY_ORDER: tuple[str, ...] = (
-    # ================= round-12 driver window (50 slots) =================
+    # ================= round-13 driver window (50 slots) =================
     # Standing policy unchanged (see above). Window composition
-    # (VERDICT r11 "Next round" #1):
-    # (a) slot 1: txlog_overwrite_sql — registered mid-r11 AFTER that
+    # (VERDICT r12 "Next round" #1):
+    # (a) slot 1: txlog_replace_where_sql — registered mid-r12 AFTER that
     #     round's window was seated; needs its FIRST driver row (already
-    #     CI-oracle-green + judge-verified PASS at the driver's sf0.01).
-    # (b) slots 2-11: the txlog SQL-statement set (incl. UPDATE/DELETE) re-verifies CHANGED
-    #     impls — this round moves CHECK constraints from the sidecar
-    #     into the versioned manifest (VERDICT r11 #2), fixes
-    #     replace_table's write-inside-CAS-retry (ADVICE r11), and
-    #     rejects NOT NULL ADD COLUMN (ADVICE r11); every statement
-    #     query touches the changed commit/validation path.
-    # (c) slots 12-14: the CDF read faces re-verify the schema-evolution
-    #     contract pinned this round (VERDICT r11 #7).
-    # (d) slots 15-20: the r5-vintage remainder — the oldest driver
+    #     CI-oracle-green + judge-verified PASS at the driver's sf0.01);
+    #     its implementation ALSO changes this round (replace_where now
+    #     runs _check_evolution on the replacement schema, ADVICE r12
+    #     medium) so the row doubles as the changed-impl re-verify.
+    # (b) slots 2-10: the entire r7-vintage cohort — the oldest driver
     #     evidence in the registry (FIFO per COVERAGE.md rotation policy).
-    # (e) slots 21-32: the entire r6-vintage cohort (12), twin pair
-    #     pq_adc_fixed/pq_topk whole.
-    # (f) slots 33-50: the r7-vintage FIFO head (18 of 27), twin pair
-    #     pca_eig2_fixed/pca_components whole.
-    "txlog_overwrite_sql",
-    "txlog_constraints_sql",
-    "txlog_ctas_sql",
-    "txlog_alter_sql",
-    "txlog_insert_into_sql",
-    "txlog_merge_into_sql",
-    "txlog_maintenance_sql",
-    "txlog_restore_sql",
-    "txlog_convert_sql",
-    "txlog_update_sql",
-    "txlog_delete_sql",
-    "txlog_change_feed",
-    "txlog_stream_changes",
-    "txlog_changes_backfill",
-    "stream_neardup_dedup",
-    "multimodal_jpeg_stats",
-    "dedup_keep_best",
-    "multimodal_mjpeg_stats",
-    "c4_line_filter",
-    "dup_span_removal",
-    "contrastive_triplets",
-    "dup_spans",
-    "html_extract",
-    "incremental_components",
-    "label_propagation",
-    "pca_project_fixed",
-    "pq_adc_fixed",
-    "pq_topk",
-    "rate_limit_admission",
-    "warc_roundtrip",
-    "web_pipeline",
-    "wordpiece_encode_tokens",
-    "join_size_preflight",
-    "score_calibration",
-    "monitor_drift_report",
-    "bucketed_join",
-    "lm_perplexity_kneser_ney",
-    "containment_pairs",
-    "mv_incremental_refresh",
-    "mojibake_repair",
-    "mixture_epochs",
-    "jsonl_quarantine",
-    "csv_quarantine",
-    "intradoc_line_dedup",
-    "matryoshka_recall",
-    "pca_eig2_fixed",
-    "pca_components",
-    "bin_packing",
-    "training_shards",
-    "robots_exclusion",
-    # ------------------- driver window ends at slot 50 --------------------
-    # r13 queue: the r7-vintage remainder (9, incl. the two displaced by
-    # the UPDATE/DELETE changed-impl re-verifies), then r8-vintage FIFO,
-    # then the demoted r11 window at the back. New queries registered
-    # mid-r12 go right here with a rationale comment. Everything below
-    # stays DuckDB-oracle-checked every CI run by
-    # tests/test_queries_oracle.py; rows-only tiers past the window are
-    # covered by POST_WINDOW_ROWS_ONLY_OK.
-    # txlog_replace_where_sql: INSERT OVERWRITE ... WHERE (Delta
-    # replaceWhere parity, VERDICT r11 Next #6), registered mid-r12
-    # AFTER this round's window was seated — r13 queue head for its
-    # first driver row; CI-oracle-green via tests/test_queries_oracle.
+    # (c) slots 11-17: changed-impl re-verifies — txlog_overwrite_sql
+    #     (INSERT OVERWRITE ... WHERE predicate grammar now validated,
+    #     ADVICE r12 low), txlog_alter_sql + txlog_constraints_sql
+    #     (ALTER ... SET/DROP NOT NULL validated promote, VERDICT r12 #5),
+    #     txlog_restore_sql (RESTORE to pre-constraint-recording versions
+    #     now carries the effective constraint set, ADVICE r12 low), and
+    #     the three CDF read faces (replace_where/TRUNCATE change-feed
+    #     contract pinned this round, VERDICT r12 #4).
+    # (d) slots 18-50: the r8-vintage FIFO head (33 of 45).
     "txlog_replace_where_sql",
     "link_graph",
     "domain_quality_rollup",
+    "perplexity_mixture",
+    "ngram_novelty",
+    "readability_stats",
+    "shard_source_mix",
+    "chunk_dedup",
+    "lsh_quality_report",
+    "ann_recall_report",
+    "txlog_overwrite_sql",
+    "txlog_alter_sql",
+    "txlog_constraints_sql",
+    "txlog_restore_sql",
+    "txlog_change_feed",
+    "txlog_stream_changes",
+    "txlog_changes_backfill",
+    "txlog_rename_evolution",
+    "adamic_adar",
+    "txlog_zonemap_scan",
+    "txlog_compact",
+    "txlog_zorder_scan",
+    "txlog_minmax_pushdown",
+    "txlog_datasource_scan",
+    "txlog_retention_lookup",
+    "txlog_count_pushdown",
+    "gopher_quality_filter",
+    "byte_bpe_encode_tokens",
+    "late_data_accounting",
+    "grouping_sets_revenue",
+    "record_linkage",
+    "semdedup_drops",
+    "hll_merge_rollup",
+    "phrase_search",
+    "mad_outliers",
+    "stream_outer_attribution",
+    "cdc_chunk_stats",
+    "json_schema_infer",
+    "mutual_edges_salted",
+    "dataset_card",
+    "tokenizer_fertility",
+    "curation_pipeline",
+    "ann_filtered_topk",
+    "lm_perplexity_interpolated",
+    "keyset_page",
+    "scd2_as_of",
+    "blocklist_filter",
+    "crawl_frontier",
+    "stream_event_transitions",
+    "classifier_quality_report",
+    # ------------------- driver window ends at slot 50 --------------------
+    # r14 queue: the r8-vintage remainder (12), then r9/r10/r11 FIFO,
+    # then the demoted r12 window at the back. New queries registered
+    # mid-r13 go right here with a rationale comment. Everything below
+    # stays DuckDB-oracle-checked every CI run by
+    # tests/test_queries_oracle.py; rows-only tiers past the window are
+    # covered by POST_WINDOW_ROWS_ONLY_OK.
+    "anchor_text_index",
+    "temperature_sample_wor",
+    "langid_confusion",
+    "community_stats",
+    "cross_source_contamination",
+    "event_rate_spikes",
+    "dedup_cluster_histogram",
+    "lsh_band_stats",
+    "bloom_fp_report",
+    "event_transitions",
+    "dedup_funnel_report",
+    "triangle_stats",
+    "txlog_widen_evolution",
+    "txlog_stream_merge_sink",
+    "txlog_rebucket_layout",
+    "txlog_zorder_equidepth",
+    "txlog_delete_vectors",
+    "txlog_bloom_lookup",
+    "mutual_edges",
+    "dataset_split",
+    "embedding_quantize",
+    "embedding_near_dups",
+    "cosine_topk",
+    "embedding_norms",
+    "pricing_summary",
+    "label_centroids",
+    "ledger_enqueue_due",
+    "ledger_dequeue_transition",
+    "ledger_point_update",
+    "ledger_complete_batch",
+    "sessionize_batch",
+    "sessionize_stream",
+    "upsert_keep_newest",
+    "insert_if_absent",
+    "top_k_per_group",
+    "running_total",
+    "hourly_window_counts",
+    "mutual_edges_intersect",
+    "key_lookup",
+    "enrichment_join",
+    "pending_anti_join",
+    "dim_hierarchy",
+    "three_way_join",
+    "count_via_join",
+    "fifo_dequeue",
+    "temporal_in_filter",
+    "daily_counts",
+    "conditional_counts",
+    "union_dedup",
+    "semi_join_exists",
+    "pivot_status_counts",
+    "rollup_revenue",
+    "regional_revenue",
+    "sql_api_top_spenders",
+    "copurchase_pairs",
+    "table_profile",
     "dpp_partition_prune",
     "txlog_time_travel_sql",
     "multimodal_flac_stats",
@@ -187,102 +235,6 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "stratified_sample",
     "mixture_sample",
     "temperature_mixture",
-    "txlog_widen_evolution",
-    "txlog_stream_merge_sink",
-    "txlog_rebucket_layout",
-    "txlog_zorder_equidepth",
-    "txlog_delete_vectors",
-    "txlog_bloom_lookup",
-    "mutual_edges",
-    "dataset_split",
-    "embedding_quantize",
-    "embedding_near_dups",
-    "cosine_topk",
-    "embedding_norms",
-    "pricing_summary",
-    "label_centroids",
-    "ledger_enqueue_due",
-    "ledger_dequeue_transition",
-    "ledger_point_update",
-    "ledger_complete_batch",
-    "sessionize_batch",
-    "sessionize_stream",
-    "upsert_keep_newest",
-    "insert_if_absent",
-    "top_k_per_group",
-    "running_total",
-    "hourly_window_counts",
-    "mutual_edges_intersect",
-    "key_lookup",
-    "enrichment_join",
-    "pending_anti_join",
-    "dim_hierarchy",
-    "three_way_join",
-    "count_via_join",
-    "fifo_dequeue",
-    "temporal_in_filter",
-    "daily_counts",
-    "conditional_counts",
-    "union_dedup",
-    "semi_join_exists",
-    "pivot_status_counts",
-    "rollup_revenue",
-    "regional_revenue",
-    "sql_api_top_spenders",
-    "copurchase_pairs",
-    "table_profile",
-    "txlog_rename_evolution",
-    "adamic_adar",
-    "txlog_zonemap_scan",
-    "txlog_compact",
-    "txlog_zorder_scan",
-    "txlog_minmax_pushdown",
-    "txlog_datasource_scan",
-    "txlog_retention_lookup",
-    "txlog_count_pushdown",
-    "gopher_quality_filter",
-    "byte_bpe_encode_tokens",
-    "late_data_accounting",
-    "grouping_sets_revenue",
-    "record_linkage",
-    "semdedup_drops",
-    "hll_merge_rollup",
-    "phrase_search",
-    "mad_outliers",
-    "stream_outer_attribution",
-    "cdc_chunk_stats",
-    "json_schema_infer",
-    "mutual_edges_salted",
-    "dataset_card",
-    "tokenizer_fertility",
-    "curation_pipeline",
-    "ann_filtered_topk",
-    "lm_perplexity_interpolated",
-    "keyset_page",
-    "scd2_as_of",
-    "blocklist_filter",
-    "crawl_frontier",
-    "stream_event_transitions",
-    "classifier_quality_report",
-    "anchor_text_index",
-    "temperature_sample_wor",
-    "langid_confusion",
-    "community_stats",
-    "cross_source_contamination",
-    "event_rate_spikes",
-    "dedup_cluster_histogram",
-    "lsh_band_stats",
-    "bloom_fp_report",
-    "event_transitions",
-    "dedup_funnel_report",
-    "triangle_stats",
-    "perplexity_mixture",
-    "ngram_novelty",
-    "readability_stats",
-    "shard_source_mix",
-    "chunk_dedup",
-    "lsh_quality_report",
-    "ann_recall_report",
     "pagerank",
     "kcore_members",
     "bm25_topk",
@@ -325,6 +277,49 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "approx_distinct_users",
     "ivf_incremental_topk",
     "incremental_minhash_dedup",
+    "txlog_ctas_sql",
+    "txlog_insert_into_sql",
+    "txlog_merge_into_sql",
+    "txlog_maintenance_sql",
+    "txlog_convert_sql",
+    "txlog_update_sql",
+    "txlog_delete_sql",
+    "stream_neardup_dedup",
+    "multimodal_jpeg_stats",
+    "dedup_keep_best",
+    "multimodal_mjpeg_stats",
+    "c4_line_filter",
+    "dup_span_removal",
+    "contrastive_triplets",
+    "dup_spans",
+    "html_extract",
+    "incremental_components",
+    "label_propagation",
+    "pca_project_fixed",
+    "pq_adc_fixed",
+    "pq_topk",
+    "rate_limit_admission",
+    "warc_roundtrip",
+    "web_pipeline",
+    "wordpiece_encode_tokens",
+    "join_size_preflight",
+    "score_calibration",
+    "monitor_drift_report",
+    "bucketed_join",
+    "lm_perplexity_kneser_ney",
+    "containment_pairs",
+    "mv_incremental_refresh",
+    "mojibake_repair",
+    "mixture_epochs",
+    "jsonl_quarantine",
+    "csv_quarantine",
+    "intradoc_line_dedup",
+    "matryoshka_recall",
+    "pca_eig2_fixed",
+    "pca_components",
+    "bin_packing",
+    "training_shards",
+    "robots_exclusion",
 )
 DRIVER_WINDOW = 50
 

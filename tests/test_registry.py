@@ -10,33 +10,28 @@ from instagram_data_pipeline_spark.queries import (
     load_all,
 )
 
-# queries that MUST occupy the round-12 driver window: the first driver
-# row for txlog_overwrite_sql (registered mid-r11 after that window was
-# seated), the txlog SQL-statement set re-verifying the changed
-# commit/validation path (constraints-in-manifest, replace_table fix,
-# NOT NULL ADD rejection — VERDICT r11 #2 + ADVICE r11), the CDF read
-# faces re-verifying the schema-evolution contract (VERDICT r11 #7),
-# then the r5/r6-vintage cohorts — the oldest driver evidence in the
-# registry — with twin pairs whole (VERDICT r11 Next #1)
+# queries that MUST occupy the round-13 driver window: the first driver
+# row for txlog_replace_where_sql (registered mid-r12 after that window
+# was seated; its impl also changes this round — _check_evolution on the
+# replacement schema, ADVICE r12 medium), the entire r7-vintage cohort
+# (the oldest driver evidence in the registry), and the changed-impl
+# re-verifies: INSERT OVERWRITE WHERE predicate-grammar validation
+# (ADVICE r12 low), ALTER SET/DROP NOT NULL validated promote (VERDICT
+# r12 #5), RESTORE constraint-carry for pre-recording versions (ADVICE
+# r12 low), and the CDF faces re-verifying the replace/TRUNCATE
+# change-feed contract (VERDICT r12 #4).
 PRIORITY = {
-    # first driver row + changed-impl SQL-statement set
-    "txlog_overwrite_sql",
-    "txlog_merge_into_sql", "txlog_maintenance_sql",
-    "txlog_insert_into_sql", "txlog_restore_sql", "txlog_ctas_sql",
-    "txlog_alter_sql", "txlog_constraints_sql", "txlog_convert_sql",
-    "txlog_update_sql", "txlog_delete_sql",
-    # CDF faces: schema-evolution contract pinned this round
+    # first driver row + changed-impl re-verify in one
+    "txlog_replace_where_sql",
+    # r7-vintage cohort (oldest driver evidence)
+    "link_graph", "domain_quality_rollup", "perplexity_mixture",
+    "ngram_novelty", "readability_stats", "shard_source_mix",
+    "chunk_dedup", "lsh_quality_report", "ann_recall_report",
+    # changed-impl re-verifies
+    "txlog_overwrite_sql", "txlog_alter_sql", "txlog_constraints_sql",
+    "txlog_restore_sql",
+    # CDF faces: replace/TRUNCATE change-feed contract pinned this round
     "txlog_change_feed", "txlog_stream_changes", "txlog_changes_backfill",
-    # r5-vintage remainder (oldest driver evidence)
-    "stream_neardup_dedup", "multimodal_jpeg_stats", "dedup_keep_best",
-    "multimodal_mjpeg_stats", "c4_line_filter", "dup_span_removal",
-    # r6-vintage cohort, PQ twin pair whole
-    "contrastive_triplets", "dup_spans", "html_extract",
-    "incremental_components", "label_propagation", "pca_project_fixed",
-    "pq_adc_fixed", "pq_topk", "rate_limit_admission", "warc_roundtrip",
-    "web_pipeline", "wordpiece_encode_tokens",
-    # r7 FIFO head: PCA rows-only tier seated WITH its hash-checked twin
-    "pca_eig2_fixed", "pca_components",
 }
 
 
