@@ -182,6 +182,32 @@ def envelope(paths: list[str]) -> None:
     runs = [json.load(open(p)) for p in paths]
     if len(runs) < 2:
         raise SystemExit("--envelope needs >= 2 run files")
+    # every run must cover the SAME query sets at the SAME sf — a
+    # partial run file would silently bias the per-query minima and
+    # the composite total (ADVICE r12)
+    qk, xk, sf = (
+        set(runs[0].get("queries", {})),
+        set(runs[0].get("extra_queries", {})),
+        runs[0].get("sf"),
+    )
+    for p, r in zip(paths, runs):
+        if set(r.get("queries", {})) != qk:
+            raise SystemExit(
+                f"--envelope: {p} query set differs from {paths[0]} "
+                f"(symmetric diff: "
+                f"{sorted(set(r.get('queries', {})) ^ qk)})"
+            )
+        if set(r.get("extra_queries", {})) != xk:
+            raise SystemExit(
+                f"--envelope: {p} extra_queries set differs from "
+                f"{paths[0]} (symmetric diff: "
+                f"{sorted(set(r.get('extra_queries', {})) ^ xk)})"
+            )
+        if r.get("sf") != sf:
+            raise SystemExit(
+                f"--envelope: {p} sf={r.get('sf')} differs from "
+                f"{paths[0]} sf={sf}"
+            )
     q_min: dict[str, float] = {}
     x_min: dict[str, float] = {}
     for r in runs:

@@ -2813,6 +2813,18 @@ class TransactionLogFormat:
                 )
             self._check_buckets(snap, num_buckets, op)
             self._check_keys(snap, keys, op)
+            # additive-only evolution, same rule as the merge path: a
+            # replacement batch missing a table column (or retyping
+            # one) must be refused — untouched buckets' carried files
+            # still hold the old column, so publishing df.schema would
+            # silently narrow/retype it out of latest-version reads
+            # (ADVICE r12). Re-checked per retry: the winning snapshot
+            # may have widened the schema under us.
+            if "schema" in snap:
+                from pyspark.sql.types import StructType
+
+                old_schema = StructType.fromJson(json.loads(snap["schema"]))
+                self._check_evolution(old_schema, df.schema)
             cons = self._constraints_of(snap, wh.path(table))
             if cons != validated:
                 self._validate_constraints(df, cons, op, table)
@@ -3041,6 +3053,19 @@ class TransactionLogFormat:
                 )
                 if k in target
             }
+            if "constraints" not in published:
+                # target predates constraint recording (pre-r12
+                # manifest, no "constraints" key). Its governing set
+                # lived in the legacy sidecar — which the first
+                # ADD/DROP CONSTRAINT migration DELETED — so the
+                # target's own set is unrecoverable. Carry the CURRENT
+                # effective set instead of publishing neither key nor
+                # sidecar, which would silently reset policy to {}
+                # (ADVICE r12): policy-over-future-writes survives the
+                # rollback, same rationale as carrying txns.
+                published["constraints"] = self._constraints_of(
+                    latest, wh.path(table)
+                )
             published["version"] = latest["version"] + 1
             txns = latest.get("txns")
             if txns:

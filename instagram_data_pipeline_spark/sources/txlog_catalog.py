@@ -1055,26 +1055,42 @@ class TxlogSqlCatalog:
         stmt = (
             "INSERT OVERWRITE ... WHERE" if pred else "INSERT OVERWRITE"
         )
-        aligned = self._aligned_insert_source(
-            name, cols_text, body, keys, stmt
-        )
-        self._check_key_unique(aligned, keys, stmt)
-        self._enforce_constraints(name, aligned, stmt)
         man = _load_manifest(root, None)
         schema = StructType.fromJson(_json.loads(man["schema"]))
-        fmt = TransactionLogFormat()
-        handle = _TableHandle(self.spark, root)
         if pred is not None:
             # predicate-scoped rewrite (Delta replaceWhere): the
             # predicate must analyze against the TABLE's schema alone —
-            # unknown or source-side columns are refused here
+            # unknown or source-side columns are refused here. Checked
+            # BEFORE the body parse and with the restricted grammar
+            # spelled out (ADVICE r12): the lazy WHERE capture ends at
+            # the first VALUES/SELECT/WITH/TABLE/FROM word, so a
+            # predicate CONTAINING one of those keywords — a subquery,
+            # `extract(epoch FROM ts)`, a keyword-bearing string
+            # literal — mis-splits into a truncated predicate that
+            # fails right here with the contract named, instead of a
+            # baffling downstream body parse error.
             try:
                 self.spark.createDataFrame([], schema).where(pred)
             except Exception as e:
                 raise ValueError(
                     f"{stmt}: predicate ({pred}) does not analyze "
-                    f"against {name!r}'s schema ({e})"
+                    f"against {name!r}'s schema ({e}). Note the "
+                    f"restricted grammar: the predicate is plain "
+                    f"column expressions over the target table — no "
+                    f"subqueries, and the words VALUES/SELECT/WITH/"
+                    f"TABLE/FROM may not appear ANYWHERE inside it "
+                    f"(not in extract(... FROM ...), not in string "
+                    f"literals) because the first such word ends the "
+                    f"predicate and starts the source query"
                 ) from None
+        aligned = self._aligned_insert_source(
+            name, cols_text, body, keys, stmt
+        )
+        self._check_key_unique(aligned, keys, stmt)
+        self._enforce_constraints(name, aligned, stmt)
+        fmt = TransactionLogFormat()
+        handle = _TableHandle(self.spark, root)
+        if pred is not None:
             n_replaced, n_inserted = fmt.replace_where(
                 handle, name, pred, aligned, keys, num_buckets,
                 op=stmt,

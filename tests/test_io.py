@@ -370,6 +370,108 @@ def test_txlog_additive_schema_evolution(spark, tmp_path):
         )
 
 
+def test_txlog_restore_to_preconstraint_version_carries_policy(
+    spark, tmp_path
+):
+    """RESTORE to a version whose manifest predates constraint
+    recording (no ``constraints`` key — the pre-r12 shape, whose
+    governing sidecar the first ADD CONSTRAINT migration deleted) must
+    carry the CURRENT effective set instead of publishing neither key
+    nor sidecar, which silently reset policy to {} (ADVICE r12).
+    Policy-over-future-writes survives the rollback, like txns."""
+    import datetime as dt
+
+    from instagram_data_pipeline_spark.formats import TransactionLogFormat
+
+    fmt = TransactionLogFormat()
+    wh = Warehouse(spark, str(tmp_path / "wh"), fmt=fmt)
+    t0 = dt.datetime(2024, 1, 1)
+    mk = lambda lo, hi: spark.createDataFrame(  # noqa: E731
+        [(i, float(i), t0) for i in range(lo, hi)],
+        "k long, v double, ts timestamp",
+    )
+    wh.upsert_partitioned("facts", mk(0, 10), ["k"], "ts", num_buckets=4)
+    wh.upsert_partitioned("facts", mk(10, 12), ["k"], "ts", num_buckets=4)
+    # v1/v2 predate constraint recording: no manifest key
+    import json as _json
+
+    with open(fmt._log_dir(wh, "facts") / "00000001.json") as f:
+        assert "constraints" not in _json.load(f)
+    v, n = fmt.add_constraint(wh, "facts", "v_pos", "v >= 0")
+    assert (v, n) == (3, 1)
+
+    published = fmt.restore_version(wh, "facts", 1)
+    assert published["version"] == 4
+    # the effective set survived the rollback — and is enforced
+    assert fmt._constraints_of(
+        fmt._latest(wh, "facts"), wh.path("facts")
+    ) == {"v_pos": "v >= 0"}
+    bad = spark.createDataFrame(
+        [(99, -1.0, t0)], "k long, v double, ts timestamp"
+    )
+    with pytest.raises(ValueError, match="v_pos"):
+        wh.upsert_partitioned("facts", bad, ["k"], "ts", num_buckets=4)
+    # data-plane rollback still exact
+    assert wh.read_merged("facts").count() == 10
+
+    # restoring to a version that RECORDS a set still reverts to it
+    # (here: v3's {v_pos}; then drop + restore-to-post-drop resets)
+    fmt.drop_constraint(wh, "facts", "v_pos")  # v5
+    published = fmt.restore_version(wh, "facts", 3)  # v6: set reverts
+    assert published["constraints"] == {"v_pos": "v >= 0"}
+
+
+def test_txlog_replace_where_schema_evolution(spark, tmp_path):
+    """``replace_where`` holds the SAME additive-only evolution rule as
+    the merge path (ADVICE r12 medium): a replacement batch missing a
+    table column — or retyping one — is refused BEFORE any write,
+    because untouched buckets' carried files still hold the old column
+    and publishing the narrower schema would silently drop it from
+    latest-version reads. Widening (new column) stays allowed: carried
+    rows null-fill, exactly like a merge."""
+    import datetime as dt
+
+    from instagram_data_pipeline_spark.formats import TransactionLogFormat
+
+    fmt = TransactionLogFormat()
+    wh = Warehouse(spark, str(tmp_path / "wh"), fmt=fmt)
+    t0 = dt.datetime(2024, 1, 1)
+    base = spark.createDataFrame(
+        [(i, "a" if i % 2 == 0 else "b", float(i), t0) for i in range(20)],
+        "k long, grp string, v double, ts timestamp",
+    )
+    wh.upsert_partitioned("facts", base, ["k"], "ts", num_buckets=4)
+
+    # narrowing: replacement missing the ts column is refused up front
+    narrow = spark.createDataFrame(
+        [(0, "a", 100.0)], "k long, grp string, v double"
+    )
+    with pytest.raises(ValueError, match="additive-only"):
+        fmt.replace_where(wh, "facts", "grp = 'a'", narrow, ["k"], 4)
+    # retyping: v double -> v long is refused
+    retyped = spark.createDataFrame(
+        [(0, "a", 7, t0)], "k long, grp string, v long, ts timestamp"
+    )
+    with pytest.raises(ValueError, match="change types"):
+        fmt.replace_where(wh, "facts", "grp = 'a'", retyped, ["k"], 4)
+    # the refusals published nothing and dropped nothing
+    assert fmt.versions(wh, "facts") == [1]
+    assert wh.read_merged("facts").columns == ["k", "grp", "v", "ts"]
+
+    # widening still works: carried rows in untouched buckets null-fill
+    widened = spark.createDataFrame(
+        [(0, "a", 100.0, t0, "x")],
+        "k long, grp string, v double, ts timestamp, note string",
+    )
+    n_rep, n_ins = fmt.replace_where(
+        wh, "facts", "grp = 'a' AND k < 2", widened, ["k"], 4
+    )
+    assert (n_rep, n_ins) == (1, 1)
+    got = {r.k: (r.v, r.note) for r in wh.read_merged("facts").collect()}
+    assert got[0] == (100.0, "x")
+    assert len(got) == 20 and got[2] == (2.0, None)
+
+
 class _RacingPublish:
     """Mixin-style format: runs a competitor callback once, right
     before this writer's first manifest publish — deterministically

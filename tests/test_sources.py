@@ -2220,6 +2220,12 @@ def test_txlog_sql_catalog_insert_overwrite_where(spark, tmp_path):
     # predicate over an unknown column is refused at analysis
     with _pytest.raises(ValueError, match="does not analyze"):
         cat.sql("INSERT OVERWRITE t WHERE nope = 1 VALUES (2, 'a', 1.0)")
+    # a keyword INSIDE the predicate (here, mid-string-literal after
+    # whitespace) ends the lazy WHERE capture — refused BEFORE the
+    # body parse, with the restricted grammar named (ADVICE r12)
+    with _pytest.raises(ValueError, match="restricted grammar"):
+        cat.sql("INSERT OVERWRITE t WHERE grp = 'a select b' "
+                "VALUES (2, 'a', 1.0)")
     # the refusals committed nothing
     assert cat.sql("DESCRIBE DETAIL t").first().version == 3
 
