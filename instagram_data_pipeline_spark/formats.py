@@ -984,10 +984,171 @@ class TransactionLogFormat:
             num_buckets=snap.get("num_buckets"), txns=snap.get("txns"),
             constraints=snap.get("constraints"),
         )
+        schema = overrides.pop("schema", snap.get("schema"))
         sections.update(overrides)
         self._publish(
             wh, table, snap["version"] + 1, snap["files"],
-            snap.get("schema"), **sections
+            schema, **sections
+        )
+
+    # -- NOT NULL (schema-recorded, protocol-enforced) ---------------------
+    #
+    # Column nullability lives in the manifest's schema JSON (where the
+    # Delta protocol keeps it too), so SET/DROP NOT NULL is one
+    # metadata-only CAS commit, reverts with RESTORE, and travels with
+    # rename_column for free. Enforcement reuses the CHECK-constraint
+    # validator: every write path folds the snapshot's non-nullable
+    # fields into the constraint set as implicit ``c IS NOT NULL``
+    # entries — same single aggregate pass, same
+    # revalidate-on-snapshot-change caching, no second scan.
+
+    @staticmethod
+    def _not_null_cons(schema) -> dict:
+        """Implicit validation entries for the snapshot schema's
+        non-nullable fields, in the CHECK-constraint dict shape."""
+        return {
+            f"NOT NULL ({f.name})": f"`{f.name}` IS NOT NULL"
+            for f in schema.fields
+            if not f.nullable
+        }
+
+    @staticmethod
+    def _carry_nullability(snap: dict | None, new_schema) -> str:
+        """The schema JSON a WRITE commit publishes: the incoming
+        batch's structure, with each field's ``nullable`` flag
+        NORMALIZED — the snapshot's own flag for fields the table
+        already had, ``True`` for fields the batch adds. Publishing
+        ``incoming.schema.json()`` verbatim is wrong in BOTH
+        directions now that the flag is a contract: Spark DataFrames
+        are nullable-typed by default (a merge would silently demote a
+        SET NOT NULL promote), while literal/expression columns are
+        often non-nullable-typed (an ``UPDATE SET c = 'x'`` would
+        silently PROMOTE ``c``, skipping the validated scan). The
+        incoming DATA's freedom from NULLs is enforced separately by
+        :meth:`_not_null_cons` entries; added columns must stay
+        nullable because old files read them back as NULL. A FIRST
+        commit (or a legacy pre-schema manifest) normalizes to
+        all-nullable: a literal-sourced frame (``VALUES ...``) types
+        every column non-nullable as an accident of its expressions,
+        not a declaration — recorded NOT NULL must only ever come from
+        an explicit contract (``create_table``/``replace_table``
+        schema) or the validated :meth:`set_not_null` promote."""
+        from pyspark.sql.types import StructField, StructType
+
+        if snap is None or "schema" not in snap:
+            old: dict[str, bool] = {}
+        else:
+            old = {
+                f.name: f.nullable
+                for f in StructType.fromJson(
+                    json.loads(snap["schema"])
+                ).fields
+            }
+        out = [
+            StructField(
+                f.name, f.dataType, old.get(f.name, True), f.metadata
+            )
+            for f in new_schema.fields
+        ]
+        return StructType(out).json()
+
+    def set_not_null(self, wh, table: str, col: str) -> tuple[int, bool]:
+        """``ALTER TABLE t ALTER COLUMN c SET NOT NULL`` — the
+        validated promote (Delta parity; the legal path the
+        metadata-only ``ADD COLUMN ... NOT NULL`` refusal points at:
+        add nullable, backfill, then promote). One CAS commit: every
+        EXISTING row must be non-NULL in ``col`` (one validation scan,
+        the same cost ADD CONSTRAINT pays — losing the publish race
+        re-validates against the winning snapshot, so the recorded
+        invariant is always true of the version it lands on), then the
+        manifest's schema republishes with ``nullable=False``. Every
+        subsequent write validates its batch through the implicit
+        constraint entry. Returns (version, promoted) — promoted False
+        when the column already records NOT NULL (no-op, no publish)."""
+        from pyspark.sql.types import StructField, StructType
+
+        for _attempt in range(self.MAX_COMMIT_RETRIES):
+            self._conflict_backoff(_attempt)
+            snap = self._latest(wh, table)
+            if snap is None:
+                raise FileNotFoundError(f"no committed version for {table}")
+            schema = StructType.fromJson(json.loads(snap["schema"]))
+            names = [f.name for f in schema.fields]
+            if col not in names:
+                raise ValueError(
+                    f"SET NOT NULL: no column {col!r} on {table!r} "
+                    f"(columns: {names})"
+                )
+            fld = schema[col]
+            if not fld.nullable:
+                return snap["version"], False  # already promoted
+            cur = self._read_snapshot(wh, Path(wh.path(table)), snap)
+            nulls = cur.where(F.col(col).isNull()).count()
+            if nulls:
+                raise ValueError(
+                    f"SET NOT NULL: {nulls} existing row(s) of "
+                    f"{table!r} are NULL in {col!r} — backfill first"
+                )
+            new_schema = StructType(
+                [
+                    StructField(f.name, f.dataType, False, f.metadata)
+                    if f.name == col
+                    else f
+                    for f in schema.fields
+                ]
+            )
+            try:
+                self._publish_metadata_only(
+                    wh, table, snap, schema=new_schema.json()
+                )
+            except CommitConflict:
+                continue  # re-validate against the winning snapshot
+            return snap["version"] + 1, True
+        raise CommitConflict(
+            f"set_not_null on {table!r}: gave up after "
+            f"{self.MAX_COMMIT_RETRIES} commit conflicts"
+        )
+
+    def drop_not_null(self, wh, table: str, col: str) -> tuple[int, bool]:
+        """``ALTER TABLE t ALTER COLUMN c DROP NOT NULL`` — release the
+        nullability invariant: one metadata-only CAS commit, no scan
+        (releasing a policy validates nothing, like DROP CONSTRAINT).
+        Returns (version, dropped) — dropped False when the column was
+        already nullable (no-op, no publish)."""
+        from pyspark.sql.types import StructField, StructType
+
+        for _attempt in range(self.MAX_COMMIT_RETRIES):
+            self._conflict_backoff(_attempt)
+            snap = self._latest(wh, table)
+            if snap is None:
+                raise FileNotFoundError(f"no committed version for {table}")
+            schema = StructType.fromJson(json.loads(snap["schema"]))
+            names = [f.name for f in schema.fields]
+            if col not in names:
+                raise ValueError(
+                    f"DROP NOT NULL: no column {col!r} on {table!r} "
+                    f"(columns: {names})"
+                )
+            if schema[col].nullable:
+                return snap["version"], False
+            new_schema = StructType(
+                [
+                    StructField(f.name, f.dataType, True, f.metadata)
+                    if f.name == col
+                    else f
+                    for f in schema.fields
+                ]
+            )
+            try:
+                self._publish_metadata_only(
+                    wh, table, snap, schema=new_schema.json()
+                )
+            except CommitConflict:
+                continue
+            return snap["version"] + 1, True
+        raise CommitConflict(
+            f"drop_not_null on {table!r}: gave up after "
+            f"{self.MAX_COMMIT_RETRIES} commit conflicts"
         )
 
     @staticmethod
@@ -1065,7 +1226,8 @@ class TransactionLogFormat:
                 )
                 try:
                     self._publish(
-                        wh, table, 1, files, incoming.schema.json(),
+                        wh, table, 1, files,
+                        self._carry_nullability(None, incoming.schema),
                         rows=rows, stats=stats, keys=list(keys),
                         num_buckets=int(num_buckets),
                         txns=(
@@ -1081,12 +1243,15 @@ class TransactionLogFormat:
                 last = snap.get("txns", {}).get(txn[0])
                 if last is not None and int(txn[1]) <= int(last):
                     return  # replay of an applied batch: no-op
+            cons = self._constraints_of(snap, wh.path(table))
             if "schema" in snap:
                 from pyspark.sql.types import StructType
 
                 old_schema = StructType.fromJson(json.loads(snap["schema"]))
                 self._check_evolution(old_schema, incoming.schema)
-            cons = self._constraints_of(snap, wh.path(table))
+                # non-nullable fields validate as implicit constraints
+                # (same one aggregate pass, same caching)
+                cons = {**cons, **self._not_null_cons(old_schema)}
             if cons != validated_cons:
                 self._validate_constraints(incoming, cons, "write", table)
                 validated_cons = cons
@@ -1126,7 +1291,8 @@ class TransactionLogFormat:
             )
             if self._rewrite_and_publish(
                 wh, table, snap, touched, merged,
-                incoming.schema.json(), keys, num_buckets,
+                self._carry_nullability(snap, incoming.schema),
+                keys, num_buckets,
                 fields=fields, dropped_fields=dropped, next_fid=next_fid,
                 txn=txn,
             ):
@@ -2720,11 +2886,22 @@ class TransactionLogFormat:
                 f"{wh.path(table)!r} — use create_table"
             )
         validated: dict | None = None
-        if keep_constraints and df is not None:
+        # the PUBLISHED schema's non-nullable fields validate as
+        # implicit entries (for OVERWRITE/TRUNCATE that schema is the
+        # snapshot's, so a SET NOT NULL promote is enforced; for
+        # CREATE OR REPLACE it is the new contract's own declaration)
+        nn = self._not_null_cons(schema)
+        if df is not None:
             # validate BEFORE writing: a violating batch costs one
             # aggregate job, not a full file write plus orphans
-            validated = self._constraints_of(snap0, wh.path(table))
-            self._validate_constraints(df, validated, op, table)
+            validated = (
+                self._constraints_of(snap0, wh.path(table))
+                if keep_constraints
+                else {}
+            )
+            self._validate_constraints(
+                df, {**validated, **nn}, op, table
+            )
         if df is not None:
             files, rows, stats = self._write_commit(
                 wh, table, df, keys, int(num_buckets)
@@ -2739,8 +2916,8 @@ class TransactionLogFormat:
                 if keep_constraints
                 else {}
             )
-            if keep_constraints and df is not None and cons != validated:
-                self._validate_constraints(df, cons, op, table)
+            if df is not None and cons != validated:
+                self._validate_constraints(df, {**cons, **nn}, op, table)
                 validated = cons
             try:
                 self._publish(
@@ -2820,12 +2997,13 @@ class TransactionLogFormat:
             # silently narrow/retype it out of latest-version reads
             # (ADVICE r12). Re-checked per retry: the winning snapshot
             # may have widened the schema under us.
+            cons = self._constraints_of(snap, wh.path(table))
             if "schema" in snap:
                 from pyspark.sql.types import StructType
 
                 old_schema = StructType.fromJson(json.loads(snap["schema"]))
                 self._check_evolution(old_schema, df.schema)
-            cons = self._constraints_of(snap, wh.path(table))
+                cons = {**cons, **self._not_null_cons(old_schema)}
             if cons != validated:
                 self._validate_constraints(df, cons, op, table)
                 validated = cons
@@ -2911,7 +3089,8 @@ class TransactionLogFormat:
             )
             if self._rewrite_and_publish(
                 wh, table, snap, touched, replacement,
-                df.schema.json(), keys, num_buckets,
+                self._carry_nullability(snap, df.schema),
+                keys, num_buckets,
                 fields=fields, dropped_fields=dropped,
                 next_fid=next_fid,
             ):

@@ -131,6 +131,11 @@ REGISTRY_ORDER: tuple[str, ...] = (
     # stays DuckDB-oracle-checked every CI run by
     # tests/test_queries_oracle.py; rows-only tiers past the window are
     # covered by POST_WINDOW_ROWS_ONLY_OK.
+    # txlog_notnull_sql: ALTER COLUMN SET/DROP NOT NULL validated
+    # promote (VERDICT r12 #5), registered mid-r13 AFTER this round's
+    # window was seated — r14 queue head for its first driver row;
+    # CI-oracle-green via tests/test_queries_oracle.
+    "txlog_notnull_sql",
     "anchor_text_index",
     "temperature_sample_wor",
     "langid_confusion",

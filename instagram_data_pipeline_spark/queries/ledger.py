@@ -2678,6 +2678,91 @@ def q_txlog_alter_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cat.sql("SELECT k, price, cnt, tier FROM facts")
 
 
+_TXLOG_NOTNULL_ORACLE = """
+SELECT o_custkey AS k, MAX(o_totalprice) AS v,
+       CASE WHEN MAX(o_totalprice) > 200000 THEN 'high' ELSE 'low' END AS tag
+FROM orders GROUP BY 1
+UNION ALL
+SELECT -1 AS k, 0.5 AS v, 'x' AS tag
+UNION ALL
+SELECT -2 AS k, -0.5 AS v, NULL AS tag
+"""
+
+
+@register(
+    "txlog_notnull_sql",
+    _TXLOG_NOTNULL_ORACLE,
+    doc="ALTER COLUMN SET/DROP NOT NULL via SQL text (r13, VERDICT "
+        "r12 #5) — the VALIDATED promote completing the legal path "
+        "the NOT-NULL-ADD refusal points at: add nullable, backfill, "
+        "promote. Promote over surviving NULLs is refused (asserted "
+        "in-query — one existing-rows scan, the ADD CONSTRAINT cost); "
+        "after promote a NULL-bearing INSERT is refused (enforcement "
+        "rides the same one-pass constraint validator as implicit "
+        "entries, and the published write schema carries the "
+        "snapshot's flags so a later merge cannot demote the "
+        "promote); DROP NOT NULL releases with no scan; oracle "
+        "replays the lifecycle as the backfilled aggregate UNION the "
+        "two admitted rows",
+    tags=("sql", "format", "ddl", "constraints"),
+)
+def q_txlog_notnull_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from ..sources.txlog_catalog import TxlogSqlCatalog
+
+    orders = load_testdata(spark, sf_dir, "orders")
+    orders.groupBy(F.col("o_custkey").alias("k")).agg(
+        F.max("o_totalprice").alias("v"),
+    ).createOrReplaceTempView("txlog_nn_src")
+
+    loc = os.path.join(_scratch("txlog_nn_sql", sf_dir), "facts")
+    cat = TxlogSqlCatalog(spark)
+    cat.sql(
+        f"CREATE TABLE facts_nn USING txlog CLUSTERED BY (k) "
+        f"INTO 8 BUCKETS LOCATION '{loc}' "
+        f"AS SELECT k, v FROM txlog_nn_src"
+    )
+    m = cat.sql("ALTER TABLE facts_nn ADD COLUMN tag STRING").first()
+    assert m.table_version == 3  # CTAS = create + data commit
+    # promote over all-NULL rows is refused, nothing committed
+    try:
+        cat.sql("ALTER TABLE facts_nn ALTER COLUMN tag SET NOT NULL")
+        raise AssertionError("promote over NULL rows not refused")
+    except ValueError as e:
+        assert "backfill first" in str(e)
+    # backfill, then the validated promote (one scan, one manifest)
+    cat.sql(
+        "UPDATE facts_nn SET tag = CASE WHEN v > 200000 THEN 'high' "
+        "ELSE 'low' END WHERE k % 1 = 0"
+    )
+    m = cat.sql(
+        "ALTER TABLE facts_nn ALTER COLUMN tag SET NOT NULL"
+    ).first()
+    assert m.operation == "set not null tag" and m.table_version == 5
+    # enforcement: a NULL-bearing INSERT is refused loudly
+    try:
+        cat.sql("INSERT INTO facts_nn VALUES "
+                "(-1, CAST(0.5 AS DOUBLE), NULL)")
+        raise AssertionError("NULL-bearing INSERT not refused")
+    except ValueError as e:
+        assert "NOT NULL" in str(e)
+    # a compliant row is admitted — and the merge does NOT demote the
+    # promote (incoming DataFrame schemas are nullable-typed)
+    m = cat.sql("INSERT INTO facts_nn VALUES "
+                "(-1, CAST(0.5 AS DOUBLE), 'x')").first()
+    assert m.num_inserted_rows == 1
+    # DROP NOT NULL releases the invariant with no scan
+    m = cat.sql(
+        "ALTER TABLE facts_nn ALTER COLUMN tag DROP NOT NULL"
+    ).first()
+    assert m.operation == "drop not null tag"
+    m = cat.sql("INSERT INTO facts_nn VALUES "
+                "(-2, CAST(-0.5 AS DOUBLE), NULL)").first()
+    assert m.num_inserted_rows == 1
+    return cat.sql("SELECT k, v, tag FROM facts_nn")
+
+
 _TXLOG_CONSTRAINTS_ORACLE = """
 SELECT o_custkey AS k, MAX(o_totalprice) AS v, MAX(o_orderdate) AS ts
 FROM orders GROUP BY 1

@@ -181,6 +181,15 @@ _ALTER_TYPE = re.compile(
     rf"^ALTER\s+COLUMN\s+({_IDENT})\s+TYPE\s+([A-Za-z0-9_]+)$",
     re.IGNORECASE,
 )
+# SET NOT NULL: the VALIDATED promote (one existing-rows scan, like
+# ADD CONSTRAINT) that the metadata-only ``ADD COLUMN ... NOT NULL``
+# refusal points at; DROP NOT NULL releases it with no scan
+_ALTER_SETNN = re.compile(
+    rf"^ALTER\s+COLUMN\s+({_IDENT})\s+SET\s+NOT\s+NULL$", re.IGNORECASE
+)
+_ALTER_DROPNN = re.compile(
+    rf"^ALTER\s+COLUMN\s+({_IDENT})\s+DROP\s+NOT\s+NULL$", re.IGNORECASE
+)
 _ALTER_ADDCON = re.compile(
     rf"^ADD\s+CONSTRAINT\s+({_IDENT})\s+CHECK\s*\((.+)\)$",
     re.IGNORECASE | re.DOTALL,
@@ -268,7 +277,8 @@ def _parse_add_columns_spec(spec: str) -> list:
             f"ALTER TABLE ADD COLUMN(S): column(s) {banned} declare "
             f"NOT NULL, but a metadata-only add reads existing rows "
             f"back as NULL — add the column nullable, backfill, then "
-            f"enforce via ADD CONSTRAINT"
+            f"promote with ALTER COLUMN <c> SET NOT NULL (or enforce "
+            f"via ADD CONSTRAINT)"
         )
     return [(f.name, f.dataType) for f in struct.fields]
 
@@ -1353,15 +1363,18 @@ class TxlogSqlCatalog:
 
     def _sql_alter(self, m: re.Match) -> DataFrame:
         """``ALTER TABLE <name> RENAME COLUMN a TO b | DROP COLUMN c |
-        ADD COLUMN[S] <spec> | ALTER COLUMN c TYPE <wider>`` — the four
-        metadata-only schema-evolution statements, each ONE manifest
-        publish at any table size (a multi-column ``ADD COLUMNS
-        (a INT, b STRING)`` list is still one manifest; the spec goes
-        through Spark's DDL parser so parenthesized types like
-        DECIMAL(10,2) work) (column-mapping indirection for
-        rename/drop, appended nullable field for add, safe-lattice
-        widening for type — a merge-key rename tracks the key list,
-        a merge-key drop/widen is refused by the format). Returns an
+        ADD COLUMN[S] <spec> | ALTER COLUMN c TYPE <wider> | ALTER
+        COLUMN c SET NOT NULL | ALTER COLUMN c DROP NOT NULL`` — the
+        schema-evolution statements, each ONE manifest publish at any
+        table size (a multi-column ``ADD COLUMNS (a INT, b STRING)``
+        list is still one manifest; the spec goes through Spark's DDL
+        parser so parenthesized types like DECIMAL(10,2) work)
+        (column-mapping indirection for rename/drop, appended nullable
+        field for add, safe-lattice widening for type — a merge-key
+        rename tracks the key list, a merge-key drop/widen is refused
+        by the format). SET NOT NULL is the one with a data cost: the
+        validated promote scans existing rows once, like ADD
+        CONSTRAINT (r13, VERDICT r12 #5). Returns an
         (operation, table_version) metrics frame."""
         from ..formats import TransactionLogFormat
 
@@ -1381,7 +1394,21 @@ class TxlogSqlCatalog:
         dm = _ALTER_DROPCOL.match(action)
         ad = _ALTER_ADD.match(action)
         ty = _ALTER_TYPE.match(action)
-        if rm:
+        sn = _ALTER_SETNN.match(action)
+        dn = _ALTER_DROPNN.match(action)
+        if sn:
+            version, changed = fmt.set_not_null(handle, name, sn.group(1))
+            op = (
+                f"set not null {sn.group(1)}"
+                + ("" if changed else " (already)")
+            )
+        elif dn:
+            version, changed = fmt.drop_not_null(handle, name, dn.group(1))
+            op = (
+                f"drop not null {dn.group(1)}"
+                + ("" if changed else " (already)")
+            )
+        elif rm:
             version = fmt.rename_column(
                 handle, name, rm.group(1), rm.group(2)
             )
@@ -1403,7 +1430,8 @@ class TxlogSqlCatalog:
                 f"ALTER TABLE: unsupported action {action!r} — one of "
                 f"RENAME COLUMN a TO b, DROP COLUMN c, ADD COLUMN "
                 f"c <type>, ADD COLUMNS (a <type>, b <type>, ...), "
-                f"ALTER COLUMN c TYPE <wider>, ADD "
+                f"ALTER COLUMN c TYPE <wider>, ALTER COLUMN c "
+                f"SET NOT NULL, ALTER COLUMN c DROP NOT NULL, ADD "
                 f"CONSTRAINT n CHECK (expr), DROP CONSTRAINT n"
             )
         self.register(name, root)

@@ -85,6 +85,10 @@ def test_txlog_random_op_sequences_match_reference_model(
         "constraint": False,
         "ctas_n": 0,
         "conv_n": 0,
+        # round-13: NOT NULL promote state for cols[1] — nullability
+        # lives in the manifest SCHEMA, so it must survive merges
+        # (carry-nullability), follow renames, and rewind with RESTORE
+        "not_null": False,
     }
 
     def tick() -> dt.datetime:
@@ -317,6 +321,8 @@ def test_txlog_random_op_sequences_match_reference_model(
         # constraints are manifest metadata since round 12: the
         # restored version's CHECK set is live policy again
         model["constraint"] = rec["constraint"]
+        # nullability is schema metadata (round 13): it rewinds too
+        model["not_null"] = rec["not_null"]
 
     # ---- round-11 statement surface (VERDICT r10 Next #4): point the
     # random walk at the newest least-hardened ops — CHECK constraints,
@@ -467,6 +473,34 @@ def test_txlog_random_op_sequences_match_reference_model(
                 "ts": ts,
             }
 
+    def op_sql_not_null():
+        # round-13 validated promote: toggle NOT NULL on cols[1]
+        # (every model row holds a non-null tag there, so the
+        # promote's validation scan must pass), then prove a
+        # NULL-bearing INSERT is refused mid-walk; DROP releases it
+        col = model["cols"][1]
+        cols = model["cols"]
+        cnt_t = "BIGINT" if model["widened"] else "INT"
+        cat.register("t", wh.path("t"))
+        if not model["not_null"]:
+            m = cat.sql(
+                f"ALTER TABLE t ALTER COLUMN {col} SET NOT NULL"
+            ).first()
+            assert m.operation == f"set not null {col}"
+            model["not_null"] = True
+            try:
+                cat.sql(
+                    f"INSERT INTO t (k, {cols[1]}, {cols[2]}, ts) "
+                    f"VALUES (777777777, NULL, CAST(1 AS {cnt_t}), "
+                    f"TIMESTAMP '2030-01-01')"
+                )
+                raise AssertionError("NULL-bearing INSERT not refused")
+            except ValueError as e:
+                assert "NOT NULL" in str(e)
+        else:
+            cat.sql(f"ALTER TABLE t ALTER COLUMN {col} DROP NOT NULL")
+            model["not_null"] = False
+
     def op_sql_truncate():
         cat.register("t", wh.path("t"))
         m = cat.sql("TRUNCATE TABLE t").first()
@@ -504,6 +538,7 @@ def test_txlog_random_op_sequences_match_reference_model(
             "widened": model["widened"],
             "buckets": model["buckets"],
             "constraint": model["constraint"],
+            "not_null": model["not_null"],
         }
 
     # seed the table, then a random walk over every op
@@ -518,7 +553,7 @@ def test_txlog_random_op_sequences_match_reference_model(
         op_sql_optimize, op_sql_insert, op_sql_restore,
         op_sql_constraints, op_sql_ctas, op_sql_convert,
         op_sql_vacuum_keep, op_sql_overwrite, op_sql_truncate,
-        op_sql_replace_where,
+        op_sql_replace_where, op_sql_not_null,
     ]
     for _ in range(14):
         rng.choice(ops)()
@@ -532,8 +567,8 @@ def test_txlog_random_op_sequences_match_reference_model(
     # the end-of-walk full-state check still compares real data.
     for op in (
         op_sql_constraints, op_sql_truncate, op_merge,
-        op_sql_overwrite, op_sql_replace_where, op_sql_ctas,
-        op_sql_convert, op_sql_vacuum_keep,
+        op_sql_not_null, op_sql_overwrite, op_sql_replace_where,
+        op_sql_ctas, op_sql_convert, op_sql_vacuum_keep,
     ):
         op()
         record_version()
