@@ -550,6 +550,122 @@ def test_txlog_changes_stream_matches_batch_cdf(spark, tmp_path):
     assert feed_rows() == before
 
 
+def test_txlog_changes_across_replace_where_and_truncate(spark, tmp_path):
+    """The CDF contract across the shape-changing replace family
+    (round 13, VERDICT r12 #4): the feed is a NET row-level diff by
+    key, so a scoped overwrite emits exactly its row-level consequence
+    — updates for re-valued keys, deletes for dropped keys, inserts
+    for new keys, SILENCE for carried buckets and for kept rows
+    rewritten byte-identical — and TRUNCATE emits one delete per
+    then-live key. Both faces pinned: the readStream per-version
+    steps must equal the batch changes_between twin at each step, and
+    a batch span across truncate + identical re-insert nets out to
+    nothing for the surviving key."""
+    from instagram_data_pipeline_spark.formats import TransactionLogFormat
+    from instagram_data_pipeline_spark.io import Warehouse
+    from instagram_data_pipeline_spark.sources.txlog_catalog import (
+        TxlogSqlCatalog,
+    )
+    from instagram_data_pipeline_spark.sources.txlog_source import (
+        TxlogChangesDataSource,
+    )
+
+    spark.dataSource.register(TxlogChangesDataSource)
+    fmt = TransactionLogFormat()
+    wh = Warehouse(spark, str(tmp_path / "wh"), fmt=fmt)
+    root = wh.path("facts")
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    cat = TxlogSqlCatalog(spark)
+    cat.sql(f"CREATE TABLE facts (k BIGINT, grp STRING, v DOUBLE) USING "
+            f"txlog CLUSTERED BY (k) INTO 4 BUCKETS LOCATION '{root}'")
+    cat.sql("INSERT INTO facts SELECT id AS k, IF(id < 10, 'a', 'b') AS "
+            "grp, CAST(id AS DOUBLE) AS v FROM range(20)")  # v2
+
+    def drain():
+        q = (
+            spark.readStream.format("txlog_changes")
+            .option("keys", "k").load(root)
+            .writeStream.format("parquet").option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+
+    def feed_rows():
+        return {
+            (r._change_type, r.k, r.grp, r.v)
+            for r in spark.read.parquet(out).collect()
+        }
+
+    def batch_cdf(v0, v1):
+        return {
+            (r._change_type, r.k, r.grp, r.v)
+            for r in fmt.changes_between(
+                wh, "facts", ["k"], v0, v1
+            ).collect()
+        }
+
+    drain()
+    want = {
+        ("insert", k, "a" if k < 10 else "b", float(k))
+        for k in range(20)
+    }
+    assert feed_rows() == want
+
+    # v3: scoped overwrite of the 'a' slice — keys 0-2 re-valued
+    # (updates), 3-4 and 6-9 dropped (deletes), 100 new (insert), and
+    # key 5 deliberately written back with its ORIGINAL values (the
+    # byte-identical rewrite that must stay silent)
+    cat.sql(
+        "INSERT OVERWRITE facts WHERE grp = 'a' "
+        "SELECT k, grp, v * 100 AS v FROM facts "
+        "WHERE grp = 'a' AND k < 3 "
+        "UNION ALL SELECT 5 AS k, 'a' AS grp, CAST(5 AS DOUBLE) AS v "
+        "UNION ALL SELECT 100 AS k, 'a' AS grp, CAST(-1 AS DOUBLE) AS v"
+    )
+    drain()
+    step = batch_cdf(2, 3)
+    want |= step
+    assert feed_rows() == want
+    # the step is exactly the row-level consequence:
+    assert {t for (t, k, g, v) in step if k in (0, 1, 2)} == {
+        "update_preimage", "update_postimage",
+    }
+    assert {(t, k) for (t, k, g, v) in step if t == "delete"} == {
+        ("delete", k) for k in (3, 4, 6, 7, 8, 9)
+    }
+    assert ("insert", 100, "a", -1.0) in step
+    # key 5 was rewritten byte-identical: silent; 'b' rows: silent
+    assert not {r for r in step if r[1] == 5}
+    assert not {r for r in step if r[2] == "b"}
+
+    # v4: TRUNCATE — one delete per then-live key
+    live = {
+        (r.k, r.grp, r.v)
+        for r in cat.sql("SELECT * FROM facts").collect()
+    }
+    cat.sql("TRUNCATE TABLE facts")
+    drain()
+    step = batch_cdf(3, 4)
+    want |= step
+    assert feed_rows() == want
+    assert step == {("delete", k, g, v) for (k, g, v) in live}
+
+    # v5: identical re-insert of ONE surviving row, then the batch NET
+    # span across truncate+re-insert: that key emits nothing, every
+    # other then-live key nets to a delete
+    cat.sql("INSERT INTO facts VALUES (10, 'b', CAST(10 AS DOUBLE))")
+    span = batch_cdf(3, 5)
+    assert not {r for r in span if r[1] == 10}
+    assert span == {
+        ("delete", k, g, v) for (k, g, v) in live if k != 10
+    }
+    # while the per-version stream (which drained v4 before v5
+    # committed) keeps both intermediate images
+    drain()
+    assert feed_rows() == want | {("insert", 10, "b", 10.0)}
+
+
 def test_txlog_changes_stream_refuses_vacuumed_offset(spark, tmp_path):
     """VACUUM KEEP k VERSIONS vs the streaming change feed (VERDICT
     r10 Next #6): a checkpointed-but-unread offset whose manifest the
