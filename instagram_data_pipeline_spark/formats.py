@@ -1316,6 +1316,7 @@ class TransactionLogFormat:
         dropped_fields: list | None = None,
         next_fid: int | None = None,
         txn: tuple | None = None,
+        rebase_disjoint: bool = True,
     ) -> dict | None:
         """Write ``replacement`` as the new content of the ``touched``
         buckets and CAS-publish it on top of ``snap``, carrying every
@@ -1329,7 +1330,20 @@ class TransactionLogFormat:
         to publish (None on unmapped tables). Returns the published
         manifest dict, or None when the caller must redo its
         read-transform from the winning snapshot (a winner rewrote one
-        of OUR buckets or evolved the schema)."""
+        of OUR buckets or evolved the schema).
+
+        ``rebase_disjoint=False`` disables the disjoint-winner rebase:
+        ANY winner that changed data state (files / DVs / schema /
+        constraints) forces a redo. Key-scoped ops (merge, delete) own
+        a read-set that IS their touched buckets, so a winner outside
+        them is provably invisible to the transform — rebase is safe.
+        A PREDICATE-scoped op (``replace_where``) reads "every row
+        matching pred", which a winner can extend in a bucket the
+        predicate's first evaluation never touched; rebasing over it
+        would let a pred-matching row silently survive the scoped
+        overwrite (the Delta concurrent-append conflict,
+        VERDICT r12 #6) — so such callers must redo and re-derive
+        their matching set from the winning snapshot."""
         mapping = (
             {f["name"]: f["phys"] for f in fields} if fields else None
         )
@@ -1413,6 +1427,20 @@ class TransactionLogFormat:
                 return published
             except CommitConflict:
                 cur = self._latest(wh, table)
+                if not rebase_disjoint:
+                    # predicate-scoped caller: any data-state change
+                    # may have grown the predicate's row set — redo
+                    # unless the winner was purely bookkeeping
+                    if (
+                        cur.get("files") != base.get("files")
+                        or cur.get("dv") != base.get("dv")
+                        or cur.get("schema") != base.get("schema")
+                        or cur.get("constraints")
+                        != base.get("constraints")
+                    ):
+                        return None
+                    base = cur  # txns-only winner: re-CAS on top
+                    continue
                 base_t = {
                     f for f, b in base["files"].items() if b in touched
                 }
@@ -2975,10 +3003,17 @@ class TransactionLogFormat:
         hold matching rows (parquet row-group pruning applies — the
         scan reads O(matching buckets), not O(table)); only the
         TOUCHED buckets (matching ∪ incoming-key buckets) are
-        rewritten as ``(kept rows) ∪ df`` through the ordinary
-        CAS/rebase/redo machinery — every other file is carried by
-        reference, the same touched-fraction story as a MoR delete.
-        CHECK constraints are kept and enforced on ``df`` inside the
+        rewritten as ``(kept rows) ∪ df`` through the CAS machinery —
+        every other file is carried by reference, the same
+        touched-fraction story as a MoR delete. Concurrency: because
+        the read-set is the PREDICATE's row set (not a fixed bucket
+        set), any concurrent data-state winner forces a REDO that
+        re-derives the matching buckets from the winning snapshot —
+        never the disjoint-bucket rebase key-scoped ops get (a winner
+        could add a matching row in a bucket the first evaluation
+        never touched; Delta refuses the same race as a
+        concurrent-append conflict — r13, VERDICT r12 #6). CHECK
+        constraints are kept and enforced on ``df`` inside the
         protocol. Returns (n_replaced, n_inserted)."""
         validated: dict | None = None
         for _attempt in range(self.MAX_COMMIT_RETRIES):
@@ -3093,6 +3128,12 @@ class TransactionLogFormat:
                 keys, num_buckets,
                 fields=fields, dropped_fields=dropped,
                 next_fid=next_fid,
+                # the read-set is PREDICATE-defined, not bucket-defined:
+                # a disjoint winner can add a matching row in a bucket
+                # this evaluation never touched, so any data-state
+                # winner forces a redo that re-derives the matching set
+                # (Delta's concurrent-append conflict, VERDICT r12 #6)
+                rebase_disjoint=False,
             ):
                 return int(n_replaced), int(n_inserted)
         raise CommitConflict(

