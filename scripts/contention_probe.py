@@ -19,7 +19,17 @@ confirming retries stay well under the budget of 20 and quantifying
 how throughput degrades from N=1 to N=4.
 
 Usage: python scripts/contention_probe.py [--workers 1,2,4]
-       [--merges 6] [--out /tmp/contention_probe.json]
+       [--merges 6] [--out /tmp/contention_probe.json] [--disjoint]
+
+``--disjoint`` (round 13, VERDICT r12 #3) measures the OTHER contention
+shape — the one the format's 100 TB concurrency story actually rests
+on: key-partitioned writers whose batches hash to disjoint bucket
+subsets, so a lost CAS is a REBASE (re-point carried files at the
+winner and re-publish — one manifest write, our data files reused)
+instead of a redo (recompute the merge from the winning snapshot).
+Expected: near-linear aggregate commits/s and redos ~= 0; per-op
+``redos`` counts extra ``_write_commit`` calls, separating the two
+costs that "conflicts" alone conflates.
 
 Run it ALONE (no concurrent Spark work) — it is a timing probe.
 """
@@ -41,8 +51,9 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 _WORKER = """
 import json, random, sys, time
 
-wid, root, n_merges, out = (
-    sys.argv[1], sys.argv[2], int(sys.argv[3]), sys.argv[4]
+wid, root, n_merges, out, mode, widx, n_workers = (
+    sys.argv[1], sys.argv[2], int(sys.argv[3]), sys.argv[4],
+    sys.argv[5], int(sys.argv[6]), int(sys.argv[7]),
 )
 from pyspark.sql import SparkSession
 
@@ -63,6 +74,7 @@ from instagram_data_pipeline_spark.formats import (
 
 class CountingFormat(TransactionLogFormat):
     conflicts = 0
+    writes = 0  # _write_commit calls: redos re-write, rebases do not
 
     def _publish(self, *a, **kw):
         try:
@@ -70,6 +82,10 @@ class CountingFormat(TransactionLogFormat):
         except CommitConflict:
             CountingFormat.conflicts += 1
             raise
+
+    def _write_commit(self, *a, **kw):
+        CountingFormat.writes += 1
+        return super()._write_commit(*a, **kw)
 
 
 class Handle:
@@ -83,19 +99,40 @@ class Handle:
 fmt = CountingFormat()
 wh = Handle(spark, root)
 rng = random.Random(hash(wid) & 0xFFFF)
+
+if mode == "disjoint":
+    # key-partitioned writers: this worker only writes keys hashing to
+    # ITS bucket subset, so every concurrent winner is bucket-disjoint
+    # and losers ride the one-manifest-re-point REBASE (no redo) — the
+    # format's stated production-concurrency path (VERDICT r12 #3)
+    from instagram_data_pipeline_spark.formats import bucket_expr
+    from pyspark.sql import functions as F
+
+    pool = [
+        r.k
+        for r in spark.range(0, 200)
+        .select(F.col("id").alias("k"), bucket_expr(["k"], 8).alias("b"))
+        .collect()
+        if r.b % n_workers == widx
+    ]
+else:
+    pool = list(range(0, 200))
+
 ops = []
 for i in range(n_merges):
-    ks = sorted(rng.sample(range(0, 200), 40))
+    ks = sorted(rng.sample(pool, min(40, len(pool))))
     rows = ", ".join(f"({k}, '{wid}.{i}.{k}')" for k in ks)
     df = spark.sql(
         f"SELECT CAST(k AS BIGINT) AS k, v FROM VALUES {rows} AS t(k, v)"
     )
     before = CountingFormat.conflicts
+    w_before = CountingFormat.writes
     t0 = time.time()
     fmt.merge_source_wins(wh, "t", df, ["k"], num_buckets=8)
     ops.append({
         "wall_s": round(time.time() - t0, 3),
         "conflicts": CountingFormat.conflicts - before,
+        "redos": CountingFormat.writes - w_before - 1,
     })
 json.dump(ops, open(out, "w"))
 spark.stop()
@@ -107,10 +144,10 @@ def _p95(xs: list[float]) -> float:
     return s[min(len(s) - 1, math.ceil(0.95 * len(s)) - 1)]
 
 
-def run_level(n_workers: int, n_merges: int) -> dict:
+def run_level(n_workers: int, n_merges: int, mode: str = "overlap") -> dict:
     from pyspark.sql import SparkSession
 
-    tmp = tempfile.mkdtemp(prefix=f"contention_{n_workers}w_")
+    tmp = tempfile.mkdtemp(prefix=f"contention_{mode}_{n_workers}w_")
     root = os.path.join(tmp, "t")
     # seed from the parent so workers never race the first-commit path
     spark = (
@@ -151,7 +188,8 @@ def run_level(n_workers: int, n_merges: int) -> dict:
         outs.append(out)
         procs.append(subprocess.Popen(
             [sys.executable, "-c", _WORKER,
-             f"w{w}", root, str(n_merges), out],
+             f"w{w}", root, str(n_merges), out,
+             mode, str(w), str(n_workers)],
             env=env, stdout=subprocess.DEVNULL, stderr=subprocess.PIPE,
         ))
     for p in procs:
@@ -165,10 +203,12 @@ def run_level(n_workers: int, n_merges: int) -> dict:
         ops.extend(json.load(open(out)))
     walls = [o["wall_s"] for o in ops]
     confs = [o["conflicts"] for o in ops]
+    redos = [o.get("redos", 0) for o in ops]
     # merge wall-clock only (JVM startup excluded from commits/s by
     # measuring from each worker's own per-op clocks)
     busy = sum(walls)
     return {
+        "mode": mode,
         "workers": n_workers,
         "merges": len(ops),
         "wall_s_total": round(wall, 1),
@@ -180,6 +220,8 @@ def run_level(n_workers: int, n_merges: int) -> dict:
         "conflicts_mean": round(sum(confs) / len(confs), 2),
         "conflicts_p95": _p95(confs),
         "conflicts_max": max(confs),
+        "redos_mean": round(sum(redos) / len(redos), 2),
+        "redos_max": max(redos),
         "retry_budget": 20,
     }
 
@@ -189,13 +231,20 @@ def main() -> None:
     ap.add_argument("--workers", default="1,2,4")
     ap.add_argument("--merges", type=int, default=6)
     ap.add_argument("--out", default="/tmp/contention_probe.json")
+    ap.add_argument(
+        "--disjoint", action="store_true",
+        help="key-partitioned writers on disjoint bucket subsets: "
+             "losers ride the rebase (one manifest re-point, no redo) "
+             "— the production multi-writer path (VERDICT r12 #3)",
+    )
     args = ap.parse_args()
 
+    mode = "disjoint" if args.disjoint else "overlap"
     results = []
     for n in [int(x) for x in args.workers.split(",")]:
-        print(f"# level: {n} writer(s) x {args.merges} merges",
+        print(f"# level: {n} writer(s) x {args.merges} merges ({mode})",
               file=sys.stderr)
-        r = run_level(n, args.merges)
+        r = run_level(n, args.merges, mode)
         print(f"#   {json.dumps(r)}", file=sys.stderr)
         results.append(r)
     json.dump(results, open(args.out, "w"), indent=1)
