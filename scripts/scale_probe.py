@@ -271,6 +271,12 @@ def probe_constraints_convert(spark, sf_dir: str, factor: int,
                             recorded constraint at both table sizes —
                             statement-boundary enforcement costs the
                             BATCH, so alpha ~0 in table.
+    * set_not_null_scan:    one SET NOT NULL promote (r13) over the 1x
+                            vs factor-x table — the validated promote
+                            pays the same one-time existing-rows scan
+                            as ADD CONSTRAINT, alpha ~1 in table (the
+                            paired DROP NOT NULL inside the timed
+                            toggle is metadata-only).
     """
     import pyspark.sql.functions as F  # noqa: F401
 
@@ -359,6 +365,21 @@ def probe_constraints_convert(spark, sf_dir: str, factor: int,
             cat.sql(f"ALTER TABLE ord_{tag} DROP CONSTRAINT price_pos")
 
         t_add = timed(add_drop)
+
+        # SET NOT NULL promote (r13): same one-scan validation shape
+        def nn_toggle(tag=tag, cat=cat):
+            cat.sql(
+                f"ALTER TABLE ord_{tag} ALTER COLUMN o_orderstatus "
+                f"SET NOT NULL"
+            )
+            cat.sql(
+                f"ALTER TABLE ord_{tag} ALTER COLUMN o_orderstatus "
+                f"DROP NOT NULL"
+            )
+
+        t_nn = timed(nn_toggle)
+        results.setdefault("set_not_null_scan", {})[f"t_{tag}"] = \
+            round(t_nn, 3)
         cat.sql(
             f"ALTER TABLE ord_{tag} ADD CONSTRAINT price_pos "
             f"CHECK (o_totalprice >= 0)"
@@ -381,7 +402,8 @@ def probe_constraints_convert(spark, sf_dir: str, factor: int,
         results.setdefault("insert_with_constraint", {})[f"t_{tag}"] = \
             round(t_ins, 3)
         shutil.rmtree(src_dir, ignore_errors=True)
-    for key in ("add_constraint_scan", "insert_with_constraint"):
+    for key in ("add_constraint_scan", "insert_with_constraint",
+                "set_not_null_scan"):
         r = results[key]
         r["alpha"] = round(
             math.log(r[f"t_{factor}x"] / r["t_1x"]) / math.log(factor), 3
