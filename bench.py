@@ -218,6 +218,10 @@ def envelope(paths: list[str]) -> None:
     out = {
         "metric": "headline_suite_seconds_min_composite",
         "value": round(sum(q_min.values()), 3),
+        # extras min-composite, so the trend table covers the extra
+        # queries too — per-query extras drift was invisible to the
+        # headline-only narrative (VERDICT r12 #2)
+        "extras_value": round(sum(x_min.values()), 3),
         "unit": "sec",
         "queries": q_min,
         "extra_queries": x_min,
