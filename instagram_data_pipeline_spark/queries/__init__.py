@@ -54,87 +54,23 @@ def register(
 # — all of them stay oracle-checked every CI run by
 # tests/test_queries_oracle.py regardless.
 REGISTRY_ORDER: tuple[str, ...] = (
-    # ================= round-13 driver window (50 slots) =================
+    # ================= round-14 driver window (50 slots) =================
     # Standing policy unchanged (see above). Window composition
-    # (VERDICT r12 "Next round" #1):
-    # (a) slot 1: txlog_replace_where_sql — registered mid-r12 AFTER that
-    #     round's window was seated; needs its FIRST driver row (already
-    #     CI-oracle-green + judge-verified PASS at the driver's sf0.01);
-    #     its implementation ALSO changes this round (replace_where now
-    #     runs _check_evolution on the replacement schema, ADVICE r12
-    #     medium) so the row doubles as the changed-impl re-verify.
-    # (b) slots 2-10: the entire r7-vintage cohort — the oldest driver
+    # (VERDICT r13 "Next round" #1 + #2):
+    # (a) slot 1: txlog_notnull_sql — registered mid-r13 AFTER that
+    #     round's window was seated; needs its FIRST driver row
+    #     (CI-oracle-green + judge-verified PASS at the driver's sf0.01
+    #     in r13).
+    # (b) slots 2-13: the entire r8-vintage cohort — the oldest driver
     #     evidence in the registry (FIFO per COVERAGE.md rotation policy).
-    # (c) slots 11-17: changed-impl re-verifies — txlog_overwrite_sql
-    #     (INSERT OVERWRITE ... WHERE predicate grammar now validated,
-    #     ADVICE r12 low), txlog_alter_sql + txlog_constraints_sql
-    #     (ALTER ... SET/DROP NOT NULL validated promote, VERDICT r12 #5),
-    #     txlog_restore_sql (RESTORE to pre-constraint-recording versions
-    #     now carries the effective constraint set, ADVICE r12 low), and
-    #     the three CDF read faces (replace_where/TRUNCATE change-feed
-    #     contract pinned this round, VERDICT r12 #4).
-    # (d) slots 18-50: the r8-vintage FIFO head (33 of 45).
-    "txlog_replace_where_sql",
-    "link_graph",
-    "domain_quality_rollup",
-    "perplexity_mixture",
-    "ngram_novelty",
-    "readability_stats",
-    "shard_source_mix",
-    "chunk_dedup",
-    "lsh_quality_report",
-    "ann_recall_report",
-    "txlog_overwrite_sql",
-    "txlog_alter_sql",
-    "txlog_constraints_sql",
-    "txlog_restore_sql",
-    "txlog_change_feed",
-    "txlog_stream_changes",
-    "txlog_changes_backfill",
-    "txlog_rename_evolution",
-    "adamic_adar",
-    "txlog_zonemap_scan",
-    "txlog_compact",
-    "txlog_zorder_scan",
-    "txlog_minmax_pushdown",
-    "txlog_datasource_scan",
-    "txlog_retention_lookup",
-    "txlog_count_pushdown",
-    "gopher_quality_filter",
-    "byte_bpe_encode_tokens",
-    "late_data_accounting",
-    "grouping_sets_revenue",
-    "record_linkage",
-    "semdedup_drops",
-    "hll_merge_rollup",
-    "phrase_search",
-    "mad_outliers",
-    "stream_outer_attribution",
-    "cdc_chunk_stats",
-    "json_schema_infer",
-    "mutual_edges_salted",
-    "dataset_card",
-    "tokenizer_fertility",
-    "curation_pipeline",
-    "ann_filtered_topk",
-    "lm_perplexity_interpolated",
-    "keyset_page",
-    "scd2_as_of",
-    "blocklist_filter",
-    "crawl_frontier",
-    "stream_event_transitions",
-    "classifier_quality_report",
-    # ------------------- driver window ends at slot 50 --------------------
-    # r14 queue: the r8-vintage remainder (12), then r9/r10/r11 FIFO,
-    # then the demoted r12 window at the back. New queries registered
-    # mid-r13 go right here with a rationale comment. Everything below
-    # stays DuckDB-oracle-checked every CI run by
-    # tests/test_queries_oracle.py; rows-only tiers past the window are
-    # covered by POST_WINDOW_ROWS_ONLY_OK.
-    # txlog_notnull_sql: ALTER COLUMN SET/DROP NOT NULL validated
-    # promote (VERDICT r12 #5), registered mid-r13 AFTER this round's
-    # window was seated — r14 queue head for its first driver row;
-    # CI-oracle-green via tests/test_queries_oracle.
+    # (c) slot 14: txlog_widen_evolution — named in the r13 brief; also
+    #     a changed-impl re-verify (below).
+    # (d) slots 15-43: every txlog-format query face — changed-impl
+    #     re-verifies: this round rewrites the transaction log to
+    #     delta-manifests + checkpoint manifests + a _last_checkpoint
+    #     pointer (VERDICT r13 "Next round" #2), which sits under every
+    #     txlog read, write, time-travel, CDF, and maintenance path.
+    # (e) slots 44-50: the r9-vintage FIFO head (non-txlog).
     "txlog_notnull_sql",
     "anchor_text_index",
     "temperature_sample_wor",
@@ -149,11 +85,37 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "dedup_funnel_report",
     "triangle_stats",
     "txlog_widen_evolution",
+    # --- (d) txlog changed-impl re-verifies: delta-log + checkpoint ---
+    "txlog_replace_where_sql",
+    "txlog_overwrite_sql",
+    "txlog_alter_sql",
+    "txlog_constraints_sql",
+    "txlog_restore_sql",
+    "txlog_change_feed",
+    "txlog_stream_changes",
+    "txlog_changes_backfill",
+    "txlog_rename_evolution",
+    "txlog_zonemap_scan",
+    "txlog_compact",
+    "txlog_zorder_scan",
+    "txlog_minmax_pushdown",
+    "txlog_datasource_scan",
+    "txlog_retention_lookup",
+    "txlog_count_pushdown",
     "txlog_stream_merge_sink",
     "txlog_rebucket_layout",
     "txlog_zorder_equidepth",
     "txlog_delete_vectors",
     "txlog_bloom_lookup",
+    "txlog_time_travel_sql",
+    "txlog_ctas_sql",
+    "txlog_insert_into_sql",
+    "txlog_merge_into_sql",
+    "txlog_maintenance_sql",
+    "txlog_convert_sql",
+    "txlog_update_sql",
+    "txlog_delete_sql",
+    # --- (e) r9-vintage FIFO head ---
     "mutual_edges",
     "dataset_split",
     "embedding_quantize",
@@ -161,6 +123,13 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "cosine_topk",
     "embedding_norms",
     "pricing_summary",
+    # ------------------- driver window ends at slot 50 --------------------
+    # r15 queue: the r9-vintage FIFO remainder, then r10/r11 FIFO, then
+    # the demoted r12/r13 windows at the back. New queries registered
+    # mid-r14 go right here with a rationale comment. Everything below
+    # stays DuckDB-oracle-checked every CI run by
+    # tests/test_queries_oracle.py; rows-only tiers past the window are
+    # covered by POST_WINDOW_ROWS_ONLY_OK.
     "label_centroids",
     "ledger_enqueue_due",
     "ledger_dequeue_transition",
@@ -193,7 +162,6 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "copurchase_pairs",
     "table_profile",
     "dpp_partition_prune",
-    "txlog_time_travel_sql",
     "multimodal_flac_stats",
     "event_funnel",
     "price_quantiles",
@@ -282,13 +250,6 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "approx_distinct_users",
     "ivf_incremental_topk",
     "incremental_minhash_dedup",
-    "txlog_ctas_sql",
-    "txlog_insert_into_sql",
-    "txlog_merge_into_sql",
-    "txlog_maintenance_sql",
-    "txlog_convert_sql",
-    "txlog_update_sql",
-    "txlog_delete_sql",
     "stream_neardup_dedup",
     "multimodal_jpeg_stats",
     "dedup_keep_best",
@@ -325,6 +286,41 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "bin_packing",
     "training_shards",
     "robots_exclusion",
+    # --- demoted r13 window (multi-round-green, FIFO to the back) ---
+    "link_graph",
+    "domain_quality_rollup",
+    "perplexity_mixture",
+    "ngram_novelty",
+    "readability_stats",
+    "shard_source_mix",
+    "chunk_dedup",
+    "lsh_quality_report",
+    "ann_recall_report",
+    "adamic_adar",
+    "gopher_quality_filter",
+    "byte_bpe_encode_tokens",
+    "late_data_accounting",
+    "grouping_sets_revenue",
+    "record_linkage",
+    "semdedup_drops",
+    "hll_merge_rollup",
+    "phrase_search",
+    "mad_outliers",
+    "stream_outer_attribution",
+    "cdc_chunk_stats",
+    "json_schema_infer",
+    "mutual_edges_salted",
+    "dataset_card",
+    "tokenizer_fertility",
+    "curation_pipeline",
+    "ann_filtered_topk",
+    "lm_perplexity_interpolated",
+    "keyset_page",
+    "scd2_as_of",
+    "blocklist_filter",
+    "crawl_frontier",
+    "stream_event_transitions",
+    "classifier_quality_report",
 )
 DRIVER_WINDOW = 50
 
