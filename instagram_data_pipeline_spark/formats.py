@@ -1072,6 +1072,12 @@ class TransactionLogFormat:
             snap = self._latest(wh, table)
             if snap is None:
                 raise FileNotFoundError(f"no committed version for {table}")
+            if "schema" not in snap:
+                raise ValueError(
+                    f"SET NOT NULL: {table!r} has a pre-schema manifest "
+                    f"(no recorded schema to promote) — rewrite the table "
+                    f"through a schema-publishing commit first"
+                )
             schema = StructType.fromJson(json.loads(snap["schema"]))
             names = [f.name for f in schema.fields]
             if col not in names:
@@ -1122,6 +1128,12 @@ class TransactionLogFormat:
             snap = self._latest(wh, table)
             if snap is None:
                 raise FileNotFoundError(f"no committed version for {table}")
+            if "schema" not in snap:
+                raise ValueError(
+                    f"DROP NOT NULL: {table!r} has a pre-schema manifest "
+                    f"(no recorded schema to demote) — rewrite the table "
+                    f"through a schema-publishing commit first"
+                )
             schema = StructType.fromJson(json.loads(snap["schema"]))
             names = [f.name for f in schema.fields]
             if col not in names:
@@ -2799,7 +2811,11 @@ class TransactionLogFormat:
             with open(log / f"{v:08d}.json") as f:
                 live.update(json.load(f)["files"])
         if vs:
-            tmp = root / ".liveset.tmp"
+            # unique tmp per writer: two concurrent vacuums sharing one
+            # tmp path race each other's os.replace (writer A renames
+            # the tmp away mid-B-write -> B's replace raises); a PID
+            # suffix keeps each publish independently atomic
+            tmp = root / f".liveset.tmp.{os.getpid()}"
             with open(tmp, "w") as f:
                 json.dump(
                     {"vmin": vs[0], "vmax": vs[-1],
@@ -2957,6 +2973,21 @@ class TransactionLogFormat:
             raise ValueError(
                 f"{op}: no committed table at "
                 f"{wh.path(table)!r} — use create_table"
+            )
+        if keep_constraints and "schema" in snap0 and (
+            json.loads(snap0["schema"]) != json.loads(schema.json())
+        ):
+            # ADVICE r13: the caller read the schema BEFORE our snap0
+            # read; a DDL (SET NOT NULL / ADD COLUMN / widen) landing in
+            # that window would otherwise be silently reverted by this
+            # publish — and the nn validation set below would be derived
+            # from the stale schema. keep_constraints ops replace DATA,
+            # not the contract, so a stale contract is a loud conflict.
+            raise CommitConflict(
+                f"{op} on {table!r}: the table's schema changed between "
+                f"the statement's read and the overwrite (a concurrent "
+                f"DDL landed) — re-run the statement against the "
+                f"current schema"
             )
         validated: dict | None = None
         # the PUBLISHED schema's non-nullable fields validate as

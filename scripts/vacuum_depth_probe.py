@@ -81,15 +81,14 @@ def build_history(root: Path, depth: int, files: int, churn: int) -> int:
                 gen[s] = v
                 mk(s)
                 created += 1
+        # manifests record paths relative to root (data/... included)
         manifest = {
             "version": v,
-            "files": {rel(s)[5:]: s % 8 for s in range(files)},
+            "files": {rel(s): s % 8 for s in range(files)},
             "rows": rows,
             "keys": ["k"],
             "num_buckets": 8,
         }
-        # manifests record paths relative to root (data/... included)
-        manifest["files"] = {rel(s): s % 8 for s in range(files)}
         with open(log / f"{v:08d}.json", "w") as f:
             json.dump(manifest, f)
     # orphans: files no manifest references, aged out of any grace

@@ -2583,3 +2583,116 @@ def test_txlog_decimal_columns_write_without_zone_maps(spark, tmp_path):
     victims = spark.createDataFrame([(3,), (4,)], "k long")
     assert fmt.delete_keys_dv(wh, "t", ["k"], victims, num_buckets=4) == 2
     assert fmt.count_rows(wh, "t") == 48
+
+
+def test_txlog_overwrite_refuses_stale_caller_schema(spark, tmp_path):
+    """ADVICE r13 #1: INSERT OVERWRITE / TRUNCATE publish the schema
+    the CALLER read; a DDL (e.g. SET NOT NULL) committing between the
+    caller's read and replace_table's own snap0 read would be silently
+    reverted — and the nn validation set derived from the stale
+    schema. keep_constraints ops replace data, not the contract, so a
+    stale contract is refused loudly (re-run reads the new schema)."""
+    import json as _json
+
+    import pytest as _pytest
+    from pyspark.sql.types import StructType
+
+    from instagram_data_pipeline_spark.formats import (
+        CommitConflict,
+        TransactionLogFormat,
+    )
+    from instagram_data_pipeline_spark.io import Warehouse
+
+    fmt = TransactionLogFormat()
+    wh = Warehouse(spark, str(tmp_path / "wh"), fmt=fmt)
+    df = spark.sql(
+        "SELECT id AS k, CAST(id AS STRING) AS v, "
+        "TIMESTAMP '2024-01-01' AS ts FROM range(8)"
+    )
+    wh.upsert_partitioned("facts", df, ["k"], "ts", num_buckets=4)
+    # the caller's stale read: schema BEFORE the promote below
+    stale = StructType.fromJson(
+        _json.loads(fmt._latest(wh, "facts")["schema"])
+    )
+    fmt.set_not_null(wh, "facts", "v")  # concurrent DDL wins the window
+    with _pytest.raises(CommitConflict, match="schema changed"):
+        fmt.replace_table(
+            wh, "facts", stale, ["k"], 4, df=df,
+            keep_constraints=True, op="INSERT OVERWRITE",
+        )
+    # the promote survives, and a fresh read commits cleanly
+    cur = StructType.fromJson(
+        _json.loads(fmt._latest(wh, "facts")["schema"])
+    )
+    assert not cur["v"].nullable
+    snap = fmt.replace_table(
+        wh, "facts", cur, ["k"], 4, df=df,
+        keep_constraints=True, op="INSERT OVERWRITE",
+    )
+    assert not StructType.fromJson(
+        _json.loads(snap["schema"])
+    )["v"].nullable
+
+
+def test_txlog_not_null_ddl_on_pre_schema_manifest_is_loud(
+    spark, tmp_path
+):
+    """ADVICE r13 #2: SET/DROP NOT NULL on a legacy pre-schema manifest
+    must raise a clear ValueError, not a bare KeyError."""
+    import json as _json
+
+    import pytest as _pytest
+
+    from instagram_data_pipeline_spark.formats import TransactionLogFormat
+    from instagram_data_pipeline_spark.io import Warehouse
+
+    fmt = TransactionLogFormat()
+    wh = Warehouse(spark, str(tmp_path / "wh"), fmt=fmt)
+    df = spark.sql(
+        "SELECT id AS k, CAST(id AS STRING) AS v, "
+        "TIMESTAMP '2024-01-01' AS ts FROM range(4)"
+    )
+    wh.upsert_partitioned("facts", df, ["k"], "ts", num_buckets=4)
+    # forge a legacy manifest: no recorded schema
+    from pathlib import Path
+
+    log = sorted(
+        (Path(wh.path("facts")) / "_txlog").glob("*.json")
+    )[-1]
+    m = _json.loads(log.read_text())
+    del m["schema"]
+    log.write_text(_json.dumps(m))
+    with _pytest.raises(ValueError, match="pre-schema"):
+        fmt.set_not_null(wh, "facts", "v")
+    with _pytest.raises(ValueError, match="pre-schema"):
+        fmt.drop_not_null(wh, "facts", "v")
+
+
+def test_txlog_vacuum_checkpoint_tmp_is_per_writer(spark, tmp_path):
+    """ADVICE r13 #3: concurrent vacuums must not share one tmp path
+    for the liveset checkpoint publish — each writer's os.replace is
+    independently atomic. A stale foreign writer's tmp neither blocks
+    the publish nor is clobbered, and our own tmp never survives."""
+    import json as _json
+    import os
+    from pathlib import Path
+
+    from instagram_data_pipeline_spark.formats import TransactionLogFormat
+    from instagram_data_pipeline_spark.io import Warehouse
+
+    fmt = TransactionLogFormat()
+    wh = Warehouse(spark, str(tmp_path / "wh"), fmt=fmt)
+    df = spark.sql(
+        "SELECT id AS k, CAST(id AS STRING) AS v, "
+        "TIMESTAMP '2024-01-01' AS ts FROM range(8)"
+    )
+    wh.upsert_partitioned("facts", df, ["k"], "ts", num_buckets=4)
+    root = Path(wh.path("facts"))
+    foreign = root / ".liveset.tmp.999999999"
+    foreign.write_text("{\"mid\": \"write\"}")
+    assert fmt.vacuum(wh, "facts", grace_seconds=0.0) == []
+    ckpt = root / "_liveset.json"
+    assert ckpt.exists()
+    assert _json.load(open(ckpt))["vmax"] == 1  # valid, not corrupt
+    assert foreign.exists()  # another writer's in-flight tmp untouched
+    assert not (root / f".liveset.tmp.{os.getpid()}").exists()

@@ -10,28 +10,21 @@ from instagram_data_pipeline_spark.queries import (
     load_all,
 )
 
-# queries that MUST occupy the round-13 driver window: the first driver
-# row for txlog_replace_where_sql (registered mid-r12 after that window
-# was seated; its impl also changes this round — _check_evolution on the
-# replacement schema, ADVICE r12 medium), the entire r7-vintage cohort
-# (the oldest driver evidence in the registry), and the changed-impl
-# re-verifies: INSERT OVERWRITE WHERE predicate-grammar validation
-# (ADVICE r12 low), ALTER SET/DROP NOT NULL validated promote (VERDICT
-# r12 #5), RESTORE constraint-carry for pre-recording versions (ADVICE
-# r12 low), and the CDF faces re-verifying the replace/TRUNCATE
-# change-feed contract (VERDICT r12 #4).
+# queries that MUST occupy the round-14 driver window (VERDICT r13
+# Next #1): the first driver row for txlog_notnull_sql (registered at
+# slot 51 after the r13 window seated; judge-verified PASS at sf0.01),
+# the twelve r8-vintage queries (the oldest driver evidence anywhere),
+# and txlog_widen_evolution.
 PRIORITY = {
-    # first driver row + changed-impl re-verify in one
-    "txlog_replace_where_sql",
-    # r7-vintage cohort (oldest driver evidence)
-    "link_graph", "domain_quality_rollup", "perplexity_mixture",
-    "ngram_novelty", "readability_stats", "shard_source_mix",
-    "chunk_dedup", "lsh_quality_report", "ann_recall_report",
-    # changed-impl re-verifies
-    "txlog_overwrite_sql", "txlog_alter_sql", "txlog_constraints_sql",
-    "txlog_restore_sql",
-    # CDF faces: replace/TRUNCATE change-feed contract pinned this round
-    "txlog_change_feed", "txlog_stream_changes", "txlog_changes_backfill",
+    # first driver row
+    "txlog_notnull_sql",
+    # r8-vintage cohort (oldest driver evidence)
+    "anchor_text_index", "temperature_sample_wor", "langid_confusion",
+    "community_stats", "cross_source_contamination", "event_rate_spikes",
+    "dedup_cluster_histogram", "lsh_band_stats", "bloom_fp_report",
+    "event_transitions", "dedup_funnel_report", "triangle_stats",
+    # r8-vintage txlog evolution face
+    "txlog_widen_evolution",
 }
 
 
