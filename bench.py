@@ -304,6 +304,24 @@ def main() -> None:
     _skew_bench(spark, registry, extras, runs)
     load_peak = max(load_peak, os.getloadavg()[0])
 
+    # VERDICT r13 Next #3: a co-tenant storm mid-suite inflates exactly
+    # the queries it overlapped (the r13 driver re-run read 1.92x r1
+    # from one such storm). Spread-flagged HEADLINE queries get one
+    # more timed run at suite end — usually after the storm — and the
+    # retry composite is reported NEXT TO the protocol value, which
+    # stays the untouched trend metric (same query set, same
+    # methodology, same sf).
+    retry: dict[str, float] = {}
+    for name in [n for n in BENCH_QUERIES if n in noisy and n in timings]:
+        t0 = time.time()
+        registry[name].spark_fn(spark, SF_DIR).collect()
+        retry[name] = round(min(timings[name], time.time() - t0), 3)
+        print(
+            f"# retry {name}: {retry[name]:.3f}s "
+            f"(was {timings[name]:.3f}s)",
+            file=sys.stderr,
+        )
+
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     try:
         sf_val: float | str = float(sf)
@@ -329,6 +347,11 @@ def main() -> None:
         # was taken under contention — read it with that context
         out["noisy_queries"] = noisy
         out["spread_flagged"] = True
+    if retry:
+        out["queries_spread_retry"] = retry
+        out["value_spread_retry"] = round(
+            sum(retry.get(k, v) for k, v in timings.items()), 3
+        )
     print(json.dumps(out))
 
 

@@ -102,7 +102,7 @@ def bm25_topk(
                 ),
                 9,
             )
-            .cast("decimal(28,10)")
+            .cast("decimal(18,10)")
             .alias("_s"),
         )
     )
@@ -129,14 +129,25 @@ def bigram_lm_scores(
     vocabulary size. Documents with fewer than 2 tokens have no bigrams
     and are excluded (a null score would say nothing).
 
-    Scale shape: the model IS two count tables (vocab- and
-    bigram-vocab-sized — Zipf keeps both far below corpus size); scoring
-    shuffles the corpus bigram stream once on the bigram key. Bigram
-    extraction is an array zip inside the row — no window, no shuffle.
+    Scale shape (r14): the model IS two count tables (vocab- and
+    bigram-vocab-sized — Zipf keeps both far below corpus size). The
+    log-prob is computed once per DISTINCT bigram — ``bi`` (already
+    bigram-keyed) joins ``uni`` and the 1-row vocab broadcast — and the
+    corpus bigram STREAM is shuffled exactly once, on the bigram key:
+    that one exchange feeds both the ``bi`` count and the stream⋈lp
+    join (ReusedExchange). The pre-r14 shape joined the full stream to
+    ``bi`` and then re-shuffled the joined STREAM by ``w1`` for the
+    unigram join — a second full-stream exchange that now moves only
+    distinct bigrams. The input repartition parallelizes bigram
+    extraction off the (often single-split) scan; at scale the scan
+    already arrives wide and the exchange is what the stream shuffle
+    would pay anyway.
     """
+    npart = docs.sparkSession.sparkContext.defaultParallelism
+    d = docs.repartition(npart, F.col(id_col))
     w = X.tokens(F.col(text_col))
     n = F.size(w)
-    grams = docs.select(
+    grams = d.select(
         F.col(id_col),
         F.explode(
             F.arrays_zip(
@@ -150,7 +161,7 @@ def bigram_lm_scores(
         F.col("g.w2").alias("w2"),
     ).filter((F.col("w1") != "") & (F.col("w2") != ""))
 
-    toks = _tokens(docs, id_col, text_col)
+    toks = _tokens(d, id_col, text_col)
     uni = toks.groupBy(F.col("term").alias("w1")).agg(
         F.count(F.lit(1)).alias("cu")
     )
@@ -160,12 +171,11 @@ def bigram_lm_scores(
         )
     )
     bi = grams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
-    scored = (
-        grams.join(bi, ["w1", "w2"])
-        .join(uni, "w1")
+    lp = (
+        bi.join(uni, "w1")
         .crossJoin(vocab)
         .select(
-            F.col(id_col),
+            "w1", "w2",
             F.round(
                 F.log(
                     (F.col("cb") + F.lit(add_k))
@@ -173,10 +183,11 @@ def bigram_lm_scores(
                 ),
                 9,
             )
-            .cast("decimal(28,10)")
+            .cast("decimal(18,10)")
             .alias("_lp"),
         )
     )
+    scored = grams.join(lp, ["w1", "w2"]).select(F.col(id_col), "_lp")
     return scored.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_bigrams"),
         F.round(
@@ -240,7 +251,7 @@ def dsir_log_ratios(
                 ),
                 9,
             )
-            .cast("decimal(28,10)")
+            .cast("decimal(18,10)")
             .alias("_lr"),
         )
     )
@@ -381,7 +392,7 @@ def bigram_lm_scores_interpolated(
             F.round(
                 F.log(F.lit(lam) * p_bi + F.lit(1.0 - lam) * p_un), 9
             )
-            .cast("decimal(28,10)")
+            .cast("decimal(18,10)")
             .alias("_lp"),
         )
     )
@@ -479,7 +490,7 @@ def bigram_lm_scores_kneser_ney(
     probs = kneser_ney_prob_table(docs, id_col, text_col, discount)
     scored = grams.join(probs.select("w1", "w2", "p"), ["w1", "w2"]).select(
         F.col(id_col),
-        F.round(F.log(F.col("p")), 9).cast("decimal(28,10)").alias("_lp"),
+        F.round(F.log(F.col("p")), 9).cast("decimal(18,10)").alias("_lp"),
     )
     return scored.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_bigrams"),

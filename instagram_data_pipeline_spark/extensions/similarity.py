@@ -303,7 +303,7 @@ def kmeans_centroids_train(
             # bit-identical regardless of partitioning or engine
             .agg(
                 (
-                    F.sum(F.col("val").cast("decimal(28,10)")).cast("double")
+                    F.sum(F.col("val").cast("decimal(18,10)")).cast("double")
                     / F.count(F.lit(1))
                 ).alias("m")
             )
@@ -819,7 +819,7 @@ def kmeans_partitioned_train(
             members.groupBy("_p", "cluster", "dim")
             .agg(
                 (
-                    F.sum(F.col("val").cast("decimal(28,10)")).cast("double")
+                    F.sum(F.col("val").cast("decimal(18,10)")).cast("double")
                     / F.count(F.lit(1))
                 ).alias("m")
             )

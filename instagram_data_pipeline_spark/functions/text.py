@@ -29,16 +29,37 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 LANG_PRIORITY = ("en", "de", "es", "fr")
 
 
+def words(col: Column) -> Column:
+    """Non-empty word runs ([a-z0-9]+) of the lowered text, in order —
+    exactly the words of :func:`normalized`, extracted with ONE regex
+    pass (split on separator runs) instead of three (two replaces + a
+    trim) plus a split. NULL text propagates NULL; text with no words
+    (empty / all-punctuation) yields [], where :func:`tokens` yields
+    [''] — consumers that depend on the ['']-artifact go through
+    :func:`tokens`, everything word-shaped uses this.
+
+    r14 measurement (scripts/microbench_text.py, sf0.1 documents):
+    tokenization 0.398s -> 0.215s; the downstream composites
+    (fingerprint, lang_id, shingles) gain 2-30x because every extra
+    regex pass was re-evaluated per expression reference in the
+    interpreted (higher-order-function) projections."""
+    return F.filter(
+        F.split(F.lower(col), "[^a-z0-9]+"), lambda x: x != F.lit("")
+    )
+
+
 def normalized(col: Column) -> Column:
     """lower -> strip non-alphanumerics -> collapse whitespace -> trim.
 
     SQL mirror: TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(x),
-    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))
+    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) — computed as the
+    space-join of :func:`words`, which is the same value (words joined
+    by single spaces; '' when no words survive; NULL for NULL) in one
+    regex pass instead of three (equality asserted over the testdata
+    corpus in scripts/microbench_text.py and by every oracle twin that
+    embeds the SQL mirror).
     """
-    x = F.lower(col)
-    x = F.regexp_replace(x, "[^a-z0-9 ]", " ")
-    x = F.regexp_replace(x, " +", " ")
-    return F.trim(x)
+    return F.array_join(words(col), " ")
 
 
 def fingerprint(col: Column) -> Column:
@@ -100,9 +121,27 @@ def punct_ratio(col: Column) -> Column:
 
 
 def stopword_ratio(col: Column) -> Column:
-    toks = tokens(col)
-    hits = F.size(F.filter(toks, lambda t: t.isin(*EN_STOPWORDS)))
-    return hits / F.size(toks)
+    """Stopword hits / token count, in ONE fold over the raw split
+    (word count and hit count accumulated together) instead of two
+    array passes over a thrice-regexed token array. Semantics pinned
+    to the original ``hits / size(tokens)``: a no-word doc divides by
+    1 (tokens() yields [''] there) -> 0.0; NULL text -> NULL (the
+    aggregate propagates the NULL array)."""
+    raw = F.split(F.lower(col), "[^a-z0-9]+")
+    zero = F.struct(F.lit(0).alias("n"), F.lit(0).alias("hits"))
+
+    def step(acc: Column, t: Column) -> Column:
+        return F.struct(
+            (acc["n"] + F.when(t != "", 1).otherwise(0)).alias("n"),
+            (acc["hits"] + F.when(t.isin(*EN_STOPWORDS), 1)
+             .otherwise(0)).alias("hits"),
+        )
+
+    return F.aggregate(
+        raw, zero,
+        step,
+        lambda acc: acc["hits"] / F.greatest(acc["n"], F.lit(1)),
+    )
 
 
 def quality_score(col: Column) -> Column:
@@ -136,16 +175,43 @@ def lang_id(col: Column) -> Column:
     WHEN s_en >= GREATEST(s_de, s_es, s_fr) THEN 'en'
     WHEN s_de >= GREATEST(s_es, s_fr) THEN 'de'
     WHEN s_es >= s_fr THEN 'es' ELSE 'fr' END
+
+    Computed as ONE fold over the raw token split: the four marker
+    counts accumulate together and the CASE runs over the BOUND
+    accumulator, so the text is tokenized once per row. The naive CASE
+    over four ``size(filter(tokens, ...))`` scores re-evaluated the
+    full three-regex tokenization per expression reference — 11x per
+    row in the interpreted projection (higher-order functions don't
+    codegen); r14 measured 2.196s -> 0.606s over the sf0.1 corpus
+    (scripts/microbench_text.py). '' split artifacts match no marker,
+    so raw-split counts equal the normalized-token counts. The
+    COALESCE pins the CASE chain's NULL-text result ('fr': every
+    condition is unknown, so the ELSE fires) — same as the SQL mirror.
     """
-    s = lang_scores(col)
-    total = s["en"] + s["de"] + s["es"] + s["fr"]
-    return (
-        F.when(total == 0, F.lit("und"))
-        .when(s["en"] >= F.greatest(s["de"], s["es"], s["fr"]), F.lit("en"))
-        .when(s["de"] >= F.greatest(s["es"], s["fr"]), F.lit("de"))
-        .when(s["es"] >= s["fr"], F.lit("es"))
-        .otherwise(F.lit("fr"))
-    )
+    raw = F.split(F.lower(col), "[^a-z0-9]+")
+    langs = tuple(LANG_MARKERS)
+    zero = F.struct(*(F.lit(0).alias(k) for k in langs))
+
+    def step(acc: Column, t: Column) -> Column:
+        return F.struct(*[
+            (acc[k] + F.when(t.isin(*LANG_MARKERS[k]), 1)
+             .otherwise(0)).alias(k)
+            for k in langs
+        ])
+
+    def fin(acc: Column) -> Column:
+        total = acc["en"] + acc["de"] + acc["es"] + acc["fr"]
+        return (
+            F.when(total == 0, F.lit("und"))
+            .when(acc["en"] >= F.greatest(acc["de"], acc["es"],
+                                          acc["fr"]), F.lit("en"))
+            .when(acc["de"] >= F.greatest(acc["es"], acc["fr"]),
+                  F.lit("de"))
+            .when(acc["es"] >= acc["fr"], F.lit("es"))
+            .otherwise(F.lit("fr"))
+        )
+
+    return F.coalesce(F.aggregate(raw, zero, step, fin), F.lit("fr"))
 
 
 def word_ngrams_text(col: Column, n: int) -> Column:

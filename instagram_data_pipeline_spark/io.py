@@ -65,6 +65,30 @@ def load_testdata(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return reader.parquet(path)
 
 
+def spread_small_scan(
+    df: DataFrame, key: str | None = None, parts: int | None = None
+) -> DataFrame:
+    """Buy back scan parallelism lost to an unsplittable input (guide
+    §2.5 "one huge unsplittable file": the driver testdata ships each
+    table as ONE single-row-group parquet file, so every scan is one
+    task no matter the split config). If the scan already yields at
+    least ``parts`` input splits — any real at-scale table — this is a
+    NO-OP costing one partition-count lookup; only a
+    narrower-than-the-machine scan pays one exchange to spread the
+    downstream per-row work across cores. ``key`` hash-partitions (no
+    pre-shuffle sort); keyless round-robin pays a local
+    sort-before-repartition for retry determinism (SPARK-23207)."""
+    spark = df.sparkSession
+    target = parts or spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    if key is not None:
+        import pyspark.sql.functions as F
+
+        return df.repartition(target, F.col(key))
+    return df.repartition(target)
+
+
 def register_testdata_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Register every testdata table as a temp view; returns the handles."""
     out = {}

@@ -53,7 +53,17 @@ def mutual_edges(
     f1 = f1.dropDuplicates(["user_id", "follower_id"])
     f2 = f2.dropDuplicates(["user_id", "following_id"])
     cond: Column = (f1.user_id == f2.user_id) & (f1.follower_id == f2.following_id)
-    return f1.join(f2, cond, "inner").select(
+    # SHUFFLE_HASH on the following side (guide §3.1): both sides are
+    # already hash-partitioned on the join key by their dedup
+    # aggregates, so sort-merge's only extra work is two full sorts —
+    # the hash join skips them (r14: 1.74s -> 1.39s at sf0.1). AQE
+    # cannot discover this one itself (its SMJ->SHJ rewrite only fires
+    # when the join reads shuffle stages directly; here the dedup
+    # aggregates sit in between). Scale-safe: the build side is one
+    # post-shuffle partition of the deduped edge set — bounded by
+    # partition sizing, and AQE skew-join splitting applies to
+    # shuffled-hash joins too.
+    return f1.join(f2.hint("shuffle_hash"), cond, "inner").select(
         f1.user_id.alias("user_id"), f1.follower_id.alias("mutual_id")
     )
 

@@ -32,5 +32,10 @@ def salted_join(
     s = small.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
     )
-    out = b.join(s, keys + ["_salt"], how)
+    # SHUFFLE_HASH on the replicated side (guide §3.1): salting exists
+    # to make every post-shuffle partition bounded, which is exactly
+    # the shuffled-hash build-side requirement — and it skips the two
+    # full sorts sort-merge would add on top of the salt's replication
+    # cost (r14: 2.67s -> 1.18s on the J1 salted twin at sf0.1).
+    out = b.join(s.hint("shuffle_hash"), keys + ["_salt"], how)
     return out.drop("_salt")

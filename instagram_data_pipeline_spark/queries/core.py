@@ -27,12 +27,22 @@ def _exact_sum(expr, alias: str, scale: int = 2):
     and DuckDB's sequential sum can disagree at a ROUND boundary — and
     2-decimal source data makes exact .xx5 boundary sums *common*, where
     the engines' ROUND(double) implementations disagree. Per-row values
-    are cast to DECIMAL(28,10) (identical rounding both engines), summed
+    are cast to decimal (identical rounding both engines), summed
     exactly, rounded while still decimal (HALF_UP in both), then cast.
     Oracle mirror: ``CAST(ROUND(SUM(CAST(x AS DECIMAL(28,10))), s) AS DOUBLE)``.
+
+    r14: the per-row cast is DECIMAL(18,10), not (28,10) — precision
+    <= 18 keeps Spark's Decimal in its compact long representation
+    (one allocation-free long add per row in the sum) where 28 forces
+    BigDecimal objects per row. Value-identical as long as |x| < 10^8
+    per ROW (every money/value column here is < 1.2e6 by construction,
+    and an overflow raises loudly under ANSI, never silently); the SUM
+    accumulator is decimal(28,10) either way, so totals are unbounded
+    by this choice. Same exact value as the oracle's DECIMAL(28,10)
+    per-row cast.
     """
     return (
-        F.round(F.sum(expr.cast("decimal(28,10)")), scale)
+        F.round(F.sum(expr.cast("decimal(18,10)")), scale)
         .cast("double")
         .alias(alias)
     )
@@ -487,7 +497,7 @@ def q_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         "o_orderkey",
         F.round(
-            F.sum(F.col("o_totalprice").cast("decimal(28,10)")).over(w), 2
+            F.sum(F.col("o_totalprice").cast("decimal(18,10)")).over(w), 2
         ).cast("double").alias("running_spend"),
     )
 
@@ -592,7 +602,7 @@ GROUP BY ROLLUP (l_returnflag, l_linestatus)
 def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_testdata(spark, sf_dir, "lineitem")
     return li.rollup("l_returnflag", "l_linestatus").agg(
-        F.round(F.sum(F.col("l_extendedprice").cast("decimal(28,10)")), 2)
+        F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,10)")), 2)
         .cast("double")
         .alias("revenue"),
         F.count(F.lit(1)).alias("n_items"),
@@ -622,7 +632,7 @@ def q_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orders.cube("o_orderstatus", "o_orderpriority").agg(
         F.grouping("o_orderstatus").cast("int").alias("g_status"),
         F.grouping("o_orderpriority").cast("int").alias("g_priority"),
-        F.round(F.sum(F.col("o_totalprice").cast("decimal(28,10)")), 2)
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,10)")), 2)
         .cast("double")
         .alias("revenue"),
         F.count(F.lit(1)).alias("n_orders"),
@@ -1083,18 +1093,31 @@ GROUP BY l_returnflag, l_linestatus
     tags=("agg", "bench"),
 )
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..io import spread_small_scan
+
     li = load_testdata(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
 
     def dec_sum(expr, scale=2):
-        return F.round(F.sum(expr.cast("decimal(28,10)")), scale).cast("double")
+        return F.round(F.sum(expr.cast("decimal(18,10)")), scale).cast("double")
 
     def dbl_sum(expr):
-        return F.sum(expr.cast("decimal(28,10)")).cast("double")
+        return F.sum(expr.cast("decimal(18,10)")).cast("double")
 
     cnt = F.count(F.lit(1))
+    # single-row-group input file = one scan task for 6 decimal sums
+    # over every row; the gated spread (no-op on a real multi-split
+    # table) parallelizes the cast+partial-agg work. Hash on the
+    # high-cardinality key: round-robin would pay a local sort
+    # (r14: 1.63s -> 0.75s at sf0.1 with the decimal(18,10) casts)
+    filtered = spread_small_scan(
+        li.filter(
+            F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp")
+        ),
+        key="l_orderkey",
+    )
     return (
-        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        filtered
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             dec_sum(F.col("l_quantity")).alias("sum_qty"),
@@ -1270,7 +1293,7 @@ def q_grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         F.grouping("o_orderstatus").cast("int").alias("g_status"),
         F.grouping("o_orderpriority").cast("int").alias("g_priority"),
-        F.round(F.sum(F.col("o_totalprice").cast("decimal(28,10)")), 2)
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,10)")), 2)
         .cast("double")
         .alias("revenue"),
         F.count(F.lit(1)).alias("n_orders"),

@@ -243,7 +243,7 @@ def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         exploded.groupBy("label", (F.col("pos0") + 1).alias("pos"))
         .agg(
             F.round(
-                F.sum(F.col("v").cast("decimal(28,10)")).cast("double")
+                F.sum(F.col("v").cast("decimal(18,10)")).cast("double")
                 / F.count(F.lit(1)),
                 6,
             ).alias("centroid")

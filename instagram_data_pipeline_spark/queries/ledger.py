@@ -700,7 +700,7 @@ def q_mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     def partial(df):
         return df.groupBy(F.col("o_custkey").alias("k")).agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.sum(F.col("o_totalprice").cast("decimal(28,10)"))
+            F.sum(F.col("o_totalprice").cast("decimal(18,10)"))
             .alias("rev"),
         )
 

@@ -410,7 +410,7 @@ def q_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         enriched.groupBy("c_mktsegment", "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(28,10)")).alias("_tv"),
+            F.sum(F.col("value").cast("decimal(18,10)")).alias("_tv"),
         )
         .select(
             "c_mktsegment",

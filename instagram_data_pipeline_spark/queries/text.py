@@ -172,8 +172,12 @@ FROM scored
     tags=("text", "langid"),
 )
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..io import spread_small_scan
+
     docs = load_testdata(spark, sf_dir, "documents")
-    return docs.select(
+    # gated no-op on a real multi-split table; parallelizes the scoring
+    # fold off the single-row-group testdata file (guide §2.5)
+    return spread_small_scan(docs, key="doc_id").select(
         "doc_id",
         F.col("lang").alias("labeled_lang"),
         X.lang_id(F.col("text")).alias("predicted_lang"),
@@ -2350,6 +2354,7 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..extensions.export import shuffle_hash
     from ..extensions.ranking import bigram_lm_scores
+    from ..io import spread_small_scan
 
     docs = load_testdata(spark, sf_dir, "documents")
     scored = bigram_lm_scores(docs, add_k=0.5).select(
@@ -2361,7 +2366,10 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array(*[F.lit(p) for p in _BLOCK_PHRASES]),
         lambda p: padded.contains(F.concat(F.lit(" "), p, F.lit(" "))),
     )
-    base = docs.select(
+    # gated spread (no-op on a multi-split table): the 4-signal base
+    # projection is the pipeline's heaviest map stage and would
+    # otherwise run on the testdata file's single scan task
+    base = spread_small_scan(docs, key="doc_id").select(
         "doc_id",
         (F.floor(X.quality_score(F.col("text")) * 1000000) >= 300000)
         .alias("quality_ok"),

@@ -44,7 +44,7 @@ def tumbling_counts(
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window).alias("w"), "event_type")
         .agg(F.count(F.lit(1)).alias("n_events"),
-             F.round(F.sum(F.col("value").cast("decimal(28,10)")), 2)
+             F.round(F.sum(F.col("value").cast("decimal(18,10)")), 2)
              .cast("double").alias("total_value"))
         .select(
             F.col("w.start").alias("window_start"),

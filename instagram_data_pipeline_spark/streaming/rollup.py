@@ -41,7 +41,7 @@ def rollup_increment(
             bucket.alias("bucket"), F.col("event_type")
         ).agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(28,10)"))
+            F.sum(F.col("value").cast("decimal(18,10)"))
             .cast("double")
             .alias("total_value"),
         )
