@@ -65,11 +65,13 @@ REGISTRY_ORDER: tuple[str, ...] = (
     #     evidence in the registry (FIFO per COVERAGE.md rotation policy).
     # (c) slot 14: txlog_widen_evolution — named in the r13 brief; also
     #     a changed-impl re-verify (below).
-    # (d) slots 15-43: every txlog-format query face — changed-impl
-    #     re-verifies: this round rewrites the transaction log to
-    #     delta-manifests + checkpoint manifests + a _last_checkpoint
-    #     pointer (VERDICT r13 "Next round" #2), which sits under every
-    #     txlog read, write, time-travel, CDF, and maintenance path.
+    # (d) slots 15-43: every txlog-format query face — staged by the
+    #     interrupted r14 build plan for the delta-log manifest rewrite
+    #     (VERDICT r13 "Next round" #2). r14 became an optimization
+    #     round and that rewrite did NOT land; the faces stay in-window
+    #     as re-verifies for this round's txlog correctness fixes
+    #     (ADVICE r13: overwrite stale-schema refusal, NOT NULL
+    #     pre-schema guard, per-writer vacuum checkpoint tmp).
     # (e) slots 44-50: the r9-vintage FIFO head (non-txlog).
     "txlog_notnull_sql",
     "anchor_text_index",
