@@ -53,6 +53,12 @@ EXTRA_QUERIES = [
     "txlog_change_feed",    # merge+delete+CDF diff over the txlog
     "txlog_delete_vectors", # merge-on-read deletes: zero-file point
     #                         erase (asserted in-query) + compaction
+    # r15 additions (additive only — the protocol value stays the
+    # sum of the 16 headline queries): the two LM scorers restructured
+    # this round (VERDICT r14 Next #1b), so their trend is
+    # driver-measured from now on.
+    "lm_perplexity_interpolated",
+    "lm_perplexity_kneser_ney",
 ]
 
 # SURVEY §7 risk 5: celebrity fan-out. One synthetic hot key owning

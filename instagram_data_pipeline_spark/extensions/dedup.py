@@ -111,26 +111,35 @@ def ngram_jaccard_pairs(
     # partition; a user repartition pins parallelism
     npart = df.sparkSession.sparkContext.defaultParallelism
     sh = sh.repartition(npart, "shingle")
-    groups = sh.groupBy("shingle").agg(
-        F.array_sort(F.collect_list(id_col)).alias("ids")
-    )
+    # r15 restructure (profiled: the old sizes branch re-ran the
+    # collect_list aggregation — exchange reuse covers only the shuffle,
+    # each consumer stage re-aggregates): the stop-shingle cap is now a
+    # cheap COUNT over the same shingle exchange + an anti-join of the
+    # hot shingles (both partition-aligned with the exchange — zero new
+    # full-stream shuffle), the index collect_list runs ONCE over the
+    # kept stream (hot ids are never buffered into arrays — a memory
+    # win at scale), and sizes aggregate the kept stream directly: a
+    # COUNT partial-aggregates map-side, so its exchange moves
+    # ~|docs| x npart partial rows, not the stream.
     if max_df is not None:
+        dfc = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+        hot = dfc.filter(F.col("_df") > max_df).select("shingle")
         if log_dropped:
-            dropped = groups.filter(F.size("ids") > max_df).count()
+            dropped = hot.count()
             import logging
 
             logging.getLogger(__name__).info(
                 "ngram_jaccard_pairs: dropped %d stop-shingles (df > %d)",
                 dropped, max_df,
             )
-        groups = groups.filter(F.size("ids") <= max_df)
-    # doc sizes over the KEPT shingle universe, derived from the same
-    # inverted index (no second scan of the shingle set)
-    sizes = (
-        groups.select(F.explode("ids").alias(id_col))
-        .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("n"))
+        kept = sh.join(hot.hint("shuffle_hash"), "shingle", "left_anti")
+    else:
+        kept = sh
+    groups = kept.groupBy("shingle").agg(
+        F.array_sort(F.collect_list(id_col)).alias("ids")
     )
+    # doc sizes over the KEPT shingle universe
+    sizes = kept.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     pairs = (
         groups.select(
             F.explode(

@@ -138,13 +138,17 @@ def bigram_lm_scores(
     join (ReusedExchange). The pre-r14 shape joined the full stream to
     ``bi`` and then re-shuffled the joined STREAM by ``w1`` for the
     unigram join — a second full-stream exchange that now moves only
-    distinct bigrams. The input repartition parallelizes bigram
-    extraction off the (often single-split) scan; at scale the scan
-    already arrives wide and the exchange is what the stream shuffle
-    would pay anyway.
+    distinct bigrams. r15: the stream⋈lp join is hinted SHUFFLE_HASH —
+    ``lp`` is the bounded distinct-bigram table (one post-shuffle
+    partition builds), so SHJ drops the SortMergeJoin's full-stream
+    sort (guide §3.1) — and the r14 input repartition is GONE: the
+    docs subtree is consumed by 3 branches (grams, uni, vocab), so a
+    repartition pays its raw-text exchange per branch, which measured
+    strictly slower than the bare scan at every SF tried (A/B in
+    OPTIMIZATION_r15.md; ADVICE r14 #2 — on a real wide table it also
+    CAPPED scan parallelism at core count).
     """
-    npart = docs.sparkSession.sparkContext.defaultParallelism
-    d = docs.repartition(npart, F.col(id_col))
+    d = docs
     w = X.tokens(F.col(text_col))
     n = F.size(w)
     grams = d.select(
@@ -187,7 +191,9 @@ def bigram_lm_scores(
             .alias("_lp"),
         )
     )
-    scored = grams.join(lp, ["w1", "w2"]).select(F.col(id_col), "_lp")
+    scored = grams.join(lp.hint("shuffle_hash"), ["w1", "w2"]).select(
+        F.col(id_col), "_lp"
+    )
     return scored.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_bigrams"),
         F.round(
@@ -345,23 +351,17 @@ def bigram_lm_scores_interpolated(
 
     Same scale shape as :func:`bigram_lm_scores` plus one more
     vocab-sized join (the w2 unigram table) and a 1-row totals
-    broadcast."""
-    w = X.tokens(F.col(text_col))
-    n = F.size(w)
-    grams = docs.select(
-        F.col(id_col),
-        F.explode(
-            F.arrays_zip(
-                F.slice(w, 1, F.greatest(n - 1, F.lit(0))).alias("w1"),
-                F.slice(w, 2, F.greatest(n - 1, F.lit(0))).alias("w2"),
-            )
-        ).alias("g"),
-    ).select(
-        F.col(id_col),
-        F.col("g.w1").alias("w1"),
-        F.col("g.w2").alias("w2"),
-    ).filter((F.col("w1") != "") & (F.col("w2") != ""))
-
+    broadcast. r15 (VERDICT r14 Next #1b): the same distinct-lp
+    restructure as the plain scorer — the interpolated log-prob
+    depends only on the bigram TYPE (w1, w2), so it is computed once
+    per entry of the bigram count table (vocab-sized joins run on
+    distinct bigrams, not the full stream) and the gram STREAM is
+    joined exactly once, shuffle-hash against the bounded lp table
+    (guide §2.3/§3.1). Per-gram values are unchanged: lp was already a
+    pure function of (w1, w2) — the oracle SQL is untouched. No input
+    repartition: the docs subtree feeds 4 branches and would pay the
+    exchange per branch (measured slower; see OPTIMIZATION_r15.md)."""
+    grams = _bigram_stream(docs, id_col, text_col)
     toks = _tokens(docs, id_col, text_col)
     uni = toks.groupBy(F.col("term").alias("w1")).agg(
         F.count(F.lit(1)).alias("cu")
@@ -485,12 +485,22 @@ def bigram_lm_scores_kneser_ney(
     family standard for n-gram LMs (absolute discount + continuation-
     count backoff), completing the add-k / Jelinek–Mercer / KN scoring
     ladder. Same DECIMAL-exact sum + one-shuffle scoring shape as
-    :func:`bigram_lm_scores`."""
+    :func:`bigram_lm_scores` — r15: the stream⋈probs join is hinted
+    SHUFFLE_HASH (probs is the bounded bigram-TYPE table; SMJ would
+    sort the full gram stream, guide §3.1), and the log is taken once
+    per bigram type, not per gram occurrence (log(p) is a pure
+    function of (w1, w2) — bit-identical per row, oracle unchanged).
+    No input repartition: the docs subtree feeds 5 branches (stream +
+    the prob table's 4) and would pay the exchange per branch
+    (measured slower; see OPTIMIZATION_r15.md)."""
     grams = _bigram_stream(docs, id_col, text_col)
     probs = kneser_ney_prob_table(docs, id_col, text_col, discount)
-    scored = grams.join(probs.select("w1", "w2", "p"), ["w1", "w2"]).select(
-        F.col(id_col),
+    lp = probs.select(
+        "w1", "w2",
         F.round(F.log(F.col("p")), 9).cast("decimal(18,10)").alias("_lp"),
+    )
+    scored = grams.join(lp.hint("shuffle_hash"), ["w1", "w2"]).select(
+        F.col(id_col), "_lp"
     )
     return scored.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_bigrams"),

@@ -55,14 +55,24 @@ def cosine_topk(
     """Exact top-k neighbors per query vector (brute force).
 
     ``queries`` must be small (broadcast). Ties beyond double precision
-    are broken by id for deterministic output."""
+    are broken by id for deterministic output.
+
+    Norms are computed ONCE PER ROW on each side of the join, not inside
+    the per-pair cosine: the array folds are CodegenFallback (interpreted),
+    and a per-pair ``cosine()`` re-runs both norm folds |queries| times
+    per corpus vector. Hoisting them leaves one dot fold per pair — the
+    irreducible brute-force work. sqrt(dot(v,v)) per row is the exact
+    same IEEE value the inline form produced, so scores are bit-identical
+    (oracle unchanged)."""
     c = corpus.select(
         F.col(id_col), as_double_vec(F.col(vec_col)).alias("_cv")
-    )
+    ).withColumn("_cn", l2_norm(F.col("_cv")))
     q = queries.select(
         F.col(query_id_col), as_double_vec(F.col(vec_col)).alias("_qv")
+    ).withColumn("_qn", l2_norm(F.col("_qv")))
+    sim = dot(F.col("_qv"), F.col("_cv")) / F.nullif(
+        F.col("_qn") * F.col("_cn"), F.lit(0.0)
     )
-    sim = cosine(F.col("_qv"), F.col("_cv"))
     scored = c.join(F.broadcast(q)).select(
         query_id_col, id_col, sim.alias("_sim")
     )
@@ -111,7 +121,14 @@ def near_dup_pairs(
     row); an explicit mismatching value raises — a wrong dim would make
     ``zip_with`` pad with nulls, every projection NULL, every vector
     land in one bucket, and the LSH silently degenerate to all-pairs."""
-    v = df.select(F.col(id_col), as_double_vec(F.col(vec_col)).alias("_v"))
+    # norm once per VECTOR, not once per pair: the fold is interpreted
+    # (CodegenFallback), and a per-pair cosine() would re-run both norm
+    # folds for every candidate pair — |pairs| >= |vectors| always.
+    # sqrt(dot(v,v)) per row is the exact IEEE value the inline form
+    # produced, so scores (and the oracle) are unchanged.
+    v = df.select(
+        F.col(id_col), as_double_vec(F.col(vec_col)).alias("_v")
+    ).withColumn("_n", l2_norm(F.col("_v")))
     if bucketed:
         dim = _resolve_dim(v, "_v", dim)
         keys = F.array(
@@ -127,10 +144,12 @@ def near_dup_pairs(
         )
         v = v.withColumn("_bucket", F.explode(keys))
         a = v.select(
-            F.col(id_col).alias("id_a"), F.col("_v").alias("_va"), "_bucket"
+            F.col(id_col).alias("id_a"), F.col("_v").alias("_va"),
+            F.col("_n").alias("_na"), "_bucket"
         )
         b = v.select(
-            F.col(id_col).alias("id_b"), F.col("_v").alias("_vb"), "_bucket"
+            F.col(id_col).alias("id_b"), F.col("_v").alias("_vb"),
+            F.col("_n").alias("_nb"), "_bucket"
         )
         # dedup (a pair can collide in several tables) BEFORE the cosine:
         # the score is the expensive part at real dimensionality
@@ -140,10 +159,14 @@ def near_dup_pairs(
             .dropDuplicates(["id_a", "id_b"])
         )
     else:
-        a = v.select(F.col(id_col).alias("id_a"), F.col("_v").alias("_va"))
-        b = v.select(F.col(id_col).alias("id_b"), F.col("_v").alias("_vb"))
+        a = v.select(F.col(id_col).alias("id_a"), F.col("_v").alias("_va"),
+                     F.col("_n").alias("_na"))
+        b = v.select(F.col(id_col).alias("id_b"), F.col("_v").alias("_vb"),
+                     F.col("_n").alias("_nb"))
         joined = a.join(b, F.col("id_a") < F.col("id_b"))
-    sim = cosine(F.col("_va"), F.col("_vb"))
+    sim = dot(F.col("_va"), F.col("_vb")) / F.nullif(
+        F.col("_na") * F.col("_nb"), F.lit(0.0)
+    )
     return (
         joined.select("id_a", "id_b", sim.alias("_sim"))
         .filter(F.col("_sim") >= threshold)
@@ -217,9 +240,17 @@ def ivf_assign(
     n_probe: int = 1,
 ) -> DataFrame:
     """Assign each vector to its ``n_probe`` nearest centroids (by
-    cosine). Centroids are tiny -> broadcast; output (id, cluster)."""
-    sim = cosine(F.col(vec_col), F.col(centroid_vec_col))
-    scored = vectors.join(F.broadcast(centroids)).select(
+    cosine). Centroids are tiny -> broadcast; output (id, cluster).
+
+    r15: norms hoisted out of the per-(vector, centroid) cosine — each
+    side's norm fold runs once per ROW instead of once per pair
+    (bit-identical values, same mechanism as cosine_topk)."""
+    v = vectors.withColumn("_ian", l2_norm(F.col(vec_col)))
+    c = centroids.withColumn("_icn", l2_norm(F.col(centroid_vec_col)))
+    sim = dot(F.col(vec_col), F.col(centroid_vec_col)) / F.nullif(
+        F.col("_ian") * F.col("_icn"), F.lit(0.0)
+    )
+    scored = v.join(F.broadcast(c)).select(
         F.col(id_col), F.col(centroid_id_col), sim.alias("_csim")
     )
     w = Window.partitionBy(id_col).orderBy(
@@ -641,9 +672,15 @@ def pq_encode(
             ])
         ).alias("_e"),
     ).select(id_col, F.col("_e.sub").alias("sub"), F.col("_e.sv").alias("_sv"))
-    # one broadcast join + one dedup window covers ALL subspaces
-    sim = cosine(F.col("_sv"), F.col("cv"))
-    scored = subs.join(F.broadcast(codebooks), "sub").select(
+    # one broadcast join + one dedup window covers ALL subspaces;
+    # norms hoisted per-row/per-entry out of the per-pair cosine (r15,
+    # bit-identical — same mechanism as cosine_topk)
+    subs = subs.withColumn("_svn", l2_norm(F.col("_sv")))
+    cb = codebooks.withColumn("_cvn", l2_norm(F.col("cv")))
+    sim = dot(F.col("_sv"), F.col("cv")) / F.nullif(
+        F.col("_svn") * F.col("_cvn"), F.lit(0.0)
+    )
+    scored = subs.join(F.broadcast(cb), "sub").select(
         id_col, "sub", F.col("cluster").alias("code"), sim.alias("_s")
     )
     w = Window.partitionBy(id_col, "sub").orderBy(
@@ -799,9 +836,17 @@ def kmeans_partitioned_train(
                 F.col("_v").alias("cv"))
         .localCheckpoint()
     )
+    # r15: the vector-side norm is loop-invariant (computed once, before
+    # the iterations); the centroid-side norm is computed once per
+    # centroid per round — the inline cosine re-ran both folds per
+    # (vector, centroid) pair every round (bit-identical values)
+    vn = v.withColumn("_nv", l2_norm(F.col("_v")))
     for _ in range(iters):
-        sim = cosine(F.col("_v"), F.col("cv"))
-        scored = v.join(F.broadcast(centroids), "_p").select(
+        cb = centroids.withColumn("_nc", l2_norm(F.col("cv")))
+        sim = dot(F.col("_v"), F.col("cv")) / F.nullif(
+            F.col("_nv") * F.col("_nc"), F.lit(0.0)
+        )
+        scored = vn.join(F.broadcast(cb), "_p").select(
             "_p", id_col, "_v", "cluster", sim.alias("_s")
         )
         wa = Window.partitionBy("_p", id_col).orderBy(
@@ -904,19 +949,28 @@ def semdedup_drops(
     max_prior_sim rounded to 6) — the audit trail of what semantic
     dedup removed and why.
     """
+    # r15: norms hoisted once per VECTOR (and per centroid) out of both
+    # per-pair cosines — assignment and the same-cluster pair scoring;
+    # the member norm rides the cluster shuffle as one extra double
+    # (bit-identical values, same mechanism as cosine_topk)
     v = vectors.select(
         F.col(id_col), as_double_vec(F.col(vec_col)).alias("_v")
-    )
-    cent = centroids.select("cluster", F.col("cv").alias("_cv"))
+    ).withColumn("_n", l2_norm(F.col("_v")))
+    cent = centroids.select(
+        "cluster", F.col("cv").alias("_cv")
+    ).withColumn("_cn", l2_norm(F.col("_cv")))
     w_assign = Window.partitionBy(id_col).orderBy(
         F.col("_csim").desc(), F.col("cluster")
     )
+    csim = dot(F.col("_v"), F.col("_cv")) / F.nullif(
+        F.col("_n") * F.col("_cn"), F.lit(0.0)
+    )
     assigned = (
         v.join(F.broadcast(cent))
-        .withColumn("_csim", cosine(F.col("_v"), F.col("_cv")))
+        .withColumn("_csim", csim)
         .withColumn("_rk", F.row_number().over(w_assign))
         .filter(F.col("_rk") == 1)
-        .select(id_col, "cluster", "_csim", "_v")
+        .select(id_col, "cluster", "_csim", "_v", "_n")
     )
     w_prio = Window.partitionBy("cluster").orderBy(
         F.col("_csim").asc(), F.col(id_col)
@@ -925,12 +979,16 @@ def semdedup_drops(
     a = ranked.select(
         F.col("cluster"),
         F.col("_prio").alias("_pa"), F.col("_v").alias("_va"),
+        F.col("_n").alias("_na"),
     )
     b = ranked.select(
         F.col(id_col), F.col("cluster"),
         F.col("_prio").alias("_pb"), F.col("_v").alias("_vb"),
+        F.col("_n").alias("_nb"),
     )
-    pair_sim = cosine(F.col("_va"), F.col("_vb"))
+    pair_sim = dot(F.col("_va"), F.col("_vb")) / F.nullif(
+        F.col("_na") * F.col("_nb"), F.lit(0.0)
+    )
     return (
         a.join(b, "cluster")
         .filter(F.col("_pa") < F.col("_pb"))

@@ -2822,6 +2822,19 @@ class TransactionLogFormat:
                      "files": sorted(live)}, f
                 )
             os.replace(tmp, ckpt)
+            # ADVICE r14 #3: a vacuum that crashed between write and
+            # replace leaves its PID-suffixed tmp behind forever (live
+            # writers' tmps must not be touched, so only age them out:
+            # anything older than this vacuum's own grace window cannot
+            # belong to an in-flight publish — the write+replace is
+            # sub-second)
+            cutoff_tmp = time.time() - grace_seconds
+            for orphan in root.glob(".liveset.tmp.*"):
+                try:
+                    if orphan.stat().st_mtime <= cutoff_tmp:
+                        orphan.unlink()
+                except OSError:
+                    pass  # concurrently published/removed: fine
         cutoff = time.time() - grace_seconds
         deleted = []
         for f in sorted((root / "data").rglob("*.parquet")):
@@ -2958,7 +2971,16 @@ class TransactionLogFormat:
         are fresh — no old bytes a physical name could collide with)
         and no ``txns`` markers (streaming idempotence restarts with
         the new table identity). One manifest publish at any table
-        size; returns the published snapshot."""
+        size; returns the published snapshot.
+
+        ADVICE r14 #4 — caller contract for ``keep_constraints=True``:
+        pass the MANIFEST-RECORDED schema verbatim (as both in-repo
+        callers do), never a df-derived one. The stale-schema guard
+        compares full schema JSON deep-equality (nullability, field
+        metadata, field order included), so ``df.schema`` — which
+        typically marks every field nullable — raises a spurious
+        CommitConflict reporting a concurrent DDL that never
+        happened."""
         names = {f.name for f in schema.fields}
         missing = set(keys) - names
         if missing:

@@ -361,16 +361,14 @@ def flesch_score(col: Column) -> Column:
     )
 
 
-def char_entropy(col: Column) -> Column:
-    """Shannon entropy (bits) of the [a-z0-9] character distribution of
-    the normalized text — the Dolma-style gibberish detector (natural
-    prose sits ~4.1-4.3 bits; near 0 = repeated chars, near log2(36) =
-    random noise).
-
-    Computed WITHOUT an explode: each char's count is
-    ``length(s) - length(replace(s, c, ''))`` — 36 fixed codegen terms,
-    mirrored literally in SQL."""
-    s = F.regexp_replace(normalized(col), " ", "")
+def char_entropy_stripped(s: Column) -> Column:
+    """:func:`char_entropy` over an ALREADY space-stripped normalized
+    string. Pass a materialized column (a real attribute) when the
+    caller computes other signals from the same normalization — the 36
+    count terms each reference ``s`` three times, so an inline
+    normalization expression would be re-evaluated ~100x per row in the
+    interpreted projection (r15: readability_stats measured 3.7 s at
+    sf0.1 from exactly that)."""
     n = F.nullif(F.length(s), F.lit(0)).cast("double")
     terms = []
     for ch in SCORED_CHARS:
@@ -381,6 +379,18 @@ def char_entropy(col: Column) -> Column:
     for t in terms[1:]:
         total = total + t
     return total
+
+
+def char_entropy(col: Column) -> Column:
+    """Shannon entropy (bits) of the [a-z0-9] character distribution of
+    the normalized text — the Dolma-style gibberish detector (natural
+    prose sits ~4.1-4.3 bits; near 0 = repeated chars, near log2(36) =
+    random noise).
+
+    Computed WITHOUT an explode: each char's count is
+    ``length(s) - length(replace(s, c, ''))`` — 36 fixed codegen terms,
+    mirrored literally in SQL."""
+    return char_entropy_stripped(F.regexp_replace(normalized(col), " ", ""))
 
 
 # ---------------------------------------------------------------------------

@@ -65,6 +65,54 @@ def load_testdata(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return reader.parquet(path)
 
 
+def _bytes_conf(spark: SparkSession, key: str, default: int) -> int:
+    """Byte-suffixed Spark conf value ("128m", "4194304") as an int."""
+    raw = spark.conf.get(key, None)
+    if raw is None:
+        return default
+    try:
+        return int(raw)
+    except ValueError:
+        return int(
+            spark._jvm.org.apache.spark.network.util.JavaUtils
+            .byteStringAsBytes(raw)
+        )
+
+
+def _scan_width(df: DataFrame, target: int) -> int:
+    """Estimated scan-task count for ``df``'s file sources WITHOUT
+    materializing the RDD lineage (VERDICT r14 #3: ``df.rdd`` forces a
+    full plan-to-RDD translation per call; on a real object store that
+    repeats the file listing). ``df.inputFiles()`` reads the already-
+    materialized FileIndex; sizes are fetched only when the file count
+    alone can't decide (fewer files than ``target`` — a bounded number
+    of getFileStatus calls), then run through Spark's own split math
+    (maxSplitBytes = min(maxPartitionBytes, max(openCost, bytes/core)))."""
+    files = df.inputFiles()
+    if not files:
+        # not file-backed (literal/constructed frame): nothing to probe;
+        # report "already wide" so the caller never adds an exchange
+        return target
+    if len(files) >= target:
+        return len(files)  # >= 1 task per file: already machine-wide
+    spark = df.sparkSession
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    sizes = []
+    for f in files:
+        p = jvm.org.apache.hadoop.fs.Path(f)
+        sizes.append(p.getFileSystem(conf).getFileStatus(p).getLen())
+    open_cost = _bytes_conf(
+        spark, "spark.sql.files.openCostInBytes", 4 * 1024 * 1024
+    )
+    max_pb = _bytes_conf(
+        spark, "spark.sql.files.maxPartitionBytes", 128 * 1024 * 1024
+    )
+    total = sum(sizes) + len(sizes) * open_cost
+    max_split = min(max_pb, max(open_cost, total // max(1, target)))
+    return max(1, -(-total // max(1, max_split)))  # ceil
+
+
 def spread_small_scan(
     df: DataFrame, key: str | None = None, parts: int | None = None
 ) -> DataFrame:
@@ -73,14 +121,14 @@ def spread_small_scan(
     table as ONE single-row-group parquet file, so every scan is one
     task no matter the split config). If the scan already yields at
     least ``parts`` input splits — any real at-scale table — this is a
-    NO-OP costing one partition-count lookup; only a
-    narrower-than-the-machine scan pays one exchange to spread the
-    downstream per-row work across cores. ``key`` hash-partitions (no
-    pre-shuffle sort); keyless round-robin pays a local
-    sort-before-repartition for retry determinism (SPARK-23207)."""
+    NO-OP costing one FileIndex lookup (no RDD translation, no extra
+    listing); only a narrower-than-the-machine scan pays one exchange to
+    spread the downstream per-row work across cores. ``key``
+    hash-partitions (no pre-shuffle sort); keyless round-robin pays a
+    local sort-before-repartition for retry determinism (SPARK-23207)."""
     spark = df.sparkSession
     target = parts or spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    if _scan_width(df, target) >= target:
         return df
     if key is not None:
         import pyspark.sql.functions as F

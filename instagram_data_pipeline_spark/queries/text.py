@@ -822,6 +822,23 @@ FROM grams
 """
 
 
+def _ngrams_of(ws: Column, n: int) -> Column:
+    """word_ngrams_text's exact expression over an already-bound token
+    ARRAY attribute. The text-taking form re-evaluates the tokenize
+    chain inside its transform lambda PER ELEMENT in the interpreted
+    path (an unbound subexpression in a HOF lambda is re-evaluated per
+    element) — binding the array first is the r15 fix that took
+    gopher_quality_filter 14.5 s -> 0.57 s and repetition_stats /
+    quality_gate 38 s / 43 s -> well under 1 s at sf0.1."""
+    return F.when(
+        F.size(ws) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(ws) - n),
+            lambda i: F.array_join(F.slice(ws, i + 1, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 @register(
     "repetition_stats",
     _REP_ORACLE,
@@ -831,18 +848,45 @@ FROM grams
     tags=("text", "quality", "scale"),
 )
 def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_testdata(spark, sf_dir, "documents")
-    toks = X.tokens(F.col("text"))
-    return docs.select(
+    # r15 restructure (same values, same oracle): token array and gram
+    # counts bound as real columns behind Generate barriers — see
+    # _ngrams_of. 38 s -> <1 s at sf0.1, equality asserted.
+    from ..io import spread_small_scan
+
+    docs = spread_small_scan(
+        load_testdata(spark, sf_dir, "documents"), key="doc_id"
+    )
+    lined = docs.select(
+        "doc_id", F.explode(F.array(X.tokens(F.col("text")))).alias("ws")
+    )
+    ws = F.col("ws")
+    g2, g3 = _ngrams_of(ws, 2), _ngrams_of(ws, 3)
+    feats = lined.select(
         "doc_id",
-        F.size(toks).cast("long").alias("n_tokens"),
-        F.round(F.size(F.array_distinct(toks)) / F.size(toks), 6).alias(
-            "uniq_token_ratio"
-        ),
-        F.round(X.dup_ngram_fraction(F.col("text"), 2), 6).alias(
+        F.inline(F.array(F.struct(
+            F.size(ws).alias("n"),
+            F.size(F.array_distinct(ws)).alias("d1"),
+            F.size(F.array_distinct(g2)).alias("d2"),
+            F.size(g2).alias("n2"),
+            F.size(F.array_distinct(g3)).alias("d3"),
+            F.size(g3).alias("n3"),
+        ))),
+    )
+
+    def dup_frac(d: Column, n: Column) -> Column:
+        # dup_ngram_fraction's exact expression over bound counts
+        return F.when(
+            n > 0, F.lit(1.0) - d / n
+        ).otherwise(F.lit(0.0))
+
+    return feats.select(
+        "doc_id",
+        F.col("n").cast("long").alias("n_tokens"),
+        F.round(F.col("d1") / F.col("n"), 6).alias("uniq_token_ratio"),
+        F.round(dup_frac(F.col("d2"), F.col("n2")), 6).alias(
             "dup_bigram_frac"
         ),
-        F.round(X.dup_ngram_fraction(F.col("text"), 3), 6).alias(
+        F.round(dup_frac(F.col("d3"), F.col("n3")), 6).alias(
             "dup_trigram_frac"
         ),
     )
@@ -1013,12 +1057,41 @@ FROM g
     tags=("text", "quality", "scale"),
 )
 def q_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_testdata(spark, sf_dir, "documents")
-    toks = X.tokens(F.col("text"))
-    n_tokens = F.size(toks).cast("long")
-    dup2 = X.dup_ngram_fraction(F.col("text"), 2)
-    s = X.lang_scores(F.col("text"))
-    lang_hits = s["en"] + s["de"] + s["es"] + s["fr"]
+    # r15 restructure (same values, same oracle): token array, dup2 and
+    # marker hits bound as real columns behind Generate barriers — the
+    # naive form re-referenced dup2 3x and the 4 marker filters 2x,
+    # each reference re-running the tokenize chain (and, inside the
+    # ngram lambda, PER ELEMENT); see _ngrams_of. 43 s -> <1 s at
+    # sf0.1, equality asserted.
+    from ..io import spread_small_scan
+
+    docs = spread_small_scan(
+        load_testdata(spark, sf_dir, "documents"), key="doc_id"
+    )
+    lined = docs.select(
+        "doc_id", F.explode(F.array(X.tokens(F.col("text")))).alias("ws")
+    )
+    ws = F.col("ws")
+    g2 = _ngrams_of(ws, 2)
+    dup2_expr = F.when(
+        F.size(g2) > 0,
+        F.lit(1.0) - F.size(F.array_distinct(g2)) / F.size(g2),
+    ).otherwise(F.lit(0.0))
+    hits = [
+        F.size(F.filter(ws, lambda t: t.isin(*X.LANG_MARKERS[k])))
+        for k in ("en", "de", "es", "fr")
+    ]
+    feats = lined.select(
+        "doc_id",
+        F.inline(F.array(F.struct(
+            F.size(ws).cast("long").alias("n_tokens"),
+            dup2_expr.alias("dup2"),
+            (hits[0] + hits[1] + hits[2] + hits[3]).alias("lang_hits"),
+        ))),
+    )
+    n_tokens = F.col("n_tokens")
+    dup2 = F.col("dup2")
+    lang_hits = F.col("lang_hits")
     keep = (
         (n_tokens >= 25) & (n_tokens <= 90)
         & (dup2 <= 0.05) & (lang_hits > 0)
@@ -1030,7 +1103,7 @@ def q_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(dup2 > 0.05, F.lit("repetitive")),
         F.when(lang_hits == 0, F.lit("lang_und")),
     )
-    return docs.select(
+    return feats.select(
         "doc_id",
         n_tokens.alias("n_tokens"),
         F.round(dup2, 6).alias("dup_bigram_frac"),
@@ -1719,13 +1792,53 @@ FROM syl
     tags=("text", "quality"),
 )
 def q_readability_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_testdata(spark, sf_dir, "documents")
-    return docs.select(
+    # r15 restructure (same values, same oracle): the naive form
+    # re-evaluated normalized(text) per reference — flesch alone
+    # references it 3x and char_entropy's 36 count terms reference its
+    # stripped form ~100x — measured 3.7 s at sf0.1. The normalization
+    # and the counts are bound as REAL columns behind Generate barriers
+    # (inline — Projects cannot collapse through a Generate); the final
+    # projection is arithmetic on attributes; the gated spread
+    # parallelizes the single-split testdata scan (accepted: 2.60 ->
+    # 1.56 s; no-op on a multi-split table). 3.7 s -> 1.56 s total,
+    # equality asserted over the corpus.
+    from ..io import spread_small_scan
+
+    docs = spread_small_scan(
+        load_testdata(spark, sf_dir, "documents"), key="doc_id"
+    )
+    base = docs.select(
         "doc_id",
-        X.sentence_count(F.col("text")).cast("int").alias("n_sentences"),
-        X.syllable_estimate(F.col("text")).cast("int").alias("n_syllables"),
-        F.round(X.flesch_score(F.col("text")), 4).alias("flesch"),
-        F.round(X.char_entropy(F.col("text")), 6).alias("char_entropy"),
+        F.inline(F.array(F.struct(
+            X.normalized(F.col("text")).alias("nrm"),
+            X.sentence_count(F.col("text")).alias("n_sent"),
+        ))),
+    )
+    nrm = F.col("nrm")
+    syl = base.select(
+        "doc_id",
+        F.col("n_sent"),
+        F.inline(F.array(F.struct(
+            F.regexp_replace(nrm, " ", "").alias("s"),
+            F.size(F.split(nrm, " ")).alias("words"),
+            F.greatest(
+                F.regexp_count(nrm, F.lit("[aeiouy]+")),
+                F.size(F.split(nrm, " ")),
+            ).alias("n_syl"),
+        ))),
+    )
+    words_d = F.col("words").cast("double")
+    flesch = (
+        F.lit(206.835)
+        - F.lit(1.015) * (words_d / F.col("n_sent"))
+        - F.lit(84.6) * (F.col("n_syl") / words_d)
+    )
+    return syl.select(
+        "doc_id",
+        F.col("n_sent").cast("int").alias("n_sentences"),
+        F.col("n_syl").cast("int").alias("n_syllables"),
+        F.round(flesch, 4).alias("flesch"),
+        F.round(X.char_entropy_stripped(F.col("s")), 6).alias("char_entropy"),
     )
 
 
@@ -2381,7 +2494,11 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     canon = base.withColumn(
         "is_canonical", F.col("doc_id") == F.min("doc_id").over(w)
     )
-    tiers = canon.join(scored, "doc_id", "left").withColumn(
+    # shuffle_hash: scored leaves its groupBy already hash-partitioned
+    # by doc_id (no exchange) and is the bounded per-doc score table —
+    # SHJ builds from it and skips SortMergeJoin's two full sorts
+    # (VERDICT r14 #4, guide §3.1)
+    tiers = canon.join(scored.hint("shuffle_hash"), "doc_id", "left").withColumn(
         "tier",
         F.when(F.col("nll_ppm").isNull(), "short")
         .when(F.col("nll_ppm") < _CUR_T1, "head")
@@ -3031,23 +3148,61 @@ FROM feats
     tags=("text", "quality"),
 )
 def q_gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_testdata(spark, sf_dir, "documents")
-    toks = X.tokens(F.col("text"))
-    n = F.size(toks)
-    sum_len = F.aggregate(
-        toks, F.lit(0), lambda acc, w: acc + F.length(w)
+    # r15 restructure (same values, same oracle): the naive inline form
+    # re-evaluated the tokenize chain per expression REFERENCE (rules +
+    # keep + n_words) and — inside word_ngrams_text's transform lambda —
+    # per SHINGLE ELEMENT (an unbound subexpression inside a HOF lambda
+    # is re-evaluated per element in the interpreted path); measured
+    # 14.5 s at sf0.1. The token array and the five counts are bound as
+    # REAL columns behind Generate barriers (explode/inline — Projects
+    # cannot collapse through a Generate, so nothing re-inlines), after
+    # which every rule is integer arithmetic on attributes; the gated
+    # spread parallelizes the single-split testdata scan (accepted:
+    # 1.02 -> 0.57 s; no-op on a multi-split table). 14.5 s -> 0.57 s
+    # total, equality asserted over the corpus.
+    from ..io import spread_small_scan
+
+    docs = spread_small_scan(
+        load_testdata(spark, sf_dir, "documents"), key="doc_id"
     )
-    n_alpha = F.size(F.filter(toks, lambda w: w.rlike("[a-z]")))
-    n_stop = F.size(F.filter(toks, lambda w: w.isin(*X.EN_STOPWORDS)))
-    g2 = X.word_ngrams_text(F.col("text"), 2)
-    d_g2 = F.size(F.array_distinct(g2))
-    n_g2 = F.size(g2)
+    lined = docs.select(
+        "doc_id", F.explode(F.array(X.tokens(F.col("text")))).alias("ws")
+    )
+    # word_ngrams_text's exact shape over the bound array (its
+    # when(size >= n)/otherwise([]) NULL semantics preserved verbatim)
+    ws = F.col("ws")
+    g2 = F.when(
+        F.size(ws) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(ws) - 2),
+            lambda i: F.array_join(F.slice(ws, i + 1, 2), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    feats = lined.select(
+        "doc_id",
+        F.inline(F.array(F.struct(
+            F.size("ws").alias("n"),
+            F.aggregate(
+                "ws", F.lit(0), lambda acc, w: acc + F.length(w)
+            ).alias("sum_len"),
+            F.size(
+                F.filter("ws", lambda w: w.rlike("[a-z]"))
+            ).alias("n_alpha"),
+            F.size(
+                F.filter("ws", lambda w: w.isin(*X.EN_STOPWORDS))
+            ).alias("n_stop"),
+            F.size(F.array_distinct(g2)).alias("d_g2"),
+            F.size(g2).alias("n_g2"),
+        ))),
+    )
+    n = F.col("n")
+    sum_len = F.col("sum_len")
     r_words = (n >= 20) & (n <= 10000)
     r_meanlen = (3 * n <= sum_len) & (sum_len <= 10 * n)
-    r_alpha = 5 * n_alpha >= 4 * n
-    r_stop = n_stop >= 2
-    r_dup2 = (n_g2 == 0) | (5 * d_g2 >= 4 * n_g2)
-    return docs.select(
+    r_alpha = 5 * F.col("n_alpha") >= 4 * n
+    r_stop = F.col("n_stop") >= 2
+    r_dup2 = (F.col("n_g2") == 0) | (5 * F.col("d_g2") >= 4 * F.col("n_g2"))
+    return feats.select(
         "doc_id",
         n.cast("long").alias("n_words"),
         r_words.alias("r_words"),

@@ -45,6 +45,12 @@ def build_session(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # ADVICE r14 #1: the decimal(18,10) per-row casts rely on ANSI
+        # mode to fail LOUDLY on overflow (>= 1e8 would otherwise cast
+        # to NULL and silently drop from sums, diverging from the
+        # DECIMAL(28,10) oracle). ANSI is default-true on Spark 4.x but
+        # config passthrough could disable it — pin it explicitly.
+        .config("spark.sql.ansi.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config(
             "spark.sql.execution.arrow.maxRecordsPerBatch",

@@ -342,3 +342,31 @@ def test_openai_compatible_response_through_validation(spark):
     assert len(validated) == 2  # NotACategory dropped by the P8 join
     assert all(r.user_id == "pending-1" for r in validated)
     assert {r.confidence_score for r in validated} == {0.9, 0.5}
+
+
+def test_customer_order_summary_matches_per_group_reference(spark, sf_dir):
+    """r15: the mapInPandas batch-vectorized aggregation must emit
+    exactly what the per-group reference form (_summarize via
+    applyInPandas) emits — same groups, same argmax tie-breaks, same
+    microsecond timestamps."""
+    from instagram_data_pipeline_spark.analysis.group_summary import (
+        SUMMARY_SCHEMA,
+        _summarize,
+        customer_order_summary,
+    )
+    from instagram_data_pipeline_spark.io import load_testdata
+
+    orders = load_testdata(spark, sf_dir, "orders")
+    got = sorted(map(tuple, customer_order_summary(orders).collect()))
+    ref = sorted(
+        map(
+            tuple,
+            orders.select(
+                "o_custkey", "o_orderpriority", "o_totalprice", "o_orderdate"
+            )
+            .groupBy("o_custkey")
+            .applyInPandas(_summarize, schema=SUMMARY_SCHEMA)
+            .collect(),
+        )
+    )
+    assert got == ref

@@ -2671,10 +2671,14 @@ def test_txlog_not_null_ddl_on_pre_schema_manifest_is_loud(
 def test_txlog_vacuum_checkpoint_tmp_is_per_writer(spark, tmp_path):
     """ADVICE r13 #3: concurrent vacuums must not share one tmp path
     for the liveset checkpoint publish — each writer's os.replace is
-    independently atomic. A stale foreign writer's tmp neither blocks
-    the publish nor is clobbered, and our own tmp never survives."""
+    independently atomic. ADVICE r14 #3: an IN-FLIGHT foreign tmp
+    (inside the grace window) neither blocks the publish nor is
+    clobbered, but a tmp ORPHANED by a crashed vacuum (older than the
+    grace window — the write+replace is sub-second) is aged out so
+    stale tmps don't accumulate forever; our own tmp never survives."""
     import json as _json
     import os
+    import time
     from pathlib import Path
 
     from instagram_data_pipeline_spark.formats import TransactionLogFormat
@@ -2690,9 +2694,44 @@ def test_txlog_vacuum_checkpoint_tmp_is_per_writer(spark, tmp_path):
     root = Path(wh.path("facts"))
     foreign = root / ".liveset.tmp.999999999"
     foreign.write_text("{\"mid\": \"write\"}")
-    assert fmt.vacuum(wh, "facts", grace_seconds=0.0) == []
+    crashed = root / ".liveset.tmp.888888888"
+    crashed.write_text("{\"mid\": \"write\"}")
+    old = time.time() - 7200
+    os.utime(crashed, (old, old))
+    assert fmt.vacuum(wh, "facts") == []  # default 1h grace
     ckpt = root / "_liveset.json"
     assert ckpt.exists()
     assert _json.load(open(ckpt))["vmax"] == 1  # valid, not corrupt
-    assert foreign.exists()  # another writer's in-flight tmp untouched
+    assert foreign.exists()  # in-flight writer's tmp untouched
+    assert not crashed.exists()  # crashed vacuum's litter aged out
     assert not (root / f".liveset.tmp.{os.getpid()}").exists()
+
+
+# ---------------------------------------------------------------------------
+# spread_small_scan: the gated repartition must decide from the
+# FileIndex (no RDD materialization — VERDICT r14 #3) and stay a strict
+# no-op whenever the scan is already machine-wide.
+# ---------------------------------------------------------------------------
+def test_spread_small_scan_spreads_single_file(spark, sf_dir):
+    from instagram_data_pipeline_spark.io import spread_small_scan
+
+    docs = load_testdata(spark, sf_dir, "documents")
+    out = spread_small_scan(docs, key="doc_id", parts=8)
+    assert out is not docs  # single small file < 8 estimated splits
+    assert out.rdd.getNumPartitions() == 8
+    # values untouched, only placement
+    assert out.count() == docs.count()
+
+
+def test_spread_small_scan_noop_when_wide_enough(spark, sf_dir):
+    from instagram_data_pipeline_spark.io import spread_small_scan
+
+    docs = load_testdata(spark, sf_dir, "documents")
+    assert spread_small_scan(docs, key="doc_id", parts=1) is docs
+
+
+def test_spread_small_scan_noop_on_non_file_frame(spark):
+    from instagram_data_pipeline_spark.io import spread_small_scan
+
+    df = spark.range(10)  # no file source behind it: nothing to probe
+    assert spread_small_scan(df, parts=64) is df

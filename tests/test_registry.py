@@ -10,21 +10,27 @@ from instagram_data_pipeline_spark.queries import (
     load_all,
 )
 
-# queries that MUST occupy the round-14 driver window (VERDICT r13
-# Next #1): the first driver row for txlog_notnull_sql (registered at
-# slot 51 after the r13 window seated; judge-verified PASS at sf0.01),
-# the twelve r8-vintage queries (the oldest driver evidence anywhere),
-# and txlog_widen_evolution.
+# queries that MUST occupy the round-15 driver window (standing policy:
+# changed-impl re-verifies first): one representative per r15
+# optimization family + the r14 decimal-narrowing sites the r14 window
+# never reached (VERDICT r14 Next #5).
 PRIORITY = {
-    # first driver row
-    "txlog_notnull_sql",
-    # r8-vintage cohort (oldest driver evidence)
-    "anchor_text_index", "temperature_sample_wor", "langid_confusion",
-    "community_stats", "cross_source_contamination", "event_rate_spikes",
-    "dedup_cluster_histogram", "lsh_band_stats", "bloom_fp_report",
-    "event_transitions", "dedup_funnel_report", "triangle_stats",
-    # r8-vintage txlog evolution face
-    "txlog_widen_evolution",
+    # similarity norm hoists
+    "cosine_topk", "embedding_near_dups", "semdedup_drops",
+    "kmeans_clusters",
+    # LM distinct-lp / SHUFFLE_HASH restructures
+    "lm_perplexity", "lm_perplexity_interpolated",
+    "lm_perplexity_kneser_ney", "curation_pipeline",
+    # Generate-bound text kernels + spread-probe consumers
+    "gopher_quality_filter", "readability_stats", "repetition_stats",
+    "quality_gate", "lang_id", "pricing_summary",
+    # ngram_jaccard restructure + the composed funnel
+    "ngram_jaccard_pairs", "dedup_funnel_report",
+    # pandas UDAF mapInPandas rewrite
+    "pandas_group_summary",
+    # VERDICT r14 Next #5 decimal-narrowing verification
+    "mv_incremental_refresh", "stream_static_enrich", "bm25_topk",
+    "dsir_weights", "label_centroids",
 }
 
 
